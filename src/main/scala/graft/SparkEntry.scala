@@ -1,13 +1,131 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{AggQueries, ParityQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] has a DuckDB oracle in [[oracleSql]] with
+  * IDENTICAL column names/types and a deterministic ORDER BY on both
+  * sides. Conventions for cross-engine determinism:
+  *
+  *   - integer outputs cast to BIGINT in both engines
+  *   - money aggregates computed in exact DECIMAL then cast to DOUBLE
+  *     (bit-identical regardless of partial-agg order)
+  *   - hashing via md5-hex -> 60-bit BIGINT ([[graft.functions.PortableHash]])
+  *   - dates/timestamps emitted as ISO strings
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** DuckDB fragment: the Fts tokenizer (lower + split non-alphanumeric,
+    * boundary empties dropped).
+    */
+  private def duckTokens(expr: String): String =
+    s"list_filter(string_split_regex(lower($expr), '[^a-z0-9]+'), t -> t <> '')"
+
+  private def duckContainsAll(expr: String, terms: Seq[String]): String =
+    terms.map(t => s"list_contains(${duckTokens(expr)}, '$t')").mkString(" AND ")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    AggQueries.pricingSummary(spark, "/root/testdata/sf0.001")
+
+  /** One per implemented operator from SURVEY.md §2 (+ extensions). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 / §2.7 — scan + row identity
+    "s1_rowid_scan" -> (ParityQueries.rowidScan _),
+    // §2.2 — projections / column transforms
+    "p2_shape_part" -> (ParityQueries.shapePart _),
+    "p3_literal_columns" -> (ParityQueries.literalColumns _),
+    "p5_dates_iso" -> (ParityQueries.datesIso _),
+    "p5_datetimes_iso" -> (ParityQueries.datetimesIso _),
+    // §2.3 — dictionary encoding
+    "e2_dict_orderpriority" -> (ParityQueries.dictOrderpriority _),
+    "e2_encode_orders" -> (ParityQueries.encodeOrders _),
+    "e2_shared_dict" -> (ParityQueries.sharedDict _),
+    // §2.5/§2.6 — FTS + reconstruction joins
+    "s10_fts_reconstruct" -> (ParityQueries.ftsReconstruct _),
+    "s13_fts_match" -> (ParityQueries.ftsMatch _),
+    "s12_fts_term_stats" -> (ParityQueries.ftsTermStats _),
+    "s13_fts_index_match" -> (ParityQueries.ftsIndexMatch _),
+    // headline agg/join workloads
+    "q1_pricing_summary" -> (AggQueries.pricingSummary _),
+    "q3_top_revenue_orders" -> (AggQueries.topRevenueOrders _),
+    "q5_revenue_by_nation" -> (AggQueries.revenueByNation _),
+  )
+
+  /** DuckDB-runnable oracle per query (same column names, same ORDER BY). */
+  def oracleSql: Map[String, String] = Map(
+    "s1_rowid_scan" ->
+      """SELECT CAST(row_number() OVER (ORDER BY r_regionkey) AS BIGINT) AS rowid,
+        |  CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+        |FROM region ORDER BY rowid""".stripMargin,
+    "p2_shape_part" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS part_id, p_name AS part_name,
+        |  CAST(p_size AS DOUBLE) AS size_real, CAST(p_brand AS VARCHAR) AS brand
+        |FROM part ORDER BY part_id""".stripMargin,
+    "p3_literal_columns" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  'nation' AS filename, 'batch42' AS batch,
+        |  CAST(42 AS BIGINT) AS load_id, CAST(1.5 AS DOUBLE) AS weight
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "p5_dates_iso" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS d_iso,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS d_fuzzy,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS d_fuzzy2
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "p5_datetimes_iso" ->
+      """SELECT CAST(event_id AS BIGINT) AS event_id,
+        |  strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_iso
+        |FROM events ORDER BY event_id""".stripMargin,
+    "e2_dict_orderpriority" ->
+      """SELECT CAST(row_number() OVER (ORDER BY first_seen) AS BIGINT) AS id, value
+        |FROM (SELECT o_orderpriority AS value, min(o_orderkey) AS first_seen
+        |      FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1)
+        |ORDER BY id""".stripMargin,
+    "e2_encode_orders" ->
+      """WITH dict AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY first_seen) AS BIGINT) AS id, value
+        |  FROM (SELECT o_orderpriority AS value, min(o_orderkey) AS first_seen
+        |        FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1))
+        |SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey, o.o_orderstatus,
+        |  CAST(d.id AS BIGINT) AS o_orderpriority
+        |FROM orders o LEFT JOIN dict d ON o.o_orderpriority = d.value
+        |ORDER BY o_orderkey""".stripMargin,
+    "e2_shared_dict" ->
+      """WITH src AS (
+        |  SELECT l_returnflag AS value, CAST(0 AS BIGINT) AS s,
+        |         l_orderkey*10 + l_linenumber AS rowid FROM lineitem
+        |  UNION ALL
+        |  SELECT l_linestatus, CAST(1 AS BIGINT),
+        |         l_orderkey*10 + l_linenumber FROM lineitem)
+        |SELECT CAST(row_number() OVER (ORDER BY fs) AS BIGINT) AS id, value
+        |FROM (SELECT value, min(s*1000000000000 + rowid) AS fs
+        |      FROM src WHERE value IS NOT NULL GROUP BY 1)
+        |ORDER BY id""".stripMargin,
+    "s10_fts_reconstruct" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |  o_orderpriority AS priority_text
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "s13_fts_match" ->
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+         |FROM documents
+         |WHERE ${duckContainsAll("text", Seq("spark", "window", "merge"))}
+         |ORDER BY doc_id""".stripMargin,
+    "s12_fts_term_stats" ->
+      s"""SELECT term, CAST(count(*) AS BIGINT) AS df
+         |FROM (SELECT doc_id, unnest(list_distinct(${duckTokens("text")})) AS term
+         |      FROM documents)
+         |GROUP BY term ORDER BY term""".stripMargin,
+    "s13_fts_index_match" ->
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id
+         |FROM documents
+         |WHERE ${duckContainsAll("text", Seq("vector", "hash", "join"))}
+         |ORDER BY doc_id""".stripMargin,
+    "q1_pricing_summary" -> AggQueries.pricingSummaryOracle,
+    "q3_top_revenue_orders" -> AggQueries.topRevenueOrdersOracle,
+    "q5_revenue_by_nation" -> AggQueries.revenueByNationOracle,
+  )
 }

@@ -1,0 +1,165 @@
+package graft.functions
+
+import java.time.{LocalDate, LocalDateTime, LocalTime}
+import java.time.format.{DateTimeFormatter, DateTimeFormatterBuilder}
+import java.time.temporal.ChronoField
+
+import scala.util.Try
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Fuzzy date / datetime parsing (reference P5, `utils.py:505-518`).
+  *
+  * The reference delegates to the `dateparser` library with an optional
+  * explicit strptime format list (`-df`). The golden fixtures
+  * (FIXTURES.md §3/4/6) pin these shapes:
+  *
+  *   - "3rd May 2017"                   -> 2017-05-03   (ordinal day)
+  *   - "10pm on April 4 1938"           -> 1938-04-04T22:00:00 (meridiem prefix)
+  *   - "04/30/2005"                     -> 2005-04-30   (US slash date)
+  *   - "5:45 10 December 2009"          -> 2009-12-10T05:45:00
+  *   - "%y/%d/%m" on "03/02/01"         -> 2003-01-02   (2-digit year -> 20xx)
+  *   - "%d of %B in the year %Y"        -> 2002-12-06
+  *
+  * Semantics preserved: explicit formats win over fuzzy parsing; date
+  * variant truncates to the date; output is an ISO-8601 STRING (the
+  * reference stores TEXT, not native dates, `utils.py:510-513`); NULL
+  * passes through; unparseable non-null input raises (the reference
+  * crashes the load on a failed parse — errors must propagate, not
+  * silently null out).
+  */
+object DateParse {
+
+  /** Translate a strptime format to a java.time pattern. Only directives
+    * the reference's surface plausibly sees; %d/%m/%H accept non-padded
+    * values (single-letter pattern), matching strptime's leniency.
+    */
+  def strptimeToJava(fmt: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        fmt.charAt(i + 1) match {
+          case 'Y' => sb.append("yyyy")
+          case 'y' => sb.append("yy")
+          case 'm' => sb.append("M")
+          case 'd' => sb.append("d")
+          case 'B' => sb.append("MMMM")
+          case 'b' => sb.append("MMM")
+          case 'H' => sb.append("H")
+          case 'I' => sb.append("h")
+          case 'M' => sb.append("m")
+          case 'S' => sb.append("s")
+          case 'p' => sb.append("a")
+          case '%' => sb.append('%')
+          case other => sb.append(other)
+        }
+        i += 2
+      } else if (c.isLetter) {
+        // Quote whole literal-letter runs (e.g. "of" in "%d of %B") in
+        // one quoted block — per-letter quoting would create '' pairs
+        // that java.time reads as literal apostrophes.
+        val start = i
+        while (i < fmt.length && fmt.charAt(i).isLetter && fmt.charAt(i) != '%') i += 1
+        sb.append("'").append(fmt.substring(start, i)).append("'")
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  private def fmt(pattern: String): DateTimeFormatter =
+    new DateTimeFormatterBuilder()
+      .parseCaseInsensitive()
+      .appendPattern(pattern)
+      .parseDefaulting(ChronoField.HOUR_OF_DAY, 0)
+      .parseDefaulting(ChronoField.MINUTE_OF_HOUR, 0)
+      .parseDefaulting(ChronoField.SECOND_OF_MINUTE, 0)
+      .toFormatter(java.util.Locale.US)
+
+  /** Fallback chain of common concrete shapes (tried after user formats). */
+  private lazy val fallbackFormats: Seq[DateTimeFormatter] = Seq(
+    "yyyy-M-d'T'H:m:s", "yyyy-M-d H:m:s", "yyyy-M-d H:m", "yyyy-M-d",
+    "M/d/yyyy H:m:s", "M/d/yyyy H:m", "M/d/yyyy",
+    "d MMMM yyyy H:m", "d MMMM yyyy", "MMMM d yyyy H:m", "MMMM d yyyy",
+    "MMMM d, yyyy", "d MMM yyyy", "MMM d yyyy", "MMM d, yyyy",
+    "yyyyMMdd"
+  ).map(fmt)
+
+  private val ordinalRe = "(?i)\\b(\\d{1,2})(st|nd|rd|th)\\b".r
+  private val meridiemPrefixRe =
+    "(?i)^\\s*(\\d{1,2})(?::(\\d{2}))?\\s*(am|pm)\\s+on\\s+(.*)$".r
+  private val timePrefixRe =
+    "^\\s*(\\d{1,2}):(\\d{2})(?::(\\d{2}))?\\s+(.*)$".r
+
+  /** Parse one value. Explicit strptime `formats` first, then the fuzzy
+    * chain. Returns None only for null/blank input; throws on a value
+    * nothing can parse (reference error-propagation semantics).
+    */
+  def parse(value: String, formats: Seq[String] = Nil): Option[LocalDateTime] = {
+    if (value == null || value.trim.isEmpty) return None
+    val v = value.trim
+
+    def tryFormatter(f: DateTimeFormatter, s: String): Option[LocalDateTime] =
+      Try(LocalDateTime.parse(s, f)).toOption
+
+    val userFormatters = formats.map(f => fmt(strptimeToJava(f)))
+    val viaUser = userFormatters.view.flatMap(f => tryFormatter(f, v)).headOption
+    if (viaUser.isDefined) return viaUser
+
+    // Meridiem prefix: "10pm on April 4 1938" / "10:30am on ...".
+    v match {
+      case meridiemPrefixRe(h, m, ap, rest) =>
+        val base = parse(rest, formats)
+        return base.map { d =>
+          val hour0 = h.toInt % 12
+          val hour = if (ap.equalsIgnoreCase("pm")) hour0 + 12 else hour0
+          d.toLocalDate.atTime(LocalTime.of(hour, Option(m).map(_.toInt).getOrElse(0)))
+        }
+      case _ =>
+    }
+    // Leading bare time: "5:45 10 December 2009".
+    v match {
+      case timePrefixRe(h, m, s, rest) if rest.nonEmpty && !rest.forall(_.isDigit) =>
+        val base = parse(rest, formats)
+        if (base.isDefined)
+          return base.map(d => d.toLocalDate.atTime(
+            LocalTime.of(h.toInt, m.toInt, Option(s).map(_.toInt).getOrElse(0))))
+      case _ =>
+    }
+
+    // Strip ordinal suffixes: "3rd May 2017" -> "3 May 2017".
+    val deOrdinal = ordinalRe.replaceAllIn(v, mm => mm.group(1))
+    val hit = fallbackFormats.view.flatMap(f => tryFormatter(f, deOrdinal)).headOption
+    hit match {
+      case Some(d) => Some(d)
+      case None =>
+        throw new IllegalArgumentException(s"Unable to parse date value: '$value'")
+    }
+  }
+
+  def parseDateIso(value: String, formats: Seq[String] = Nil): String =
+    parse(value, formats).map(_.toLocalDate.toString).orNull
+
+  def parseDatetimeIso(value: String, formats: Seq[String] = Nil): String =
+    parse(value, formats)
+      .map(_.format(DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")))
+      .orNull
+
+  /** Column-level API. `formats` is captured at plan time (it comes from
+    * the CLI `-df` flags, not from data).
+    */
+  def parseDate(c: Column, formats: Seq[String] = Nil): Column = {
+    val f = udf((s: String) => parseDateIso(s, formats))
+    f(c)
+  }
+
+  def parseDatetime(c: Column, formats: Seq[String] = Nil): Column = {
+    val f = udf((s: String) => parseDatetimeIso(s, formats))
+    f(c)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Full-text-search operators (reference S9–S13, `utils.py:362-438`).
+  *
+  * The reference creates SQLite FTS3/4/5 external-content virtual tables
+  * and queries them with `MATCH` — implicit-AND bag-of-words,
+  * case-insensitive, terms may hit different columns of the same row
+  * (`tests/test_csvs_to_sqlite.py:167-188`). Spark-first re-expression:
+  *
+  *   - tokenizer: `lower` + split on non-alphanumerics (SQLite's default
+  *     unicode61-ish behavior pinned to the tested corpora)
+  *   - the index: an inverted-index DataFrame `(term, rowid)` built by
+  *     exploding distinct tokens — partitioned by term, this scales out
+  *     like any shuffle; or
+  *   - match-as-predicate: `array_contains` per query term AND'ed
+  *     together — stays inside whole-stage codegen, no shuffle at all,
+  *     and Catalyst pushes the underlying column scan down to parquet.
+  *
+  * When extracted columns are FTS-indexed the reference indexes the
+  * ORIGINAL strings via generated LEFT JOINs of each lookup table
+  * (`utils.py:400-432`) — that reconstruction is [[Extract.reconstruct]]
+  * composed before [[tokens]].
+  */
+object Fts {
+
+  /** Tokenize one or more columns into a single token array. Empty
+    * strings filtered (split yields boundary empties).
+    */
+  def tokens(cols: Seq[Column]): Column = {
+    val joined = concat_ws(" ", cols: _*)
+    filter(split(lower(joined), "[^a-z0-9]+"), t => t =!= lit(""))
+  }
+
+  /** MATCH predicate: every term present (implicit AND, case-insensitive,
+    * cross-column). `query` is split with the same tokenizer at plan time.
+    */
+  def matches(cols: Seq[Column], query: String): Column = {
+    val terms = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    require(terms.nonEmpty, "empty FTS query")
+    val tok = tokens(cols)
+    terms.map(t => array_contains(tok, t)).reduce(_ && _)
+  }
+
+  /** Build the inverted index `(term, rowid)` — one row per distinct term
+    * per source row. This is the scale path for repeated queries: the
+    * index shuffles once keyed by term; a MATCH becomes a semi-join
+    * per term intersected on rowid.
+    */
+  def invertedIndex(df: DataFrame, cols: Seq[String], rowidCol: String = Rowid.ColName): DataFrame =
+    df.select(col(rowidCol), explode(array_distinct(tokens(cols.map(col)))).as("term"))
+      .select(col("term"), col(rowidCol))
+
+  /** MATCH via the inverted index: rowids containing ALL query terms.
+    * Aggregation-based term intersection — one shuffle on rowid, no
+    * self-join explosion for multi-term queries.
+    */
+  def matchRowids(index: DataFrame, query: String, rowidCol: String = Rowid.ColName): DataFrame = {
+    val terms = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "empty FTS query")
+    index
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(rowidCol))
+      .agg(countDistinct(col("term")).as("__nterms"))
+      .filter(col("__nterms") === lit(terms.size))
+      .select(col(rowidCol))
+  }
+
+  /** S9: FTS version probe. The reference tries FTS5→4→3 in :memory:
+    * SQLite (`utils.py:362-371`); the native engine's index has FTS5-level
+    * capability, so the probe is a constant.
+    */
+  def bestFtsVersion: String = "FTS5"
+
+  /** S11: validate requested FTS columns exist in the created tables
+    * (`cli.py:275-281`).
+    */
+  def validateFtsColumns(tables: Map[String, DataFrame], ftsCols: Seq[String]): Unit = {
+    val available = tables.values.flatMap(_.columns).toSet
+    val missing = ftsCols.filterNot(available.contains)
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"FTS column(s) ${missing.mkString(", ")} not found in any table")
+  }
+}

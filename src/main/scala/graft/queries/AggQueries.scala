@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Headline aggregation / join queries (extensions beyond the reference's
+  * own surface — SURVEY §2.9 — used as bench workloads and as coverage of
+  * Spark's agg/join operator families).
+  *
+  * Float determinism: money sums go through exact DECIMAL arithmetic and
+  * only the final sum is cast to DOUBLE, so Spark and the DuckDB oracle
+  * produce bit-identical doubles regardless of partial-aggregation order.
+  */
+object AggQueries {
+
+  private def dec(p: Int, s: Int) = DecimalType(p, s)
+
+  /** TPC-H Q1-style pricing summary over lineitem. One shuffle (groupBy
+    * on two low-cardinality keys) with map-side partial aggregation; the
+    * shipdate filter pushes down to the parquet scan.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val discFactor = lit(1).cast(dec(3, 2)) - col("l_discount").cast(dec(4, 2))
+    val taxFactor = lit(1).cast(dec(3, 2)) + col("l_tax").cast(dec(4, 2))
+    li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(dec(18, 2))).cast(DoubleType).as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec(18, 2))).cast(DoubleType).as("sum_base_price"),
+        sum(col("l_extendedprice").cast(dec(18, 2)) * discFactor).cast(DoubleType).as("sum_disc_price"),
+        sum(col("l_extendedprice").cast(dec(18, 2)) * (discFactor * taxFactor)).cast(DoubleType).as("sum_charge"),
+        count(lit(1)).cast(LongType).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  def pricingSummaryOracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * ((CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2))))) AS DOUBLE) AS sum_charge,
+      |  CAST(COUNT(*) AS BIGINT) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-style: top revenue orders for one market segment. customer
+    * is tiny -> broadcast; lineitem (the big side) never shuffles for the
+    * joins, only for the final group-by on l_orderkey.
+    */
+  def topRevenueOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val revenue = col("l_extendedprice").cast(dec(18, 2)) *
+      (lit(1).cast(dec(3, 2)) - col("l_discount").cast(dec(4, 2)))
+    li.join(broadcast(orders.join(broadcast(cust), col("o_custkey") === col("c_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(revenue).cast(DoubleType).as("revenue"))
+      .select(col("l_orderkey").cast(LongType).as("l_orderkey"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  def topRevenueOrdersOracle: String =
+    """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY l_orderkey
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-style: revenue by nation — a 6-way star join where every
+    * dimension side is broadcast (region->nation->customer/supplier), so
+    * the only shuffle of lineitem is the final group-by.
+    */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.load(spark, dir, "region")
+    val nation = Tables.load(spark, dir, "nation")
+    val cust = Tables.load(spark, dir, "customer")
+    val orders = Tables.load(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val revenue = col("l_extendedprice").cast(dec(18, 2)) *
+      (lit(1).cast(dec(3, 2)) - col("l_discount").cast(dec(4, 2)))
+    val custNation = cust
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+    li.join(broadcast(orders.join(broadcast(custNation), col("o_custkey") === col("c_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), col("r_name"))
+      .agg(sum(revenue).cast(DoubleType).as("revenue"),
+        count(lit(1)).cast(LongType).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  def revenueByNationOracle: String =
+    """SELECT n_name, r_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY n_name, r_name
+      |ORDER BY n_name""".stripMargin
+}

@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.DateParse
+import graft.operators.{Extract, Fts, Shape}
+
+/** Graded queries exercising the reference's own operator inventory
+  * (SURVEY §2) over the driver's testdata parquet. Each has a DuckDB
+  * oracle in [[graft.SparkEntry.oracleSql]]; Spark/SQL column names and
+  * types are kept identical (BIGINT ids/counts, DOUBLE measures,
+  * VARCHAR/ISO strings) and every query ends in a deterministic ORDER BY.
+  */
+object ParityQueries {
+
+  /** S1/§2.7 — rowid attach (zipWithIndex path) on a deterministic input
+    * order. Demonstrates stable 1-based row identity.
+    */
+  def rowidScan(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.load(spark, dir, "region").orderBy(col("r_regionkey"))
+    graft.operators.Rowid.attach(region)
+      .select(col("rowid"), col("r_regionkey").cast(LongType).as("r_regionkey"), col("r_name"))
+      .orderBy("rowid")
+  }
+
+  /** P1+P2 — shape parse + prune/rename/cast on `part`:
+    * `p_partkey:part_id,p_name:part_name,p_size:size_real(REAL),p_retailprice:price` —
+    * one rename, one REAL cast, implicit prune of the rest.
+    */
+  def shapePart(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(spark, dir, "part")
+    val shape = Shape.parseShape("p_partkey:part_id,p_name:part_name,p_size:size_real(REAL),p_brand:brand(TEXT)")
+    val (shaped, _) = Shape.applyShape(part, shape)
+    shaped.withColumn("part_id", col("part_id").cast(LongType)).orderBy("part_id")
+  }
+
+  /** P3+P4 — filename column + typed fixed columns on `nation`. */
+  def literalColumns(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+    val named = Shape.withFilenameColumn(nation, "filename", "nation")
+    Shape.withFixedColumns(named, Seq(
+        "batch" -> Shape.FixedStr("batch42"),
+        "load_id" -> Shape.FixedInt(42L),
+        "weight" -> Shape.FixedFloat(1.5)))
+      .select(col("n_nationkey").cast(LongType).as("n_nationkey"), col("n_name"),
+        col("filename"), col("batch"), col("load_id"), col("weight"))
+      .orderBy("n_nationkey")
+  }
+
+  /** P5 — date/datetime normalization to ISO strings, including a round
+    * trip through the fuzzy natural-language parser ("July 4, 1996" ->
+    * "1996-07-04").
+    */
+  def datesIso(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    orders.select(
+        col("o_orderkey").cast(LongType).as("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d_iso"),
+        DateParse.parseDate(date_format(col("o_orderdate"), "MMMM d, yyyy")).as("d_fuzzy"),
+        DateParse.parseDate(date_format(col("o_orderdate"), "d MMMM yyyy")).as("d_fuzzy2"))
+      .orderBy("o_orderkey")
+  }
+
+  /** P5 — datetime variant on `events.ts` (real time-of-day component). */
+  def datetimesIso(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    events.select(
+        col("event_id").cast(LongType).as("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("ts_iso"))
+      .orderBy("event_id")
+  }
+
+  /** E2 phase 1 — dictionary build on `orders.o_orderpriority` with
+    * first-seen ordering keyed by o_orderkey-as-rowid. Golden semantics:
+    * ids 1..N in first-occurrence order.
+    */
+  def dictOrderpriority(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey").as("rowid"))
+    Extract.buildDictionary(Seq(Extract.Source(orders, "o_orderpriority")))
+      .select(col("id"), col("value"))
+      .orderBy("id")
+  }
+
+  /** E2 phase 2 — encode the fact table against the built dictionary
+    * (broadcast join; fact never shuffles).
+    */
+  def encodeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val src = orders.select(col("o_orderpriority"), col("o_orderkey").as("rowid"))
+    val dict = Extract.buildDictionary(Seq(Extract.Source(src, "o_orderpriority")))
+    Extract.encode(orders, "o_orderpriority", dict)
+      .select(col("o_orderkey").cast(LongType).as("o_orderkey"),
+        col("o_orderstatus"), col("o_orderpriority").cast(LongType).as("o_orderpriority"))
+      .orderBy("o_orderkey")
+  }
+
+  /** E2 — shared dictionary: two source columns of the same table feeding
+    * ONE lookup table (the actors pattern,
+    * `tests/test_csvs_to_sqlite.py:232-261`): first all of l_returnflag
+    * in row order, then all of l_linestatus.
+    */
+  def sharedDict(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .withColumn("rowid",
+        col("l_orderkey") * lit(10L) + col("l_linenumber").cast(LongType))
+    Extract.buildDictionary(Seq(
+        Extract.Source(li, "l_returnflag"),
+        Extract.Source(li, "l_linestatus")))
+      .select(col("id"), col("value"))
+      .orderBy("id")
+  }
+
+  /** S10 — FTS-populate reconstruction join: encoded fact LEFT JOIN
+    * lookup to index the original strings, ordered by rowid
+    * (`utils.py:395-432`).
+    */
+  def ftsReconstruct(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val src = orders.select(col("o_orderpriority"), col("o_orderkey").as("rowid"))
+    val dict = Extract.buildDictionary(Seq(Extract.Source(src, "o_orderpriority")))
+    val encoded = Extract.encode(orders, "o_orderpriority", dict)
+    Extract.reconstruct(encoded, "o_orderpriority", dict)
+      .select(col("o_orderkey").cast(LongType).as("o_orderkey"),
+        col("o_orderpriority").as("priority_text"))
+      .orderBy("o_orderkey")
+  }
+
+  /** S13 — FTS MATCH semantics: implicit-AND bag-of-words over
+    * `documents.text`, predicate form (stays in whole-stage codegen,
+    * filter pushes to the scan).
+    */
+  def ftsMatch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    docs.filter(Fts.matches(Seq(col("text")), "spark window merge"))
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  /** S12 — inverted-index build over documents: distinct (term, doc)
+    * pairs aggregated to per-term document frequency.
+    */
+  def ftsTermStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    Fts.invertedIndex(docs.withColumnRenamed("doc_id", "rowid"), Seq("text"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).cast(LongType).as("df"))
+      .orderBy(col("term"))
+  }
+
+  /** S10/S13 — MATCH via the inverted index (semi-join path): rowids of
+    * documents matching all terms, resolved back to language counts.
+    */
+  def ftsIndexMatch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents").withColumnRenamed("doc_id", "rowid")
+    val index = Fts.invertedIndex(docs, Seq("text"))
+    Fts.matchRowids(index, "vector hash join")
+      .select(col("rowid").cast(LongType).as("doc_id"))
+      .orderBy("doc_id")
+  }
+}

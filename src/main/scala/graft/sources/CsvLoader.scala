@@ -1,0 +1,137 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Rowid
+
+/** CSV scan + path discovery (reference S1/S2/S3, `utils.py:22-90`).
+  *
+  * Spark-first mapping: one `spark.read.csv` per discovered file (each
+  * file is its OWN table with its own inferred schema — never a union
+  * read), with the reference's knobs mapped onto DataSource options so
+  * Catalyst keeps scan-level column pruning / filter pushdown:
+  *
+  *   - separator            -> option("sep", _)
+  *   - skip_errors          -> mode=DROPMALFORMED vs FAILFAST (utils.py:42)
+  *   - quoting (csv.QUOTE_*)-> quote/escape options (utils.py:40)
+  *   - just_strings         -> inferSchema=false, everything StringType
+  *                             (utils.py:31, cli.py:143-147)
+  *   - encodings_to_try     -> driver-side retry loop utf-8 then latin-1
+  *                             (utils.py:28,36-49); latin-1 never fails so
+  *                             it is a universal fallback
+  *
+  * Schema inference parity (SURVEY §1.2): Spark infers LongType for
+  * "integers + blanks" natively, which is exactly the reference's
+  * int-or-null correction (`utils.py:290-303`).
+  */
+object CsvLoader {
+
+  /** csv.QUOTE_* modes from the reference CLI (`cli.py:75-84`). */
+  sealed trait QuoteMode
+  object QuoteMode {
+    case object Minimal extends QuoteMode    // csv.QUOTE_MINIMAL (default)
+    case object All extends QuoteMode        // csv.QUOTE_ALL
+    case object NonNumeric extends QuoteMode // csv.QUOTE_NONNUMERIC
+    case object None extends QuoteMode       // csv.QUOTE_NONE
+  }
+
+  case class CsvOptions(
+      separator: String = ",",
+      skipErrors: Boolean = false,
+      quoting: QuoteMode = QuoteMode.Minimal,
+      justStrings: Boolean = false,
+      encodingsToTry: Seq[String] = Seq("utf-8", "latin-1"),
+      attachRowid: Boolean = true)
+
+  /** S1: load one CSV with the encoding fallback chain. */
+  def load(spark: SparkSession, path: String, opts: CsvOptions = CsvOptions()): DataFrame = {
+    def attempt(encoding: String): DataFrame = {
+      var reader = spark.read
+        .option("header", "true")
+        .option("sep", opts.separator)
+        .option("mode", if (opts.skipErrors) "DROPMALFORMED" else "FAILFAST")
+        .option("encoding", encoding)
+        .option("nullValue", "")
+      reader = opts.quoting match {
+        case QuoteMode.None => reader.option("quote", "")
+        case _              => reader.option("quote", "\"").option("escape", "\"")
+      }
+      reader = if (opts.justStrings) reader.option("inferSchema", "false")
+               else reader.option("inferSchema", "true")
+      val df = reader.csv(path)
+      df.schema // force header/inference so a bad encoding fails here
+      df
+    }
+    val it = opts.encodingsToTry.iterator
+    var last: Throwable = null
+    while (it.hasNext) {
+      val enc = it.next()
+      try {
+        val df = attempt(enc)
+        return if (opts.attachRowid) Rowid.attach(df) else df
+      } catch { case e: Throwable => last = e }
+    }
+    throw new IllegalArgumentException(
+      s"$path could not be loaded with encodings ${opts.encodingsToTry.mkString(", ")}", last)
+  }
+
+  /** S2: expand paths into `(tableName, path)` in argument order.
+    *
+    *   - plain file  -> basename without extension; name collisions get
+    *     `-1`, `-2`, ... suffixes (utils.py:62-71)
+    *   - directory   -> recursive walk collecting `*.csv`; table name is
+    *     the relative path without the extension (utils.py:83-88)
+    *   - URL         -> name derived from the URL path's basename
+    */
+  def discover(paths: Seq[String]): Seq[(String, String)] = {
+    val used = scala.collection.mutable.Map.empty[String, Int]
+    def unique(name: String): String = used.get(name) match {
+      case None => used(name) = 0; name
+      case Some(n) => used(name) = n + 1; s"$name-${n + 1}"
+    }
+    paths.flatMap { p =>
+      if (isUrl(p)) {
+        val base = p.split("/").last
+        Seq(unique(stripExt(base)) -> p)
+      } else {
+        val path = Paths.get(p)
+        if (Files.isDirectory(path)) {
+          walkCsvs(path).map { f =>
+            val rel = path.relativize(f).toString
+            unique(stripExt(rel)) -> f.toString
+          }
+        } else {
+          Seq(unique(stripExt(path.getFileName.toString)) -> p)
+        }
+      }
+    }
+  }
+
+  private def walkCsvs(dir: Path): Seq[Path] =
+    Files.walk(dir).iterator.asScala
+      .filter(f => Files.isRegularFile(f) && f.toString.toLowerCase.endsWith(".csv"))
+      .toSeq.sortBy(_.toString)
+
+  private def stripExt(name: String): String = {
+    val i = name.lastIndexOf('.')
+    if (i > 0) name.substring(0, i) else name
+  }
+
+  /** S3: URL detection (`utils.py:93-100`). The zero-egress environment
+    * means URL loads are implemented (download to a temp file, then S1)
+    * but never exercised in tests.
+    */
+  def isUrl(s: String): Boolean =
+    Seq("http://", "https://", "ftp://").exists(p => s.toLowerCase.startsWith(p))
+
+  def loadUrl(spark: SparkSession, url: String, opts: CsvOptions = CsvOptions()): DataFrame = {
+    val tmp = Files.createTempFile("graft-url-", ".csv")
+    val in = new java.net.URL(url).openStream()
+    try Files.copy(in, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    load(spark, tmp.toString, opts)
+  }
+}
