@@ -46,14 +46,51 @@ object CsvLoader {
       encodingsToTry: Seq[String] = Seq("utf-8", "latin-1"),
       attachRowid: Boolean = true)
 
+  /** Can `sampleBytes` of the file be decoded as `encoding` without
+    * error? pandas *raises* UnicodeDecodeError on bad bytes, which is
+    * what drives the reference's fallback chain (`utils.py:36-49`);
+    * Spark's reader silently substitutes replacement characters instead,
+    * so the fallback must be detected explicitly. A bounded sample keeps
+    * this O(1) per file regardless of file size (a 100 TB load validates
+    * 1 MB per file on the driver, nothing more).
+    */
+  /** Python codec names -> JVM charset names ("latin-1" is not a JVM alias). */
+  private def charsetName(encoding: String): String =
+    encoding.toLowerCase.replace("_", "-") match {
+      case "latin-1" | "latin1" | "iso-8859-1" => "ISO-8859-1"
+      case "utf-8" | "utf8"                    => "UTF-8"
+      case other                               => other
+    }
+
+  private def decodesAs(path: String, encoding: String, sampleBytes: Int = 1 << 20): Boolean = {
+    val p = Paths.get(path)
+    if (!Files.isRegularFile(p)) return true // globs/dirs: skip validation
+    val in = Files.newInputStream(p)
+    try {
+      val buf = in.readNBytes(sampleBytes)
+      val dec = java.nio.charset.Charset.forName(charsetName(encoding)).newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      // Trailing bytes may split a multi-byte sequence at the sample
+      // boundary; tolerate an underflow tail but not malformed interior.
+      val bb = java.nio.ByteBuffer.wrap(buf)
+      val out = java.nio.CharBuffer.allocate(buf.length + 16)
+      val res = dec.decode(bb, out, false)
+      !res.isError
+    } catch { case _: Exception => false }
+    finally in.close()
+  }
+
   /** S1: load one CSV with the encoding fallback chain. */
   def load(spark: SparkSession, path: String, opts: CsvOptions = CsvOptions()): DataFrame = {
     def attempt(encoding: String): DataFrame = {
+      if (!decodesAs(path, encoding))
+        throw new IllegalArgumentException(s"$path is not valid $encoding")
       var reader = spark.read
         .option("header", "true")
         .option("sep", opts.separator)
         .option("mode", if (opts.skipErrors) "DROPMALFORMED" else "FAILFAST")
-        .option("encoding", encoding)
+        .option("encoding", charsetName(encoding))
         .option("nullValue", "")
       reader = opts.quoting match {
         case QuoteMode.None => reader.option("quote", "")

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+import graft.sources.CsvLoader
+import graft.sources.CsvLoader.CsvOptions
+
+/** S1/S2 golden behavior (`tests/test_csvs_to_sqlite.py:41-71` schema and
+  * row goldens; `utils.py:58-90` discovery).
+  */
+class CsvLoaderSpec extends SparkSpec {
+
+  test("flat load infers the golden schema incl. the int-or-null rule") {
+    val path = tempCsv("test.csv", Fixtures.CSV)
+    val df = CsvLoader.load(spark, path)
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("county") === StringType)
+    assert(types("precinct") === IntegerType || types("precinct") === LongType)
+    assert(types("office") === StringType)
+    // ints + blanks must be integer, not double (SURVEY §1.2)
+    assert(types("district") === IntegerType || types("district") === LongType)
+    assert(types("votes") === IntegerType || types("votes") === LongType)
+  }
+
+  test("flat load preserves row order via rowid and NULLs blanks") {
+    val path = tempCsv("test.csv", Fixtures.CSV)
+    val rows = CsvLoader.load(spark, path).orderBy("rowid").collect()
+    assert(rows.length === 6)
+    assert(rows.map(_.getAs[Long]("rowid")).toSeq === (1L to 6L))
+    assert(rows(0).getAs[String]("candidate") === "Gary Johnson")
+    assert(rows(0).isNullAt(rows(0).fieldIndex("district"))) // blank -> NULL
+    assert(rows(2).isNullAt(rows(2).fieldIndex("party")))
+    assert(rows(4).getAs[Number]("district").longValue === 7L)
+    assert(rows(5).getAs[String]("candidate") === "Ryan K. Brown")
+  }
+
+  test("just_strings loads every column as TEXT (golden :661-669)") {
+    val path = tempCsv("test.csv", Fixtures.CSV)
+    val df = CsvLoader.load(spark, path, CsvOptions(justStrings = true))
+    val nonRowid = df.schema.fields.filterNot(_.name == "rowid")
+    assert(nonRowid.forall(_.dataType === StringType))
+    val row = df.orderBy("rowid").collect()(4)
+    assert(row.getAs[String]("district") === "7")
+    assert(row.getAs[String]("votes") === "572")
+  }
+
+  test("discovery dedups colliding table names with -N suffixes (utils.py:62-71)") {
+    val a = tempCsv("test.csv", Fixtures.CSV)
+    val b = tempCsv("test.csv", Fixtures.CSV_MULTI)
+    val names = CsvLoader.discover(Seq(a, b)).map(_._1)
+    assert(names === Seq("test", "test-1"))
+  }
+
+  test("directory discovery walks recursively; table name = relative path sans ext") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-walk")
+    java.nio.file.Files.writeString(dir.resolve("top.csv"), Fixtures.CSV)
+    val sub = java.nio.file.Files.createDirectory(dir.resolve("sub"))
+    java.nio.file.Files.writeString(sub.resolve("nested.csv"), Fixtures.CSV_MULTI)
+    java.nio.file.Files.writeString(dir.resolve("ignored.txt"), "nope")
+    val found = CsvLoader.discover(Seq(dir.toString)).toMap
+    assert(found.keySet === Set("sub/nested", "top"))
+  }
+
+  test("latin-1 fallback loads a non-utf8 file (utils.py:28,36-49)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-enc")
+    val f = dir.resolve("latin.csv")
+    val content = "name,place\ncafé,Zürich\n"
+    java.nio.file.Files.write(f, content.getBytes("ISO-8859-1"))
+    val df = CsvLoader.load(spark, f.toString)
+    val row = df.collect()(0)
+    assert(row.getAs[String]("name") === "café")
+    assert(row.getAs[String]("place") === "Zürich")
+  }
+
+  test("URL detection (utils.py:93-100)") {
+    assert(CsvLoader.isUrl("https://example.com/data.csv"))
+    assert(CsvLoader.isUrl("HTTP://x/y.csv"))
+    assert(!CsvLoader.isUrl("/tmp/file.csv"))
+    assert(!CsvLoader.isUrl("file.csv"))
+  }
+}
