@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AggQueries, ParityQueries}
+import graft.queries.{AggQueries, DedupQueries, EventQueries, ParityQueries, SimilarityQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -53,6 +53,27 @@ object SparkEntry {
     "q1_pricing_summary" -> (AggQueries.pricingSummary _),
     "q3_top_revenue_orders" -> (AggQueries.topRevenueOrders _),
     "q5_revenue_by_nation" -> (AggQueries.revenueByNation _),
+    "q6_forecast_revenue" -> (AggQueries.forecastRevenue _),
+    // extensions: dedup + text analysis (documents)
+    "x_dedup_exact" -> (DedupQueries.dedupExact _),
+    "x_minhash_signatures" -> (DedupQueries.minhashSignatures _),
+    "x_minhash_pairs" -> (DedupQueries.minhashPairs _),
+    "x_simhash" -> (DedupQueries.simhashFingerprints _),
+    "x_simhash_pairs" -> (DedupQueries.simhashPairs _),
+    "x_ngram_jaccard" -> (DedupQueries.ngramJaccard _),
+    "x_lang_id" -> (DedupQueries.langId _),
+    "x_quality" -> (DedupQueries.quality _),
+    "x_token_counts" -> (DedupQueries.tokenCounts _),
+    "x_fingerprints" -> (DedupQueries.fingerprints _),
+    // extensions: similarity search (embeddings)
+    "x_ann_topk" -> (SimilarityQueries.annTopK _),
+    "x_ann_ivf" -> (SimilarityQueries.annIvf _),
+    "x_embed_neardups" -> (SimilarityQueries.embedNearDups _),
+    // extensions: event-time windows + multimodal plumbing
+    "x_events_tumbling" -> (EventQueries.tumbling _),
+    "x_events_sessions" -> (EventQueries.sessions _),
+    "x_multimodal_decode" -> (EventQueries.multimodalDecode _),
+    "x_multimodal_frames" -> (EventQueries.multimodalFrames _),
   )
 
   /** DuckDB-runnable oracle per query (same column names, same ORDER BY). */
@@ -127,5 +148,23 @@ object SparkEntry {
     "q1_pricing_summary" -> AggQueries.pricingSummaryOracle,
     "q3_top_revenue_orders" -> AggQueries.topRevenueOrdersOracle,
     "q5_revenue_by_nation" -> AggQueries.revenueByNationOracle,
+    "q6_forecast_revenue" -> AggQueries.forecastRevenueOracle,
+    "x_dedup_exact" -> DedupQueries.dedupExactOracle,
+    "x_minhash_signatures" -> DedupQueries.minhashSignaturesOracle,
+    "x_minhash_pairs" -> DedupQueries.minhashPairsOracle,
+    "x_simhash" -> DedupQueries.simhashFingerprintsOracle,
+    "x_simhash_pairs" -> DedupQueries.simhashPairsOracle,
+    "x_ngram_jaccard" -> DedupQueries.ngramJaccardOracle,
+    "x_lang_id" -> DedupQueries.langIdOracle,
+    "x_quality" -> DedupQueries.qualityOracle,
+    "x_token_counts" -> DedupQueries.tokenCountsOracle,
+    "x_fingerprints" -> DedupQueries.fingerprintsOracle,
+    "x_ann_topk" -> SimilarityQueries.annTopKOracle,
+    "x_ann_ivf" -> SimilarityQueries.annIvfOracle,
+    "x_embed_neardups" -> SimilarityQueries.embedNearDupsOracle,
+    "x_events_tumbling" -> EventQueries.tumblingOracle,
+    "x_events_sessions" -> EventQueries.sessionsOracle,
+    "x_multimodal_decode" -> EventQueries.multimodalDecodeOracle,
+    "x_multimodal_frames" -> EventQueries.multimodalFramesOracle,
   )
 }

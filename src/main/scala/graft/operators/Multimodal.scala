@@ -1,0 +1,84 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing (extension —
+  * SURVEY §7.2.8 north star).
+  *
+  * Media is carried as an opaque `binary` column plus typed metadata.
+  * The decode / feature-extract step is the ONLY part that needs a
+  * native media library — this container has none, so [[StubDecoder]]
+  * is a clearly-marked deterministic fake (dimensions derived from the
+  * blob's md5). Everything around it — the binary schema, the typed
+  * `Dataset` batch interface, partition-preserving execution, the
+  * metadata struct — is the real production plumbing: swap
+  * `StubDecoder.decode` for a JNI/FFI call and nothing else changes.
+  *
+  * Scale: `mapPartitions` over a typed Dataset processes one batch
+  * (partition) per task with zero shuffles — the Scala analogue of a
+  * Pandas-UDF `mapInPandas` stage; decode cost scales linearly with
+  * executors.
+  */
+object Multimodal {
+
+  case class MediaBlob(media_id: Long, media_type: String, content: Array[Byte])
+  case class MediaMeta(
+      media_id: Long, media_type: String, byte_len: Long,
+      md5_hex: String, width: Long, height: Long, channels: Long)
+
+  /** THE STUB: a real implementation calls an image/audio decoder here.
+    * The fake derives stable pseudo-dimensions from the md5 of the bytes,
+    * so outputs are deterministic and oracle-checkable.
+    */
+  object StubDecoder {
+    def decode(blob: MediaBlob): MediaMeta = {
+      val md5 = MessageDigest.getInstance("MD5").digest(blob.content)
+        .map("%02x".format(_)).mkString
+      // 60-bit value from the first 15 hex chars (same rule as PortableHash)
+      val h = java.lang.Long.parseLong(md5.substring(0, 15), 16)
+      MediaMeta(
+        media_id = blob.media_id,
+        media_type = blob.media_type,
+        byte_len = blob.content.length.toLong,
+        md5_hex = md5,
+        width = 16L + h % 2032L,
+        height = 16L + (h / 2048L) % 2032L,
+        channels = 1L + h % 3L)
+    }
+  }
+
+  /** Wrap a text column as a binary media blob (the ingest step a real
+    * pipeline does when reading raw media files).
+    */
+  def asBlobs(df: DataFrame, idCol: String, payloadCol: String, mediaType: String): Dataset[MediaBlob] = {
+    val enc = Encoders.product[MediaBlob]
+    df.select(
+        col(idCol).cast(LongType).as("media_id"),
+        lit(mediaType).as("media_type"),
+        col(payloadCol).cast(BinaryType).as("content"))
+      .as(enc)
+  }
+
+  /** Batch decode: one partition per task, no shuffle. */
+  def decodeAll(blobs: Dataset[MediaBlob]): Dataset[MediaMeta] = {
+    val enc = Encoders.product[MediaMeta]
+    blobs.mapPartitions(_.map(StubDecoder.decode))(enc)
+  }
+
+  /** Frame sampling for "video" blobs: every `stride` bytes yields a
+    * frame offset (stand-in for keyframe extraction); output is one row
+    * per sampled frame with the frame's byte offset.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, payloadCol: String, stride: Int): DataFrame =
+    df.select(
+        col(idCol).cast(LongType).as("media_id"),
+        octet_length(col(payloadCol).cast(BinaryType)).as("byte_len"))
+      .withColumn("frame_no",
+        explode(sequence(lit(0L), floor((col("byte_len") - 1) / stride).cast(LongType))))
+      .select(col("media_id"), col("frame_no").cast(LongType).as("frame_no"),
+        (col("frame_no") * stride).cast(LongType).as("byte_offset"))
+}

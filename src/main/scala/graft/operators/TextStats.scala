@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text analysis for training-data pipelines: language ID, quality
+  * scoring, token counting, fingerprinting (extension — SURVEY §7.2.8).
+  *
+  * Everything here is per-row arithmetic over codegen'd builtins — no
+  * UDFs, no shuffles; it runs at scan speed on any corpus size. Counts
+  * are exact integers and ratios are double divisions of exact integers,
+  * so the DuckDB oracles match bit-for-bit.
+  */
+object TextStats {
+
+  /** Stopword lists driving the n-gram-free language heuristic. Small on
+    * purpose: the heuristic is argmax of stopword hits with deterministic
+    * alphabetical tie-break, 'und' for unknown/empty.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that"),
+    "es" -> Seq("el", "los", "las", "una", "es", "y", "que", "por"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "que", "pour", "dans"))
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*).cast(BooleanType)))
+
+  /** Language-ID: stopword-hit argmax. Returns (lang, hits) struct. */
+  def langId(text: Column): Column = {
+    val toks = Fts.tokens(Seq(text))
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(hitCount(toks, words).cast(LongType).as("hits"), lit(lang).as("lang"))
+    }
+    // array_max on (hits, lang) structs: lexicographic -> highest hits,
+    // then lexicographically LAST language; to make ties resolve to the
+    // alphabetically FIRST language, compare on (hits, reversed-rank).
+    val ranked = scored.zipWithIndex.map { case (s, i) =>
+      struct(s.getField("hits").as("hits"), lit(-i).as("nrank"), s.getField("lang").as("lang"))
+    }
+    val best = array_max(array(ranked: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality metrics: exact counts + ratio arithmetic.
+    * Returns a struct of (n_chars, n_tokens, mean_token_len, punct_ratio,
+    * stopword_ratio, quality_score).
+    */
+  def quality(text: Column): Column = {
+    val toks = Fts.tokens(Seq(text))
+    val nChars = length(text).cast(LongType)
+    val nTokens = size(toks).cast(LongType)
+    val alnumChars = length(regexp_replace(lower(text), "[^a-z0-9]", "")).cast(LongType)
+    val spaceChars = length(regexp_replace(text, "[^ ]", "")).cast(LongType)
+    val punctChars = nChars - alnumChars - spaceChars
+    val allStop = stopwords.values.flatten.toSeq.distinct.sorted
+    val stopHits = hitCount(toks, allStop).cast(LongType)
+    val meanTokLen = when(nTokens > 0,
+      alnumChars.cast(DoubleType) / nTokens.cast(DoubleType)).otherwise(lit(0.0))
+    val punctRatio = when(nChars > 0,
+      punctChars.cast(DoubleType) / nChars.cast(DoubleType)).otherwise(lit(0.0))
+    val stopRatio = when(nTokens > 0,
+      stopHits.cast(DoubleType) / nTokens.cast(DoubleType)).otherwise(lit(0.0))
+    // Heuristic score in [0,1]: reward mid-length tokens + stopword
+    // presence, penalize punctuation soup.
+    val score = greatest(lit(0.0), least(lit(1.0),
+      lit(0.5) * stopRatio + lit(0.1) * meanTokLen - punctRatio))
+    struct(nChars.as("n_chars"), nTokens.as("n_tokens"),
+      meanTokLen.as("mean_token_len"), punctRatio.as("punct_ratio"),
+      stopRatio.as("stopword_ratio"), round(score, 6).as("quality_score"))
+  }
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => t =!= lit(""))).cast(LongType)
+
+  /** BPE-ish subword count: runs of letters, runs of digits, and single
+    * other non-space characters each count as one token (a cheap proxy
+    * for byte-pair tokenizer counts).
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+      .cast(LongType)
+}

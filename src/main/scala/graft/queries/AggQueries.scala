@@ -106,6 +106,32 @@ object AggQueries {
       .orderBy(col("n_name"))
   }
 
+  /** TPC-H Q6-style: pure filter + single aggregate — the predicate
+    * pushdown / column pruning showcase (scan reads 4 columns, filters
+    * reach the parquet reader).
+    */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.filter(
+        col("l_shipdate") >= to_timestamp(lit("1994-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1995-01-01 00:00:00")) &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(
+        sum(col("l_extendedprice").cast(dec(18, 2)) * col("l_discount").cast(dec(4, 2)))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).cast(LongType).as("n_items"))
+  }
+
+  def forecastRevenueOracle: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+
   def revenueByNationOracle: String =
     """SELECT n_name, r_name,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,

@@ -1,0 +1,277 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.expressions.RollingHash
+import graft.operators.{Fts, TextDedup, TextStats}
+
+/** Graded extension queries: deduplication + text analysis over
+  * `documents` (SURVEY §7.2.8).
+  *
+  * The synthetic corpus has no natural duplicates, so the dedup queries
+  * first build a corpus with planted duplicates — exact clones
+  * (id + 2,000,000) and near-duplicates with the first two tokens
+  * dropped (id + 1,000,000). The planting is part of the query on BOTH
+  * engines, which makes the operators' outputs non-trivial and still
+  * oracle-exact.
+  */
+object DedupQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  /** documents ∪ exact clones of every 5th doc. */
+  private def corpusExact(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id").cast(LongType), col("text"))
+    d.unionAll(d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+  }
+
+  private val corpusExactSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+      |UNION ALL
+      |SELECT CAST(doc_id + 2000000 AS BIGINT), text FROM documents WHERE doc_id % 5 = 0""".stripMargin
+
+  /** documents ∪ near-dup copies (first two tokens dropped) of every
+    * 10th doc.
+    */
+  private def corpusNear(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id").cast(LongType), col("text"))
+    val toks = Fts.tokens(Seq(col("text")))
+    val perturbed = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(3), greatest(size(toks) - 2, lit(1)))).as("text"))
+    d.unionAll(perturbed)
+  }
+
+  private val corpusNearSql: String = {
+    val t = DuckSql.tokens("text")
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+       |UNION ALL
+       |SELECT CAST(doc_id + 1000000 AS BIGINT),
+       |  array_to_string(($t)[3:greatest(len($t), 3)], ' ')
+       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
+  }
+
+  // ---- exact dedup -------------------------------------------------
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.exact(corpusExact(spark, dir), "doc_id", "text")
+      .orderBy("keep_id")
+
+  val dedupExactOracle: String =
+    s"""WITH corpus AS ($corpusExactSql)
+       |SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+       |  ${DuckSql.hash60("text")} AS content_hash,
+       |  CAST(count(*) AS BIGINT) AS n_copies
+       |FROM corpus GROUP BY text ORDER BY keep_id""".stripMargin
+
+  // ---- MinHash signatures ------------------------------------------
+
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        posexplode(TextDedup.minhashSignature(col("text"), 16)).as(Seq("seed", "minhash")))
+      .select(col("doc_id"), col("seed").cast(LongType).as("seed"), col("minhash"))
+      .orderBy("doc_id", "seed")
+
+  val minhashSignaturesOracle: String = {
+    val sh = DuckSql.shinglesFromTokens(DuckSql.tokens("text"))
+    s"""WITH shingled AS (SELECT doc_id, unnest($sh) AS sh FROM documents),
+       |seeded AS (SELECT doc_id, s.seed, ${DuckSql.hash60Seeded("s.seed", "sh")} AS h
+       |  FROM shingled CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) s)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(seed AS BIGINT) AS seed,
+       |  min(h) AS minhash
+       |FROM seeded GROUP BY doc_id, seed ORDER BY doc_id, seed""".stripMargin
+  }
+
+  // ---- MinHash + LSH near-dup pairs --------------------------------
+
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.minhashPairs(corpusNear(spark, dir), "doc_id", "text",
+        numPerms = 16, r = 2, jaccardThreshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  val minhashPairsOracle: String = {
+    val t = DuckSql.tokens("text")
+    val sh = DuckSql.shinglesFromTokens(t)
+    s"""WITH corpus AS ($corpusNearSql),
+       |sets AS (SELECT doc_id AS id, list_distinct($sh) AS sset FROM corpus),
+       |shingled AS (SELECT id, unnest(sset) AS sh FROM sets),
+       |sig AS (SELECT id, s.seed AS seed, min(${DuckSql.hash60Seeded("s.seed", "sh")}) AS mh
+       |  FROM shingled CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) s
+       |  GROUP BY id, s.seed),
+       |bands AS (SELECT lo.id, bb.b AS band,
+       |    ${DuckSql.hash60("CAST(lo.mh AS VARCHAR) || ',' || CAST(hi.mh AS VARCHAR)")} AS bsig
+       |  FROM (SELECT unnest(range(0, 8)) AS b) bb
+       |  JOIN sig lo ON lo.seed = bb.b * 2
+       |  JOIN sig hi ON hi.id = lo.id AND hi.seed = bb.b * 2 + 1),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id),
+       |scored AS (SELECT id_a, id_b,
+       |    round(CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) /
+       |      (CAST(len(sa.sset) + len(sb.sset) AS DOUBLE) - len(list_intersect(sa.sset, sb.sset))), 6) AS jaccard
+       |  FROM cand JOIN sets sa ON sa.id = cand.id_a JOIN sets sb ON sb.id = cand.id_b)
+       |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---- SimHash fingerprints + near-dup pairs -----------------------
+
+  def simhashFingerprints(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.withSimhash(
+        docs(spark, dir).select(col("doc_id").cast(LongType).as("doc_id"), col("text")), "text")
+      .select(col("doc_id"), col("sim").as("simhash"))
+      .orderBy("doc_id")
+
+  val simhashFingerprintsOracle: String = {
+    val t = DuckSql.tokens("text")
+    s"""WITH toks AS (SELECT doc_id, unnest($t) AS tok FROM documents),
+       |h AS (SELECT doc_id, ${DuckSql.hash60("tok")} AS h FROM toks),
+       |bits AS (SELECT doc_id, bb.b,
+       |    CASE WHEN sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+       |      THEN (CAST(1 AS BIGINT) << bb.b) ELSE 0 END AS bit
+       |  FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bb
+       |  GROUP BY doc_id, bb.b)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(sum(bit) AS BIGINT) AS simhash
+       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.simhashPairs(corpusNear(spark, dir), "doc_id", "text", maxHamming = 20)
+      .orderBy("id_a", "id_b")
+
+  val simhashPairsOracle: String = {
+    val t = DuckSql.tokens("text")
+    s"""WITH corpus AS ($corpusNearSql),
+       |toks AS (SELECT doc_id AS id, unnest($t) AS tok FROM corpus),
+       |h AS (SELECT id, ${DuckSql.hash60("tok")} AS h FROM toks),
+       |bits AS (SELECT id, bb.b,
+       |    CASE WHEN sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+       |      THEN (CAST(1 AS BIGINT) << bb.b) ELSE 0 END AS bit
+       |  FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bb
+       |  GROUP BY id, bb.b),
+       |sims AS (SELECT id, CAST(sum(bit) AS BIGINT) AS sim FROM bits GROUP BY id),
+       |chunked AS (SELECT id, sim, cc.c AS chunk, (sim >> (15 * cc.c)) & 32767 AS ckey
+       |  FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS c) cc),
+       |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sim AS sim_a, b.sim AS sim_b
+       |  FROM chunked a JOIN chunked b
+       |    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.id < b.id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+       |FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 20
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---- n-gram Jaccard of adjacent doc pairs ------------------------
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val sets = d.select(col("doc_id").cast(LongType).as("id"),
+      array_distinct(TextDedup.shingles(col("text"), 3)).as("sset"))
+    val a = sets.as("a")
+    val b = sets.as("b")
+    a.join(b, col("b.id") === col("a.id") + 1)
+      .withColumn("inter", size(array_intersect(col("a.sset"), col("b.sset"))).cast(DoubleType))
+      .withColumn("uni",
+        (size(col("a.sset")) + size(col("b.sset"))).cast(DoubleType) - col("inter"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("inter") / col("uni"), 6).as("jaccard"))
+      .orderBy("id_a")
+  }
+
+  val ngramJaccardOracle: String = {
+    val sh = DuckSql.shinglesFromTokens(DuckSql.tokens("text"))
+    s"""WITH sets AS (SELECT CAST(doc_id AS BIGINT) AS id, list_distinct($sh) AS sset FROM documents)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |  round(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+       |    (CAST(len(a.sset) + len(b.sset) AS DOUBLE) - len(list_intersect(a.sset, b.sset))), 6) AS jaccard
+       |FROM sets a JOIN sets b ON b.id = a.id + 1
+       |ORDER BY id_a""".stripMargin
+  }
+
+  // ---- text analysis ------------------------------------------------
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("lang"),
+        TextStats.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  val langIdOracle: String = {
+    val t = DuckSql.tokens("text")
+    val hits = TextStats.stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      s"${DuckSql.hitCount("toks", words)} AS h_$lang"
+    }.mkString(",\n  ")
+    s"""WITH t AS (SELECT doc_id, lang, $t AS toks FROM documents),
+       |scored AS (SELECT doc_id, lang, $hits FROM t)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       |  CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+       |       WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+       |       WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+       |       WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+       |       ELSE 'fr' END AS lang_pred
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        TextStats.quality(col("text")).as("q"))
+      .select(col("doc_id"), col("q.n_chars").as("n_chars"),
+        col("q.n_tokens").as("n_tokens"), col("q.mean_token_len").as("mean_token_len"),
+        col("q.punct_ratio").as("punct_ratio"), col("q.stopword_ratio").as("stopword_ratio"),
+        col("q.quality_score").as("quality_score"))
+      .orderBy("doc_id")
+
+  val qualityOracle: String = {
+    val t = DuckSql.tokens("text")
+    val allStop = TextStats.stopwords.values.flatten.toSeq.distinct.sorted
+    s"""WITH t AS (SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len($t) AS BIGINT) AS n_tokens,
+       |    CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT) AS alnum,
+       |    CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS spaces,
+       |    CAST(${DuckSql.hitCount(t, allStop)} AS BIGINT) AS stop_hits
+       |  FROM documents),
+       |m AS (SELECT doc_id, n_chars, n_tokens,
+       |    CASE WHEN n_tokens > 0 THEN CAST(alnum AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS mean_token_len,
+       |    CASE WHEN n_chars > 0 THEN CAST(n_chars - alnum - spaces AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+       |    CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stopword_ratio
+       |  FROM t)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, n_chars, n_tokens, mean_token_len,
+       |  punct_ratio, stopword_ratio,
+       |  round(greatest(0.0, least(1.0, 0.5 * stopword_ratio + 0.1 * mean_token_len - punct_ratio)), 6) AS quality_score
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        TextStats.wsTokenCount(col("text")).as("ws_tokens"),
+        TextStats.bpeishTokenCount(col("text")).as("bpeish_tokens"),
+        length(col("text")).cast(LongType).as("n_chars"))
+      .orderBy("doc_id")
+
+  val tokenCountsOracle: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+       |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpeish_tokens,
+       |  CAST(length(text) AS BIGINT) AS n_chars
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        RollingHash.rolling_hash(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  val fingerprintsOracle: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.operators.Multimodal
+import graft.streaming.EventWindows
+
+/** Graded queries over `events` (event-time windowing, sessionization)
+  * and the multimodal binary-column plumbing (SURVEY §7.2.8).
+  */
+object EventQueries {
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+
+  def tumbling(spark: SparkSession, dir: String): DataFrame =
+    EventWindows.tumbling(events(spark, dir), "1 hour")
+      .orderBy("window_start", "event_type")
+
+  val tumblingOracle: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%dT%H:%M:%S') AS window_start,
+      |  event_type,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  def sessions(spark: SparkSession, dir: String): DataFrame =
+    EventWindows.sessionize(events(spark, dir), gapMinutes = 30)
+      .orderBy("user_id", "session_no")
+
+  val sessionsOracle: String =
+    """WITH g AS (SELECT user_id, event_id, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |f AS (SELECT user_id, event_id, ts,
+      |    CASE WHEN prev_ts IS NULL
+      |      OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(prev_ts) AS BIGINT) > 1800
+      |      THEN 1 ELSE 0 END AS new_session
+      |  FROM g),
+      |s AS (SELECT user_id, ts,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+      |  FROM f)
+      |SELECT CAST(user_id AS BIGINT) AS user_id, session_no,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  strftime(min(ts), '%Y-%m-%dT%H:%M:%S') AS session_start,
+      |  strftime(max(ts), '%Y-%m-%dT%H:%M:%S') AS session_end
+      |FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no""".stripMargin
+
+  /** Multimodal: documents wrapped as binary blobs, batch-decoded with
+    * the (stub) decoder — byte length, md5, pseudo-dimensions.
+    */
+  def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val blobs = Multimodal.asBlobs(docs, "doc_id", "text", "image")
+    Multimodal.decodeAll(blobs).toDF()
+      .select(col("media_id"), col("media_type"), col("byte_len"),
+        col("md5_hex"), col("width"), col("height"), col("channels"))
+      .orderBy("media_id")
+  }
+
+  val multimodalDecodeOracle: String = {
+    val h = DuckSql.hash60("text")
+    s"""SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS media_type,
+       |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       |  md5(text) AS md5_hex,
+       |  CAST(16 + $h % 2032 AS BIGINT) AS width,
+       |  CAST(16 + ($h // 2048) % 2032 AS BIGINT) AS height,
+       |  CAST(1 + $h % 3 AS BIGINT) AS channels
+       |FROM documents ORDER BY media_id""".stripMargin
+  }
+
+  /** Multimodal: frame sampling over "video" blobs (every 100 bytes). */
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    Multimodal.sampleFrames(docs, "doc_id", "text", stride = 100)
+      .orderBy("media_id", "frame_no")
+  }
+
+  val multimodalFramesOracle: String =
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |  CAST(f.f AS BIGINT) AS frame_no,
+      |  CAST(f.f * 100 AS BIGINT) AS byte_offset
+      |FROM documents, LATERAL (SELECT unnest(range(0, ((octet_length(encode(text)) - 1) // 100) + 1)) AS f) f
+      |ORDER BY media_id, frame_no""".stripMargin
+}

@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.operators.Similarity
+
+/** Graded ANN / similarity queries over `embeddings` (SURVEY §7.2.8).
+  * Vectors are quantized to integers before all arithmetic (see
+  * [[Similarity]]) so cosine values are bit-identical across engines.
+  */
+object SimilarityQueries {
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+
+  /** DuckDB CTEs shared by all oracles: quantized vectors + exact
+    * integer norms + dot products via fixed 64-dim position lists.
+    */
+  private val quantCte: String =
+    """q AS (SELECT CAST(vec_id AS BIGINT) AS id, CAST(label AS BIGINT) AS cluster,
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |n AS (SELECT id, cluster, qv,
+      |  CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])) AS BIGINT) AS n2
+      |  FROM q)""".stripMargin
+
+  private def duckDot(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) AS BIGINT)"
+
+  private def duckCos(dot: String, n2a: String, n2b: String): String =
+    s"round(CAST($dot AS DOUBLE) / (sqrt(CAST($n2a AS DOUBLE)) * sqrt(CAST($n2b AS DOUBLE))), 6)"
+
+  /** Brute-force cosine top-10 for query vectors vec_id < 10. */
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 10)
+      .orderBy("q_id", "rank")
+  }
+
+  val annTopKOracle: String =
+    s"""WITH $quantCte,
+       |scored AS (SELECT qq.id AS q_id, c.id AS c_id,
+       |    ${duckCos(duckDot("c.qv", "qq.qv"), "c.n2", "qq.n2")} AS cosine
+       |  FROM n c JOIN n qq ON qq.id < 10 AND c.id <> qq.id),
+       |ranked AS (SELECT q_id, c_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, c_id AS neighbor_id, cosine
+       |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
+  /** IVF top-5, probing the 2 nearest of the label-cluster centroids. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Similarity.ivfTopK(e, e.filter(col("vec_id") >= 10 && col("vec_id") < 20),
+        "vec_id", "embedding", "label", k = 5, nProbe = 2)
+      .orderBy("q_id", "rank")
+  }
+
+  val annIvfOracle: String =
+    s"""WITH $quantCte,
+       |comp AS (SELECT cluster, i.i AS pos, sum(qv[i.i]) AS s
+       |  FROM q CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+       |  GROUP BY cluster, i.i),
+       |cent AS (SELECT cluster, array_agg(CAST(s AS BIGINT) ORDER BY pos) AS cv FROM comp GROUP BY cluster),
+       |centn AS (SELECT cluster, cv,
+       |  CAST(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])) AS BIGINT) AS cn2 FROM cent),
+       |qry AS (SELECT id AS q_id, qv AS qq, n2 AS qn2 FROM n WHERE id >= 10 AND id < 20),
+       |probe AS (SELECT q_id, qq, qn2, cluster,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY
+       |      ${duckCos(duckDot("qq", "cv"), "qn2", "cn2")} DESC, cluster) AS pr
+       |  FROM qry CROSS JOIN centn),
+       |probed AS (SELECT q_id, qq, qn2, cluster FROM probe WHERE pr <= 2),
+       |scored AS (SELECT p.q_id, c.id AS c_id,
+       |    ${duckCos(duckDot("c.qv", "p.qq"), "c.n2", "p.qn2")} AS cosine
+       |  FROM n c JOIN probed p ON c.cluster = p.cluster AND c.id <> p.q_id),
+       |ranked AS (SELECT q_id, c_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, c_id AS neighbor_id, cosine
+       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** Embedding-cosine near-dup pairs above 0.4, blocked by label. */
+  def embedNearDups(spark: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(emb(spark, dir), "vec_id", "embedding", "label", threshold = 0.4)
+      .orderBy("id_a", "id_b")
+
+  val embedNearDupsOracle: String =
+    s"""WITH $quantCte,
+       |pairs AS (SELECT a.id AS id_a, b.id AS id_b,
+       |    ${duckCos(duckDot("a.qv", "b.qv"), "a.n2", "b.n2")} AS cosine
+       |  FROM n a JOIN n b ON a.cluster = b.cluster AND a.id < b.id)
+       |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin
+}

@@ -1,0 +1,19 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's `private[sql]` Column<->Expression conversion.
+  *
+  * Spark 4 made `Column` implementation-agnostic (it wraps a ColumnNode);
+  * turning a raw Catalyst `Expression` into a `Column` goes through
+  * `org.apache.spark.sql.classic.ExpressionUtils`, which is
+  * `private[sql]`. This shim lives under `org.apache.spark.sql` purely to
+  * re-export those two conversions for graft's native expressions —
+  * the standard extension-library pattern.
+  */
+object GraftShim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
