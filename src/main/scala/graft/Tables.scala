@@ -21,6 +21,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Load + spread across the session's parallelism. The testdata tables
+    * are single small parquet files, which Spark reads as ONE partition —
+    * fine for scans, catastrophic for compute-heavy per-row operators
+    * (minhash, simhash, dot products) that would otherwise run on a
+    * single core. On a real cluster the scan is already split; the
+    * round-robin repartition reproduces that property locally. Callers
+    * that depend on row order must (and do) sort explicitly.
+    */
+  def loadSpread(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    val df = load(spark, sfDir, table)
+    df.repartition(spark.sparkContext.defaultParallelism)
+  }
+
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$table.parquet")
     if (table == "events") df.schema("ts").dataType match {

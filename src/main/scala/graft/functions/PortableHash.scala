@@ -30,4 +30,20 @@ object PortableHash {
 
   def duckdbHash60Seeded(seedExpr: String, expr: String): String =
     duckdbHash60(s"CAST($seedExpr AS VARCHAR) || ':' || $expr")
+
+  /** Prime modulus for the affine hash family. */
+  val P: Long = 1000000007L
+
+  /** k-th member of a universal-ish affine hash family over a base
+    * 60-bit hash: `((h mod P) * (2k+1) + (12345k + 677)) mod P`.
+    * One md5 per value, k cheap integer transforms — this is what makes
+    * MinHash O(shingles) in md5 calls instead of O(shingles * perms).
+    * All intermediates fit signed 64-bit: (P-1) * (2k+1) < 2^63 for
+    * k <= 4e8.
+    */
+  def affine(h: Column, k: Int): Column =
+    ((h % P) * lit(2L * k + 1) + lit(12345L * k + 677L)) % P
+
+  def duckdbAffine(hExpr: String, kExpr: String): String =
+    s"((($hExpr) % ${P}) * (2 * ($kExpr) + 1) + (12345 * ($kExpr) + 677)) % ${P}"
 }

@@ -27,11 +27,13 @@ import org.apache.spark.sql.functions._
 object Fts {
 
   /** Tokenize one or more columns into a single token array. Empty
-    * strings filtered (split yields boundary empties).
+    * strings dropped (split yields boundary empties) via `array_remove`
+    * — a plain codegen'd expression; the `filter` higher-order-function
+    * spelling is CodegenFallback and measurably slower in hot paths.
     */
   def tokens(cols: Seq[Column]): Column = {
     val joined = concat_ws(" ", cols: _*)
-    filter(split(lower(joined), "[^a-z0-9]+"), t => t =!= lit(""))
+    array_remove(split(lower(joined), "[^a-z0-9]+"), "")
   }
 
   /** MATCH predicate: every term present (implicit AND, case-insensitive,

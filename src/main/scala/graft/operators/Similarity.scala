@@ -31,9 +31,12 @@ object Similarity {
   def quantize(emb: Column): Column =
     transform(emb, x => round(x.cast(DoubleType) * 1000).cast(LongType))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — native codegen
+    * expression ([[graft.expressions.IntVecDot]]); the HOF spelling
+    * (`aggregate(zip_with(...))`) is CodegenFallback and ~10x slower.
+    */
   def idot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.expressions.IntVecDot.int_vec_dot(a, b)
 
   /** Exact integer squared norm. */
   def inorm2(a: Column): Column = idot(a, a)

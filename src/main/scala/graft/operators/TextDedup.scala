@@ -52,57 +52,84 @@ object TextDedup {
         count(lit(1)).cast(LongType).as("n_copies"))
       .select(col("keep_id"), col("content_hash"), col("n_copies"))
 
-  /** MinHash signature: `numPerms` independent 60-bit hash families via
-    * seed-prefixed md5; one `array_min` per family over the shingle set.
-    * Pure per-row computation — md5 is evaluated once per (seed,shingle)
-    * inside codegen'd builtins, no UDF, no shuffle.
+  /** Distinct 60-bit shingle hashes — the working representation for
+    * MinHash and Jaccard (set semantics on hashes instead of strings:
+    * one md5 per shingle, integer ops afterwards; collision probability
+    * at 60 bits is negligible for any real corpus).
     */
-  def minhashSignature(text: Column, numPerms: Int = 16, w: Int = 3): Column = {
-    val sh = shingles(text, w)
-    transform(sequence(lit(0), lit(numPerms - 1)),
-      s => array_min(transform(sh, x => PortableHash.hash60Seeded(s, x))))
-  }
+  def shingleHashes(text: Column, w: Int = 3): Column =
+    array_distinct(transform(shingles(text, w), sh => PortableHash.hash60(sh)))
 
-  /** LSH bands: split the signature into bands of `r` rows; the band key
-    * is the 60-bit hash of the concatenated member hashes. Two documents
-    * are candidates iff they agree on at least one full band.
+  /** MinHash signature from a materialized shingle-hash array:
+    * `numPerms` affine transforms of the SAME base hash
+    * ([[PortableHash.affine]]) — the md5 cost is O(shingles), the
+    * signature cost is O(shingles * perms) integer ops.
+    */
+  def minhashSignatureFromHashes(hashes: Column, numPerms: Int = 16): Column =
+    transform(sequence(lit(0), lit(numPerms - 1)),
+      s => array_min(transform(hashes, h =>
+        ((h % PortableHash.P) * (lit(2L) * s + 1L) + (lit(12345L) * s + 677L)) % PortableHash.P)))
+
+  /** Convenience: signature straight from text (materialize the hash
+    * array behind a projection boundary when calling this per-row on a
+    * wide pipeline — see the queries layer).
+    */
+  def minhashSignature(text: Column, numPerms: Int = 16, w: Int = 3): Column =
+    minhashSignatureFromHashes(shingleHashes(text, w), numPerms)
+
+  /** LSH band keys: bands of `r` signature rows combined into one
+    * integer key `mh[rb] * 2000000011 + ... ` (members < P so the
+    * packing is collision-free, no extra hashing needed).
     */
   def lshBands(sig: Column, numPerms: Int, r: Int = 2): Column = {
     require(numPerms % r == 0, "numPerms must divide into bands of r")
     transform(sequence(lit(0), lit(numPerms / r - 1)),
       b => struct(b.as("band"),
-        PortableHash.hash60(concat_ws(",",
-          transform(slice(sig, b * lit(r) + lit(1), lit(r)),
-            x => x.cast(StringType)))).as("sig")))
+        aggregate(slice(sig, b * lit(r) + lit(1), lit(r)), lit(0L),
+          (acc, x) => acc * lit(2000000011L) + x).as("sig")))
   }
 
+  /** All unordered member pairs (a.id < b.id) of each LSH bucket.
+    * Buckets are built with ONE aggregation (no self-join: the upstream
+    * signature pipeline is computed once), and pair expansion is an
+    * array comprehension per bucket — cost sum(bucketSize²), never n².
+    */
+  private def bucketPairs(members: Column): Column =
+    filter(
+      flatten(transform(members, a =>
+        transform(members, b =>
+          when(a < b, struct(a.as("id_a"), b.as("id_b")))))),
+      p => p.isNotNull)
+
   /** Candidate pairs sharing >= 1 LSH band, verified with exact Jaccard
-    * over distinct shingle sets. Returns (id_a, id_b, jaccard) with
+    * over distinct shingle-hash sets. Returns (id_a, id_b, jaccard) with
     * id_a < id_b, one row per pair.
-    *
-    * The self-join is keyed on (band, bandSig) — the shuffle partitions
-    * by bucket, so cost scales with sum(bucketSize²), not n².
     */
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       numPerms: Int = 16, r: Int = 2, w: Int = 3,
       jaccardThreshold: Double = 0.5): DataFrame = {
-    val withSig = df.select(
+    // The sets table feeds three consumers (band build + two
+    // verification joins); persist so the md5 shingle pipeline runs
+    // once. MEMORY_AND_DISK: spills instead of recomputing at scale.
+    val sets = df.select(
       col(idCol).cast(LongType).as("id"),
-      array_distinct(shingles(col(textCol), w)).as("shingle_set"),
-      minhashSignature(col(textCol), numPerms, w).as("sig"))
-    val bands = withSig.select(col("id"), col("shingle_set"),
+      shingleHashes(col(textCol), w).as("sset"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withSig = sets.withColumn("sig", minhashSignatureFromHashes(col("sset"), numPerms))
+    val bands = withSig.select(col("id"),
       explode(lshBands(col("sig"), numPerms, r)).as("b"))
-      .select(col("id"), col("shingle_set"), col("b.band").as("band"), col("b.sig").as("bsig"))
-    val a = bands.as("a")
-    val b = bands.as("b")
-    val pairs = a.join(b,
-        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.shingle_set").as("sh_a"), col("b.shingle_set").as("sh_b"))
+      .select(col("id"), col("b.band").as("band"), col("b.sig").as("bsig"))
+    val cand = bands
+      .groupBy(col("band"), col("bsig"))
+      .agg(collect_list(col("id")).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(bucketPairs(array_sort(col("members")))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    pairs
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sset").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sset").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
       .withColumn("uni",
         (size(col("sh_a")) + size(col("sh_b"))).cast(DoubleType) - col("inter"))
@@ -112,17 +139,13 @@ object TextDedup {
   }
 
   /** SimHash bit-fold given an already-materialized token-hash array
-    * column. The 60 per-bit folds reference that stored array, so md5
-    * cost is O(tokens), not O(tokens * bits) — see [[withSimhash]],
-    * which inserts the projection boundary that materializes it.
+    * column — native codegen expression
+    * ([[graft.expressions.SimHash60]]): one pass over the hash array per
+    * row; md5 cost stays O(tokens) via the projection boundary in
+    * [[withSimhash]].
     */
   def simhashFromHashes(hashes: Column): Column =
-    (0 until 60).map { b =>
-      when(
-        aggregate(hashes, lit(0L),
-          (s, h) => s + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)) > 0L,
-        lit(1L << b)).otherwise(0L)
-    }.reduce(_ + _)
+    graft.expressions.SimHash60.simhash60(hashes)
 
   /** SimHash: 60-bit fingerprint appended as `outCol`. Bit b is set iff
     * the frequency-weighted sum of (+1 / -1) over token-hash bit b is
@@ -151,12 +174,13 @@ object TextDedup {
     val chunked = withSim.select(col("id"), col("sim"),
       explode(array(chunkStructs: _*)).as("c"))
       .select(col("id"), col("sim"), col("c.chunk").as("chunk"), col("c.ckey").as("ckey"))
-    val a = chunked.as("a")
-    val b = chunked.as("b")
-    a.join(b, col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).cast(LongType).as("hamming"))
+    chunked
+      .groupBy(col("chunk"), col("ckey"))
+      .agg(collect_list(struct(col("id"), col("sim"))).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(bucketPairs(array_sort(col("members")))).as("p"))
+      .select(col("p.id_a.id").as("id_a"), col("p.id_b.id").as("id_b"),
+        bit_count(col("p.id_a.sim").bitwiseXOR(col("p.id_b.sim"))).cast(LongType).as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
   }

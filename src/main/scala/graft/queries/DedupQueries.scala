@@ -20,8 +20,11 @@ import graft.operators.{Fts, TextDedup, TextStats}
   */
 object DedupQueries {
 
+  /** All dedup/analysis queries do heavy per-row compute -> spread the
+    * single-file table across partitions (see [[Tables.loadSpread]]).
+    */
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    Tables.loadSpread(spark, dir, "documents")
 
   /** documents ∪ exact clones of every 5th doc. */
   private def corpusExact(spark: SparkSession, dir: String): DataFrame = {
@@ -73,18 +76,24 @@ object DedupQueries {
 
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
+      // materialize the shingle hashes first: CollapseProject keeps the
+      // boundary (multi-referenced non-cheap expr), so md5 runs once per
+      // shingle instead of once per (perm, shingle)
       .select(col("doc_id").cast(LongType).as("doc_id"),
-        posexplode(TextDedup.minhashSignature(col("text"), 16)).as(Seq("seed", "minhash")))
+        TextDedup.shingleHashes(col("text")).as("hs"))
+      .select(col("doc_id"),
+        posexplode(TextDedup.minhashSignatureFromHashes(col("hs"), 16)).as(Seq("seed", "minhash")))
       .select(col("doc_id"), col("seed").cast(LongType).as("seed"), col("minhash"))
       .orderBy("doc_id", "seed")
 
   val minhashSignaturesOracle: String = {
     val sh = DuckSql.shinglesFromTokens(DuckSql.tokens("text"))
-    s"""WITH shingled AS (SELECT doc_id, unnest($sh) AS sh FROM documents),
-       |seeded AS (SELECT doc_id, s.seed, ${DuckSql.hash60Seeded("s.seed", "sh")} AS h
+    s"""WITH shingled AS (SELECT doc_id, unnest(list_distinct(list_transform($sh, x -> ${DuckSql.hash60("x")}))) AS h
+       |  FROM documents),
+       |seeded AS (SELECT doc_id, s.seed, ${DuckSql.affine("h", "s.seed")} AS ah
        |  FROM shingled CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) s)
        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(seed AS BIGINT) AS seed,
-       |  min(h) AS minhash
+       |  min(ah) AS minhash
        |FROM seeded GROUP BY doc_id, seed ORDER BY doc_id, seed""".stripMargin
   }
 
@@ -99,13 +108,13 @@ object DedupQueries {
     val t = DuckSql.tokens("text")
     val sh = DuckSql.shinglesFromTokens(t)
     s"""WITH corpus AS ($corpusNearSql),
-       |sets AS (SELECT doc_id AS id, list_distinct($sh) AS sset FROM corpus),
-       |shingled AS (SELECT id, unnest(sset) AS sh FROM sets),
-       |sig AS (SELECT id, s.seed AS seed, min(${DuckSql.hash60Seeded("s.seed", "sh")}) AS mh
+       |sets AS (SELECT doc_id AS id, list_distinct(list_transform($sh, x -> ${DuckSql.hash60("x")})) AS sset FROM corpus),
+       |shingled AS (SELECT id, unnest(sset) AS h FROM sets),
+       |sig AS (SELECT id, s.seed AS seed, min(${DuckSql.affine("h", "s.seed")}) AS mh
        |  FROM shingled CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) s
        |  GROUP BY id, s.seed),
        |bands AS (SELECT lo.id, bb.b AS band,
-       |    ${DuckSql.hash60("CAST(lo.mh AS VARCHAR) || ',' || CAST(hi.mh AS VARCHAR)")} AS bsig
+       |    lo.mh * 2000000011 + hi.mh AS bsig
        |  FROM (SELECT unnest(range(0, 8)) AS b) bb
        |  JOIN sig lo ON lo.seed = bb.b * 2
        |  JOIN sig hi ON hi.id = lo.id AND hi.seed = bb.b * 2 + 1),

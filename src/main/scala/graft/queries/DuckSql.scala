@@ -18,6 +18,10 @@ object DuckSql {
   def hash60Seeded(seedExpr: String, expr: String): String =
     hash60(s"CAST($seedExpr AS VARCHAR) || ':' || ($expr)")
 
+  /** Twin of [[graft.functions.PortableHash.affine]]. */
+  def affine(hExpr: String, kExpr: String): String =
+    s"((($hExpr) % 1000000007) * (2 * ($kExpr) + 1) + (12345 * ($kExpr) + 677)) % 1000000007"
+
   /** Twin of [[graft.operators.TextDedup.shingles]] given a token-list
     * expression.
     */

@@ -55,7 +55,7 @@ object EventQueries {
     * the (stub) decoder — byte length, md5, pseudo-dimensions.
     */
   def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val blobs = Multimodal.asBlobs(docs, "doc_id", "text", "image")
     Multimodal.decodeAll(blobs).toDF()
       .select(col("media_id"), col("media_type"), col("byte_len"),

@@ -135,7 +135,7 @@ object ParityQueries {
     * filter pushes to the scan).
     */
   def ftsMatch(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     docs.filter(Fts.matches(Seq(col("text")), "spark window merge"))
       .select(col("doc_id").cast(LongType).as("doc_id"), col("lang"))
       .orderBy("doc_id")
@@ -145,7 +145,7 @@ object ParityQueries {
     * pairs aggregated to per-term document frequency.
     */
   def ftsTermStats(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     Fts.invertedIndex(docs.withColumnRenamed("doc_id", "rowid"), Seq("text"))
       .groupBy(col("term"))
       .agg(count(lit(1)).cast(LongType).as("df"))
@@ -156,7 +156,7 @@ object ParityQueries {
     * documents matching all terms, resolved back to language counts.
     */
   def ftsIndexMatch(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents").withColumnRenamed("doc_id", "rowid")
+    val docs = Tables.loadSpread(spark, dir, "documents").withColumnRenamed("doc_id", "rowid")
     val index = Fts.invertedIndex(docs, Seq("text"))
     Fts.matchRowids(index, "vector hash join")
       .select(col("rowid").cast(LongType).as("doc_id"))

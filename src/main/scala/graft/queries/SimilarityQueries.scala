@@ -14,7 +14,7 @@ import graft.operators.Similarity
 object SimilarityQueries {
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "embeddings")
+    Tables.loadSpread(spark, dir, "embeddings")
 
   /** DuckDB CTEs shared by all oracles: quantized vectors + exact
     * integer norms + dot products via fixed 64-dim position lists.
