@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val media = Seq(
+    (1L, "tiny payload"),
+    (2L, "a much longer payload that stands in for an encoded image blob with many bytes"),
+    (3L, "third")
+  ).toDF("media_id", "payload")
+
+  test("blob wrap preserves bytes; decode emits deterministic metadata") {
+    val blobs = Multimodal.asBlobs(media, "media_id", "payload", "image")
+    val metas = Multimodal.decodeAll(blobs).collect().sortBy(_.media_id)
+    assert(metas.map(_.media_id).toSeq === Seq(1L, 2L, 3L))
+    assert(metas.forall(_.media_type == "image"))
+    assert(metas(0).byte_len === "tiny payload".getBytes("UTF-8").length.toLong)
+    // md5 of the payload bytes, hex-encoded
+    val expectMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("tiny payload".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(metas(0).md5_hex === expectMd5)
+    // stub dimensions are bounded and stable across runs
+    metas.foreach { m =>
+      assert(m.width >= 16 && m.width < 2048)
+      assert(m.height >= 16 && m.height < 2048)
+      assert(m.channels >= 1 && m.channels <= 3)
+    }
+    val again = Multimodal.decodeAll(blobs).collect().sortBy(_.media_id)
+    assert(again.map(m => (m.width, m.height, m.channels)).toSeq ===
+      metas.map(m => (m.width, m.height, m.channels)).toSeq)
+  }
+
+  test("frame sampling: one frame per stride, offsets correct") {
+    val frames = Multimodal.sampleFrames(media, "media_id", "payload", stride = 10)
+      .orderBy("media_id", "frame_no").collect()
+    val byId = frames.groupBy(_.getAs[Long]("media_id"))
+    assert(byId(1L).length === 2)  // 12 bytes -> frames at 0, 10
+    assert(byId(1L).map(_.getAs[Long]("byte_offset")).toSeq === Seq(0L, 10L))
+    assert(byId(3L).length === 1)  // 5 bytes -> frame at 0
+    val longLen = "a much longer payload that stands in for an encoded image blob with many bytes".length
+    assert(byId(2L).length === (longLen - 1) / 10 + 1)
+  }
+}

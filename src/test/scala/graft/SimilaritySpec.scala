@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val vectors = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.99f, 0.1f, 0.0f), 0),   // near 0
+    (2L, Array(0.0f, 1.0f, 0.0f), 1),
+    (3L, Array(0.0f, 0.95f, 0.3f), 1),   // near 2
+    (4L, Array(0.0f, 0.0f, 1.0f), 2),
+    (5L, Array(-1.0f, 0.0f, 0.0f), 0)    // opposite of 0
+  ).toDF("vec_id", "embedding", "label")
+
+  test("brute-force top-k ranks by cosine with id tie-break") {
+    val out = Similarity.bruteForceTopK(vectors, vectors.filter($"vec_id" === 0),
+      "vec_id", "embedding", k = 3).orderBy("rank").collect()
+    assert(out.length === 3)
+    assert(out.head.getAs[Long]("neighbor_id") === 1L) // closest
+    assert(out.head.getAs[Double]("cosine") > 0.99)
+    val cosines = out.map(_.getAs[Double]("cosine")).toSeq
+    assert(cosines === cosines.sorted.reverse, "ranked by descending cosine")
+    assert(!out.map(_.getAs[Long]("neighbor_id")).contains(0L), "self excluded")
+  }
+
+  test("cosine is symmetric, bounded, and exact-integer deterministic") {
+    val pairs = Similarity.nearDupPairs(vectors, "vec_id", "embedding", "label", threshold = -1.0)
+      .collect()
+    pairs.foreach { r =>
+      val c = r.getAs[Double]("cosine")
+      assert(c >= -1.000001 && c <= 1.000001)
+    }
+    val p01 = pairs.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L).get
+    assert(p01.getAs[Double]("cosine") > 0.99)
+    val p05 = pairs.find(r => r.getLong(0) == 0L && r.getLong(1) == 5L).get
+    assert(p05.getAs[Double]("cosine") < -0.99)
+  }
+
+  test("IVF probes nearest clusters and finds in-cluster neighbors") {
+    val out = Similarity.ivfTopK(vectors, vectors.filter($"vec_id" === 0),
+      "vec_id", "embedding", "label", k = 2, nProbe = 1).orderBy("rank").collect()
+    // probe 1 cluster (label 0) -> neighbors only from {1, 5}
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSet.subsetOf(Set(1L, 5L)))
+    assert(out.head.getAs[Long]("neighbor_id") === 1L)
+  }
+
+  test("IntVecDot matches the HOF spelling") {
+    val df = Seq((Array(1L, 2L, 3L), Array(4L, 5L, 6L))).toDF("a", "b")
+    val native = df.select(graft.expressions.IntVecDot.int_vec_dot($"a", $"b")).head.getLong(0)
+    val hof = df.select(aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0L), (s, v) => s + v))
+      .head.getLong(0)
+    assert(native === 32L)
+    assert(native === hof)
+  }
+}

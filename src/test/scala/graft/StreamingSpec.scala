@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventWindows
+
+/** The streaming twin must produce the same windowed aggregates as the
+  * batch form (same plan modulo watermark). Exercised with a file source
+  * + memory sink driven synchronously (spark_guide.md pattern).
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming tumbling windows equal the batch result") {
+    val sfDir = "/root/testdata/sf0.001"
+    val batchEvents = Tables.load(spark, sfDir, "events")
+
+    // file streaming source needs a directory of parquet with a fixed schema
+    val dir = Files.createTempDirectory("graft-stream").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val streamEvents = spark.readStream
+      .schema(batchEvents.schema)
+      .parquet(dir)
+
+    val q = EventWindows.tumblingStream(streamEvents, "1 hour", "2 hours")
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("tumbling_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_out")
+        .orderBy("window_start", "event_type").collect()
+      val batch = EventWindows.tumbling(batchEvents, "1 hour")
+        .select(col("window_start"), col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("window_start", "event_type").collect()
+      assert(streamed.length === batch.length)
+      assert(streamed.toSeq === batch.toSeq)
+    } finally q.stop()
+  }
+
+  test("sessionize: gap splits sessions per user") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 100L, "2024-01-01 10:00:00"),
+      (2L, 100L, "2024-01-01 10:10:00"),  // same session (10 min)
+      (3L, 100L, "2024-01-01 11:00:00"),  // new session (50 min gap)
+      (4L, 200L, "2024-01-01 10:05:00")   // other user
+    ).toDF("event_id", "user_id", "ts_s")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    val out = EventWindows.sessionize(events, gapMinutes = 30)
+      .orderBy("user_id", "session_no").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((100L, 1L, 2L), (100L, 2L, 1L), (200L, 1L, 1L)))
+    assert(out.head.getAs[String]("session_start") === "2024-01-01T10:00:00")
+    assert(out.head.getAs[String]("session_end") === "2024-01-01T10:10:00")
+  }
+}

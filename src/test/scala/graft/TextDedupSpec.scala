@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextDedup
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "quick brown fox jumps over the lazy dog today"), // near dup
+    (4L, "completely different content about spark engines"),
+    (5L, "short doc")
+  ).toDF("doc_id", "text")
+
+  test("shingles: w-grams; short docs collapse to one shingle") {
+    val sh = docs.filter($"doc_id" === 1).select(TextDedup.shingles($"text", 3)).head.getSeq[String](0)
+    assert(sh.head === "the quick brown")
+    assert(sh.last === "the lazy dog")
+    assert(sh.length === 7) // 9 tokens -> 7 shingles
+    val short = docs.filter($"doc_id" === 5).select(TextDedup.shingles($"text", 3)).head.getSeq[String](0)
+    assert(short === Seq("short doc"))
+  }
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val out = TextDedup.exact(docs, "doc_id", "text").collect()
+    assert(out.length === 4)
+    val dupRow = out.find(_.getAs[Long]("n_copies") === 2L).get
+    assert(dupRow.getAs[Long]("keep_id") === 1L)
+  }
+
+  test("minhash: identical docs identical signatures; near-dups mostly agree") {
+    val sigs = docs.select($"doc_id",
+      TextDedup.minhashSignature($"text", 16).as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    val agree = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    assert(agree > 4, s"near-dups should share several minhashes, got $agree/16")
+    val agreeFar = sigs(1L).zip(sigs(4L)).count { case (a, b) => a == b }
+    assert(agreeFar < agree)
+  }
+
+  test("minhashPairs finds the exact and near pair, not the distinct docs") {
+    val pairs = TextDedup.minhashPairs(docs, "doc_id", "text",
+      numPerms = 16, r = 2, jaccardThreshold = 0.3).collect()
+    val pairSet = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet.contains((1L, 2L)))
+    val exact = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get
+    assert(exact.getAs[Double]("jaccard") === 1.0)
+    assert(!pairSet.exists { case (a, b) => Set(a, b).contains(4L) })
+  }
+
+  test("simhash: equal for identical docs, close for near-dups (hamming)") {
+    val sims = TextDedup.withSimhash(docs, "text").select($"doc_id", $"sim").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(1L) === sims(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sims(1L), sims(3L)) < hamming(sims(1L), sims(4L)))
+  }
+
+  test("simhashPairs returns the identical pair at hamming 0") {
+    val pairs = TextDedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).collect()
+    val p12 = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(p12.isDefined)
+    assert(p12.get.getAs[Long]("hamming") === 0L)
+  }
+}

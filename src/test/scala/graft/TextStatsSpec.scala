@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expressions.RollingHash
+import graft.operators.TextStats
+
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId: stopword argmax with 'und' fallback and alphabetical ties") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),   // en
+      (2L, "der hund und die katze ist nicht"),   // de
+      (3L, "le chat et les chiens pour dans"),    // fr
+      (4L, "el gato y los perros que por"),       // es
+      (5L, "zzz qqq xxx")                         // none -> und
+    ).toDF("id", "text")
+    val out = df.select($"id", TextStats.langId($"text").as("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "und"))
+  }
+
+  test("quality: exact count arithmetic") {
+    val df = Seq((1L, "the quick fox!!")).toDF("id", "text")
+    val q = df.select(TextStats.quality($"text").as("q")).select("q.*").head
+    assert(q.getAs[Long]("n_chars") === 15L)
+    assert(q.getAs[Long]("n_tokens") === 3L)
+    // alnum = 11 ("thequickfox"), spaces = 2, punct = 2
+    assert(q.getAs[Double]("punct_ratio") === 2.0 / 15.0)
+    assert(q.getAs[Double]("mean_token_len") === 11.0 / 3.0)
+    assert(q.getAs[Double]("stopword_ratio") === 1.0 / 3.0)
+  }
+
+  test("token counts: whitespace vs BPE-ish") {
+    val df = Seq((1L, "Hello world42, it's 3.14!")).toDF("id", "text")
+    val r = df.select(
+      TextStats.wsTokenCount($"text").as("ws"),
+      TextStats.bpeishTokenCount($"text").as("bpe")).head
+    assert(r.getAs[Long]("ws") === 4L)
+    // hello | world | 42 | , | it | ' | s | 3 | . | 14 | !
+    assert(r.getAs[Long]("bpe") === 11L)
+  }
+
+  test("rolling hash: codegen matches interpreted compute, order-sensitive") {
+    val df = Seq((1L, "abc"), (2L, "cba"), (3L, "")).toDF("id", "text")
+    val out = df.select($"id", RollingHash.rolling_hash($"text").as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === RollingHash.compute("abc"))
+    assert(out(1L) === ((('a' * 31L + 'b') * 31L + 'c') % 1000000007L))
+    assert(out(1L) !== out(2L))
+    assert(out(3L) === 0L)
+  }
+}
