@@ -1,0 +1,260 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.DateParse
+import graft.operators.{Extract, Fts, Rowid, Shape}
+import graft.sinks.SqliteDdl
+import graft.sources.CsvLoader
+
+/** The end-to-end pipeline mirroring the reference CLI
+  * (`cli.py:149-298`): discover -> load -> transform -> dictionary-encode
+  * -> materialize (+DDL) -> FTS.
+  *
+  * Sink: a directory of parquet tables plus `schema.sql` holding the
+  * exact SQLite DDL the reference would execute (CREATE TABLE with
+  * PK/FK, CREATE INDEX, CREATE VIRTUAL TABLE). The offline environment
+  * has no sqlite-jdbc jar (SURVEY §7.2.6); with one on the classpath the
+  * same DDL + DataFrames write to a real .db unchanged.
+  *
+  * Incremental semantics (`cli.py:248-251`): if the output directory
+  * already holds a table and `replaceTables` is false, fact tables
+  * append and lookup tables extend (existing ids are reused — E2's
+  * incremental contract).
+  */
+object Pipeline {
+
+  case class Config(
+      paths: Seq[String],
+      dbName: String,
+      separator: String = ",",
+      quoting: CsvLoader.QuoteMode = CsvLoader.QuoteMode.Minimal,
+      skipErrors: Boolean = false,
+      replaceTables: Boolean = false,
+      tableName: Option[String] = None,
+      extractColumns: Seq[String] = Nil,
+      dateCols: Seq[String] = Nil,
+      datetimeCols: Seq[String] = Nil,
+      datetimeFormats: Seq[String] = Nil,
+      primaryKeys: Seq[String] = Nil,
+      ftsColumns: Seq[String] = Nil,
+      indexes: Seq[String] = Nil,
+      shape: Option[String] = None,
+      filenameColumn: Option[String] = None,
+      fixedColumns: Seq[(String, String)] = Nil,
+      fixedColumnsInt: Seq[(String, Long)] = Nil,
+      fixedColumnsFloat: Seq[(String, Double)] = Nil,
+      indexFks: Boolean = true,
+      fulltextFks: Boolean = true,
+      justStrings: Boolean = false,
+      outputDir: Option[String] = None)
+
+  case class Result(
+      dbName: String,
+      tables: Map[String, DataFrame],       // fact + lookup tables (final content)
+      createdTables: Seq[String],
+      ddl: Seq[String],                     // schema.sql statements in order
+      messages: Seq[String])
+
+  def run(spark: SparkSession, config: Config): Result = {
+    val dbName = SqliteDdl.normalizeDbName(config.dbName)
+    val ddl = mutable.ArrayBuffer.empty[String]
+    val messages = mutable.ArrayBuffer.empty[String]
+
+    // -- E1: extract specs -> column -> (table, valueColumn) (cli.py:229-238)
+    val extracts: Seq[Extract.ExtractSpec] = config.extractColumns.map(Extract.parseSpec)
+    val fkByColumn: Map[String, (String, String)] =
+      extracts.map(e => e.column -> (e.table, e.valueColumn)).toMap
+
+    // -- S2 + per-file load loop (cli.py:196-226)
+    val discovered = CsvLoader.discover(config.paths)
+    val csvOpts = CsvLoader.CsvOptions(
+      separator = config.separator, skipErrors = config.skipErrors,
+      quoting = config.quoting, justStrings = config.justStrings)
+    var lastOverrides: Map[String, Shape.SqliteType] = Map.empty
+    val loaded = discovered.flatMap { case (derivedName, path) =>
+      try {
+        val name = config.tableName.getOrElse(derivedName)
+        var df =
+          if (CsvLoader.isUrl(path)) CsvLoader.loadUrl(spark, path, csvOpts)
+          else CsvLoader.load(spark, path, csvOpts)
+        // P3 filename column (value = derived table name, cli.py:202-205)
+        config.filenameColumn.foreach { c => df = Shape.withFilenameColumn(df, c, name) }
+        // P4 fixed columns (cli.py:206-220)
+        df = Shape.withFixedColumns(df,
+          config.fixedColumns.map { case (c, v) => c -> (Shape.FixedStr(v): Shape.FixedValue) } ++
+          config.fixedColumnsInt.map { case (c, v) => c -> (Shape.FixedInt(v): Shape.FixedValue) } ++
+          config.fixedColumnsFloat.map { case (c, v) => c -> (Shape.FixedFloat(v): Shape.FixedValue) })
+        // P2 shape: prune/rename/cast; keep rowid + auto-appended columns
+        config.shape.foreach { s =>
+          val defs = Shape.parseShape(s) ++
+            (config.filenameColumn.toSeq ++
+              (config.fixedColumns ++ config.fixedColumnsInt.map(x => (x._1, "")) ++
+                config.fixedColumnsFloat.map(x => (x._1, ""))).map(_._1))
+              .map(c => Shape.ShapeDefn(c, c, None)) :+
+            Shape.ShapeDefn(Rowid.ColName, Rowid.ColName, None)
+          val (shaped, overrides) = Shape.applyShape(df, defs)
+          df = shaped
+          lastOverrides = overrides // single-shape-applies-to-all keeps LAST file's map (cli.py:221)
+        }
+        // P5 dates
+        config.dateCols.foreach { c =>
+          if (df.columns.contains(c))
+            df = df.withColumn(c, DateParse.parseDate(col(c), config.datetimeFormats))
+        }
+        config.datetimeCols.foreach { c =>
+          if (df.columns.contains(c))
+            df = df.withColumn(c, DateParse.parseDatetime(col(c), config.datetimeFormats))
+        }
+        Some(name -> df)
+      } catch {
+        case e: Exception =>
+          // per-file failure: print and continue (cli.py:224-225)
+          System.err.println(s"Loading {$path} failed: $e")
+          None
+      }
+    }
+
+    // -- E2: build shared dictionaries then encode (refactor_dataframes)
+    val existingDict: String => Option[DataFrame] = { table =>
+      config.outputDir.flatMap { out =>
+        val p = Paths.get(out, s"$table.parquet")
+        if (!config.replaceTables && Files.exists(p)) Some(spark.read.parquet(p.toString))
+        else None
+      }
+    }
+    // iteration order: per column spec, then per dataframe (utils.py:241-253)
+    val dictionaries = mutable.LinkedHashMap.empty[String, DataFrame]
+    val dictValueCol = mutable.Map.empty[String, String]
+    val sourcesByTable = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Extract.Source]]
+    extracts.foreach { spec =>
+      loaded.foreach { case (_, df) =>
+        if (df.columns.contains(spec.column)) {
+          sourcesByTable.getOrElseUpdate(spec.table, mutable.ArrayBuffer.empty) +=
+            Extract.Source(df, spec.column)
+          dictValueCol(spec.table) = spec.valueColumn
+        }
+      }
+    }
+    sourcesByTable.foreach { case (table, sources) =>
+      dictionaries(table) = Extract.buildDictionary(
+        sources.toSeq, dictValueCol(table), existingDict(table))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val encoded = loaded.map { case (name, df0) =>
+      var df = df0
+      extracts.foreach { spec =>
+        if (df.columns.contains(spec.column))
+          df = Extract.encode(df, spec.column, dictionaries(spec.table), dictValueCol(spec.table))
+      }
+      name -> df
+    }
+
+    // merge multi-file same-table loads (e.g. -t: all files -> one
+    // table); rowid is re-derived over the union so it stays the global
+    // insert order, like SQLite rowids across sequential inserts
+    val facts = mutable.LinkedHashMap.empty[String, DataFrame]
+    encoded.foreach { case (name, df) =>
+      facts(name) = facts.get(name) match {
+        case Some(prev) =>
+          Rowid.attach(prev.unionByName(df, allowMissingColumns = true).drop(Rowid.ColName))
+        case None => df
+      }
+    }
+
+    // -- materialize (cli.py:245-265): DDL + parquet writes
+    val createdTables = mutable.ArrayBuffer.empty[String]
+    // lookup tables first (reference writes them during refactor, cli.py:242-244)
+    dictionaries.foreach { case (table, dict) =>
+      ddl += SqliteDdl.lookupTableSql(table, dictValueCol(table))
+      if (config.fulltextFks)
+        ddl += SqliteDdl.ftsCreateSql(table, Seq(dictValueCol(table)), Fts.bestFtsVersion)
+          .replace(s""""${table}_fts"""", s""""${table}_${dictValueCol(table)}_fts"""")
+      writeTable(spark, config, table, dict)
+      createdTables += table
+    }
+    facts.foreach { case (name, df) =>
+      val bare = df.drop(Rowid.ColName)
+      val exists = config.outputDir.exists(out => Files.exists(Paths.get(out, s"$name.parquet")))
+      if (exists && config.replaceTables) ddl += SqliteDdl.dropTableSql(name)
+      if (!exists || config.replaceTables) {
+        ddl += SqliteDdl.createTableWithForeignKeys(
+          name, bare.schema, fkByColumn, lastOverrides, config.primaryKeys, config.indexFks)
+        createdTables += name
+      }
+      writeTable(spark, config, name, bare, append = exists && !config.replaceTables)
+      // S8 secondary indexes (cli.py:263-265; silently skipped when missing)
+      config.indexes.foreach { idx =>
+        SqliteDdl.createIndexSql(name, bare.schema, idx.split(",").toSeq).foreach(ddl += _)
+      }
+    }
+
+    // -- FTS (cli.py:267-283): validate against created tables only
+    if (config.ftsColumns.nonEmpty) {
+      val createdFacts = facts.filter { case (n, _) => createdTables.contains(n) }
+      val available = createdFacts.values.flatMap(_.columns).toSet
+      config.ftsColumns.filterNot(available.contains) match {
+        case missing if missing.nonEmpty =>
+          throw new IllegalArgumentException(
+            s"""FTS column "${missing.head}" does not exist""")
+        case _ =>
+      }
+      createdFacts.foreach { case (name, df) =>
+        val cols = config.ftsColumns.filter(df.columns.contains)
+        if (cols.nonEmpty) {
+          ddl += SqliteDdl.ftsCreateSql(name, cols, Fts.bestFtsVersion)
+          // populate-join: index ORIGINAL strings for extracted columns
+          val reconstructed = cols.foldLeft(df) { case (acc, c) =>
+            if (fkByColumn.contains(c))
+              Extract.reconstruct(acc, c, dictionaries(fkByColumn(c)._1), dictValueCol(fkByColumn(c)._1))
+            else acc
+          }
+          val index = Fts.invertedIndex(reconstructed, cols)
+          writeTable(spark, config, s"${name}_fts", index)
+        }
+      }
+    }
+
+    // -- summary (cli.py:287-298)
+    val n = discovered.size
+    messages += s"Created $dbName from $n CSV file${if (n == 1) "" else "s"}"
+
+    if (config.outputDir.isDefined) {
+      val out = config.outputDir.get
+      Files.createDirectories(Paths.get(out))
+      Files.writeString(Paths.get(out, "schema.sql"), ddl.mkString("\n"))
+    }
+
+    Result(dbName, (facts ++ dictionaries).toMap, createdTables.toSeq, ddl.toSeq, messages.toSeq)
+  }
+
+  private def writeTable(
+      spark: SparkSession, config: Config, name: String, df: DataFrame,
+      append: Boolean = false): Unit =
+    config.outputDir.foreach { out =>
+      // Append must not read-and-overwrite the same parquet in place:
+      // stage to a temp dir then move.
+      val target = Paths.get(out, s"$name.parquet")
+      if (append && Files.exists(target)) {
+        val existing = spark.read.parquet(target.toString)
+        val merged = existing.unionByName(df, allowMissingColumns = true)
+        val tmp = Paths.get(out, s".$name.tmp.parquet")
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        deleteRecursively(target)
+        Files.move(tmp, target)
+      } else {
+        df.write.mode("overwrite").parquet(target.toString)
+      }
+    }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).forEach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}

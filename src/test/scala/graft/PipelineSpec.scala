@@ -1,0 +1,174 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.Fts
+
+/** End-to-end pipeline runs mirroring the reference's CLI golden tests
+  * (`tests/test_csvs_to_sqlite.py`): flat load, extract, shape, FTS,
+  * dates, PK DDL, incremental append.
+  */
+class PipelineSpec extends SparkSpec {
+
+  def outDir(): String = Files.createTempDirectory("graft-out").toString
+
+  def cfg(paths: Seq[String], db: String = "test.db"): Pipeline.Config =
+    Pipeline.Config(paths = paths, dbName = db)
+
+  test("test_flat: golden rows in rowid order with NULLs (:41-71)") {
+    val csv = tempCsv("test.csv", Fixtures.CSV)
+    val r = Pipeline.run(spark, cfg(Seq(csv)))
+    assert(r.messages.last === "Created test.db from 1 CSV file")
+    val rows = r.tables("test").orderBy("rowid")
+      .select("county", "precinct", "office", "district", "party", "candidate", "votes")
+      .collect()
+    assert(rows.length === 6)
+    assert(rows(0).toSeq === Seq("Yolo", 100001, "President", null, "LIB", "Gary Johnson", 41))
+    assert(rows(5).toSeq === Seq("Yolo", 100001, "State Assembly", 7, "REP", "Ryan K. Brown", 291))
+  }
+
+  test("test_extract_columns: dicts, %g district, reconstruction joins (:74-146)") {
+    val csv = tempCsv("test.csv", Fixtures.CSV)
+    val r = Pipeline.run(spark, cfg(Seq(csv)).copy(
+      extractColumns = Seq("office", "district", "party", "candidate")))
+    // golden dictionaries
+    assert(r.tables("office").orderBy("id").collect().toSeq === Seq(
+      Row(1L, "President"), Row(2L, "Proposition 51"), Row(3L, "State Assembly")))
+    assert(r.tables("district").collect().toSeq === Seq(Row(1L, "7")))
+    assert(r.tables("party").orderBy("id").collect().toSeq === Seq(
+      Row(1L, "LIB"), Row(2L, "PAF"), Row(3L, "DEM"), Row(4L, "REP")))
+    assert(r.tables("candidate").count() === 6)
+    // encoded fact: office is now an id column
+    val fact = r.tables("test").orderBy("rowid")
+    assert(fact.select("office").collect().map(_.getLong(0)).toSeq ===
+      Seq(1L, 1L, 2L, 2L, 3L, 3L))
+    // FK DDL emitted
+    assert(r.ddl.exists(_.contains("""FOREIGN KEY ("office") REFERENCES [office](id)""")))
+    // per-lookup FTS shadow tables in DDL (S12)
+    assert(r.ddl.exists(_.contains(""""office_value_fts"""")))
+  }
+
+  test("test_shape golden: Cty TEXT + Vts REAL (:284-315)") {
+    val csv = tempCsv("test.csv", Fixtures.CSV)
+    val r = Pipeline.run(spark, cfg(Seq(csv), "test-reshaped.db").copy(
+      shape = Some("county:Cty,votes:Vts(REAL)")))
+    val t = r.tables("test")
+    assert(t.drop("rowid").columns.toSeq === Seq("Cty", "Vts"))
+    assert(t.orderBy("rowid").head.toSeq.take(2) === Seq("Yolo", 41.0))
+    assert(r.ddl.exists(d => d.contains(""""Cty" TEXT""") && d.contains(""""Vts" REAL""")))
+  }
+
+  test("test_fts: 'president gloria' matches one row (:167-188)") {
+    val csv = tempCsv("test.csv", Fixtures.CSV)
+    val r = Pipeline.run(spark, cfg(Seq(csv), "fts.db").copy(
+      ftsColumns = Seq("office", "party", "candidate")))
+    val hits = r.tables("test")
+      .filter(Fts.matches(Seq(col("office"), col("party"), col("candidate")), "president gloria"))
+      .select("county", "precinct", "office", "party", "candidate").collect()
+    assert(hits.toSeq === Seq(Row("Yolo", 100001, "President", "PAF", "Gloria Estela La Riva")))
+    assert(r.ddl.exists(_.startsWith("""CREATE VIRTUAL TABLE "test_fts"""")))
+  }
+
+  test("fts error on missing column (:191-197)") {
+    val csv = tempCsv("test.csv", Fixtures.CSV)
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.run(spark, cfg(Seq(csv), "fts.db").copy(ftsColumns = Seq("badcolumn")))
+    }
+    assert(e.getMessage.contains(""""badcolumn" does not exist"""))
+  }
+
+  test("fts + extract: match against ORIGINAL strings through lookup joins (:200-229)") {
+    val csv = tempCsv("test.csv", Fixtures.CSV)
+    val out = outDir()
+    val r = Pipeline.run(spark, cfg(Seq(csv), "fts-extracted.db").copy(
+      extractColumns = Seq("office", "party", "candidate"),
+      ftsColumns = Seq("party", "candidate"),
+      outputDir = Some(out)))
+    // the written inverted index contains original strings' terms
+    val fts = spark.read.parquet(s"$out/test_fts.parquet")
+    val matched = Fts.matchRowids(fts, "paf gloria").collect().map(_.getLong(0)).toSet
+    assert(matched === Set(2L))
+  }
+
+  test("dates and datetimes golden (:584-604)") {
+    val csv = tempCsv("test.csv", Fixtures.CSV_DATES)
+    val r = Pipeline.run(spark, cfg(Seq(csv), "dates.db").copy(
+      dateCols = Seq("date"), datetimeCols = Seq("datetime")))
+    val rows = r.tables("test").orderBy("rowid").select("date", "datetime").collect()
+    assert(rows(0).toSeq === Seq("2017-05-03", "1938-04-04T22:00:00"))
+    assert(rows(1).toSeq === Seq("2005-04-30", "2009-12-10T05:45:00"))
+  }
+
+  test("custom datetime format golden (:592-604)") {
+    val csv = tempCsv("test.csv", Fixtures.CSV_DATES_CUSTOM_FORMAT)
+    val r = Pipeline.run(spark, cfg(Seq(csv), "dates.db").copy(
+      dateCols = Seq("date"), datetimeFormats = Seq("%y/%d/%m")))
+    assert(r.tables("test").head.getAs[String]("date") === "2003-01-02")
+  }
+
+  test("just-strings + shape cast + dates compose (:694-766)") {
+    val csv = tempCsv("test.csv", Fixtures.CSV_STRINGS_AND_DATES)
+    val r = Pipeline.run(spark, cfg(Seq(csv), "films.db").copy(
+      justStrings = true,
+      dateCols = Seq("release_date"),
+      datetimeFormats = Seq("%d of %B in the year %Y")))
+    val rows = r.tables("test").orderBy("rowid").select("name", "gross", "release_date").collect()
+    assert(rows(0).toSeq === Seq("Adaptation", "22.5", "2002-12-06"))
+    assert(rows(1).toSeq === Seq("Face/Off", "245.7", "1997-06-19"))
+  }
+
+  test("composite primary key DDL (:632-644)") {
+    val csv = tempCsv("test.csv", Fixtures.CSV_CUSTOM_PRIMARY_KEYS)
+    val r = Pipeline.run(spark, cfg(Seq(csv), "pks.db").copy(
+      primaryKeys = Seq("pk1", "pk2")))
+    assert(r.ddl.exists(_.contains(",PRIMARY KEY ([pk1], [pk2])")))
+  }
+
+  test("filename + fixed columns (:318-339, :364-404)") {
+    val csv = tempCsv("test1.csv", Fixtures.CSV)
+    val r = Pipeline.run(spark, cfg(Seq(csv), "t.db").copy(
+      filenameColumn = Some("source_file"),
+      fixedColumnsInt = Seq("batch" -> 42L)))
+    val row = r.tables("test1").head
+    assert(row.getAs[String]("source_file") === "test1")
+    assert(row.getAs[Long]("batch") === 42L)
+  }
+
+  test("incremental append reuses dictionary ids (utils.py:210-223)") {
+    val out = outDir()
+    val csv1 = tempCsv("test.csv", Fixtures.CSV_MULTI)
+    val base = cfg(Seq(csv1), "inc.db").copy(
+      extractColumns = Seq("actor_1:actors:name", "actor_2:actors:name"),
+      outputDir = Some(out))
+    val r1 = Pipeline.run(spark, base)
+    assert(r1.tables("actors").orderBy("id").collect().toSeq === Seq(
+      Row(1L, "Sean Connery"), Row(2L, "Nicolas Cage"),
+      Row(3L, "Diane Kruger"), Row(4L, "Orlando Bloom")))
+    // second run: one known actor, one new -> known keeps id, new appends
+    val csv2 = tempCsv("test.csv",
+      "film,actor_1,actor_2\nSeven,Brad Pitt,Nicolas Cage\n")
+    val r2 = Pipeline.run(spark, base.copy(paths = Seq(csv2)))
+    val actors2 = spark.read.parquet(s"$out/actors.parquet").orderBy("id").collect()
+    assert(actors2.toSeq === Seq(
+      Row(1L, "Sean Connery"), Row(2L, "Nicolas Cage"),
+      Row(3L, "Diane Kruger"), Row(4L, "Orlando Bloom"), Row(5L, "Brad Pitt")))
+    // fact rows from run 2 encode Nicolas Cage as the SAME id 2
+    val test2 = spark.read.parquet(s"$out/test.parquet")
+    val seven = test2.filter(col("film") === "Seven").head
+    assert(seven.getAs[Long]("actor_1") === 5L) // Brad Pitt, newly appended
+    assert(seven.getAs[Long]("actor_2") === 2L) // Nicolas Cage, reused id
+  }
+
+  test("multi-file with -t merges into one table with continuous rowids") {
+    val a = tempCsv("a.csv", Fixtures.CSV_MULTI)
+    val b = tempCsv("b.csv", "film,actor_1,actor_2\nSeven,Brad Pitt,Kevin Spacey\n")
+    val r = Pipeline.run(spark, cfg(Seq(a, b), "merged.db").copy(tableName = Some("films")))
+    val rows = r.tables("films").orderBy("rowid").collect()
+    assert(rows.length === 4)
+    assert(rows.map(_.getAs[Long]("rowid")).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(rows(3).getAs[String]("film") === "Seven")
+  }
+}
