@@ -1,0 +1,77 @@
+package graft
+
+import graft.queries.{AggQueries, ParityQueries}
+
+/** Physical-plan audits: the properties that matter at 100 TB, asserted
+  * on the optimized plans (SURVEY §4; builder-prompt scale checklist).
+  * These run on sf0.001 — plan SHAPE, not timing.
+  */
+class PlanSpec extends SparkSpec {
+
+  val dir = "/root/testdata/sf0.001"
+
+  /** Execute, then read the FINAL adaptive plan (pre-execution the AQE
+    * plan is not finalized and carries no WholeStageCodegen markers).
+    */
+  def plan(df: org.apache.spark.sql.DataFrame): String = {
+    val qe = df.queryExecution
+    df.collect()
+    qe.executedPlan.toString
+  }
+
+  test("q3/q5 star joins broadcast every dimension side — no sort-merge join") {
+    val q3 = plan(AggQueries.topRevenueOrders(spark, dir))
+    assert(q3.contains("BroadcastHashJoin"), q3)
+    assert(!q3.contains("SortMergeJoin"), "lineitem must not shuffle for the join")
+    val q5 = plan(AggQueries.revenueByNation(spark, dir))
+    assert(q5.contains("BroadcastHashJoin"))
+    assert(!q5.contains("SortMergeJoin"))
+  }
+
+  test("q6 pushes filters to the parquet scan and prunes columns") {
+    val p = plan(AggQueries.forecastRevenue(spark, dir))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_shipdate"), "shipdate range must reach the scan")
+    // projection pruning: scan must not read l_orderkey/l_partkey etc.
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_partkey"), readSchema)
+    assert(readSchema.contains("l_extendedprice"))
+  }
+
+  test("q1 aggregates with map-side partial aggregation") {
+    val p = plan(AggQueries.pricingSummary(spark, dir))
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "expect partial + final HashAggregate:\n" + p)
+  }
+
+  test("dictionary encode joins broadcast the dictionary — fact side never shuffles") {
+    val p = plan(ParityQueries.encodeOrders(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("dictionary build: the unpartitioned window runs over distinct values only") {
+    val p = plan(ParityQueries.dictOrderpriority(spark, dir))
+    // aggregation (distinct values) must happen BELOW the
+    // single-partition exchange feeding the window — the fact table is
+    // reduced to |dict| rows before anything goes to one partition
+    val aggIdx = math.max(p.indexOf("HashAggregate"), p.indexOf("SortAggregate"))
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0, p)
+    assert(winIdx < aggIdx, "window must sit above the aggregate:\n" + p)
+    assert(p.contains("SinglePartition"), p)
+  }
+
+  test("FTS match predicate stays in whole-stage codegen with a pruned scan") {
+    val p = plan(ParityQueries.ftsMatch(spark, dir))
+    assert(p.contains("*("), "WSCG markers expected:\n" + p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("source"), "unused columns must be pruned: " + readSchema)
+  }
+
+  test("rolling-hash fingerprints run inside whole-stage codegen (no BatchEvalPython/UDF)") {
+    val p = plan(graft.queries.DedupQueries.fingerprints(spark, dir))
+    assert(p.contains("*("), "WSCG markers expected:\n" + p)
+    assert(!p.toLowerCase.contains("batcheval"), p)
+  }
+}
