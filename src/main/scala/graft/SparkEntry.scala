@@ -44,6 +44,8 @@ object SparkEntry {
     "e2_dict_orderpriority" -> (ParityQueries.dictOrderpriority _),
     "e2_encode_orders" -> (ParityQueries.encodeOrders _),
     "e2_shared_dict" -> (ParityQueries.sharedDict _),
+    "e2_canon_float_dict" -> (ParityQueries.canonFloatDict _),
+    "x_window_top_orders" -> (ParityQueries.windowTopOrders _),
     // §2.5/§2.6 — FTS + reconstruction joins
     "s10_fts_reconstruct" -> (ParityQueries.ftsReconstruct _),
     "s13_fts_match" -> (ParityQueries.ftsMatch _),
@@ -126,6 +128,20 @@ object SparkEntry {
         |FROM (SELECT value, min(s*1000000000000 + rowid) AS fs
         |      FROM src WHERE value IS NOT NULL GROUP BY 1)
         |ORDER BY id""".stripMargin,
+    "e2_canon_float_dict" ->
+      """SELECT CAST(row_number() OVER (ORDER BY fs) AS BIGINT) AS id, value
+        |FROM (SELECT printf('%g', c_acctbal) AS value, min(c_custkey) AS fs
+        |      FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1)
+        |ORDER BY id""".stripMargin,
+    "x_window_top_orders" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+        |  CAST(rank AS BIGINT) AS rank,
+        |  CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |      FROM orders)
+        |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
     "s10_fts_reconstruct" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
         |  o_orderpriority AS priority_text

@@ -115,6 +115,34 @@ object ParityQueries {
       .orderBy("id")
   }
 
+  /** §2.8 — `%g` float canonicalization in the dictionary path: a DOUBLE
+    * column's distinct values become the strings the reference would
+    * store (`"{0:g}".format`, utils.py:196-200). The oracle's
+    * `printf('%g', x)` is C-printf %g — identical semantics.
+    */
+  def canonFloatDict(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_acctbal"), col("c_custkey").as("rowid"))
+    Extract.buildDictionary(Seq(Extract.Source(cust, "c_acctbal")))
+      .select(col("id"), col("value"))
+      .orderBy("id")
+  }
+
+  /** Extension — window functions: top-3 orders per customer by total
+    * price (rank inside partition; one shuffle keyed by o_custkey).
+    */
+  def windowTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
+      .select(col("o_custkey").cast(LongType).as("o_custkey"), col("rank"),
+        col("o_orderkey").cast(LongType).as("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rank")
+  }
+
   /** S10 — FTS-populate reconstruction join: encoded fact LEFT JOIN
     * lookup to index the original strings, ordered by rowid
     * (`utils.py:395-432`).
