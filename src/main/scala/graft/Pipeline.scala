@@ -237,14 +237,19 @@ object Pipeline {
       spark: SparkSession, config: Config, name: String, df: DataFrame,
       append: Boolean = false): Unit =
     config.outputDir.foreach { out =>
-      // Append must not read-and-overwrite the same parquet in place:
-      // stage to a temp dir then move.
+      // A plan may lazily READ the table it is about to replace (append
+      // merges; incremental dictionaries extend the previous run's
+      // lookup table). Overwrite mode deletes the target before the job
+      // runs, so any write over an existing table stages to a temp dir
+      // first, then swaps — the job reads the old files intact.
       val target = Paths.get(out, s"$name.parquet")
-      if (append && Files.exists(target)) {
-        val existing = spark.read.parquet(target.toString)
-        val merged = existing.unionByName(df, allowMissingColumns = true)
+      if (Files.exists(target)) {
+        val toWrite =
+          if (append) spark.read.parquet(target.toString)
+            .unionByName(df, allowMissingColumns = true)
+          else df
         val tmp = Paths.get(out, s".$name.tmp.parquet")
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        toWrite.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         deleteRecursively(target)
         Files.move(tmp, target)
       } else {

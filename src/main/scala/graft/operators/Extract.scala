@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -24,10 +23,10 @@ import graft.functions.Canon
   *     is per-column-spec, then per-dataframe, then per-row
   *     (`utils.py:241-253`), so that pair IS the first-seen order.
   *     `groupBy(value).agg(min(struct(sourceIdx, rowid)))` gives each
-  *     distinct value its first occurrence; `row_number()` over that
-  *     yields ids. The unpartitioned window runs over '''distinct values
-  *     only''' — bounded by dictionary cardinality, not fact rows — so
-  *     the single-partition sort is tiny even at 100 TB of facts.
+  *     distinct value its first occurrence; a range-partitioned sort on
+  *     that + `zipWithIndex` yields contiguous 1-based ids with NO
+  *     single-partition stage — the ranking parallelizes even for
+  *     high-cardinality dictionaries.
   *  2. '''Encode''': broadcast the dictionary and left-join each fact on
   *     the canonicalized value; the fact table never shuffles.
   *
@@ -81,16 +80,27 @@ object Extract {
       case Some(e) => firstSeen.join(broadcast(e.select(col(valueColName).as("value"))), Seq("value"), "left_anti")
       case None    => firstSeen
     }
-    val w = Window.orderBy(col("first_seen"))
-    val offset: Column = existing match {
-      case Some(e) =>
-        val m = e.agg(coalesce(max(col("id")), lit(0L)).cast(LongType)).head.getLong(0)
-        lit(m)
-      case None => lit(0L)
+    val offset: Long = existing match {
+      case Some(e) => e.agg(coalesce(max(col("id")), lit(0L)).cast(LongType)).head.getLong(0)
+      case None    => 0L
     }
-    val freshIds = fresh
-      .withColumn("id", row_number().over(w).cast(LongType) + offset)
-      .select(col("id"), col("value").as(valueColName))
+    // Global first-seen ranking WITHOUT a single-partition stage:
+    // orderBy is a range-partitioned parallel sort, and zipWithIndex
+    // assigns contiguous ranks holding only one count per partition on
+    // the driver. (`row_number().over(Window.orderBy(...))` computes the
+    // same thing but funnels every distinct value through ONE partition —
+    // fine for small dictionaries, a wall for high-cardinality ones.)
+    // The (src, rowid) pair is unique per value, so the order is total
+    // and deterministic.
+    val spark = fresh.sparkSession
+    val sorted = fresh.orderBy(col("first_seen")).select(col("value"))
+    val withIds = sorted.rdd.zipWithIndex.map { case (row, idx) =>
+      org.apache.spark.sql.Row(idx + 1L + offset, row.getString(0))
+    }
+    val freshIds = spark.createDataFrame(withIds,
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField(valueColName, StringType))))
     existing match {
       case Some(e) => e.select(col("id").cast(LongType), col(valueColName)).unionAll(freshIds)
       case None    => freshIds
