@@ -54,16 +54,16 @@ object Canon {
     }
   }
 
-  private val gFormatUdf = udf((v: java.lang.Double) =>
-    if (v == null) null else gFormat(v.doubleValue))
-
   /** Canonicalize a column to the string form the reference stores in a
     * lookup table: floats via %g, everything else via plain string cast.
-    * NULL passes through (`utils.py:193-194`).
+    * NULL passes through (`utils.py:193-194`). The %g path is a native
+    * codegen expression ([[graft.expressions.GFormat]]) — it runs per
+    * fact CELL during encode, so it must not be a UDF.
     */
   def canonicalize(c: Column, dt: DataType): Column = dt match {
-    case DoubleType | FloatType => gFormatUdf(c.cast(DoubleType))
-    case _                      => c.cast(StringType)
+    case DoubleType | FloatType =>
+      graft.expressions.GFormat.g_format(c.cast(DoubleType))
+    case _ => c.cast(StringType)
   }
 
   /** DuckDB fragment matching [[canonicalize]] for DOUBLE input. */

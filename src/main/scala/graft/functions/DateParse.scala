@@ -151,15 +151,13 @@ object DateParse {
       .orNull
 
   /** Column-level API. `formats` is captured at plan time (it comes from
-    * the CLI `-df` flags, not from data).
+    * the CLI `-df` flags, not from data). Backed by a native codegen
+    * expression ([[graft.expressions.FuzzyDateParse]]) rather than a
+    * UDF: date columns are fact-table-wide.
     */
-  def parseDate(c: Column, formats: Seq[String] = Nil): Column = {
-    val f = udf((s: String) => parseDateIso(s, formats))
-    f(c)
-  }
+  def parseDate(c: Column, formats: Seq[String] = Nil): Column =
+    graft.expressions.FuzzyDateParse.parse_date(c, formats)
 
-  def parseDatetime(c: Column, formats: Seq[String] = Nil): Column = {
-    val f = udf((s: String) => parseDatetimeIso(s, formats))
-    f(c)
-  }
+  def parseDatetime(c: Column, formats: Seq[String] = Nil): Column =
+    graft.expressions.FuzzyDateParse.parse_datetime(c, formats)
 }
