@@ -56,6 +56,8 @@ object SparkEntry {
     "q3_top_revenue_orders" -> (AggQueries.topRevenueOrders _),
     "q5_revenue_by_nation" -> (AggQueries.revenueByNation _),
     "q6_forecast_revenue" -> (AggQueries.forecastRevenue _),
+    "x_rollup_revenue" -> (AggQueries.rollupRevenue _),
+    "x_anti_join_customers" -> (AggQueries.customersWithoutOrders _),
     // extensions: dedup + text analysis (documents)
     "x_dedup_exact" -> (DedupQueries.dedupExact _),
     "x_minhash_signatures" -> (DedupQueries.minhashSignatures _),
@@ -165,6 +167,8 @@ object SparkEntry {
     "q3_top_revenue_orders" -> AggQueries.topRevenueOrdersOracle,
     "q5_revenue_by_nation" -> AggQueries.revenueByNationOracle,
     "q6_forecast_revenue" -> AggQueries.forecastRevenueOracle,
+    "x_rollup_revenue" -> AggQueries.rollupRevenueOracle,
+    "x_anti_join_customers" -> AggQueries.customersWithoutOrdersOracle,
     "x_dedup_exact" -> DedupQueries.dedupExactOracle,
     "x_minhash_signatures" -> DedupQueries.minhashSignaturesOracle,
     "x_minhash_pairs" -> DedupQueries.minhashPairsOracle,

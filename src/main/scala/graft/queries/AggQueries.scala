@@ -132,6 +132,47 @@ object AggQueries {
       |  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
       |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
 
+  /** Extension — ROLLUP subtotals with grouping ids (hierarchical
+    * aggregates in one pass; map-side partial aggregation applies to
+    * every grouping set).
+    */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(dec(18, 2))).cast(DoubleType).as("sum_qty"),
+        count(lit(1)).cast(LongType).as("n"),
+        grouping_id().cast(LongType).as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
+  def rollupRevenueOracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** Extension — anti/semi join: customers without orders, and the
+    * distinct-count per segment of those with orders.
+    */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val orders = Tables.load(spark, dir, "orders").select(col("o_custkey"))
+    cust.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey").cast(LongType).as("c_custkey"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  def customersWithoutOrdersOracle: String =
+    """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
   def revenueByNationOracle: String =
     """SELECT n_name, r_name,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
