@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Event-time windowing over the `events` table (extension; the
@@ -46,6 +47,66 @@ object EventWindows {
       .select(
         date_format(col("w.start"), "yyyy-MM-dd'T'HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
+
+  case class SessionEvent(user_id: Long, event_id: Long, tsMicros: Long)
+  case class SessionState(sessionNo: Long, lastTsMicros: Long, count: Long, startMicros: Long)
+  case class SessionOut(
+      user_id: Long, session_no: Long, n_events: Long,
+      session_start: String, session_end: String)
+
+  /** Streaming sessionization via `flatMapGroupsWithState` — the
+    * custom-state path (KeyValueGroupedDataset) for semantics no
+    * built-in window covers. Keyed by user; emits a session row each
+    * time a session CLOSES (gap exceeded, or state timeout when
+    * `timeout = ProcessingTimeTimeout` — the production setting that
+    * also flushes idle sessions; it keeps scheduling timeout-check
+    * batches, so synchronous tests use the default NoTimeout). State is
+    * one small struct per active user — bounded regardless of history.
+    */
+  def sessionizeStream(
+      events: Dataset[SessionEvent], gapMinutes: Int = 30,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[SessionOut] = {
+    val gapMicros = gapMinutes * 60L * 1000000L
+    def fmt(micros: Long): String =
+      java.time.LocalDateTime.ofEpochSecond(
+        micros / 1000000L, 0, java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss"))
+
+    def update(userId: Long, rows: Iterator[SessionEvent],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      if (state.hasTimedOut) {
+        val s = state.get
+        out += SessionOut(userId, s.sessionNo, s.count, fmt(s.startMicros), fmt(s.lastTsMicros))
+        state.remove()
+      } else {
+        val sorted = rows.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+        var cur = state.getOption
+        sorted.foreach { e =>
+          cur match {
+            case Some(s) if e.tsMicros - s.lastTsMicros <= gapMicros =>
+              cur = Some(s.copy(lastTsMicros = math.max(s.lastTsMicros, e.tsMicros),
+                count = s.count + 1))
+            case Some(s) =>
+              out += SessionOut(userId, s.sessionNo, s.count, fmt(s.startMicros), fmt(s.lastTsMicros))
+              cur = Some(SessionState(s.sessionNo + 1, e.tsMicros, 1, e.tsMicros))
+            case None =>
+              cur = Some(SessionState(1, e.tsMicros, 1, e.tsMicros))
+          }
+        }
+        cur.foreach(state.update)
+        if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+          state.setTimeoutDuration(s"$gapMinutes minutes")
+      }
+      out.iterator
+    }
+
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val outEnc = Encoders.product[SessionOut]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(update)
+  }
 
   /** Sessionization: a session breaks after `gapMinutes` of user
     * inactivity. Classic lag + cumulative-sum-of-breaks; one shuffle

@@ -41,6 +41,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful streaming sessionization closes sessions on gap (flatMapGroupsWithState)") {
+    import spark.implicits._
+    import graft.streaming.EventWindows.{SessionEvent, SessionOut}
+    val micros = (s: String) =>
+      java.time.LocalDateTime.parse(s).toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    val dir = Files.createTempDirectory("graft-sess").toString
+    Seq(
+      SessionEvent(100L, 1L, micros("2024-01-01T10:00:00")),
+      SessionEvent(100L, 2L, micros("2024-01-01T10:10:00")),
+      SessionEvent(100L, 3L, micros("2024-01-01T11:00:00")), // 50-min gap -> closes session 1
+      SessionEvent(200L, 4L, micros("2024-01-01T10:05:00"))
+    ).toDS().write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[SessionEvent]].schema)
+      .parquet(dir).as[SessionEvent]
+    val q = graft.streaming.EventWindows.sessionizeStream(stream, gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+    try {
+      q.processAllAvailable()
+      // only the CLOSED session is emitted; open sessions stay in state
+      val closed = spark.table("sess_out").as[SessionOut].collect()
+      assert(closed.length === 1)
+      assert(closed.head === SessionOut(100L, 1L, 2L,
+        "2024-01-01T10:00:00", "2024-01-01T10:10:00"))
+    } finally q.stop()
+  }
+
   test("sessionize: gap splits sessions per user") {
     import spark.implicits._
     val events = Seq(
