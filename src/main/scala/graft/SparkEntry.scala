@@ -51,6 +51,7 @@ object SparkEntry {
     "s13_fts_match" -> (ParityQueries.ftsMatch _),
     "s12_fts_term_stats" -> (ParityQueries.ftsTermStats _),
     "s13_fts_index_match" -> (ParityQueries.ftsIndexMatch _),
+    "x_fts_ranked" -> (ParityQueries.ftsRanked _),
     // headline agg/join workloads
     "q1_pricing_summary" -> (AggQueries.pricingSummary _),
     "q3_top_revenue_orders" -> (AggQueries.topRevenueOrders _),
@@ -163,6 +164,22 @@ object SparkEntry {
          |FROM documents
          |WHERE ${duckContainsAll("text", Seq("vector", "hash", "join"))}
          |ORDER BY doc_id""".stripMargin,
+    "x_fts_ranked" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(${duckTokens("text")}) AS term FROM documents)
+         |  WHERE term IN ('spark', 'vector', 'hash')
+         |  GROUP BY doc_id, term),
+         |idf AS (
+         |  SELECT term,
+         |    CAST(((SELECT count(*) FROM documents) * 1000000) // count(DISTINCT doc_id) AS BIGINT) AS idf_scaled
+         |  FROM tf GROUP BY term)
+         |SELECT CAST(tf.doc_id AS BIGINT) AS doc_id,
+         |  CAST(sum(tf.tf * idf.idf_scaled) AS BIGINT) AS score,
+         |  CAST(count(DISTINCT tf.term) AS BIGINT) AS terms_hit
+         |FROM tf JOIN idf USING (term)
+         |GROUP BY tf.doc_id
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "q1_pricing_summary" -> AggQueries.pricingSummaryOracle,
     "q3_top_revenue_orders" -> AggQueries.topRevenueOrdersOracle,
     "q5_revenue_by_nation" -> AggQueries.revenueByNationOracle,

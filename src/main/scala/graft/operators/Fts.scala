@@ -70,6 +70,39 @@ object Fts {
       .select(col(rowidCol))
   }
 
+  /** Relevance-ranked MATCH (extension — SQLite FTS5 exposes bm25();
+    * this is the Spark-native ranking path over the inverted index).
+    *
+    * Scoring uses integer-scaled idf so results are exactly
+    * reproducible in any engine: `idfScaled(t) = (N * 1000000) div
+    * df(t)` and `score = Σ_t tf(doc,t) * idfScaled(t)` — all integer
+    * arithmetic, no float logs. Monotone in tf and 1/df, which is all a
+    * ranking contract needs.
+    *
+    * Plan shape: term-filtered index (tiny) joins the per-(term,doc) tf
+    * table; one groupBy(doc) aggregates scores. Only rows containing at
+    * least one query term ever leave the scan.
+    */
+  def rankedMatch(
+      df: DataFrame, cols: Seq[String], query: String,
+      rowidCol: String = Rowid.ColName): DataFrame = {
+    val terms = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "empty FTS query")
+    val tf = df
+      .select(col(rowidCol), explode(tokens(cols.map(col))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(rowidCol), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val n = df.count()
+    val idf = tf.groupBy(col("term"))
+      .agg(countDistinct(col(rowidCol)).cast("long").as("df"))
+      .withColumn("idf_scaled", expr(s"(${n}L * 1000000) div df"))
+    tf.join(broadcast(idf), Seq("term"))
+      .groupBy(col(rowidCol))
+      .agg(sum(col("tf") * col("idf_scaled")).cast("long").as("score"),
+        countDistinct(col("term")).cast("long").as("terms_hit"))
+  }
+
   /** S9: FTS version probe. The reference tries FTS5→4→3 in :memory:
     * SQLite (`utils.py:362-371`); the native engine's index has FTS5-level
     * capability, so the probe is a constant.

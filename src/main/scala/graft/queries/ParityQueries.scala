@@ -180,6 +180,17 @@ object ParityQueries {
       .orderBy(col("term"))
   }
 
+  /** Extension — relevance-ranked FTS over documents: tf * scaled-idf
+    * scoring (exact integer arithmetic; see [[Fts.rankedMatch]]).
+    */
+  def ftsRanked(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents").withColumnRenamed("doc_id", "rowid")
+    Fts.rankedMatch(docs, Seq("text"), "spark vector hash")
+      .select(col("rowid").cast(LongType).as("doc_id"), col("score"), col("terms_hit"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** S10/S13 — MATCH via the inverted index (semi-join path): rowids of
     * documents matching all terms, resolved back to language counts.
     */

@@ -72,6 +72,36 @@ class CsvLoaderSpec extends SparkSpec {
     assert(row.getAs[String]("place") === "Zürich")
   }
 
+  test("custom separator (-s '|')") {
+    val path = tempCsv("pipe.csv", "a|b\n1|x\n2|y\n")
+    val df = CsvLoader.load(spark, path, CsvOptions(separator = "|"))
+    assert(df.columns.toSeq === Seq("a", "b", "rowid"))
+    assert(df.orderBy("rowid").collect()(1).getAs[String]("b") === "y")
+  }
+
+  test("quoted fields with embedded separators and quotes (QUOTE_MINIMAL)") {
+    val path = tempCsv("q.csv", "name,desc\nx,\"has, comma\"\ny,\"has \"\"quote\"\"\"\n")
+    val rows = CsvLoader.load(spark, path).orderBy("rowid").collect()
+    assert(rows(0).getAs[String]("desc") === "has, comma")
+    assert(rows(1).getAs[String]("desc") === "has \"quote\"")
+  }
+
+  test("QUOTE_NONE treats quotes as data") {
+    val path = tempCsv("qn.csv", "a,b\n1,\"raw\n")
+    val rows = CsvLoader.load(spark, path,
+      CsvOptions(quoting = CsvLoader.QuoteMode.None, justStrings = true)).collect()
+    assert(rows(0).getAs[String]("b") === "\"raw")
+  }
+
+  test("skip-errors drops malformed lines; default FAILFAST raises (utils.py:42)") {
+    val path = tempCsv("bad.csv", "a,b\n1,x\n2,y,EXTRA,COLS\n3,z\n")
+    val ok = CsvLoader.load(spark, path,
+      CsvOptions(skipErrors = true, justStrings = true))
+    assert(ok.select("a").collect().map(_.getString(0)).toSet === Set("1", "3"))
+    val strict = CsvLoader.load(spark, path, CsvOptions(justStrings = true))
+    intercept[Exception] { strict.collect() }
+  }
+
   test("URL detection (utils.py:93-100)") {
     assert(CsvLoader.isUrl("https://example.com/data.csv"))
     assert(CsvLoader.isUrl("HTTP://x/y.csv"))
