@@ -74,6 +74,8 @@ object SparkEntry {
     "x_ann_topk" -> (SimilarityQueries.annTopK _),
     "x_ann_ivf" -> (SimilarityQueries.annIvf _),
     "x_embed_neardups" -> (SimilarityQueries.embedNearDups _),
+    "x_kmeans_clusters" -> (SimilarityQueries.kmeansClusters _),
+    "x_ann_ivf_trained" -> (SimilarityQueries.annIvfTrained _),
     // extensions: event-time windows + multimodal plumbing
     "x_events_tumbling" -> (EventQueries.tumbling _),
     "x_events_sessions" -> (EventQueries.sessions _),
@@ -199,6 +201,8 @@ object SparkEntry {
     "x_ann_topk" -> SimilarityQueries.annTopKOracle,
     "x_ann_ivf" -> SimilarityQueries.annIvfOracle,
     "x_embed_neardups" -> SimilarityQueries.embedNearDupsOracle,
+    "x_kmeans_clusters" -> SimilarityQueries.kmeansClustersOracle,
+    "x_ann_ivf_trained" -> SimilarityQueries.annIvfTrainedOracle,
     "x_events_tumbling" -> EventQueries.tumblingOracle,
     "x_events_sessions" -> EventQueries.sessionsOracle,
     "x_multimodal_decode" -> EventQueries.multimodalDecodeOracle,

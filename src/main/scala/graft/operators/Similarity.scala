@@ -115,6 +115,54 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"), col("cosine"))
   }
 
+  /** Deterministic k-means (Lloyd) for IVF training — exact across
+    * engines because centroids are element-wise integer SUMS of member
+    * vectors, never means: cosine is scale-invariant, so the sum points
+    * in the same direction as the mean and assignments are identical,
+    * while every intermediate stays exact integer arithmetic.
+    *
+    * Init: centroids = vectors with id 0..k-1. Each iteration:
+    * assign every vector to the nearest centroid by (rounded) cosine
+    * with cluster-index tie-break, then re-sum. Clusters that lose all
+    * members drop out (standard Lloyd variant).
+    *
+    * Scale: assignment is k dot products per row against broadcast
+    * centroids (no shuffle of the corpus); the re-sum is one
+    * posexplode + groupBy per iteration, shuffling k*dim rows.
+    */
+  def kmeansAssign(
+      corpus: DataFrame, idCol: String, embCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val c = corpus.select(col(idCol).cast(LongType).as("id"),
+      quantize(col(embCol)).as("q"))
+      .withColumn("n2", inorm2(col("q")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def assign(centroids: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("id")).orderBy(col("cos").desc, col("cluster"))
+      c.crossJoin(broadcast(centroids))
+        .withColumn("cos", cosine(idot(col("q"), col("cent")), col("n2"), col("cn2")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("id"), col("q"), col("cluster"))
+    }
+
+    def resum(assigned: DataFrame): DataFrame =
+      assigned.select(col("cluster"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("v")).cast(LongType).as("s"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("ps"))
+        .select(col("cluster"), transform(col("ps"), p => p.getField("s")).as("cent"))
+        .withColumn("cn2", inorm2(col("cent")))
+
+    var centroids = c.filter(col("id") < k)
+      .select(col("id").cast(LongType).as("cluster"), col("q").as("cent"))
+      .withColumn("cn2", inorm2(col("cent")))
+    (1 to iters).foreach { _ => centroids = resum(assign(centroids)) }
+    assign(centroids).select(col("id").as("vec_id"), col("cluster"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, blocked by
     * cluster equality (the LSH-style bucket: only intra-bucket pairs are
     * scored, so the join cost is sum(bucket²), not n²).

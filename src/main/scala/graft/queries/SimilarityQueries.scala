@@ -82,6 +82,86 @@ object SimilarityQueries {
        |SELECT q_id, rank, c_id AS neighbor_id, cosine
        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  /** IVF training: deterministic k-means (k=8, 2 Lloyd iterations,
+    * integer-sum centroids — see [[Similarity.kmeansAssign]]).
+    */
+  def kmeansClusters(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansAssign(emb(spark, dir), "vec_id", "embedding", k = 8, iters = 2)
+      .orderBy("vec_id")
+
+  val kmeansClustersOracle: String = {
+    def assignCte(name: String, centCte: String): String =
+      s"""$name AS (
+         |  SELECT id, qv, cluster FROM (
+         |    SELECT n.id, n.qv, c.cluster,
+         |      row_number() OVER (PARTITION BY n.id ORDER BY
+         |        ${duckCos(duckDot("n.qv", "c.cent"), "n.n2", "c.cn2")} DESC, c.cluster) AS rk
+         |    FROM n CROSS JOIN $centCte c)
+         |  WHERE rk = 1)""".stripMargin
+    def centCte(name: String, assignCteName: String): String =
+      s"""$name AS (
+         |  SELECT cluster, cent,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> cent[i] * cent[i])) AS BIGINT) AS cn2
+         |  FROM (
+         |    SELECT cluster, array_agg(CAST(s AS BIGINT) ORDER BY pos) AS cent FROM (
+         |      SELECT cluster, i.i AS pos, sum(qv[i.i]) AS s
+         |      FROM $assignCteName CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+         |      GROUP BY cluster, i.i)
+         |    GROUP BY cluster))""".stripMargin
+    s"""WITH $quantCte,
+       |cent0 AS (SELECT id AS cluster, qv AS cent, n2 AS cn2 FROM n WHERE id < 8),
+       |${assignCte("a1", "cent0")},
+       |${centCte("c1", "a1")},
+       |${assignCte("a2", "c1")},
+       |${centCte("c2", "a2")},
+       |${assignCte("afinal", "c2")}
+       |SELECT CAST(id AS BIGINT) AS vec_id, CAST(cluster AS BIGINT) AS cluster
+       |FROM afinal ORDER BY vec_id""".stripMargin
+  }
+
+  /** Full self-trained IVF: cluster with k-means, then probe-and-scan
+    * over the trained clusters — no reliance on the given labels.
+    */
+  def annIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val clusters = Similarity.kmeansAssign(e, "vec_id", "embedding", k = 8, iters = 2)
+    val clustered = e.join(clusters, e("vec_id") === clusters("vec_id"))
+      .select(e("vec_id"), e("embedding"), clusters("cluster"))
+    Similarity.ivfTopK(clustered, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", "cluster", k = 5, nProbe = 2)
+      .orderBy("q_id", "rank")
+  }
+
+  val annIvfTrainedOracle: String = {
+    // k-means CTEs (same as kmeansClustersOracle) feeding an IVF probe:
+    // nc = corpus with TRAINED cluster ids, then centroid/probe/scan.
+    val marker = "SELECT CAST(id AS BIGINT) AS vec_id"
+    val kmeansPart =
+      kmeansClustersOracle.substring(0, kmeansClustersOracle.indexOf(marker)).trim
+    s"""$kmeansPart,
+       |nc AS (SELECT n.id, a.cluster, n.qv, n.n2 FROM n JOIN afinal a ON n.id = a.id),
+       |comp AS (SELECT cluster, i.i AS pos, sum(qv[i.i]) AS s
+       |  FROM nc CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+       |  GROUP BY cluster, i.i),
+       |cent AS (SELECT cluster, array_agg(CAST(s AS BIGINT) ORDER BY pos) AS cv FROM comp GROUP BY cluster),
+       |centn AS (SELECT cluster, cv,
+       |  CAST(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])) AS BIGINT) AS cn2 FROM cent),
+       |qry AS (SELECT id AS q_id, qv AS qq, n2 AS qn2 FROM n WHERE id < 5),
+       |probe AS (SELECT q_id, qq, qn2, cluster,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY
+       |      ${duckCos(duckDot("qq", "cv"), "qn2", "cn2")} DESC, cluster) AS pr
+       |  FROM qry CROSS JOIN centn),
+       |probed AS (SELECT q_id, qq, qn2, cluster FROM probe WHERE pr <= 2),
+       |scored AS (SELECT p.q_id, c.id AS c_id,
+       |    ${duckCos(duckDot("c.qv", "p.qq"), "c.n2", "p.qn2")} AS cosine
+       |  FROM nc c JOIN probed p ON c.cluster = p.cluster AND c.id <> p.q_id),
+       |ranked AS (SELECT q_id, c_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, c_id AS neighbor_id, cosine
+       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Embedding-cosine near-dup pairs above 0.4, blocked by label. */
   def embedNearDups(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(emb(spark, dir), "vec_id", "embedding", "label", threshold = 0.4)
