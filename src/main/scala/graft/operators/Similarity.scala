@@ -147,14 +147,30 @@ object Similarity {
         .select(col("id"), col("q"), col("cluster"))
     }
 
-    def resum(assigned: DataFrame): DataFrame =
-      assigned.select(col("cluster"), posexplode(col("q")).as(Seq("pos", "v")))
+    // Re-summed centroids are collected to the driver each iteration —
+    // they are k*dim integers by definition, and materializing them
+    // flattens the lineage so the final assignment is one shallow job
+    // (this is how k-means drivers work on real clusters too).
+    def resum(assigned: DataFrame): DataFrame = {
+      val spark = assigned.sparkSession
+      val summed = assigned
+        .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "v")))
         .groupBy(col("cluster"), col("pos"))
         .agg(sum(col("v")).cast(LongType).as("s"))
         .groupBy(col("cluster"))
         .agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("ps"))
         .select(col("cluster"), transform(col("ps"), p => p.getField("s")).as("cent"))
+        .collect()
+      val rows = summed.map(r =>
+        org.apache.spark.sql.Row(r.getLong(0), r.getSeq[Long](1)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cluster", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cent",
+          org.apache.spark.sql.types.ArrayType(LongType, containsNull = false))))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
         .withColumn("cn2", inorm2(col("cent")))
+    }
 
     var centroids = c.filter(col("id") < k)
       .select(col("id").cast(LongType).as("cluster"), col("q").as("cent"))
