@@ -111,6 +111,11 @@ object Pipeline {
           if (df.columns.contains(c))
             df = df.withColumn(c, DateParse.parseDatetime(col(c), config.datetimeFormats))
         }
+        // Each loaded table feeds several consumers (dictionary sources,
+        // encode, write) — persist so the CSV is parsed once, not once
+        // per consumer. Disk-backed: spills instead of re-parsing, the
+        // Spark-idiomatic equivalent of the reference's in-RAM frames.
+        df = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         Some(name -> df)
       } catch {
         case e: Exception =>
