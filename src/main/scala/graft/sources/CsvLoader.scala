@@ -86,21 +86,45 @@ object CsvLoader {
     def attempt(encoding: String): DataFrame = {
       if (!decodesAs(path, encoding))
         throw new IllegalArgumentException(s"$path is not valid $encoding")
-      var reader = spark.read
-        .option("header", "true")
-        .option("sep", opts.separator)
-        .option("mode", if (opts.skipErrors) "DROPMALFORMED" else "FAILFAST")
-        .option("encoding", charsetName(encoding))
-        .option("nullValue", "")
-      reader = opts.quoting match {
-        case QuoteMode.None => reader.option("quote", "")
-        case _              => reader.option("quote", "\"").option("escape", "\"")
+      def baseReader = {
+        var reader = spark.read
+          .option("header", "true")
+          .option("sep", opts.separator)
+          .option("encoding", charsetName(encoding))
+          .option("nullValue", "")
+        reader = opts.quoting match {
+          case QuoteMode.None => reader.option("quote", "")
+          case _              => reader.option("quote", "\"").option("escape", "\"")
+        }
+        if (opts.justStrings) reader.option("inferSchema", "false")
+        else reader.option("inferSchema", "true")
       }
-      reader = if (opts.justStrings) reader.option("inferSchema", "false")
-               else reader.option("inferSchema", "true")
-      val df = reader.csv(path)
-      df.schema // force header/inference so a bad encoding fails here
-      df
+      if (opts.skipErrors) {
+        // DROPMALFORMED only validates the columns a query actually
+        // parses — under column pruning a bad line can survive a
+        // narrow projection. pandas' skip-bad-lines drops the line
+        // unconditionally (`utils.py:42`), so: parse PERMISSIVE with an
+        // explicit corrupt-record column (forces full-row validation
+        // regardless of downstream pruning) and filter it.
+        val inferred = baseReader.csv(path).schema
+        val withCorrupt = inferred.add("__corrupt", org.apache.spark.sql.types.StringType)
+        // Persisted: Spark refuses raw-file queries whose pruned schema
+        // is ONLY the corrupt column (e.g. a bare count() after the
+        // filter) — the documented remedy is caching the parsed rows,
+        // which is also the semantic twin of pandas' in-RAM load.
+        baseReader
+          .schema(withCorrupt)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "__corrupt")
+          .csv(path)
+          .filter(org.apache.spark.sql.functions.col("__corrupt").isNull)
+          .drop("__corrupt")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      } else {
+        val df = baseReader.option("mode", "FAILFAST").csv(path)
+        df.schema // force header/inference so a bad encoding fails here
+        df
+      }
     }
     val it = opts.encodingsToTry.iterator
     var last: Throwable = null
