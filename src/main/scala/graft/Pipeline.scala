@@ -225,9 +225,15 @@ object Pipeline {
       }
     }
 
-    // -- summary (cli.py:287-298)
+    // -- summary (cli.py:287-298): "Added ... to" when the database
+    // already existed, "Created ... from" otherwise
     val n = discovered.size
-    messages += s"Created $dbName from $n CSV file${if (n == 1) "" else "s"}"
+    val plural = if (n == 1) "" else "s"
+    val dbExisted = config.outputDir.exists(out =>
+      Files.exists(Paths.get(out, "schema.sql")))
+    messages +=
+      (if (dbExisted) s"Added $n CSV file$plural to $dbName"
+       else s"Created $dbName from $n CSV file$plural")
 
     if (config.outputDir.isDefined) {
       val out = config.outputDir.get

@@ -155,6 +155,8 @@ class PipelineSpec extends SparkSpec {
     assert(actors2.toSeq === Seq(
       Row(1L, "Sean Connery"), Row(2L, "Nicolas Cage"),
       Row(3L, "Diane Kruger"), Row(4L, "Orlando Bloom"), Row(5L, "Brad Pitt")))
+    assert(r1.messages.last === "Created inc.db from 1 CSV file")
+    assert(r2.messages.last === "Added 1 CSV file to inc.db") // cli.py:287-292
     // fact rows from run 2 encode Nicolas Cage as the SAME id 2
     val test2 = spark.read.parquet(s"$out/test.parquet")
     val seven = test2.filter(col("film") === "Seven").head
