@@ -160,9 +160,13 @@ object CsvLoader {
       } else {
         val path = Paths.get(p)
         if (Files.isDirectory(path)) {
+          // table name = os.path.join(relpath(parent, dir), stem) —
+          // top-level files get a literal "./" prefix (golden
+          // `tests/test_csvs_to_sqlite.py:328-339`: tables "./test1")
           walkCsvs(path).map { f =>
-            val rel = path.relativize(f).toString
-            unique(stripExt(rel)) -> f.toString
+            val relDir = path.relativize(f.getParent).toString
+            val prefix = if (relDir.isEmpty) "." else relDir
+            unique(s"$prefix/${stripExt(f.getFileName.toString)}") -> f.toString
           }
         } else {
           Seq(unique(stripExt(path.getFileName.toString)) -> p)

@@ -58,7 +58,8 @@ class CsvLoaderSpec extends SparkSpec {
     java.nio.file.Files.writeString(sub.resolve("nested.csv"), Fixtures.CSV_MULTI)
     java.nio.file.Files.writeString(dir.resolve("ignored.txt"), "nope")
     val found = CsvLoader.discover(Seq(dir.toString)).toMap
-    assert(found.keySet === Set("sub/nested", "top"))
+    // reference naming: top-level files keep a "./" prefix (golden :328-339)
+    assert(found.keySet === Set("sub/nested", "./top"))
   }
 
   test("latin-1 fallback loads a non-utf8 file (utils.py:28,36-49)") {

@@ -137,6 +137,64 @@ class PipelineSpec extends SparkSpec {
     assert(row.getAs[Long]("batch") === 42L)
   }
 
+  test("directory load: two tables named ./test1 ./test2 with filename column (:318-339)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dirload")
+    java.nio.file.Files.writeString(dir.resolve("test1.csv"), Fixtures.CSV)
+    java.nio.file.Files.writeString(dir.resolve("test2.csv"), Fixtures.CSV_MULTI)
+    val r = Pipeline.run(spark, cfg(Seq(dir.toString), "test-filename.db").copy(
+      filenameColumn = Some("source")))
+    assert(r.tables.keySet === Set("./test1", "./test2"))
+    val t1 = r.tables("./test1").orderBy("rowid").head
+    assert((t1.getAs[String]("county"), t1.getAs[String]("candidate"),
+      t1.getAs[Int]("votes"), t1.getAs[String]("source")) ===
+      (("Yolo", "Gary Johnson", 41, "./test1")))
+    val t2 = r.tables("./test2").orderBy("rowid").head
+    assert(t2.getAs[String]("source") === "./test2")
+  }
+
+  test("filename column survives shape pruning (:342-361)") {
+    val csv = tempCsv("test.csv", Fixtures.CSV)
+    val r = Pipeline.run(spark, cfg(Seq(csv)).copy(
+      filenameColumn = Some("source"), shape = Some("county:Cty,votes:Vts")))
+    val row = r.tables("test").orderBy("rowid").select("Cty", "Vts", "source").head
+    assert(row.toSeq === Seq("Yolo", 41, "test"))
+  }
+
+  test("all three fixed-column variants append typed columns (:364-404)") {
+    val csv = tempCsv("test.csv", Fixtures.CSV)
+    val r = Pipeline.run(spark, cfg(Seq(csv)).copy(
+      fixedColumns = Seq("col1" -> "foo", "col2" -> "bar"),
+      fixedColumnsInt = Seq("col3" -> 1L),
+      fixedColumnsFloat = Seq("col4" -> 1.1)))
+    val t = r.tables("test").drop("rowid")
+    assert(t.columns.toSeq === Seq("county", "precinct", "office", "district",
+      "party", "candidate", "votes", "col1", "col2", "col3", "col4"))
+    val row = t.orderBy(col("county")).select("col1", "col2", "col3", "col4").head
+    assert(row.toSeq === Seq("foo", "bar", 1L, 1.1))
+  }
+
+  test("fixed columns survive shape pruning (:489-515)") {
+    val csv = tempCsv("test.csv", Fixtures.CSV)
+    val r = Pipeline.run(spark, cfg(Seq(csv)).copy(
+      fixedColumns = Seq("col1" -> "foo", "col2" -> "bar"),
+      shape = Some("county:Cty,votes:Vts")))
+    val row = r.tables("test").orderBy("rowid").select("Cty", "Vts", "col1", "col2").head
+    assert(row.toSeq === Seq("Yolo", 41, "foo", "bar"))
+  }
+
+  test("shape x extract x filename: extraction on shaped names, int values as strings (:518-554)") {
+    val csv = tempCsv("test.csv", Fixtures.CSV)
+    val r = Pipeline.run(spark, cfg(Seq(csv)).copy(
+      filenameColumn = Some("Source"),
+      shape = Some("county:Cty,votes:Vts"),
+      extractColumns = Seq("Cty", "Vts", "Source")))
+    val fact = r.tables("test")
+    val rec = Seq("Cty", "Vts", "Source").foldLeft(fact) { (df, c) =>
+      graft.operators.Extract.reconstruct(df, c, r.tables(c))
+    }.orderBy("rowid").select("Cty", "Vts", "Source").head
+    assert(rec.toSeq === Seq("Yolo", "41", "test")) // Vts round-trips as TEXT "41"
+  }
+
   test("incremental append reuses dictionary ids (utils.py:210-223)") {
     val out = outDir()
     val csv1 = tempCsv("test.csv", Fixtures.CSV_MULTI)
