@@ -195,6 +195,40 @@ class PipelineSpec extends SparkSpec {
     assert(rec.toSeq === Seq("Yolo", "41", "test")) // Vts round-trips as TEXT "41"
   }
 
+  test("custom indexes: single and compound CREATE INDEX names (:557-572)") {
+    val csv = tempCsv("test.csv", Fixtures.CSV)
+    val r = Pipeline.run(spark, cfg(Seq(csv)).copy(
+      indexes = Seq("county", "party,candidate")))
+    assert(r.ddl.exists(_ === """CREATE INDEX ["test_county"] ON [test]("county");"""))
+    assert(r.ddl.exists(_ ===
+      """CREATE INDEX ["test_party_candidate"] ON [test]("party", "candidate");"""))
+  }
+
+  test("--no-fulltext-fks suppresses per-lookup FTS shadows (:607-629)") {
+    val csv = tempCsv("test.csv", Fixtures.CSV)
+    val r = Pipeline.run(spark, cfg(Seq(csv), "fts-extracted.db").copy(
+      extractColumns = Seq("office", "party", "candidate"),
+      ftsColumns = Seq("party", "candidate"),
+      fulltextFks = false))
+    val ftsDdl = r.ddl.filter(_.contains("USING FTS"))
+    assert(ftsDdl.length === 1)
+    assert(ftsDdl.head.contains("\"test_fts\""))
+  }
+
+  test("just-strings golden: all TEXT, blanks stay NULL (:647-691)") {
+    val csv = tempCsv("test.csv", Fixtures.CSV)
+    val r = Pipeline.run(spark, cfg(Seq(csv), "just-strings.db").copy(justStrings = true))
+    val t = r.tables("test")
+    assert(t.drop("rowid").schema.fields.forall(
+      _.dataType === org.apache.spark.sql.types.StringType))
+    val rows = t.orderBy("rowid")
+      .select("county", "precinct", "office", "district", "party", "candidate", "votes")
+      .collect()
+    assert(rows(0).toSeq === Seq("Yolo", "100001", "President", null, "LIB", "Gary Johnson", "41"))
+    assert(rows(4).toSeq === Seq("Yolo", "100001", "State Assembly", "7", "DEM", "Kevin McCarty", "572"))
+    assert(r.ddl.exists(d => d.contains("\"votes\" TEXT") && d.contains("\"precinct\" TEXT")))
+  }
+
   test("incremental append reuses dictionary ids (utils.py:210-223)") {
     val out = outDir()
     val csv1 = tempCsv("test.csv", Fixtures.CSV_MULTI)
