@@ -78,6 +78,7 @@ object SparkEntry {
     "x_ann_ivf_trained" -> (SimilarityQueries.annIvfTrained _),
     // extensions: event-time windows + multimodal plumbing
     "x_events_tumbling" -> (EventQueries.tumbling _),
+    "x_events_sliding" -> (EventQueries.sliding _),
     "x_events_sessions" -> (EventQueries.sessions _),
     "x_multimodal_decode" -> (EventQueries.multimodalDecode _),
     "x_multimodal_frames" -> (EventQueries.multimodalFrames _),
@@ -204,6 +205,7 @@ object SparkEntry {
     "x_kmeans_clusters" -> SimilarityQueries.kmeansClustersOracle,
     "x_ann_ivf_trained" -> SimilarityQueries.annIvfTrainedOracle,
     "x_events_tumbling" -> EventQueries.tumblingOracle,
+    "x_events_sliding" -> EventQueries.slidingOracle,
     "x_events_sessions" -> EventQueries.sessionsOracle,
     "x_multimodal_decode" -> EventQueries.multimodalDecodeOracle,
     "x_multimodal_frames" -> EventQueries.multimodalFramesOracle,

@@ -28,6 +28,25 @@ object EventQueries {
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  def sliding(spark: SparkSession, dir: String): DataFrame =
+    EventWindows.sliding(events(spark, dir), widthSec = 3600, slideSec = 1800)
+      .orderBy("window_start", "event_type")
+
+  /** Each event belongs to width/slide = 2 hopping windows; the oracle
+    * replays Spark's window assignment: starts at
+    * `slide * (k-i)` offsets below the event's slide bucket.
+    */
+  val slidingOracle: String =
+    """WITH hopped AS (
+      |  -- integer epoch millis: epoch(ts)::BIGINT would ROUND while
+      |  -- Spark floors, off-by-one for events within .5s of a boundary
+      |  SELECT e.*, to_timestamp((epoch_ms(ts) // 1800000) * 1800 - h.i * 1800) AS wstart
+      |  FROM events e CROSS JOIN (SELECT unnest(range(0, 2)) AS i) h)
+      |SELECT strftime(wstart, '%Y-%m-%dT%H:%M:%S') AS window_start, event_type,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM hopped GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
   def sessions(spark: SparkSession, dir: String): DataFrame =
     EventWindows.sessionize(events(spark, dir), gapMinutes = 30)
       .orderBy("user_id", "session_no")

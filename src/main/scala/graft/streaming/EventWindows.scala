@@ -48,6 +48,21 @@ object EventWindows {
         date_format(col("w.start"), "yyyy-MM-dd'T'HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Sliding (hopping) windows: width `widthSec`, hop `slideSec`; each
+    * event lands in width/slide windows. Emits window start as an ISO
+    * string. Same watermark-ready shape as [[tumbling]].
+    */
+  def sliding(events: DataFrame, widthSec: Int = 3600, slideSec: Int = 1800): DataFrame =
+    events
+      .groupBy(window(col("ts"), s"$widthSec seconds", s"$slideSec seconds").as("w"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd'T'HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   case class SessionEvent(user_id: Long, event_id: Long, tsMicros: Long)
   case class SessionState(sessionNo: Long, lastTsMicros: Long, count: Long, startMicros: Long)
   case class SessionOut(
