@@ -58,6 +58,8 @@ object SparkEntry {
     "q5_revenue_by_nation" -> (AggQueries.revenueByNation _),
     "q6_forecast_revenue" -> (AggQueries.forecastRevenue _),
     "x_rollup_revenue" -> (AggQueries.rollupRevenue _),
+    "x_distinct_parts" -> (AggQueries.distinctParts _),
+    "x_approx_distinct_parts" -> (AggQueries.approxDistinctParts _),
     "x_anti_join_customers" -> (AggQueries.customersWithoutOrders _),
     // extensions: dedup + text analysis (documents)
     "x_dedup_exact" -> (DedupQueries.dedupExact _),
@@ -188,6 +190,9 @@ object SparkEntry {
     "q5_revenue_by_nation" -> AggQueries.revenueByNationOracle,
     "q6_forecast_revenue" -> AggQueries.forecastRevenueOracle,
     "x_rollup_revenue" -> AggQueries.rollupRevenueOracle,
+    "x_distinct_parts" -> AggQueries.distinctPartsOracle,
+    // x_approx_distinct_parts intentionally has NO oracle: HLL sketch
+    // values are engine-specific (driver records a rows-only check)
     "x_anti_join_customers" -> AggQueries.customersWithoutOrdersOracle,
     "x_dedup_exact" -> DedupQueries.dedupExactOracle,
     "x_minhash_signatures" -> DedupQueries.minhashSignaturesOracle,

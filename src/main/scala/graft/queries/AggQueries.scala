@@ -156,6 +156,40 @@ object AggQueries {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** Extension — exact distinct aggregation per group (expands to a
+    * two-phase aggregate in Spark; one extra shuffle on the distinct
+    * key).
+    */
+  def distinctParts(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).cast(LongType).as("n_parts"),
+        countDistinct(col("l_suppkey")).cast(LongType).as("n_supps"),
+        count(lit(1)).cast(LongType).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  def distinctPartsOracle: String =
+    """SELECT l_returnflag,
+      |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+      |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Extension — HyperLogLog++ sketch counts (the 100 TB path where
+    * exact distinct is too expensive: map-side mergeable sketches, no
+    * distinct shuffle). Sketch values are engine-specific, so this query
+    * has NO SQL oracle — the driver records a rows-only check; the
+    * companion spec bounds the estimate against the exact count.
+    */
+  def approxDistinctParts(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), rsd = 0.01).cast(LongType).as("approx_parts"))
+      .orderBy("l_returnflag")
+  }
+
   /** Extension — anti/semi join: customers without orders, and the
     * distinct-count per segment of those with orders.
     */
