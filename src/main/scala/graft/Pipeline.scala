@@ -83,8 +83,11 @@ object Pipeline {
         var df =
           if (CsvLoader.isUrl(path)) CsvLoader.loadUrl(spark, path, csvOpts)
           else CsvLoader.load(spark, path, csvOpts)
-        // P3 filename column (value = derived table name, cli.py:202-205)
-        config.filenameColumn.foreach { c => df = Shape.withFilenameColumn(df, c, name) }
+        // P3 filename column — the value is the per-file DERIVED name,
+        // never the -t override: the reference sets df.table_name =
+        // table or name but df[filename_column] = name (cli.py:201-203),
+        // preserving per-file provenance under -t.
+        config.filenameColumn.foreach { c => df = Shape.withFilenameColumn(df, c, derivedName) }
         // P4 fixed columns (cli.py:206-220)
         df = Shape.withFixedColumns(df,
           config.fixedColumns.map { case (c, v) => c -> (Shape.FixedStr(v): Shape.FixedValue) } ++
@@ -146,9 +149,12 @@ object Pipeline {
         }
       }
     }
+    val dictWasExisting = mutable.Map.empty[String, Boolean]
     sourcesByTable.foreach { case (table, sources) =>
+      val existing = existingDict(table)
+      dictWasExisting(table) = existing.isDefined
       dictionaries(table) = Extract.buildDictionary(
-        sources.toSeq, dictValueCol(table), existingDict(table))
+        sources.toSeq, dictValueCol(table), existing)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     val encoded = loaded.map { case (name, df0) =>
@@ -174,14 +180,19 @@ object Pipeline {
 
     // -- materialize (cli.py:245-265): DDL + parquet writes
     val createdTables = mutable.ArrayBuffer.empty[String]
-    // lookup tables first (reference writes them during refactor, cli.py:242-244)
+    // lookup tables first (reference writes them during refactor, cli.py:242-244).
+    // DDL + createdTables only when the table was actually created this
+    // run: LookupTable.ensure_table_exists creates only when absent
+    // (utils.py:151-182) — an extended existing dictionary emits nothing.
     dictionaries.foreach { case (table, dict) =>
-      ddl += SqliteDdl.lookupTableSql(table, dictValueCol(table))
-      if (config.fulltextFks)
-        ddl += SqliteDdl.ftsCreateSql(table, Seq(dictValueCol(table)), Fts.bestFtsVersion)
-          .replace(s""""${table}_fts"""", s""""${table}_${dictValueCol(table)}_fts"""")
+      if (!dictWasExisting.getOrElse(table, false)) {
+        ddl += SqliteDdl.lookupTableSql(table, dictValueCol(table))
+        if (config.fulltextFks)
+          ddl += SqliteDdl.ftsCreateSql(table, Seq(dictValueCol(table)), Fts.bestFtsVersion)
+            .replace(s""""${table}_fts"""", s""""${table}_${dictValueCol(table)}_fts"""")
+        createdTables += table
+      }
       writeTable(spark, config, table, dict)
-      createdTables += table
     }
     facts.foreach { case (name, df) =>
       val bare = df.drop(Rowid.ColName)
@@ -199,29 +210,35 @@ object Pipeline {
       }
     }
 
-    // -- FTS (cli.py:267-283): validate against created tables only
+    // -- FTS (cli.py:267-283). The reference validates per created fact
+    // table: EVERY created table must contain EVERY -f column (raise on
+    // the first miss, cli.py:276-281); when no fact tables were created
+    // this run (append-only), the loop over created_tables no-ops — any
+    // -f flags are silently ignored, never an error.
     if (config.ftsColumns.nonEmpty) {
       val createdFacts = facts.filter { case (n, _) => createdTables.contains(n) }
-      val available = createdFacts.values.flatMap(_.columns).toSet
-      config.ftsColumns.filterNot(available.contains) match {
-        case missing if missing.nonEmpty =>
+      createdFacts.foreach { case (_, df) =>
+        val have = df.columns.toSet
+        config.ftsColumns.find(c => !have.contains(c)).foreach { missing =>
           throw new IllegalArgumentException(
-            s"""FTS column "${missing.head}" does not exist""")
-        case _ =>
+            s"""FTS column "$missing" does not exist""")
+        }
       }
       createdFacts.foreach { case (name, df) =>
-        val cols = config.ftsColumns.filter(df.columns.contains)
-        if (cols.nonEmpty) {
-          ddl += SqliteDdl.ftsCreateSql(name, cols, Fts.bestFtsVersion)
-          // populate-join: index ORIGINAL strings for extracted columns
-          val reconstructed = cols.foldLeft(df) { case (acc, c) =>
-            if (fkByColumn.contains(c))
-              Extract.reconstruct(acc, c, dictionaries(fkByColumn(c)._1), dictValueCol(fkByColumn(c)._1))
-            else acc
-          }
-          val index = Fts.invertedIndex(reconstructed, cols)
-          writeTable(spark, config, s"${name}_fts", index)
+        val cols = config.ftsColumns
+        ddl += SqliteDdl.ftsCreateSql(name, cols, Fts.bestFtsVersion)
+        // the populate script the reference executes (utils.py:374-438):
+        // SELECT rowid + original strings, LEFT JOIN per extracted column
+        // with md5-suffixed aliases when one lookup is joined twice
+        ddl += SqliteDdl.ftsPopulateSql(name, cols, fkByColumn)
+        // populate-join: index ORIGINAL strings for extracted columns
+        val reconstructed = cols.foldLeft(df) { case (acc, c) =>
+          if (fkByColumn.contains(c))
+            Extract.reconstruct(acc, c, dictionaries(fkByColumn(c)._1), dictValueCol(fkByColumn(c)._1))
+          else acc
         }
+        val index = Fts.invertedIndex(reconstructed, cols)
+        writeTable(spark, config, s"${name}_fts", index)
       }
     }
 
@@ -239,6 +256,20 @@ object Pipeline {
       val out = config.outputDir.get
       Files.createDirectories(Paths.get(out))
       Files.writeString(Paths.get(out, "schema.sql"), ddl.mkString("\n"))
+    }
+
+    // -- release caches: every pipeline consumer (dictionary build,
+    // encode, table writes, FTS) has executed, so a many-file run no
+    // longer accumulates cached CSV parses. Returned DataFrames stay
+    // valid — they lazily recompute from the (stable) source CSVs.
+    // Exception: a dictionary extended from an EXISTING lookup table
+    // stays cached, because its lineage reads the pre-run parquet that
+    // the staged swap has since replaced — the persisted copy is the
+    // authoritative content (bounded by distinct-value cardinality,
+    // small by construction).
+    loaded.foreach { case (_, df) => df.unpersist() }
+    dictionaries.foreach { case (table, dict) =>
+      if (!dictWasExisting.getOrElse(table, false)) dict.unpersist()
     }
 
     Result(dbName, (facts ++ dictionaries).toMap, createdTables.toSeq, ddl.toSeq, messages.toSeq)

@@ -28,10 +28,16 @@ object Tables {
     * single core. On a real cluster the scan is already split; the
     * round-robin repartition reproduces that property locally. Callers
     * that depend on row order must (and do) sort explicitly.
+    *
+    * The repartition is CONDITIONAL on the scan actually being
+    * under-split: a 100 TB input already arrives in thousands of
+    * partitions and a blanket repartition would be a full-corpus shuffle
+    * for nothing.
     */
   def loadSpread(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     val df = load(spark, sfDir, table)
-    df.repartition(spark.sparkContext.defaultParallelism)
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {

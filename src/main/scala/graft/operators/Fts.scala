@@ -81,7 +81,10 @@ object Fts {
     *
     * Plan shape: term-filtered index (tiny) joins the per-(term,doc) tf
     * table; one groupBy(doc) aggregates scores. Only rows containing at
-    * least one query term ever leave the scan.
+    * least one query term ever leave the scan. The corpus size N is a
+    * 1-row count aggregate cross-joined into the tiny idf side — no
+    * separate driver-side count() action, no second full-width corpus
+    * scan (the count scan prunes to the rowid column only).
     */
   def rankedMatch(
       df: DataFrame, cols: Seq[String], query: String,
@@ -93,10 +96,13 @@ object Fts {
       .filter(col("term").isin(terms: _*))
       .groupBy(col(rowidCol), col("term"))
       .agg(count(lit(1)).cast("long").as("tf"))
-    val n = df.count()
+    val corpusN = df.select(col(rowidCol))
+      .agg(count(lit(1)).cast("long").as("__n"))
     val idf = tf.groupBy(col("term"))
       .agg(countDistinct(col(rowidCol)).cast("long").as("df"))
-      .withColumn("idf_scaled", expr(s"(${n}L * 1000000) div df"))
+      .crossJoin(broadcast(corpusN))
+      .withColumn("idf_scaled", expr("(__n * 1000000) div df"))
+      .drop("__n")
     tf.join(broadcast(idf), Seq("term"))
       .groupBy(col(rowidCol))
       .agg(sum(col("tf") * col("idf_scaled")).cast("long").as("score"),

@@ -27,7 +27,36 @@ object Rowid {
 
   val ColName = "rowid"
 
+  /** The two-pass scheme requires that both passes observe the SAME
+    * row→partition assignment — true for file scans and narrow chains
+    * over them, NOT true above operators that re-distribute rows:
+    * round-robin `repartition` (order within a partition is not a
+    * function of the input), range sort (partition boundaries are
+    * re-sampled per job), aggregates/windows/distinct (shuffle). Fail
+    * fast with a clear error instead of silently mis-numbering rows.
+    * (A cached upstream is exempt: once materialized, every pass reads
+    * the same cached partitions.)
+    */
+  private def unstableOrderOp(df: DataFrame): Option[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    df.queryExecution.optimizedPlan.collectFirst {
+      case _: Repartition             => "repartition/coalesce"
+      case _: RepartitionByExpression => "repartitionByExpression"
+      case s: Sort if s.global        => "global sort"
+      case _: Aggregate               => "aggregate"
+      case _: Window                  => "window"
+      case _: Deduplicate             => "distinct"
+    }
+  }
+
   def attach(df: DataFrame, colName: String = ColName): DataFrame = {
+    unstableOrderOp(df).foreach { op =>
+      throw new IllegalArgumentException(
+        s"Rowid.attach requires a scan-stable row order, but the upstream plan " +
+        s"contains a $op, whose row-to-partition assignment can differ between " +
+        s"the offset pass and the id pass. Attach rowid at scan time (before " +
+        s"any shuffle), or persist the upstream first.")
+    }
     val counts = df
       .select(spark_partition_id().as("pid"))
       .groupBy("pid").count()

@@ -101,6 +101,33 @@ object TextDedup {
           when(a < b, struct(a.as("id_a"), b.as("id_b")))))),
       p => p.isNotNull)
 
+  /** Pair expansion with a per-bucket size cap (skew guard). Buckets at
+    * or under `cap` expand to ALL member pairs — byte-identical to the
+    * uncapped behavior, so normal corpora are unaffected. An oversized
+    * bucket (degenerate corpus: thousands of identical documents landing
+    * in one LSH bucket) would otherwise emit |bucket|² pairs in a single
+    * task; instead its sorted member list is split into ceil(n/cap)
+    * slices with full expansion within each slice plus one chain link
+    * between consecutive slice heads — O(n·cap) pairs, and every member
+    * still reaches the bucket's first member (slice pairs + chain), so
+    * dedup clustering connectivity is preserved. The recall trade
+    * (cross-slice pairs beyond the chain are not emitted) applies only
+    * past the cap; corpora with massive EXACT duplication should be
+    * pre-collapsed with [[exact]] first.
+    */
+  private def cappedBucketPairs(sortedMembers: Column, cap: Int): Column = {
+    val nSlices = ceil(size(sortedMembers).cast(DoubleType) / cap).cast(IntegerType)
+    val within = flatten(transform(sequence(lit(0), nSlices - 1),
+      i => bucketPairs(slice(sortedMembers, i * cap + 1, lit(cap)))))
+    val chain = filter(
+      transform(sequence(lit(0), nSlices - 1), i =>
+        when(i < nSlices - 1,
+          struct(element_at(sortedMembers, i * cap + 1).as("id_a"),
+                 element_at(sortedMembers, (i + 1) * cap + 1).as("id_b")))),
+      p => p.isNotNull)
+    concat(within, chain)
+  }
+
   /** Candidate pairs sharing >= 1 LSH band, verified with exact Jaccard
     * over distinct shingle-hash sets. Returns (id_a, id_b, jaccard) with
     * id_a < id_b, one row per pair.
@@ -108,7 +135,8 @@ object TextDedup {
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       numPerms: Int = 16, r: Int = 2, w: Int = 3,
-      jaccardThreshold: Double = 0.5): DataFrame = {
+      jaccardThreshold: Double = 0.5,
+      maxBucket: Int = 256): DataFrame = {
     // The sets table feeds three consumers (band build + two
     // verification joins); persist so the md5 shingle pipeline runs
     // once. MEMORY_AND_DISK: spills instead of recomputing at scale.
@@ -124,7 +152,7 @@ object TextDedup {
       .groupBy(col("band"), col("bsig"))
       .agg(collect_list(col("id")).as("members"))
       .filter(size(col("members")) > 1)
-      .select(explode(bucketPairs(array_sort(col("members")))).as("p"))
+      .select(explode(cappedBucketPairs(array_sort(col("members")), maxBucket)).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     cand
@@ -163,7 +191,7 @@ object TextDedup {
     */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
     val withSim = withSimhash(
       df.select(col(idCol).cast(LongType).as("id"), col(textCol)), textCol)
       .select(col("id"), col("sim"))
@@ -178,7 +206,7 @@ object TextDedup {
       .groupBy(col("chunk"), col("ckey"))
       .agg(collect_list(struct(col("id"), col("sim"))).as("members"))
       .filter(size(col("members")) > 1)
-      .select(explode(bucketPairs(array_sort(col("members")))).as("p"))
+      .select(explode(cappedBucketPairs(array_sort(col("members")), maxBucket)).as("p"))
       .select(col("p.id_a.id").as("id_a"), col("p.id_b.id").as("id_b"),
         bit_count(col("p.id_a.sim").bitwiseXOR(col("p.id_b.sim"))).cast(LongType).as("hamming"))
       .dropDuplicates("id_a", "id_b")

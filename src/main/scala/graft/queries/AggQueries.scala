@@ -49,21 +49,24 @@ object AggQueries {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
-  /** TPC-H Q3-style: top revenue orders for one market segment. customer
-    * is tiny -> broadcast; lineitem (the big side) never shuffles for the
-    * joins, only for the final group-by on l_orderkey.
+  /** TPC-H Q3-style: top revenue orders for one market segment. Only the
+    * true dimension (filtered customer) is broadcast; lineitem⨝orders is
+    * left as a shuffle join on l_orderkey — at 100 TB orders is a fact
+    * table and forcing it into a broadcast would blow the 8 GB cap / the
+    * driver. AQE still picks a broadcast at small scale when the filtered
+    * orders side fits, so local runs lose nothing.
     */
   def topRevenueOrders(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.load(spark, dir, "customer")
       .filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey"))
     val orders = Tables.load(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .select(col("o_orderkey"), col("o_custkey"))
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
     val revenue = col("l_extendedprice").cast(dec(18, 2)) *
       (lit(1).cast(dec(3, 2)) - col("l_discount").cast(dec(4, 2)))
-    li.join(broadcast(orders.join(broadcast(cust), col("o_custkey") === col("c_custkey"))),
+    li.join(orders.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"))
       .agg(sum(revenue).cast(DoubleType).as("revenue"))
@@ -81,9 +84,11 @@ object AggQueries {
       |GROUP BY l_orderkey
       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
 
-  /** TPC-H Q5-style: revenue by nation — a 6-way star join where every
-    * dimension side is broadcast (region->nation->customer/supplier), so
-    * the only shuffle of lineitem is the final group-by.
+  /** TPC-H Q5-style: revenue by nation — a star join where every true
+    * dimension (region, nation, customer) is broadcast and the two fact
+    * tables (lineitem, orders) meet in a shuffle join on l_orderkey. The
+    * orders⨝customer edge broadcasts the customer side (dimension), never
+    * orders; AQE upgrades the fact edge to broadcast at small scale.
     */
   def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
     val region = Tables.load(spark, dir, "region")
@@ -98,7 +103,7 @@ object AggQueries {
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .select(col("c_custkey"), col("n_name"), col("r_name"))
-    li.join(broadcast(orders.join(broadcast(custNation), col("o_custkey") === col("c_custkey"))),
+    li.join(orders.join(broadcast(custNation), col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name"), col("r_name"))
       .agg(sum(revenue).cast(DoubleType).as("revenue"),

@@ -76,9 +76,12 @@ object SqliteDdl {
     val fkBits = foreignKeys.toSeq.filter(f => cols(f._1)).map {
       case (column, (table, _)) => s"""FOREIGN KEY ("$column") REFERENCES [$table](id)"""
     }
+    // reference: create_sql.strip().rstrip(")") then "{},\n{});" —
+    // the newline before the comma is PRESERVED (utils.py:355-357), so
+    // the emitted text is `"col" TEXT\n,\nFOREIGN KEY ...);` byte-for-byte
     val fkSql =
       if (fkBits.isEmpty) base
-      else base.stripSuffix(")").stripLineEnd + s",\n${fkBits.mkString(",\n    ")});"
+      else base.stripSuffix(")") + s",\n${fkBits.mkString(",\n    ")});"
     val idxBits =
       if (indexFks)
         foreignKeys.toSeq.filter(f => cols(f._1)).map { case (column, _) =>
@@ -114,6 +117,50 @@ object SqliteDdl {
   def ftsCreateSql(tableName: String, cols: Seq[String], ftsVersion: String = "FTS5"): String = {
     val colList = cols.map(c => s""""$c"""").mkString(", ")
     s"""CREATE VIRTUAL TABLE "${tableName}_fts" USING $ftsVersion ($colList, content="$tableName");"""
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** S10 populate script (`utils.py:386-436`): the INSERT INTO …
+    * SELECT the reference executes to fill an external-content FTS
+    * table. When a column is extracted, the SELECT left-joins its lookup
+    * table to index the ORIGINAL strings, not the ids; when one lookup
+    * table is joined more than once (the actors pattern,
+    * `tests/test_csvs_to_sqlite.py:232-281`), the second and later joins
+    * get `table_alias_<md5(table)>_<n>` aliases. Text is byte-for-byte
+    * the reference's format (including the double space after the table
+    * name when the alias is empty).
+    */
+  def ftsPopulateSql(
+      tableName: String,
+      cols: Seq[String],
+      foreignKeys: Map[String, (String, String)]): String = {
+    val ftsCols = cols.map(c => s""""$c"""").mkString(", ")
+    val select =
+      if (foreignKeys.isEmpty)
+        s"SELECT rowid, $ftsCols FROM [$tableName]"
+      else {
+        val seen = scala.collection.mutable.Map.empty[String, Int]
+        val selectCols = scala.collection.mutable.ArrayBuffer.empty[String]
+        val joins = scala.collection.mutable.ArrayBuffer.empty[String]
+        cols.foreach { c =>
+          foreignKeys.get(c) match {
+            case Some((otherTable, labelColumn)) =>
+              val n = seen.getOrElse(otherTable, 0) + 1
+              seen(otherTable) = n
+              val alias = if (n > 1) s"table_alias_${md5hex(otherTable)}_$n" else ""
+              val aliasOrTable = if (alias.nonEmpty) alias else otherTable
+              selectCols += s"""[$aliasOrTable]."$labelColumn""""
+              joins += s"""left join [$otherTable] $alias on [$tableName]."$c" = [$aliasOrTable].id"""
+            case None =>
+              selectCols += s""""$c""""
+          }
+        }
+        s"SELECT [$tableName].rowid, ${selectCols.mkString(", ")} FROM [$tableName] ${joins.mkString("\n")}"
+      }
+    s"""INSERT INTO "${tableName}_fts" (rowid, $ftsCols) $select"""
   }
 
   /** K2/K3/K4 write modes for a JDBC sink; retained as an enum so the CLI

@@ -46,14 +46,6 @@ object CsvLoader {
       encodingsToTry: Seq[String] = Seq("utf-8", "latin-1"),
       attachRowid: Boolean = true)
 
-  /** Can `sampleBytes` of the file be decoded as `encoding` without
-    * error? pandas *raises* UnicodeDecodeError on bad bytes, which is
-    * what drives the reference's fallback chain (`utils.py:36-49`);
-    * Spark's reader silently substitutes replacement characters instead,
-    * so the fallback must be detected explicitly. A bounded sample keeps
-    * this O(1) per file regardless of file size (a 100 TB load validates
-    * 1 MB per file on the driver, nothing more).
-    */
   /** Python codec names -> JVM charset names ("latin-1" is not a JVM alias). */
   private def charsetName(encoding: String): String =
     encoding.toLowerCase.replace("_", "-") match {
@@ -62,21 +54,40 @@ object CsvLoader {
       case other                               => other
     }
 
-  private def decodesAs(path: String, encoding: String, sampleBytes: Int = 1 << 20): Boolean = {
+  /** Can the WHOLE file be decoded as `encoding` without error? pandas
+    * *raises* UnicodeDecodeError on any bad byte, which is what drives
+    * the reference's fallback chain (`utils.py:36-49`); Spark's reader
+    * silently substitutes U+FFFD replacement characters instead, so the
+    * fallback must be detected explicitly. The file is streamed through
+    * the CharsetDecoder in 1 MB chunks — O(1) memory regardless of file
+    * size, and a non-UTF-8 byte anywhere (not just the head) triggers
+    * the latin-1 retry exactly like pandas. (This is the CSV CLI-parity
+    * path: pandas loads the whole file in driver RAM anyway, so one
+    * streamed driver-side pass is strictly cheaper than the reference.)
+    */
+  private def decodesAs(path: String, encoding: String): Boolean = {
     val p = Paths.get(path)
     if (!Files.isRegularFile(p)) return true // globs/dirs: skip validation
     val in = Files.newInputStream(p)
     try {
-      val buf = in.readNBytes(sampleBytes)
       val dec = java.nio.charset.Charset.forName(charsetName(encoding)).newDecoder()
         .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
         .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
-      // Trailing bytes may split a multi-byte sequence at the sample
-      // boundary; tolerate an underflow tail but not malformed interior.
-      val bb = java.nio.ByteBuffer.wrap(buf)
-      val out = java.nio.CharBuffer.allocate(buf.length + 16)
-      val res = dec.decode(bb, out, false)
-      !res.isError
+      val chunk = 1 << 20
+      val bb = java.nio.ByteBuffer.allocate(chunk)
+      val out = java.nio.CharBuffer.allocate(chunk)
+      var eof = false
+      while (!eof) {
+        val n = in.read(bb.array(), bb.position(), bb.remaining())
+        if (n < 0) eof = true else bb.position(bb.position() + n)
+        bb.flip()
+        var res = dec.decode(bb, out, eof)
+        while (res.isOverflow) { out.clear(); res = dec.decode(bb, out, eof) }
+        if (res.isError) return false
+        bb.compact()
+        out.clear()
+      }
+      !dec.flush(out).isError
     } catch { case _: Exception => false }
     finally in.close()
   }
@@ -131,12 +142,36 @@ object CsvLoader {
     while (it.hasNext) {
       val enc = it.next()
       try {
-        val df = attempt(enc)
+        val df = applyQuoteNonNumeric(attempt(enc), opts)
         return if (opts.attachRowid) Rowid.attach(df) else df
       } catch { case e: Throwable => last = e }
     }
     throw new IllegalArgumentException(
       s"$path could not be loaded with encodings ${opts.encodingsToTry.mkString(", ")}", last)
+  }
+
+  /** csv.QUOTE_NONNUMERIC read semantics (`-q 2`): Python's csv module
+    * converts every UNQUOTED field to float on read, so pandas under
+    * `quoting=2` (threaded through `utils.py:40`) yields float64 — and
+    * the sink emits REAL — for columns a minimal-mode read would infer
+    * as int64/INTEGER. Spark's parser does not expose per-field
+    * quotedness, so the faithful column-level projection is: re-type
+    * every integral-inferred column (those were unquoted numbers) to
+    * DOUBLE post-parse. Quoted strings stay TEXT either way; pandas'
+    * ValueError on unquoted non-numeric text is not reproducible without
+    * raw-quote information and is documented as out of scope.
+    */
+  private def applyQuoteNonNumeric(df: DataFrame, opts: CsvOptions): DataFrame = {
+    import org.apache.spark.sql.types._
+    if (opts.quoting != QuoteMode.NonNumeric || opts.justStrings) df
+    else {
+      val integral = df.schema.fields.collect {
+        case f if f.dataType == LongType || f.dataType == IntegerType ||
+          f.dataType == ShortType || f.dataType == ByteType => f.name
+      }
+      integral.foldLeft(df)((d, c) =>
+        d.withColumn(c, org.apache.spark.sql.functions.col(c).cast(DoubleType)))
+    }
   }
 
   /** S2: expand paths into `(tableName, path)` in argument order.
