@@ -55,7 +55,7 @@ object Rowid {
         s"Rowid.attach requires a scan-stable row order, but the upstream plan " +
         s"contains a $op, whose row-to-partition assignment can differ between " +
         s"the offset pass and the id pass. Attach rowid at scan time (before " +
-        s"any shuffle), or persist the upstream first.")
+        s"any shuffle), persist the upstream first, or use Rowid.attachZip.")
     }
     val counts = df
       .select(spark_partition_id().as("pid"))
@@ -80,5 +80,25 @@ object Rowid {
       .join(offsetsDf, Seq("__pid"))
       .withColumn(colName, col("__offset") + col("__mid").bitwiseAND(lit(counterMask)) + 1L)
       .drop("__pid", "__mid", "__offset")
+  }
+
+  /** Rowid via `zipWithIndex` over the DataFrame's execution RDD — the
+    * escape hatch for upstreams [[attach]] rejects (e.g. a global sort).
+    * `df.rdd` builds ONE physical RDD chain; `zipWithIndex`'s two jobs
+    * (partition-size count, then emit) share that chain's shuffle
+    * dependencies, and Spark reuses shuffle map output across jobs, so
+    * both passes observe the same row→partition assignment even above a
+    * range-partitioned sort (whose boundary sampling runs once, at RDD
+    * construction). Ids are assigned partition-by-partition in order, so
+    * for a sorted upstream rowid == global sort rank, computed in
+    * parallel (no single-partition window). Cost: one RDD boundary
+    * (row deserialization + an optimizer fence) — prefer [[attach]] for
+    * scan-stable upstreams.
+    */
+  def attachZip(df: DataFrame, colName: String = ColName): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema.add(StructField(colName, LongType, nullable = false))
+    val rdd = df.rdd.zipWithIndex.map { case (row, i) => Row.fromSeq(row.toSeq :+ (i + 1L)) }
+    spark.createDataFrame(rdd, schema)
   }
 }

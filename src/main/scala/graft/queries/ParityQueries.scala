@@ -17,12 +17,15 @@ import graft.operators.{Extract, Fts, Shape}
   */
 object ParityQueries {
 
-  /** S1/§2.7 — rowid attach (zipWithIndex path) on a deterministic input
-    * order. Demonstrates stable 1-based row identity.
+  /** S1/§2.7 — rowid over a deterministic input order. The upstream has
+    * a global sort, so this exercises [[graft.operators.Rowid.attachZip]]
+    * (same-job zipWithIndex numbering); the scan-stable fast path
+    * ([[graft.operators.Rowid.attach]]) rejects sorted upstreams by
+    * design and is covered by CsvLoaderSpec.
     */
   def rowidScan(spark: SparkSession, dir: String): DataFrame = {
     val region = Tables.load(spark, dir, "region").orderBy(col("r_regionkey"))
-    graft.operators.Rowid.attach(region)
+    graft.operators.Rowid.attachZip(region)
       .select(col("rowid"), col("r_regionkey").cast(LongType).as("r_regionkey"), col("r_name"))
       .orderBy("rowid")
   }
