@@ -42,7 +42,11 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.filter(_._3).map(_._2).sum
+    // Totals from a round with any failure are not comparable across
+    // rounds (a fail-fast query contributes ~0s) — emit null instead.
+    val anyFailed = results.exists(!_._3)
+    val total =
+      if (anyFailed) "null" else results.map(_._2).sum.toString
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -50,6 +50,8 @@ object Rowid {
   }
 
   def attach(df: DataFrame, colName: String = ColName): DataFrame = {
+    require(!df.columns.contains(colName),
+      s"Rowid.attach: column '$colName' already exists in the input schema")
     unstableOrderOp(df).foreach { op =>
       throw new IllegalArgumentException(
         s"Rowid.attach requires a scan-stable row order, but the upstream plan " +
@@ -96,6 +98,8 @@ object Rowid {
     * scan-stable upstreams.
     */
   def attachZip(df: DataFrame, colName: String = ColName): DataFrame = {
+    require(!df.columns.contains(colName),
+      s"Rowid.attachZip: column '$colName' already exists in the input schema")
     val spark = df.sparkSession
     val schema = df.schema.add(StructField(colName, LongType, nullable = false))
     val rdd = df.rdd.zipWithIndex.map { case (row, i) => Row.fromSeq(row.toSeq :+ (i + 1L)) }

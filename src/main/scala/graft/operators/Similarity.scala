@@ -181,20 +181,30 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs above `threshold`, blocked by
     * cluster equality (the LSH-style bucket: only intra-bucket pairs are
-    * scored, so the join cost is sum(bucket²), not n²).
+    * scored, so the join cost is bucket-bounded, never n²).
+    *
+    * Same shape as [[TextDedup.minhashPairs]]: buckets are built with ONE
+    * aggregation (groupBy + collect_list), so the quantize/norm pipeline
+    * evaluates once — the earlier self-join spelling evaluated it once
+    * per join side — and pair expansion reuses the shared per-bucket skew
+    * cap ([[TextDedup.cappedBucketPairs]]): a degenerate cluster emits
+    * O(n·cap) pairs with slice-chain connectivity instead of n².
     */
   def nearDupPairs(
       corpus: DataFrame, idCol: String, embCol: String, clusterCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxBucket: Int = 256): DataFrame = {
     val c = corpus.select(col(idCol).cast(LongType).as("id"),
       col(clusterCol).cast(LongType).as("cluster"),
       quantize(col(embCol)).as("q"))
       .withColumn("n2", inorm2(col("q")))
-    val a = c.as("a")
-    val b = c.as("b")
-    a.join(b, col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
-      .withColumn("cosine", cosine(idot(col("a.q"), col("b.q")), col("a.n2"), col("b.n2")))
+    c.groupBy(col("cluster"))
+      .agg(collect_list(struct(col("id"), col("q"), col("n2"))).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(
+        TextDedup.cappedBucketPairs(array_sort(col("members")), maxBucket)).as("p"))
+      .withColumn("cosine",
+        cosine(idot(col("p.id_a.q"), col("p.id_b.q")), col("p.id_a.n2"), col("p.id_b.n2")))
       .filter(col("cosine") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+      .select(col("p.id_a.id").as("id_a"), col("p.id_b.id").as("id_b"), col("cosine"))
   }
 }

@@ -115,7 +115,7 @@ object TextDedup {
     * past the cap; corpora with massive EXACT duplication should be
     * pre-collapsed with [[exact]] first.
     */
-  private def cappedBucketPairs(sortedMembers: Column, cap: Int): Column = {
+  private[operators] def cappedBucketPairs(sortedMembers: Column, cap: Int): Column = {
     val nSlices = ceil(size(sortedMembers).cast(DoubleType) / cap).cast(IntegerType)
     val within = flatten(transform(sequence(lit(0), nSlices - 1),
       i => bucketPairs(slice(sortedMembers, i * cap + 1, lit(cap)))))

@@ -94,6 +94,32 @@ class CsvLoaderSpec extends SparkSpec {
     assert(rows(0).getAs[String]("b") === "\"raw")
   }
 
+  test("QUOTE_NONNUMERIC re-types integral columns to DOUBLE/REAL (utils.py:40)") {
+    // Python csv QUOTE_NONNUMERIC converts unquoted fields to float on
+    // read, so pandas under -q 2 yields float64 (sink REAL) where a
+    // minimal-mode read infers int64 (sink INTEGER); quoted text stays
+    // TEXT either way.
+    val content = "id,count,name\n1,10,\"alpha\"\n2,20,\"beta\"\n"
+    val minimal = CsvLoader.load(spark, tempCsv("q2.csv", content))
+    val mtypes = minimal.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(mtypes("id") === IntegerType || mtypes("id") === LongType)
+    assert(mtypes("count") === IntegerType || mtypes("count") === LongType)
+    assert(mtypes("name") === StringType)
+
+    val nonNum = CsvLoader.load(spark, tempCsv("q2.csv", content),
+      CsvOptions(quoting = CsvLoader.QuoteMode.NonNumeric))
+    val ntypes = nonNum.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(ntypes("id") === DoubleType)
+    assert(ntypes("count") === DoubleType)
+    assert(ntypes("name") === StringType) // quoted strings stay TEXT
+    val row = nonNum.orderBy("rowid").collect()(1)
+    assert(row.getAs[Double]("count") === 20.0)
+    // and the SQLite DDL projection flips INTEGER -> REAL
+    import graft.sinks.SqliteDdl
+    assert(SqliteDdl.sqliteType(ntypes("count")) === "REAL")
+    assert(SqliteDdl.sqliteType(mtypes("count")) === "INTEGER")
+  }
+
   test("skip-errors drops malformed lines; default FAILFAST raises (utils.py:42)") {
     val path = tempCsv("bad.csv", "a,b\n1,x\n2,y,EXTRA,COLS\n3,z\n")
     val ok = CsvLoader.load(spark, path,

@@ -93,6 +93,38 @@ class PipelineSpec extends SparkSpec {
     assert(matched === Set(2L))
   }
 
+  test("fts one lookup joined twice: md5 table_alias populate SQL + match (:232-281)") {
+    // the actors pattern: actor_1 AND actor_2 both extracted to one
+    // `actors` table and both in -f; the populate SELECT must left-join
+    // [actors] twice, the second join under a table_alias_<md5>_2 alias
+    // (utils.py:402-432), byte-for-byte including the double space after
+    // an unaliased table
+    val csv = tempCsv("test.csv", Fixtures.CSV_MULTI)
+    val out = outDir()
+    val r = Pipeline.run(spark, cfg(Seq(csv), "fts-extracted.db").copy(
+      extractColumns = Seq("film", "actor_1:actors:name", "actor_2:actors:name"),
+      ftsColumns = Seq("film", "actor_1", "actor_2"),
+      outputDir = Some(out)))
+    val alias = "table_alias_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("actors".getBytes("UTF-8")).map("%02x".format(_)).mkString + "_2"
+    val expected =
+      s"""INSERT INTO "test_fts" (rowid, "film", "actor_1", "actor_2") """ +
+      s"""SELECT [test].rowid, [film]."value", [actors]."name", [$alias]."name" FROM [test] """ +
+      s"""left join [film]  on [test]."film" = [film].id\n""" +
+      s"""left join [actors]  on [test]."actor_1" = [actors].id\n""" +
+      s"""left join [actors] $alias on [test]."actor_2" = [$alias].id"""
+    assert(r.ddl.contains(expected))
+    // one shared dictionary, ids first-seen across both columns
+    assert(r.tables("actors").orderBy("id").collect().map(_.getString(1)).toSeq ===
+      Seq("Sean Connery", "Nicolas Cage", "Diane Kruger", "Orlando Bloom"))
+    // the written FTS index matches ORIGINAL names from either column:
+    // 'kruger' appears as actor_2 of row 2 and actor_1 of row 3
+    val fts = spark.read.parquet(s"$out/test_fts.parquet")
+    assert(Fts.matchRowids(fts, "kruger").collect().map(_.getLong(0)).toSet === Set(2L, 3L))
+    assert(Fts.matchRowids(fts, "connery cage").collect().map(_.getLong(0)).toSet === Set(1L))
+  }
+
   test("dates and datetimes golden (:584-604)") {
     val csv = tempCsv("test.csv", Fixtures.CSV_DATES)
     val r = Pipeline.run(spark, cfg(Seq(csv), "dates.db").copy(

@@ -52,6 +52,44 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairSet.exists { case (a, b) => Set(a, b).contains(4L) })
   }
 
+  test("pathological corpus: bucket cap bounds pairs at O(n·cap), keeps connectivity") {
+    // n identical documents land in ONE LSH bucket for every band; the
+    // uncapped expansion would emit n(n-1)/2 pairs from a single task.
+    // The cap must bound the output while keeping every doc reachable
+    // from the keeper (min id) so dedup clustering still collapses all n.
+    val n = 300
+    val cap = 64
+    val degenerate = (0 until n).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog repeatedly"))
+      .toDF("doc_id", "text")
+
+    def checkPairs(pairs: Array[(Long, Long)], opName: String): Unit = {
+      val allPairs = n.toLong * (n - 1) / 2
+      assert(pairs.nonEmpty, s"$opName emitted no pairs")
+      assert(pairs.length <= n * cap,
+        s"$opName emitted ${pairs.length} pairs — more than the O(n·cap) bound ${n * cap}")
+      assert(pairs.length < allPairs / 2,
+        s"$opName emitted ${pairs.length} pairs — not meaningfully below n²/2 = $allPairs")
+      // union-find connectivity: every doc must reach doc 0
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); parent(x) = r; r }
+      pairs.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+      val roots = (0 until n).map(find).toSet
+      assert(roots.size === 1,
+        s"$opName pairs split the corpus into ${roots.size} components — keeper unreachable")
+    }
+
+    val mh = TextDedup.minhashPairs(degenerate, "doc_id", "text",
+      numPerms = 16, r = 2, jaccardThreshold = 0.5, maxBucket = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    checkPairs(mh, "minhashPairs")
+
+    val sh = TextDedup.simhashPairs(degenerate, "doc_id", "text",
+      maxHamming = 3, maxBucket = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    checkPairs(sh, "simhashPairs")
+  }
+
   test("simhash: equal for identical docs, close for near-dups (hamming)") {
     val sims = TextDedup.withSimhash(docs, "text").select($"doc_id", $"sim").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
