@@ -1,0 +1,206 @@
+package graft.expressions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.GraftShim
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native single-pass kernels for the MinHash/SimHash dedup pipeline.
+  *
+  * The Column-function spelling of shingle hashing is a deep
+  * higher-order-function tree (`array_distinct(transform(shingles(...)))`
+  * with an md5 per element) — HOFs are CodegenFallback, so every element
+  * costs an interpreted expression walk with boxing, and the huge tree
+  * inflates whole-stage-codegen compile time on every cold run. These
+  * expressions collapse tokenize → shingle → md5 → distinct (and the
+  * numPerms-way affine-min signature) into one static JVM call per row:
+  * plain JIT'd loops, tiny expression trees, identical semantics.
+  *
+  * Parity contract (pinned by TextDedupSpec against the HOF spelling and
+  * by the DuckDB oracle):
+  *   - tokens  = array_remove(split(lower(s), "[^a-z0-9]+"), "")
+  *   - shingle = space-joined w-grams; docs with < w tokens yield ONE
+  *               shingle = all tokens joined (empty string for no tokens)
+  *   - hash60  = conv(substring(md5(utf8), 1, 15), 16, 10) = top 60 bits
+  *               of the md5 digest
+  *   - distinct keeps first-occurrence order
+  *   - sig[s]  = min over hashes of ((h%P)*(2s+1) + (12345s+677)) % P,
+  *               null (not MaxValue) for an empty hash array
+  */
+object MinHashKernel {
+
+  private val digest: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  private val splitter = Pattern.compile("[^a-z0-9]+")
+
+  /** Same tokens as [[graft.operators.Fts.tokens]]: UTF8String lowercase
+    * (byte-parity with Spark's `lower`), split keeping empties, drop "".
+    */
+  def tokens(text: UTF8String): Array[String] = {
+    val parts = splitter.split(text.toLowerCase.toString, -1)
+    var n = 0
+    var i = 0
+    while (i < parts.length) { if (parts(i).nonEmpty) n += 1; i += 1 }
+    if (n == parts.length) parts
+    else {
+      val out = new Array[String](n)
+      var j = 0
+      i = 0
+      while (i < parts.length) {
+        if (parts(i).nonEmpty) { out(j) = parts(i); j += 1 }
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Top 60 bits of md5 — identical to
+    * `conv(substring(md5(s), 1, 15), 16, 10)` ([[graft.functions.PortableHash.hash60]]).
+    */
+  def hash60(s: String): Long = {
+    val md = digest.get()
+    md.reset()
+    val b = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    val top =
+      ((b(0) & 0xFFL) << 56) | ((b(1) & 0xFFL) << 48) |
+      ((b(2) & 0xFFL) << 40) | ((b(3) & 0xFFL) << 32) |
+      ((b(4) & 0xFFL) << 24) | ((b(5) & 0xFFL) << 16) |
+      ((b(6) & 0xFFL) << 8) | (b(7) & 0xFFL)
+    top >>> 4
+  }
+
+  /** Distinct (first-seen order) hash60 of w-shingles of `text`. */
+  def shingleHashes(text: UTF8String, w: Int): ArrayData = {
+    val toks = tokens(text)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (toks.length >= w) {
+      val sb = new java.lang.StringBuilder(w * 12)
+      var i = 0
+      while (i <= toks.length - w) {
+        sb.setLength(0)
+        var j = 0
+        while (j < w) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        seen.add(hash60(sb.toString))
+        i += 1
+      }
+    } else {
+      seen.add(hash60(toks.mkString(" ")))
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** hash60 per token, order kept, NOT distinct (the SimHash input —
+    * frequency-weighted bit votes need every occurrence).
+    */
+  def tokenHashes(text: UTF8String): ArrayData = {
+    val toks = tokens(text)
+    val out = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { out(i) = hash60(toks(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  private val P = graft.functions.PortableHash.P
+
+  /** numPerms affine-min signature over a hash array. */
+  def minhashSig(hashes: ArrayData, numPerms: Int): ArrayData = {
+    val n = hashes.numElements()
+    if (n == 0) {
+      // array_min over an empty transform yields null per perm — keep it
+      return new GenericArrayData(Array.fill[Any](numPerms)(null))
+    }
+    val mins = Array.fill(numPerms)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i) % P
+      var s = 0
+      while (s < numPerms) {
+        val v = (h * (2L * s + 1L) + (12345L * s + 677L)) % P
+        if (v < mins(s)) mins(s) = v
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** `shingle_hash60(text, w)` — see [[MinHashKernel.shingleHashes]]. */
+case class ShingleHash60(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, "shingle width must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.shingleHashes(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.MinHashKernel.shingleHashes($c, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash60 =
+    copy(child = newChild)
+}
+
+object ShingleHash60 {
+  def shingle_hash60(text: Column, w: Int): Column =
+    GraftShim.column(ShingleHash60(GraftShim.expression(text), w))
+}
+
+/** `token_hash60(text)` — see [[MinHashKernel.tokenHashes]]. */
+case class TokenHash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.tokenHashes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.MinHashKernel.tokenHashes($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHash60 =
+    copy(child = newChild)
+}
+
+object TokenHash60 {
+  def token_hash60(text: Column): Column =
+    GraftShim.column(TokenHash60(GraftShim.expression(text)))
+}
+
+/** `minhash_sig(hashes, numPerms)` — see [[MinHashKernel.minhashSig]]. */
+case class MinHashSig(child: Expression, numPerms: Int) extends UnaryExpression {
+  require(numPerms >= 1, "numPerms must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.minhashSig(input.asInstanceOf[ArrayData], numPerms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.MinHashKernel.minhashSig($c, $numPerms);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  def minhash_sig(hashes: Column, numPerms: Int): Column =
+    GraftShim.column(MinHashSig(GraftShim.expression(hashes), numPerms))
+}

@@ -67,43 +67,105 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"), col("cosine"))
   }
 
-  /** IVF top-k: centroids are exact per-cluster integer component sums
-    * (counts kept separately), queries probe the `nProbe` nearest
-    * centroids by cosine and rank only vectors in those clusters.
-    * `clusterCol` supplies the cluster assignment (here: the `label`
-    * column — a deterministic stand-in for k-means training, which is a
-    * separate offline job in a real pipeline).
+  /** A driver-resident centroid: cluster id, integer component sums,
+    * squared norm. k×dim longs by definition — collecting these is how
+    * k-means drivers work on real clusters too, and it lets every
+    * assignment/probe against them be a NARROW codegen expression over
+    * literal vectors instead of a crossJoin + window shuffle.
+    */
+  private case class Centroid(cluster: Long, cent: Seq[Long], n2: Long)
+
+  private def driverNorm2(v: Seq[Long]): Long =
+    v.foldLeft(0L)((acc, x) => acc + x * x) // Long wrap == Spark LongType
+
+  /** Per-cluster element-wise integer sums in ONE job with ONE shuffle:
+    * posexplode to (cluster, pos, v) with map-side partial aggregation
+    * (k×dim rows per partition cross the wire), collected as k×dim longs
+    * and assembled into arrays on the driver. No dim probe needed, and
+    * the generated code stays small (a 64-column `sum` aggregate
+    * compiles measurably slower than it runs).
+    *
+    * `c` must have columns (cluster, q).
+    */
+  private def sumCentroids(c: DataFrame): Seq[Centroid] = {
+    val rows = c.select(col("cluster"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(col("v")).cast(LongType).as("s"))
+      .collect()
+    rows.groupBy(_.getLong(0)).map { case (cl, rs) =>
+      val cent = rs.sortBy(_.getInt(1)).map(_.getLong(2)).toIndexedSeq
+      Centroid(cl, cent, driverNorm2(cent))
+    }.toSeq.sortBy(_.cluster)
+  }
+
+  /** Struct (cosine, -cluster, cluster) vs one literal centroid: max
+    * struct = highest cosine, ties to the LOWEST cluster id — the same
+    * order as `row_number over (order by cos desc, cluster)` rank 1.
+    */
+  private def centroidScore(q: Column, n2: Column, ct: Centroid): Column =
+    struct(
+      cosine(idot(q, typedLit(ct.cent)), n2, lit(ct.n2)).as("cos"),
+      lit(-ct.cluster).as("neg"),
+      lit(ct.cluster).as("cluster"))
+
+  /** Narrow nearest-centroid assignment: k codegen dot products + a
+    * `greatest` over (cos, -cluster) structs per row. No shuffle — the
+    * corpus never moves, which is the property that matters at 100 TB.
+    */
+  private def assignNearest(c: DataFrame, cents: Seq[Centroid]): DataFrame = {
+    val scores = cents.map(ct => centroidScore(col("q"), col("n2"), ct))
+    val best = if (scores.size == 1) scores.head else greatest(scores: _*)
+    c.withColumn("cluster", best.getField("cluster"))
+  }
+
+  /** IVF top-k: centroids are exact per-cluster integer component sums,
+    * queries probe the `nProbe` nearest centroids by cosine and rank
+    * only vectors in those clusters. `clusterCol` supplies the cluster
+    * assignment (the `label` column, or [[kmeansAssign]] output).
+    *
+    * Plan shape: one single-shuffle centroid aggregation (collected —
+    * k×dim longs), then a narrow per-query probe (sort a k-element
+    * literal score array, take nProbe), then a broadcast join of the
+    * probed (query, cluster) pairs against the corpus with one window
+    * over the candidate rows only. The corpus is never crossJoined or
+    * window-shuffled in full.
     */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, embCol: String, clusterCol: String,
-      k: Int, nProbe: Int = 2): DataFrame = {
-    val c = corpus.select(col(idCol).cast(LongType).as("c_id"),
-      col(clusterCol).cast(LongType).as("cluster"),
-      quantize(col(embCol)).as("c_q"))
-      .withColumn("c_n2", inorm2(col("c_q")))
+      k: Int, nProbe: Int = 2): DataFrame =
+    ivfTopKPrepared(
+      corpus.select(col(idCol).cast(LongType).as("c_id"),
+        col(clusterCol).cast(LongType).as("cluster"),
+        quantize(col(embCol)).as("c_q"))
+        .withColumn("c_n2", inorm2(col("c_q"))),
+      queries, idCol, embCol, k, nProbe)
 
-    // centroid: element-wise SUM of quantized vectors (exact integers)
-    val dims = sequence(lit(0), size(col("c_q")) - 1)
-    val exploded = c.select(col("cluster"), posexplode(col("c_q")).as(Seq("pos", "v")))
-    val centroids = exploded.groupBy(col("cluster"), col("pos"))
-      .agg(sum(col("v")).cast(LongType).as("s"))
-      .groupBy(col("cluster"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("ps"))
-      .select(col("cluster"), transform(col("ps"), p => p.getField("s")).as("cent"))
-      .withColumn("cent_n2", inorm2(col("cent")))
+  /** IVF over an already-prepared corpus `(c_id, cluster, c_q, c_n2)` —
+    * lets a caller that just trained clusters ([[kmeansPrepared]]) feed
+    * the SAME persisted quantized corpus straight in, instead of joining
+    * assignments back to the raw table and re-quantizing it.
+    */
+  private[graft] def ivfTopKPrepared(
+      c: DataFrame, queries: DataFrame,
+      idCol: String, embCol: String,
+      k: Int, nProbe: Int): DataFrame = {
+    val centroids = sumCentroids(
+      c.select(col("cluster"), col("c_q").as("q")))
 
     val q = queries.select(col(idCol).cast(LongType).as("q_id"),
       quantize(col(embCol)).as("q_q"))
       .withColumn("q_n2", inorm2(col("q_q")))
 
-    // probe: nProbe nearest centroids per query
-    val probeW = Window.partitionBy(col("q_id")).orderBy(col("cent_cos").desc, col("cluster"))
-    val probed = q.crossJoin(broadcast(centroids))
-      .withColumn("cent_cos", cosine(idot(col("q_q"), col("cent")), col("q_n2"), col("cent_n2")))
-      .withColumn("probe_rank", row_number().over(probeW))
-      .filter(col("probe_rank") <= nProbe)
-      .select(col("q_id"), col("q_q"), col("q_n2"), col("cluster"))
+    // probe: nProbe nearest centroids per query — narrow (sort a
+    // k-element literal array of (cos, -cluster) scores, slice nProbe)
+    val scoreArr = array(centroids.map(ct =>
+      centroidScore(col("q_q"), col("q_n2"), ct)): _*)
+    val probed = q
+      .withColumn("__probe",
+        explode(slice(sort_array(scoreArr, asc = false), 1, nProbe)))
+      .select(col("q_id"), col("q_q"), col("q_n2"),
+        col("__probe.cluster").as("cluster"))
 
     // scan only the probed clusters
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
@@ -132,51 +194,41 @@ object Similarity {
     */
   def kmeansAssign(
       corpus: DataFrame, idCol: String, embCol: String,
+      k: Int, iters: Int): DataFrame =
+    kmeansPrepared(corpus, idCol, embCol, k, iters)
+      .select(col("c_id").as("vec_id"), col("cluster"))
+
+  /** k-means core: the persisted quantized corpus with final cluster
+    * assignments attached, as `(c_id, cluster, c_q, c_n2)` — directly
+    * consumable by [[ivfTopKPrepared]] with no join/re-quantize.
+    */
+  private[graft] def kmeansPrepared(
+      corpus: DataFrame, idCol: String, embCol: String,
       k: Int, iters: Int): DataFrame = {
     val c = corpus.select(col(idCol).cast(LongType).as("id"),
       quantize(col(embCol)).as("q"))
       .withColumn("n2", inorm2(col("q")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    def assign(centroids: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("id")).orderBy(col("cos").desc, col("cluster"))
-      c.crossJoin(broadcast(centroids))
-        .withColumn("cos", cosine(idot(col("q"), col("cent")), col("n2"), col("cn2")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("id"), col("q"), col("cluster"))
-    }
+    // init: centroids = vectors with id 0..k-1 (collected — k×dim longs)
+    var cents: Seq[Centroid] = c.filter(col("id") < k)
+      .select(col("id"), col("q")).collect()
+      .map { r =>
+        val v = r.getSeq[Long](1)
+        Centroid(r.getLong(0), v, driverNorm2(v))
+      }.toSeq.sortBy(_.cluster)
 
-    // Re-summed centroids are collected to the driver each iteration —
-    // they are k*dim integers by definition, and materializing them
-    // flattens the lineage so the final assignment is one shallow job
-    // (this is how k-means drivers work on real clusters too).
-    def resum(assigned: DataFrame): DataFrame = {
-      val spark = assigned.sparkSession
-      val summed = assigned
-        .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "v")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(sum(col("v")).cast(LongType).as("s"))
-        .groupBy(col("cluster"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("ps"))
-        .select(col("cluster"), transform(col("ps"), p => p.getField("s")).as("cent"))
-        .collect()
-      val rows = summed.map(r =>
-        org.apache.spark.sql.Row(r.getLong(0), r.getSeq[Long](1)))
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("cluster", LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("cent",
-          org.apache.spark.sql.types.ArrayType(LongType, containsNull = false))))
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
-        .withColumn("cn2", inorm2(col("cent")))
+    // Each Lloyd iteration is ONE job with ONE shuffle: narrow
+    // assignment against the literal centroids (k codegen dot products
+    // per row, no data movement) feeding the per-cluster component-sum
+    // aggregation, whose k×dim result comes back to the driver. The
+    // corpus itself never shuffles — the property that matters at 100 TB.
+    // Clusters that lose all members drop out (standard Lloyd variant).
+    (1 to iters).foreach { _ =>
+      cents = sumCentroids(assignNearest(c, cents).select(col("cluster"), col("q")))
     }
-
-    var centroids = c.filter(col("id") < k)
-      .select(col("id").cast(LongType).as("cluster"), col("q").as("cent"))
-      .withColumn("cn2", inorm2(col("cent")))
-    (1 to iters).foreach { _ => centroids = resum(assign(centroids)) }
-    assign(centroids).select(col("id").as("vec_id"), col("cluster"))
+    assignNearest(c, cents).select(col("id").as("c_id"), col("cluster"),
+      col("q").as("c_q"), col("n2").as("c_n2"))
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`, blocked by
@@ -193,18 +245,27 @@ object Similarity {
   def nearDupPairs(
       corpus: DataFrame, idCol: String, embCol: String, clusterCol: String,
       threshold: Double, maxBucket: Int = 256): DataFrame = {
+    // Persisted: the quantize/norm pipeline feeds three consumers
+    // (bucket build + the two scoring joins) — same shape as
+    // TextDedup.minhashPairs. Buckets hold IDS ONLY (pair expansion over
+    // longs, never over vector-laden structs); vectors re-attach through
+    // the two joins against the persisted corpus.
     val c = corpus.select(col(idCol).cast(LongType).as("id"),
       col(clusterCol).cast(LongType).as("cluster"),
       quantize(col(embCol)).as("q"))
       .withColumn("n2", inorm2(col("q")))
-    c.groupBy(col("cluster"))
-      .agg(collect_list(struct(col("id"), col("q"), col("n2"))).as("members"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = c.groupBy(col("cluster"))
+      .agg(collect_list(col("id")).as("members"))
       .filter(size(col("members")) > 1)
       .select(explode(
         TextDedup.cappedBucketPairs(array_sort(col("members")), maxBucket)).as("p"))
-      .withColumn("cosine",
-        cosine(idot(col("p.id_a.q"), col("p.id_b.q")), col("p.id_a.n2"), col("p.id_b.n2")))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    pairs
+      .join(c.select(col("id").as("id_a"), col("q").as("q_a"), col("n2").as("n2_a")), Seq("id_a"))
+      .join(c.select(col("id").as("id_b"), col("q").as("q_b"), col("n2").as("n2_b")), Seq("id_b"))
+      .withColumn("cosine", cosine(idot(col("q_a"), col("q_b")), col("n2_a"), col("n2_b")))
       .filter(col("cosine") >= threshold)
-      .select(col("p.id_a.id").as("id_a"), col("p.id_b.id").as("id_b"), col("cosine"))
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 }

@@ -56,16 +56,30 @@ object TextDedup {
     * MinHash and Jaccard (set semantics on hashes instead of strings:
     * one md5 per shingle, integer ops afterwards; collision probability
     * at 60 bits is negligible for any real corpus).
+    *
+    * Native single-pass expression ([[graft.expressions.ShingleHash60]]);
+    * the HOF spelling ([[shingleHashesHof]]) is CodegenFallback —
+    * interpreted per element with a compile-heavy expression tree.
     */
   def shingleHashes(text: Column, w: Int = 3): Column =
+    graft.expressions.ShingleHash60.shingle_hash60(text, w)
+
+  /** The Column-function spelling of [[shingleHashes]], kept as the
+    * parity reference the spec pins the native expression against.
+    */
+  private[graft] def shingleHashesHof(text: Column, w: Int = 3): Column =
     array_distinct(transform(shingles(text, w), sh => PortableHash.hash60(sh)))
 
   /** MinHash signature from a materialized shingle-hash array:
     * `numPerms` affine transforms of the SAME base hash
     * ([[PortableHash.affine]]) — the md5 cost is O(shingles), the
-    * signature cost is O(shingles * perms) integer ops.
+    * signature cost is O(shingles * perms) integer ops. Native
+    * expression; [[minhashSignatureFromHashesHof]] is the parity twin.
     */
   def minhashSignatureFromHashes(hashes: Column, numPerms: Int = 16): Column =
+    graft.expressions.MinHashSig.minhash_sig(hashes, numPerms)
+
+  private[graft] def minhashSignatureFromHashesHof(hashes: Column, numPerms: Int = 16): Column =
     transform(sequence(lit(0), lit(numPerms - 1)),
       s => array_min(transform(hashes, h =>
         ((h % PortableHash.P) * (lit(2L) * s + 1L) + (lit(12345L) * s + 677L)) % PortableHash.P)))
@@ -115,7 +129,7 @@ object TextDedup {
     * past the cap; corpora with massive EXACT duplication should be
     * pre-collapsed with [[exact]] first.
     */
-  private[operators] def cappedBucketPairs(sortedMembers: Column, cap: Int): Column = {
+  private[graft] def cappedBucketPairs(sortedMembers: Column, cap: Int): Column = {
     val nSlices = ceil(size(sortedMembers).cast(DoubleType) / cap).cast(IntegerType)
     val within = flatten(transform(sequence(lit(0), nSlices - 1),
       i => bucketPairs(slice(sortedMembers, i * cap + 1, lit(cap)))))
@@ -180,7 +194,8 @@ object TextDedup {
     * positive.
     */
   def withSimhash(df: DataFrame, textCol: String, outCol: String = "sim"): DataFrame =
-    df.withColumn("__tok_hashes", transform(tokensCol(col(textCol)), t => PortableHash.hash60(t)))
+    df.withColumn("__tok_hashes",
+        graft.expressions.TokenHash60.token_hash60(col(textCol)))
       .withColumn(outCol, simhashFromHashes(col("__tok_hashes")))
       .drop("__tok_hashes")
 

@@ -16,6 +16,13 @@ object SimilarityQueries {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.loadSpread(spark, dir, "embeddings")
 
+  /** The handful-of-query-vectors side: plain scan, no repartition —
+    * spreading a <20-row filter result across 32 partitions only buys an
+    * extra shuffle stage per query.
+    */
+  private def embSmall(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+
   /** DuckDB CTEs shared by all oracles: quantized vectors + exact
     * integer norms + dot products via fixed 64-dim position lists.
     */
@@ -36,7 +43,8 @@ object SimilarityQueries {
   /** Brute-force cosine top-10 for query vectors vec_id < 10. */
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 10)
+    Similarity.bruteForceTopK(e, embSmall(spark, dir).filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 10)
       .orderBy("q_id", "rank")
   }
 
@@ -54,7 +62,8 @@ object SimilarityQueries {
   /** IVF top-5, probing the 2 nearest of the label-cluster centroids. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    Similarity.ivfTopK(e, e.filter(col("vec_id") >= 10 && col("vec_id") < 20),
+    Similarity.ivfTopK(e,
+        embSmall(spark, dir).filter(col("vec_id") >= 10 && col("vec_id") < 20),
         "vec_id", "embedding", "label", k = 5, nProbe = 2)
       .orderBy("q_id", "rank")
   }
@@ -124,11 +133,13 @@ object SimilarityQueries {
     */
   def annIvfTrained(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val clusters = Similarity.kmeansAssign(e, "vec_id", "embedding", k = 8, iters = 2)
-    val clustered = e.join(clusters, e("vec_id") === clusters("vec_id"))
-      .select(e("vec_id"), e("embedding"), clusters("cluster"))
-    Similarity.ivfTopK(clustered, e.filter(col("vec_id") < 5),
-        "vec_id", "embedding", "cluster", k = 5, nProbe = 2)
+    // the k-means core hands back the SAME persisted quantized corpus
+    // with assignments attached — no join back to the raw table, no
+    // second quantize pass
+    val prepared = Similarity.kmeansPrepared(e, "vec_id", "embedding", k = 8, iters = 2)
+    Similarity.ivfTopKPrepared(prepared,
+        embSmall(spark, dir).filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, nProbe = 2)
       .orderBy("q_id", "rank")
   }
 

@@ -2,9 +2,10 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 import graft.Tables
-import graft.operators.Fts
+import graft.operators.{Fts, Similarity}
 
 /** Dev-only micro-profiler: times labeled plan fragments of the slowest
   * bench queries so optimization targets facts, not guesses.
@@ -31,21 +32,31 @@ object Probe {
 
     Tables.load(spark, dir, "lineitem").count() // warmup
 
-    val docs = Tables.load(spark, dir, "documents")
-    t("docs scan")(docs.count())
-    t("docs spread")(Tables.loadSpread(spark, dir, "documents").count())
-    val spread = Tables.loadSpread(spark, dir, "documents")
-    t("tokenize only")(spread.select(Fts.tokens(Seq(col("text"))).as("t")).count())
-    t("tokenize+explode")(spread.select(explode(Fts.tokens(Seq(col("text")))).as("t")).count())
-    t("inverted index")(Fts.invertedIndex(spread.withColumnRenamed("doc_id", "rowid"), Seq("text")).count())
-    t("term stats full")(graft.queries.ParityQueries.ftsTermStats(spark, dir).count())
-    t("dedup exact full")(graft.queries.DedupQueries.dedupExact(spark, dir).count())
-    t("hash60 per doc")(spread.select(graft.functions.PortableHash.hash60(col("text"))).count())
-    t("shingle hashes")(spread.select(graft.operators.TextDedup.shingleHashes(col("text")).as("h")).count())
+    // ---- annIvf decomposition
+    val e = Tables.loadSpread(spark, dir, "embeddings")
+    t("emb scan+spread")(e.count())
+    val c = e.select(col("vec_id").cast(LongType).as("c_id"),
+      col("label").cast(LongType).as("cluster"),
+      Similarity.quantize(col("embedding")).as("c_q"))
+      .withColumn("c_n2", Similarity.inorm2(col("c_q")))
+    t("quantize+norm")(c.count())
+    t("dim head")({ c.select(size(col("c_q"))).head.getInt(0); 1L })
+    val dim = 64
+    val sums = (0 until dim).map(i =>
+      sum(element_at(col("c_q"), i + 1)).cast(LongType).as(s"s$i"))
+    t("centroid 64-sum agg")(c.groupBy(col("cluster")).agg(sums.head, sums.tail: _*).count())
     t("ann_ivf full")(graft.queries.SimilarityQueries.annIvf(spark, dir).count())
-    t("ann_topk full")(graft.queries.SimilarityQueries.annTopK(spark, dir).count())
+    t("ann_ivf again")(graft.queries.SimilarityQueries.annIvf(spark, dir).count())
+    t("ann_ivf_trained full")(graft.queries.SimilarityQueries.annIvfTrained(spark, dir).count())
+    t("kmeans full")(graft.queries.SimilarityQueries.kmeansClusters(spark, dir).count())
+    t("embed_neardups full")(graft.queries.SimilarityQueries.embedNearDups(spark, dir).count())
+
+    // ---- other slow queries
     t("minhash_pairs full")(graft.queries.DedupQueries.minhashPairs(spark, dir).count())
-    t("term stats again")(graft.queries.ParityQueries.ftsTermStats(spark, dir).count())
+    t("simhash_pairs full")(graft.queries.DedupQueries.simhashPairs(spark, dir).count())
+    t("fts_term_stats full")(graft.queries.ParityQueries.ftsTermStats(spark, dir).count())
+    t("fts_ranked full")(graft.queries.ParityQueries.ftsRanked(spark, dir).count())
+    t("canon_float_dict full")(graft.queries.ParityQueries.canonFloatDict(spark, dir).count())
     spark.stop()
   }
 }

@@ -52,6 +52,39 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairSet.exists { case (a, b) => Set(a, b).contains(4L) })
   }
 
+  test("native shingle/minhash/token-hash expressions match the HOF spellings") {
+    // the native kernels replace the CodegenFallback HOF trees — pin
+    // byte-exact parity on awkward inputs: punctuation runs, unicode,
+    // case, short docs (< w tokens), single token, digits
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "Hello, WORLD!!  multiple   spaces &\tsymbols #42",
+      "café zürich naïve — ünïcödé text łódź",
+      "short doc",
+      "x",
+      "",
+      "123 456 789 123 456 789",
+      "a-b-c d.e.f g_h_i",
+      "repeated repeated repeated repeated"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+
+    val both = texts.select(
+      $"id",
+      TextDedup.shingleHashes($"text", 3).as("native_sh"),
+      TextDedup.shingleHashesHof($"text", 3).as("hof_sh"),
+      graft.expressions.TokenHash60.token_hash60($"text").as("native_tok"),
+      transform(TextDedup.tokensCol($"text"),
+        t => graft.functions.PortableHash.hash60(t)).as("hof_tok"))
+      .withColumn("native_sig", TextDedup.minhashSignatureFromHashes($"native_sh", 16))
+      .withColumn("hof_sig", TextDedup.minhashSignatureFromHashesHof($"hof_sh", 16))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"shingle hashes differ for id ${r.getLong(0)}")
+      assert(r.getSeq[Long](3) === r.getSeq[Long](4), s"token hashes differ for id ${r.getLong(0)}")
+      assert(r.getSeq[Long](5) === r.getSeq[Long](6), s"signatures differ for id ${r.getLong(0)}")
+    }
+  }
+
   test("pathological corpus: bucket cap bounds pairs at O(n·cap), keeps connectivity") {
     // n identical documents land in ONE LSH bucket for every band; the
     // uncapped expansion would emit n(n-1)/2 pairs from a single task.
