@@ -75,6 +75,7 @@ object SparkEntry {
     // extensions: similarity search (embeddings)
     "x_ann_topk" -> (SimilarityQueries.annTopK _),
     "x_ann_ivf" -> (SimilarityQueries.annIvf _),
+    "x_ann_lsh" -> (SimilarityQueries.annLsh _),
     "x_embed_neardups" -> (SimilarityQueries.embedNearDups _),
     "x_kmeans_clusters" -> (SimilarityQueries.kmeansClusters _),
     "x_ann_ivf_trained" -> (SimilarityQueries.annIvfTrained _),
@@ -206,6 +207,7 @@ object SparkEntry {
     "x_fingerprints" -> DedupQueries.fingerprintsOracle,
     "x_ann_topk" -> SimilarityQueries.annTopKOracle,
     "x_ann_ivf" -> SimilarityQueries.annIvfOracle,
+    "x_ann_lsh" -> SimilarityQueries.annLshOracle,
     "x_embed_neardups" -> SimilarityQueries.embedNearDupsOracle,
     "x_kmeans_clusters" -> SimilarityQueries.kmeansClustersOracle,
     "x_ann_ivf_trained" -> SimilarityQueries.annIvfTrainedOracle,

@@ -231,6 +231,74 @@ object Similarity {
       col("q").as("c_q"), col("n2").as("c_n2"))
   }
 
+  /** Deterministic ±1 random hyperplanes for sign-LSH: entry (p, d) is
+    * +1 iff the 60-bit md5 hash of "p:d" is odd — the same portable hash
+    * family as everything else, so the DuckDB oracle reproduces the
+    * exact matrix.
+    */
+  private[graft] def hyperplanes(nBits: Int, dim: Int): Seq[Seq[Long]] =
+    (0 until nBits).map { p =>
+      (0 until dim).map { d =>
+        if (graft.expressions.MinHashKernel.hash60(s"$p:$d") % 2 == 1) 1L else -1L
+      }
+    }
+
+  /** Sign-LSH bucket of a quantized vector: bit p set iff
+    * `dot(v, plane_p) > 0`. Narrow codegen — nBits integer dot products
+    * against literal planes per row.
+    */
+  private def lshBucket(q: Column, planes: Seq[Seq[Long]]): Column =
+    planes.zipWithIndex.map { case (pv, i) =>
+      when(idot(q, typedLit(pv)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Random-hyperplane LSH top-k (the LSH-bucketed ANN scale path,
+    * complementing [[ivfTopK]]): corpus rows get a narrow nBits-bit
+    * sign bucket; each query probes its own bucket plus every hamming-1
+    * neighbor (multi-probe), and only those candidates are ranked by
+    * exact cosine.
+    *
+    * Scale shape: bucketing is per-row compute (no shuffle, no training
+    * pass — unlike IVF there is no centroid job at all), the probe list
+    * is a per-query explode of nBits+1 keys, and the candidate join is a
+    * broadcast of (query, bucket) pairs against the corpus with one
+    * window over matched candidates. Expected candidates per query:
+    * (nBits+1)/2^nBits of the corpus. Queries in sparse buckets may
+    * return fewer than k rows — recall, not cost, is the LSH trade.
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, embCol: String,
+      k: Int, nBits: Int = 8): DataFrame = {
+    require(nBits >= 1 && nBits <= 62, "nBits must be in [1, 62]")
+    val c = corpus.select(col(idCol).cast(LongType).as("c_id"),
+      quantize(col(embCol)).as("c_q"))
+      .withColumn("c_n2", inorm2(col("c_q")))
+    val q = queries.select(col(idCol).cast(LongType).as("q_id"),
+      quantize(col(embCol)).as("q_q"))
+      .withColumn("q_n2", inorm2(col("q_q")))
+
+    // dim probe against the (small) query side only
+    val dim = q.select(size(col("q_q"))).head.getInt(0)
+    val planes = hyperplanes(nBits, dim)
+
+    val cb = c.withColumn("bucket", lshBucket(col("c_q"), planes))
+    val probeKeys = array(
+      (col("__b0") +: (0 until nBits).map(i =>
+        col("__b0").bitwiseXOR(lit(1L << i)))): _*)
+    val probed = q.withColumn("__b0", lshBucket(col("q_q"), planes))
+      .select(col("q_id"), col("q_q"), col("q_n2"),
+        explode(probeKeys).as("bucket"))
+
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
+    cb.join(broadcast(probed), Seq("bucket"))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("cosine", cosine(idot(col("c_q"), col("q_q")), col("c_n2"), col("q_n2")))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"), col("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, blocked by
     * cluster equality (the LSH-style bucket: only intra-bucket pairs are
     * scored, so the join cost is bucket-bounded, never n²).

@@ -173,6 +173,47 @@ object SimilarityQueries {
        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Random-hyperplane LSH top-5 with hamming-1 multi-probe for query
+    * vectors vec_id < 10 (the training-free LSH-bucketed ANN scale
+    * path; 8 sign bits).
+    */
+  def annLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(emb(spark, dir),
+        embSmall(spark, dir).filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nBits = 8)
+      .orderBy("q_id", "rank")
+
+  val annLshOracle: String = {
+    // deterministic ±1 hyperplanes from md5("p:d") parity — the exact
+    // matrix Similarity.hyperplanes builds; multi-probe = all candidate
+    // buckets within hamming 1 of the query bucket
+    val planeHash = graft.functions.PortableHash.duckdbHash60(
+      "CAST(p.p AS VARCHAR) || ':' || CAST(d.d AS VARCHAR)")
+    s"""WITH $quantCte,
+       |pl AS (SELECT p.p AS plane, d.d AS dim,
+       |    CASE WHEN ($planeHash) % 2 = 1 THEN 1 ELSE -1 END AS s
+       |  FROM (SELECT unnest(range(0, 8)) AS p) p
+       |  CROSS JOIN (SELECT unnest(range(0, 64)) AS d) d),
+       |planes AS (SELECT plane, array_agg(CAST(s AS BIGINT) ORDER BY dim) AS pv
+       |  FROM pl GROUP BY plane),
+       |bux AS (SELECT n.id,
+       |    CAST(sum(CASE WHEN ${duckDot("n.qv", "pv")} > 0
+       |      THEN CAST(1 AS BIGINT) << plane ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM n CROSS JOIN planes GROUP BY n.id),
+       |qry AS (SELECT n.id AS q_id, n.qv AS qq, n.n2 AS qn2, b.bucket AS qb
+       |  FROM n JOIN bux b ON n.id = b.id WHERE n.id < 10),
+       |scored AS (SELECT q.q_id, c.id AS c_id,
+       |    ${duckCos(duckDot("c.qv", "q.qq"), "c.n2", "q.qn2")} AS cosine
+       |  FROM qry q
+       |  JOIN (SELECT n.id, n.qv, n.n2, b.bucket FROM n JOIN bux b ON n.id = b.id) c
+       |    ON bit_count(xor(q.qb, c.bucket)) <= 1 AND c.id <> q.q_id),
+       |ranked AS (SELECT q_id, c_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, c_id AS neighbor_id, cosine
+       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Embedding-cosine near-dup pairs above 0.4, blocked by label. */
   def embedNearDups(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(emb(spark, dir), "vec_id", "embedding", "label", threshold = 0.4)

@@ -27,6 +27,27 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.map(_.getAs[Long]("neighbor_id")).contains(0L), "self excluded")
   }
 
+  test("LSH top-k: candidates limited to hamming<=1 buckets, ranked by cosine") {
+    // brute force on this corpus puts 1 first for query 0; sign-LSH with
+    // multi-probe must agree whenever 1 lands within hamming 1 of 0's
+    // bucket — with near-identical vectors their sign patterns match on
+    // nearly every plane, so the pair is found
+    val out = Similarity.lshTopK(vectors, vectors.filter($"vec_id" === 0),
+      "vec_id", "embedding", k = 3, nBits = 4).collect()
+    assert(out.forall(_.getAs[Long]("q_id") == 0L))
+    assert(!out.map(_.getAs[Long]("neighbor_id")).contains(0L), "self excluded")
+    val cosines = out.map(_.getAs[Double]("cosine")).toSeq
+    assert(cosines === cosines.sorted.reverse, "ranked by descending cosine")
+    if (out.nonEmpty)
+      assert(out.head.getAs[Long]("neighbor_id") === 1L,
+        "nearest same-bucket vector ranks first")
+    // hyperplane matrix is deterministic
+    val p1 = Similarity.hyperplanes(4, 3)
+    val p2 = Similarity.hyperplanes(4, 3)
+    assert(p1 === p2)
+    assert(p1.flatten.forall(v => v == 1L || v == -1L))
+  }
+
   test("cosine is symmetric, bounded, and exact-integer deterministic") {
     val pairs = Similarity.nearDupPairs(vectors, "vec_id", "embedding", "label", threshold = -1.0)
       .collect()
