@@ -180,6 +180,54 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over an undirected near-dup pair graph: every
+    * corpus id labeled with the MIN id of its component — the dedup
+    * keeper assignment that turns pair output ([[minhashPairs]] /
+    * [[simhashPairs]]) into an actionable keep/drop decision. Singletons
+    * keep their own id.
+    *
+    * Iterative min-label propagation: each round joins current labels
+    * onto the symmetrized (persisted) edge list and takes the per-node
+    * min of own and neighbor labels, until a fixpoint (cheap diff
+    * `isEmpty` probe per round) or `maxIters`. Converges in O(component
+    * diameter) rounds — shallow for LSH dedup graphs, where capped
+    * buckets chain slices by design. Per round: one join keyed on id +
+    * one grouped min — the standard iterative-CC shape (large-star /
+    * small-star would cut rounds to O(log d) for extreme diameters).
+    */
+  def dedupClusters(
+      corpus: DataFrame, idCol: String,
+      pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(MEMORY_AND_DISK)
+    var labels = corpus.select(col(idCol).cast(LongType).as("id"))
+      .withColumn("label", col("id"))
+      .persist(MEMORY_AND_DISK)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val next = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+        .unionByName(labels.select(col("id"), col("label")))
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .persist(MEMORY_AND_DISK)
+      // full count, not isEmpty: the diff scan materializes EVERY
+      // partition of next's cache, so unpersisting the previous labels
+      // below can never trigger a deep lineage recompute
+      converged = next
+        .join(labels.select(col("id"), col("label").as("prev")), Seq("id"))
+        .filter(col("label") =!= col("prev"))
+        .count() == 0
+      labels.unpersist()
+      labels = next
+      iters += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** SimHash bit-fold given an already-materialized token-hash array
     * column — native codegen expression
     * ([[graft.expressions.SimHash60]]): one pass over the hash array per

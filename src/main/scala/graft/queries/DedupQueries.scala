@@ -104,7 +104,10 @@ object DedupQueries {
         numPerms = 16, r = 2, jaccardThreshold = 0.5)
       .orderBy("id_a", "id_b")
 
-  val minhashPairsOracle: String = {
+  /** The shared CTE chain ending in `scored(id_a, id_b, jaccard)` —
+    * used by both the pairs oracle and the clusters oracle.
+    */
+  private val minhashPairsCtes: String = {
     val t = DuckSql.tokens("text")
     val sh = DuckSql.shinglesFromTokens(t)
     s"""WITH corpus AS ($corpusNearSql),
@@ -124,9 +127,41 @@ object DedupQueries {
        |scored AS (SELECT id_a, id_b,
        |    round(CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) /
        |      (CAST(len(sa.sset) + len(sb.sset) AS DOUBLE) - len(list_intersect(sa.sset, sb.sset))), 6) AS jaccard
-       |  FROM cand JOIN sets sa ON sa.id = cand.id_a JOIN sets sb ON sb.id = cand.id_b)
+       |  FROM cand JOIN sets sa ON sa.id = cand.id_a JOIN sets sb ON sb.id = cand.id_b)""".stripMargin
+  }
+
+  val minhashPairsOracle: String =
+    s"""$minhashPairsCtes
        |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- Dedup clustering: connected components over the pair graph --
+
+  /** Keeper assignment: connected components over the minhash near-dup
+    * pair graph (threshold 0.5); every corpus doc labeled with its
+    * component's min id.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusNear(spark, dir)
+    val pairs = TextDedup.minhashPairs(corpus, "doc_id", "text",
+      numPerms = 16, r = 2, jaccardThreshold = 0.5)
+    TextDedup.dedupClusters(corpus, "doc_id", pairs).orderBy("doc_id")
+  }
+
+  val dedupClustersOracle: String = {
+    // exact CC via recursive label reachability (UNION-deduped
+    // fixpoint), over the same scored pairs the Spark side propagates on
+    val ctes = minhashPairsCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")
+    s"""$ctes,
+       |good AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM good
+       |  UNION ALL SELECT id_b, id_a FROM good),
+       |reach(id, label) AS (
+       |  SELECT doc_id, doc_id FROM corpus
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
+       |SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
   }
 
   // ---- SimHash fingerprints + near-dup pairs -----------------------

@@ -123,6 +123,21 @@ class TextDedupSpec extends SparkSpec {
     checkPairs(sh, "simhashPairs")
   }
 
+  test("dedupClusters: components labeled with min id; chains need multiple rounds") {
+    import spark.implicits._
+    // components: {1,2,3} via chain 1-2-3, {5,6}, singleton 4;
+    // plus a long chain 10-11-12-13-14-15 forcing several propagation rounds
+    val nodes = (Seq(1L, 2L, 3L, 4L, 5L, 6L) ++ (10L to 15L)).toDF("doc_id")
+    val pairs = (Seq((1L, 2L), (2L, 3L), (5L, 6L)) ++
+      (10L until 15L).map(i => (i + 1, i))) // reversed order: propagation must flow both ways
+      .toDF("id_a", "id_b")
+    val out = TextDedup.dedupClusters(nodes, "doc_id", pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L, 15L -> 10L))
+  }
+
   test("simhash: equal for identical docs, close for near-dups (hamming)") {
     val sims = TextDedup.withSimhash(docs, "text").select($"doc_id", $"sim").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
