@@ -237,6 +237,28 @@ object DedupQueries {
        |ORDER BY id_a""".stripMargin
   }
 
+  // ---- deterministic split assignment ------------------------------
+
+  /** Content-hash 90/5/5 train/validation/test assignment (1000
+    * buckets) — stable under re-sharding and corpus growth.
+    */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        graft.operators.Sampling.hashBucket(col("text"), 1000).as("bucket"))
+      .withColumn("split", graft.operators.Sampling.splitLabel(col("bucket"), 90, 5))
+      .orderBy("doc_id")
+
+  val splitAssignOracle: String =
+    s"""WITH b AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    (${DuckSql.hash60("text")}) % 1000 AS bucket
+       |  FROM documents)
+       |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       |  CASE WHEN bucket < 900 THEN 'train'
+       |       WHEN bucket < 950 THEN 'validation'
+       |       ELSE 'test' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin
+
   // ---- text analysis ------------------------------------------------
 
   def langId(spark: SparkSession, dir: String): DataFrame =

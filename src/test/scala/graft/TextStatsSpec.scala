@@ -42,6 +42,28 @@ class TextStatsSpec extends SparkSpec {
     assert(r.getAs[Long]("bpe") === 11L)
   }
 
+  test("split assignment: deterministic, content-keyed, respects percentages") {
+    import graft.operators.Sampling
+    val df = (0 until 500).map(i => (i.toLong, s"document number $i with some text"))
+      .toDF("id", "text")
+    val out = df.select($"id",
+      Sampling.hashBucket($"text", 1000).as("bucket"),
+      Sampling.splitLabel(Sampling.hashBucket($"text", 1000), 90, 5).as("split"))
+      .collect()
+    assert(out.forall(r => { val b = r.getLong(1); b >= 0 && b < 1000 }))
+    val bySplit = out.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "validation", "test")))
+    assert(bySplit("train") > 400, s"~90% expected train, got $bySplit")
+    // deterministic: same content -> same split, independent of id
+    val again = df.orderBy($"id".desc).select(
+      Sampling.splitLabel(Sampling.hashBucket($"text", 1000), 90, 5)).collect()
+      .map(_.getString(0))
+    assert(again.sorted.toSeq === out.map(_.getString(2)).sorted.toSeq)
+    // sample predicate keeps roughly pct%
+    val kept = df.filter(Sampling.samplePredicate($"text", 10)).count()
+    assert(kept > 20 && kept < 90, s"~10% of 500 expected, got $kept")
+  }
+
   test("rolling hash: codegen matches interpreted compute, order-sensitive") {
     val df = Seq((1L, "abc"), (2L, "cba"), (3L, "")).toDF("id", "text")
     val out = df.select($"id", RollingHash.rolling_hash($"text").as("h")).collect()
