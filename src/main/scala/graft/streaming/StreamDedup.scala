@@ -1,0 +1,39 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+
+/** Streaming ingest deduplication (extension — SURVEY §7.2.8): drop
+  * exact-duplicate documents as they arrive, keeping the FIRST
+  * occurrence, via Structured Streaming's stateful `dropDuplicates`.
+  *
+  * Scale design: state is keyed on the 60-bit content hash — a fixed
+  * 8-byte key per distinct document instead of the full text, so the
+  * state store holds O(distinct) small entries and the stream shuffles
+  * once on the hash (the same key the batch [[graft.operators.TextDedup.exact]]
+  * groups on). With an event-time watermark
+  * (`dropDuplicatesWithinWatermark`) state for keys older than the
+  * watermark is evicted — bounded memory on an unbounded stream, the
+  * standard trade (exact dedup within the watermark horizon, re-admits
+  * beyond it).
+  */
+object StreamDedup {
+
+  /** Unbounded-state variant: exact dedup over the whole stream history.
+    * `df` must contain `textCol`; emits input rows plus `content_hash`.
+    */
+  def exactDedupStream(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("content_hash", PortableHash.hash60(col(textCol)))
+      .dropDuplicates("content_hash")
+
+  /** Watermarked variant: state bounded to the watermark horizon.
+    * `df` must contain an event-time column `tsCol`.
+    */
+  def exactDedupStreamWatermarked(
+      df: DataFrame, textCol: String, tsCol: String, watermark: String): DataFrame =
+    df.withColumn("content_hash", PortableHash.hash60(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+}

@@ -68,6 +68,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup keeps first occurrence per content hash across batches") {
+    import spark.implicits._
+    import graft.streaming.StreamDedup
+    val dir = Files.createTempDirectory("graft-sdedup").toString
+    // batch 1: two distinct docs + one in-batch duplicate
+    Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"), (3L, "alpha beta gamma"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamDedup.exactDedupStream(stream, "text")
+      .writeStream.outputMode("append").format("memory").queryName("sdedup_out").start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table("sdedup_out").select("text").as[String].collect().sorted
+      assert(first.toSeq === Seq("alpha beta gamma", "delta epsilon"))
+      // batch 2: a cross-batch duplicate and a new doc — state must
+      // remember batch 1's hashes
+      Seq((4L, "delta epsilon"), (5L, "zeta eta"))
+        .toDF("doc_id", "text").write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val all = spark.table("sdedup_out").select("text").as[String].collect().sorted
+      assert(all.toSeq === Seq("alpha beta gamma", "delta epsilon", "zeta eta"))
+      // batch dedup agrees on the same corpus
+      val batchKept = graft.operators.TextDedup
+        .exact(spark.read.parquet(dir), "doc_id", "text").count()
+      assert(batchKept === 3L)
+    } finally q.stop()
+  }
+
   test("sessionize: gap splits sessions per user") {
     import spark.implicits._
     val events = Seq(
