@@ -95,4 +95,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*("), "WSCG markers expected:\n" + p)
     assert(!p.toLowerCase.contains("batcheval"), p)
   }
+
+  test("k-means assignment is narrow: no corpus window, crossJoin, or per-iteration shuffle") {
+    // the Lloyd loop collects centroids driver-side; the per-row
+    // assignment must be literal-centroid argmax — any Window or
+    // nested-loop join here would shuffle the full corpus every
+    // iteration at 100 TB
+    val df = graft.queries.SimilarityQueries.kmeansClusters(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("Window"), "no window over the corpus expected:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("LSH ANN broadcasts only the probe list; corpus side stays partitioned") {
+    val df = graft.queries.SimilarityQueries.annLsh(spark, dir)
+    val hinted = forcedBroadcastSubtrees(df)
+    assert(hinted.nonEmpty, "probe side must carry the broadcast hint")
+    for (sub <- hinted)
+      assert(!sub.contains("embeddings.parquet") || sub.contains("vec_id < 10"),
+        "only the filtered query side may be broadcast:\n" + sub)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("split assignment is pure narrow compute — no exchange except the output sort") {
+    val df = graft.queries.DedupQueries.splitAssign(spark, dir)
+    val p = plan(df)
+    // exactly the rangepartitioning exchange for the final orderBy; no
+    // hash-partitioned (aggregate/join) shuffle anywhere
+    assert(!p.contains("hashpartitioning"), "no hash shuffle expected:\n" + p)
+  }
 }
