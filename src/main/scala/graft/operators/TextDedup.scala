@@ -199,33 +199,51 @@ object TextDedup {
       corpus: DataFrame, idCol: String,
       pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val ids = corpus.select(col(idCol).cast(LongType).as("id"))
+    // Materialize the pair list ONCE (eager checkpoint) before
+    // symmetrizing: the union's two branches would otherwise each
+    // evaluate the whole upstream candidate/verify pipeline, and the
+    // truncated lineage keeps every round's plan free of the (large)
+    // pair-generation DAG.
+    val p0 = pairs.select(col("id_a").cast(LongType).as("id_a"),
+      col("id_b").cast(LongType).as("id_b"))
+      .localCheckpoint(true)
+    val edges = p0.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(p0.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(MEMORY_AND_DISK)
-    var labels = corpus.select(col(idCol).cast(LongType).as("id"))
+    // Propagate over the EDGE SUBGRAPH only: a node with no edges can
+    // never change label, and near-dup graphs are tiny relative to the
+    // corpus — at 100 TB the iterative state is O(|pairs|), not
+    // O(|corpus|). Singletons re-attach in one final left join.
+    //
+    // Each round ends in an EAGER localCheckpoint: round k's plan
+    // references round k-1's labels twice (via msgs and the join), so
+    // without lineage truncation the logical plan doubles per round and
+    // Catalyst analysis time grows exponentially — the classic
+    // iterative-graph trap; caching alone does not shrink the plan the
+    // driver re-analyzes. Checkpointing keeps every round's plan O(1).
+    var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
-      val next = edges.join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"))
-        .unionByName(labels.select(col("id"), col("label")))
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .persist(MEMORY_AND_DISK)
-      // full count, not isEmpty: the diff scan materializes EVERY
-      // partition of next's cache, so unpersisting the previous labels
-      // below can never trigger a deep lineage recompute
-      converged = next
-        .join(labels.select(col("id"), col("label").as("prev")), Seq("id"))
-        .filter(col("label") =!= col("prev"))
-        .count() == 0
-      labels.unpersist()
-      labels = next
+      val msgs = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("id")).agg(min(col("label")).as("msg"))
+      val next = labels.select(col("id"), col("label").as("prev"))
+        .join(msgs, Seq("id"), "left")
+        .select(col("id"),
+          least(col("prev"), coalesce(col("msg"), col("prev"))).as("label"),
+          col("prev"))
+        .localCheckpoint(true) // materializes; convergence probe below is cheap
+      converged = next.filter(col("label") =!= col("prev")).count() == 0
+      labels = next.select(col("id"), col("label"))
       iters += 1
     }
     edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    ids.join(labels.select(col("id"), col("label")), Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("label"), col("id")).as("cluster_id"))
   }
 
   /** SimHash bit-fold given an already-materialized token-hash array

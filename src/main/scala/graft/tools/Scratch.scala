@@ -38,6 +38,10 @@ object Scratch {
       TextDedup.minhashSignatureFromHashes(col("sset"), 16).as("sig")).count())
     t("full minhashPairs")(TextDedup.minhashPairs(d, "id", "text",
       numPerms = 16, r = 2, jaccardThreshold = 0.5).count())
+    t("clusters (warm pairs codegen)")(
+      graft.queries.DedupQueries.dedupClusters(spark, dir).count())
+    t("clusters again")(
+      graft.queries.DedupQueries.dedupClusters(spark, dir).count())
 
     // stagewise decomposition of minhashPairs
     val sets2 = d.select(col("id"), TextDedup.shingleHashes(col("text"), 3).as("sset"))
