@@ -62,6 +62,45 @@ object GraftProps extends Properties("graft") {
         Prop((base >> 60) == 0L) :| "60 bits"
     }
 
+  property("hash60 kernel bit-twiddle == hex-string parse of md5 (the oracle's spelling)") =
+    forAll(Gen.asciiPrintableStr) { s =>
+      val viaHex = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+      graft.expressions.MinHashKernel.hash60(s) == viaHex
+    }
+
+  property("shingle-hash kernel == sequential model (tokens, w-grams, first-seen distinct)") = {
+    val word = Gen.oneOf(Gen.alphaNumStr, Gen.asciiPrintableStr)
+    forAll(Gen.listOfN(12, word), Gen.chooseNum(1, 4)) { (words, w) =>
+      val text = words.mkString(" ")
+      val toks = "[^a-z0-9]+".r.split(text.toLowerCase).filter(_.nonEmpty).toSeq
+      val shingles =
+        if (toks.length >= w) toks.sliding(w).map(_.mkString(" ")).toSeq
+        else Seq(toks.mkString(" "))
+      val expect = shingles.map(graft.expressions.MinHashKernel.hash60).distinct
+      val got = {
+        val a = graft.expressions.MinHashKernel
+          .shingleHashes(org.apache.spark.unsafe.types.UTF8String.fromString(text), w)
+        Array.tabulate(a.numElements())(a.getLong).toSeq
+      }
+      got == expect
+    }
+  }
+
+  property("minhash signature kernel == per-seed affine minima") = {
+    val hashes = Gen.listOf(Gen.chooseNum(0L, (1L << 60) - 1))
+    forAll(hashes, Gen.chooseNum(1, 24)) { (hs, perms) =>
+      val P = graft.functions.PortableHash.P
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(hs.toArray)
+      val out = graft.expressions.MinHashKernel.minhashSig(arr, perms)
+      if (hs.isEmpty) (0 until perms).forall(out.isNullAt)
+      else (0 until perms).forall { s =>
+        out.getLong(s) == hs.map(h => ((h % P) * (2L * s + 1) + (12345L * s + 677)) % P).min
+      }
+    }
+  }
+
   property("dictionary first-seen semantics match a sequential reference") = {
     val values = Gen.listOfN(50, Gen.oneOf("a", "b", "c", "d", "e", "f"))
     forAll(values) { vs =>
