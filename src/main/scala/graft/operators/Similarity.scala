@@ -27,8 +27,15 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Quantize a float-array embedding to exact BIGINTs. */
+  /** Quantize a float-array embedding to exact BIGINTs — native
+    * single-pass expression ([[graft.expressions.QuantizeVec]]); the
+    * HOF spelling ([[quantizeHof]]) is CodegenFallback.
+    */
   def quantize(emb: Column): Column =
+    graft.expressions.QuantizeVec.quantize_vec(emb)
+
+  /** Parity reference for the spec. */
+  private[graft] def quantizeHof(emb: Column): Column =
     transform(emb, x => round(x.cast(DoubleType) * 1000).cast(LongType))
 
   /** Exact integer dot product of two quantized vectors — native codegen

@@ -48,6 +48,22 @@ class SimilaritySpec extends SparkSpec {
     assert(p1.flatten.forall(v => v == 1L || v == -1L))
   }
 
+  test("native quantize matches the HOF round(x*1000) spelling incl. ties and negatives") {
+    val rng = new scala.util.Random(42)
+    val tricky = Seq(
+      Array(0.0005f, -0.0005f, 0.0015f, -0.0015f), // rounding ties at the scale boundary
+      Array(0.9999995f, -0.9999995f, 1.0000005f, -1.0f),
+      Array(0.0f, -0.0f, Float.MinPositiveValue, -Float.MinPositiveValue)) ++
+      (0 until 50).map(_ => Array.fill(64)(rng.nextFloat() * 2 - 1))
+    val df = tricky.zipWithIndex.map { case (a, i) => (i.toLong, a) }.toDF("id", "emb")
+    val rows = df.select($"id",
+      Similarity.quantize($"emb").as("native"),
+      graft.operators.Similarity.quantizeHof($"emb").as("hof")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"quantize differs for id ${r.getLong(0)}")
+    }
+  }
+
   test("cosine is symmetric, bounded, and exact-integer deterministic") {
     val pairs = Similarity.nearDupPairs(vectors, "vec_id", "embedding", "label", threshold = -1.0)
       .collect()
