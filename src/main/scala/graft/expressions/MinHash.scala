@@ -116,6 +116,18 @@ object MinHashKernel {
     new GenericArrayData(out)
   }
 
+  /** Tokens that are members of `words`, counted with multiplicity. */
+  def stopwordHits(text: UTF8String, words: java.util.HashSet[String]): Long = {
+    val toks = tokens(text)
+    var n = 0L
+    var i = 0
+    while (i < toks.length) {
+      if (words.contains(toks(i))) n += 1
+      i += 1
+    }
+    n
+  }
+
   private val P = graft.functions.PortableHash.P
 
   /** numPerms affine-min signature over a hash array. */
@@ -139,6 +151,41 @@ object MinHashKernel {
     }
     new GenericArrayData(mins)
   }
+}
+
+/** `stopword_hits(text, words)`: tokens of `text` that are members of
+  * `words`, counted with multiplicity — the per-language scoring loop of
+  * language-ID and the stopword-ratio of quality scoring. The
+  * `size(filter(tokens, isin(...)))` spelling is a CodegenFallback HOF
+  * with an interpreted `isin` per token; here it is one tokenizer pass
+  * plus hash-set membership.
+  */
+case class StopwordHits(child: Expression, words: Seq[String]) extends UnaryExpression {
+
+  @transient private lazy val wordSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    words.foreach(s.add)
+    s
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.stopwordHits(input.asInstanceOf[UTF8String], wordSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("wordSet", wordSet, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.MinHashKernel.stopwordHits($c, $setRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StopwordHits =
+    copy(child = newChild)
+}
+
+object StopwordHits {
+  def stopword_hits(text: Column, words: Seq[String]): Column =
+    GraftShim.column(StopwordHits(GraftShim.expression(text), words))
 }
 
 /** `shingle_hash60(text, w)` — see [[MinHashKernel.shingleHashes]]. */

@@ -24,14 +24,21 @@ object TextStats {
     "es" -> Seq("el", "los", "las", "una", "es", "y", "que", "por"),
     "fr" -> Seq("le", "les", "et", "est", "une", "que", "pour", "dans"))
 
-  private def hitCount(toks: Column, words: Seq[String]): Column =
+  /** Native tokenizer pass + hash-set membership
+    * ([[graft.expressions.StopwordHits]]); the
+    * `size(filter(toks, isin(...)))` HOF spelling is kept as the parity
+    * reference for the spec.
+    */
+  private def hitCount(text: Column, words: Seq[String]): Column =
+    graft.expressions.StopwordHits.stopword_hits(text, words)
+
+  private[graft] def hitCountHof(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit): _*).cast(BooleanType)))
 
   /** Language-ID: stopword-hit argmax. Returns (lang, hits) struct. */
   def langId(text: Column): Column = {
-    val toks = Fts.tokens(Seq(text))
     val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(hitCount(toks, words).cast(LongType).as("hits"), lit(lang).as("lang"))
+      struct(hitCount(text, words).cast(LongType).as("hits"), lit(lang).as("lang"))
     }
     // array_max on (hits, lang) structs: lexicographic -> highest hits,
     // then lexicographically LAST language; to make ties resolve to the
@@ -55,7 +62,7 @@ object TextStats {
     val spaceChars = length(regexp_replace(text, "[^ ]", "")).cast(LongType)
     val punctChars = nChars - alnumChars - spaceChars
     val allStop = stopwords.values.flatten.toSeq.distinct.sorted
-    val stopHits = hitCount(toks, allStop).cast(LongType)
+    val stopHits = hitCount(text, allStop).cast(LongType)
     val meanTokLen = when(nTokens > 0,
       alnumChars.cast(DoubleType) / nTokens.cast(DoubleType)).otherwise(lit(0.0))
     val punctRatio = when(nChars > 0,
@@ -71,9 +78,11 @@ object TextStats {
       stopRatio.as("stopword_ratio"), round(score, 6).as("quality_score"))
   }
 
-  /** Whitespace token count. */
+  /** Whitespace token count. `array_remove` is a codegen'd builtin; the
+    * `filter(...)` HOF spelling it replaces was CodegenFallback.
+    */
   def wsTokenCount(text: Column): Column =
-    size(filter(split(text, "\\s+"), t => t =!= lit(""))).cast(LongType)
+    size(array_remove(split(text, "\\s+"), "")).cast(LongType)
 
   /** BPE-ish subword count: runs of letters, runs of digits, and single
     * other non-space characters each count as one token (a cheap proxy

@@ -42,6 +42,26 @@ class TextStatsSpec extends SparkSpec {
     assert(r.getAs[Long]("bpe") === 11L)
   }
 
+  test("native stopword-hit count matches the HOF isin spelling with multiplicity") {
+    import graft.operators.Fts
+    val texts = Seq(
+      "the cat and the dog and the bird",  // 'the' x3, 'and' x2
+      "DER Hund IST nicht der Gleiche",
+      "no stop words here whatsoever",
+      "",
+      "le la les et est"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (words <- TextStats.stopwords.values.toSeq :+
+        TextStats.stopwords.values.flatten.toSeq.distinct) {
+      val rows = texts.select($"id",
+        graft.expressions.StopwordHits.stopword_hits($"text", words).as("native"),
+        TextStats.hitCountHof(Fts.tokens(Seq($"text")), words).cast("long").as("hof"))
+        .collect()
+      rows.foreach(r => assert(r.getLong(1) === r.getLong(2),
+        s"hit counts differ for id ${r.getLong(0)} words=$words"))
+    }
+  }
+
   test("split assignment: deterministic, content-keyed, respects percentages") {
     import graft.operators.Sampling
     val df = (0 until 500).map(i => (i.toLong, s"document number $i with some text"))
