@@ -334,7 +334,7 @@ object Similarity {
       .agg(collect_list(col("id")).as("members"))
       .filter(size(col("members")) > 1)
       .select(explode(
-        TextDedup.cappedBucketPairs(array_sort(col("members")), maxBucket)).as("p"))
+        TextDedup.cappedBucketPairsLong(array_sort(col("members")), maxBucket)).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
     pairs
       .join(c.select(col("id").as("id_a"), col("q").as("q_a"), col("n2").as("n2_a")), Seq("id_a"))

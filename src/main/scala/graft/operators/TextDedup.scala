@@ -129,6 +129,15 @@ object TextDedup {
     * past the cap; corpora with massive EXACT duplication should be
     * pre-collapsed with [[exact]] first.
     */
+  /** Native variant for LONG member arrays (minhash / embedding
+    * buckets) — same pair set, one JIT'd pass
+    * ([[graft.expressions.CappedLongPairs]]); [[cappedBucketPairs]]
+    * remains for struct-typed members (simhash) and as the parity
+    * reference.
+    */
+  private[graft] def cappedBucketPairsLong(sortedMembers: Column, cap: Int): Column =
+    graft.expressions.CappedLongPairs.capped_pairs(sortedMembers, cap)
+
   private[graft] def cappedBucketPairs(sortedMembers: Column, cap: Int): Column = {
     val nSlices = ceil(size(sortedMembers).cast(DoubleType) / cap).cast(IntegerType)
     val within = flatten(transform(sequence(lit(0), nSlices - 1),
@@ -166,7 +175,7 @@ object TextDedup {
       .groupBy(col("band"), col("bsig"))
       .agg(collect_list(col("id")).as("members"))
       .filter(size(col("members")) > 1)
-      .select(explode(cappedBucketPairs(array_sort(col("members")), maxBucket)).as("p"))
+      .select(explode(cappedBucketPairsLong(array_sort(col("members")), maxBucket)).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     cand

@@ -85,6 +85,21 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("native capped pair expansion emits the same pair set as the HOF spelling") {
+    import org.apache.spark.sql.Row
+    for (n <- Seq(2, 5, 63, 64, 65, 129, 300); cap = 64) {
+      val members = (0 until n).map(i => (i * 7 + 3).toLong) // sorted, arbitrary ids
+      val df = Seq(Tuple1(members)).toDF("members")
+      def pairSet(c: org.apache.spark.sql.Column): Set[(Long, Long)] =
+        df.select(explode(c).as("p")).select("p.id_a", "p.id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val native = pairSet(TextDedup.cappedBucketPairsLong(col("members"), cap))
+      val hof = pairSet(TextDedup.cappedBucketPairs(col("members"), cap))
+      assert(native === hof, s"pair sets differ at n=$n")
+      assert(native.forall { case (a, b) => a < b })
+    }
+  }
+
   test("pathological corpus: bucket cap bounds pairs at O(n·cap), keeps connectivity") {
     // n identical documents land in ONE LSH bucket for every band; the
     // uncapped expansion would emit n(n-1)/2 pairs from a single task.
