@@ -299,7 +299,11 @@ object TextDedup {
       .select(explode(cappedBucketPairs(array_sort(col("members")), maxBucket)).as("p"))
       .select(col("p.id_a.id").as("id_a"), col("p.id_b.id").as("id_b"),
         bit_count(col("p.id_a.sim").bitwiseXOR(col("p.id_b.sim"))).cast(LongType).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+      // hamming is deterministic per pair, so filtering BEFORE the
+      // dedup shuffle is equivalent — and Catalyst cannot push a
+      // non-grouping-key filter through the aggregate itself. Only
+      // close pairs pay the shuffle.
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 }
