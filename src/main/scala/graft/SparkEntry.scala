@@ -87,6 +87,7 @@ object SparkEntry {
     "x_events_sessions" -> (EventQueries.sessions _),
     "x_multimodal_decode" -> (EventQueries.multimodalDecode _),
     "x_multimodal_frames" -> (EventQueries.multimodalFrames _),
+    "x_multimodal_embed_topk" -> (EventQueries.multimodalEmbedTopK _),
   )
 
   /** DuckDB-runnable oracle per query (same column names, same ORDER BY). */
@@ -220,5 +221,6 @@ object SparkEntry {
     "x_events_sessions" -> EventQueries.sessionsOracle,
     "x_multimodal_decode" -> EventQueries.multimodalDecodeOracle,
     "x_multimodal_frames" -> EventQueries.multimodalFramesOracle,
+    "x_multimodal_embed_topk" -> EventQueries.multimodalEmbedTopKOracle,
   )
 }

@@ -51,6 +51,33 @@ object Multimodal {
     }
   }
 
+  case class MediaEmbed(media_id: Long, embedding: Seq[Long])
+
+  /** THE STUB embedding head: a real pipeline runs a vision/audio
+    * encoder here (the second place needing a native library). The fake
+    * derives a dim-length integer vector in [-1000, 1000] from seeded
+    * hashes of the blob's md5 — deterministic and oracle-exact, and the
+    * integer range matches what [[Similarity]] quantization produces,
+    * so the output feeds every ANN operator unchanged.
+    */
+  object StubEmbedder {
+    def embed(blob: MediaBlob, dim: Int): MediaEmbed = {
+      val md5 = MessageDigest.getInstance("MD5").digest(blob.content)
+        .map("%02x".format(_)).mkString
+      MediaEmbed(blob.media_id,
+        (0 until dim).map(d =>
+          graft.expressions.MinHashKernel.hash60(s"$md5:$d") % 2001L - 1000L))
+    }
+  }
+
+  /** Batch embed: one partition per task, no shuffle — same contract as
+    * [[decodeAll]].
+    */
+  def embedAll(blobs: Dataset[MediaBlob], dim: Int): Dataset[MediaEmbed] = {
+    val enc = Encoders.product[MediaEmbed]
+    blobs.mapPartitions(_.map(b => StubEmbedder.embed(b, dim)))(enc)
+  }
+
   /** Wrap a text column as a binary media blob (the ingest step a real
     * pipeline does when reading raw media files).
     */

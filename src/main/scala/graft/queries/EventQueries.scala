@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.operators.Multimodal
+import graft.operators.{Multimodal, Similarity}
 import graft.streaming.EventWindows
 
 /** Graded queries over `events` (event-time windowing, sessionization)
@@ -106,4 +106,49 @@ object EventQueries {
       |  CAST(f.f * 100 AS BIGINT) AS byte_offset
       |FROM documents, LATERAL (SELECT unnest(range(0, ((octet_length(encode(text)) - 1) // 100) + 1)) AS f) f
       |ORDER BY media_id, frame_no""".stripMargin
+
+  /** Media→embedding→ANN bridge: blobs run through the stub embedding
+    * head (16-dim integer vectors), then exact cosine top-3 for
+    * media_id < 5 — the end-to-end shape of a multimodal similarity
+    * pipeline with the encoder stubbed.
+    */
+  def multimodalEmbedTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val emb = Multimodal
+      .embedAll(Multimodal.asBlobs(docs, "doc_id", "text", "image"), dim = 16)
+      .toDF()
+      .withColumn("n2", Similarity.idot(col("embedding"), col("embedding")))
+    val q = broadcast(emb.filter(col("media_id") < 5)
+      .select(col("media_id").as("q_id"), col("embedding").as("q_emb"),
+        col("n2").as("q_n2")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("media_id"))
+    emb.join(q, col("media_id") =!= col("q_id"))
+      .withColumn("cosine", Similarity.cosine(
+        Similarity.idot(col("embedding"), col("q_emb")), col("n2"), col("q_n2")))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("media_id").as("neighbor_id"), col("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  val multimodalEmbedTopKOracle: String = {
+    val h = graft.functions.PortableHash.duckdbHash60(
+      "md5(text) || ':' || CAST(d AS VARCHAR)")
+    s"""WITH e AS (SELECT CAST(doc_id AS BIGINT) AS id,
+       |    list_transform(range(0, 16), d -> CAST(($h) % 2001 - 1000 AS BIGINT)) AS v
+       |  FROM documents),
+       |n AS (SELECT id, v,
+       |    CAST(list_sum(list_transform(range(1, 17), i -> v[i] * v[i])) AS BIGINT) AS n2
+       |  FROM e),
+       |scored AS (SELECT q.id AS q_id, c.id AS c_id,
+       |    round(CAST(list_sum(list_transform(range(1, 17), i -> c.v[i] * q.v[i])) AS DOUBLE) /
+       |      (sqrt(CAST(c.n2 AS DOUBLE)) * sqrt(CAST(q.n2 AS DOUBLE))), 6) AS cosine
+       |  FROM n c JOIN n q ON q.id < 5 AND c.id <> q.id),
+       |ranked AS (SELECT q_id, c_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, c_id AS neighbor_id, cosine
+       |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  }
 }

@@ -32,6 +32,23 @@ class MultimodalSpec extends SparkSpec {
       metas.map(m => (m.width, m.height, m.channels)).toSeq)
   }
 
+  test("stub embedding: deterministic, dim-length, bounded, feeds integer cosine") {
+    val blobs = Multimodal.asBlobs(media, "media_id", "payload", "image")
+    val embs = Multimodal.embedAll(blobs, dim = 16).collect().sortBy(_.media_id)
+    assert(embs.length === media.count())
+    embs.foreach { e =>
+      assert(e.embedding.length === 16)
+      assert(e.embedding.forall(v => v >= -1000 && v <= 1000))
+    }
+    val again = Multimodal.embedAll(blobs, dim = 16).collect().sortBy(_.media_id)
+    assert(again.map(_.embedding).toSeq === embs.map(_.embedding).toSeq)
+    // a model: hash60(md5hex:d) % 2001 - 1000
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("tiny payload".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect0 = graft.expressions.MinHashKernel.hash60(s"$md5:0") % 2001L - 1000L
+    assert(embs.find(_.media_id == 1L).get.embedding.head === expect0)
+  }
+
   test("frame sampling: one frame per stride, offsets correct") {
     val frames = Multimodal.sampleFrames(media, "media_id", "payload", stride = 10)
       .orderBy("media_id", "frame_no").collect()
