@@ -70,6 +70,7 @@ object SparkEntry {
     "x_simhash_pairs" -> (DedupQueries.simhashPairs _),
     "x_ngram_jaccard" -> (DedupQueries.ngramJaccard _),
     "x_split_assign" -> (DedupQueries.splitAssign _),
+    "x_corpus_report" -> (DedupQueries.corpusReport _),
     "x_lang_id" -> (DedupQueries.langId _),
     "x_quality" -> (DedupQueries.quality _),
     "x_token_counts" -> (DedupQueries.tokenCounts _),
@@ -206,6 +207,7 @@ object SparkEntry {
     "x_simhash_pairs" -> DedupQueries.simhashPairsOracle,
     "x_ngram_jaccard" -> DedupQueries.ngramJaccardOracle,
     "x_split_assign" -> DedupQueries.splitAssignOracle,
+    "x_corpus_report" -> DedupQueries.corpusReportOracle,
     "x_lang_id" -> DedupQueries.langIdOracle,
     "x_quality" -> DedupQueries.qualityOracle,
     "x_token_counts" -> DedupQueries.tokenCountsOracle,

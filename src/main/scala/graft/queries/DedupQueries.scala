@@ -329,6 +329,68 @@ object DedupQueries {
        |  CAST(length(text) AS BIGINT) AS n_chars
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Corpus curation report: per (predicted language, split) — doc
+    * count, total whitespace tokens, total chars, quality min/max. One
+    * narrow pass + one grouped aggregation; every measure is an exact
+    * integer sum or an order statistic (no double summation, whose
+    * order-dependence would break cross-engine hashing).
+    */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        TextStats.langId(col("text")).as("lang_pred"),
+        graft.operators.Sampling.splitLabel(
+          graft.operators.Sampling.hashBucket(col("text"), 1000), 90, 5).as("split"),
+        TextStats.wsTokenCount(col("text")).as("ws"),
+        length(col("text")).cast(LongType).as("nc"),
+        TextStats.quality(col("text")).getField("quality_score").as("qs"))
+      .groupBy(col("lang_pred"), col("split"))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(col("ws")).cast(LongType).as("total_tokens"),
+        sum(col("nc")).cast(LongType).as("total_chars"),
+        min(col("qs")).as("min_quality"),
+        max(col("qs")).as("max_quality"))
+      .orderBy("lang_pred", "split")
+
+  val corpusReportOracle: String = {
+    val t = DuckSql.tokens("text")
+    val hits = TextStats.stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      s"${DuckSql.hitCount("toks", words)} AS h_$lang"
+    }.mkString(",\n  ")
+    val allStop = TextStats.stopwords.values.flatten.toSeq.distinct.sorted
+    s"""WITH t AS (SELECT text, $t AS toks FROM documents),
+       |scored AS (SELECT text, toks, $hits FROM t),
+       |lang AS (SELECT text, toks,
+       |  CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+       |       WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+       |       WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+       |       WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+       |       ELSE 'fr' END AS lang_pred
+       |  FROM scored),
+       |m AS (SELECT lang_pred,
+       |    CASE WHEN (${DuckSql.hash60("text")}) % 1000 < 900 THEN 'train'
+       |         WHEN (${DuckSql.hash60("text")}) % 1000 < 950 THEN 'validation'
+       |         ELSE 'test' END AS split,
+       |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS ws,
+       |    CAST(length(text) AS BIGINT) AS nc,
+       |    CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT) AS alnum,
+       |    CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS spaces,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(${DuckSql.hitCount("toks", allStop)} AS BIGINT) AS stop_hits
+       |  FROM lang),
+       |q AS (SELECT lang_pred, split, ws, nc,
+       |    round(greatest(0.0, least(1.0,
+       |      0.5 * (CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens ELSE 0.0 END) +
+       |      0.1 * (CASE WHEN n_tokens > 0 THEN CAST(alnum AS DOUBLE) / n_tokens ELSE 0.0 END) -
+       |      (CASE WHEN nc > 0 THEN CAST(nc - alnum - spaces AS DOUBLE) / nc ELSE 0.0 END))), 6) AS qs
+       |  FROM m)
+       |SELECT lang_pred, split, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(ws) AS BIGINT) AS total_tokens,
+       |  CAST(sum(nc) AS BIGINT) AS total_chars,
+       |  min(qs) AS min_quality, max(qs) AS max_quality
+       |FROM q GROUP BY lang_pred, split ORDER BY lang_pred, split""".stripMargin
+  }
+
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id").cast(LongType).as("doc_id"),
