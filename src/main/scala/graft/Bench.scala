@@ -22,10 +22,27 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warmup: session + codegen + parquet footer caches.
+    // Warmup: session + codegen + parquet footer caches. The extension
+    // pipelines compile large generated classes on first use — run them
+    // once over tiny IN-MEMORY data (no sfDir scan) so one-time codegen
+    // compilation is not billed to whichever query runs first, same as
+    // the session warmup below. Steady-state per-query cost is what the
+    // bench measures.
     try {
       Tables.load(spark, sfDir, "lineitem").count()
       queries.AggQueries.pricingSummary(spark, sfDir).count()
+      import spark.implicits._
+      val tinyDocs = (0L to 5L).map(i => (i, s"tiny warmup doc number $i with words")).toDF("doc_id", "text")
+      operators.TextDedup.minhashPairs(tinyDocs, "doc_id", "text", 16, 2, 3, 0.0).count()
+      operators.TextDedup.simhashPairs(tinyDocs, "doc_id", "text", 60).count()
+      operators.TextDedup.dedupClusters(tinyDocs, "doc_id",
+        Seq((0L, 1L)).toDF("id_a", "id_b")).count()
+      val tinyEmb = (0L to 5L).map(i => (i, Array.fill(8)(i * 0.1f + 0.2f))).toDF("vec_id", "embedding")
+      operators.Similarity.bruteForceTopK(tinyEmb, tinyEmb.filter($"vec_id" < 2), "vec_id", "embedding", 2).count()
+      operators.Similarity.ivfTopK(tinyEmb,
+        tinyEmb.filter($"vec_id" < 2), "vec_id", "embedding", "vec_id", 2).count()
+      operators.Similarity.lshTopK(tinyEmb, tinyEmb.filter($"vec_id" < 2), "vec_id", "embedding", 2, 4).count()
+      operators.Similarity.kmeansAssign(tinyEmb, "vec_id", "embedding", 2, 1).count()
     } catch { case _: Throwable => }
 
     // A failed query must never masquerade as a fast one (round-2
