@@ -64,6 +64,7 @@ object SparkEntry {
     // extensions: dedup + text analysis (documents)
     "x_dedup_exact" -> (DedupQueries.dedupExact _),
     "x_dedup_clusters" -> (DedupQueries.dedupClusters _),
+    "x_dedup_incremental" -> (DedupQueries.dedupIncremental _),
     "x_minhash_signatures" -> (DedupQueries.minhashSignatures _),
     "x_minhash_pairs" -> (DedupQueries.minhashPairs _),
     "x_simhash" -> (DedupQueries.simhashFingerprints _),
@@ -201,6 +202,7 @@ object SparkEntry {
     "x_anti_join_customers" -> AggQueries.customersWithoutOrdersOracle,
     "x_dedup_exact" -> DedupQueries.dedupExactOracle,
     "x_dedup_clusters" -> DedupQueries.dedupClustersOracle,
+    "x_dedup_incremental" -> DedupQueries.dedupIncrementalOracle,
     "x_minhash_signatures" -> DedupQueries.minhashSignaturesOracle,
     "x_minhash_pairs" -> DedupQueries.minhashPairsOracle,
     "x_simhash" -> DedupQueries.simhashFingerprintsOracle,

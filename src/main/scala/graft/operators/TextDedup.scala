@@ -52,6 +52,24 @@ object TextDedup {
         count(lit(1)).cast(LongType).as("n_copies"))
       .select(col("keep_id"), col("content_hash"), col("n_copies"))
 
+  /** Incremental exact dedup for append-only corpus growth: dedup a NEW
+    * batch against itself (keep min id per text) and drop anything whose
+    * content hash already exists in the `existing` keeper table — the
+    * batch twin of [[graft.streaming.StreamDedup]]'s stateful stream.
+    *
+    * `existing` needs only a `content_hash` column (the compact state a
+    * pipeline persists between runs — 8 bytes per distinct doc, same key
+    * the streaming dedup stores). One shuffle for the self-dedup plus a
+    * hash-keyed LEFT ANTI join; at 100 TB both are single keyed
+    * exchanges with map-side partial aggregation.
+    */
+  def exactIncremental(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      existing: DataFrame): DataFrame =
+    exact(newDocs, idCol, textCol)
+      .join(existing.select(col("content_hash")), Seq("content_hash"), "left_anti")
+      .select(col("keep_id"), col("content_hash"), col("n_copies"))
+
   /** Distinct 60-bit shingle hashes — the working representation for
     * MinHash and Jaccard (set semantics on hashes instead of strings:
     * one md5 per shingle, integer ops afterwards; collision probability

@@ -72,6 +72,32 @@ object DedupQueries {
        |  CAST(count(*) AS BIGINT) AS n_copies
        |FROM corpus GROUP BY text ORDER BY keep_id""".stripMargin
 
+  /** Incremental exact dedup: docs with doc_id < 250 are the "existing"
+    * corpus (their keeper hashes the persisted state); the rest of
+    * corpusExact (including its planted clones) is the NEW batch. Output
+    * = keepers genuinely new in this batch.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusExact(spark, dir)
+    val existing = TextDedup.exact(corpus.filter(col("doc_id") < 250), "doc_id", "text")
+      .select(col("content_hash"))
+    TextDedup.exactIncremental(
+        corpus.filter(col("doc_id") >= 250), "doc_id", "text", existing)
+      .orderBy("keep_id")
+  }
+
+  val dedupIncrementalOracle: String =
+    s"""WITH corpus AS ($corpusExactSql),
+       |existing AS (SELECT DISTINCT ${DuckSql.hash60("text")} AS content_hash
+       |  FROM corpus WHERE doc_id < 250),
+       |batch AS (SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+       |    ${DuckSql.hash60("text")} AS content_hash,
+       |    CAST(count(*) AS BIGINT) AS n_copies
+       |  FROM corpus WHERE doc_id >= 250 GROUP BY text)
+       |SELECT keep_id, content_hash, n_copies FROM batch
+       |WHERE content_hash NOT IN (SELECT content_hash FROM existing)
+       |ORDER BY keep_id""".stripMargin
+
   // ---- MinHash signatures ------------------------------------------
 
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =

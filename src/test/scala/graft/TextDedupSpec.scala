@@ -138,6 +138,21 @@ class TextDedupSpec extends SparkSpec {
     checkPairs(sh, "simhashPairs")
   }
 
+  test("exactIncremental: batch-internal dups collapse, existing hashes drop out") {
+    import spark.implicits._
+    val existingDocs = Seq((1L, "old doc one"), (2L, "old doc two")).toDF("doc_id", "text")
+    val existing = TextDedup.exact(existingDocs, "doc_id", "text").select("content_hash")
+    val batch = Seq(
+      (10L, "old doc one"),      // already known -> dropped
+      (11L, "fresh doc"),        // new
+      (12L, "fresh doc"),        // in-batch dup of 11
+      (13L, "another fresh doc") // new
+    ).toDF("doc_id", "text")
+    val out = TextDedup.exactIncremental(batch, "doc_id", "text", existing)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out === Map(11L -> 2L, 13L -> 1L))
+  }
+
   test("dedupClusters: components labeled with min id; chains need multiple rounds") {
     import spark.implicits._
     // components: {1,2,3} via chain 1-2-3, {5,6}, singleton 4;
