@@ -72,6 +72,7 @@ object SparkEntry {
     "x_ngram_jaccard" -> (DedupQueries.ngramJaccard _),
     "x_split_assign" -> (DedupQueries.splitAssign _),
     "x_corpus_report" -> (DedupQueries.corpusReport _),
+    "x_quality_sample" -> (DedupQueries.qualitySample _),
     "x_lang_id" -> (DedupQueries.langId _),
     "x_quality" -> (DedupQueries.quality _),
     "x_token_counts" -> (DedupQueries.tokenCounts _),
@@ -210,6 +211,7 @@ object SparkEntry {
     "x_ngram_jaccard" -> DedupQueries.ngramJaccardOracle,
     "x_split_assign" -> DedupQueries.splitAssignOracle,
     "x_corpus_report" -> DedupQueries.corpusReportOracle,
+    "x_quality_sample" -> DedupQueries.qualitySampleOracle,
     "x_lang_id" -> DedupQueries.langIdOracle,
     "x_quality" -> DedupQueries.qualityOracle,
     "x_token_counts" -> DedupQueries.tokenCountsOracle,

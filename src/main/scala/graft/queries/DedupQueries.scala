@@ -285,6 +285,44 @@ object DedupQueries {
        |       ELSE 'test' END AS split
        |FROM b ORDER BY doc_id""".stripMargin
 
+  /** Quality-aware deterministic downsampling: docs scoring at or above
+    * the threshold are always kept; the rest survive only a 25%
+    * content-hash sample. Narrow per-row compute (the curation filter a
+    * pipeline applies before training-set assembly).
+    */
+  def qualitySample(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        TextStats.quality(col("text")).getField("quality_score").as("quality_score"),
+        graft.operators.Sampling.hashBucket(col("text"), 1000).as("bucket"))
+      .filter(col("quality_score") >= 0.5 || col("bucket") < 250)
+      .select(col("doc_id"), col("quality_score"),
+        (col("quality_score") >= 0.5).as("kept_by_quality"))
+      .orderBy("doc_id")
+
+  val qualitySampleOracle: String = {
+    val t = DuckSql.tokens("text")
+    val allStop = TextStats.stopwords.values.flatten.toSeq.distinct.sorted
+    s"""WITH t AS (SELECT doc_id, text,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len($t) AS BIGINT) AS n_tokens,
+       |    CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT) AS alnum,
+       |    CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS spaces,
+       |    CAST(${DuckSql.hitCount(t, allStop)} AS BIGINT) AS stop_hits
+       |  FROM documents),
+       |q AS (SELECT doc_id, text,
+       |    round(greatest(0.0, least(1.0,
+       |      0.5 * (CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens ELSE 0.0 END) +
+       |      0.1 * (CASE WHEN n_tokens > 0 THEN CAST(alnum AS DOUBLE) / n_tokens ELSE 0.0 END) -
+       |      (CASE WHEN n_chars > 0 THEN CAST(n_chars - alnum - spaces AS DOUBLE) / n_chars ELSE 0.0 END))), 6) AS quality_score
+       |  FROM t)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, quality_score,
+       |  quality_score >= 0.5 AS kept_by_quality
+       |FROM q
+       |WHERE quality_score >= 0.5 OR (${DuckSql.hash60("text")}) % 1000 < 250
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- text analysis ------------------------------------------------
 
   def langId(spark: SparkSession, dir: String): DataFrame =
