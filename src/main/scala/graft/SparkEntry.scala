@@ -73,6 +73,7 @@ object SparkEntry {
     "x_split_assign" -> (DedupQueries.splitAssign _),
     "x_corpus_report" -> (DedupQueries.corpusReport _),
     "x_quality_sample" -> (DedupQueries.qualitySample _),
+    "x_pack_assign" -> (DedupQueries.packAssign _),
     "x_lang_id" -> (DedupQueries.langId _),
     "x_quality" -> (DedupQueries.quality _),
     "x_token_counts" -> (DedupQueries.tokenCounts _),
@@ -212,6 +213,7 @@ object SparkEntry {
     "x_split_assign" -> DedupQueries.splitAssignOracle,
     "x_corpus_report" -> DedupQueries.corpusReportOracle,
     "x_quality_sample" -> DedupQueries.qualitySampleOracle,
+    "x_pack_assign" -> DedupQueries.packAssignOracle,
     "x_lang_id" -> DedupQueries.langIdOracle,
     "x_quality" -> DedupQueries.qualityOracle,
     "x_token_counts" -> DedupQueries.tokenCountsOracle,

@@ -323,6 +323,43 @@ object DedupQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Sequence-packing assignment: docs are routed to one of 100
+    * content-hash buckets (so the window is partitioned — no global
+    * single-partition cumsum, the property that matters at corpus
+    * scale), ordered by doc_id within the bucket, and packed greedily
+    * into 2048-token sequences by cumulative BPE-ish token count:
+    * `pack_no = (cumsum - tokens) / 2048`. Exact integer arithmetic
+    * end to end.
+    */
+  def packAssign(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        graft.operators.Sampling.hashBucket(col("text"), 100).as("bucket"),
+        TextStats.bpeishTokenCount(col("text")).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w).cast(LongType))
+      // `div`, not `/`: Long / Long in Spark is DOUBLE division, which
+      // loses exactness past 2^53 cumulative tokens
+      .withColumn("pack_no", expr("(cum_tokens - n_tokens) div 2048").cast(LongType))
+      .select(col("doc_id"), col("bucket"), col("n_tokens"), col("cum_tokens"), col("pack_no"))
+      .orderBy("doc_id")
+  }
+
+  val packAssignOracle: String =
+    s"""WITH b AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    CAST((${DuckSql.hash60("text")}) % 100 AS BIGINT) AS bucket,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, bucket, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM b)
+       |SELECT doc_id, bucket, n_tokens, cum_tokens,
+       |  CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS pack_no
+       |FROM c ORDER BY doc_id""".stripMargin
+
   // ---- text analysis ------------------------------------------------
 
   def langId(spark: SparkSession, dir: String): DataFrame =
