@@ -126,4 +126,20 @@ class PlanSpec extends SparkSpec {
     // hash-partitioned (aggregate/join) shuffle anywhere
     assert(!p.contains("hashpartitioning"), "no hash shuffle expected:\n" + p)
   }
+
+  test("pack assignment windows per hash bucket — never a single-partition cumsum") {
+    val df = graft.queries.DedupQueries.packAssign(spark, dir)
+    val p = plan(df)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"),
+      "global cumulative sums would serialize the corpus onto one task:\n" + p)
+  }
+
+  test("corpus report prunes the scan to the text column only") {
+    val df = graft.queries.DedupQueries.corpusReport(spark, dir)
+    val p = plan(df)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("text"), readSchema)
+    assert(!readSchema.contains("doc_id"), "unused columns must be pruned: " + readSchema)
+  }
 }
