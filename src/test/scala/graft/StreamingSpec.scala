@@ -97,6 +97,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked streaming dedup drops duplicates within the horizon") {
+    import spark.implicits._
+    import graft.streaming.StreamDedup
+    val dir = Files.createTempDirectory("graft-sdedup-wm").toString
+    Seq(
+      (1L, "doc alpha", "2024-01-01 10:00:00"),
+      (2L, "doc beta", "2024-01-01 10:01:00"),
+      (3L, "doc alpha", "2024-01-01 10:02:00") // dup 2 min later, inside 1h horizon
+    ).toDF("doc_id", "text", "ts_s")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamDedup.exactDedupStreamWatermarked(stream, "text", "ts", "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("sdedup_wm_out").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.table("sdedup_wm_out").select("doc_id").as[Long].collect().sorted
+      assert(kept.toSeq === Seq(1L, 2L), "in-horizon duplicate must be dropped")
+    } finally q.stop()
+  }
+
   test("sessionize: gap splits sessions per user") {
     import spark.implicits._
     val events = Seq(
