@@ -74,6 +74,7 @@ object SparkEntry {
     "x_corpus_report" -> (DedupQueries.corpusReport _),
     "x_quality_sample" -> (DedupQueries.qualitySample _),
     "x_pack_assign" -> (DedupQueries.packAssign _),
+    "x_redact_pii" -> (DedupQueries.redactPii _),
     "x_lang_id" -> (DedupQueries.langId _),
     "x_quality" -> (DedupQueries.quality _),
     "x_token_counts" -> (DedupQueries.tokenCounts _),
@@ -214,6 +215,7 @@ object SparkEntry {
     "x_corpus_report" -> DedupQueries.corpusReportOracle,
     "x_quality_sample" -> DedupQueries.qualitySampleOracle,
     "x_pack_assign" -> DedupQueries.packAssignOracle,
+    "x_redact_pii" -> DedupQueries.redactPiiOracle,
     "x_lang_id" -> DedupQueries.langIdOracle,
     "x_quality" -> DedupQueries.qualityOracle,
     "x_token_counts" -> DedupQueries.tokenCountsOracle,

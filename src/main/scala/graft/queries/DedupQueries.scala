@@ -360,6 +360,40 @@ object DedupQueries {
        |  CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS pack_no
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** PII scrubbing: every 3rd doc gets a deterministic email + URL
+    * appended (the synthetic corpus has none), then the scrubber
+    * redacts and counts them. Both the planting and the redaction are
+    * part of the query on both engines.
+    */
+  def redactPii(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Redact
+    val planted = docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com via https://example.com/u/"), col("doc_id")))
+          .otherwise(col("text")).as("text"))
+    planted.select(col("doc_id"),
+        Redact.countEmails(col("text")).as("n_emails"),
+        Redact.countUrls(col("text")).as("n_urls"),
+        Redact.scrub(col("text")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  val redactPiiOracle: String =
+    s"""WITH planted AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    CASE WHEN doc_id % 3 = 0
+       |      THEN text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+       |        '@example.com via https://example.com/u/' || CAST(doc_id AS VARCHAR)
+       |      ELSE text END AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '${graft.operators.Redact.EmailRe}')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '${graft.operators.Redact.UrlRe}')) AS BIGINT) AS n_urls,
+       |  regexp_replace(regexp_replace(text, '${graft.operators.Redact.EmailRe}', '<EMAIL>', 'g'),
+       |    '${graft.operators.Redact.UrlRe}', '<URL>', 'g') AS clean_text
+       |FROM planted ORDER BY doc_id""".stripMargin
+
   // ---- text analysis ------------------------------------------------
 
   def langId(spark: SparkSession, dir: String): DataFrame =

@@ -84,6 +84,25 @@ class TextStatsSpec extends SparkSpec {
     assert(kept > 20 && kept < 90, s"~10% of 500 expected, got $kept")
   }
 
+  test("redaction scrubs emails and urls, counts with multiplicity") {
+    import graft.operators.Redact
+    val df = Seq(
+      (1L, "write to a.b+c@mail.example.org or see https://x.org/y?z=1 now"),
+      (2L, "two mails: a@b.co b@c.io"),
+      (3L, "no pii here")
+    ).toDF("id", "text")
+    val out = df.select($"id",
+      Redact.countEmails($"text").as("ne"),
+      Redact.countUrls($"text").as("nu"),
+      Redact.scrub($"text").as("clean")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L)._1 === 1L)
+    assert(out(1L)._2 === 1L)
+    assert(out(1L)._3 === "write to <EMAIL> or see <URL> now")
+    assert(out(2L) === ((2L, 0L, "two mails: <EMAIL> <EMAIL>")))
+    assert(out(3L) === ((0L, 0L, "no pii here")))
+  }
+
   test("rolling hash: codegen matches interpreted compute, order-sensitive") {
     val df = Seq((1L, "abc"), (2L, "cba"), (3L, "")).toDF("id", "text")
     val out = df.select($"id", RollingHash.rolling_hash($"text").as("h")).collect()
