@@ -101,11 +101,14 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     import graft.streaming.StreamDedup
     val dir = Files.createTempDirectory("graft-sdedup-wm").toString
+    // batch 1: two distinct docs. (Within ONE micro-batch the surviving
+    // copy of a duplicate is partition-order dependent, so the dup
+    // arrives in a SECOND batch — state already holds its hash, making
+    // the drop deterministic.)
     Seq(
       (1L, "doc alpha", "2024-01-01 10:00:00"),
-      (2L, "doc beta", "2024-01-01 10:01:00"),
-      (3L, "doc alpha", "2024-01-01 10:02:00") // dup 2 min later, inside 1h horizon
-    ).toDF("doc_id", "text", "ts_s")
+      (2L, "doc beta", "2024-01-01 10:01:00"))
+      .toDF("doc_id", "text", "ts_s")
       .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
       .write.mode("overwrite").parquet(dir)
     val schema = spark.read.parquet(dir).schema
@@ -113,6 +116,12 @@ class StreamingSpec extends SparkSpec {
     val q = StreamDedup.exactDedupStreamWatermarked(stream, "text", "ts", "1 hour")
       .writeStream.outputMode("append").format("memory").queryName("sdedup_wm_out").start()
     try {
+      q.processAllAvailable()
+      // batch 2: a duplicate 2 min later, inside the 1h horizon
+      Seq((3L, "doc alpha", "2024-01-01 10:02:00"))
+        .toDF("doc_id", "text", "ts_s")
+        .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+        .write.mode("append").parquet(dir)
       q.processAllAvailable()
       val kept = spark.table("sdedup_wm_out").select("doc_id").as[Long].collect().sorted
       assert(kept.toSeq === Seq(1L, 2L), "in-horizon duplicate must be dropped")
