@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
 
-import graft.expressions.{FuzzyDateParse, GFormat, IntVecDot, RollingHash, SimHash60}
+import graft.expressions._
 
 /** SparkSessionExtensions hook exposing graft's native expressions to
   * SQL users:
@@ -16,21 +18,62 @@ import graft.expressions.{FuzzyDateParse, GFormat, IntVecDot, RollingHash, SimHa
   * }}}
   *
   * Registered functions: `rolling_hash(str)`, `g_format(double)`,
-  * `int_vec_dot(arr, arr)`, `simhash60(arr)`,
-  * `fuzzy_date(str)`, `fuzzy_datetime(str)`.
+  * `int_vec_dot(arr, arr)`, `simhash60(arr)`, `fuzzy_date(str)`,
+  * `fuzzy_datetime(str)`, `token_hash60(str)`,
+  * `shingle_hash60(str, w)`, `minhash_sig(arr, perms)`,
+  * `quantize_vec(arr)`, `capped_pairs(arr, cap)`,
+  * `stopword_hits(str, array(words...))`.
+  *
+  * Non-column parameters (shingle width, perm count, cap, word list)
+  * must be foldable literals — they are baked into the expression at
+  * plan time, exactly like the Column-API spellings.
   */
 object GraftExtensions {
-  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "rolling_hash" -> (args => RollingHash(args.head)),
-    "g_format" -> (args => GFormat(args.head)),
-    "int_vec_dot" -> (args => IntVecDot(args(0), args(1))),
-    "simhash60" -> (args => SimHash60(args.head)),
-    "fuzzy_date" -> (args => FuzzyDateParse(args.head, Nil, dateOnly = true)),
-    "fuzzy_datetime" -> (args => FuzzyDateParse(args.head, Nil, dateOnly = false)))
+
+  private def intArg(e: Expression, what: String): Int = e.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def wordsArg(e: Expression): Seq[String] = e.eval(null) match {
+    case a: ArrayData =>
+      (0 until a.numElements()).map(i => a.get(i, org.apache.spark.sql.types.StringType)
+        .asInstanceOf[UTF8String].toString)
+    case other => throw new IllegalArgumentException(
+      s"word list must be an array literal, got $other")
+  }
+
+  val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("rolling_hash", "rolling_hash(str) - polynomial fingerprint mod 1e9+7",
+      (args: Seq[Expression]) => RollingHash(args.head)),
+    ("g_format", "g_format(x) - C-printf %g canonicalization",
+      (args: Seq[Expression]) => GFormat(args.head)),
+    ("int_vec_dot", "int_vec_dot(a, b) - exact integer dot product",
+      (args: Seq[Expression]) => IntVecDot(args(0), args(1))),
+    ("simhash60", "simhash60(hashes) - 60-bit simhash of a hash array",
+      (args: Seq[Expression]) => SimHash60(args.head)),
+    ("fuzzy_date", "fuzzy_date(str) - natural-language date -> ISO yyyy-MM-dd",
+      (args: Seq[Expression]) => FuzzyDateParse(args.head, Nil, dateOnly = true)),
+    ("fuzzy_datetime", "fuzzy_datetime(str) - natural-language datetime -> ISO",
+      (args: Seq[Expression]) => FuzzyDateParse(args.head, Nil, dateOnly = false)),
+    ("token_hash60", "token_hash60(str) - 60-bit md5 hash per token",
+      (args: Seq[Expression]) => TokenHash60(args.head)),
+    ("shingle_hash60", "shingle_hash60(str, w) - distinct hashes of w-shingles",
+      (args: Seq[Expression]) => ShingleHash60(args(0), intArg(args(1), "shingle width"))),
+    ("minhash_sig", "minhash_sig(hashes, perms) - affine-min minhash signature",
+      (args: Seq[Expression]) => MinHashSig(args(0), intArg(args(1), "perm count"))),
+    ("quantize_vec", "quantize_vec(emb) - round(x*1000) integer quantization",
+      (args: Seq[Expression]) => QuantizeVec(args.head)),
+    ("capped_pairs", "capped_pairs(sorted_ids, cap) - skew-capped bucket pair expansion",
+      (args: Seq[Expression]) => CappedLongPairs(args(0), intArg(args(1), "bucket cap"))),
+    ("stopword_hits", "stopword_hits(str, words) - tokens in the word list, with multiplicity",
+      (args: Seq[Expression]) => StopwordHits(args(0), wordsArg(args(1)))))
 
   /** Register on an already-running session (temp functions). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    builders.foreach { case (name, b) =>
+    builders.foreach { case (name, _, b) =>
       org.apache.spark.sql.graftshim.GraftShim.registerFunction(spark, name, b)
     }
 }
@@ -40,24 +83,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((FunctionIdentifier("rolling_hash"),
-      info("rolling_hash", "rolling_hash(str) - polynomial fingerprint mod 1e9+7"),
-      (args: Seq[Expression]) => RollingHash(args.head)))
-    ext.injectFunction((FunctionIdentifier("g_format"),
-      info("g_format", "g_format(x) - C-printf %g canonicalization"),
-      (args: Seq[Expression]) => GFormat(args.head)))
-    ext.injectFunction((FunctionIdentifier("int_vec_dot"),
-      info("int_vec_dot", "int_vec_dot(a, b) - exact integer dot product"),
-      (args: Seq[Expression]) => IntVecDot(args(0), args(1))))
-    ext.injectFunction((FunctionIdentifier("simhash60"),
-      info("simhash60", "simhash60(hashes) - 60-bit simhash of a hash array"),
-      (args: Seq[Expression]) => SimHash60(args.head)))
-    ext.injectFunction((FunctionIdentifier("fuzzy_date"),
-      info("fuzzy_date", "fuzzy_date(str) - natural-language date -> ISO yyyy-MM-dd"),
-      (args: Seq[Expression]) => FuzzyDateParse(args.head, Nil, dateOnly = true)))
-    ext.injectFunction((FunctionIdentifier("fuzzy_datetime"),
-      info("fuzzy_datetime", "fuzzy_datetime(str) - natural-language datetime -> ISO"),
-      (args: Seq[Expression]) => FuzzyDateParse(args.head, Nil, dateOnly = false)))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, usage, b) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), b))
+    }
 }

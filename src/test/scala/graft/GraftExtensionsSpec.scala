@@ -23,4 +23,23 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getAs[String]("fd") === "2017-05-03")
     assert(row.getAs[String]("fdt") === "1938-04-04T22:00:00")
   }
+
+  test("SQL functions: dedup/similarity kernels usable with literal params") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  token_hash60('the quick fox') AS th,
+        |  shingle_hash60('the quick brown fox', 3) AS sh,
+        |  minhash_sig(shingle_hash60('the quick brown fox', 3), 4) AS sig,
+        |  quantize_vec(array(CAST(0.5 AS DOUBLE), CAST(-0.25 AS DOUBLE))) AS qv,
+        |  size(capped_pairs(array(1L, 2L, 3L), 64)) AS np,
+        |  stopword_hits('the cat and the dog', array('the', 'and')) AS hits
+      """.stripMargin).head
+    assert(row.getSeq[Long](0).length === 3)
+    assert(row.getSeq[Long](1).length === 2) // 4 tokens -> 2 shingles
+    assert(row.getSeq[Long](2).length === 4)
+    assert(row.getSeq[Long](3) === Seq(500L, -250L))
+    assert(row.getAs[Int]("np") === 3) // all pairs of 3 ids
+    assert(row.getAs[Long]("hits") === 3L)
+  }
 }
