@@ -48,14 +48,27 @@ case class QuantizeVec(child: Expression) extends UnaryExpression {
 object QuantizeVec {
 
   private def roundHalfUp(v: Double): Long =
-    java.math.BigDecimal.valueOf(v)
+    // BigDecimal.valueOf throws on NaN/Inf (and under ANSI mode the HOF
+    // twin's cast throws too). Degrade with the legacy double→long cast
+    // instead (NaN→0, ±Inf→Long.Max/MinValue): one bad embedding
+    // component must not kill a 100 TB job.
+    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) v.toLong
+    else java.math.BigDecimal.valueOf(v)
       .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+
+  // Output declares containsNull=false, so a null element can't be
+  // propagated and must not be silently read as 0.0 — fail with a
+  // diagnosable message instead.
+  private def rejectNull(arr: ArrayData, i: Int): Unit =
+    if (arr.isNullAt(i)) throw new IllegalArgumentException(
+      s"quantize_vec: null element at index $i — embeddings must be dense")
 
   def computeF(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
+      rejectNull(arr, i)
       out(i) = roundHalfUp(arr.getFloat(i).toDouble * 1000.0)
       i += 1
     }
@@ -67,6 +80,7 @@ object QuantizeVec {
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
+      rejectNull(arr, i)
       out(i) = roundHalfUp(arr.getDouble(i) * 1000.0)
       i += 1
     }

@@ -91,16 +91,20 @@ object Fts {
       rowidCol: String = Rowid.ColName): DataFrame = {
     val terms = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
     require(terms.nonEmpty, "empty FTS query")
-    // Persisted: tf feeds BOTH the idf build (broadcast side, its own
-    // job) and the scoring join — without the persist the corpus
-    // scan+explode runs once per consumer. Term-filtered, so the cache
-    // holds only matching (doc, term) rows — tiny at any corpus size.
+    // Materialized once (eager local checkpoint): tf feeds BOTH the idf
+    // build (broadcast side, its own job) and the scoring join — without
+    // it the corpus scan+explode runs once per consumer. Term-filtered,
+    // so it holds only matching (doc, term) rows — tiny at any corpus
+    // size. Checkpoint, not persist: persisted plans stay in the
+    // CacheManager until an explicit unpersist (which a lazily-consumed
+    // return value has nowhere to call), while checkpoint blocks are
+    // freed by the ContextCleaner when the result is dropped.
     val tf = df
       .select(col(rowidCol), explode(tokens(cols.map(col))).as("term"))
       .filter(col("term").isin(terms: _*))
       .groupBy(col(rowidCol), col("term"))
       .agg(count(lit(1)).cast("long").as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val corpusN = df.select(col(rowidCol))
       .agg(count(lit(1)).cast("long").as("__n"))
     val idf = tf.groupBy(col("term"))

@@ -14,7 +14,9 @@ object Redact {
 
   /** RE2-safe patterns (no backrefs / lookarounds). */
   val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
-  val UrlRe = "https?://[^ ]+"
+  // [^\s], not [^ ]: a URL at end of a line must stop at the newline,
+  // not swallow it and everything up to the next space.
+  val UrlRe = "https?://[^\\s]+"
 
   def countEmails(text: Column): Column =
     size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long")

@@ -212,10 +212,14 @@ object Similarity {
   private[graft] def kmeansPrepared(
       corpus: DataFrame, idCol: String, embCol: String,
       k: Int, iters: Int): DataFrame = {
+    // Eager local checkpoint, not persist: the quantized corpus feeds
+    // every Lloyd iteration, and checkpoint blocks are freed by the
+    // ContextCleaner when the returned plan is dropped (a persist here
+    // leaked its cache entry across calls — nothing ever unpersisted it).
     val c = corpus.select(col(idCol).cast(LongType).as("id"),
       quantize(col(embCol)).as("q"))
       .withColumn("n2", inorm2(col("q")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     // init: centroids = vectors with id 0..k-1 (collected — k×dim longs)
     var cents: Seq[Centroid] = c.filter(col("id") < k)
@@ -285,9 +289,14 @@ object Similarity {
       quantize(col(embCol)).as("q_q"))
       .withColumn("q_n2", inorm2(col("q_q")))
 
-    // dim probe against the (small) query side only
-    val dim = q.select(size(col("q_q"))).head.getInt(0)
-    val planes = hyperplanes(nBits, dim)
+    // dim probe against the (small) query side only; no queries → empty
+    // result (same schema), not a driver-side NoSuchElementException
+    val dimOpt = q.select(size(col("q_q"))).limit(1).collect().headOption
+    if (dimOpt.isEmpty) {
+      return q.select(col("q_id"), lit(0L).as("rank"),
+        col("q_id").as("neighbor_id"), lit(0.0d).as("cosine")).limit(0)
+    }
+    val planes = hyperplanes(nBits, dimOpt.get.getInt(0))
 
     val cb = c.withColumn("bucket", lshBucket(col("c_q"), planes))
     val probeKeys = array(
@@ -320,16 +329,18 @@ object Similarity {
   def nearDupPairs(
       corpus: DataFrame, idCol: String, embCol: String, clusterCol: String,
       threshold: Double, maxBucket: Int = 256): DataFrame = {
-    // Persisted: the quantize/norm pipeline feeds three consumers
-    // (bucket build + the two scoring joins) — same shape as
-    // TextDedup.minhashPairs. Buckets hold IDS ONLY (pair expansion over
-    // longs, never over vector-laden structs); vectors re-attach through
-    // the two joins against the persisted corpus.
+    // Materialized once (eager local checkpoint — freed by the
+    // ContextCleaner, unlike a never-unpersisted persist): the
+    // quantize/norm pipeline feeds three consumers (bucket build + the
+    // two scoring joins) — same shape as TextDedup.minhashPairs. Buckets
+    // hold IDS ONLY (pair expansion over longs, never over vector-laden
+    // structs); vectors re-attach through the two joins against the
+    // materialized corpus.
     val c = corpus.select(col(idCol).cast(LongType).as("id"),
       col(clusterCol).cast(LongType).as("cluster"),
       quantize(col(embCol)).as("q"))
       .withColumn("n2", inorm2(col("q")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val pairs = c.groupBy(col("cluster"))
       .agg(collect_list(col("id")).as("members"))
       .filter(size(col("members")) > 1)

@@ -179,12 +179,14 @@ object TextDedup {
       jaccardThreshold: Double = 0.5,
       maxBucket: Int = 256): DataFrame = {
     // The sets table feeds three consumers (band build + two
-    // verification joins); persist so the md5 shingle pipeline runs
-    // once. MEMORY_AND_DISK: spills instead of recomputing at scale.
+    // verification joins); materialize once (eager local checkpoint) so
+    // the md5 shingle pipeline runs once. Checkpoint, not persist: the
+    // blocks are freed by the ContextCleaner when the returned plan is
+    // dropped, instead of leaking a cache entry per call.
     val sets = df.select(
       col(idCol).cast(LongType).as("id"),
       shingleHashes(col(textCol), w).as("sset"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val withSig = sets.withColumn("sig", minhashSignatureFromHashes(col("sset"), numPerms))
     val bands = withSig.select(col("id"),
       explode(lshBands(col("sig"), numPerms, r)).as("b"))
@@ -268,6 +270,13 @@ object TextDedup {
       iters += 1
     }
     edges.unpersist()
+    // Exiting via the cap means the labels are NOT a fixpoint — some
+    // component still carries two labels, i.e. wrong cluster ids. Fail
+    // loudly so the caller raises maxIters instead of consuming silently
+    // incorrect output (a high-diameter pair graph is the trigger).
+    if (!converged) throw new IllegalStateException(
+      s"dedupClusters did not converge within $maxIters iterations — " +
+        "the pair graph has a component of diameter > maxIters; raise maxIters")
     ids.join(labels.select(col("id"), col("label")), Seq("id"), "left")
       .select(col("id").as("doc_id"),
         coalesce(col("label"), col("id")).as("cluster_id"))

@@ -64,6 +64,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("quantize degrades NaN/Inf like round+cast; null elements fail loudly") {
+    // NaN→0, ±Inf→Long.Max/MinValue — the double→long cast semantics the
+    // HOF twin (round + cast) has; one bad component must not kill the job
+    // (under ANSI mode the HOF twin THROWS on these — the native kernel
+    // is deliberately total instead, per the legacy-cast degradation)
+    val df = Seq((1L, Array(Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, 1.5))).toDF("id", "emb")
+    val r = df.select(Similarity.quantize($"emb").as("native")).head
+    assert(r.getSeq[Long](0) === Seq(0L, Long.MaxValue, Long.MinValue, 1500L))
+    // output declares containsNull=false, so a null element is an error,
+    // not a silent 0
+    val withNull = Seq((1L, Array[java.lang.Double](0.5, null)))
+      .toDF("id", "emb")
+    val err = intercept[Exception] {
+      withNull.select(Similarity.quantize($"emb")).collect()
+    }
+    assert(err.getMessage.contains("null element") ||
+      Option(err.getCause).exists(_.getMessage.contains("null element")))
+  }
+
+  test("lshTopK with an empty query side returns an empty, well-typed result") {
+    val out = Similarity.lshTopK(vectors, vectors.filter($"vec_id" === -1),
+      "vec_id", "embedding", k = 3, nBits = 4)
+    assert(out.collect().isEmpty)
+    assert(out.columns.toSeq === Seq("q_id", "rank", "neighbor_id", "cosine"))
+  }
+
   test("cosine is symmetric, bounded, and exact-integer deterministic") {
     val pairs = Similarity.nearDupPairs(vectors, "vec_id", "embedding", "label", threshold = -1.0)
       .collect()

@@ -168,6 +168,21 @@ class TextDedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L, 15L -> 10L))
   }
 
+  test("dedupClusters: hitting the iteration cap fails loudly, not silently wrong") {
+    import spark.implicits._
+    // a diameter-4 path needs 4 propagation rounds; maxIters=1 must throw
+    val nodes = (20L to 24L).toDF("doc_id")
+    val pairs = (20L until 24L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val err = intercept[IllegalStateException] {
+      TextDedup.dedupClusters(nodes, "doc_id", pairs, maxIters = 1)
+    }
+    assert(err.getMessage.contains("did not converge"))
+    // the same graph converges once maxIters covers the diameter
+    val out = TextDedup.dedupClusters(nodes, "doc_id", pairs, maxIters = 10)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(out === Set(20L))
+  }
+
   test("simhash: equal for identical docs, close for near-dups (hamming)") {
     val sims = TextDedup.withSimhash(docs, "text").select($"doc_id", $"sim").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -103,6 +103,20 @@ class TextStatsSpec extends SparkSpec {
     assert(out(3L) === ((0L, 0L, "no pii here")))
   }
 
+  test("url redaction stops at any whitespace, not just spaces") {
+    import graft.operators.Redact
+    val df = Seq(
+      (1L, "see https://x.org/a\nnext line stays"),
+      (2L, "tabbed https://y.io/b\tafter")
+    ).toDF("id", "text")
+    val out = df.select($"id",
+      Redact.countUrls($"text").as("nu"),
+      Redact.scrub($"text").as("clean")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L) === ((1L, "see <URL>\nnext line stays")))
+    assert(out(2L) === ((1L, "tabbed <URL>\tafter")))
+  }
+
   test("rolling hash: codegen matches interpreted compute, order-sensitive") {
     val df = Seq((1L, "abc"), (2L, "cba"), (3L, "")).toDF("id", "text")
     val out = df.select($"id", RollingHash.rolling_hash($"text").as("h")).collect()
