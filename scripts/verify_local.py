@@ -63,10 +63,15 @@ for name, sql in sorted(oracles.items()):
         failures.append((name, f"schema: spark={s_cols} duck={d_cols}"))
         print(f"FAIL {name}: schema spark={s_cols} duck={d_cols}"); continue
 
+    # null-safe total order: plain tuple sort raises TypeError on
+    # None-vs-value; any deterministic order works since both sides are
+    # sorted with the SAME key before the equality check
+    def row_key(t):
+        return tuple((x is None, str(type(x)), str(x)) for x in t)
     s_data = spark_tbl.select(s_cols).to_pylist()
-    s_rows = sorted(tuple(norm(r[c]) for c in s_cols) for r in s_data)
+    s_rows = sorted((tuple(norm(r[c]) for c in s_cols) for r in s_data), key=row_key)
     idx = [duck_cols.index(c) for c in s_cols]
-    d_rows = sorted(tuple(norm(r[i]) for i in idx) for r in duck_rows)
+    d_rows = sorted((tuple(norm(r[i]) for i in idx) for r in duck_rows), key=row_key)
     if len(s_rows) != len(d_rows):
         failures.append((name, f"rows: spark={len(s_rows)} duck={len(d_rows)}"))
         print(f"FAIL {name}: rowcount spark={len(s_rows)} duck={len(d_rows)}"); continue

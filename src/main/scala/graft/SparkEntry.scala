@@ -75,6 +75,8 @@ object SparkEntry {
     "x_quality_sample" -> (DedupQueries.qualitySample _),
     "x_pack_assign" -> (DedupQueries.packAssign _),
     "x_redact_pii" -> (DedupQueries.redactPii _),
+    "x_repetition" -> (DedupQueries.repetitionReport _),
+    "x_decontaminate" -> (DedupQueries.decontaminate _),
     "x_lang_id" -> (DedupQueries.langId _),
     "x_quality" -> (DedupQueries.quality _),
     "x_token_counts" -> (DedupQueries.tokenCounts _),
@@ -87,6 +89,7 @@ object SparkEntry {
     "x_kmeans_clusters" -> (SimilarityQueries.kmeansClusters _),
     "x_ann_ivf_trained" -> (SimilarityQueries.annIvfTrained _),
     // extensions: event-time windows + multimodal plumbing
+    "x_events_asof" -> (EventQueries.asofJoin _),
     "x_events_tumbling" -> (EventQueries.tumbling _),
     "x_events_sliding" -> (EventQueries.sliding _),
     "x_events_sessions" -> (EventQueries.sessions _),
@@ -216,6 +219,8 @@ object SparkEntry {
     "x_quality_sample" -> DedupQueries.qualitySampleOracle,
     "x_pack_assign" -> DedupQueries.packAssignOracle,
     "x_redact_pii" -> DedupQueries.redactPiiOracle,
+    "x_repetition" -> DedupQueries.repetitionReportOracle,
+    "x_decontaminate" -> DedupQueries.decontaminateOracle,
     "x_lang_id" -> DedupQueries.langIdOracle,
     "x_quality" -> DedupQueries.qualityOracle,
     "x_token_counts" -> DedupQueries.tokenCountsOracle,
@@ -226,6 +231,7 @@ object SparkEntry {
     "x_embed_neardups" -> SimilarityQueries.embedNearDupsOracle,
     "x_kmeans_clusters" -> SimilarityQueries.kmeansClustersOracle,
     "x_ann_ivf_trained" -> SimilarityQueries.annIvfTrainedOracle,
+    "x_events_asof" -> EventQueries.asofJoinOracle,
     "x_events_tumbling" -> EventQueries.tumblingOracle,
     "x_events_sliding" -> EventQueries.slidingOracle,
     "x_events_sessions" -> EventQueries.sessionsOracle,

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed as-of (point-in-time) join — the temporal operator Spark
+  * lacks natively (extension — SURVEY §7.2.8): for each left row, attach
+  * the payload of the MOST RECENT right row with the same key and a
+  * timestamp STRICTLY BEFORE the left row's (the "latest state known
+  * before this event" lookup of feature stores and event pipelines).
+  *
+  * Implementation is the single-shuffle union+window shape, not a range
+  * join: both sides are tagged and unioned, shuffled ONCE on the key,
+  * and a per-key `last(payload, ignoreNulls)` over rows up to the
+  * current one resolves every left row in one sorted pass. Right rows
+  * sort AFTER left rows at equal timestamps, which is exactly the
+  * strict-inequality semantic (a right row at the same instant is not
+  * yet visible). No per-key loops, no |left|×|right| candidate
+  * explosion, and skew is bounded by rows-per-key — the plan a range
+  * join (`l.ts > r.ts` theta-join) would never give you at scale.
+  */
+object AsOf {
+
+  /** Left rows + one nullable struct column `asofCol` holding the
+    * payload (`payloadCols` from `right`) of the latest strictly-prior
+    * right row per `keyCol`. Left rows with no prior right row get NULL.
+    * Ties between right rows at the same (key, ts) resolve by the later
+    * union position; pass a unique `tsCol` (or pre-dedup) for full
+    * determinism.
+    */
+  def joinPrior(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String,
+      payloadCols: Seq[String], asofCol: String = "asof"): DataFrame = {
+    val r = right.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+      struct(payloadCols.map(col): _*).as("__p"))
+    val l = left.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+      struct(left.columns.map(col): _*).as("__l"))
+    val u = l.select(col("__k"), col("__ts"), lit(0).as("__side"),
+        col("__l"), lit(null).cast(r.schema("__p").dataType).as("__p"))
+      .unionByName(r.select(col("__k"), col("__ts"), lit(1).as("__side"),
+        lit(null).cast(l.schema("__l").dataType).as("__l"), col("__p")))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select(col("__l.*"), col("__match").as(asofCol))
+  }
+}

@@ -282,6 +282,42 @@ object TextDedup {
         coalesce(col("label"), col("id")).as("cluster_id"))
   }
 
+  /** Eval-set decontamination: flag corpus documents sharing at least
+    * `minContainment` of a benchmark document's distinct w-shingle set
+    * (containment = |S(doc) ∩ S(bench)| / |S(bench)| — the standard
+    * n-gram-overlap test a training pipeline runs against held-out
+    * benchmarks before training). Self-matches (same id) are excluded so
+    * a benchmark drawn from the corpus doesn't flag itself.
+    *
+    * Scale shape: the benchmark side (eval sets — thousands of docs, not
+    * billions) is exploded to (bench_id, shingle-hash) and BROADCAST;
+    * the corpus side is a narrow per-row shingle explode that never
+    * shuffles, and the only exchange is the (doc, bench) overlap count
+    * keyed by matched pairs — bounded by actual n-gram collisions, not
+    * |corpus|×|bench|.
+    */
+  def contaminationCheck(
+      corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
+      w: Int = 3, minContainment: Double = 0.5): DataFrame = {
+    val cs = corpus.select(col(idCol).cast(LongType).as("doc_id"),
+      explode(shingleHashes(col(textCol), w)).as("h"))
+    val bs = benchmark.select(col(benchIdCol).cast(LongType).as("bench_id"),
+      shingleHashes(col(benchTextCol), w).as("bset"))
+      .select(col("bench_id"), size(col("bset")).cast(LongType).as("bench_size"),
+        explode(col("bset")).as("h"))
+    cs.join(broadcast(bs), Seq("h"))
+      .filter(col("doc_id") =!= col("bench_id"))
+      // shingle sets are distinct on both sides, so the per-(doc, bench)
+      // match count IS the intersection size
+      .groupBy(col("doc_id"), col("bench_id"), col("bench_size"))
+      .agg(count(lit(1)).cast(LongType).as("n_shared"))
+      .withColumn("containment",
+        round(col("n_shared").cast(DoubleType) / col("bench_size").cast(DoubleType), 6))
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_id"), col("bench_id"), col("n_shared"), col("containment"))
+  }
+
   /** SimHash bit-fold given an already-materialized token-hash array
     * column — native codegen expression
     * ([[graft.expressions.SimHash60]]): one pass over the hash array per

@@ -78,6 +78,33 @@ object TextStats {
       stopRatio.as("stopword_ratio"), round(score, 6).as("quality_score"))
   }
 
+  /** Within-document repetition signals (the Gopher-style filters a
+    * curation pipeline gates on): token diversity plus duplicate-n-gram
+    * fractions. Pure per-row array arithmetic over exact integer counts
+    * — no shuffle, runs at scan speed; ratios are double divisions of
+    * exact ints rounded to 6 dp so the DuckDB oracle matches.
+    *
+    * Returns a struct of (n_tokens, distinct_token_ratio,
+    * dup_2gram_frac, dup_3gram_frac). Empty docs report ratio 1.0 and
+    * dup fractions 0 (their single degenerate shingle is unique).
+    */
+  def repetition(text: Column): Column = {
+    val toks = Fts.tokens(Seq(text))
+    val nTokens = size(toks).cast(LongType)
+    def dupFrac(w: Int): Column = {
+      val sh = TextDedup.shingles(text, w)
+      val total = size(sh).cast(DoubleType) // >= 1 by construction
+      round((total - size(array_distinct(sh)).cast(DoubleType)) / total, 6)
+    }
+    val distinctRatio = when(nTokens > 0,
+      round(size(array_distinct(toks)).cast(DoubleType) /
+        nTokens.cast(DoubleType), 6)).otherwise(lit(1.0))
+    struct(nTokens.as("n_tokens"),
+      distinctRatio.as("distinct_token_ratio"),
+      dupFrac(2).as("dup_2gram_frac"),
+      dupFrac(3).as("dup_3gram_frac"))
+  }
+
   /** Whitespace token count. `array_remove` is a codegen'd builtin; the
     * `filter(...)` HOF spelling it replaces was CodegenFallback.
     */

@@ -537,4 +537,79 @@ object DedupQueries {
       |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- within-doc repetition (Gopher-style filters) ----------------
+
+  /** Repetition metrics over documents ∪ self-doubled copies (every 7th
+    * doc re-emitted as `text || ' ' || text` under id+3000000) — the
+    * planted rows exercise the high-duplication regime the filter
+    * exists to catch; planting is part of the query on both engines.
+    */
+  def repetitionReport(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id").cast(LongType).as("doc_id"), col("text"))
+    val corpus = d.unionAll(d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat_ws(" ", col("text"), col("text")).as("text")))
+    corpus.select(col("doc_id"), TextStats.repetition(col("text")).as("r"))
+      .select(col("doc_id"), col("r.n_tokens").as("n_tokens"),
+        col("r.distinct_token_ratio").as("distinct_token_ratio"),
+        col("r.dup_2gram_frac").as("dup_2gram_frac"),
+        col("r.dup_3gram_frac").as("dup_3gram_frac"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionReportOracle: String = {
+    val t = DuckSql.tokens("text")
+    val s2 = DuckSql.shinglesFromTokens("t", 2)
+    val s3 = DuckSql.shinglesFromTokens("t", 3)
+    s"""WITH corpus AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT CAST(doc_id + 3000000 AS BIGINT), text || ' ' || text
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |tok AS (SELECT doc_id, $t AS t FROM corpus),
+       |sh AS (SELECT doc_id, t, $s2 AS s2, $s3 AS s3 FROM tok)
+       |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       |  CASE WHEN len(t) > 0
+       |    THEN round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+       |    ELSE CAST(1.0 AS DOUBLE) END AS distinct_token_ratio,
+       |  round(CAST(len(s2) - len(list_distinct(s2)) AS DOUBLE) / len(s2), 6) AS dup_2gram_frac,
+       |  round(CAST(len(s3) - len(list_distinct(s3)) AS DOUBLE) / len(s3), 6) AS dup_3gram_frac
+       |FROM sh ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- eval-set decontamination ------------------------------------
+
+  /** Contamination scan: benchmark = every 50th document (a stand-in
+    * eval set, broadcast); corpus = documents ∪ near-dup copies. The
+    * planted near-dups of benchmark docs (50 | id ⇒ 10 | id) are the
+    * contamination the scan must find; exact self-copies are excluded
+    * by id.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val bench = docs(spark, dir).filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("text"))
+    TextDedup.contaminationCheck(
+        corpusNear(spark, dir), "doc_id", "text", bench, "doc_id", "text")
+      .orderBy("doc_id", "bench_id")
+  }
+
+  val decontaminateOracle: String = {
+    val sh = DuckSql.shinglesFromTokens(DuckSql.tokens("text"))
+    val sset = s"list_distinct(list_transform($sh, x -> ${DuckSql.hash60("x")}))"
+    s"""WITH corpus AS ($corpusNearSql),
+       |csets AS (SELECT doc_id, $sset AS sset FROM corpus),
+       |bsets AS (SELECT CAST(doc_id AS BIGINT) AS bench_id, $sset AS bset
+       |  FROM documents WHERE doc_id % 50 = 0),
+       |cx AS (SELECT doc_id, unnest(sset) AS h FROM csets),
+       |bx AS (SELECT bench_id, CAST(len(bset) AS BIGINT) AS bench_size, unnest(bset) AS h FROM bsets)
+       |SELECT cx.doc_id, bx.bench_id,
+       |  CAST(count(*) AS BIGINT) AS n_shared,
+       |  round(CAST(count(*) AS DOUBLE) / bench_size, 6) AS containment
+       |FROM cx JOIN bx USING (h)
+       |WHERE cx.doc_id <> bx.bench_id
+       |GROUP BY cx.doc_id, bx.bench_id, bench_size
+       |HAVING round(CAST(count(*) AS DOUBLE) / bench_size, 6) >= 0.5
+       |ORDER BY doc_id, bench_id""".stripMargin
+  }
 }

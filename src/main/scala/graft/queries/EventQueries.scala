@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.operators.{Multimodal, Similarity}
+import graft.operators.{AsOf, Multimodal, Similarity}
 import graft.streaming.EventWindows
 
 /** Graded queries over `events` (event-time windowing, sessionization)
@@ -69,6 +69,48 @@ object EventQueries {
       |  strftime(min(ts), '%Y-%m-%dT%H:%M:%S') AS session_start,
       |  strftime(max(ts), '%Y-%m-%dT%H:%M:%S') AS session_end
       |FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no""".stripMargin
+
+  /** As-of join: every purchase event annotated with the latest
+    * strictly-prior error event of the same user — the point-in-time
+    * state lookup ([[AsOf.joinPrior]]: one shuffle on user_id, no range
+    * join). Purchases with no prior error keep NULLs. The oracle is
+    * DuckDB's native ASOF LEFT JOIN with the same strict inequality —
+    * two independent implementations of the operator's semantics.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    // no-prior-error rows emit SENTINELS (-1 / 'none' / 0.0), not NULLs:
+    // the compare harness sorts raw row tuples, and a leading nullable
+    // column makes that sort engine-fragile (None vs int). The operator
+    // itself returns NULLs (pinned by AsOfSpec); the graded projection
+    // coalesces on BOTH engines.
+    AsOf.joinPrior(purchases, errors, "user_id", "ts",
+        payloadCols = Seq("event_id", "ts", "value"))
+      .select(col("event_id").cast(LongType).as("purchase_id"),
+        col("user_id").cast(LongType).as("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("purchase_ts"),
+        coalesce(col("asof.event_id").cast(LongType), lit(-1L)).as("error_id"),
+        coalesce(date_format(col("asof.ts"), "yyyy-MM-dd'T'HH:mm:ss"),
+          lit("none")).as("error_ts"),
+        coalesce(col("asof.value"), lit(0.0d)).as("error_value"))
+      .orderBy("purchase_id")
+  }
+
+  val asofJoinOracle: String =
+    """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      |e AS (SELECT * FROM events WHERE event_type = 'error')
+      |SELECT CAST(p.event_id AS BIGINT) AS purchase_id,
+      |  CAST(p.user_id AS BIGINT) AS user_id,
+      |  strftime(p.ts, '%Y-%m-%dT%H:%M:%S') AS purchase_ts,
+      |  COALESCE(CAST(e.event_id AS BIGINT), -1) AS error_id,
+      |  COALESCE(strftime(e.ts, '%Y-%m-%dT%H:%M:%S'), 'none') AS error_ts,
+      |  COALESCE(e.value, 0.0) AS error_value
+      |FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND p.ts > e.ts
+      |ORDER BY purchase_id""".stripMargin
 
   /** Multimodal: documents wrapped as binary blobs, batch-decoded with
     * the (stub) decoder — byte length, md5, pseudo-dimensions.

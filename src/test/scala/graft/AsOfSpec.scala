@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.AsOf
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("joinPrior: latest strictly-prior right row per key; nulls when none") {
+    val left = Seq(
+      (1L, 5L, "a"),   // before any right row
+      (1L, 10L, "b"),  // equal ts: strictly-prior means NOT visible
+      (1L, 15L, "c"),  // after first right row
+      (1L, 25L, "d"),  // after both; must pick the LATEST prior
+      (2L, 50L, "e")   // key with no right rows at all
+    ).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, 10L, 100.0), (1L, 20L, 200.0),
+      (3L, 1L, 999.0)  // other key: must never leak across keys
+    ).toDF("user_id", "ts", "value")
+
+    val out = AsOf.joinPrior(left, right, "user_id", "ts", Seq("ts", "value"))
+      .select($"tag", $"asof.ts".as("rts"), $"asof.value".as("rv"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2)))))
+      .toMap
+    assert(out("a") === None)
+    assert(out("b") === None)
+    assert(out("c") === Some((10L, 100.0)))
+    assert(out("d") === Some((20L, 200.0)))
+    assert(out("e") === None)
+  }
+
+  test("joinPrior preserves every left column and row count") {
+    val left = Seq((1L, 2L, "x", 9), (1L, 3L, "y", 8)).toDF("k", "ts", "s", "n")
+    val right = Seq((1L, 1L, 7.0)).toDF("k", "ts", "v")
+    val out = AsOf.joinPrior(left, right, "k", "ts", Seq("v"))
+    assert(out.columns.toSeq === Seq("k", "ts", "s", "n", "asof"))
+    assert(out.count() === 2)
+  }
+}

@@ -168,6 +168,21 @@ class TextDedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L, 15L -> 10L))
   }
 
+  test("contaminationCheck flags near-copies of benchmark docs, not self or distinct") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),  // IS bench 1: self-excluded
+      (2L, "quick brown fox jumps over the lazy dog today"), // near-copy: contaminated
+      (3L, "completely different words entirely unrelated content here")
+    ).toDF("doc_id", "text")
+    val bench = corpus.filter($"doc_id" === 1)
+    val out = TextDedup.contaminationCheck(corpus, "doc_id", "text",
+        bench, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // bench doc has 7 3-shingles; doc 2 shares 6 of them
+    assert(out.toSeq === Seq((2L, 1L, 6L, 0.857143)))
+  }
+
   test("dedupClusters: hitting the iteration cap fails loudly, not silently wrong") {
     import spark.implicits._
     // a diameter-4 path needs 4 propagation rounds; maxIters=1 must throw

@@ -103,6 +103,22 @@ class TextStatsSpec extends SparkSpec {
     assert(out(3L) === ((0L, 0L, "no pii here")))
   }
 
+  test("repetition metrics: exact dup-ngram fractions and token diversity") {
+    val df = Seq(
+      (1L, "a b a b a"),   // 5 toks / 2 distinct; 2-grams 4/2 dup; 3-grams 3/2
+      (2L, "x y z"),       // all unique; single 3-gram
+      (3L, "")             // empty: ratio 1.0, degenerate shingle unique
+    ).toDF("id", "text")
+    val out = df.select($"id", TextStats.repetition($"text").as("r"))
+      .select($"id", $"r.n_tokens", $"r.distinct_token_ratio",
+        $"r.dup_2gram_frac", $"r.dup_3gram_frac").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(1L) === ((5L, 0.4, 0.5, 0.333333)))
+    assert(out(2L) === ((3L, 1.0, 0.0, 0.0)))
+    assert(out(3L) === ((0L, 1.0, 0.0, 0.0)))
+  }
+
   test("url redaction stops at any whitespace, not just spaces") {
     import graft.operators.Redact
     val df = Seq(
