@@ -142,4 +142,32 @@ class PlanSpec extends SparkSpec {
     assert(readSchema.contains("text"), readSchema)
     assert(!readSchema.contains("doc_id"), "unused columns must be pruned: " + readSchema)
   }
+
+  test("decontamination broadcasts only the benchmark side; corpus stays partitioned") {
+    val df = graft.queries.DedupQueries.decontaminate(spark, dir)
+    val hinted = forcedBroadcastSubtrees(df)
+    assert(hinted.nonEmpty, "benchmark side must carry the broadcast hint")
+    // the corpus is the union with planted near-dups — it must never be
+    // the broadcast side (at 100 TB the eval set broadcasts, not the corpus)
+    for (sub <- hinted)
+      assert(!sub.contains("Union"), "corpus union must not be broadcast:\n" + sub)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("as-of join is one hash exchange — no range join, no nested loop") {
+    import org.apache.spark.sql.functions.col
+    val ev = graft.Tables.load(spark, dir, "events")
+    val out = graft.operators.AsOf.joinPrior(
+      ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts"),
+      ev.filter(col("event_type") === "error").select("user_id", "ts", "value"),
+      "user_id", "ts", Seq("value"))
+    // AQE's toString appends the "== Initial Plan ==" section — count
+    // exchanges only in the final plan
+    val p = plan(out).split("== Initial Plan ==").head
+    assert(!p.contains("BroadcastNestedLoopJoin"), "theta range join is the scale-killer:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1, s"expected exactly 1 key shuffle, got $exchanges:\n$p")
+  }
 }
