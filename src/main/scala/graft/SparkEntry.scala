@@ -76,6 +76,7 @@ object SparkEntry {
     "x_pack_assign" -> (DedupQueries.packAssign _),
     "x_redact_pii" -> (DedupQueries.redactPii _),
     "x_repetition" -> (DedupQueries.repetitionReport _),
+    "x_stratified_sample" -> (DedupQueries.stratifiedSample _),
     "x_decontaminate" -> (DedupQueries.decontaminate _),
     "x_lang_id" -> (DedupQueries.langId _),
     "x_quality" -> (DedupQueries.quality _),
@@ -220,6 +221,7 @@ object SparkEntry {
     "x_pack_assign" -> DedupQueries.packAssignOracle,
     "x_redact_pii" -> DedupQueries.redactPiiOracle,
     "x_repetition" -> DedupQueries.repetitionReportOracle,
+    "x_stratified_sample" -> DedupQueries.stratifiedSampleOracle,
     "x_decontaminate" -> DedupQueries.decontaminateOracle,
     "x_lang_id" -> DedupQueries.langIdOracle,
     "x_quality" -> DedupQueries.qualityOracle,

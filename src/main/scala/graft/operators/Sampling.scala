@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 import graft.functions.PortableHash
 
@@ -36,4 +38,29 @@ object Sampling {
   /** Deterministic ~pct% sample predicate over a string key. */
   def samplePredicate(key: Column, pct: Int, nBuckets: Int = 1000): Column =
     hashBucket(key, nBuckets) < nBuckets * pct / 100
+
+  /** Stratified deterministic downsampling: keep the best
+    * ceil(|stratum| * pct / 100) rows of EACH stratum by
+    * (score desc, id asc) — proportional representation per stratum
+    * (language, source), where a global threshold would let a dominant
+    * stratum crowd out the rest. Appends `stratum_rank` (1-based within
+    * the stratum).
+    *
+    * One shuffle on the stratum key: the count and the rank share the
+    * same window partitioning. Rank-within-stratum sorts each stratum —
+    * fine for bounded-cardinality strata (languages, sources), where a
+    * stratum's sort is its own partition's work; for open-ended or
+    * pathologically skewed strata use the hash-threshold samplers above.
+    */
+  def stratifiedTopPct(
+      df: DataFrame, stratumCol: String, idCol: String,
+      scoreCol: String, pct: Int): DataFrame = {
+    require(pct > 0 && pct <= 100, "pct must be in (0, 100]")
+    val byStratum = Window.partitionBy(col(stratumCol))
+    val byScore = byStratum.orderBy(col(scoreCol).desc, col(idCol))
+    df.withColumn("__stratum_n", count(lit(1)).over(byStratum))
+      .withColumn("stratum_rank", row_number().over(byScore).cast(LongType))
+      .filter(col("stratum_rank") <= ceil(col("__stratum_n") * pct / lit(100.0)))
+      .drop("__stratum_n")
+  }
 }

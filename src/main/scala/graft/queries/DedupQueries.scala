@@ -538,6 +538,45 @@ object DedupQueries {
       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Stratified quality sampling: per LANGUAGE, keep the top 20% of
+    * docs by (quality_score desc, doc_id) —
+    * [[graft.operators.Sampling.stratifiedTopPct]]'s proportional
+    * per-stratum retention, vs [[qualitySample]]'s global threshold
+    * (which lets a dominant language crowd out the rest).
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("lang"),
+        TextStats.quality(col("text")).getField("quality_score").as("quality_score"))
+    graft.operators.Sampling.stratifiedTopPct(d, "lang", "doc_id", "quality_score", 20)
+      .orderBy("lang", "stratum_rank")
+  }
+
+  val stratifiedSampleOracle: String = {
+    val t = DuckSql.tokens("text")
+    val allStop = TextStats.stopwords.values.flatten.toSeq.distinct.sorted
+    s"""WITH t AS (SELECT doc_id, lang,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len($t) AS BIGINT) AS n_tokens,
+       |    CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT) AS alnum,
+       |    CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS spaces,
+       |    CAST(${DuckSql.hitCount(t, allStop)} AS BIGINT) AS stop_hits
+       |  FROM documents),
+       |q AS (SELECT doc_id, lang,
+       |    round(greatest(0.0, least(1.0,
+       |      0.5 * (CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens ELSE 0.0 END) +
+       |      0.1 * (CASE WHEN n_tokens > 0 THEN CAST(alnum AS DOUBLE) / n_tokens ELSE 0.0 END) -
+       |      (CASE WHEN n_chars > 0 THEN CAST(n_chars - alnum - spaces AS DOUBLE) / n_chars ELSE 0.0 END))), 6) AS quality_score
+       |  FROM t),
+       |r AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, quality_score,
+       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY quality_score DESC, doc_id) AS BIGINT) AS stratum_rank,
+       |    count(*) OVER (PARTITION BY lang) AS cnt
+       |  FROM q)
+       |SELECT doc_id, lang, quality_score, stratum_rank FROM r
+       |WHERE stratum_rank <= CAST(ceil(cnt * 20 / 100.0) AS BIGINT)
+       |ORDER BY lang, stratum_rank""".stripMargin
+  }
+
   // ---- within-doc repetition (Gopher-style filters) ----------------
 
   /** Repetition metrics over documents ∪ self-doubled copies (every 7th

@@ -128,6 +128,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of join: state holds newest prior right row per key across batches") {
+    import spark.implicits._
+    import graft.streaming.StreamAsOf
+    import graft.streaming.StreamAsOf.{AsOfEvent, AsOfOut}
+    val dir = Files.createTempDirectory("graft-sasof").toString
+    // batch 1: purchase before any error, an error, a purchase at the
+    // SAME instant (strictly-prior: not visible), a later purchase
+    Seq(
+      AsOfEvent(1L, 5L, 101L, 0, 0.0),
+      AsOfEvent(1L, 10L, 201L, 1, 9.5),
+      AsOfEvent(1L, 10L, 102L, 0, 0.0),
+      AsOfEvent(1L, 15L, 103L, 0, 0.0)
+    ).toDS().write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[AsOfEvent]].schema)
+      .parquet(dir).as[AsOfEvent]
+    val q = StreamAsOf.joinPriorStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("sasof_out").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: newer error then a purchase after it (in-batch order),
+      // plus a key with no right rows at all
+      Seq(
+        AsOfEvent(1L, 20L, 202L, 1, 3.25),
+        AsOfEvent(1L, 25L, 104L, 0, 0.0),
+        AsOfEvent(2L, 30L, 105L, 0, 0.0)
+      ).toDS().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val out = spark.table("sasof_out").as[AsOfOut].collect()
+        .map(o => o.event_id -> ((o.right_event_id, o.right_tsMicros, o.right_value)))
+        .toMap
+      assert(out === Map(
+        101L -> ((-1L, -1L, 0.0)),      // nothing prior
+        102L -> ((-1L, -1L, 0.0)),      // equal-ts error not visible
+        103L -> ((201L, 10L, 9.5)),
+        104L -> ((202L, 20L, 3.25)),    // in-batch error visible
+        105L -> ((-1L, -1L, 0.0))))     // key with no right rows
+      // twin check: the batch operator on the full history agrees
+      val all = spark.read.parquet(dir)
+      val batch = graft.operators.AsOf.joinPrior(
+          all.filter($"side" === 0).select($"key", $"tsMicros".as("ts"), $"event_id"),
+          all.filter($"side" === 1).select($"key", $"tsMicros".as("ts"), $"event_id", $"value"),
+          "key", "ts", Seq("event_id", "ts", "value"))
+        .select($"event_id",
+          coalesce($"asof.event_id", lit(-1L)).as("rid"),
+          coalesce($"asof.ts", lit(-1L)).as("rts"),
+          coalesce($"asof.value", lit(0.0)).as("rv"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      assert(batch === out, "streaming twin must equal the batch as-of join")
+    } finally q.stop()
+  }
+
   test("sessionize: gap splits sessions per user") {
     import spark.implicits._
     val events = Seq(

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.expressions.RollingHash
-import graft.operators.TextStats
+import graft.operators.{Sampling, TextStats}
 
 class TextStatsSpec extends SparkSpec {
   import spark.implicits._
@@ -101,6 +101,19 @@ class TextStatsSpec extends SparkSpec {
     assert(out(1L)._3 === "write to <EMAIL> or see <URL> now")
     assert(out(2L) === ((2L, 0L, "two mails: <EMAIL> <EMAIL>")))
     assert(out(3L) === ((0L, 0L, "no pii here")))
+  }
+
+  test("stratified sampling keeps ceil(pct%) of each stratum, best-score-first") {
+    val df = Seq(
+      // stratum "en": 5 rows -> ceil(5*0.4)=2 kept, the two best scores
+      (1L, "en", 0.9), (2L, "en", 0.7), (3L, "en", 0.5), (4L, "en", 0.3), (5L, "en", 0.1),
+      // stratum "de": 2 rows -> ceil(2*0.4)=1 kept; tie broken by id
+      (6L, "de", 0.6), (7L, "de", 0.6)
+    ).toDF("id", "lang", "score")
+    val out = Sampling.stratifiedTopPct(df, "lang", "id", "score", 40)
+      .select($"id", $"stratum_rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 2L, 6L -> 1L))
   }
 
   test("repetition metrics: exact dup-ngram fractions and token diversity") {
