@@ -77,6 +77,7 @@ object SparkEntry {
     "x_redact_pii" -> (DedupQueries.redactPii _),
     "x_repetition" -> (DedupQueries.repetitionReport _),
     "x_stratified_sample" -> (DedupQueries.stratifiedSample _),
+    "x_length_quantiles" -> (DedupQueries.lengthQuantiles _),
     "x_decontaminate" -> (DedupQueries.decontaminate _),
     "x_lang_id" -> (DedupQueries.langId _),
     "x_quality" -> (DedupQueries.quality _),
@@ -222,6 +223,7 @@ object SparkEntry {
     "x_redact_pii" -> DedupQueries.redactPiiOracle,
     "x_repetition" -> DedupQueries.repetitionReportOracle,
     "x_stratified_sample" -> DedupQueries.stratifiedSampleOracle,
+    "x_length_quantiles" -> DedupQueries.lengthQuantilesOracle,
     "x_decontaminate" -> DedupQueries.decontaminateOracle,
     "x_lang_id" -> DedupQueries.langIdOracle,
     "x_quality" -> DedupQueries.qualityOracle,

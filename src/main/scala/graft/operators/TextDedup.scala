@@ -345,28 +345,36 @@ object TextDedup {
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
+    // Same shape as [[minhashPairs]]: buckets hold IDS ONLY, expanded by
+    // the native capped-pair kernel (the earlier struct-member spelling
+    // paid an interpreted HOF per bucket and shuffled every sim 4×);
+    // fingerprints re-attach through two joins against the materialized
+    // (id, sim) table. Eager checkpoint: three consumers, freed by the
+    // ContextCleaner when the result is dropped.
     val withSim = withSimhash(
       df.select(col(idCol).cast(LongType).as("id"), col(textCol)), textCol)
       .select(col("id"), col("sim"))
-    val chunkStructs = (0 until 4).map { i =>
+      .localCheckpoint(true)
+    val chunkKeys = (0 until 4).map { i =>
       struct(lit(i).as("chunk"),
         shiftright(col("sim"), 15 * i).bitwiseAND(lit(0x7FFFL)).as("ckey"))
     }
-    val chunked = withSim.select(col("id"), col("sim"),
-      explode(array(chunkStructs: _*)).as("c"))
-      .select(col("id"), col("sim"), col("c.chunk").as("chunk"), col("c.ckey").as("ckey"))
-    chunked
+    val pairs = withSim
+      .select(col("id"), explode(array(chunkKeys: _*)).as("c"))
+      .select(col("id"), col("c.chunk").as("chunk"), col("c.ckey").as("ckey"))
       .groupBy(col("chunk"), col("ckey"))
-      .agg(collect_list(struct(col("id"), col("sim"))).as("members"))
+      .agg(collect_list(col("id")).as("members"))
       .filter(size(col("members")) > 1)
-      .select(explode(cappedBucketPairs(array_sort(col("members")), maxBucket)).as("p"))
-      .select(col("p.id_a.id").as("id_a"), col("p.id_b.id").as("id_b"),
-        bit_count(col("p.id_a.sim").bitwiseXOR(col("p.id_b.sim"))).cast(LongType).as("hamming"))
-      // hamming is deterministic per pair, so filtering BEFORE the
-      // dedup shuffle is equivalent — and Catalyst cannot push a
-      // non-grouping-key filter through the aggregate itself. Only
-      // close pairs pay the shuffle.
-      .filter(col("hamming") <= maxHamming)
+      .select(explode(cappedBucketPairsLong(array_sort(col("members")), maxBucket)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      // pairs sharing several chunks duplicate — dedup BEFORE the sim
+      // joins so each pair is scored once
       .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(withSim.select(col("id").as("id_a"), col("sim").as("sim_a")), Seq("id_a"))
+      .join(withSim.select(col("id").as("id_b"), col("sim").as("sim_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast(LongType).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 }

@@ -577,6 +577,36 @@ object DedupQueries {
        |ORDER BY lang, stratum_rank""".stripMargin
   }
 
+  /** Token-length distribution per language: exact continuous
+    * percentiles (both engines implement the same R-7 linear
+    * interpolation, so the doubles match on exact-integer inputs).
+    * One grouped aggregation; Spark's exact `percentile` keeps a
+    * value→count map per group — fine for bounded-cardinality strata;
+    * `approx_percentile` (t-digest, mergeable) is the drop-in for
+    * open-ended groups at 100 TB.
+    */
+  def lengthQuantiles(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("lang"), TextStats.wsTokenCount(col("text")).as("ws"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        round(percentile(col("ws"), lit(0.5)), 6).as("p50_tokens"),
+        round(percentile(col("ws"), lit(0.9)), 6).as("p90_tokens"),
+        round(percentile(col("ws"), lit(0.99)), 6).as("p99_tokens"),
+        max(col("ws")).cast(LongType).as("max_tokens"))
+      .orderBy("lang")
+
+  val lengthQuantilesOracle: String =
+    """WITH t AS (SELECT lang,
+      |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS ws
+      |  FROM documents)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  round(quantile_cont(ws, 0.5), 6) AS p50_tokens,
+      |  round(quantile_cont(ws, 0.9), 6) AS p90_tokens,
+      |  round(quantile_cont(ws, 0.99), 6) AS p99_tokens,
+      |  CAST(max(ws) AS BIGINT) AS max_tokens
+      |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---- within-doc repetition (Gopher-style filters) ----------------
 
   /** Repetition metrics over documents ∪ self-doubled copies (every 7th
