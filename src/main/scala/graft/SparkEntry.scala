@@ -78,6 +78,7 @@ object SparkEntry {
     "x_repetition" -> (DedupQueries.repetitionReport _),
     "x_stratified_sample" -> (DedupQueries.stratifiedSample _),
     "x_length_quantiles" -> (DedupQueries.lengthQuantiles _),
+    "x_chunk_docs" -> (DedupQueries.chunkDocs _),
     "x_decontaminate" -> (DedupQueries.decontaminate _),
     "x_lang_id" -> (DedupQueries.langId _),
     "x_quality" -> (DedupQueries.quality _),
@@ -224,6 +225,7 @@ object SparkEntry {
     "x_repetition" -> DedupQueries.repetitionReportOracle,
     "x_stratified_sample" -> DedupQueries.stratifiedSampleOracle,
     "x_length_quantiles" -> DedupQueries.lengthQuantilesOracle,
+    "x_chunk_docs" -> DedupQueries.chunkDocsOracle,
     "x_decontaminate" -> DedupQueries.decontaminateOracle,
     "x_lang_id" -> DedupQueries.langIdOracle,
     "x_quality" -> DedupQueries.qualityOracle,

@@ -607,6 +607,28 @@ object DedupQueries {
       |  CAST(max(ws) AS BIGINT) AS max_tokens
       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Document chunking: 64-token windows every 48 tokens (16-token
+    * overlap) — the sequence-prep step feeding [[packAssign]].
+    */
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunk.chunkDocs(docs(spark, dir), "doc_id", "text",
+        chunkTokens = 64, stride = 48)
+      .orderBy("doc_id", "chunk_no")
+
+  val chunkDocsOracle: String = {
+    val t = DuckSql.tokens("text")
+    s"""WITH tok AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, $t AS t FROM documents),
+       |k AS (SELECT doc_id, t,
+       |    CASE WHEN len(t) > 64 THEN CAST(ceil((len(t) - 64) / 48.0) AS BIGINT)
+       |         ELSE 0 END AS kmax
+       |  FROM tok),
+       |e AS (SELECT doc_id, t, unnest(range(0, kmax + 1)) AS i FROM k)
+       |SELECT doc_id, CAST(i AS BIGINT) AS chunk_no,
+       |  array_to_string(t[i*48 + 1 : i*48 + 64], ' ') AS chunk_text,
+       |  CAST(least(64, len(t) - i*48) AS BIGINT) AS chunk_tokens
+       |FROM e ORDER BY doc_id, chunk_no""".stripMargin
+  }
+
   // ---- within-doc repetition (Gopher-style filters) ----------------
 
   /** Repetition metrics over documents ∪ self-doubled copies (every 7th

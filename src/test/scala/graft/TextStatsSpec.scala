@@ -116,6 +116,24 @@ class TextStatsSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 2L, 6L -> 1L))
   }
 
+  test("chunking: strided windows, short tail, single chunk for short/empty docs") {
+    import graft.operators.Chunk
+    val df = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11"), // 11 toks: starts 0,3,6,9
+      (2L, "a b"),                                 // <= chunk size: one chunk
+      (3L, "")                                     // empty: one empty chunk
+    ).toDF("doc_id", "text")
+    val out = Chunk.chunkDocs(df, "doc_id", "text", chunkTokens = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getString(2), r.getLong(3)))).toMap
+    assert(out((1L, 0L)) === (("t1 t2 t3 t4", 4L)))
+    assert(out((1L, 1L)) === (("t4 t5 t6 t7", 4L)))
+    assert(out((1L, 2L)) === (("t7 t8 t9 t10", 4L)))
+    assert(out((1L, 3L)) === (("t10 t11", 2L)))
+    assert(out((2L, 0L)) === (("a b", 2L)))
+    assert(out((3L, 0L)) === (("", 0L)))
+    assert(out.size === 6)
+  }
+
   test("repetition metrics: exact dup-ngram fractions and token diversity") {
     val df = Seq(
       (1L, "a b a b a"),   // 5 toks / 2 distinct; 2-grams 4/2 dup; 3-grams 3/2
