@@ -71,5 +71,23 @@ class CurationPipelineSpec extends SparkSpec {
     val again = packed.select("doc_id", "pack_no").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val first = packed.select("doc_id", "pack_no").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again === first)
+
+    // 6. chunking the training survivors: every chunk traces to a
+    // surviving doc, respects the window size, and tail chunks are the
+    // only short ones
+    val chunks = graft.operators.Chunk.chunkDocs(
+      split.filter(col("split") === "train"), "doc_id", "text",
+      chunkTokens = 64, stride = 48)
+    val trainIds = split.filter(col("split") === "train")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(chunks.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet === trainIds, "every train doc chunked, no strays")
+    assert(chunks.filter(col("chunk_tokens") > 64).count() === 0)
+    val shortNonTail = chunks
+      .withColumn("max_no", max(col("chunk_no"))
+        .over(Window.partitionBy(col("doc_id"))))
+      .filter(col("chunk_tokens") < 64 && col("chunk_no") < col("max_no"))
+      .count()
+    assert(shortNonTail === 0L, "only the final chunk of a doc may be short")
   }
 }

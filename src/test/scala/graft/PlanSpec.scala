@@ -143,6 +143,17 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("doc_id"), "unused columns must be pruned: " + readSchema)
   }
 
+  test("repetition and chunking are narrow: no hash shuffle, pruned scan") {
+    for (df <- Seq(graft.queries.DedupQueries.repetitionReport(spark, dir),
+                   graft.queries.DedupQueries.chunkDocs(spark, dir))) {
+      val p = plan(df)
+      assert(!p.contains("hashpartitioning"),
+        "per-row metrics must not shuffle on a key:\n" + p)
+      val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(!readSchema.contains("lang"), "unused columns must be pruned: " + readSchema)
+    }
+  }
+
   test("decontamination broadcasts only the benchmark side; corpus stays partitioned") {
     val df = graft.queries.DedupQueries.decontaminate(spark, dir)
     val hinted = forcedBroadcastSubtrees(df)
