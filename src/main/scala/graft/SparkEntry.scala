@@ -89,6 +89,7 @@ object SparkEntry {
     "x_ann_ivf" -> (SimilarityQueries.annIvf _),
     "x_ann_lsh" -> (SimilarityQueries.annLsh _),
     "x_embed_neardups" -> (SimilarityQueries.embedNearDups _),
+    "x_embed_centroids" -> (SimilarityQueries.embedCentroids _),
     "x_kmeans_clusters" -> (SimilarityQueries.kmeansClusters _),
     "x_ann_ivf_trained" -> (SimilarityQueries.annIvfTrained _),
     // extensions: event-time windows + multimodal plumbing
@@ -235,6 +236,7 @@ object SparkEntry {
     "x_ann_ivf" -> SimilarityQueries.annIvfOracle,
     "x_ann_lsh" -> SimilarityQueries.annLshOracle,
     "x_embed_neardups" -> SimilarityQueries.embedNearDupsOracle,
+    "x_embed_centroids" -> SimilarityQueries.embedCentroidsOracle,
     "x_kmeans_clusters" -> SimilarityQueries.kmeansClustersOracle,
     "x_ann_ivf_trained" -> SimilarityQueries.annIvfTrainedOracle,
     "x_events_asof" -> EventQueries.asofJoinOracle,

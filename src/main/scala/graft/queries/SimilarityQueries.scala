@@ -226,4 +226,35 @@ object SimilarityQueries {
        |  FROM n a JOIN n b ON a.cluster = b.cluster AND a.id < b.id)
        |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.4
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Per-label centroid components: element-wise count/sum/mean of the
+    * quantized vectors — the mergeable array aggregation behind cluster
+    * summaries and mean-pooling. One posexplode + a single keyed
+    * aggregation with map-side partial agg (k×dim result rows) — the
+    * same shape [[Similarity]]'s k-means driver collects, exposed as a
+    * graded query. Sums are exact integers; the mean is one double
+    * division at the end.
+    */
+  def embedCentroids(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .select(col("label").cast(LongType).as("label"),
+        Similarity.quantize(col("embedding")).as("q"))
+      .select(col("label"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).cast(LongType).as("n_vecs"),
+        sum(col("v")).cast(LongType).as("sum_q"),
+        round(sum(col("v")).cast(DoubleType) / count(lit(1)), 6).as("mean_q"))
+      .select(col("label"), col("pos").cast(LongType).as("pos"),
+        col("n_vecs"), col("sum_q"), col("mean_q"))
+      .orderBy("label", "pos")
+
+  val embedCentroidsOracle: String =
+    s"""WITH $quantCte,
+       |e AS (SELECT cluster AS label, i - 1 AS pos, qv[i] AS v
+       |  FROM q CROSS JOIN unnest(range(1, 65)) AS t(i))
+       |SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+       |  CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(v) AS BIGINT) AS sum_q,
+       |  round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_q
+       |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin
 }
