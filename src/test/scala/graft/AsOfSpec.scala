@@ -31,6 +31,34 @@ class AsOfSpec extends SparkSpec {
     assert(out("e") === None)
   }
 
+  test("joinPrior matches a naive reference on seeded random event streams") {
+    val rng = new scala.util.Random(1234)
+    // globally unique timestamps (determinism contract: unique tsCol)
+    val allTs = rng.shuffle((0 until 600).toList)
+    val lefts = (0 until 300).map(i =>
+      (rng.nextInt(8).toLong, allTs(i).toLong, 10000L + i))
+    val rights = (300 until 600).map(i =>
+      (rng.nextInt(8).toLong, allTs(i).toLong, 20000L + i, rng.nextInt(1000) / 4.0))
+    val lDf = lefts.toDF("k", "ts", "event_id")
+    val rDf = rights.toDF("k", "ts", "event_id", "value")
+
+    val got = AsOf.joinPrior(lDf, rDf, "k", "ts", Seq("event_id", "value"))
+      .select($"event_id", $"asof.event_id".as("rid"), $"asof.value".as("rv"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2)))))
+      .toMap
+
+    val expected = lefts.map { case (k, ts, id) =>
+      val prior = rights.filter(r => r._1 == k && r._2 < ts)
+      id -> (if (prior.isEmpty) None
+             else Some(prior.maxBy(_._2)).map(r => (r._3, r._4)))
+    }.toMap
+    assert(got === expected)
+    // sanity: the generated streams exercise both branches
+    assert(expected.values.exists(_.isDefined) && expected.values.exists(_.isEmpty))
+  }
+
   test("joinPrior preserves every left column and row count") {
     val left = Seq((1L, 2L, "x", 9), (1L, 3L, "y", 8)).toDF("k", "ts", "s", "n")
     val right = Seq((1L, 1L, 7.0)).toDF("k", "ts", "v")
