@@ -58,6 +58,7 @@ object SparkEntry {
     "q5_revenue_by_nation" -> (AggQueries.revenueByNation _),
     "q6_forecast_revenue" -> (AggQueries.forecastRevenue _),
     "x_rollup_revenue" -> (AggQueries.rollupRevenue _),
+    "x_cube_revenue" -> (AggQueries.cubeRevenue _),
     "x_distinct_parts" -> (AggQueries.distinctParts _),
     "x_approx_distinct_parts" -> (AggQueries.approxDistinctParts _),
     "x_anti_join_customers" -> (AggQueries.customersWithoutOrders _),
@@ -77,6 +78,7 @@ object SparkEntry {
     "x_redact_pii" -> (DedupQueries.redactPii _),
     "x_repetition" -> (DedupQueries.repetitionReport _),
     "x_stratified_sample" -> (DedupQueries.stratifiedSample _),
+    "x_temperature_sample" -> (DedupQueries.temperatureSample _),
     "x_length_quantiles" -> (DedupQueries.lengthQuantiles _),
     "x_chunk_docs" -> (DedupQueries.chunkDocs _),
     "x_decontaminate" -> (DedupQueries.decontaminate _),
@@ -206,6 +208,7 @@ object SparkEntry {
     "q5_revenue_by_nation" -> AggQueries.revenueByNationOracle,
     "q6_forecast_revenue" -> AggQueries.forecastRevenueOracle,
     "x_rollup_revenue" -> AggQueries.rollupRevenueOracle,
+    "x_cube_revenue" -> AggQueries.cubeRevenueOracle,
     "x_distinct_parts" -> AggQueries.distinctPartsOracle,
     // x_approx_distinct_parts intentionally has NO oracle: HLL sketch
     // values are engine-specific (driver records a rows-only check)
@@ -225,6 +228,7 @@ object SparkEntry {
     "x_redact_pii" -> DedupQueries.redactPiiOracle,
     "x_repetition" -> DedupQueries.repetitionReportOracle,
     "x_stratified_sample" -> DedupQueries.stratifiedSampleOracle,
+    "x_temperature_sample" -> DedupQueries.temperatureSampleOracle,
     "x_length_quantiles" -> DedupQueries.lengthQuantilesOracle,
     "x_chunk_docs" -> DedupQueries.chunkDocsOracle,
     "x_decontaminate" -> DedupQueries.decontaminateOracle,

@@ -161,6 +161,30 @@ object AggQueries {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** CUBE twin of [[rollupRevenue]]: all four grouping sets (exact
+    * DECIMAL sums cast to DOUBLE at the end; grouping_id disambiguates
+    * the NULL group keys).
+    */
+  def cubeRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(dec(18, 2))).cast(DoubleType).as("sum_qty"),
+        count(lit(1)).cast(LongType).as("n"),
+        grouping_id().cast(LongType).as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
+  def cubeRevenueOracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   /** Extension — exact distinct aggregation per group (expands to a
     * two-phase aggregate in Spark; one extra shuffle on the distinct
     * key).

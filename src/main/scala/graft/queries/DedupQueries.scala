@@ -629,6 +629,47 @@ object DedupQueries {
        |FROM e ORDER BY doc_id, chunk_no""".stripMargin
   }
 
+  /** Temperature resampling (alpha = 0.5): per-language keep rate
+    * proportional to sqrt(corpus share) / share — the multilingual
+    * rebalancing that boosts low-resource languages. Budget = n_tot/5
+    * docs; language l targets share w_l / z with INTEGER weights
+    * w_l = floor(sqrt(n_l)) and z = Σ w_l, so the whole threshold
+    * `keep_buckets = (1000 * n_tot * w_l) div (5 * z * n_l)` is exact
+    * BIGINT arithmetic — no cross-engine floating-point at all
+    * (floor(sqrt(int)) is safe below 2^52: IEEE sqrt is correctly
+    * rounded). The BIGINT product bounds the corpus at ~10^12 docs per
+    * run; past that, rearrange to doubles and accept ulp risk.
+    * Keep rule: content-hash bucket < keep_buckets — deterministic and
+    * stable under re-sharding like every sampler here.
+    */
+  def temperatureSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id").cast(LongType).as("doc_id"),
+      col("lang"), col("text"))
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).cast(LongType).as("n_l"))
+      .withColumn("w_l", floor(sqrt(col("n_l").cast(DoubleType))).cast(LongType))
+    val tot = counts.agg(sum(col("w_l")).cast(LongType).as("z"),
+      sum(col("n_l")).cast(LongType).as("n_tot"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("keep_buckets",
+        expr("(1000 * n_tot * w_l) div (5 * z * n_l)"))
+    d.join(broadcast(rates.select(col("lang"), col("keep_buckets"))), Seq("lang"))
+      .filter(graft.operators.Sampling.hashBucket(col("text"), 1000) < col("keep_buckets"))
+      .select(col("doc_id"), col("lang"), col("keep_buckets"))
+      .orderBy("doc_id")
+  }
+
+  val temperatureSampleOracle: String =
+    s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l,
+       |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w_l
+       |  FROM documents GROUP BY lang),
+       |z AS (SELECT CAST(sum(w_l) AS BIGINT) AS z, CAST(sum(n_l) AS BIGINT) AS n_tot FROM c),
+       |r AS (SELECT lang, (1000 * n_tot * w_l) // (5 * z * n_l) AS keep_buckets
+       |  FROM c CROSS JOIN z)
+       |SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, r.keep_buckets
+       |FROM documents d JOIN r USING (lang)
+       |WHERE (${DuckSql.hash60("text")}) % 1000 < keep_buckets
+       |ORDER BY doc_id""".stripMargin
+
   // ---- within-doc repetition (Gopher-style filters) ----------------
 
   /** Repetition metrics over documents ∪ self-doubled copies (every 7th
