@@ -166,6 +166,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("plan lint: every graded query is free of scale-killer operators") {
+    // BroadcastNestedLoopJoin is allowed ONLY where it is the documented
+    // design: (a) brute-force ANN scores every (corpus, query) pair
+    // against a broadcast handful of queries — the per-query-FLOPs
+    // baseline — and the media-embed bridge reuses that scorer;
+    // (b) scalar broadcasts: a 1-ROW aggregate (corpus N, weight totals)
+    // cross-joined into a tiny side — constant-size at any corpus scale.
+    // Everything else must stay hash/broadcast-hash/sort-merge.
+    val bnljByDesign = Set(
+      "x_ann_topk", "x_multimodal_embed_topk", // (a) all-pairs scoring
+      "x_fts_ranked", "x_temperature_sample")  // (b) 1-row scalar joins
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, dir)
+      val p = plan(df).split("== Initial Plan ==").head
+      if (p.contains("CartesianProduct"))
+        failures += s"$name: CartesianProduct"
+      if (p.contains("BroadcastNestedLoopJoin") && !bnljByDesign(name))
+        failures += s"$name: BroadcastNestedLoopJoin"
+      // a window over SinglePartition serializes the corpus onto one task
+      if (p.linesIterator.exists(l => l.contains("Window") && l.contains("SinglePartition")))
+        failures += s"$name: single-partition Window"
+    }
+    assert(failures.isEmpty, "scale-killer plans:\n" + failures.mkString("\n"))
+  }
+
   test("as-of join is one hash exchange — no range join, no nested loop") {
     import org.apache.spark.sql.functions.col
     val ev = graft.Tables.load(spark, dir, "events")
