@@ -66,6 +66,7 @@ object SparkEntry {
     "x_dedup_exact" -> (DedupQueries.dedupExact _),
     "x_dedup_clusters" -> (DedupQueries.dedupClusters _),
     "x_dedup_incremental" -> (DedupQueries.dedupIncremental _),
+    "x_dedup_incremental_near" -> (DedupQueries.dedupIncrementalNear _),
     "x_minhash_signatures" -> (DedupQueries.minhashSignatures _),
     "x_minhash_pairs" -> (DedupQueries.minhashPairs _),
     "x_simhash" -> (DedupQueries.simhashFingerprints _),
@@ -216,6 +217,7 @@ object SparkEntry {
     "x_dedup_exact" -> DedupQueries.dedupExactOracle,
     "x_dedup_clusters" -> DedupQueries.dedupClustersOracle,
     "x_dedup_incremental" -> DedupQueries.dedupIncrementalOracle,
+    "x_dedup_incremental_near" -> DedupQueries.dedupIncrementalNearOracle,
     "x_minhash_signatures" -> DedupQueries.minhashSignaturesOracle,
     "x_minhash_pairs" -> DedupQueries.minhashPairsOracle,
     "x_simhash" -> DedupQueries.simhashFingerprintsOracle,

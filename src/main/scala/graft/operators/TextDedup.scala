@@ -209,6 +209,50 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Incremental near-dup pairs: candidates between a NEW batch and an
+    * EXISTING corpus only (batch-internal pairs come from
+    * [[minhashPairs]] on the batch; existing-internal pairs were
+    * resolved in prior runs). Band keys of the batch hash-join band keys
+    * of the existing corpus; survivors verify with exact Jaccard.
+    *
+    * Scale shape: ONE hash join keyed by (band, bandSignature) — fan-out
+    * bounded by band-bucket collisions, never |batch|×|corpus|. At 100
+    * TB the existing side's band table is the persisted LSH index a
+    * pipeline maintains between runs (here derived on the fly); corpora
+    * with massive exact duplication should pre-collapse with
+    * [[exactIncremental]] first, which also bounds hot buckets.
+    */
+  def minhashPairsIncremental(
+      newDocs: DataFrame, existing: DataFrame,
+      idCol: String, textCol: String,
+      numPerms: Int = 16, r: Int = 2, w: Int = 3,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    def sets(df: DataFrame) = df.select(
+      col(idCol).cast(LongType).as("id"),
+      shingleHashes(col(textCol), w).as("sset"))
+      .localCheckpoint(true) // feeds band build + verification join
+    def bands(s: DataFrame) = s
+      .withColumn("sig", minhashSignatureFromHashes(col("sset"), numPerms))
+      .select(col("id"), explode(lshBands(col("sig"), numPerms, r)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.sig").as("bsig"))
+    val nsets = sets(newDocs)
+    val esets = sets(existing)
+    val cand = bands(nsets).select(col("id").as("new_id"), col("band"), col("bsig"))
+      .join(bands(esets).select(col("id").as("old_id"), col("band"), col("bsig")),
+        Seq("band", "bsig"))
+      .select(col("new_id"), col("old_id"))
+      .dropDuplicates("new_id", "old_id")
+    cand
+      .join(nsets.select(col("id").as("new_id"), col("sset").as("sh_a")), Seq("new_id"))
+      .join(esets.select(col("id").as("old_id"), col("sset").as("sh_b")), Seq("old_id"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .withColumn("uni",
+        (size(col("sh_a")) + size(col("sh_b"))).cast(DoubleType) - col("inter"))
+      .withColumn("jaccard", round(col("inter") / col("uni"), 6))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("new_id"), col("old_id"), col("jaccard"))
+  }
+
   /** Connected components over an undirected near-dup pair graph: every
     * corpus id labeled with the MIN id of its component — the dedup
     * keeper assignment that turns pair output ([[minhashPairs]] /

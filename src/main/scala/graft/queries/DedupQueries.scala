@@ -161,6 +161,55 @@ object DedupQueries {
        |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Incremental near-dup scan: the near-dup planted batch (first two
+    * tokens dropped, ids +1000000) checked against the ORIGINAL
+    * documents as the existing corpus — each batch doc should
+    * rediscover its source via the cross-side LSH band join.
+    */
+  def dedupIncrementalNear(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id").cast(LongType).as("doc_id"), col("text"))
+    val toks = Fts.tokens(Seq(col("text")))
+    val batch = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(3), greatest(size(toks) - 2, lit(1)))).as("text"))
+    TextDedup.minhashPairsIncremental(batch, d, "doc_id", "text",
+        numPerms = 16, r = 2, jaccardThreshold = 0.5)
+      .orderBy("new_id", "old_id")
+  }
+
+  val dedupIncrementalNearOracle: String = {
+    val t = DuckSql.tokens("text")
+    val sh = DuckSql.shinglesFromTokens(t)
+    val sset = s"list_distinct(list_transform($sh, x -> ${DuckSql.hash60("x")}))"
+    s"""WITH batch AS (SELECT CAST(doc_id + 1000000 AS BIGINT) AS doc_id,
+       |    array_to_string(($t)[3:greatest(len($t), 3)], ' ') AS text
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |nsets AS (SELECT doc_id AS id, $sset AS sset FROM batch),
+       |esets AS (SELECT CAST(doc_id AS BIGINT) AS id, $sset AS sset FROM documents),
+       |nsh AS (SELECT id, unnest(sset) AS h FROM nsets),
+       |esh AS (SELECT id, unnest(sset) AS h FROM esets),
+       |nsig AS (SELECT id, s.seed AS seed, min(${DuckSql.affine("h", "s.seed")}) AS mh
+       |  FROM nsh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) s GROUP BY id, s.seed),
+       |esig AS (SELECT id, s.seed AS seed, min(${DuckSql.affine("h", "s.seed")}) AS mh
+       |  FROM esh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) s GROUP BY id, s.seed),
+       |nbands AS (SELECT lo.id, bb.b AS band, lo.mh * 2000000011 + hi.mh AS bsig
+       |  FROM (SELECT unnest(range(0, 8)) AS b) bb
+       |  JOIN nsig lo ON lo.seed = bb.b * 2
+       |  JOIN nsig hi ON hi.id = lo.id AND hi.seed = bb.b * 2 + 1),
+       |ebands AS (SELECT lo.id, bb.b AS band, lo.mh * 2000000011 + hi.mh AS bsig
+       |  FROM (SELECT unnest(range(0, 8)) AS b) bb
+       |  JOIN esig lo ON lo.seed = bb.b * 2
+       |  JOIN esig hi ON hi.id = lo.id AND hi.seed = bb.b * 2 + 1),
+       |cand AS (SELECT DISTINCT n.id AS new_id, e.id AS old_id
+       |  FROM nbands n JOIN ebands e ON n.band = e.band AND n.bsig = e.bsig),
+       |scored AS (SELECT new_id, old_id,
+       |    round(CAST(len(list_intersect(na.sset, ea.sset)) AS DOUBLE) /
+       |      (CAST(len(na.sset) + len(ea.sset) AS DOUBLE) - len(list_intersect(na.sset, ea.sset))), 6) AS jaccard
+       |  FROM cand JOIN nsets na ON na.id = cand.new_id JOIN esets ea ON ea.id = cand.old_id)
+       |SELECT new_id, old_id, jaccard FROM scored WHERE jaccard >= 0.5
+       |ORDER BY new_id, old_id""".stripMargin
+  }
+
   // ---- Dedup clustering: connected components over the pair graph --
 
   /** Keeper assignment: connected components over the minhash near-dup

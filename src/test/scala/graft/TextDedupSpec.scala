@@ -168,6 +168,25 @@ class TextDedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L, 15L -> 10L))
   }
 
+  test("minhashPairsIncremental: cross-side pairs only, batch-internal dups ignored") {
+    import spark.implicits._
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away fast tonight"),
+      (2L, "completely different original content with many unique words in this one here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // near-copy of existing doc 1 (one word changed)
+      (10L, "the quick brown fox jumps over the lazy cat and runs away fast tonight"),
+      // identical to the OTHER batch doc 12 — must NOT be reported
+      (11L, "entirely novel text sequence nothing like the corpus at all whatsoever"),
+      (12L, "entirely novel text sequence nothing like the corpus at all whatsoever")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.minhashPairsIncremental(batch, existing, "doc_id", "text",
+        jaccardThreshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((10L, 1L)), out.mkString(","))
+  }
+
   test("contaminationCheck flags near-copies of benchmark docs, not self or distinct") {
     import spark.implicits._
     val corpus = Seq(
