@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AggQueries, DedupQueries, EventQueries, ParityQueries, SimilarityQueries}
+import graft.queries.{AggQueries, CorpusQueries, DedupQueries, EventQueries, ParityQueries, SimilarityQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -83,6 +83,11 @@ object SparkEntry {
     "x_length_quantiles" -> (DedupQueries.lengthQuantiles _),
     "x_chunk_docs" -> (DedupQueries.chunkDocs _),
     "x_decontaminate" -> (DedupQueries.decontaminate _),
+    "x_shared_ngrams" -> (CorpusQueries.sharedNgrams _),
+    "x_freq_score" -> (CorpusQueries.freqScore _),
+    "x_top_terms" -> (CorpusQueries.topTerms _),
+    "x_bloom_membership" -> (CorpusQueries.bloomMembership _),
+    "x_corpus_shuffle" -> (CorpusQueries.corpusShuffle _),
     "x_lang_id" -> (DedupQueries.langId _),
     "x_quality" -> (DedupQueries.quality _),
     "x_token_counts" -> (DedupQueries.tokenCounts _),
@@ -97,6 +102,9 @@ object SparkEntry {
     "x_ann_ivf_trained" -> (SimilarityQueries.annIvfTrained _),
     // extensions: event-time windows + multimodal plumbing
     "x_events_asof" -> (EventQueries.asofJoin _),
+    "x_events_range_join" -> (EventQueries.rangeJoin _),
+    "x_events_retention" -> (EventQueries.retention _),
+    "x_events_funnel" -> (EventQueries.funnel _),
     "x_events_tumbling" -> (EventQueries.tumbling _),
     "x_events_sliding" -> (EventQueries.sliding _),
     "x_events_sessions" -> (EventQueries.sessions _),
@@ -234,6 +242,11 @@ object SparkEntry {
     "x_length_quantiles" -> DedupQueries.lengthQuantilesOracle,
     "x_chunk_docs" -> DedupQueries.chunkDocsOracle,
     "x_decontaminate" -> DedupQueries.decontaminateOracle,
+    "x_shared_ngrams" -> CorpusQueries.sharedNgramsOracle,
+    "x_freq_score" -> CorpusQueries.freqScoreOracle,
+    "x_top_terms" -> CorpusQueries.topTermsOracle,
+    "x_bloom_membership" -> CorpusQueries.bloomMembershipOracle,
+    "x_corpus_shuffle" -> CorpusQueries.corpusShuffleOracle,
     "x_lang_id" -> DedupQueries.langIdOracle,
     "x_quality" -> DedupQueries.qualityOracle,
     "x_token_counts" -> DedupQueries.tokenCountsOracle,
@@ -246,6 +259,9 @@ object SparkEntry {
     "x_kmeans_clusters" -> SimilarityQueries.kmeansClustersOracle,
     "x_ann_ivf_trained" -> SimilarityQueries.annIvfTrainedOracle,
     "x_events_asof" -> EventQueries.asofJoinOracle,
+    "x_events_range_join" -> EventQueries.rangeJoinOracle,
+    "x_events_retention" -> EventQueries.retentionOracle,
+    "x_events_funnel" -> EventQueries.funnelOracle,
     "x_events_tumbling" -> EventQueries.tumblingOracle,
     "x_events_sliding" -> EventQueries.slidingOracle,
     "x_events_sessions" -> EventQueries.sessionsOracle,

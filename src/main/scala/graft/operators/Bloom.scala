@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Bloom-prefiltered membership (extension — SURVEY §7.2.8): "which
+  * corpus rows match a benchmark/blocklist set?" at a scale where the
+  * raw set no longer broadcasts.
+  *
+  * A plain broadcast semi-join dies when the membership set outgrows
+  * the broadcast budget (1B 60-bit hashes ≈ 8 GB raw), but a Bloom
+  * filter at 1% fpp is ~1.2 bits/element (~150 MB for 1B) — Spark's own
+  * runtime row-level filtering uses exactly this trick. The pattern:
+  *
+  *   1. aggregate the set into a [[BloomFilter]] (distributed
+  *      `BloomFilterAggregate`-style merge via `treeAggregate`-like
+  *      RDD fold — each executor builds a partial, partials OR
+  *      together);
+  *   2. broadcast the filter and prefilter the corpus with
+  *      `mightContain` (narrow, no shuffle — drops ~all non-members);
+  *   3. exact-confirm the tiny survivor set with a real semi-join, so
+  *      false positives never reach the output. The RESULT is exact;
+  *      only the PRUNING is probabilistic.
+  */
+object Bloom {
+
+  /** Build a Bloom filter over a LongType column, distributed:
+    * per-partition partials merged with `mergeInPlace` (bitwise OR —
+    * associative and commutative, so partition order is irrelevant).
+    */
+  def buildLong(df: DataFrame, c: String, expectedItems: Long, fpp: Double): BloomFilter =
+    df.select(col(c).cast("long")).na.drop().rdd
+      .mapPartitions { it =>
+        val bf = BloomFilter.create(expectedItems, fpp)
+        it.foreach(r => bf.putLong(r.getLong(0)))
+        Iterator.single(bf)
+      }
+      .fold(BloomFilter.create(expectedItems, fpp))((a, b) => a.mergeInPlace(b))
+
+  /** `mightContain` as a Column predicate over a broadcast filter.
+    * A Scala UDF, deliberately: this sits OUTSIDE the hot aggregation
+    * path (it is the prefilter before a semi-join) and the bloom probe
+    * itself is a few hashes — the alternative (Catalyst's
+    * BloomFilterMightContain) is private[sql].
+    */
+  def mightContainLong(df: DataFrame, bf: BloomFilter, c: Column): Column = {
+    val bcast = df.sparkSession.sparkContext.broadcast(bf)
+    udf((v: java.lang.Long) => v != null && bcast.value.mightContainLong(v)).apply(c)
+  }
+
+  /** Exact membership rows of `corpus` whose `keyCol` appears in
+    * `set.setKeyCol`, with the bloom prefilter ahead of the confirming
+    * left-semi join.
+    */
+  def membership(
+      corpus: DataFrame, keyCol: String,
+      set: DataFrame, setKeyCol: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val bf = buildLong(set, setKeyCol, expectedItems, fpp)
+    val pre = corpus.filter(mightContainLong(corpus, bf, col(keyCol)))
+    pre.join(set.select(col(setKeyCol).as(keyCol)).distinct(), Seq(keyCol), "left_semi")
+  }
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus shuffling (extension — SURVEY §7.2.8): training
+  * pipelines need every document assigned a reproducible global shuffle
+  * position (seeded, stable across re-runs and cluster sizes) so epoch
+  * order is an input property, not an accident of partitioning.
+  *
+  * Position = rank of the row's seeded 60-bit hash in the global hash
+  * order. The naive spelling — `row_number() OVER (ORDER BY hash)` — is
+  * a single-partition window: one task ranks the whole corpus, the
+  * canonical 100 TB scale-killer. Instead the rank is decomposed into
+  * bounded pieces:
+  *
+  *   1. bucket = top `bucketBits` bits of the hash (monotone in hash,
+  *      so bucket order refines global order; uniform because the hash
+  *      is);
+  *   2. per-bucket row counts — one map-side-combined aggregation whose
+  *      result is ≤ 2^bucketBits rows;
+  *   3. bucket start offsets — prefix sum over those counts. This IS an
+  *      unpartitioned window, but over ≤ 2^bucketBits rows, bounded at
+  *      plan time (same pattern as the E2 dictionary build, SURVEY §4);
+  *   4. `row_number()` partitioned BY BUCKET within each bucket, plus
+  *      the broadcast-joined bucket offset.
+  *
+  * Every stage is bounded: the per-bucket window ranks ~n/2^bucketBits
+  * rows. At 100 TB raise `bucketBits` (16 bits → ~1.5M rows/bucket per
+  * 100G docs) — cost stays two shuffles + one broadcast.
+  */
+object Shuffle {
+
+  /** Attach `posCol` (1-based global shuffle position) ordered by
+    * (hash60(seed:keyCol), tieBreak) — tieBreak must make the order
+    * total (e.g. a unique id) or positions of tied rows are arbitrary.
+    */
+  def globalOrderIndex(
+      df: DataFrame, keyCol: String, seed: Long, tieBreak: String,
+      posCol: String = "shuffle_pos", bucketBits: Int = 12): DataFrame = {
+    require(bucketBits > 0 && bucketBits < 60, "bucketBits in (0, 60)")
+    val hash: Column =
+      graft.functions.PortableHash.hash60Seeded(lit(seed), col(keyCol))
+    val bucketWidth = 1L << (60 - bucketBits)
+    val hashed = df.withColumn("__h", hash)
+      .withColumn("__bucket", (col("__h") / lit(bucketWidth)).cast("long"))
+    val offsets = hashed.groupBy("__bucket").count()
+      .withColumn("__offset",
+        coalesce(sum(col("count")).over(
+          Window.orderBy("__bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bucket"), col("__offset"))
+    val within = Window.partitionBy("__bucket")
+      .orderBy(col("__h"), col(tieBreak))
+    hashed.join(broadcast(offsets), "__bucket")
+      .withColumn(posCol, (col("__offset") + row_number().over(within)).cast("long"))
+      .drop("__bucket", "__h", "__offset")
+  }
+}

@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.PortableHash
+import graft.operators.{Bloom, Fts, Shuffle, TextDedup}
+
+/** Round-6 graded extension queries: cross-document n-gram analysis,
+  * corpus-statistics scoring, heavy hitters, Bloom-prefiltered
+  * membership, and deterministic corpus shuffling (SURVEY §7.2.8).
+  *
+  * All integer outputs are exact (ppm ratios via integer division), so
+  * every query hash-matches its DuckDB oracle.
+  */
+object CorpusQueries {
+
+  /** Cross-document repeated n-grams — the exact-substring-dedup signal
+    * (Lee et al. "Deduplicating Training Data Makes Language Models
+    * Better" family): per document, how many of its distinct 8-token
+    * shingles also occur in at least one other document. Runs over the
+    * near-dup-planted corpus so sharing is non-trivial.
+    *
+    * Scale: one shuffle keyed by the 60-bit shingle hash (map-side
+    * combined count), a same-key join back (exchange reuse), one
+    * doc-keyed aggregation. Never materializes cross-doc pairs.
+    */
+  def sharedNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val c = DedupQueries.corpusNear(spark, dir)
+    val hs = c.select(col("doc_id"),
+      explode(array_distinct(transform(
+        TextDedup.shingles(col("text"), w = 8),
+        s => PortableHash.hash60(s)))).as("h"))
+    val df = hs.groupBy("h").agg(count(lit(1)).as("n_docs"))
+    hs.join(df, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"),
+        col("n_shingles").cast(LongType).as("n_shingles"),
+        col("n_shared").cast(LongType).as("n_shared"),
+        // `div` = exact integer division (DuckDB `//`): no double rounding
+        expr("n_shared * 1000000 div n_shingles").cast(LongType).as("shared_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val sharedNgramsOracle: String = {
+    val sh = DuckSql.shinglesFromTokens(DuckSql.tokens("text"), 8)
+    s"""WITH corpus AS (${DedupQueries.corpusNearSql}),
+       |s AS (SELECT doc_id,
+       |    unnest(list_distinct(list_transform($sh, x -> ${DuckSql.hash60("x")}))) AS h
+       |  FROM corpus),
+       |df AS (SELECT h, count(*) AS n_docs FROM s GROUP BY h)
+       |SELECT s.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(sum(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       |  CAST(sum(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS shared_ppm
+       |FROM s JOIN df USING (h)
+       |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Corpus-frequency familiarity score — the unigram-LM quality signal:
+    * each token contributes its corpus frequency in ppm (integer-scaled
+    * so both engines agree bit-for-bit); a document's familiarity is the
+    * mean contribution. Low scores flag gibberish / rare-vocabulary
+    * documents, high scores flag boilerplate.
+    *
+    * Scale: term counts are one map-side-combined shuffle; the corpus
+    * total is a 1-row aggregate cross-joined in (same pattern as the
+    * Fts idf build — no driver round-trip, no second scan of the fact
+    * table); the token→frequency join is keyed on the term.
+    */
+  def freqScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("text"))
+    val tok = d.select(col("doc_id"),
+      explode(Fts.tokens(Seq(col("text")))).as("term"))
+    val tf = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = tf.agg(sum(col("cnt")).as("total"))
+    val freq = tf.crossJoin(broadcast(total))
+      .select(col("term"),
+        expr("cnt * 1000000 div total").cast(LongType).as("freq_ppm"))
+    tok.join(freq, "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("freq_ppm")).as("s"))
+      .select(col("doc_id"),
+        col("n_tokens").cast(LongType).as("n_tokens"),
+        expr("s div n_tokens").cast(LongType).as("familiarity_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val freqScoreOracle: String = {
+    val t = DuckSql.tokens("text")
+    s"""WITH tok AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest($t) AS term
+       |  FROM documents),
+       |tf AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+       |freq AS (SELECT term,
+       |    CAST(cnt * 1000000 // (SELECT sum(cnt) FROM tf) AS BIGINT) AS freq_ppm
+       |  FROM tf)
+       |SELECT tok.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(freq_ppm) // count(*) AS BIGINT) AS familiarity_ppm
+       |FROM tok JOIN freq USING (term)
+       |GROUP BY tok.doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Heavy hitters: top-10 terms per language by document frequency
+    * (ties broken by term). The per-group top-k is a window PARTITIONED
+    * BY lang — parallel across groups, never a global sort of the term
+    * table.
+    */
+  def topTerms(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir)
+    val terms = d.select(col("lang"),
+      explode(array_distinct(Fts.tokens(Seq(col("text"))))).as("term"))
+    val df = terms.groupBy("lang", "term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("lang").orderBy(col("df").desc, col("term"))
+    df.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 10)
+      .select(col("lang"), col("rank"), col("term"), col("df").cast(LongType).as("df"))
+      .orderBy("lang", "rank")
+  }
+
+  val topTermsOracle: String = {
+    val t = DuckSql.tokens("text")
+    s"""WITH terms AS (SELECT lang, unnest(list_distinct($t)) AS term FROM documents),
+       |g AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS df
+       |  FROM terms GROUP BY lang, term),
+       |r AS (SELECT lang, term, df,
+       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY df DESC, term) AS BIGINT) AS rank
+       |  FROM g)
+       |SELECT lang, rank, term, df FROM r WHERE rank <= 10
+       |ORDER BY lang, rank""".stripMargin
+  }
+
+  /** Bloom-prefiltered benchmark membership over the clone-planted
+    * corpus: rows whose content hash appears in the benchmark set
+    * (docs with id % 7 = 0). The Bloom filter prunes non-members
+    * without a shuffle; an exact semi-join confirms, so the output has
+    * no false positives and hash-matches the plain semi-join oracle
+    * ([[Bloom]] for why this beats a raw broadcast set at 100 TB).
+    */
+  def bloomMembership(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = DedupQueries.corpusExact(spark, dir)
+      .withColumn("h", PortableHash.hash60(col("text")))
+    val bench = DedupQueries.docs(spark, dir)
+      .filter(col("doc_id") % 7 === 0)
+      .select(PortableHash.hash60(col("text")).as("bench_h"))
+    Bloom.membership(corpus, "h", bench, "bench_h",
+        expectedItems = 10000L, fpp = 0.01)
+      .select(col("doc_id"), col("h"))
+      .orderBy("doc_id")
+  }
+
+  val bloomMembershipOracle: String =
+    s"""WITH corpus AS (${DedupQueries.corpusExactSql}),
+       |hashed AS (SELECT doc_id, ${DuckSql.hash60("text")} AS h FROM corpus),
+       |bench AS (SELECT DISTINCT ${DuckSql.hash60("text")} AS h
+       |  FROM documents WHERE doc_id % 7 = 0)
+       |SELECT doc_id, h FROM hashed
+       |WHERE h IN (SELECT h FROM bench)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic global corpus shuffle: every document gets a seeded,
+    * reproducible 1-based epoch position ([[Shuffle.globalOrderIndex]]
+    * for why this is NOT `row_number() OVER (ORDER BY hash)` — that
+    * window is single-partition at scale).
+    */
+  def corpusShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"))
+    Shuffle.globalOrderIndex(d, keyCol = "doc_id", seed = 7L,
+        tieBreak = "doc_id")
+      .select(col("doc_id"), col("shuffle_pos"))
+      .orderBy("doc_id")
+  }
+
+  val corpusShuffleOracle: String = {
+    val h = DuckSql.hash60Seeded("7", "CAST(doc_id AS VARCHAR)")
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(row_number() OVER (ORDER BY $h, doc_id) AS BIGINT) AS shuffle_pos
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+}

@@ -23,17 +23,17 @@ object DedupQueries {
   /** All dedup/analysis queries do heavy per-row compute -> spread the
     * single-file table across partitions (see [[Tables.loadSpread]]).
     */
-  private def docs(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.loadSpread(spark, dir, "documents")
 
   /** documents ∪ exact clones of every 5th doc. */
-  private def corpusExact(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def corpusExact(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id").cast(LongType), col("text"))
     d.unionAll(d.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
   }
 
-  private val corpusExactSql: String =
+  private[queries] val corpusExactSql: String =
     """SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
       |UNION ALL
       |SELECT CAST(doc_id + 2000000 AS BIGINT), text FROM documents WHERE doc_id % 5 = 0""".stripMargin
@@ -41,7 +41,7 @@ object DedupQueries {
   /** documents ∪ near-dup copies (first two tokens dropped) of every
     * 10th doc.
     */
-  private def corpusNear(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def corpusNear(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id").cast(LongType), col("text"))
     val toks = Fts.tokens(Seq(col("text")))
     val perturbed = d.filter(col("doc_id") % 10 === 0)
@@ -50,7 +50,7 @@ object DedupQueries {
     d.unionAll(perturbed)
   }
 
-  private val corpusNearSql: String = {
+  private[queries] val corpusNearSql: String = {
     val t = DuckSql.tokens("text")
     s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
        |UNION ALL

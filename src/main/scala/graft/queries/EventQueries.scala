@@ -112,6 +112,128 @@ object EventQueries {
       |FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND p.ts > e.ts
       |ORDER BY purchase_id""".stripMargin
 
+  /** Point-in-interval (range) join: activity windows = [first event,
+    * +2h) of the 20 busiest users; every event (any user) landing in a
+    * window is aggregated per window. [[graft.operators.RangeJoin]] for
+    * why this is a bucketed EQUI-join, not the theta-join Catalyst
+    * would turn into a nested-loop. The oracle is the plain inequality
+    * join — two independent spellings of the same semantics.
+    */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val top = ev.groupBy("user_id").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("user_id")).limit(20)
+      .select(col("user_id"))
+    val windows = ev.join(top, "user_id")
+      .groupBy(col("user_id").as("w_user"))
+      .agg(min(unix_millis(col("ts"))).as("start_ms"))
+      .withColumn("end_ms", col("start_ms") + lit(7200000L))
+    val points = ev.select(col("event_id"), col("user_id"),
+      unix_millis(col("ts")).as("ts_ms"), col("value"))
+    graft.operators.RangeJoin
+      .pointInInterval(points, windows, "ts_ms", "start_ms", "end_ms")
+      .groupBy("w_user")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+      .select(col("w_user").cast(LongType).as("w_user"),
+        col("n_events").cast(LongType).as("n_events"),
+        col("n_users").cast(LongType).as("n_users"), col("sum_value"))
+      .orderBy("w_user")
+  }
+
+  val rangeJoinOracle: String =
+    """WITH cnt AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+      |top AS (SELECT user_id FROM cnt ORDER BY c DESC, user_id LIMIT 20),
+      |w AS (SELECT e.user_id AS w_user, epoch_ms(min(e.ts)) AS start_ms
+      |  FROM events e JOIN top USING (user_id) GROUP BY e.user_id)
+      |SELECT CAST(w.w_user AS BIGINT) AS w_user,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+      |  CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM w JOIN events e
+      |  ON epoch_ms(e.ts) >= w.start_ms AND epoch_ms(e.ts) < w.start_ms + 7200000
+      |GROUP BY w.w_user ORDER BY w_user""".stripMargin
+
+  /** Cohort retention: users grouped by first-seen day; retained =
+    * active again on any of the 7 following days. Both aggregations are
+    * keyed on user_id / cohort day — no global window, no self theta
+    * join.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val cohorts = ev.groupBy("user_id")
+      .agg(to_date(min(col("ts"))).as("cohort_day"))
+    val days = ev.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    cohorts.join(days, "user_id")
+      .groupBy("user_id", "cohort_day")
+      .agg(max(when(datediff(col("d"), col("cohort_day")).between(1, 7), 1L)
+        .otherwise(0L)).as("retained"))
+      .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"))
+      .agg(count(lit(1)).as("n_users"), sum(col("retained")).as("n_retained"))
+      .select(col("cohort_day"), col("n_users").cast(LongType).as("n_users"),
+        col("n_retained").cast(LongType).as("n_retained"))
+      .orderBy("cohort_day")
+  }
+
+  val retentionOracle: String =
+    """WITH cohorts AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+      |  FROM events GROUP BY user_id),
+      |days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |flags AS (SELECT c.user_id, c.cohort_day,
+      |    max(CASE WHEN date_diff('day', c.cohort_day, y.d) BETWEEN 1 AND 7
+      |      THEN 1 ELSE 0 END) AS retained
+      |  FROM cohorts c JOIN days y USING (user_id)
+      |  GROUP BY c.user_id, c.cohort_day)
+      |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+      |  CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(sum(retained) AS BIGINT) AS n_retained
+      |FROM flags GROUP BY cohort_day ORDER BY cohort_day""".stripMargin
+
+  /** Ordered funnel: per user, the furthest stage of
+    * view → click-after-view → purchase-after-click (strict timestamp
+    * order). Three user_id-keyed aggregations chained by joins on the
+    * same key — Catalyst reuses the exchange; no per-user event-list
+    * collection.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val users = ev.select(col("user_id")).distinct()
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("v_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("c_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
+    users.join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id").cast(LongType).as("user_id"),
+        when(col("p_ts").isNotNull, 3L)
+          .when(col("c_ts").isNotNull, 2L)
+          .when(col("v_ts").isNotNull, 1L)
+          .otherwise(0L).as("stage"))
+      .orderBy("user_id")
+  }
+
+  val funnelOracle: String =
+    """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id),
+      |u AS (SELECT DISTINCT user_id FROM events)
+      |SELECT CAST(u.user_id AS BIGINT) AS user_id,
+      |  CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+      |    WHEN c.user_id IS NOT NULL THEN 2
+      |    WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+      |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+      |  LEFT JOIN p USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   /** Multimodal: documents wrapped as binary blobs, batch-decoded with
     * the (stub) decoder — byte length, md5, pseudo-dimensions.
     */

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bloom, RangeJoin, Shuffle}
+
+/** Round-6 extension operators: range join bucketing semantics,
+  * deterministic global shuffle order, Bloom-prefiltered membership.
+  */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------- RangeJoin ----------------
+
+  test("pointInInterval: inclusive start, exclusive end, bucket-crossing intervals") {
+    val points = Seq(
+      (1L, 0L), (2L, 999L), (3L, 1000L), (4L, 5500L), (5L, 9999L),
+      (6L, 10000L), (7L, 12345L)
+    ).toDF("pid", "ts_ms")
+    // bucketMs=1000 so the [1000, 10000) interval spans 9 buckets
+    val intervals = Seq(
+      (10L, 1000L, 10000L),  // matches 3,4,5 (not 2: starts at 1000; not 6: end exclusive)
+      (20L, 0L, 1L),         // single-point interval: matches only ts=0
+      (30L, 12345L, 12346L), // matches exactly point 7
+      (40L, 7L, 7L)          // empty interval: matches nothing
+    ).toDF("wid", "start_ms", "end_ms")
+    val got = RangeJoin
+      .pointInInterval(points, intervals, "ts_ms", "start_ms", "end_ms", bucketMs = 1000L)
+      .select("wid", "pid").as[(Long, Long)].collect().toSet
+    assert(got === Set((10L, 3L), (10L, 4L), (10L, 5L), (20L, 1L), (30L, 7L)))
+  }
+
+  test("pointInInterval: overlapping intervals each match; no duplicate pairs") {
+    val points = Seq((1L, 500L)).toDF("pid", "ts_ms")
+    val intervals = Seq((10L, 0L, 1000L), (20L, 400L, 600L), (30L, 501L, 700L))
+      .toDF("wid", "start_ms", "end_ms")
+    val got = RangeJoin
+      .pointInInterval(points, intervals, "ts_ms", "start_ms", "end_ms", bucketMs = 100L)
+      .select("wid", "pid").as[(Long, Long)].collect().toList.sorted
+    // one row per containing interval, exactly once despite multi-bucket explode
+    assert(got === List((10L, 1L), (20L, 1L)))
+  }
+
+  test("pointInInterval agrees with the naive theta join on a seeded stream") {
+    val rnd = new scala.util.Random(42)
+    val points = Seq.tabulate(300)(i => (i.toLong, rnd.nextInt(100000).toLong))
+      .toDF("pid", "ts_ms")
+    val intervals = Seq.tabulate(40) { i =>
+      val s = rnd.nextInt(100000).toLong
+      (i.toLong, s, s + rnd.nextInt(5000).toLong)
+    }.toDF("wid", "start_ms", "end_ms")
+    val bucketed = RangeJoin
+      .pointInInterval(points, intervals, "ts_ms", "start_ms", "end_ms", bucketMs = 777L)
+      .select("wid", "pid").as[(Long, Long)].collect().toSet
+    val naive = points.join(intervals,
+        $"ts_ms" >= $"start_ms" && $"ts_ms" < $"end_ms")
+      .select("wid", "pid").as[(Long, Long)].collect().toSet
+    assert(bucketed === naive)
+  }
+
+  // ---------------- Shuffle.globalOrderIndex ----------------
+
+  test("globalOrderIndex matches the single-partition window rank") {
+    val df = (1L to 1000L).toDF("id")
+    val got = Shuffle.globalOrderIndex(df, "id", seed = 7L, tieBreak = "id")
+      .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    // naive: rank of the same hash in a global sort
+    val naive = df
+      .withColumn("h", graft.functions.PortableHash.hash60Seeded(lit(7L), col("id")))
+      .orderBy("h", "id").select("id").as[Long].collect()
+      .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    assert(got === naive)
+    // positions are a permutation of 1..n
+    assert(got.values.toSet === (1L to 1000L).toSet)
+  }
+
+  test("globalOrderIndex is seed-sensitive and partitioning-invariant") {
+    val df = (1L to 200L).toDF("id")
+    val a = Shuffle.globalOrderIndex(df, "id", seed = 1L, tieBreak = "id")
+      .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    val b = Shuffle.globalOrderIndex(df.repartition(7), "id", seed = 1L, tieBreak = "id")
+      .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    val c = Shuffle.globalOrderIndex(df, "id", seed = 2L, tieBreak = "id")
+      .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(a === b)      // same seed: identical order however the input is split
+    assert(a !== c)      // different seed: different permutation
+  }
+
+  test("globalOrderIndex plan has no single-partition global window") {
+    val df = (1L to 100L).toDF("id")
+    val out = Shuffle.globalOrderIndex(df, "id", seed = 7L, tieBreak = "id")
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    // the only unpartitioned window runs over the ≤2^bucketBits bucket
+    // counts, never over the data itself: every data-side window is
+    // partitioned by bucket
+    val dataWindows = windows.filter(_.partitionSpec.nonEmpty)
+    val globalWindows = windows.filter(_.partitionSpec.isEmpty)
+    assert(dataWindows.nonEmpty)
+    assert(globalWindows.forall(
+      _.child.maxRows.forall(_ <= (1L << 12))) || globalWindows.isEmpty)
+  }
+
+  // ---------------- Bloom ----------------
+
+  test("Bloom.membership returns the exact member set (no false positives)") {
+    val corpus = (1L to 5000L).map(i => (i, i % 100)).toDF("id", "key")
+    val set = Seq(3L, 7L, 999L).toDF("k")  // 999 matches nothing (keys are 0..99)
+    val got = Bloom.membership(corpus, "key", set, "k",
+        expectedItems = 100L, fpp = 0.01)
+      .select("id").as[Long].collect().toSet
+    val expected = (1L to 5000L).filter(i => i % 100 == 3 || i % 100 == 7).toSet
+    assert(got === expected)
+  }
+
+  test("Bloom prefilter prunes: non-members mostly rejected before the join") {
+    val bf = Bloom.buildLong(Seq(1L, 2L, 3L).toDF("k"), "k",
+      expectedItems = 1000L, fpp = 0.001)
+    assert(bf.mightContainLong(1L) && bf.mightContainLong(2L) && bf.mightContainLong(3L))
+    val falsePos = (1000L to 11000L).count(bf.mightContainLong)
+    assert(falsePos < 100, s"bloom at fpp=0.001 should prune ~all of 10k non-members, kept $falsePos")
+  }
+}
