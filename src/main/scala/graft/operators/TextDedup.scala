@@ -303,12 +303,17 @@ object TextDedup {
     while (!converged && iters < maxIters) {
       val msgs = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("id")).agg(min(col("label")).as("msg"))
+      // LAZY checkpoint: the convergence probe below is the action that
+      // materializes it, so each round is ONE job (eager checkpoint +
+      // separate probe was two). count() (not a limit-1 isEmpty) on
+      // purpose — a short-circuit probe would leave unscanned partitions
+      // unmaterialized and the lineage untruncated.
       val next = labels.select(col("id"), col("label").as("prev"))
         .join(msgs, Seq("id"), "left")
         .select(col("id"),
           least(col("prev"), coalesce(col("msg"), col("prev"))).as("label"),
           col("prev"))
-        .localCheckpoint(true) // materializes; convergence probe below is cheap
+        .localCheckpoint(false)
       converged = next.filter(col("label") =!= col("prev")).count() == 0
       labels = next.select(col("id"), col("label"))
       iters += 1

@@ -29,10 +29,11 @@ object CorpusQueries {
     */
   def sharedNgrams(spark: SparkSession, dir: String): DataFrame = {
     val c = DedupQueries.corpusNear(spark, dir)
+    // native single-pass distinct-shingle-hash expression — the HOF
+    // spelling (array_distinct ∘ transform ∘ hash60) is CodegenFallback
+    // and ~4x slower on this, the bench's heaviest text query
     val hs = c.select(col("doc_id"),
-      explode(array_distinct(transform(
-        TextDedup.shingles(col("text"), w = 8),
-        s => PortableHash.hash60(s)))).as("h"))
+      explode(TextDedup.shingleHashes(col("text"), w = 8)).as("h"))
     val df = hs.groupBy("h").agg(count(lit(1)).as("n_docs"))
     hs.join(df, "h")
       .groupBy("doc_id")
