@@ -88,6 +88,8 @@ object SparkEntry {
     "x_top_terms" -> (CorpusQueries.topTerms _),
     "x_bloom_membership" -> (CorpusQueries.bloomMembership _),
     "x_corpus_shuffle" -> (CorpusQueries.corpusShuffle _),
+    "x_para_dedup" -> (CorpusQueries.paraDedup _),
+    "x_embed_quantize" -> (SimilarityQueries.embedQuantize _),
     "x_lang_id" -> (DedupQueries.langId _),
     "x_quality" -> (DedupQueries.quality _),
     "x_token_counts" -> (DedupQueries.tokenCounts _),
@@ -247,6 +249,8 @@ object SparkEntry {
     "x_top_terms" -> CorpusQueries.topTermsOracle,
     "x_bloom_membership" -> CorpusQueries.bloomMembershipOracle,
     "x_corpus_shuffle" -> CorpusQueries.corpusShuffleOracle,
+    "x_para_dedup" -> CorpusQueries.paraDedupOracle,
+    "x_embed_quantize" -> SimilarityQueries.embedQuantizeOracle,
     "x_lang_id" -> DedupQueries.langIdOracle,
     "x_quality" -> DedupQueries.qualityOracle,
     "x_token_counts" -> DedupQueries.tokenCountsOracle,

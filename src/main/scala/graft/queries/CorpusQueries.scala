@@ -178,6 +178,41 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** Block-level exact dedup + reconstruction over the clone-planted
+    * corpus: every 25-token block that repeats anywhere keeps only its
+    * first occurrence; documents are stitched back from survivors
+    * ([[graft.operators.ParaDedup]]). Clones (and within-corpus
+    * boilerplate) collapse to empty clean_text.
+    */
+  def paraDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.ParaDedup
+      .dedupBlocks(DedupQueries.corpusExact(spark, dir), "doc_id", "text",
+        blockTokens = 25)
+      .orderBy("doc_id")
+
+  val paraDedupOracle: String = {
+    val t = DuckSql.tokens("text")
+    s"""WITH corpus AS (${DedupQueries.corpusExactSql}),
+       |tok AS (SELECT doc_id, $t AS t FROM corpus),
+       |k AS (SELECT doc_id, t,
+       |    CASE WHEN len(t) > 25 THEN CAST(ceil((len(t) - 25) / 25.0) AS BIGINT)
+       |         ELSE 0 END AS kmax
+       |  FROM tok),
+       |b AS (SELECT doc_id, i AS chunk_no,
+       |    array_to_string(t[i*25 + 1 : i*25 + 25], ' ') AS btext,
+       |    doc_id * 1048576 + i AS pos_key
+       |  FROM (SELECT doc_id, t, unnest(range(0, kmax + 1)) AS i FROM k)),
+       |hashed AS (SELECT *, ${DuckSql.hash60("btext")} AS h FROM b),
+       |keep AS (SELECT h, min(pos_key) AS keeper_key FROM hashed GROUP BY h)
+       |SELECT hashed.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_blocks,
+       |  CAST(sum(CASE WHEN pos_key = keeper_key THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  coalesce(string_agg(CASE WHEN pos_key = keeper_key THEN btext END,
+       |    ' ' ORDER BY chunk_no), '') AS clean_text
+       |FROM hashed JOIN keep USING (h)
+       |GROUP BY hashed.doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val corpusShuffleOracle: String = {
     val h = DuckSql.hash60Seeded("7", "CAST(doc_id AS VARCHAR)")
     s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,

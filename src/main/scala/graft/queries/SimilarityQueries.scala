@@ -248,6 +248,26 @@ object SimilarityQueries {
         col("n_vecs"), col("sum_q"), col("mean_q"))
       .orderBy("label", "pos")
 
+  /** Int8 affine quantization codes, one row per (vector, dimension) —
+    * see [[graft.operators.EmbedQuantize]] for the exact-integer
+    * construction and the two-pass scale shape.
+    */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EmbedQuantize
+      .int8Codes(emb(spark, dir), "vec_id", "embedding")
+      .orderBy("vec_id", "pos")
+
+  val embedQuantizeOracle: String =
+    s"""WITH $quantCte,
+       |d AS (SELECT id, i - 1 AS pos, qv[i] AS x
+       |  FROM q CROSS JOIN unnest(range(1, 65)) AS t(i)),
+       |s AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM d GROUP BY pos)
+       |SELECT d.id AS vec_id, CAST(d.pos AS BIGINT) AS pos,
+       |  CAST(CASE WHEN s.mx > s.mn
+       |    THEN (d.x - s.mn) * 255 // (s.mx - s.mn) - 128
+       |    ELSE 0 END AS BIGINT) AS code
+       |FROM d JOIN s USING (pos) ORDER BY vec_id, pos""".stripMargin
+
   val embedCentroidsOracle: String =
     s"""WITH $quantCte,
        |e AS (SELECT cluster AS label, i - 1 AS pos, qv[i] AS v

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bloom, RangeJoin, Shuffle}
+import graft.operators.{Bloom, EmbedQuantize, ParaDedup, RangeJoin, Shuffle}
 
 /** Round-6 extension operators: range join bucketing semantics,
   * deterministic global shuffle order, Bloom-prefiltered membership.
@@ -112,6 +112,62 @@ class CorpusOpsSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     val expected = (1L to 5000L).filter(i => i % 100 == 3 || i % 100 == 7).toSet
     assert(got === expected)
+  }
+
+  // ---------------- ParaDedup ----------------
+
+  test("dedupBlocks: repeated blocks keep only their global first occurrence") {
+    // 4-token blocks; doc 1 and doc 3 share their first block, doc 2 is
+    // an exact clone of doc 1, doc 4 is unique.
+    val docs = Seq(
+      (1L, "a b c d e f g h"),      // blocks: [a b c d] [e f g h]
+      (2L, "a b c d e f g h"),      // exact clone -> nothing survives
+      (3L, "a b c d x y z w"),      // first block repeats doc 1's
+      (4L, "p q r s")               // unique single block
+    ).toDF("doc_id", "text")
+    val got = ParaDedup.dedupBlocks(docs, "doc_id", "text", blockTokens = 4)
+      .select("doc_id", "n_blocks", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toList
+    assert(got === List(
+      (1L, 2L, 2L, "a b c d e f g h"),
+      (2L, 2L, 0L, ""),
+      (3L, 2L, 1L, "x y z w"),
+      (4L, 1L, 1L, "p q r s")))
+  }
+
+  test("dedupBlocks: within-doc repeats collapse; order preserved across gaps") {
+    val docs = Seq((7L, "a a a a b b b b a a a a c c c c")).toDF("doc_id", "text")
+    val got = ParaDedup.dedupBlocks(docs, "doc_id", "text", blockTokens = 4)
+      .select("n_blocks", "n_kept", "clean_text")
+      .as[(Long, Long, String)].head()
+    assert(got === ((4L, 3L, "a a a a b b b b c c c c")))
+  }
+
+  // ---------------- EmbedQuantize ----------------
+
+  test("int8Codes: affine codes span [-128, 127], constant dims code to 0") {
+    val vecs = Seq(
+      (1L, Array(0.0f, 5.0f, 1.0f)),
+      (2L, Array(1.0f, 5.0f, 2.0f)),
+      (3L, Array(2.0f, 5.0f, 3.0f))
+    ).toDF("vec_id", "embedding")
+    val got = EmbedQuantize.int8Codes(vecs, "vec_id", "embedding")
+      .as[(Long, Long, Long)].collect().toSet
+    // dim 0: range [0,2000] -> codes -128, -1 (1000*255 div 2000 = 127), 127
+    // dim 1: constant -> 0; dim 2: same spread as dim 0
+    assert(got === Set(
+      (1L, 0L, -128L), (1L, 1L, 0L), (1L, 2L, -128L),
+      (2L, 0L, -1L), (2L, 1L, 0L), (2L, 2L, -1L),
+      (3L, 0L, 127L), (3L, 1L, 0L), (3L, 2L, 127L)))
+  }
+
+  test("int8Codes plan: encode pass is narrow (scales broadcast, no per-vector shuffle)") {
+    val vecs = Seq((1L, Array(0.0f, 1.0f)), (2L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val p = EmbedQuantize.int8Codes(vecs, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"scales must broadcast, got:\n$p")
   }
 
   test("Bloom prefilter prunes: non-members mostly rejected before the join") {
