@@ -196,4 +196,43 @@ class StreamingSpec extends SparkSpec {
     assert(out.head.getAs[String]("session_start") === "2024-01-01T10:00:00")
     assert(out.head.getAs[String]("session_end") === "2024-01-01T10:10:00")
   }
+
+  test("streaming near-dup: distinct hits equal the batch LSH candidate pairs") {
+    import spark.implicits._
+    import graft.streaming.StreamNearDup
+    // planted corpus: 1/2 exact clones, 3 a near-dup of 1 (two tokens
+    // changed), 4 unrelated
+    val docs = Seq(
+      (1L, "spark shuffles data across the cluster during wide transformations always"),
+      (2L, "spark shuffles data across the cluster during wide transformations always"),
+      (3L, "spark shuffles data across the cluster during wide transformations maybe"),
+      (4L, "completely different text about cooking pasta with plenty of fresh basil"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-sneardup").toString
+    docs.filter($"doc_id" <= 2).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = StreamNearDup.nearDupStream(stream, "doc_id", "text", minEstJaccard = 0.0)
+      .writeStream.outputMode("append").format("memory").queryName("sneardup_out").start()
+    try {
+      q.processAllAvailable()
+      // second batch: the near-dup and the unrelated doc arrive later —
+      // state from batch 1 must still match them
+      docs.filter($"doc_id" >= 3).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val streamed = spark.table("sneardup_out")
+        .select("id_a", "id_b").distinct().as[(Long, Long)].collect().toSet
+      // batch twin's candidate pairs (threshold 0 = all band-sharing pairs)
+      val batch = graft.operators.TextDedup
+        .minhashPairs(docs, "doc_id", "text", jaccardThreshold = 0.0)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.contains((1L, 2L)) && streamed.contains((1L, 3L)))
+      assert(!streamed.exists(p => p._1 == 4L || p._2 == 4L))
+      // exact clones agree on every signature component
+      val est12 = spark.table("sneardup_out")
+        .filter($"id_a" === 1L && $"id_b" === 2L)
+        .select("est_jaccard").as[Double].head()
+      assert(est12 === 1.0)
+    } finally q.stop()
+  }
 }
