@@ -90,6 +90,8 @@ object SparkEntry {
     "x_corpus_shuffle" -> (CorpusQueries.corpusShuffle _),
     "x_para_dedup" -> (CorpusQueries.paraDedup _),
     "x_embed_quantize" -> (SimilarityQueries.embedQuantize _),
+    "x_mixture_sample" -> (CorpusQueries.mixtureSample _),
+    "x_epoch_shards" -> (CorpusQueries.epochShards _),
     "x_lang_id" -> (DedupQueries.langId _),
     "x_quality" -> (DedupQueries.quality _),
     "x_token_counts" -> (DedupQueries.tokenCounts _),
@@ -251,6 +253,8 @@ object SparkEntry {
     "x_corpus_shuffle" -> CorpusQueries.corpusShuffleOracle,
     "x_para_dedup" -> CorpusQueries.paraDedupOracle,
     "x_embed_quantize" -> SimilarityQueries.embedQuantizeOracle,
+    "x_mixture_sample" -> CorpusQueries.mixtureSampleOracle,
+    "x_epoch_shards" -> CorpusQueries.epochShardsOracle,
     "x_lang_id" -> DedupQueries.langIdOracle,
     "x_quality" -> DedupQueries.qualityOracle,
     "x_token_counts" -> DedupQueries.tokenCountsOracle,

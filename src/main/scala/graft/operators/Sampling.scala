@@ -39,6 +39,47 @@ object Sampling {
   def samplePredicate(key: Column, pct: Int, nBuckets: Int = 1000): Column =
     hashBucket(key, nBuckets) < nBuckets * pct / 100
 
+  /** Source/domain mixture resampling: deterministic downsampling to an
+    * EXPLICIT target mixture — the "domain weights" knob (DoReMi-style
+    * static weights, Pile/RedPajama-style mixture tables), distinct
+    * from temperature rebalancing (which derives rates from corpus
+    * shares alone). Given per-source integer weights w_s, a budget of
+    * `budgetNum/budgetDen` of the corpus, and z = Σ w_s, source s
+    * targets `budget * w_s / z` documents; its keep rate is
+    * `target_s / n_s`, capped at 1 (sampling is without replacement —
+    * an over-weighted tiny source keeps everything; re-weight upstream
+    * if true upsampling is needed).
+    *
+    * Exact BIGINT thresholds end to end: keep iff
+    * `hashBucket(text) < least(buckets, (buckets * budgetNum * n_tot *
+    * w_s) div (budgetDen * z * n_s))` — deterministic, re-shard-stable,
+    * engine-exact. Scale shape: ONE map-side-combined count per source,
+    * a 1-row total, and a broadcast rate join back — the fact table
+    * never shuffles.
+    *
+    * `weightOf` maps the source column to its integer weight (a
+    * foldable expression so both engines agree; a literal map join
+    * works too).
+    */
+  def mixtureSample(
+      df: DataFrame, srcCol: String, keyCol: String,
+      weightOf: Column => Column,
+      budgetNum: Int, budgetDen: Int, buckets: Int = 10000): DataFrame = {
+    require(budgetNum > 0 && budgetDen >= budgetNum, "budget must be in (0, 1]")
+    val counts = df.groupBy(col(srcCol))
+      .agg(count(lit(1)).cast(LongType).as("n_s"))
+      .withColumn("w_s", weightOf(col(srcCol)).cast(LongType))
+    val tot = counts.agg(sum(col("n_s")).cast(LongType).as("n_tot"),
+      sum(col("w_s")).cast(LongType).as("z"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("keep_buckets",
+        least(lit(buckets.toLong),
+          expr(s"($buckets * $budgetNum * n_tot * w_s) div ($budgetDen * z * n_s)")))
+      .select(col(srcCol), col("keep_buckets"))
+    df.join(broadcast(rates), Seq(srcCol))
+      .filter(hashBucket(col(keyCol), buckets) < col("keep_buckets"))
+  }
+
   /** Stratified deterministic downsampling: keep the best
     * ceil(|stratum| * pct / 100) rows of EACH stratum by
     * (score desc, id asc) — proportional representation per stratum

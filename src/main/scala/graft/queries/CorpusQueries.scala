@@ -219,4 +219,66 @@ object CorpusQueries {
        |  CAST(row_number() OVER (ORDER BY $h, doc_id) AS BIGINT) AS shuffle_pos
        |FROM documents ORDER BY doc_id""".stripMargin
   }
+
+  /** Source-mixture resampling to explicit target weights
+    * w(srcK) = K%4 + 1 at a 1/4 corpus budget
+    * ([[graft.operators.Sampling.mixtureSample]]).
+    */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        col("source"), col("text"))
+    graft.operators.Sampling
+      .mixtureSample(d, "source", "text",
+        src => substring(src, 4, 10).cast(LongType) % 4 + 1,
+        budgetNum = 1, budgetDen = 4)
+      .select(col("doc_id"), col("source"), col("keep_buckets"))
+      .orderBy("doc_id")
+  }
+
+  val mixtureSampleOracle: String =
+    s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s,
+       |    CAST(CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS BIGINT) AS w_s
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_tot,
+       |    CAST(sum(w_s) AS BIGINT) AS z FROM c),
+       |r AS (SELECT source,
+       |    least(10000, (10000 * 1 * n_tot * w_s) // (4 * z * n_s)) AS keep_buckets
+       |  FROM c CROSS JOIN tot)
+       |SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source, r.keep_buckets
+       |FROM documents d JOIN r USING (source)
+       |WHERE (${DuckSql.hash60("text")}) % 10000 < keep_buckets
+       |ORDER BY doc_id""".stripMargin
+
+  /** Epoch shard manifest: the deterministic global shuffle composed
+    * into fixed-size training shards — shard k holds positions
+    * [k*100+1, (k+1)*100], so shard contents are reproducible across
+    * runs and cluster sizes. Aggregation is keyed on the shard id.
+    */
+  def epochShards(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"))
+    Shuffle.globalOrderIndex(d, keyCol = "doc_id", seed = 7L, tieBreak = "doc_id")
+      .withColumn("shard", expr("(shuffle_pos - 1) div 100"))
+      .groupBy("shard")
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        min(col("shuffle_pos")).as("min_pos"), max(col("shuffle_pos")).as("max_pos"),
+        min(col("doc_id")).as("min_doc_id"))
+      .select(col("shard").cast(LongType).as("shard"), col("n_docs"),
+        col("min_pos"), col("max_pos"), col("min_doc_id"))
+      .orderBy("shard")
+  }
+
+  val epochShardsOracle: String = {
+    val h = DuckSql.hash60Seeded("7", "CAST(doc_id AS VARCHAR)")
+    s"""WITH pos AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    CAST(row_number() OVER (ORDER BY $h, doc_id) AS BIGINT) AS shuffle_pos
+       |  FROM documents)
+       |SELECT CAST((shuffle_pos - 1) // 100 AS BIGINT) AS shard,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(min(shuffle_pos) AS BIGINT) AS min_pos,
+       |  CAST(max(shuffle_pos) AS BIGINT) AS max_pos,
+       |  CAST(min(doc_id) AS BIGINT) AS min_doc_id
+       |FROM pos GROUP BY 1 ORDER BY shard""".stripMargin
+  }
 }

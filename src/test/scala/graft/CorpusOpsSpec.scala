@@ -102,6 +102,26 @@ class CorpusOpsSpec extends SparkSpec {
       _.child.maxRows.forall(_ <= (1L << 12))) || globalWindows.isEmpty)
   }
 
+  // ---------------- Sampling.mixtureSample ----------------
+
+  test("mixtureSample: rates follow target weights; over-weighted tiny source caps at keep-all") {
+    import graft.operators.Sampling
+    // source A: 4000 docs weight 1; source B: 40 docs weight 20 ->
+    // budget 1/2 of 4040 = 2020; z = 21; target_B = 2020*20/21 = 1923 >
+    // 40 -> keep rate caps at 100% for B
+    val docs = ((1 to 4000).map(i => (i.toLong, "A", s"doc a $i")) ++
+      (1 to 40).map(i => (i.toLong + 10000, "B", s"doc b $i")))
+      .toDF("doc_id", "source", "text")
+    val kept = Sampling.mixtureSample(docs, "source", "text",
+        src => when(src === "A", 1L).otherwise(20L),
+        budgetNum = 1, budgetDen = 2)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(kept("B") === 40L, "capped source must keep every doc")
+    // A targets 2020*1/21 ≈ 96 docs of 4000 ≈ 2.4% -> keep_buckets 240/10000
+    assert(kept("A") > 40L && kept("A") < 200L,
+      s"source A should keep ~96 docs, kept ${kept("A")}")
+  }
+
   // ---------------- Bloom ----------------
 
   test("Bloom.membership returns the exact member set (no false positives)") {
