@@ -109,6 +109,7 @@ object SparkEntry {
     "x_events_range_join" -> (EventQueries.rangeJoin _),
     "x_events_retention" -> (EventQueries.retention _),
     "x_events_funnel" -> (EventQueries.funnel _),
+    "x_multimodal_resize" -> (EventQueries.multimodalResize _),
     "x_events_tumbling" -> (EventQueries.tumbling _),
     "x_events_sliding" -> (EventQueries.sliding _),
     "x_events_sessions" -> (EventQueries.sessions _),
@@ -270,6 +271,7 @@ object SparkEntry {
     "x_events_range_join" -> EventQueries.rangeJoinOracle,
     "x_events_retention" -> EventQueries.retentionOracle,
     "x_events_funnel" -> EventQueries.funnelOracle,
+    "x_multimodal_resize" -> EventQueries.multimodalResizeOracle,
     "x_events_tumbling" -> EventQueries.tumblingOracle,
     "x_events_sliding" -> EventQueries.slidingOracle,
     "x_events_sessions" -> EventQueries.sessionsOracle,

@@ -78,6 +78,38 @@ object Multimodal {
     blobs.mapPartitions(_.map(b => StubEmbedder.embed(b, dim)))(enc)
   }
 
+  case class MediaResized(
+      media_id: Long, src_w: Long, src_h: Long, dst_w: Long, dst_h: Long,
+      scale_x_ppm: Long, scale_y_ppm: Long, resized_md5: String)
+
+  /** THE STUB resizer: a real pipeline calls the image library's
+    * resample here. The aspect-preserving fit arithmetic (largest side
+    * scaled to `target`, the other side floor-scaled, all integer) IS
+    * the production logic; only the pixel work is faked — the "resized
+    * bytes" are represented by a deterministic md5 derived from the
+    * source digest and the target geometry.
+    */
+  object StubResizer {
+    def resize(m: MediaMeta, target: Long): MediaResized = {
+      val (dw, dh) =
+        if (m.width >= m.height) (target, m.height * target / m.width)
+        else (m.width * target / m.height, target)
+      val md5 = MessageDigest.getInstance("MD5")
+        .digest(s"${m.md5_hex}:${dw}x${dh}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      MediaResized(m.media_id, m.width, m.height, dw, dh,
+        dw * 1000000L / m.width, dh * 1000000L / m.height, md5)
+    }
+  }
+
+  /** Batch decode+resize: one partition per task, no shuffle — same
+    * contract as [[decodeAll]].
+    */
+  def resizeAll(blobs: Dataset[MediaBlob], target: Long): Dataset[MediaResized] = {
+    val enc = Encoders.product[MediaResized]
+    blobs.mapPartitions(_.map(b => StubResizer.resize(StubDecoder.decode(b), target)))(enc)
+  }
+
   /** Wrap a text column as a binary media blob (the ingest step a real
     * pipeline does when reading raw media files).
     */

@@ -257,6 +257,38 @@ object EventQueries {
        |FROM documents ORDER BY media_id""".stripMargin
   }
 
+  /** Multimodal: aspect-preserving thumbnail resize to a 256 box —
+    * decode feeds the (stub) resizer; geometry/scale arithmetic is
+    * exact integer, the pixel work is the clearly-marked stub.
+    */
+  def multimodalResize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val blobs = Multimodal.asBlobs(docs, "doc_id", "text", "image")
+    Multimodal.resizeAll(blobs, target = 256L).toDF()
+      .select(col("media_id"), col("src_w"), col("src_h"),
+        col("dst_w"), col("dst_h"), col("scale_x_ppm"), col("scale_y_ppm"),
+        col("resized_md5"))
+      .orderBy("media_id")
+  }
+
+  val multimodalResizeOracle: String = {
+    val h = DuckSql.hash60("text")
+    s"""WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id, md5(text) AS md5_hex,
+       |    CAST(16 + $h % 2032 AS BIGINT) AS w,
+       |    CAST(16 + ($h // 2048) % 2032 AS BIGINT) AS ht
+       |  FROM documents),
+       |g AS (SELECT media_id, md5_hex, w, ht,
+       |    CASE WHEN w >= ht THEN 256 ELSE (w * 256) // ht END AS dw,
+       |    CASE WHEN w >= ht THEN (ht * 256) // w ELSE 256 END AS dh
+       |  FROM m)
+       |SELECT media_id, w AS src_w, ht AS src_h,
+       |  CAST(dw AS BIGINT) AS dst_w, CAST(dh AS BIGINT) AS dst_h,
+       |  CAST(dw * 1000000 // w AS BIGINT) AS scale_x_ppm,
+       |  CAST(dh * 1000000 // ht AS BIGINT) AS scale_y_ppm,
+       |  md5(md5_hex || ':' || CAST(dw AS VARCHAR) || 'x' || CAST(dh AS VARCHAR)) AS resized_md5
+       |FROM g ORDER BY media_id""".stripMargin
+  }
+
   /** Multimodal: frame sampling over "video" blobs (every 100 bytes). */
   def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")

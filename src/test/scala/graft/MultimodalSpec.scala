@@ -59,4 +59,24 @@ class MultimodalSpec extends SparkSpec {
     val longLen = "a much longer payload that stands in for an encoded image blob with many bytes".length
     assert(byId(2L).length === (longLen - 1) / 10 + 1)
   }
+
+  test("resize: aspect-preserving fit — long side hits the target box, scales consistent") {
+    import Multimodal.{MediaMeta, StubResizer}
+    // landscape: width is the long side
+    val land = StubResizer.resize(
+      MediaMeta(1L, "image", 100L, "deadbeef", width = 1024L, height = 256L, channels = 3L), 256L)
+    assert(land.dst_w === 256L && land.dst_h === 64L)
+    assert(land.scale_x_ppm === 250000L && land.scale_y_ppm === 250000L)
+    // portrait: height is the long side; other side floor-scales
+    val port = StubResizer.resize(
+      MediaMeta(2L, "image", 100L, "deadbeef", width = 300L, height = 2000L, channels = 3L), 256L)
+    assert(port.dst_h === 256L && port.dst_w === 300L * 256L / 2000L)
+    // square maps to the full box; resized digest is deterministic
+    val sq1 = StubResizer.resize(
+      MediaMeta(3L, "image", 9L, "cafe", 500L, 500L, 1L), 256L)
+    val sq2 = StubResizer.resize(
+      MediaMeta(3L, "image", 9L, "cafe", 500L, 500L, 1L), 256L)
+    assert(sq1.dst_w === 256L && sq1.dst_h === 256L)
+    assert(sq1.resized_md5 === sq2.resized_md5 && sq1.resized_md5.length === 32)
+  }
 }
