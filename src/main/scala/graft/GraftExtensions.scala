@@ -83,8 +83,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, usage, b) =>
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), b))
     }
+    // plan guardrails: scale-killer shapes warn (or throw under
+    // spark.graft.guard=strict) at optimization time
+    ext.injectOptimizerRule(graft.plans.PlanGuardRule)
+  }
 }

@@ -45,7 +45,12 @@ object Shuffle {
     val bucketWidth = 1L << (60 - bucketBits)
     val hashed = df.withColumn("__h", hash)
       .withColumn("__bucket", (col("__h") / lit(bucketWidth)).cast("long"))
+    // The limit NEVER truncates (distinct buckets <= 2^bucketBits by
+    // construction) — it exists so the bound is visible to Catalyst
+    // (maxRows) and the unpartitioned offsets window below is provably
+    // small at plan time (graft.plans.PlanGuard would flag it otherwise).
     val offsets = hashed.groupBy("__bucket").count()
+      .limit(1 << bucketBits)
       .withColumn("__offset",
         coalesce(sum(col("count")).over(
           Window.orderBy("__bucket")

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.{PlanGuard, PlanGuardRule}
+
+/** Plan guardrails: scale-killer shapes detected at optimization time
+  * (warn / strict via spark.graft.guard), engine's own bounded plans
+  * stay silent.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = Tables.load(spark, dir, "documents")
+
+  test("global window over an unbounded scan is flagged") {
+    val bad = docs.withColumn("rn",
+      row_number().over(Window.orderBy(col("doc_id"))))
+    val found = PlanGuard.findings(bad.queryExecution.optimizedPlan)
+    assert(found.exists(_.contains("single-partition Window")))
+  }
+
+  test("Shuffle.globalOrderIndex passes: its offsets window is provably bounded") {
+    val out = graft.operators.Shuffle
+      .globalOrderIndex(docs.select(col("doc_id")), "doc_id", 7L, "doc_id")
+    assert(PlanGuard.findings(out.queryExecution.optimizedPlan) === Nil)
+  }
+
+  test("cross join flags only when both sides are unbounded") {
+    val both = docs.crossJoin(docs.select(col("doc_id").as("d2")))
+    assert(PlanGuard.findings(both.queryExecution.optimizedPlan)
+      .exists(_.contains("cross join")))
+    // 1-row scalar broadcast (global aggregate): bounded side -> silent
+    val scalar = docs.crossJoin(docs.agg(count(lit(1)).as("n")))
+    assert(PlanGuard.findings(scalar.queryExecution.optimizedPlan) === Nil)
+  }
+
+  test("strict mode throws, warn mode passes the plan through unchanged") {
+    val bad = docs.withColumn("rn",
+      row_number().over(Window.orderBy(col("doc_id"))))
+      .queryExecution.optimizedPlan
+    val rule = PlanGuardRule(spark)
+    spark.conf.set("spark.graft.guard", "strict")
+    try {
+      intercept[PlanGuard.ScaleKillerException] { rule(bad) }
+    } finally spark.conf.set("spark.graft.guard", "warn")
+    assert(rule(bad) eq bad) // warn: inspect-only, same plan object back
+  }
+}

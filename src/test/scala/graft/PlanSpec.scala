@@ -190,6 +190,11 @@ class PlanSpec extends SparkSpec {
       // a window over SinglePartition serializes the corpus onto one task
       if (p.linesIterator.exists(l => l.contains("Window") && l.contains("SinglePartition")))
         failures += s"$name: single-partition Window"
+      // the production guardrail must also be quiet on every graded
+      // query (scalar cross joins are bounded-side and pass by design)
+      graft.plans.PlanGuard.findings(df.queryExecution.optimizedPlan)
+        .filterNot(_ => bnljByDesign(name))
+        .foreach(f => failures += s"$name (guard): $f")
     }
     assert(failures.isEmpty, "scale-killer plans:\n" + failures.mkString("\n"))
   }
