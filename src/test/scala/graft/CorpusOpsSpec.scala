@@ -102,7 +102,38 @@ class CorpusOpsSpec extends SparkSpec {
       _.child.maxRows.forall(_ <= (1L << 12))) || globalWindows.isEmpty)
   }
 
+  test("pointInInterval: negative epoch times bucket correctly (floor, not truncate)") {
+    val points = Seq((1L, -1500L), (2L, -1000L), (3L, -1L), (4L, 0L)).toDF("pid", "ts_ms")
+    val intervals = Seq((10L, -1500L, -999L), (20L, -500L, 1L)).toDF("wid", "start_ms", "end_ms")
+    val got = RangeJoin
+      .pointInInterval(points, intervals, "ts_ms", "start_ms", "end_ms", bucketMs = 1000L)
+      .select("wid", "pid").as[(Long, Long)].collect().toSet
+    val naive = points.join(intervals,
+        $"ts_ms" >= $"start_ms" && $"ts_ms" < $"end_ms")
+      .select("wid", "pid").as[(Long, Long)].collect().toSet
+    assert(got === naive)
+    assert(got === Set((10L, 1L), (10L, 2L), (20L, 3L), (20L, 4L)))
+  }
+
+  test("Bloom.membership with an empty set keeps nothing") {
+    val corpus = (1L to 100L).map(i => (i, i)).toDF("id", "key")
+    val empty = Seq.empty[Long].toDF("k")
+    assert(Bloom.membership(corpus, "key", empty, "k").count() === 0L)
+  }
+
   // ---------------- Sampling.mixtureSample ----------------
+
+  test("mixtureSample: weight-0 source is excluded entirely") {
+    import graft.operators.Sampling
+    val docs = ((1 to 100).map(i => (i.toLong, "keep", s"d $i")) ++
+      (1 to 100).map(i => (i.toLong + 1000, "drop", s"e $i")))
+      .toDF("doc_id", "source", "text")
+    val kept = Sampling.mixtureSample(docs, "source", "text",
+        src => when(src === "keep", 1L).otherwise(0L),
+        budgetNum = 1, budgetDen = 2)
+      .select("source").distinct().as[String].collect().toSet
+    assert(kept === Set("keep"))
+  }
 
   test("mixtureSample: rates follow target weights; over-weighted tiny source caps at keep-all") {
     import graft.operators.Sampling
