@@ -92,6 +92,10 @@ object SparkEntry {
     "x_embed_quantize" -> (SimilarityQueries.embedQuantize _),
     "x_mixture_sample" -> (CorpusQueries.mixtureSample _),
     "x_epoch_shards" -> (CorpusQueries.epochShards _),
+    // sketch queries: estimates by design -> NO oracle entries (driver
+    // records rows-only checks; specs bound them against exact results)
+    "x_approx_length_quantiles" -> (CorpusQueries.approxLengthQuantiles _),
+    "x_heavy_hitters_sketch" -> (CorpusQueries.heavyHittersSketch _),
     "x_lang_id" -> (DedupQueries.langId _),
     "x_quality" -> (DedupQueries.quality _),
     "x_token_counts" -> (DedupQueries.tokenCounts _),

@@ -269,6 +269,40 @@ object CorpusQueries {
       .orderBy("shard")
   }
 
+  /** Approximate per-language length percentiles — the mergeable-sketch
+    * scale path beside the exact `x_length_quantiles` (same division of
+    * labor as exact vs HLL distinct counts). `approx_percentile` keeps
+    * a bounded summary per group and merges map-side; values are
+    * engine-specific, so this query has NO SQL oracle — the driver
+    * records a rows-only check and the companion spec bounds the
+    * estimates against the exact percentiles.
+    */
+  def approxLengthQuantiles(spark: SparkSession, dir: String): DataFrame =
+    DedupQueries.docs(spark, dir)
+      .select(col("lang"),
+        graft.operators.TextStats.wsTokenCount(col("text")).as("ws"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        approx_percentile(col("ws"), lit(0.5), lit(10000)).as("p50_tokens"),
+        approx_percentile(col("ws"), lit(0.9), lit(10000)).as("p90_tokens"),
+        approx_percentile(col("ws"), lit(0.99), lit(10000)).as("p99_tokens"))
+      .orderBy("lang")
+
+  /** Heavy-hitter terms per language via the Misra-Gries sketch
+    * ([[graft.operators.HeavyHitters]]) — counts are ESTIMATES with a
+    * proven floor, so like the HLL query this has no SQL oracle; the
+    * spec asserts the sketch guarantees against exact counts.
+    */
+  def heavyHittersSketch(spark: SparkSession, dir: String): DataFrame = {
+    val terms = DedupQueries.docs(spark, dir).select(col("lang"),
+      explode(Fts.tokens(Seq(col("text")))).as("term"))
+    terms.groupBy(col("lang"))
+      .agg(graft.operators.HeavyHitters.sketch(col("term"), k = 16).as("hh"))
+      .select(col("lang"), explode(col("hh")).as(Seq("term", "est_count")))
+      .select(col("lang"), col("term"), col("est_count").cast(LongType).as("est_count"))
+      .orderBy("lang", "term")
+  }
+
   val epochShardsOracle: String = {
     val h = DuckSql.hash60Seeded("7", "CAST(doc_id AS VARCHAR)")
     s"""WITH pos AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -153,6 +153,54 @@ class CorpusOpsSpec extends SparkSpec {
       s"source A should keep ~96 docs, kept ${kept("A")}")
   }
 
+  // ---------------- HeavyHitters (Misra-Gries) ----------------
+
+  test("Misra-Gries: true heavy hitters survive with bounded undercount; state <= k") {
+    import graft.operators.HeavyHitters
+    val k = 8
+    // skewed stream: 'hot' x 400, 'warm' x 150, 1000 singletons; n = 1550
+    val items = (Seq.fill(400)("hot") ++ Seq.fill(150)("warm") ++
+      (1 to 1000).map(i => s"u$i"))
+    val df = scala.util.Random.shuffle(items).toDF("term").repartition(7)
+    val m = df.agg(HeavyHitters.sketch(col("term"), k).as("hh"))
+      .select(explode(col("hh"))).as[(String, Long)].collect().toMap
+    val n = items.length
+    assert(m.size <= k, s"summary must hold <= $k counters, got ${m.size}")
+    // guarantee: count > n/(k+1) => present, estimate >= true - n/(k+1)
+    assert(m.contains("hot") && m("hot") >= 400L - n / (k + 1) && m("hot") <= 400L)
+    assert(m.getOrElse("warm", 0L) <= 150L)
+  }
+
+  test("Misra-Gries: merge keeps the bound under any partitioning") {
+    import graft.operators.HeavyHitters
+    val k = 4
+    val items = Seq.fill(300)("dominant") ++ (1 to 200).map(i => s"noise$i")
+    for (parts <- Seq(1, 3, 13)) {
+      val m = items.toDF("term").repartition(parts)
+        .agg(HeavyHitters.sketch(col("term"), k).as("hh"))
+        .select(explode(col("hh"))).as[(String, Long)].collect().toMap
+      val slack = items.length / (k + 1)
+      assert(m.contains("dominant"),
+        s"dominant (300 of ${items.length} > n/(k+1)=$slack) must survive at $parts partitions")
+      assert(m("dominant") >= 300L - slack && m("dominant") <= 300L)
+    }
+  }
+
+  // ---------------- approx quantiles bound ----------------
+
+  test("approx length quantiles track the exact percentiles") {
+    val dir = "/root/testdata/sf0.001"
+    val approx = graft.queries.CorpusQueries
+      .approxLengthQuantiles(spark, dir)
+      .select("lang", "p50_tokens").as[(String, Long)].collect().toMap
+    val exact = graft.queries.DedupQueries.lengthQuantiles(spark, dir)
+      .select("lang", "p50_tokens").as[(String, Double)].collect().toMap
+    exact.foreach { case (lang, p50) =>
+      assert(math.abs(approx(lang) - p50) <= math.max(2.0, p50 * 0.05),
+        s"$lang: approx p50 ${approx(lang)} vs exact $p50")
+    }
+  }
+
   // ---------------- Bloom ----------------
 
   test("Bloom.membership returns the exact member set (no false positives)") {
