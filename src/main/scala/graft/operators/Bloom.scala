@@ -49,6 +49,21 @@ object Bloom {
     udf((v: java.lang.Long) => v != null && bcast.value.mightContainLong(v)).apply(c)
   }
 
+  /** Persist a built filter (the cross-run artifact: a pipeline builds
+    * the blocklist/benchmark bloom once, every later run loads it in
+    * milliseconds instead of re-aggregating the set). Spark's
+    * [[BloomFilter]] wire format via writeTo/readFrom.
+    */
+  def save(bf: BloomFilter, path: String): Unit = {
+    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(path))
+    try bf.writeTo(out) finally out.close()
+  }
+
+  def load(path: String): BloomFilter = {
+    val in = new java.io.BufferedInputStream(new java.io.FileInputStream(path))
+    try BloomFilter.readFrom(in) finally in.close()
+  }
+
   /** Exact membership rows of `corpus` whose `keyCol` appears in
     * `set.setKeyCol`, with the bloom prefilter ahead of the confirming
     * left-semi join.

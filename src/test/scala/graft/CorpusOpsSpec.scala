@@ -269,6 +269,22 @@ class CorpusOpsSpec extends SparkSpec {
       s"scales must broadcast, got:\n$p")
   }
 
+  test("Bloom filter round-trips through disk (cross-run blocklist artifact)") {
+    val bf = Bloom.buildLong(Seq(11L, 22L, 33L).toDF("k"), "k",
+      expectedItems = 100L, fpp = 0.01)
+    val path = java.nio.file.Files.createTempDirectory("graft-bloom")
+      .resolve("blocklist.bloom").toString
+    Bloom.save(bf, path)
+    val back = Bloom.load(path)
+    assert(Seq(11L, 22L, 33L).forall(back.mightContainLong))
+    assert(back.bitSize() === bf.bitSize())
+    val corpus = (1L to 50L).map(i => (i, i)).toDF("id", "key")
+    val kept = corpus.filter(Bloom.mightContainLong(corpus, back, col("key")))
+      .join(Seq(11L, 22L, 33L).toDF("key"), Seq("key"), "left_semi")
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(11L, 22L, 33L))
+  }
+
   test("Bloom prefilter prunes: non-members mostly rejected before the join") {
     val bf = Bloom.buildLong(Seq(1L, 2L, 3L).toDF("k"), "k",
       expectedItems = 1000L, fpp = 0.001)

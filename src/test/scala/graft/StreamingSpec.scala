@@ -197,6 +197,28 @@ class StreamingSpec extends SparkSpec {
     assert(out.head.getAs[String]("session_end") === "2024-01-01T10:10:00")
   }
 
+  test("heavy-hitters sketch aggregates in streaming update mode (mergeable state)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-shh").toString
+    (Seq.fill(50)("hot") ++ (1 to 30).map(i => s"u$i"))
+      .toDF("term").write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = stream.groupBy()
+      .agg(graft.operators.HeavyHitters.sketch(col("term"), 8).as("hh"))
+      .writeStream.outputMode("update").format("memory").queryName("shh_out").start()
+    try {
+      q.processAllAvailable()
+      // second batch: more of the heavy item arrives; state must merge
+      Seq.fill(40)("hot").toDF("term").write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val m = spark.table("shh_out").select(explode(col("hh")))
+        .as[(String, Long)].collect().groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).max }
+      val n = 120 // 50 + 30 + 40
+      assert(m.contains("hot") && m("hot") >= 90L - n / 9 && m("hot") <= 90L)
+    } finally q.stop()
+  }
+
   test("streaming near-dup: distinct hits equal the batch LSH candidate pairs") {
     import spark.implicits._
     import graft.streaming.StreamNearDup
