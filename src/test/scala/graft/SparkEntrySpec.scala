@@ -27,9 +27,11 @@ class SparkEntrySpec extends SparkSpec {
   }
 
   test("every query has an oracle (or is a documented rows-only check)") {
-    // x_approx_distinct_parts: HLL sketch values are engine-specific —
-    // deliberately oracle-free (bounded by ApproxDistinctSpec instead).
-    val rowsOnly = Set("x_approx_distinct_parts")
+    // sketch queries produce engine-specific estimates — deliberately
+    // oracle-free, each bounded against its exact twin by a spec
+    // (ApproxDistinctSpec, CorpusOpsSpec).
+    val rowsOnly = Set("x_approx_distinct_parts",
+      "x_approx_length_quantiles", "x_heavy_hitters_sketch")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without an oracle: $missing")
   }
