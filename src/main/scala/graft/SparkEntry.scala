@@ -111,6 +111,7 @@ object SparkEntry {
     // extensions: event-time windows + multimodal plumbing
     "x_events_asof" -> (EventQueries.asofJoin _),
     "x_events_range_join" -> (EventQueries.rangeJoin _),
+    "x_events_interval_overlap" -> (EventQueries.intervalOverlap _),
     "x_events_retention" -> (EventQueries.retention _),
     "x_events_funnel" -> (EventQueries.funnel _),
     "x_multimodal_resize" -> (EventQueries.multimodalResize _),
@@ -273,6 +274,7 @@ object SparkEntry {
     "x_ann_ivf_trained" -> SimilarityQueries.annIvfTrainedOracle,
     "x_events_asof" -> EventQueries.asofJoinOracle,
     "x_events_range_join" -> EventQueries.rangeJoinOracle,
+    "x_events_interval_overlap" -> EventQueries.intervalOverlapOracle,
     "x_events_retention" -> EventQueries.retentionOracle,
     "x_events_funnel" -> EventQueries.funnelOracle,
     "x_multimodal_resize" -> EventQueries.multimodalResizeOracle,

@@ -50,4 +50,31 @@ object RangeJoin {
       .filter(col(ptMs) >= col(startMs) && col(ptMs) < col(endMs))
       .drop("__bucket")
   }
+
+  /** Interval-interval overlap join (the general form; Flink's interval
+    * join, range-join-hinted engines' band join): one row per (left,
+    * right) pair of half-open intervals with `lStart < rEnd && rStart <
+    * lEnd`. Both sides explode into their covered buckets and equi-join
+    * on the bucket id; because BOTH sides are multi-bucket, an
+    * overlapping pair meets in every shared bucket — the match is kept
+    * only in the overlap's FIRST bucket (`bucketOf(greatest(starts))`),
+    * so each pair survives exactly once with no distinct pass.
+    * Column names must be disjoint across the two inputs.
+    */
+  def intervalOverlap(
+      left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketMs: Long = 3600L * 1000): DataFrame = {
+    def bucketOf(c: Column): Column = floor(c / lit(bucketMs)).cast("long")
+    def explodeIv(df: DataFrame, s: String, e: String) =
+      df.withColumn("__bucket",
+        explode(when(col(e) > col(s),
+          sequence(bucketOf(col(s)), bucketOf(col(e) - lit(1L))))
+          .otherwise(array().cast("array<long>"))))
+    explodeIv(left, lStart, lEnd)
+      .join(explodeIv(right, rStart, rEnd), "__bucket")
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .filter(col("__bucket") === bucketOf(greatest(col(lStart), col(rStart))))
+      .drop("__bucket")
+  }
 }

@@ -155,6 +155,47 @@ object EventQueries {
       |  ON epoch_ms(e.ts) >= w.start_ms AND epoch_ms(e.ts) < w.start_ms + 7200000
       |GROUP BY w.w_user ORDER BY w_user""".stripMargin
 
+  /** Interval-overlap join: the top-20 users' activity windows
+    * ([first event, +2h)) overlap-joined against per-event-type windows
+    * ([first event of that type, +4h)), with the exact overlap length —
+    * [[graft.operators.RangeJoin.intervalOverlap]] for the bucketed
+    * equi-join shape and the first-bucket dedup rule. The oracle is the
+    * plain inequality join.
+    */
+  def intervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val top = ev.groupBy("user_id").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("user_id")).limit(20)
+      .select(col("user_id"))
+    val userWin = ev.join(top, "user_id")
+      .groupBy(col("user_id").as("w_user"))
+      .agg(min(unix_millis(col("ts"))).as("u_start"))
+      .withColumn("u_end", col("u_start") + lit(7200000L))
+    val typeWin = ev.groupBy(col("event_type"))
+      .agg(min(unix_millis(col("ts"))).as("t_start"))
+      .withColumn("t_end", col("t_start") + lit(14400000L))
+    graft.operators.RangeJoin
+      .intervalOverlap(userWin, typeWin, "u_start", "u_end", "t_start", "t_end")
+      .select(col("w_user").cast(LongType).as("w_user"), col("event_type"),
+        (least(col("u_end"), col("t_end")) -
+          greatest(col("u_start"), col("t_start"))).cast(LongType).as("overlap_ms"))
+      .orderBy("w_user", "event_type")
+  }
+
+  val intervalOverlapOracle: String =
+    """WITH cnt AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+      |top AS (SELECT user_id FROM cnt ORDER BY c DESC, user_id LIMIT 20),
+      |u AS (SELECT e.user_id AS w_user, epoch_ms(min(e.ts)) AS u_start,
+      |    epoch_ms(min(e.ts)) + 7200000 AS u_end
+      |  FROM events e JOIN top USING (user_id) GROUP BY e.user_id),
+      |t AS (SELECT event_type, epoch_ms(min(ts)) AS t_start,
+      |    epoch_ms(min(ts)) + 14400000 AS t_end
+      |  FROM events GROUP BY event_type)
+      |SELECT CAST(u.w_user AS BIGINT) AS w_user, t.event_type,
+      |  CAST(least(u.u_end, t.t_end) - greatest(u.u_start, t.t_start) AS BIGINT) AS overlap_ms
+      |FROM u JOIN t ON u.u_start < t.t_end AND t.t_start < u.u_end
+      |ORDER BY w_user, event_type""".stripMargin
+
   /** Cohort retention: users grouped by first-seen day; retained =
     * active again on any of the 7 following days. Both aggregations are
     * keyed on user_id / cohort day — no global window, no self theta

@@ -58,6 +58,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(bucketed === naive)
   }
 
+  test("intervalOverlap agrees with the naive theta join, one row per pair") {
+    val rnd = new scala.util.Random(7)
+    val ls = Seq.tabulate(60) { i =>
+      val s = rnd.nextInt(50000).toLong; (i.toLong, s, s + 1 + rnd.nextInt(8000).toLong)
+    }.toDF("lid", "l_start", "l_end")
+    val rs = Seq.tabulate(40) { i =>
+      val s = rnd.nextInt(50000).toLong; (i.toLong, s, s + 1 + rnd.nextInt(8000).toLong)
+    }.toDF("rid", "r_start", "r_end")
+    val bucketed = RangeJoin
+      .intervalOverlap(ls, rs, "l_start", "l_end", "r_start", "r_end", bucketMs = 777L)
+      .select("lid", "rid").as[(Long, Long)].collect().toList
+    val naive = ls.join(rs, $"l_start" < $"r_end" && $"r_start" < $"l_end")
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(bucketed.toSet === naive)
+    assert(bucketed.length === bucketed.toSet.size,
+      "each overlapping pair must be emitted exactly once (first-bucket rule)")
+  }
+
+  test("intervalOverlap: touching intervals (end == start) do not match; empty intervals never match") {
+    val ls = Seq((1L, 0L, 1000L), (2L, 5L, 5L)).toDF("lid", "l_start", "l_end")
+    val rs = Seq((10L, 1000L, 2000L), (20L, 999L, 1001L)).toDF("rid", "r_start", "r_end")
+    val got = RangeJoin
+      .intervalOverlap(ls, rs, "l_start", "l_end", "r_start", "r_end", bucketMs = 100L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 20L))) // [0,1000) meets [999,1001); not [1000,2000)
+  }
+
   // ---------------- Shuffle.globalOrderIndex ----------------
 
   test("globalOrderIndex matches the single-partition window rank") {

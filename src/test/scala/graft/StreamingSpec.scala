@@ -197,6 +197,41 @@ class StreamingSpec extends SparkSpec {
     assert(out.head.getAs[String]("session_end") === "2024-01-01T10:10:00")
   }
 
+  test("stream-stream time-bounded join (watermarked) equals the batch theta join") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val batchEvents = Tables.load(spark, sfDir, "events")
+    val dir = Files.createTempDirectory("graft-ssjoin").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(dir)
+
+    def purchases(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    def errors(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("user_id").as("e_user"), col("ts").as("e_ts"))
+    val joinCond = expr(
+      "p_user = e_user AND e_ts >= p_ts - interval 1 hour AND e_ts < p_ts")
+
+    // watermarks bound BOTH sides' state: each side buffers only rows
+    // inside its horizon, the condition's time band lets Spark evict —
+    // the unbounded-state trap of stream-stream joins, solved the way
+    // the docs prescribe
+    val q = purchases(stream).withWatermark("p_ts", "2 hours")
+      .join(errors(stream).withWatermark("e_ts", "2 hours"), joinCond)
+      .select("p_id", "e_id")
+      .writeStream.outputMode("append").format("memory").queryName("ssjoin_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssjoin_out").as[(Long, Long)].collect().toSet
+      val batch = purchases(batchEvents).join(errors(batchEvents), joinCond)
+        .select("p_id", "e_id").as[(Long, Long)].collect().toSet
+      assert(batch.nonEmpty, "fixture must produce at least one in-band pair")
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("heavy-hitters sketch aggregates in streaming update mode (mergeable state)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-shh").toString
