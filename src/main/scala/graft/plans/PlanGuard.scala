@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.internal.Logging
+import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Window}
 import org.apache.spark.sql.catalyst.plans.Cross
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -37,6 +38,30 @@ object PlanGuard {
   private def bounded(p: LogicalPlan, cap: Long): Boolean =
     p.maxRows.exists(_ <= cap)
 
+  /** True when any top-level conjunct is an equality with one side
+    * referencing only left output and the other only right output —
+    * the shape ExtractEquiJoinKeys turns into a hash join key.
+    */
+  private def hasEquiKey(j: Join): Boolean = {
+    val leftOut = j.left.outputSet
+    val rightOut = j.right.outputSet
+    def splits(a: org.apache.spark.sql.catalyst.expressions.Expression,
+        b: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      (a.references.subsetOf(leftOut) && b.references.subsetOf(rightOut)) ||
+        (a.references.subsetOf(rightOut) && b.references.subsetOf(leftOut))
+    def conjunctsOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+        conjunctsOf(a) ++ conjunctsOf(b)
+      case other => Seq(other)
+    }
+    conjunctsOf(j.condition.get).exists {
+      case EqualTo(a, b) => splits(a, b)
+      case EqualNullSafe(a, b) => splits(a, b)
+      case _ => false
+    }
+  }
+
   def findings(plan: LogicalPlan, boundedCap: Long = 1 << 20): Seq[String] = {
     val out = Seq.newBuilder[String]
     plan.foreach {
@@ -50,6 +75,12 @@ object PlanGuard {
         out += s"cross join with both sides unbounded: |L|x|R| output. " +
           s"Broadcast a bounded side or rewrite with an equi-key " +
           s"(bucketed range join, see graft.operators.RangeJoin)."
+      case j: Join if j.condition.isDefined && !hasEquiKey(j) &&
+          !bounded(j.left, boundedCap) && !bounded(j.right, boundedCap) =>
+        out += s"theta-only join (no equi-key spans both sides): Catalyst " +
+          s"falls back to a nested-loop join, |L|x|R| compares. Bucket the " +
+          s"range predicate into an equi-key (graft.operators.RangeJoin) or " +
+          s"use the as-of operator (graft.operators.AsOf)."
       case _ =>
     }
     out.result()

@@ -36,6 +36,16 @@ class PlanGuardSpec extends SparkSpec {
     assert(PlanGuard.findings(scalar.queryExecution.optimizedPlan) === Nil)
   }
 
+  test("theta-only join flags; adding an equi-key conjunct silences it") {
+    val l = docs.select(col("doc_id").as("l_id"), col("n_chars").as("l_n"))
+    val r = docs.select(col("doc_id").as("r_id"), col("n_chars").as("r_n"))
+    val theta = l.join(r, col("l_n") < col("r_n"))
+    assert(PlanGuard.findings(theta.queryExecution.optimizedPlan)
+      .exists(_.contains("theta-only join")))
+    val equi = l.join(r, col("l_id") === col("r_id") && col("l_n") < col("r_n"))
+    assert(PlanGuard.findings(equi.queryExecution.optimizedPlan) === Nil)
+  }
+
   test("strict mode throws, warn mode passes the plan through unchanged") {
     val bad = docs.withColumn("rn",
       row_number().over(Window.orderBy(col("doc_id"))))
