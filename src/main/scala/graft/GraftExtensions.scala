@@ -71,11 +71,19 @@ object GraftExtensions {
     ("stopword_hits", "stopword_hits(str, words) - tokens in the word list, with multiplicity",
       (args: Seq[Expression]) => StopwordHits(args(0), wordsArg(args(1)))))
 
-  /** Register on an already-running session (temp functions). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Register on an already-running session: temp functions plus the
+    * plan guardrail (via `experimental.extraOptimizations`, the
+    * live-session analogue of `injectOptimizerRule`).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     builders.foreach { case (name, _, b) =>
       org.apache.spark.sql.graftshim.GraftShim.registerFunction(spark, name, b)
     }
+    val rule = graft.plans.PlanGuardRule(spark)
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.PlanGuardRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

@@ -46,6 +46,22 @@ class PlanGuardSpec extends SparkSpec {
     assert(PlanGuard.findings(equi.queryExecution.optimizedPlan) === Nil)
   }
 
+  test("live-session registration wires the guard into the optimizer (strict throws on execution path)") {
+    GraftExtensions.register(spark)
+    GraftExtensions.register(spark) // idempotent: no duplicate rule
+    assert(spark.experimental.extraOptimizations
+      .count(_.isInstanceOf[graft.plans.PlanGuardRule]) === 1)
+    spark.conf.set("spark.graft.guard", "strict")
+    try {
+      val bad = docs.withColumn("rn",
+        row_number().over(Window.orderBy(col("doc_id"))))
+      val e = intercept[Exception] { bad.collect() }
+      def scaleKiller(t: Throwable): Boolean = t != null &&
+        (t.isInstanceOf[PlanGuard.ScaleKillerException] || scaleKiller(t.getCause))
+      assert(scaleKiller(e), s"expected ScaleKillerException in cause chain, got $e")
+    } finally spark.conf.set("spark.graft.guard", "warn")
+  }
+
   test("strict mode throws, warn mode passes the plan through unchanged") {
     val bad = docs.withColumn("rn",
       row_number().over(Window.orderBy(col("doc_id"))))
