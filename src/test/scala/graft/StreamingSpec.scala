@@ -197,6 +197,32 @@ class StreamingSpec extends SparkSpec {
     assert(out.head.getAs[String]("session_end") === "2024-01-01T10:10:00")
   }
 
+  test("streaming dedup state survives a query restart (checkpointed state store)") {
+    import spark.implicits._
+    import graft.streaming.StreamDedup
+    val base = Files.createTempDirectory("graft-sdedup-cp")
+    val (in, cp, out) = (s"$base/in", s"$base/cp", s"$base/out")
+    Seq((1L, "doc alpha"), (2L, "doc beta")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def start() = StreamDedup
+      .exactDedupStream(spark.readStream.schema(schema).parquet(in), "text")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", cp).format("parquet")
+      .option("path", out).start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // restart: a NEW query from the same checkpoint; batch 2 re-sends a
+    // batch-1 duplicate plus a new doc
+    Seq((3L, "doc alpha"), (4L, "doc gamma")).toDF("doc_id", "text")
+      .write.mode("append").parquet(in)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val kept = spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 2L, 4L),
+      "the restarted query must restore dedup state and drop the batch-1 duplicate")
+  }
+
   test("stream-stream time-bounded join (watermarked) equals the batch theta join") {
     import spark.implicits._
     val sfDir = "/root/testdata/sf0.001"
