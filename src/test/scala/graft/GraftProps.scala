@@ -101,6 +101,40 @@ object GraftProps extends Properties("graft") {
     }
   }
 
+  property("Misra-Gries: k-bound, undercount-only, heavy hitters survive — single pass") = {
+    val streams = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h", "i", "j"))
+    val ks = Gen.chooseNum(1, 6)
+    forAll(streams, ks) { (items, k) =>
+      val agg = new graft.operators.HeavyHitters.MisraGriesAgg(k)
+      val m = agg.finish(items.foldLeft(agg.zero)(agg.reduce))
+      val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val slack = items.size.toLong / (k + 1)
+      m.size <= k &&
+        m.forall { case (t, est) => est <= truth(t) && est >= truth(t) - slack } &&
+        truth.forall { case (t, n) => n <= slack || m.contains(t) }
+    }
+  }
+
+  property("Misra-Gries: guarantees survive arbitrary chunking + merge order") = {
+    val streams = Gen.listOf(Gen.oneOf("x", "y", "z", "w", "v"))
+    val cuts = Gen.chooseNum(1, 5)
+    forAll(streams, cuts, Gen.chooseNum(1, 4)) { (items, nChunks, k) =>
+      val agg = new graft.operators.HeavyHitters.MisraGriesAgg(k)
+      val chunks = if (items.isEmpty) Seq(Seq.empty[String])
+        else items.grouped(math.max(1, items.size / nChunks)).toSeq
+      val partials = chunks.map(_.foldLeft(agg.zero)(agg.reduce))
+      val m = agg.finish(partials.reduce(agg.merge))
+      val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // merged slack: each of the c chunk summaries plus the merges can
+      // each discount at most n_i/(k+1); total stays <= n/(k+1) per the
+      // mergeable-summaries bound... conservatively allow the sum
+      val slack = items.size.toLong / (k + 1) + chunks.size
+      m.size <= k &&
+        m.forall { case (t, est) => est <= truth(t) && est >= truth(t) - slack } &&
+        truth.forall { case (t, n) => n <= slack || m.contains(t) }
+    }
+  }
+
   property("dictionary first-seen semantics match a sequential reference") = {
     val values = Gen.listOfN(50, Gen.oneOf("a", "b", "c", "d", "e", "f"))
     forAll(values) { vs =>
