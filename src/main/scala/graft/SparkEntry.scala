@@ -97,6 +97,7 @@ object SparkEntry {
     "x_approx_length_quantiles" -> (CorpusQueries.approxLengthQuantiles _),
     "x_heavy_hitters_sketch" -> (CorpusQueries.heavyHittersSketch _),
     "x_lang_id" -> (DedupQueries.langId _),
+    "x_lang_id_ngram" -> (CorpusQueries.langIdNgram _),
     "x_quality" -> (DedupQueries.quality _),
     "x_token_counts" -> (DedupQueries.tokenCounts _),
     "x_fingerprints" -> (DedupQueries.fingerprints _),
@@ -262,6 +263,7 @@ object SparkEntry {
     "x_mixture_sample" -> CorpusQueries.mixtureSampleOracle,
     "x_epoch_shards" -> CorpusQueries.epochShardsOracle,
     "x_lang_id" -> DedupQueries.langIdOracle,
+    "x_lang_id_ngram" -> CorpusQueries.langIdNgramOracle,
     "x_quality" -> DedupQueries.qualityOracle,
     "x_token_counts" -> DedupQueries.tokenCountsOracle,
     "x_fingerprints" -> DedupQueries.fingerprintsOracle,

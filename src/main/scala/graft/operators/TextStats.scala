@@ -50,6 +50,26 @@ object TextStats {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Character trigrams of a string (positions 1..len-2, multiplicity
+    * preserved) — the raw material of profile-based n-gram language ID.
+    * Pure narrow codegen: a `transform` over `sequence` with a
+    * dynamic-position Substring (the Column-API `substring` only takes
+    * literal positions, hence the catalyst spelling). Pass text already
+    * normalized (lowered) and MATERIALIZED in a projection — an inline
+    * `lower(...)` here would re-evaluate per element inside the lambda.
+    */
+  def charTrigrams(normText: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Substring}
+    import org.apache.spark.sql.graftshim.GraftShim
+    // the length guard matters: sequence(1, 0) in Spark is the
+    // DESCENDING [1, 0], not empty — a <3-char string must short-circuit
+    when(length(normText) >= 3,
+      transform(sequence(lit(1), length(normText) - 2),
+        i => GraftShim.column(
+          Substring(GraftShim.expression(normText), GraftShim.expression(i), Literal(3)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Quality metrics: exact counts + ratio arithmetic.
     * Returns a struct of (n_chars, n_tokens, mean_token_len, punct_ratio,
     * stopword_ratio, quality_score).

@@ -269,6 +269,63 @@ object CorpusQueries {
       .orderBy("shard")
   }
 
+  /** Profile-based n-gram language ID, self-trained and self-scored:
+    * per-language character-trigram profiles (top 20 by count, ties by
+    * trigram) are built from the labeled corpus, every document is
+    * re-classified by profile-hit argmax, and the output is the
+    * confusion matrix — the n-gram heuristic language-ID shape, plus a
+    * classifier-evaluation aggregation, in one plan.
+    *
+    * Scale: trigram explode is narrow; profile build is ONE
+    * (lang, trigram)-keyed aggregation + a per-lang top-k window
+    * (bounded strata); scoring joins the exploded corpus to the tiny
+    * broadcast profile table and aggregates per (doc, candidate);
+    * argmax is a per-doc window. All counts exact integers.
+    */
+  def langIdNgram(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("lang"),
+        lower(col("text")).as("lt"))
+    val tri = d.select(col("doc_id"), col("lang"),
+      explode(graft.operators.TextStats.charTrigrams(col("lt"))).as("tg"))
+    val byLangTg = tri.groupBy(col("lang"), col("tg"))
+      .agg(count(lit(1)).as("c"))
+    val topW = Window.partitionBy(col("lang"))
+      .orderBy(col("c").desc, col("tg"))
+    val profiles = byLangTg
+      .withColumn("r", row_number().over(topW)).filter(col("r") <= 20)
+      .select(col("lang").as("cand_lang"), col("tg"))
+    val scores = tri.join(broadcast(profiles), Seq("tg"))
+      .groupBy(col("doc_id"), col("lang"), col("cand_lang"))
+      .agg(count(lit(1)).as("hits"))
+    val argmax = Window.partitionBy(col("doc_id"))
+      .orderBy(col("hits").desc, col("cand_lang"))
+    scores.withColumn("rk", row_number().over(argmax)).filter(col("rk") === 1)
+      .groupBy(col("lang").as("true_lang"), col("cand_lang").as("pred_lang"))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"))
+      .orderBy("true_lang", "pred_lang")
+  }
+
+  val langIdNgramOracle: String =
+    s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, lower(text) AS lt
+       |  FROM documents),
+       |tri AS (SELECT doc_id, lang, substr(lt, i, 3) AS tg
+       |  FROM d CROSS JOIN LATERAL (SELECT unnest(range(1, greatest(length(lt) - 2, 0) + 1)) AS i) t),
+       |bylang AS (SELECT lang, tg, count(*) AS c FROM tri GROUP BY lang, tg),
+       |prof AS (SELECT lang AS cand_lang, tg FROM (
+       |    SELECT lang, tg, row_number() OVER (PARTITION BY lang ORDER BY c DESC, tg) AS r
+       |    FROM bylang) WHERE r <= 20),
+       |scores AS (SELECT tri.doc_id, tri.lang, prof.cand_lang, count(*) AS hits
+       |  FROM tri JOIN prof USING (tg)
+       |  GROUP BY tri.doc_id, tri.lang, prof.cand_lang),
+       |best AS (SELECT doc_id, lang, cand_lang,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rk
+       |  FROM scores)
+       |SELECT lang AS true_lang, cand_lang AS pred_lang,
+       |  CAST(count(*) AS BIGINT) AS n_docs
+       |FROM best WHERE rk = 1
+       |GROUP BY 1, 2 ORDER BY true_lang, pred_lang""".stripMargin
+
   /** Approximate per-language length percentiles — the mergeable-sketch
     * scale path beside the exact `x_length_quantiles` (same division of
     * labor as exact vs HLL distinct counts). `approx_percentile` keeps

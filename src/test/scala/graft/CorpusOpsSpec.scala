@@ -180,6 +180,14 @@ class CorpusOpsSpec extends SparkSpec {
       s"source A should keep ~96 docs, kept ${kept("A")}")
   }
 
+  test("charTrigrams: multiplicity kept, short strings yield none") {
+    import graft.operators.TextStats
+    val got = Seq("abcab", "ab", "", "xyz")
+      .toDF("t").select(TextStats.charTrigrams(col("t")).as("g"))
+      .as[Seq[String]].collect().toList
+    assert(got === List(Seq("abc", "bca", "cab"), Seq(), Seq(), Seq("xyz")))
+  }
+
   // ---------------- HeavyHitters (Misra-Gries) ----------------
 
   test("Misra-Gries: true heavy hitters survive with bounded undercount; state <= k") {
