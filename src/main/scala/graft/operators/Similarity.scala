@@ -221,25 +221,69 @@ object Similarity {
       .withColumn("n2", inorm2(col("q")))
       .localCheckpoint(true)
 
-    // init: centroids = vectors with id 0..k-1 (collected — k×dim longs)
+    assignNearest(c, lloyd(c, k, iters)).select(col("id").as("c_id"), col("cluster"),
+      col("q").as("c_q"), col("n2").as("c_n2"))
+  }
+
+  /** The Lloyd loop over a prepared (id, q, n2) frame. Each iteration
+    * is ONE job with ONE shuffle: narrow assignment against the literal
+    * centroids (k codegen dot products per row, no data movement)
+    * feeding the per-cluster component-sum aggregation, whose k×dim
+    * result comes back to the driver. The corpus itself never shuffles —
+    * the property that matters at 100 TB. Clusters that lose all
+    * members drop out (standard Lloyd variant). Init: vectors with id
+    * 0..k-1.
+    */
+  private def lloyd(c: DataFrame, k: Int, iters: Int): Seq[Centroid] = {
     var cents: Seq[Centroid] = c.filter(col("id") < k)
       .select(col("id"), col("q")).collect()
       .map { r =>
         val v = r.getSeq[Long](1)
         Centroid(r.getLong(0), v, driverNorm2(v))
       }.toSeq.sortBy(_.cluster)
-
-    // Each Lloyd iteration is ONE job with ONE shuffle: narrow
-    // assignment against the literal centroids (k codegen dot products
-    // per row, no data movement) feeding the per-cluster component-sum
-    // aggregation, whose k×dim result comes back to the driver. The
-    // corpus itself never shuffles — the property that matters at 100 TB.
-    // Clusters that lose all members drop out (standard Lloyd variant).
     (1 to iters).foreach { _ =>
       cents = sumCentroids(assignNearest(c, cents).select(col("cluster"), col("q")))
     }
-    assignNearest(c, cents).select(col("id").as("c_id"), col("cluster"),
-      col("q").as("c_q"), col("n2").as("c_n2"))
+    cents
+  }
+
+  /** Train and MATERIALIZE the centroid model as a DataFrame
+    * `(cluster, cent, n2)` — the persistable IVF index artifact: write
+    * it with `.write.parquet(...)`, reload next run, and assign with
+    * [[assignFromCentroids]] without retraining (the same cross-run
+    * contract as [[Bloom.save]] for blocklists). k×dim longs — tiny at
+    * any corpus scale.
+    */
+  def trainCentroids(
+      corpus: DataFrame, idCol: String, embCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val c = corpus.select(col(idCol).cast(LongType).as("id"),
+      quantize(col(embCol)).as("q"))
+      .withColumn("n2", inorm2(col("q")))
+      .localCheckpoint(true)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    lloyd(c, k, iters).map(ct => (ct.cluster, ct.cent, ct.n2))
+      .toDF("cluster", "cent", "n2")
+  }
+
+  /** Nearest-centroid assignment against a saved model: collects the
+    * (small) centroid table and runs the narrow literal-centroid
+    * assignment — zero shuffles over the corpus, no training jobs.
+    */
+  def assignFromCentroids(
+      corpus: DataFrame, idCol: String, embCol: String,
+      centroids: DataFrame): DataFrame = {
+    val cents = centroids.select(col("cluster").cast(LongType),
+        col("cent"), col("n2").cast(LongType))
+      .collect()
+      .map(r => Centroid(r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .toSeq.sortBy(_.cluster)
+    require(cents.nonEmpty, "empty centroid model")
+    val c = corpus.select(col(idCol).cast(LongType).as("id"),
+      quantize(col(embCol)).as("q"))
+      .withColumn("n2", inorm2(col("q")))
+    assignNearest(c, cents).select(col("id").as("vec_id"), col("cluster"))
   }
 
   /** Deterministic ±1 random hyperplanes for sign-LSH: entry (p, d) is

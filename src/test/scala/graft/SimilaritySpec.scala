@@ -120,4 +120,22 @@ class SimilaritySpec extends SparkSpec {
     assert(native === 32L)
     assert(native === hof)
   }
+
+  test("centroid model round-trips through parquet; assignment matches in-session training") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2f - 1f + (i % 3) * 2f)))
+      .toDF("vec_id", "embedding")
+    val trained = Similarity.kmeansAssign(vecs, "vec_id", "embedding", k = 3, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-cents").toString + "/model"
+    Similarity.trainCentroids(vecs, "vec_id", "embedding", k = 3, iters = 4)
+      .write.parquet(dir)
+    val loaded = Similarity
+      .assignFromCentroids(vecs, "vec_id", "embedding", spark.read.parquet(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(loaded === trained,
+      "assignment from the persisted model must equal in-session k-means output")
+  }
 }
