@@ -288,7 +288,13 @@ object CorpusQueries {
         lower(col("text")).as("lt"))
     val tri = d.select(col("doc_id"), col("lang"),
       explode(graft.operators.TextStats.charTrigrams(col("lt"))).as("tg"))
-    val byLangTg = tri.groupBy(col("lang"), col("tg"))
+    // profiles train on a DETERMINISTIC 10% hash sample (the at-scale
+    // pattern: sample-train, full-apply — pass 1 reads a tenth of the
+    // corpus; the same predicate in the oracle keeps parity exact)
+    val sampled = d.filter(graft.operators.Sampling.hashBucket(col("lt"), 10) === 0)
+      .select(col("lang"),
+        explode(graft.operators.TextStats.charTrigrams(col("lt"))).as("tg"))
+    val byLangTg = sampled.groupBy(col("lang"), col("tg"))
       .agg(count(lit(1)).as("c"))
     val topW = Window.partitionBy(col("lang"))
       .orderBy(col("c").desc, col("tg"))
@@ -311,7 +317,10 @@ object CorpusQueries {
        |  FROM documents),
        |tri AS (SELECT doc_id, lang, substr(lt, i, 3) AS tg
        |  FROM d CROSS JOIN LATERAL (SELECT unnest(range(1, greatest(length(lt) - 2, 0) + 1)) AS i) t),
-       |bylang AS (SELECT lang, tg, count(*) AS c FROM tri GROUP BY lang, tg),
+       |striN AS (SELECT lang, substr(lt, i, 3) AS tg
+       |  FROM d CROSS JOIN LATERAL (SELECT unnest(range(1, greatest(length(lt) - 2, 0) + 1)) AS i) t
+       |  WHERE (${DuckSql.hash60("lt")}) % 10 = 0),
+       |bylang AS (SELECT lang, tg, count(*) AS c FROM striN GROUP BY lang, tg),
        |prof AS (SELECT lang AS cand_lang, tg FROM (
        |    SELECT lang, tg, row_number() OVER (PARTITION BY lang ORDER BY c DESC, tg) AS r
        |    FROM bylang) WHERE r <= 20),
