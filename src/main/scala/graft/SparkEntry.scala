@@ -98,6 +98,7 @@ object SparkEntry {
     "x_heavy_hitters_sketch" -> (CorpusQueries.heavyHittersSketch _),
     "x_lang_id" -> (DedupQueries.langId _),
     "x_lang_id_ngram" -> (CorpusQueries.langIdNgram _),
+    "x_normalize_text" -> (CorpusQueries.normalizeText _),
     "x_quality" -> (DedupQueries.quality _),
     "x_token_counts" -> (DedupQueries.tokenCounts _),
     "x_fingerprints" -> (DedupQueries.fingerprints _),
@@ -264,6 +265,7 @@ object SparkEntry {
     "x_epoch_shards" -> CorpusQueries.epochShardsOracle,
     "x_lang_id" -> DedupQueries.langIdOracle,
     "x_lang_id_ngram" -> CorpusQueries.langIdNgramOracle,
+    "x_normalize_text" -> CorpusQueries.normalizeTextOracle,
     "x_quality" -> DedupQueries.qualityOracle,
     "x_token_counts" -> DedupQueries.tokenCountsOracle,
     "x_fingerprints" -> DedupQueries.fingerprintsOracle,

@@ -77,3 +77,31 @@ object FuzzyDateParse {
   def parse_datetime(c: Column, formats: Seq[String] = Nil): Column =
     GraftShim.column(FuzzyDateParse(GraftShim.expression(c), formats, dateOnly = false))
 }
+
+/** Unicode NFC normalization (`java.text.Normalizer`, Form.NFC) —
+  * the corpus-cleaning canonicalization pass
+  * ([[graft.operators.Normalize]]). Codegen'd static call; DuckDB's
+  * `nfc_normalize` is the oracle twin.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(NfcNormalize.normalize(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.expressions.NfcNormalize.normalize($c.toString()));")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  def normalize(s: String): String =
+    java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+
+  def nfc_normalize(c: Column): Column =
+    GraftShim.column(NfcNormalize(GraftShim.expression(c)))
+}

@@ -269,6 +269,33 @@ object CorpusQueries {
       .orderBy("shard")
   }
 
+  /** Text normalization chain over a messy-planted corpus: every doc
+    * gets a decomposed-accent suffix (e + U+0301), a tab, and doubled
+    * spaces appended; [[graft.operators.Normalize.clean]] must compose
+    * to NFC, collapse whitespace, and lowercase — byte-identical to
+    * DuckDB's `nfc_normalize` + regexp chain. The canonicalization pass
+    * that makes downstream exact dedup mean anything.
+    */
+  def normalizeText(spark: SparkSession, dir: String): DataFrame = {
+    val planted = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        concat(col("text"), lit("  Caf"), lit("é"),
+          lit("\tWAS  here ")).as("raw"))
+    planted.select(col("doc_id"),
+        graft.operators.Normalize.clean(col("raw")).as("clean_text"))
+      .withColumn("n_clean", length(col("clean_text")).cast(LongType))
+      .orderBy("doc_id")
+  }
+
+  val normalizeTextOracle: String =
+    """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    text || '  Caf' || 'e' || chr(769) || chr(9) || 'WAS  here ' AS raw
+      |  FROM documents)
+      |SELECT doc_id,
+      |  lower(trim(regexp_replace(nfc_normalize(raw), '\s+', ' ', 'g'))) AS clean_text,
+      |  CAST(length(lower(trim(regexp_replace(nfc_normalize(raw), '\s+', ' ', 'g')))) AS BIGINT) AS n_clean
+      |FROM p ORDER BY doc_id""".stripMargin
+
   /** Profile-based n-gram language ID, self-trained and self-scored:
     * per-language character-trigram profiles (top 20 by count, ties by
     * trigram) are built from the labeled corpus, every document is

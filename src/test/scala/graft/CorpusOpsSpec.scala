@@ -180,6 +180,15 @@ class CorpusOpsSpec extends SparkSpec {
       s"source A should keep ~96 docs, kept ${kept("A")}")
   }
 
+  test("Normalize.clean: NFC composes, whitespace collapses, case folds") {
+    import graft.operators.Normalize
+    val decomposed = "Cafe\u0301  \t X "  // e + combining acute (2 codepoints)
+    val got = Seq(decomposed, "  a  b  ", "E\u0301")
+      .toDF("t").select(Normalize.clean(col("t"))).as[String].collect().toList
+    assert(got === List("caf\u00e9 x", "a b", "\u00e9"))
+    assert(got.head.length === 6) // composes to single-codepoint \u00e9
+  }
+
   test("charTrigrams: multiplicity kept, short strings yield none") {
     import graft.operators.TextStats
     val got = Seq("abcab", "ab", "", "xyz")
