@@ -69,7 +69,9 @@ object GraftExtensions {
     ("capped_pairs", "capped_pairs(sorted_ids, cap) - skew-capped bucket pair expansion",
       (args: Seq[Expression]) => CappedLongPairs(args(0), intArg(args(1), "bucket cap"))),
     ("stopword_hits", "stopword_hits(str, words) - tokens in the word list, with multiplicity",
-      (args: Seq[Expression]) => StopwordHits(args(0), wordsArg(args(1)))))
+      (args: Seq[Expression]) => StopwordHits(args(0), wordsArg(args(1)))),
+    ("nfc_normalize", "nfc_normalize(str) - Unicode NFC composition",
+      (args: Seq[Expression]) => NfcNormalize(args.head)))
 
   /** Register on an already-running session: temp functions plus the
     * plan guardrail (via `experimental.extraOptimizations`, the

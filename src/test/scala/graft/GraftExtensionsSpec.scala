@@ -42,4 +42,10 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getAs[Int]("np") === 3) // all pairs of 3 ids
     assert(row.getAs[Long]("hits") === 3L)
   }
+
+  test("SQL function: nfc_normalize composes decomposed accents") {
+    GraftExtensions.register(spark)
+    val got = spark.sql("SELECT nfc_normalize('Café') AS s").head.getString(0)
+    assert(got === "Café" && got.length === 4)
+  }
 }
