@@ -226,22 +226,53 @@ object TextDedup {
       newDocs: DataFrame, existing: DataFrame,
       idCol: String, textCol: String,
       numPerms: Int = 16, r: Int = 2, w: Int = 3,
+      jaccardThreshold: Double = 0.5): DataFrame =
+    minhashPairsAgainstIndex(newDocs,
+      lshIndex(existing, idCol, textCol, numPerms, r, w),
+      idCol, textCol, numPerms, r, w, jaccardThreshold)
+
+  /** The persistable LSH index of a corpus: one row per (doc, band)
+    * with the band key and the doc's distinct shingle-hash set — the
+    * state a pipeline writes to parquet after each run and reloads for
+    * the next batch's [[minhashPairsAgainstIndex]], instead of
+    * re-hashing the whole history. Partition the parquet by `band` for
+    * band-pruned loads.
+    */
+  def lshIndex(
+      df: DataFrame, idCol: String, textCol: String,
+      numPerms: Int = 16, r: Int = 2, w: Int = 3): DataFrame =
+    df.select(col(idCol).cast(LongType).as("id"),
+        shingleHashes(col(textCol), w).as("sset"))
+      .withColumn("sig", minhashSignatureFromHashes(col("sset"), numPerms))
+      .select(col("id"), col("sset"),
+        explode(lshBands(col("sig"), numPerms, r)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.sig").as("bsig"),
+        col("sset"))
+
+  /** Near-dup pairs of a new batch against an EXISTING index (from
+    * [[lshIndex]], typically parquet-loaded): band-key hash join for
+    * candidates, exact Jaccard verification against the index's stored
+    * shingle sets. One keyed exchange, never |batch| x |corpus|.
+    */
+  def minhashPairsAgainstIndex(
+      newDocs: DataFrame, index: DataFrame,
+      idCol: String, textCol: String,
+      numPerms: Int = 16, r: Int = 2, w: Int = 3,
       jaccardThreshold: Double = 0.5): DataFrame = {
-    def sets(df: DataFrame) = df.select(
+    val nsets = newDocs.select(
       col(idCol).cast(LongType).as("id"),
       shingleHashes(col(textCol), w).as("sset"))
       .localCheckpoint(true) // feeds band build + verification join
-    def bands(s: DataFrame) = s
+    val nbands = nsets
       .withColumn("sig", minhashSignatureFromHashes(col("sset"), numPerms))
       .select(col("id"), explode(lshBands(col("sig"), numPerms, r)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.sig").as("bsig"))
-    val nsets = sets(newDocs)
-    val esets = sets(existing)
-    val cand = bands(nsets).select(col("id").as("new_id"), col("band"), col("bsig"))
-      .join(bands(esets).select(col("id").as("old_id"), col("band"), col("bsig")),
+    val cand = nbands.select(col("id").as("new_id"), col("band"), col("bsig"))
+      .join(index.select(col("id").as("old_id"), col("band"), col("bsig")),
         Seq("band", "bsig"))
       .select(col("new_id"), col("old_id"))
       .dropDuplicates("new_id", "old_id")
+    val esets = index.select(col("id"), col("sset")).dropDuplicates("id")
     cand
       .join(nsets.select(col("id").as("new_id"), col("sset").as("sh_a")), Seq("new_id"))
       .join(esets.select(col("id").as("old_id"), col("sset").as("sh_b")), Seq("old_id"))

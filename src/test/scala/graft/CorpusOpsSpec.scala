@@ -197,6 +197,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got === List(Seq("abc", "bca", "cab"), Seq(), Seq(), Seq("xyz")))
   }
 
+  test("LSH index round-trips through parquet; incremental pairs match direct computation") {
+    import graft.operators.TextDedup
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated text about databases and shuffles here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"), // near-dup of 1
+      (11L, "nothing like anything seen before in this tiny corpus"))
+      .toDF("doc_id", "text")
+    val direct = TextDedup.minhashPairsIncremental(batch, existing, "doc_id", "text")
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshidx").toString + "/idx"
+    TextDedup.lshIndex(existing, "doc_id", "text").write.partitionBy("band").parquet(dir)
+    val viaDisk = TextDedup
+      .minhashPairsAgainstIndex(batch, spark.read.parquet(dir), "doc_id", "text")
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    assert(viaDisk === direct)
+    assert(direct.contains((10L, 1L)), "the planted near-dup must be found")
+  }
+
   // ---------------- HeavyHitters (Misra-Gries) ----------------
 
   test("Misra-Gries: true heavy hitters survive with bounded undercount; state <= k") {
