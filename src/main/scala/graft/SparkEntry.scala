@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AggQueries, CorpusQueries, DedupQueries, EventQueries, ParityQueries, SimilarityQueries}
+import graft.queries.{AggQueries, CorpusQueries, CurationQueries, DedupQueries, EventQueries, ParityQueries, SimilarityQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -92,6 +92,12 @@ object SparkEntry {
     "x_embed_quantize" -> (SimilarityQueries.embedQuantize _),
     "x_mixture_sample" -> (CorpusQueries.mixtureSample _),
     "x_epoch_shards" -> (CorpusQueries.epochShards _),
+    // extensions: line-level curation + lexical retrieval
+    "x_c4_line_filter" -> (CurationQueries.c4LineFilter _),
+    "x_boilerplate_strip" -> (CurationQueries.boilerplateStrip _),
+    "x_gopher_quality" -> (CurationQueries.gopherQuality _),
+    "x_tfidf_topk" -> (CurationQueries.tfidfTopk _),
+    "x_semdedup" -> (SimilarityQueries.semDedup _),
     // sketch queries: estimates by design -> NO oracle entries (driver
     // records rows-only checks; specs bound them against exact results)
     "x_approx_length_quantiles" -> (CorpusQueries.approxLengthQuantiles _),
@@ -263,6 +269,11 @@ object SparkEntry {
     "x_embed_quantize" -> SimilarityQueries.embedQuantizeOracle,
     "x_mixture_sample" -> CorpusQueries.mixtureSampleOracle,
     "x_epoch_shards" -> CorpusQueries.epochShardsOracle,
+    "x_c4_line_filter" -> CurationQueries.c4LineFilterOracle,
+    "x_boilerplate_strip" -> CurationQueries.boilerplateStripOracle,
+    "x_gopher_quality" -> CurationQueries.gopherQualityOracle,
+    "x_tfidf_topk" -> CurationQueries.tfidfTopkOracle,
+    "x_semdedup" -> SimilarityQueries.semDedupOracle,
     "x_lang_id" -> DedupQueries.langIdOracle,
     "x_lang_id_ngram" -> CorpusQueries.langIdNgramOracle,
     "x_normalize_text" -> CorpusQueries.normalizeTextOracle,

@@ -398,4 +398,28 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): embedding-level
+    * semantic dedup — within each cluster, vectors whose cosine exceeds
+    * `threshold` form an ε-group and only one representative survives.
+    * Composes [[nearDupPairs]] (cluster-blocked, skew-capped pair
+    * generation) with [[TextDedup.dedupClusters]] (iterative min-label
+    * connected components), so the keeper is the MIN id of each
+    * semantic component and singletons keep themselves. Output:
+    * (vec_id, keeper_id, is_dup 0/1).
+    *
+    * Scale shape: identical to its two building blocks — pair volume is
+    * bucket-bounded, CC state is O(|pairs|) not O(|corpus|), and the
+    * final labeling is one left join against the corpus ids.
+    */
+  def semDedup(
+      corpus: DataFrame, idCol: String, embCol: String, clusterCol: String,
+      threshold: Double, maxBucket: Int = 256): DataFrame = {
+    val pairs = nearDupPairs(corpus, idCol, embCol, clusterCol, threshold, maxBucket)
+    TextDedup.dedupClusters(corpus, idCol, pairs)
+      .select(col("doc_id").as("vec_id"),
+        col("cluster_id").as("keeper_id"),
+        (col("doc_id") =!= col("cluster_id")).cast(LongType).as("is_dup"))
+  }
 }

@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Fts, GopherFilter, LineOps, TfIdf}
+
+/** Graded curation-pipeline queries: C4 line rules, CCNet boilerplate
+  * stripping, Gopher quality gates, and sparse TF-IDF retrieval
+  * (SURVEY §7.2.8).
+  *
+  * The synthetic corpus is a flat token stream, so the line-level
+  * queries first plant line structure — 10-token lines, a planted
+  * terminal '.' on two of every three lines, a planted '- ' bullet
+  * prefix on one in seven (keyed on doc_id + line index) — plus shared
+  * header/footer boilerplate for the cross-document strip. The
+  * planting runs identically on BOTH engines (same pattern as the
+  * planted-duplicate corpora in [[DedupQueries]]), which makes the
+  * line rules' outputs non-trivial and still hash-exact.
+  */
+object CurationQueries {
+
+  // ---- planted line-structured corpus ------------------------------
+
+  /** (doc_id, source, raw): text re-chunked into newline-delimited
+    * 10-token lines with deterministic punctuation/bullet planting.
+    */
+  private def plantedLines(spark: SparkSession, dir: String): DataFrame =
+    DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("source"),
+        Fts.tokens(Seq(col("text"))).as("t"))
+      .select(col("doc_id"), col("source"),
+        array_join(transform(
+          sequence(lit(0), expr("greatest(size(t) - 1, 0) div 10")),
+          i => concat(
+            when((col("doc_id") + i) % 7 === 0, lit("- ")).otherwise(lit("")),
+            concat_ws(" ", slice(col("t"), i * 10 + 1, lit(10))),
+            when((col("doc_id") + i) % 3 =!= 0, lit(".")).otherwise(lit("")))),
+          "\n").as("raw"))
+
+  /** DuckDB twin of [[plantedLines]] — CTEs `tok` and `planted`. */
+  private val plantedLinesCtes: String = {
+    val t = DuckSql.tokens("text")
+    s"""tok AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source, $t AS t
+       |  FROM documents),
+       |planted AS (SELECT doc_id, source, array_to_string(
+       |    list_transform(range(0, greatest(len(t) - 1, 0) // 10 + 1), i ->
+       |      (CASE WHEN (doc_id + i) % 7 = 0 THEN '- ' ELSE '' END) ||
+       |      array_to_string(t[i*10 + 1 : i*10 + 10], ' ') ||
+       |      (CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END)),
+       |    chr(10)) AS raw
+       |  FROM tok)""".stripMargin
+  }
+
+  /** DuckDB fragment: the C4 keep rule, twin of [[LineOps.keepLine]]. */
+  private def duckKeepLine(l: String): String =
+    s"""regexp_matches($l, '[.!?"]$$')
+       | AND len(list_filter(string_split_regex($l, '\\s+'), w -> w <> '')) >= 5
+       | AND NOT starts_with($l, '- ')""".stripMargin.replace("\n", "")
+
+  // ---- C4 line filter ----------------------------------------------
+
+  def c4LineFilter(spark: SparkSession, dir: String): DataFrame =
+    plantedLines(spark, dir)
+      .select(col("doc_id"), LineOps.c4Filter(col("raw")).as("r"))
+      .select(col("doc_id"), col("r.n_lines").as("n_lines"),
+        col("r.n_kept").as("n_kept"), col("r.doc_kept").as("doc_kept"),
+        col("r.clean_text").as("clean_text"))
+      .orderBy("doc_id")
+
+  val c4LineFilterOracle: String =
+    s"""WITH $plantedLinesCtes,
+       |kept AS (SELECT doc_id,
+       |    len(string_split(raw, chr(10))) AS n_lines,
+       |    list_filter(string_split(raw, chr(10)), l -> ${duckKeepLine("l")}) AS ks
+       |  FROM planted)
+       |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+       |  CAST(len(ks) AS BIGINT) AS n_kept,
+       |  CAST(CASE WHEN len(ks) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS doc_kept,
+       |  CASE WHEN len(ks) >= 3 THEN array_to_string(ks, chr(10)) ELSE '' END AS clean_text
+       |FROM kept ORDER BY doc_id""".stripMargin
+
+  // ---- CCNet boilerplate strip -------------------------------------
+
+  /** The planted corpus plus shared boilerplate: a constant newsletter
+    * header on every 4th doc, a per-source copyright footer on all.
+    */
+  private def plantedBoiler(spark: SparkSession, dir: String): DataFrame =
+    plantedLines(spark, dir)
+      .select(col("doc_id"), concat(
+        when(col("doc_id") % 4 === 0,
+          lit("subscribe to our newsletter today please.\n")).otherwise(lit("")),
+        col("raw"),
+        lit("\ncopyright "), col("source"),
+        lit(" all rights reserved.")).as("raw2"))
+
+  // NB: embedded in a stripMargin'd outer string, so no line here may
+  // start with `|` after its own margin strip (it would be stripped a
+  // second time, turning `||` concat into a bitwise `|`)
+  private val plantedBoilerCte: String =
+    """planted2 AS (SELECT doc_id,
+      |    (CASE WHEN doc_id % 4 = 0
+      |      THEN 'subscribe to our newsletter today please.' || chr(10) ELSE '' END) ||
+      |    raw || chr(10) || 'copyright ' || source || ' all rights reserved.' AS raw2
+      |  FROM planted)""".stripMargin
+
+  def boilerplateStrip(spark: SparkSession, dir: String): DataFrame =
+    LineOps.boilerplateStrip(plantedBoiler(spark, dir), "doc_id", "raw2",
+        minDocs = 3)
+      .orderBy("doc_id")
+
+  val boilerplateStripOracle: String =
+    s"""WITH $plantedLinesCtes,
+       |$plantedBoilerCte,
+       |lx AS (SELECT doc_id, i AS line_no, ls[i] AS line
+       |  FROM (SELECT doc_id, string_split(raw2, chr(10)) AS ls FROM planted2)
+       |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i) t),
+       |hx AS (SELECT doc_id, line_no, line, ${DuckSql.hash60("line")} AS h FROM lx),
+       |hf AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM hx GROUP BY h)
+       |SELECT hx.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_lines,
+       |  CAST(sum(CASE WHEN n_docs >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       |  coalesce(string_agg(CASE WHEN n_docs < 3 THEN line END,
+       |    chr(10) ORDER BY line_no), '') AS clean_text
+       |FROM hx JOIN hf USING (h)
+       |GROUP BY hx.doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- Gopher quality gates ----------------------------------------
+
+  def gopherQuality(spark: SparkSession, dir: String): DataFrame =
+    DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        GopherFilter.flags(col("text")).as("g"))
+      .select(col("doc_id"), col("g.n_words").as("n_words"),
+        col("g.sum_word_len").as("sum_word_len"),
+        col("g.n_alpha_words").as("n_alpha_words"),
+        col("g.stop_hits").as("stop_hits"),
+        col("g.flag_word_count").as("flag_word_count"),
+        col("g.flag_mean_len").as("flag_mean_len"),
+        col("g.flag_alpha").as("flag_alpha"),
+        col("g.flag_stop").as("flag_stop"),
+        col("g.pass").as("pass"))
+      .orderBy("doc_id")
+
+  val gopherQualityOracle: String = {
+    val t = DuckSql.tokens("text")
+    val hits = DuckSql.hitCount("tk", GopherFilter.requiredStopwords)
+    s"""WITH c AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    CAST(len(tk) AS BIGINT) AS n_words,
+       |    CAST(coalesce(list_sum(list_transform(tk, x -> length(x))), 0) AS BIGINT) AS sum_word_len,
+       |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha_words,
+       |    CAST($hits AS BIGINT) AS stop_hits
+       |  FROM (SELECT doc_id, $t AS tk FROM documents)),
+       |f AS (SELECT *,
+       |    CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS fw,
+       |    CASE WHEN n_words > 0 AND sum_word_len >= n_words * 3
+       |      AND sum_word_len <= n_words * 10 THEN 1 ELSE 0 END AS fm,
+       |    CASE WHEN n_words > 0 AND n_alpha_words * 5 >= n_words * 4 THEN 1 ELSE 0 END AS fa,
+       |    CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS fs
+       |  FROM c)
+       |SELECT doc_id, n_words, sum_word_len, n_alpha_words, stop_hits,
+       |  CAST(fw AS BIGINT) AS flag_word_count,
+       |  CAST(fm AS BIGINT) AS flag_mean_len,
+       |  CAST(fa AS BIGINT) AS flag_alpha,
+       |  CAST(fs AS BIGINT) AS flag_stop,
+       |  CAST(fw * fm * fa * fs AS BIGINT) AS pass
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- sparse TF-IDF retrieval -------------------------------------
+
+  /** Top-5 lexically-similar corpus docs for every 100th document. */
+  def tfidfTopk(spark: SparkSession, dir: String): DataFrame =
+    TfIdf.topkSimilar(DedupQueries.docs(spark, dir), "doc_id", "text",
+        isQuery = _ % 100 === 0, k = 5)
+      .orderBy("q_id", "rank")
+
+  val tfidfTopkOracle: String = {
+    val t = DuckSql.tokens("text")
+    s"""WITH tok AS (SELECT CAST(doc_id AS BIGINT) AS id, unnest($t) AS term
+       |  FROM documents),
+       |tf AS (SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok GROUP BY id, term),
+       |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |w AS (SELECT id, tf.term,
+       |    tf * (((SELECT count(*) FROM documents) * 1000) // df) AS w
+       |  FROM tf JOIN dfreq USING (term)),
+       |norms AS (SELECT id, sum(CAST(w AS HUGEINT) * w) AS n2 FROM w GROUP BY id),
+       |scored AS (SELECT qw.id AS q_id, cw.id AS c_id,
+       |    sum(CAST(qw.w AS HUGEINT) * cw.w) AS num
+       |  FROM w qw JOIN w cw USING (term)
+       |  WHERE qw.id % 100 = 0 AND cw.id <> qw.id
+       |  GROUP BY 1, 2),
+       |cos AS (SELECT q_id, c_id,
+       |    round(CAST(num AS DOUBLE) /
+       |      (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE))), 6) AS cosine
+       |  FROM scored JOIN norms qn ON qn.id = q_id JOIN norms cn ON cn.id = c_id),
+       |ranked AS (SELECT q_id, c_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, c_id) AS BIGINT) AS rank
+       |  FROM cos)
+       |SELECT q_id, rank, c_id AS neighbor_id, cosine
+       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+}

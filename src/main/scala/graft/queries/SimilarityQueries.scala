@@ -227,6 +227,31 @@ object SimilarityQueries {
        |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.4
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** SemDeDup keeper assignment: semantic ε-groups (cosine >= 0.3
+    * within a label cluster) collapse to their min-id representative
+    * ([[Similarity.semDedup]]).
+    */
+  def semDedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(emb(spark, dir), "vec_id", "embedding", "label",
+        threshold = 0.3)
+      .orderBy("vec_id")
+
+  val semDedupOracle: String =
+    s"""WITH RECURSIVE $quantCte,
+       |pairs AS (SELECT a.id AS id_a, b.id AS id_b
+       |  FROM n a JOIN n b ON a.cluster = b.cluster AND a.id < b.id
+       |  WHERE ${duckCos(duckDot("a.qv", "b.qv"), "a.n2", "b.n2")} >= 0.3),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, label) AS (
+       |  SELECT id, id FROM n
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
+       |SELECT CAST(id AS BIGINT) AS vec_id,
+       |  CAST(min(label) AS BIGINT) AS keeper_id,
+       |  CAST(CASE WHEN id <> min(label) THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+       |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin
+
   /** Per-label centroid components: element-wise count/sum/mean of the
     * quantized vectors — the mergeable array aggregation behind cluster
     * summaries and mean-pooling. One posexplode + a single keyed
