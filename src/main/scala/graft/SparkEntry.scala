@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AggQueries, CorpusQueries, CurationQueries, DedupQueries, EventQueries, ParityQueries, SimilarityQueries}
+import graft.queries.{AggQueries, AnalyticsQueries, CorpusQueries, CurationQueries, DedupQueries, EventQueries, ParityQueries, SimilarityQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -98,6 +98,15 @@ object SparkEntry {
     "x_gopher_quality" -> (CurationQueries.gopherQuality _),
     "x_tfidf_topk" -> (CurationQueries.tfidfTopk _),
     "x_semdedup" -> (SimilarityQueries.semDedup _),
+    // extensions: corpus analytics (round 6)
+    "x_kmv_distinct" -> (AnalyticsQueries.kmvDistinct _),
+    "x_edit_verify" -> (AnalyticsQueries.editVerify _),
+    "x_script_mix" -> (AnalyticsQueries.scriptMix _),
+    "x_collocations" -> (AnalyticsQueries.collocations _),
+    "x_pivot_sources" -> (AnalyticsQueries.pivotSources _),
+    "x_corr_stats" -> (AnalyticsQueries.corrStats _),
+    "x_bpe_merges" -> (AnalyticsQueries.bpeMerges _),
+    "x_bpe_tokenize" -> (AnalyticsQueries.bpeTokenize _),
     // sketch queries: estimates by design -> NO oracle entries (driver
     // records rows-only checks; specs bound them against exact results)
     "x_approx_length_quantiles" -> (CorpusQueries.approxLengthQuantiles _),
@@ -274,6 +283,14 @@ object SparkEntry {
     "x_gopher_quality" -> CurationQueries.gopherQualityOracle,
     "x_tfidf_topk" -> CurationQueries.tfidfTopkOracle,
     "x_semdedup" -> SimilarityQueries.semDedupOracle,
+    "x_kmv_distinct" -> AnalyticsQueries.kmvDistinctOracle,
+    "x_edit_verify" -> AnalyticsQueries.editVerifyOracle,
+    "x_script_mix" -> AnalyticsQueries.scriptMixOracle,
+    "x_collocations" -> AnalyticsQueries.collocationsOracle,
+    "x_pivot_sources" -> AnalyticsQueries.pivotSourcesOracle,
+    "x_corr_stats" -> AnalyticsQueries.corrStatsOracle,
+    "x_bpe_merges" -> AnalyticsQueries.bpeMergesOracle,
+    "x_bpe_tokenize" -> AnalyticsQueries.bpeTokenizeOracle,
     "x_lang_id" -> DedupQueries.langIdOracle,
     "x_lang_id_ngram" -> CorpusQueries.langIdNgramOracle,
     "x_normalize_text" -> CorpusQueries.normalizeTextOracle,

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.PortableHash
+
+/** KMV (k-minimum-values) distinct-count sketch — the deterministic
+  * alternative to HLL (extension; SURVEY §2.10). Keep the k smallest
+  * hash values of the distinct inputs; with hashes uniform on [0, D)
+  * the k-th smallest h_k estimates the distinct count as
+  * `(k-1) * D / h_k` (Bar-Yossef et al., "Counting distinct elements
+  * in a data stream", RANDOM 2002 — the bottom-k generalization).
+  *
+  * Why this exists next to `approx_count_distinct`: HLL register values
+  * are engine-specific, so the HLL query is graded rows-only. A KMV
+  * sketch built on the portable md5-based hash is bit-identical in any
+  * engine that sorts the same hashes — the ONLY sketch family where the
+  * oracle can demand hash-exact equality. It is also trivially
+  * mergeable (union the bottom-k sets, re-take bottom-k), which is the
+  * 100 TB path: per-partition bottom-k, merge at the group level.
+  *
+  * Implementation shape: distinct (group, h) is one map-side-combined
+  * aggregation; the per-group bottom-k is a rank window PARTITIONED BY
+  * group — parallel across groups, and the sort input is the distinct
+  * value set (vocabulary-sized, orders of magnitude below the fact
+  * table). A custom bottom-k Aggregator would avoid even that sort;
+  * the window form is chosen because Catalyst handles the partial
+  * distinct and the plan stays whole-stage-codegen.
+  *
+  * The hash is the 60-bit portable hash truncated to 30 bits
+  * (`h60 div 2^30`): the estimate arithmetic `(k-1) * 2^30 / h_k` then
+  * stays inside BIGINT for any k, so Spark and DuckDB floor-divide
+  * identically — no DECIMAL rounding drift. 30 bits is plenty for the
+  * estimate's own ±1/sqrt(k-1) error; truncation collisions only merge
+  * hash-adjacent values (deterministically, on both engines).
+  */
+object Kmv {
+
+  val HashBits = 30
+  val HashDomain: Long = 1L << HashBits // 2^30
+
+  /** Per-group KMV sketch + estimate.
+    *
+    * Output: (groupCol, k_seen, kth_min, est_distinct) where
+    * `k_seen` = min(k, observed distinct hashes), `kth_min` = largest
+    * retained hash, and `est_distinct` = exact `k_seen` while the group
+    * is under-filled (the sketch has seen everything) else
+    * `(k-1) * 2^30 div kth_min`.
+    */
+  def distinctSketch(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    // `div`, not Column./ (double division — rounds 60-bit hashes)
+    val hashed = df
+      .select(col(groupCol),
+        PortableHash.hash60(col(valueCol).cast("string")).as("h60"))
+      .select(col(groupCol),
+        expr(s"h60 div ${HashDomain}L").cast(LongType).as("h"))
+      .distinct()
+    val w = Window.partitionBy(groupCol).orderBy(col("h"))
+    hashed
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy(col(groupCol))
+      .agg(max(col("rk")).cast(LongType).as("k_seen"),
+        max(col("h")).as("kth_min"))
+      .withColumn("est_distinct",
+        when(col("k_seen") < k, col("k_seen"))
+          .otherwise(
+            expr(s"(${k - 1} * ${HashDomain}L) div greatest(kth_min, 1L)"))
+          .cast(LongType))
+  }
+
+  /** DuckDB oracle twin of [[distinctSketch]] over a CTE exposing
+    * (group, value) rows; keep in lockstep.
+    */
+  def distinctSketchSql(srcCte: String, groupCol: String, valueExpr: String,
+      k: Int = 64): String = {
+    val h = graft.queries.DuckSql.hash60(s"CAST($valueExpr AS VARCHAR)")
+    s"""hashed AS (SELECT DISTINCT $groupCol, ($h) // ${HashDomain} AS h FROM $srcCte),
+       |ranked AS (SELECT $groupCol, h,
+       |    row_number() OVER (PARTITION BY $groupCol ORDER BY h) AS rk
+       |  FROM hashed),
+       |kmv AS (SELECT $groupCol,
+       |    CAST(max(rk) AS BIGINT) AS k_seen,
+       |    CAST(max(h) AS BIGINT) AS kth_min,
+       |    CAST(CASE WHEN max(rk) < $k THEN max(rk)
+       |         ELSE (${k - 1} * ${HashDomain}) // greatest(max(h), 1) END AS BIGINT)
+       |      AS est_distinct
+       |  FROM ranked WHERE rk <= $k GROUP BY $groupCol)""".stripMargin
+  }
+}

@@ -133,7 +133,7 @@ object DedupQueries {
   /** The shared CTE chain ending in `scored(id_a, id_b, jaccard)` —
     * used by both the pairs oracle and the clusters oracle.
     */
-  private val minhashPairsCtes: String = {
+  private[queries] val minhashPairsCtes: String = {
     val t = DuckSql.tokens("text")
     val sh = DuckSql.shinglesFromTokens(t)
     s"""WITH corpus AS ($corpusNearSql),
