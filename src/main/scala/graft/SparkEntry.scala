@@ -107,6 +107,11 @@ object SparkEntry {
     "x_corr_stats" -> (AnalyticsQueries.corrStats _),
     "x_bpe_merges" -> (AnalyticsQueries.bpeMerges _),
     "x_bpe_tokenize" -> (AnalyticsQueries.bpeTokenize _),
+    "x_mad_outliers" -> (AnalyticsQueries.madOutliers _),
+    "x_length_histogram" -> (AnalyticsQueries.lengthHistogram _),
+    "x_domain_cap" -> (AnalyticsQueries.domainCap _),
+    "x_rank_fusion" -> (AnalyticsQueries.rankFusion _),
+    "x_events_latest" -> (EventQueries.eventsLatest _),
     // sketch queries: estimates by design -> NO oracle entries (driver
     // records rows-only checks; specs bound them against exact results)
     "x_approx_length_quantiles" -> (CorpusQueries.approxLengthQuantiles _),
@@ -291,6 +296,11 @@ object SparkEntry {
     "x_corr_stats" -> AnalyticsQueries.corrStatsOracle,
     "x_bpe_merges" -> AnalyticsQueries.bpeMergesOracle,
     "x_bpe_tokenize" -> AnalyticsQueries.bpeTokenizeOracle,
+    "x_mad_outliers" -> AnalyticsQueries.madOutliersOracle,
+    "x_length_histogram" -> AnalyticsQueries.lengthHistogramOracle,
+    "x_domain_cap" -> AnalyticsQueries.domainCapOracle,
+    "x_rank_fusion" -> AnalyticsQueries.rankFusionOracle,
+    "x_events_latest" -> EventQueries.eventsLatestOracle,
     "x_lang_id" -> DedupQueries.langIdOracle,
     "x_lang_id_ngram" -> CorpusQueries.langIdNgramOracle,
     "x_normalize_text" -> CorpusQueries.normalizeTextOracle,

@@ -94,6 +94,31 @@ object Bpe {
       .toDF("merge_round", "lsym", "rsym", "pair_cnt")
   }
 
+  /** Persist a learned merge table (tiny: `rounds` rows) so training
+    * runs once and any number of tokenization runs reuse it — same
+    * artifact pattern as the persisted LSH index and centroid model.
+    */
+  def saveMerges(spark: SparkSession, merges: Seq[Merge], path: String): Unit =
+    mergesDf(spark, merges).coalesce(1).write.mode("overwrite").parquet(path)
+
+  def loadMerges(spark: SparkSession, path: String): Seq[Merge] =
+    spark.read.parquet(path)
+      .select(col("merge_round"), col("lsym"), col("rsym"), col("pair_cnt"))
+      .collect()
+      .map(r => Merge(r.getLong(0).toInt, r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_.round)
+
+  /** Apply a trained merge table to a (word) table: each word's BPE
+    * segmentation under the merges, in training order. Run this on the
+    * DISTINCT word set (vocabulary-sized) and join the result back to
+    * the token stream — never fold per corpus token.
+    */
+  def applyMerges(words: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val init = words.withColumn("syms", expr(charSyms))
+    merges.sortBy(_.round).foldLeft(init)((df, m) =>
+      df.withColumn("syms", expr(mergeFold(m.lsym, m.rsym))))
+  }
+
   /** DuckDB oracle: replay `rounds` training rounds over a CTE
     * `words(word, cnt)`. Emits CTEs `r0..r$rounds` (per-round symbol
     * state) and `b1..b$rounds` (per-round argmax) — the caller selects

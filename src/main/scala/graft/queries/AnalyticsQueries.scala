@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.PortableHash
 import graft.operators.{Bpe, Fts, Kmv, TextDedup}
 
 /** Round-6 graded extension queries: deterministic distinct sketches,
@@ -283,6 +284,161 @@ object AnalyticsQueries {
       |  CAST(count(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS n_zh,
       |  CAST(count(*) AS BIGINT) AS n_total
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- MAD robust outliers -----------------------------------------
+
+  /** Robust outlier detection on token counts: per-language lower
+    * median and MAD (median absolute deviation), both as exact
+    * RANK-based statistics (value at 1-based rank `(n+1) div 2` under a
+    * total order — never an engine-specific interpolating `median()`),
+    * then the standard `|x − med| > 3 · 1.4826 · MAD` gate in scaled
+    * integers (`dev · 10⁴ > 44478 · MAD`). Output: the flagged docs.
+    *
+    * Scale: two window ranks partitioned by language (parallel across
+    * groups) + two broadcast-sized per-group stat tables joined back.
+    */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("lang"),
+        graft.operators.TextStats.wsTokenCount(col("text")).as("x"))
+    val n = d.groupBy("lang").agg(count(lit(1)).as("n"))
+    val wx = Window.partitionBy("lang").orderBy(col("x"), col("doc_id"))
+    val med = d.withColumn("r", row_number().over(wx))
+      .join(n, "lang")
+      .filter(col("r") === expr("(n + 1) div 2"))
+      .select(col("lang"), col("x").as("med"))
+    val withDev = d.join(broadcast(med), "lang")
+      .withColumn("dev", abs(col("x") - col("med")))
+    val wd = Window.partitionBy("lang").orderBy(col("dev"), col("doc_id"))
+    val mad = withDev.withColumn("r", row_number().over(wd))
+      .join(n, "lang")
+      .filter(col("r") === expr("(n + 1) div 2"))
+      .select(col("lang"), col("dev").as("mad"))
+    withDev.join(broadcast(mad), "lang")
+      .filter(col("dev") * 10000 > col("mad") * 44478)
+      .select(col("doc_id"), col("lang"), col("x"), col("med"),
+        col("mad"), col("dev"))
+      .orderBy("doc_id")
+  }
+
+  val madOutliersOracle: String = {
+    val ws = "CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT)"
+    s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, $ws AS x
+       |  FROM documents),
+       |n AS (SELECT lang, count(*) AS n FROM d GROUP BY lang),
+       |med AS (SELECT lang, x AS med FROM (
+       |    SELECT lang, x, row_number() OVER (PARTITION BY lang ORDER BY x, doc_id) AS r
+       |    FROM d) JOIN n USING (lang) WHERE r = (n + 1) // 2),
+       |dev AS (SELECT d.doc_id, d.lang, d.x, med.med, abs(d.x - med.med) AS dev
+       |  FROM d JOIN med USING (lang)),
+       |mad AS (SELECT lang, dev AS mad FROM (
+       |    SELECT lang, doc_id, dev, row_number() OVER (PARTITION BY lang ORDER BY dev, doc_id) AS r
+       |    FROM dev) JOIN n USING (lang) WHERE r = (n + 1) // 2)
+       |SELECT doc_id, dev.lang, x, med, mad, dev
+       |FROM dev JOIN mad USING (lang)
+       |WHERE dev * 10000 > mad * 44478
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- bucketed length histogram -----------------------------------
+
+  /** Per-language token-length histogram on fixed-width buckets
+    * (width 25): doc counts and bucket bounds — the distribution report
+    * a curation dashboard plots. One map-side-combined aggregation.
+    */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir)
+      .select(col("lang"),
+        graft.operators.TextStats.wsTokenCount(col("text")).as("ws"))
+    d.withColumn("bucket", expr("ws div 25"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        min(col("ws")).as("min_ws"), max(col("ws")).as("max_ws"))
+      .select(col("lang"), col("bucket").cast(LongType).as("bucket"),
+        col("n_docs"), col("min_ws"), col("max_ws"))
+      .orderBy("lang", "bucket")
+  }
+
+  val lengthHistogramOracle: String = {
+    val ws = "CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT)"
+    s"""WITH d AS (SELECT lang, $ws AS ws FROM documents)
+       |SELECT lang, CAST(ws // 25 AS BIGINT) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(min(ws) AS BIGINT) AS min_ws, CAST(max(ws) AS BIGINT) AS max_ws
+       |FROM d GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
+  }
+
+  // ---- per-domain cap ----------------------------------------------
+
+  /** Per-source document cap (RefinedWeb-style domain balancing): keep
+    * at most 15 docs per source, chosen by deterministic seeded-hash
+    * rank (reproducible across runs and cluster sizes — never `LIMIT`
+    * inside a group, which is partition-order-dependent). One window
+    * rank partitioned by source.
+    */
+  def domainCap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("source"), col("text"))
+    val w = Window.partitionBy("source")
+      .orderBy(PortableHash.hash60Seeded(lit(5), col("text")), col("doc_id"))
+    d.withColumn("keep_rank", row_number().over(w).cast(LongType))
+      .filter(col("keep_rank") <= 15)
+      .select(col("doc_id"), col("source"), col("keep_rank"))
+      .orderBy("doc_id")
+  }
+
+  val domainCapOracle: String = {
+    val h = DuckSql.hash60Seeded("5", "text")
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       |  CAST(keep_rank AS BIGINT) AS keep_rank
+       |FROM (SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source ORDER BY $h, doc_id) AS keep_rank
+       |  FROM documents)
+       |WHERE keep_rank <= 15 ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- reciprocal rank fusion --------------------------------------
+
+  /** Multi-list retrieval fusion: three per-term ranked lists (term
+    * frequency desc) fused with Reciprocal Rank Fusion
+    * `Σ 1/(60 + rank)` in exact ppm integers (Cormack, Clarke &
+    * Buettcher, SIGIR 2009 — public). The per-list rank windows are
+    * PARTITIONED BY term; the fuse is one doc-keyed aggregation.
+    */
+  def rankFusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = Seq("spark", "vector", "hash")
+    val tf = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        explode(Fts.tokens(Seq(col("text")))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("term").orderBy(col("tf").desc, col("doc_id"))
+    tf.withColumn("r", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(sum(expr("1000000 div (60 + r)")).cast(LongType).as("rrf_ppm"),
+        count(lit(1)).cast(LongType).as("n_lists"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val rankFusionOracle: String = {
+    val t = DuckSql.tokens("text")
+    s"""WITH tok AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest($t) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       |  WHERE term IN ('spark', 'vector', 'hash') GROUP BY doc_id, term),
+       |ranked AS (SELECT doc_id, term,
+       |    row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS r
+       |  FROM tf)
+       |SELECT doc_id,
+       |  CAST(sum(1000000 // (60 + r)) AS BIGINT) AS rrf_ppm,
+       |  CAST(count(*) AS BIGINT) AS n_lists
+       |FROM ranked GROUP BY doc_id
+       |ORDER BY rrf_ppm DESC, doc_id LIMIT 20""".stripMargin
+  }
 
   // ---- exact correlation moments -----------------------------------
 

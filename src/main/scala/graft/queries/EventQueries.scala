@@ -47,6 +47,34 @@ object EventQueries {
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM hopped GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  /** CDC-style compaction: the LATEST event per user (ts desc, then
+    * event_id desc as the deterministic intra-timestamp tie-break) —
+    * the upsert/latest-state resolution every incrementally-updated
+    * table needs before it can serve as a dimension. One window rank
+    * partitioned by the key; no global sort.
+    */
+  def eventsLatest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id").cast(LongType).as("user_id"),
+        col("event_id").cast(LongType).as("event_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("ts_iso"),
+        col("value"))
+      .orderBy("user_id")
+  }
+
+  val eventsLatestOracle: String =
+    """SELECT CAST(user_id AS BIGINT) AS user_id,
+      |  CAST(event_id AS BIGINT) AS event_id, event_type,
+      |  strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_iso, value
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   def sessions(spark: SparkSession, dir: String): DataFrame =
     EventWindows.sessionize(events(spark, dir), gapMinutes = 30)
       .orderBy("user_id", "session_no")

@@ -134,6 +134,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(syms("ab") === Seq("ab"))
   }
 
+  test("BPE: merge table round-trips through parquet and re-applies identically") {
+    val words = Seq(("aaab", 3L), ("aab", 2L), ("ab", 1L), ("ba", 4L)).toDF("word", "cnt")
+    val (merges, state) = graft.operators.Bpe.train(words, rounds = 3)
+    val path = Files.createTempDirectory("graft-bpe").resolve("merges").toString
+    graft.operators.Bpe.saveMerges(spark, merges, path)
+    val loaded = graft.operators.Bpe.loadMerges(spark, path)
+    assert(loaded === merges)
+    // applying the loaded merges to the SAME vocab reproduces training state
+    val reapplied = graft.operators.Bpe.applyMerges(words, loaded)
+      .select("word", "syms").as[(String, Seq[String])].collect().toMap
+    val trained = state.select("word", "syms")
+      .as[(String, Seq[String])].collect().toMap
+    assert(reapplied === trained)
+    // and segments UNSEEN words with the learned merges
+    val novel = graft.operators.Bpe.applyMerges(
+        Seq(("aabb", 1L)).toDF("word", "cnt"), loaded)
+      .select("syms").as[Seq[String]].collect().head
+    // merges: (a,a), (a,b), (aa,ab): "aabb" -> [aa,b,b] -> no (a,b) adjacency
+    assert(novel === Seq("aa", "b", "b"))
+  }
+
   test("BPE: training stops early when no pairs remain") {
     val words = Seq(("ab", 1L)).toDF("word", "cnt")
     val (merges, state) = graft.operators.Bpe.train(words, rounds = 10)

@@ -178,7 +178,9 @@ class PlanSpec extends SparkSpec {
       "x_ann_topk", "x_multimodal_embed_topk", // (a) all-pairs scoring
       "x_fts_ranked", "x_temperature_sample",
       "x_freq_score", "x_embed_quantize",
-      "x_mixture_sample")                      // (b) 1-row scalar joins
+      "x_mixture_sample",
+      "x_tfidf_topk",                          // corpus-N scalar into idf
+      "x_collocations")                        // (b) 1-row scalar joins
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, dir)
