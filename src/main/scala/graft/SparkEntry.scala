@@ -97,6 +97,7 @@ object SparkEntry {
     "x_boilerplate_strip" -> (CurationQueries.boilerplateStrip _),
     "x_gopher_quality" -> (CurationQueries.gopherQuality _),
     "x_tfidf_topk" -> (CurationQueries.tfidfTopk _),
+    "x_curation_verdict" -> (CurationQueries.curationVerdict _),
     "x_semdedup" -> (SimilarityQueries.semDedup _),
     // extensions: corpus analytics (round 6)
     "x_kmv_distinct" -> (AnalyticsQueries.kmvDistinct _),
@@ -287,6 +288,7 @@ object SparkEntry {
     "x_boilerplate_strip" -> CurationQueries.boilerplateStripOracle,
     "x_gopher_quality" -> CurationQueries.gopherQualityOracle,
     "x_tfidf_topk" -> CurationQueries.tfidfTopkOracle,
+    "x_curation_verdict" -> CurationQueries.curationVerdictOracle,
     "x_semdedup" -> SimilarityQueries.semDedupOracle,
     "x_kmv_distinct" -> AnalyticsQueries.kmvDistinctOracle,
     "x_edit_verify" -> AnalyticsQueries.editVerifyOracle,

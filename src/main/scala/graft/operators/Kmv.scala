@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -53,12 +53,9 @@ object Kmv {
   def distinctSketch(df: DataFrame, groupCol: String, valueCol: String,
       k: Int = 64): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
-    // `div`, not Column./ (double division — rounds 60-bit hashes)
+    // shiftright, not Column./ (double division — rounds 60-bit hashes)
     val hashed = df
-      .select(col(groupCol),
-        PortableHash.hash60(col(valueCol).cast("string")).as("h60"))
-      .select(col(groupCol),
-        expr(s"h60 div ${HashDomain}L").cast(LongType).as("h"))
+      .select(col(groupCol), hash30(col(valueCol)).as("h"))
       .distinct()
     val w = Window.partitionBy(groupCol).orderBy(col("h"))
     hashed
@@ -73,6 +70,62 @@ object Kmv {
             expr(s"(${k - 1} * ${HashDomain}L) div greatest(kth_min, 1L)"))
           .cast(LongType))
   }
+
+  // ---- Aggregator form (the mergeable 100 TB / streaming path) -----
+
+  /** Bottom-k buffer: ascending, distinct, size <= k. */
+  case class KmvState(hs: Seq[Long])
+
+  case class KmvSummary(k_seen: Long, kth_min: Long, est_distinct: Long)
+
+  /** KMV as a typed [[Aggregator]] over pre-hashed values: O(k) state
+    * per group, partials combine map-side (bottom-k of a union of
+    * bottom-k sets IS the bottom-k of the union — mergeability is
+    * exact, per Agarwal et al., "Mergeable Summaries", PODS'12), and
+    * the same UDAF drops into a streaming groupBy in update/complete
+    * mode. Unlike Misra-Gries/HLL, the merged result is bit-identical
+    * to the single-pass result — the companion spec asserts equality
+    * with the window-based [[distinctSketch]], not an error bound.
+    */
+  class KmvAgg(k: Int) extends Aggregator[Long, KmvState, KmvSummary] {
+    require(k >= 2, "KMV needs k >= 2")
+
+    override def zero: KmvState = KmvState(Vector.empty)
+
+    override def reduce(s: KmvState, h: Long): KmvState =
+      if (s.hs.contains(h)) s
+      else if (s.hs.size < k) KmvState((s.hs :+ h).sorted)
+      else if (h < s.hs.last) KmvState(((s.hs.init :+ h): Seq[Long]).sorted)
+      else s
+
+    override def merge(a: KmvState, b: KmvState): KmvState =
+      KmvState((a.hs ++ b.hs).distinct.sorted.take(k))
+
+    override def finish(s: KmvState): KmvSummary = {
+      val seen = s.hs.size.toLong
+      val kth = if (s.hs.isEmpty) 0L else s.hs.last
+      val est =
+        if (seen < k) seen
+        else (k - 1).toLong * HashDomain / math.max(kth, 1L)
+      KmvSummary(seen, kth, est)
+    }
+
+    override def bufferEncoder: Encoder[KmvState] = Encoders.product[KmvState]
+    override def outputEncoder: Encoder[KmvSummary] = Encoders.product[KmvSummary]
+  }
+
+  /** Column form: `kmv_sketch(hash_col)` for any groupBy (batch or
+    * streaming). Feed it [[hash30]] of the value column.
+    */
+  def sketchAgg(hashCol: org.apache.spark.sql.Column, k: Int = 64): org.apache.spark.sql.Column =
+    udaf(new KmvAgg(k)).apply(hashCol)
+
+  /** The 30-bit portable hash [[distinctSketch]] sorts on
+    * (`shiftright` = `div 2^30` on the non-negative 60-bit hash).
+    */
+  def hash30(value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    shiftright(PortableHash.hash60(value.cast("string")), HashBits)
+      .cast(LongType)
 
   /** DuckDB oracle twin of [[distinctSketch]] over a CTE exposing
     * (group, value) rows; keep in lockstep.

@@ -143,6 +143,66 @@ object CurationQueries {
         col("g.pass").as("pass"))
       .orderBy("doc_id")
 
+  /** Composed curation scorecard: every per-row gate family evaluated
+    * in ONE scan pass, folded into a failure bitmask — the keep/drop
+    * verdict WITH the reason, which is what a production curation run
+    * must emit (dropping without attribution makes corpus debugging
+    * impossible). bit0 = Gopher gates, bit1 = dup-2gram > 20%,
+    * bit2 = dup-3gram > 15% (repetition thresholds cross-multiplied,
+    * never divided). Zero shuffles; scan-speed codegen.
+    */
+  def curationVerdict(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    val d = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("text"))
+    d.withColumn("g", GopherFilter.flags(col("text")))
+      .withColumn("sh2", TextDedup.shingles(col("text"), 2))
+      .withColumn("sh3", TextDedup.shingles(col("text"), 3))
+      .withColumn("t2", size(col("sh2")).cast(LongType))
+      .withColumn("d2", size(array_distinct(col("sh2"))).cast(LongType))
+      .withColumn("t3", size(col("sh3")).cast(LongType))
+      .withColumn("d3", size(array_distinct(col("sh3"))).cast(LongType))
+      .withColumn("bit_gopher", (col("g.pass") === 0).cast(LongType))
+      .withColumn("bit_dup2", ((col("t2") - col("d2")) * 5 > col("t2")).cast(LongType))
+      .withColumn("bit_dup3", ((col("t3") - col("d3")) * 20 > col("t3") * 3).cast(LongType))
+      .select(col("doc_id"), col("g.n_words").as("n_words"),
+        (col("bit_gopher") + col("bit_dup2") * 2 + col("bit_dup3") * 4)
+          .cast(LongType).as("fail_mask"),
+        (col("bit_gopher") + col("bit_dup2") + col("bit_dup3") === 0)
+          .cast(LongType).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val curationVerdictOracle: String = {
+    val t = DuckSql.tokens("text")
+    val hits = DuckSql.hitCount("tk", GopherFilter.requiredStopwords)
+    val sh2 = DuckSql.shinglesFromTokens("tk", 2)
+    val sh3 = DuckSql.shinglesFromTokens("tk", 3)
+    s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, $t AS tk FROM documents),
+       |c AS (SELECT doc_id,
+       |    CAST(len(tk) AS BIGINT) AS n_words,
+       |    CAST(coalesce(list_sum(list_transform(tk, x -> length(x))), 0) AS BIGINT) AS sum_word_len,
+       |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha_words,
+       |    CAST($hits AS BIGINT) AS stop_hits,
+       |    CAST(len($sh2) AS BIGINT) AS t2,
+       |    CAST(len(list_distinct($sh2)) AS BIGINT) AS d2,
+       |    CAST(len($sh3) AS BIGINT) AS t3,
+       |    CAST(len(list_distinct($sh3)) AS BIGINT) AS d3
+       |  FROM base),
+       |f AS (SELECT doc_id, n_words,
+       |    CASE WHEN n_words >= 50 AND n_words <= 100000
+       |      AND n_words > 0 AND sum_word_len >= n_words * 3 AND sum_word_len <= n_words * 10
+       |      AND n_alpha_words * 5 >= n_words * 4
+       |      AND stop_hits >= 2 THEN 0 ELSE 1 END AS bit_gopher,
+       |    CASE WHEN (t2 - d2) * 5 > t2 THEN 1 ELSE 0 END AS bit_dup2,
+       |    CASE WHEN (t3 - d3) * 20 > t3 * 3 THEN 1 ELSE 0 END AS bit_dup3
+       |  FROM c)
+       |SELECT doc_id, n_words,
+       |  CAST(bit_gopher + bit_dup2 * 2 + bit_dup3 * 4 AS BIGINT) AS fail_mask,
+       |  CAST(CASE WHEN bit_gopher + bit_dup2 + bit_dup3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   val gopherQualityOracle: String = {
     val t = DuckSql.tokens("text")
     val hits = DuckSql.hitCount("tk", GopherFilter.requiredStopwords)

@@ -62,6 +62,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("KMV Aggregator: bit-identical to the window-based sketch (mergeable path)") {
+    val terms = graft.queries.AnalyticsQueries
+      .kmvDistinct(spark, "/root/testdata/sf0.001") // forces same corpus shape
+    val raw = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("lang"), explode(graft.operators.Fts.tokens(Seq(col("text")))).as("term"))
+    val viaWindow = Kmv.distinctSketch(raw, "lang", "term", k = 64)
+      .select("lang", "k_seen", "kth_min", "est_distinct")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val viaAgg = raw.repartition(7)
+      .groupBy("lang")
+      .agg(Kmv.sketchAgg(Kmv.hash30(col("term")), k = 64).as("s"))
+      .select(col("lang"), col("s.k_seen"), col("s.kth_min"), col("s.est_distinct"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(viaAgg === viaWindow)
+    assert(terms.count() > 0)
+  }
+
   // ---------------- scriptMix ----------------
 
   test("scriptMix: planted Cyrillic/CJK suffixes detected; dominant tie-break order") {
