@@ -113,6 +113,10 @@ object SparkEntry {
     "x_domain_cap" -> (AnalyticsQueries.domainCap _),
     "x_rank_fusion" -> (AnalyticsQueries.rankFusion _),
     "x_events_latest" -> (EventQueries.eventsLatest _),
+    "x_events_dense_hourly" -> (EventQueries.denseHourly _),
+    "x_winsor_means" -> (AnalyticsQueries.winsorMeans _),
+    "x_token_cdf" -> (AnalyticsQueries.tokenCdf _),
+    "x_dedup_recall" -> (AnalyticsQueries.dedupRecall _),
     // sketch queries: estimates by design -> NO oracle entries (driver
     // records rows-only checks; specs bound them against exact results)
     "x_approx_length_quantiles" -> (CorpusQueries.approxLengthQuantiles _),
@@ -303,6 +307,10 @@ object SparkEntry {
     "x_domain_cap" -> AnalyticsQueries.domainCapOracle,
     "x_rank_fusion" -> AnalyticsQueries.rankFusionOracle,
     "x_events_latest" -> EventQueries.eventsLatestOracle,
+    "x_events_dense_hourly" -> EventQueries.denseHourlyOracle,
+    "x_winsor_means" -> AnalyticsQueries.winsorMeansOracle,
+    "x_token_cdf" -> AnalyticsQueries.tokenCdfOracle,
+    "x_dedup_recall" -> AnalyticsQueries.dedupRecallOracle,
     "x_lang_id" -> DedupQueries.langIdOracle,
     "x_lang_id_ngram" -> CorpusQueries.langIdNgramOracle,
     "x_normalize_text" -> CorpusQueries.normalizeTextOracle,

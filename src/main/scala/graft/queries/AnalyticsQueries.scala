@@ -87,6 +87,41 @@ object AnalyticsQueries {
        |  CAST((max_len - lev) * 1000000 // greatest(max_len, 1) AS BIGINT) AS prefix_sim_ppm
        |FROM verified ORDER BY id_a, id_b""".stripMargin
 
+  // ---- dedup recall audit ------------------------------------------
+
+  /** Pipeline self-evaluation: of the planted near-dup pairs
+    * (id, id+1000000), how many does the MinHash+LSH pipeline recover
+    * at threshold 0.5? Emits (n_planted, n_recovered, recall_ppm) — the
+    * recall metrology a production dedup run reports alongside its
+    * pair output (an unmeasured recall knob is how silent under-dedup
+    * ships). 1-row scalar aggregates cross-joined; the heavy lifting is
+    * the same LSH pipeline the pairs query runs.
+    */
+  def dedupRecall(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = TextDedup.minhashPairs(DedupQueries.corpusNear(spark, dir),
+      "doc_id", "text", numPerms = 16, r = 2, jaccardThreshold = 0.5)
+    val planted = DedupQueries.docs(spark, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .agg(count(lit(1)).cast(LongType).as("n_planted"))
+    val recovered = pairs
+      .filter(col("id_b") === col("id_a") + 1000000L)
+      .agg(count(lit(1)).cast(LongType).as("n_recovered"))
+    planted.crossJoin(recovered)
+      .select(col("n_planted"), col("n_recovered"),
+        expr("n_recovered * 1000000 div n_planted")
+          .cast(LongType).as("recall_ppm"))
+  }
+
+  val dedupRecallOracle: String =
+    s"""${DedupQueries.minhashPairsCtes},
+       |planted AS (SELECT CAST(count(*) AS BIGINT) AS n_planted
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |rec AS (SELECT CAST(count(*) AS BIGINT) AS n_recovered
+       |  FROM scored WHERE jaccard >= 0.5 AND id_b = id_a + 1000000)
+       |SELECT n_planted, n_recovered,
+       |  CAST(n_recovered * 1000000 // n_planted AS BIGINT) AS recall_ppm
+       |FROM planted CROSS JOIN rec""".stripMargin
+
   // ---- Unicode script detection ------------------------------------
 
   /** Script-mix detection over a multilingually-planted corpus (every
@@ -438,6 +473,97 @@ object AnalyticsQueries {
        |  CAST(count(*) AS BIGINT) AS n_lists
        |FROM ranked GROUP BY doc_id
        |ORDER BY rrf_ppm DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  // ---- winsorized means --------------------------------------------
+
+  /** Winsorized token-count means per language: clip at the rank-exact
+    * p5/p95 (ranks `max(1, n·5 div 100)` and `min(n, (n·95+99) div
+    * 100)` — a fixed integer formula, not an interpolating percentile),
+    * then the exact ppm mean of the clipped values. The robust mean a
+    * curation report quotes when a few giant docs would dominate.
+    */
+  def winsorMeans(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("lang"),
+        graft.operators.TextStats.wsTokenCount(col("text")).as("x"))
+    val n = d.groupBy("lang").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("lang").orderBy(col("x"), col("doc_id"))
+    val ranked = d.withColumn("r", row_number().over(w)).join(n, "lang")
+    val lo = ranked.filter(col("r") === expr("greatest(1L, n * 5 div 100)"))
+      .select(col("lang"), col("x").as("x_lo"))
+    val hi = ranked.filter(col("r") === expr("least(n, (n * 95 + 99) div 100)"))
+      .select(col("lang"), col("x").as("x_hi"))
+    d.join(broadcast(lo), "lang").join(broadcast(hi), "lang")
+      .withColumn("cx", greatest(col("x_lo"), least(col("x_hi"), col("x"))))
+      .groupBy("lang")
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        min(col("x_lo")).as("x_lo"), min(col("x_hi")).as("x_hi"),
+        sum(col("x")).as("sum_raw"), sum(col("cx")).as("sum_clipped"))
+      .select(col("lang"), col("n"), col("x_lo"), col("x_hi"),
+        expr("sum_raw * 1000000 div n").cast(LongType).as("raw_mean_ppm"),
+        expr("sum_clipped * 1000000 div n").cast(LongType).as("winsor_mean_ppm"))
+      .orderBy("lang")
+  }
+
+  val winsorMeansOracle: String = {
+    val ws = "CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT)"
+    s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, $ws AS x
+       |  FROM documents),
+       |n AS (SELECT lang, count(*) AS n FROM d GROUP BY lang),
+       |ranked AS (SELECT d.*, n.n,
+       |    row_number() OVER (PARTITION BY d.lang ORDER BY x, doc_id) AS r
+       |  FROM d JOIN n USING (lang)),
+       |lo AS (SELECT lang, x AS x_lo FROM ranked WHERE r = greatest(1, n * 5 // 100)),
+       |hi AS (SELECT lang, x AS x_hi FROM ranked WHERE r = least(n, (n * 95 + 99) // 100)),
+       |c AS (SELECT d.lang, d.x, greatest(x_lo, least(x_hi, d.x)) AS cx, x_lo, x_hi
+       |  FROM d JOIN lo USING (lang) JOIN hi USING (lang))
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(min(x_lo) AS BIGINT) AS x_lo, CAST(min(x_hi) AS BIGINT) AS x_hi,
+       |  CAST(sum(x) * 1000000 // count(*) AS BIGINT) AS raw_mean_ppm,
+       |  CAST(sum(cx) * 1000000 // count(*) AS BIGINT) AS winsor_mean_ppm
+       |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // ---- exact CDF ---------------------------------------------------
+
+  /** Exact empirical CDF of token counts per language: one row per
+    * distinct value with the running doc count and cumulative ppm —
+    * computed as a running-sum window over the GROUPED value counts
+    * (vocabulary-sized input), not over raw docs.
+    */
+  def tokenCdf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = DedupQueries.docs(spark, dir)
+      .select(col("lang"),
+        graft.operators.TextStats.wsTokenCount(col("text")).as("x"))
+    val grouped = d.groupBy("lang", "x").agg(count(lit(1)).as("cnt"))
+    val n = d.groupBy("lang").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("lang").orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grouped.withColumn("cum", sum(col("cnt")).over(w))
+      .join(n, "lang")
+      .select(col("lang"), col("x").cast(LongType).as("x"),
+        col("cnt").cast(LongType).as("n_docs"),
+        col("cum").cast(LongType).as("cum_docs"),
+        expr("cum * 1000000 div n").cast(LongType).as("cum_ppm"))
+      .orderBy("lang", "x")
+  }
+
+  val tokenCdfOracle: String = {
+    val ws = "CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT)"
+    s"""WITH d AS (SELECT lang, $ws AS x FROM documents),
+       |g AS (SELECT lang, x, count(*) AS cnt FROM d GROUP BY lang, x),
+       |n AS (SELECT lang, count(*) AS n FROM d GROUP BY lang),
+       |c AS (SELECT lang, x, cnt,
+       |    sum(cnt) OVER (PARTITION BY lang ORDER BY x
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM g)
+       |SELECT c.lang, CAST(x AS BIGINT) AS x, CAST(cnt AS BIGINT) AS n_docs,
+       |  CAST(cum AS BIGINT) AS cum_docs,
+       |  CAST(cum * 1000000 // n AS BIGINT) AS cum_ppm
+       |FROM c JOIN n USING (lang) ORDER BY lang, x""".stripMargin
   }
 
   // ---- exact correlation moments -----------------------------------

@@ -75,6 +75,53 @@ object EventQueries {
       |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** Dense hourly time series with zero-fill: the full
+    * (hour × event_type) grid from the corpus min to max hour, missing
+    * cells as explicit zeros — the gap-filling densification every
+    * monitoring/feature pipeline needs before window math (a sparse
+    * series silently skips empty buckets). The axis is generated from a
+    * 1-ROW bounds aggregate (`sequence` + explode — constant-size
+    * driver state at any scale); the grid is |hours| × |types|, bounded
+    * by the time range, never by corpus size. Hour bucketing floors
+    * epoch seconds (`CAST(ts AS BIGINT)` floors in Spark; the oracle
+    * floors epoch_ms the same way — never `epoch()::BIGINT`, which
+    * rounds).
+    */
+  def denseHourly(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("event_type"), expr("CAST(ts AS BIGINT) div 3600").as("hr"),
+        col("value"))
+    val bounds = e.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+    val axis = bounds.select(explode(sequence(col("lo"), col("hi"))).as("hr"))
+    val types = e.select("event_type").distinct()
+    val agg = e.groupBy("hr", "event_type")
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).as("sv"))
+    axis.crossJoin(types)
+      .join(agg, Seq("hr", "event_type"), "left")
+      .select(col("hr").cast(LongType).as("hr"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        coalesce(col("sv"), lit(java.math.BigDecimal.ZERO))
+          .cast(DoubleType).as("sum_value"))
+      .orderBy("hr", "event_type")
+  }
+
+  val denseHourlyOracle: String =
+    """WITH e AS (SELECT event_type, epoch_ms(ts) // 1000 // 3600 AS hr, value
+      |  FROM events),
+      |bounds AS (SELECT min(hr) AS lo, max(hr) AS hi FROM e),
+      |axis AS (SELECT unnest(range(lo, hi + 1)) AS hr FROM bounds),
+      |types AS (SELECT DISTINCT event_type FROM e),
+      |agg AS (SELECT hr, event_type, CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(value AS DECIMAL(18,6))) AS sv
+      |  FROM e GROUP BY hr, event_type)
+      |SELECT CAST(axis.hr AS BIGINT) AS hr, types.event_type,
+      |  coalesce(n, 0) AS n_events,
+      |  CAST(coalesce(sv, 0) AS DOUBLE) AS sum_value
+      |FROM axis CROSS JOIN types
+      |LEFT JOIN agg ON agg.hr = axis.hr AND agg.event_type = types.event_type
+      |ORDER BY 1, 2""".stripMargin
+
   def sessions(spark: SparkSession, dir: String): DataFrame =
     EventWindows.sessionize(events(spark, dir), gapMinutes = 30)
       .orderBy("user_id", "session_no")

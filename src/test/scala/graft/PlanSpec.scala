@@ -180,7 +180,9 @@ class PlanSpec extends SparkSpec {
       "x_freq_score", "x_embed_quantize",
       "x_mixture_sample",
       "x_tfidf_topk",                          // corpus-N scalar into idf
-      "x_collocations")                        // (b) 1-row scalar joins
+      "x_collocations",                        // (b) 1-row scalar joins
+      "x_dedup_recall",                        // two 1-row count scalars
+      "x_events_dense_hourly")                 // bounded hour×type axis grid
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, dir)

@@ -41,6 +41,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming KMV sketch (complete mode) equals the batch sketch") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, sfDir, "documents").select(col("lang"), col("text"))
+    val dir = Files.createTempDirectory("graft-kmv-stream").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val termsOf = (df: org.apache.spark.sql.DataFrame) => df.select(col("lang"),
+      explode(graft.operators.Fts.tokens(Seq(col("text")))).as("term"))
+    val q = termsOf(spark.readStream.schema(docs.schema).parquet(dir))
+      .groupBy("lang")
+      .agg(graft.operators.Kmv.sketchAgg(
+        graft.operators.Kmv.hash30(col("term")), k = 64).as("s"))
+      .select(col("lang"), col("s.k_seen"), col("s.kth_min"), col("s.est_distinct"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("kmv_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("kmv_out")
+        .orderBy("lang").collect().toSeq
+      val batch = graft.operators.Kmv
+        .distinctSketch(termsOf(docs), "lang", "term", k = 64)
+        .select("lang", "k_seen", "kth_min", "est_distinct")
+        .orderBy("lang").collect().toSeq
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization closes sessions on gap (flatMapGroupsWithState)") {
     import spark.implicits._
     import graft.streaming.EventWindows.{SessionEvent, SessionOut}
