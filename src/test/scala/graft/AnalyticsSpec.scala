@@ -151,6 +151,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(syms("ab") === Seq("ab"))
   }
 
+  test("BPE: segmentation always concatenates back to the word; symbols nonempty") {
+    // seeded pseudo-vocab with repeats so merges actually fire
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq.tabulate(200) { i =>
+      val len = 2 + rnd.nextInt(8)
+      val w = Seq.fill(len)(('a' + rnd.nextInt(4)).toChar).mkString
+      (w, 1L + rnd.nextInt(20))
+    }.distinct
+    val (merges, state) = graft.operators.Bpe.train(
+      vocab.toDF("word", "cnt"), rounds = 6)
+    assert(merges.nonEmpty)
+    val rows = state.select("word", "syms").as[(String, Seq[String])].collect()
+    rows.foreach { case (word, syms) =>
+      assert(syms.mkString("") === word, s"lossy segmentation of $word: $syms")
+      assert(syms.forall(_.nonEmpty))
+    }
+    // determinism: retraining yields the identical merge table
+    val (merges2, _) = graft.operators.Bpe.train(
+      vocab.toDF("word", "cnt").repartition(5), rounds = 6)
+    assert(merges2 === merges)
+  }
+
   test("BPE: merge table round-trips through parquet and re-applies identically") {
     val words = Seq(("aaab", 3L), ("aab", 2L), ("ab", 1L), ("ba", 4L)).toDF("word", "cnt")
     val (merges, state) = graft.operators.Bpe.train(words, rounds = 3)

@@ -123,6 +123,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming per-source quota admits until exhausted, across batches") {
+    import spark.implicits._
+    import graft.streaming.StreamQuota
+    val dir = Files.createTempDirectory("graft-squota").toString
+    // batch 1: srcA sends 3 (quota 2 -> one reject), srcB sends 1
+    Seq(("srcA", 1L, "a1"), ("srcA", 2L, "a2"), ("srcA", 3L, "a3"),
+        ("srcB", 10L, "b1"))
+      .toDF("source", "doc_id", "text").write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamQuota.admit(stream, quota = 2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("squota_out").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: srcA is already exhausted; srcB has one slot left
+      Seq(("srcA", 4L, "a4"), ("srcB", 11L, "b2"), ("srcB", 12L, "b3"))
+        .toDF("source", "doc_id", "text").write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val got = spark.table("squota_out")
+        .select("doc_id", "admitted").as[(Long, Boolean)].collect().toMap
+      assert(got === Map(
+        1L -> true, 2L -> true, 3L -> false, 4L -> false,
+        10L -> true, 11L -> true, 12L -> false))
+    } finally q.stop()
+  }
+
   test("watermarked streaming dedup drops duplicates within the horizon") {
     import spark.implicits._
     import graft.streaming.StreamDedup
