@@ -98,6 +98,7 @@ object SparkEntry {
     "x_gopher_quality" -> (CurationQueries.gopherQuality _),
     "x_tfidf_topk" -> (CurationQueries.tfidfTopk _),
     "x_curation_verdict" -> (CurationQueries.curationVerdict _),
+    "x_keywords" -> (CurationQueries.keywords _),
     "x_semdedup" -> (SimilarityQueries.semDedup _),
     // extensions: corpus analytics (round 6)
     "x_kmv_distinct" -> (AnalyticsQueries.kmvDistinct _),
@@ -293,6 +294,7 @@ object SparkEntry {
     "x_gopher_quality" -> CurationQueries.gopherQualityOracle,
     "x_tfidf_topk" -> CurationQueries.tfidfTopkOracle,
     "x_curation_verdict" -> CurationQueries.curationVerdictOracle,
+    "x_keywords" -> CurationQueries.keywordsOracle,
     "x_semdedup" -> SimilarityQueries.semDedupOracle,
     "x_kmv_distinct" -> AnalyticsQueries.kmvDistinctOracle,
     "x_edit_verify" -> AnalyticsQueries.editVerifyOracle,

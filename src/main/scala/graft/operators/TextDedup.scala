@@ -290,14 +290,19 @@ object TextDedup {
     * [[simhashPairs]]) into an actionable keep/drop decision. Singletons
     * keep their own id.
     *
-    * Iterative min-label propagation: each round joins current labels
-    * onto the symmetrized (persisted) edge list and takes the per-node
-    * min of own and neighbor labels, until a fixpoint (cheap diff
-    * `isEmpty` probe per round) or `maxIters`. Converges in O(component
-    * diameter) rounds — shallow for LSH dedup graphs, where capped
-    * buckets chain slices by design. Per round: one join keyed on id +
-    * one grouped min — the standard iterative-CC shape (large-star /
-    * small-star would cut rounds to O(log d) for extreme diameters).
+    * Iterative min-label propagation WITH pointer jumping: each round
+    * takes, per node, the min of (own label, neighbor labels, and the
+    * LABEL OF ITS LABEL — one labels-on-labels self-join). The jump
+    * halves the effective label-chain length per round, so convergence
+    * is O(log diameter) instead of O(diameter) — which is what keeps a
+    * DEGENERATE corpus inside `maxIters`: the bucket-cap chain links
+    * ([[cappedBucketPairs]]) turn n identical documents into a path of
+    * ~n/cap slice heads, and a 100k-clone corpus would otherwise need
+    * ~400 neighbor-only rounds (the classic large-star/small-star
+    * motivation, Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14 — pointer jumping is the simpler member of that
+    * family with the same log-round bound on paths). Fixpoint detected
+    * by a per-round diff count; `maxIters` remains a loud backstop.
     */
   def dedupClusters(
       corpus: DataFrame, idCol: String,
@@ -334,6 +339,9 @@ object TextDedup {
     while (!converged && iters < maxIters) {
       val msgs = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("id")).agg(min(col("label")).as("msg"))
+      // pointer jump: node v currently labeled u adopts u's label —
+      // a second id-keyed join, against the (small) label table itself
+      val jumps = labels.select(col("id").as("jid"), col("label").as("jlabel"))
       // LAZY checkpoint: the convergence probe below is the action that
       // materializes it, so each round is ONE job (eager checkpoint +
       // separate probe was two). count() (not a limit-1 isEmpty) on
@@ -341,8 +349,11 @@ object TextDedup {
       // unmaterialized and the lineage untruncated.
       val next = labels.select(col("id"), col("label").as("prev"))
         .join(msgs, Seq("id"), "left")
+        .join(jumps, col("prev") === col("jid"), "left")
         .select(col("id"),
-          least(col("prev"), coalesce(col("msg"), col("prev"))).as("label"),
+          least(col("prev"),
+            coalesce(col("msg"), col("prev")),
+            coalesce(col("jlabel"), col("prev"))).as("label"),
           col("prev"))
         .localCheckpoint(false)
       converged = next.filter(col("label") =!= col("prev")).count() == 0

@@ -143,6 +143,47 @@ object CurationQueries {
         col("g.pass").as("pass"))
       .orderBy("doc_id")
 
+  /** Per-document keyword extraction: top-5 terms by integer-scaled
+    * TF-IDF weight `tf · (N·1000 div df)` (ties by term) — the
+    * document-tagging complement of [[TfIdf]] doc-to-doc retrieval.
+    * One tf aggregation, one df aggregation, a 1-row corpus-N scalar,
+    * and a per-doc rank window.
+    */
+  def keywords(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("text"))
+    val tf = d.select(col("doc_id"), explode(Fts.tokens(Seq(col("text")))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val total = d.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("w").desc, col("term"))
+    tf.join(dfreq, Seq("term")).crossJoin(broadcast(total))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * expr("n_docs * 1000 div df")).as("w"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("rank"), col("term"), col("w").cast(LongType).as("w"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val keywordsOracle: String = {
+    val t = DuckSql.tokens("text")
+    s"""WITH tf AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest($t) AS term FROM documents)
+       |  GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |tot AS (SELECT count(*) AS n_docs FROM documents),
+       |w AS (SELECT doc_id, term,
+       |    CAST(tf * (n_docs * 1000 // df) AS BIGINT) AS w
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN tot),
+       |r AS (SELECT doc_id, term, w,
+       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term) AS BIGINT) AS rank
+       |  FROM w)
+       |SELECT doc_id, rank, term, w FROM r WHERE rank <= 5
+       |ORDER BY doc_id, rank""".stripMargin
+  }
+
   /** Composed curation scorecard: every per-row gate family evaluated
     * in ONE scan pass, folded into a failure bitmask — the keep/drop
     * verdict WITH the reason, which is what a production curation run

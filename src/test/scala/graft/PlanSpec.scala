@@ -182,6 +182,7 @@ class PlanSpec extends SparkSpec {
       "x_tfidf_topk",                          // corpus-N scalar into idf
       "x_collocations",                        // (b) 1-row scalar joins
       "x_dedup_recall",                        // two 1-row count scalars
+      "x_keywords",                            // corpus-N scalar into idf
       "x_events_dense_hourly")                 // bounded hour×type axis grid
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>

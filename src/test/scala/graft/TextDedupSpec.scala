@@ -202,6 +202,20 @@ class TextDedupSpec extends SparkSpec {
     assert(out.toSeq === Seq((2L, 1L, 6L, 0.857143)))
   }
 
+  test("dedupClusters: pointer jumping converges a diameter-200 path within default iters") {
+    import spark.implicits._
+    // the degenerate-corpus shape: cap-chain links form one long path.
+    // Neighbor-only propagation needs 200 rounds (old impl threw at 25);
+    // with the label-of-label jump the chain halves per round.
+    val n = 200L
+    val nodes = (0L to n).toDF("doc_id")
+    val pairs = (0L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = TextDedup.dedupClusters(nodes, "doc_id", pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size === (n + 1).toInt)
+    assert(out.values.forall(_ === 0L), "every chain node must reach the min label 0")
+  }
+
   test("dedupClusters: hitting the iteration cap fails loudly, not silently wrong") {
     import spark.implicits._
     // a diameter-4 path needs 4 propagation rounds; maxIters=1 must throw
