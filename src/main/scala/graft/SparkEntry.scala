@@ -109,6 +109,7 @@ object SparkEntry {
     "x_corr_stats" -> (AnalyticsQueries.corrStats _),
     "x_bpe_merges" -> (AnalyticsQueries.bpeMerges _),
     "x_bpe_tokenize" -> (AnalyticsQueries.bpeTokenize _),
+    "x_bpe_compression" -> (AnalyticsQueries.bpeCompression _),
     "x_mad_outliers" -> (AnalyticsQueries.madOutliers _),
     "x_length_histogram" -> (AnalyticsQueries.lengthHistogram _),
     "x_domain_cap" -> (AnalyticsQueries.domainCap _),
@@ -304,6 +305,7 @@ object SparkEntry {
     "x_corr_stats" -> AnalyticsQueries.corrStatsOracle,
     "x_bpe_merges" -> AnalyticsQueries.bpeMergesOracle,
     "x_bpe_tokenize" -> AnalyticsQueries.bpeTokenizeOracle,
+    "x_bpe_compression" -> AnalyticsQueries.bpeCompressionOracle,
     "x_mad_outliers" -> AnalyticsQueries.madOutliersOracle,
     "x_length_histogram" -> AnalyticsQueries.lengthHistogramOracle,
     "x_domain_cap" -> AnalyticsQueries.domainCapOracle,

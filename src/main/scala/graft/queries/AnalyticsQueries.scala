@@ -290,6 +290,33 @@ object AnalyticsQueries {
        |  array_to_string(syms, '|') AS bpe
        |FROM r$BpeRounds ORDER BY cnt DESC, word LIMIT 40""".stripMargin
 
+  /** Corpus-level tokenizer yield: the trained BPE applied at the
+    * VOCABULARY level and weighted back by word frequency — corpus
+    * subword count, char count, and subwords-per-100-chars, without
+    * ever folding per corpus token (the scale pattern: segment distinct
+    * words, join/weight back). 1-row summary.
+    */
+  def bpeCompression(spark: SparkSession, dir: String): DataFrame = {
+    val (_, state) = Bpe.train(wordCounts(spark, dir), BpeRounds)
+    state.agg(
+        sum(col("cnt")).cast(LongType).as("n_words"),
+        sum(col("cnt") * length(col("word"))).cast(LongType).as("n_chars"),
+        sum(col("cnt") * size(col("syms"))).cast(LongType).as("n_subwords"))
+      .select(col("n_words"), col("n_chars"), col("n_subwords"),
+        expr("n_subwords * 100000000 div n_chars")
+          .cast(LongType).as("subwords_per_100_chars_e6"))
+  }
+
+  val bpeCompressionOracle: String =
+    s"""WITH $bpeWordsCte,
+       |${Bpe.trainSqlCtes(BpeRounds)}
+       |SELECT CAST(sum(cnt) AS BIGINT) AS n_words,
+       |  CAST(sum(cnt * length(word)) AS BIGINT) AS n_chars,
+       |  CAST(sum(cnt * len(syms)) AS BIGINT) AS n_subwords,
+       |  CAST(sum(cnt * len(syms)) * 100000000 // sum(cnt * length(word)) AS BIGINT)
+       |    AS subwords_per_100_chars_e6
+       |FROM r$BpeRounds""".stripMargin
+
   // ---- pivoted corpus report ---------------------------------------
 
   /** Source × language pivot: doc counts per source fanned out into one
