@@ -24,15 +24,21 @@ import org.apache.spark.sql.functions.col
   */
 object CorpusSink {
 
+  /** Supported columnar formats: parquet (default) and orc — both
+    * splittable, compressed, predicate-pushdown-capable; the choice is
+    * an ecosystem decision, not a capability one.
+    */
   def writeCurated(
       df: DataFrame, path: String, partitionCols: Seq[String],
-      maxRecordsPerFile: Long = 1000000L): Unit = {
+      maxRecordsPerFile: Long = 1000000L, format: String = "parquet"): Unit = {
     require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    require(Set("parquet", "orc")(format), s"unsupported format: $format")
     df.repartition(partitionCols.map(col): _*)
       .write
       .partitionBy(partitionCols: _*)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode("overwrite")
-      .parquet(path)
+      .format(format)
+      .save(path)
   }
 }

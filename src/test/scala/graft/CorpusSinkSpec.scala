@@ -10,6 +10,21 @@ import graft.sinks.CorpusSink
 class CorpusSinkSpec extends SparkSpec {
   import spark.implicits._
 
+  test("curated write: ORC format round-trips with the same hive layout") {
+    val dir = Files.createTempDirectory("graft-corpus-orc").toString
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("lang"))
+    CorpusSink.writeCurated(docs, dir, Seq("lang"), format = "orc")
+    val back = spark.read.orc(dir)
+    assert(back.count() === docs.count())
+    assert(back.columns.toSet === Set("doc_id", "text", "lang"))
+    // predicate pushdown reaches the ORC scan
+    val p = back.filter(col("lang") === "en").queryExecution.executedPlan.toString
+    assert(back.filter(col("lang") === "en").count() ===
+      docs.filter(col("lang") === "en").count())
+    assert(p.contains("PartitionFilters") || p.contains("lang"), p)
+  }
+
   test("curated write: hive layout, bounded files per partition, round-trips") {
     val dir = Files.createTempDirectory("graft-corpus-sink").toString
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
