@@ -65,6 +65,7 @@ object SparkEntry {
     // extensions: dedup + text analysis (documents)
     "x_dedup_exact" -> (DedupQueries.dedupExact _),
     "x_dedup_clusters" -> (DedupQueries.dedupClusters _),
+    "x_dedup_cluster_sizes" -> (DedupQueries.dedupClusterSizes _),
     "x_dedup_incremental" -> (DedupQueries.dedupIncremental _),
     "x_dedup_incremental_near" -> (DedupQueries.dedupIncrementalNear _),
     "x_minhash_signatures" -> (DedupQueries.minhashSignatures _),
@@ -263,6 +264,7 @@ object SparkEntry {
     "x_anti_join_customers" -> AggQueries.customersWithoutOrdersOracle,
     "x_dedup_exact" -> DedupQueries.dedupExactOracle,
     "x_dedup_clusters" -> DedupQueries.dedupClustersOracle,
+    "x_dedup_cluster_sizes" -> DedupQueries.dedupClusterSizesOracle,
     "x_dedup_incremental" -> DedupQueries.dedupIncrementalOracle,
     "x_dedup_incremental_near" -> DedupQueries.dedupIncrementalNearOracle,
     "x_minhash_signatures" -> DedupQueries.minhashSignaturesOracle,

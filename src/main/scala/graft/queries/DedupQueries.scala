@@ -239,6 +239,44 @@ object DedupQueries {
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
   }
 
+  /** Dedup observability: the cluster-SIZE histogram of the near-dup
+    * clustering — (cluster_size, n_clusters, n_docs) — the one-glance
+    * readout of how much a dedup pass collapsed (a heavy tail here
+    * means boilerplate or a crawler loop, not organic duplication).
+    * Composes [[TextDedup.dedupClusters]]; two further keyed
+    * aggregations on the label table.
+    */
+  def dedupClusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusNear(spark, dir)
+    val pairs = TextDedup.minhashPairs(corpus, "doc_id", "text",
+      numPerms = 16, r = 2, jaccardThreshold = 0.5)
+    TextDedup.dedupClusters(corpus, "doc_id", pairs)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").cast(LongType).as("cluster_size"))
+      .agg(count(lit(1)).cast(LongType).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).cast(LongType).as("n_docs"))
+      .orderBy("cluster_size")
+  }
+
+  val dedupClusterSizesOracle: String = {
+    val ctes = minhashPairsCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")
+    s"""$ctes,
+       |good AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM good
+       |  UNION ALL SELECT id_b, id_a FROM good),
+       |reach(id, label) AS (
+       |  SELECT doc_id, doc_id FROM corpus
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+       |labels AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+       |sizes AS (SELECT cluster_id, count(*) AS sz FROM labels GROUP BY cluster_id)
+       |SELECT CAST(sz AS BIGINT) AS cluster_size,
+       |  CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(sz * count(*) AS BIGINT) AS n_docs
+       |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin
+  }
+
   // ---- SimHash fingerprints + near-dup pairs -----------------------
 
   def simhashFingerprints(spark: SparkSession, dir: String): DataFrame =
