@@ -66,6 +66,9 @@ object SparkEntry {
     "x_dedup_exact" -> (DedupQueries.dedupExact _),
     "x_dedup_clusters" -> (DedupQueries.dedupClusters _),
     "x_dedup_cluster_sizes" -> (DedupQueries.dedupClusterSizes _),
+    "x_dedup_leakage" -> (DedupQueries.dedupLeakage _),
+    "x_ppjoin_pairs" -> (DedupQueries.ppjoinPairs _),
+    "x_dedup_manifest" -> (DedupQueries.dedupManifest _),
     "x_dedup_incremental" -> (DedupQueries.dedupIncremental _),
     "x_dedup_incremental_near" -> (DedupQueries.dedupIncrementalNear _),
     "x_minhash_signatures" -> (DedupQueries.minhashSignatures _),
@@ -87,6 +90,11 @@ object SparkEntry {
     "x_shared_ngrams" -> (CorpusQueries.sharedNgrams _),
     "x_freq_score" -> (CorpusQueries.freqScore _),
     "x_top_terms" -> (CorpusQueries.topTerms _),
+    "x_cms_freq" -> (CorpusQueries.cmsFreq _),
+    "x_zorder_layout" -> (CorpusQueries.zorderLayout _),
+    "x_oov_rate" -> (CorpusQueries.oovRate _),
+    "x_corpus_diff" -> (CorpusQueries.corpusDiff _),
+    "x_length_deciles" -> (CorpusQueries.lengthDeciles _),
     "x_bloom_membership" -> (CorpusQueries.bloomMembership _),
     "x_corpus_shuffle" -> (CorpusQueries.corpusShuffle _),
     "x_para_dedup" -> (CorpusQueries.paraDedup _),
@@ -100,6 +108,7 @@ object SparkEntry {
     "x_tfidf_topk" -> (CurationQueries.tfidfTopk _),
     "x_curation_verdict" -> (CurationQueries.curationVerdict _),
     "x_keywords" -> (CurationQueries.keywords _),
+    "x_html_strip" -> (CurationQueries.htmlStrip _),
     "x_semdedup" -> (SimilarityQueries.semDedup _),
     // extensions: corpus analytics (round 6)
     "x_kmv_distinct" -> (AnalyticsQueries.kmvDistinct _),
@@ -144,6 +153,8 @@ object SparkEntry {
     "x_events_interval_overlap" -> (EventQueries.intervalOverlap _),
     "x_events_retention" -> (EventQueries.retention _),
     "x_events_funnel" -> (EventQueries.funnel _),
+    "x_events_paths" -> (EventQueries.eventPaths _),
+    "x_events_anomaly" -> (EventQueries.eventsAnomaly _),
     "x_multimodal_resize" -> (EventQueries.multimodalResize _),
     "x_events_tumbling" -> (EventQueries.tumbling _),
     "x_events_sliding" -> (EventQueries.sliding _),
@@ -265,6 +276,9 @@ object SparkEntry {
     "x_dedup_exact" -> DedupQueries.dedupExactOracle,
     "x_dedup_clusters" -> DedupQueries.dedupClustersOracle,
     "x_dedup_cluster_sizes" -> DedupQueries.dedupClusterSizesOracle,
+    "x_dedup_leakage" -> DedupQueries.dedupLeakageOracle,
+    "x_ppjoin_pairs" -> DedupQueries.ppjoinPairsOracle,
+    "x_dedup_manifest" -> DedupQueries.dedupManifestOracle,
     "x_dedup_incremental" -> DedupQueries.dedupIncrementalOracle,
     "x_dedup_incremental_near" -> DedupQueries.dedupIncrementalNearOracle,
     "x_minhash_signatures" -> DedupQueries.minhashSignaturesOracle,
@@ -286,6 +300,11 @@ object SparkEntry {
     "x_shared_ngrams" -> CorpusQueries.sharedNgramsOracle,
     "x_freq_score" -> CorpusQueries.freqScoreOracle,
     "x_top_terms" -> CorpusQueries.topTermsOracle,
+    "x_cms_freq" -> CorpusQueries.cmsFreqOracle,
+    "x_zorder_layout" -> CorpusQueries.zorderLayoutOracle,
+    "x_oov_rate" -> CorpusQueries.oovRateOracle,
+    "x_corpus_diff" -> CorpusQueries.corpusDiffOracle,
+    "x_length_deciles" -> CorpusQueries.lengthDecilesOracle,
     "x_bloom_membership" -> CorpusQueries.bloomMembershipOracle,
     "x_corpus_shuffle" -> CorpusQueries.corpusShuffleOracle,
     "x_para_dedup" -> CorpusQueries.paraDedupOracle,
@@ -298,6 +317,7 @@ object SparkEntry {
     "x_tfidf_topk" -> CurationQueries.tfidfTopkOracle,
     "x_curation_verdict" -> CurationQueries.curationVerdictOracle,
     "x_keywords" -> CurationQueries.keywordsOracle,
+    "x_html_strip" -> CurationQueries.htmlStripOracle,
     "x_semdedup" -> SimilarityQueries.semDedupOracle,
     "x_kmv_distinct" -> AnalyticsQueries.kmvDistinctOracle,
     "x_edit_verify" -> AnalyticsQueries.editVerifyOracle,
@@ -335,6 +355,8 @@ object SparkEntry {
     "x_events_interval_overlap" -> EventQueries.intervalOverlapOracle,
     "x_events_retention" -> EventQueries.retentionOracle,
     "x_events_funnel" -> EventQueries.funnelOracle,
+    "x_events_paths" -> EventQueries.eventPathsOracle,
+    "x_events_anomaly" -> EventQueries.eventsAnomalyOracle,
     "x_multimodal_resize" -> EventQueries.multimodalResizeOracle,
     "x_events_tumbling" -> EventQueries.tumblingOracle,
     "x_events_sliding" -> EventQueries.slidingOracle,

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Exact set-similarity join via prefix filtering (extension; SURVEY
+  * §2.10) — the PPJoin family (Xiao, Wang, Lin, Yu, "Efficient
+  * Similarity Joins for Near Duplicate Detection", WWW 2008; Chaudhuri,
+  * Ganti, Kaushik, "A Primitive Operator for Similarity Joins", ICDE
+  * 2006 — the SSJoin prefix-filter principle).
+  *
+  * Complement of [[TextDedup.minhashPairs]]: LSH banding is
+  * probabilistic (tunable recall, may MISS true pairs); prefix
+  * filtering is EXACT — it returns every pair with Jaccard >= t, no
+  * more, no less. The price is sensitivity to token-frequency skew
+  * (a prefix token shared by k sets expands k² candidates), which LSH's
+  * banded signatures bound by construction. A pipeline uses LSH for
+  * web-scale recall-tolerant dedup and the exact join where recall must
+  * be 1.0 (eval-set decontamination, legal takedown sweeps).
+  *
+  * Prefix-filter theorem: order every set by one GLOBAL total order of
+  * tokens and keep each set's first `p = n - ceil(t·n) + 1` tokens. Two
+  * sets with J >= t must overlap in >= 1 prefix token (if they shared
+  * none, their intersection <= matches outside either prefix
+  * <= min share of the suffixes < what J >= t requires). Candidates =
+  * the inverted-index self-join of prefixes; each candidate then
+  * verifies with the exact Jaccard. The global order here is ascending
+  * hash — valid for ANY fixed order; frequency-ascending order (the
+  * PPJoin refinement) would shrink candidates further at the cost of a
+  * frequency-table join on both engines.
+  *
+  * Threshold is a RATIONAL tNum/tDen so the prefix length and length
+  * filter are exact integer arithmetic on both engines (a double
+  * `ceil(0.5 * n)` invites ulp drift; `(n·tNum + tDen - 1) div tDen`
+  * cannot drift).
+  *
+  * Scale shape: one shuffle keyed by prefix token (the inverted
+  * index), candidate distinct, two id-keyed verification joins. The
+  * length filter `least·tDen >= greatest·tNum` prunes inside the token
+  * join. No cartesian anywhere.
+  */
+object SetJoin {
+
+  /** All pairs (id_a < id_b) with Jaccard(shingle-set a, shingle-set b)
+    * >= tNum/tDen. Output: (id_a, id_b, jaccard) with jaccard rounded
+    * to 6 dp (the same rounding every scored-pair operator here uses).
+    */
+  def ppjoinPairs(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 3, tNum: Long = 1, tDen: Long = 2): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold in (0, 1]")
+    val sets = df.select(col(idCol).cast(LongType).as("id"),
+        array_sort(TextDedup.shingleHashes(col(textCol), w)).as("sset"))
+      .withColumn("n", size(col("sset")).cast(LongType))
+      // p = n - ceil(t*n) + 1, exact integer ceil (`div`, never
+      // Column./ whose double division drifts past 2^53)
+      .withColumn("p", expr(s"n - ((n * $tNum + ${tDen - 1}) div $tDen) + 1"))
+    // the sets table feeds the inverted index AND two verification
+    // joins — materialize once, same pattern as minhashPairs
+    val mat = sets.localCheckpoint(true)
+    val prefix = mat.select(col("id"), col("n"),
+      explode(slice(col("sset"), lit(1), col("p").cast("int"))).as("tk"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.tk") === col("b.tk") && col("a.id") < col("b.id") &&
+          least(col("a.n"), col("b.n")) * tDen >=
+            greatest(col("a.n"), col("b.n")) * tNum)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(mat.select(col("id").as("id_a"), col("sset").as("sa")), Seq("id_a"))
+      .join(mat.select(col("id").as("id_b"), col("sset").as("sb")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast(LongType))
+      .withColumn("uni", size(col("sa")) + size(col("sb")) - col("inter"))
+      .filter(col("inter") * tDen >= col("uni") * tNum)
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") / col("uni").cast("double"), 6).as("jaccard"))
+  }
+
+  /** DuckDB oracle CTE chain ending in `pp_pairs(id_a, id_b, jaccard)`
+    * over a CTE `corpus(doc_id, text)` — the same prefix-filter
+    * algorithm, kept in lockstep with [[ppjoinPairs]].
+    */
+  def ppjoinSql(w: Int = 3, tNum: Long = 1, tDen: Long = 2): String = {
+    val t = graft.queries.DuckSql.tokens("text")
+    val sh = graft.queries.DuckSql.shinglesFromTokens(t, w)
+    val hashed = s"list_sort(list_distinct(list_transform($sh, x -> ${graft.queries.DuckSql.hash60("x")})))"
+    s"""pp_sets AS (SELECT doc_id AS id, $hashed AS sset,
+       |    CAST(len($hashed) AS BIGINT) AS n
+       |  FROM corpus),
+       |pp_pref AS (SELECT id, sset, n,
+       |    n - ((n * $tNum + ${tDen - 1}) // $tDen) + 1 AS p
+       |  FROM pp_sets),
+       |pp_tok AS (SELECT id, n, unnest(sset[1:p]) AS tk FROM pp_pref),
+       |pp_cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM pp_tok a JOIN pp_tok b
+       |    ON a.tk = b.tk AND a.id < b.id
+       |    AND least(a.n, b.n) * $tDen >= greatest(a.n, b.n) * $tNum),
+       |pp_pairs AS (SELECT id_a, id_b,
+       |    round(CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) /
+       |      (CAST(sa.n + sb.n - len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)), 6) AS jaccard
+       |  FROM pp_cand
+       |  JOIN pp_sets sa ON sa.id = pp_cand.id_a
+       |  JOIN pp_sets sb ON sb.id = pp_cand.id_b
+       |  WHERE len(list_intersect(sa.sset, sb.sset)) * $tDen >=
+       |    (sa.n + sb.n - len(list_intersect(sa.sset, sb.sset))) * $tNum)""".stripMargin
+  }
+}

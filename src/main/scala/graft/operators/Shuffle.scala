@@ -62,4 +62,35 @@ object Shuffle {
       .withColumn(posCol, (col("__offset") + row_number().over(within)).cast("long"))
       .drop("__bucket", "__h", "__offset")
   }
+
+  /** Attach `posCol` (1-based global rank) ordered by an arbitrary
+    * NON-NEGATIVE integer key of known bit width — the same
+    * bucket-decomposed rank as [[globalOrderIndex]] (which orders by a
+    * seeded hash), for keys the caller supplies directly (e.g. a
+    * Z-order value for data-layout sorting). `domainBits` bounds the
+    * key (< 2^domainBits); the top `bucketBits` of the key route rows
+    * to bounded rank buckets, so no window ever sees more than
+    * ~n/2^min(bucketBits, domainBits) rows.
+    */
+  def globalRankBy(
+      df: DataFrame, orderCol: String, domainBits: Int, tieBreak: String,
+      posCol: String = "pos", bucketBits: Int = 12): DataFrame = {
+    require(domainBits > 0 && domainBits <= 60, "domainBits in (0, 60]")
+    require(bucketBits > 0, "bucketBits > 0")
+    val shift = math.max(domainBits - bucketBits, 0)
+    // integer div (exact), not Column./ (double division)
+    val keyed = df.withColumn("__bucket", expr(s"`$orderCol` div ${1L << shift}"))
+    val offsets = keyed.groupBy("__bucket").count()
+      .limit(1 << math.min(bucketBits, domainBits))
+      .withColumn("__offset",
+        coalesce(sum(col("count")).over(
+          Window.orderBy("__bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bucket"), col("__offset"))
+    val within = Window.partitionBy("__bucket")
+      .orderBy(col(orderCol), col(tieBreak))
+    keyed.join(broadcast(offsets), "__bucket")
+      .withColumn(posCol, (col("__offset") + row_number().over(within)).cast("long"))
+      .drop("__bucket", "__offset")
+  }
 }

@@ -396,6 +396,206 @@ object CorpusQueries {
       .orderBy("lang", "term")
   }
 
+  /** Z-order data layout ([[graft.operators.ZOrder]]): quantize two
+    * dimensions (language hash-bucket, token-length bucket), interleave
+    * to a Morton key, globally rank by it with the bounded
+    * bucket-decomposed rank ([[Shuffle.globalRankBy]] — never a
+    * single-partition window), and chunk the order into 100-doc shards.
+    * Files written in shard order carry tight min/max footer stats on
+    * BOTH dimensions — the data-skipping layout step of a curated
+    * corpus writer.
+    */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        (PortableHash.hash60(col("lang")) % 1024).as("lang_dim"),
+        least(shiftright(graft.operators.TextStats.wsTokenCount(col("text")), 2),
+          lit(1023L)).as("len_dim"))
+      .withColumn("zval", graft.operators.ZOrder.zvalue(col("lang_dim"), col("len_dim"), 10))
+    Shuffle.globalRankBy(d, "zval", domainBits = 20, tieBreak = "doc_id",
+        posCol = "pos", bucketBits = 10)
+      .withColumn("shard", expr("(pos - 1) div 100"))
+      .select(col("doc_id"), col("lang_dim"), col("len_dim"), col("zval"),
+        col("shard"))
+      .orderBy("doc_id")
+  }
+
+  val zorderLayoutOracle: String = {
+    val ws = """CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT)"""
+    val z = graft.operators.ZOrder.zvalueSql("lang_dim", "len_dim", 10)
+    s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    CAST((${DuckSql.hash60("lang")}) % 1024 AS BIGINT) AS lang_dim,
+       |    least($ws >> 2, 1023) AS len_dim
+       |  FROM documents),
+       |z AS (SELECT doc_id, lang_dim, len_dim, $z AS zval FROM d),
+       |p AS (SELECT *, row_number() OVER (ORDER BY zval, doc_id) AS pos FROM z)
+       |SELECT doc_id, lang_dim, len_dim, zval,
+       |  CAST((pos - 1) // 100 AS BIGINT) AS shard
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
+  /** Per-language OOV rate against a top-200 in-language shingle
+    * vocabulary — the tokenizer-coverage readout that decides whether a
+    * vocab needs retraining before a corpus lands. The vocabulary is a
+    * per-language rank window over the (bounded, vocabulary-sized)
+    * count table; the per-doc scan broadcast-joins it. ppm via exact
+    * integer division.
+    */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("lang"),
+        explode(TextDedup.shingles(col("text"), 3)).as("term"))
+    val counts = sh.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("term"))
+    val vocab = counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 200)
+      .select(col("lang"), col("term"), lit(true).as("in_vocab"))
+    sh.join(broadcast(vocab), Seq("lang", "term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_shingles"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).cast(LongType).as("n_oov"))
+      .withColumn("oov_ppm", expr("(1000000 * n_oov) div n_shingles"))
+      .orderBy("doc_id")
+  }
+
+  val oovRateOracle: String = {
+    val sh = DuckSql.shinglesFromTokens(DuckSql.tokens("text"), 3)
+    s"""WITH sh AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       |    unnest($sh) AS term
+       |  FROM documents),
+       |counts AS (SELECT lang, term, count(*) AS n FROM sh GROUP BY lang, term),
+       |vocab AS (SELECT lang, term FROM (
+       |    SELECT lang, term,
+       |      row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rk
+       |    FROM counts) WHERE rk <= 200)
+       |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  (1000000 * CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT))
+       |    // count(*) AS oov_ppm
+       |FROM sh LEFT JOIN vocab v ON v.lang = sh.lang AND v.term = sh.term
+       |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Corpus snapshot diff: content-hash compare of two simulated
+    * snapshots (docs `% 11 = 3` arrive later → added; `% 9 = 0` dropped
+    * → removed; `% 6 = 0` get their text edited → changed), emitting
+    * only the delta rows. The corpus-versioning primitive behind
+    * incremental retraining decisions — one full-outer hash join on the
+    * doc key, nothing corpus-sized held driver-side.
+    */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("text"))
+    val oldSnap = d.filter(col("doc_id") % 11 =!= 3)
+      .select(col("doc_id"), PortableHash.hash60(col("text")).as("old_hash"))
+    val newSnap = d.filter(col("doc_id") % 9 =!= 0)
+      .select(col("doc_id"),
+        PortableHash.hash60(
+          when(col("doc_id") % 6 === 0, concat(col("text"), lit(" updated")))
+            .otherwise(col("text"))).as("new_hash"))
+    oldSnap.join(newSnap, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_hash").isNull, "added")
+          .when(col("new_hash").isNull, "removed")
+          .when(col("old_hash") =!= col("new_hash"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("status") =!= "unchanged")
+      .select(col("doc_id"), col("status"), col("old_hash"), col("new_hash"))
+      .orderBy("doc_id")
+  }
+
+  val corpusDiffOracle: String = {
+    val oldH = DuckSql.hash60("text")
+    val newH = DuckSql.hash60(
+      "CASE WHEN doc_id % 6 = 0 THEN text || ' updated' ELSE text END")
+    s"""WITH o AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, $oldH AS old_hash
+       |  FROM documents WHERE doc_id % 11 <> 3),
+       |n AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, $newH AS new_hash
+       |  FROM documents WHERE doc_id % 9 <> 0),
+       |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, old_hash, new_hash,
+       |    CASE WHEN o.doc_id IS NULL THEN 'added'
+       |         WHEN n.doc_id IS NULL THEN 'removed'
+       |         WHEN old_hash <> new_hash THEN 'changed'
+       |         ELSE 'unchanged' END AS status
+       |  FROM o FULL JOIN n ON o.doc_id = n.doc_id)
+       |SELECT doc_id, status, old_hash, new_hash FROM j
+       |WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin
+  }
+
+  /** Per-language token-length deciles (equal-frequency histogram via
+    * `ntile(10)` partitioned by language — both engines share ntile's
+    * earlier-buckets-get-the-remainder definition) — the
+    * distribution-shape readout feeding length-balanced sampling.
+    */
+  def lengthDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("lang"),
+        graft.operators.TextStats.wsTokenCount(col("text")).as("ws"))
+    val w = Window.partitionBy("lang").orderBy(col("ws"), col("doc_id"))
+    d.withColumn("decile", ntile(10).over(w).cast(LongType))
+      .groupBy(col("lang"), col("decile"))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        min(col("ws")).cast(LongType).as("min_tokens"),
+        max(col("ws")).cast(LongType).as("max_tokens"))
+      .orderBy("lang", "decile")
+  }
+
+  val lengthDecilesOracle: String = {
+    val ws = """CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT)"""
+    s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, $ws AS ws
+       |  FROM documents),
+       |t AS (SELECT lang, ws,
+       |    CAST(ntile(10) OVER (PARTITION BY lang ORDER BY ws, doc_id) AS BIGINT) AS decile
+       |  FROM d)
+       |SELECT lang, decile, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(min(ws) AS BIGINT) AS min_tokens,
+       |  CAST(max(ws) AS BIGINT) AS max_tokens
+       |FROM t GROUP BY lang, decile ORDER BY lang, decile""".stripMargin
+  }
+
+  /** Count-Min frequency estimation over 3-token shingles
+    * ([[graft.operators.CountMin]]): build the 4×512 sketch from the
+    * full shingle vocabulary, then point-query every shingle with true
+    * count >= 5 and report the (guaranteed non-negative) overcount.
+    * ~16k+ distinct shingles into 2k cells forces real collisions, so
+    * the estimates are non-trivial — and still hash-exact, because the
+    * bucket hash is the portable md5 family on both engines.
+    *
+    * Scale shape: the vocabulary aggregation is map-side combined; the
+    * sketch build collapses to <= depth×width rows; probing
+    * broadcast-joins the constant-size sketch. Nothing here grows with
+    * corpus size except the one term-keyed shuffle.
+    */
+  def cmsFreq(spark: SparkSession, dir: String): DataFrame = {
+    val counts = DedupQueries.docs(spark, dir)
+      .select(explode(TextDedup.shingles(col("text"), 3)).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).cast(LongType).as("n"))
+    val sk = graft.operators.CountMin.sketch(counts, "term", "n")
+    val probes = counts.filter(col("n") >= 5)
+      .select(col("term"), col("n").as("true_count"))
+    graft.operators.CountMin.estimate(sk, probes, "term")
+      .select(col("term"), col("true_count"), col("cms_estimate"),
+        (col("cms_estimate") - col("true_count")).cast(LongType).as("overcount"))
+      .orderBy("term")
+  }
+
+  val cmsFreqOracle: String = {
+    val sh = DuckSql.shinglesFromTokens(DuckSql.tokens("text"), 3)
+    val bucket = graft.operators.CountMin.bucketSql("j.j", "term", 512)
+    s"""WITH tk AS (SELECT unnest($sh) AS term FROM documents),
+       |counts AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY term),
+       |cells AS (SELECT term, n, j.j AS rw, $bucket AS bucket
+       |  FROM counts CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j),
+       |sketch AS (SELECT rw, bucket, CAST(sum(n) AS BIGINT) AS cell_count
+       |  FROM cells GROUP BY rw, bucket),
+       |est AS (SELECT c.term, c.n AS true_count, min(s.cell_count) AS cms_estimate
+       |  FROM cells c JOIN sketch s ON s.rw = c.rw AND s.bucket = c.bucket
+       |  WHERE c.n >= 5 GROUP BY c.term, c.n)
+       |SELECT term, true_count, CAST(cms_estimate AS BIGINT) AS cms_estimate,
+       |  CAST(cms_estimate - true_count AS BIGINT) AS overcount
+       |FROM est ORDER BY term""".stripMargin
+  }
+
   val epochShardsOracle: String = {
     val h = DuckSql.hash60Seeded("7", "CAST(doc_id AS VARCHAR)")
     s"""WITH pos AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,

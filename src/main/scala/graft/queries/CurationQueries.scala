@@ -304,4 +304,45 @@ object CurationQueries {
        |SELECT q_id, rank, c_id AS neighbor_id, cosine
        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
+
+  // ---- HTML/markup stripping ---------------------------------------
+
+  /** Markup stripping ([[graft.operators.Markup]]): every 4th doc is
+    * wrapped in planted HTML (tags, a script block, `&amp;`/`&lt;`
+    * entities — the synthetic corpus has none), then the stripper
+    * recovers clean text and counts the tags it removed. Planting is
+    * part of the query on both engines, same pattern as the planted
+    * dedup corpora. Narrow per-row regex compute, zero shuffles
+    * besides the output sort.
+    */
+  def htmlStrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Markup
+    val planted = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("<html><body><h1>Doc "), col("doc_id"),
+            lit("</h1><p>"), col("text"),
+            lit(" &amp; more &lt;tags&gt;</p><script>var x = 1;</script></body></html>")))
+          .otherwise(col("text")).as("raw"))
+    planted.select(col("doc_id"),
+        Markup.countTags(col("raw")).as("n_tags"),
+        (Markup.countTags(col("raw")) > 0).as("had_markup"),
+        Markup.stripHtml(col("raw")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  val htmlStripOracle: String = {
+    val strip = graft.operators.Markup.stripHtmlSql("raw")
+    val tags = s"len(regexp_extract_all(raw, '${graft.operators.Markup.TagRe}'))"
+    s"""WITH planted AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    CASE WHEN doc_id % 4 = 0
+       |      THEN '<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' ||
+       |        text || ' &amp; more &lt;tags&gt;</p><script>var x = 1;</script></body></html>'
+       |      ELSE text END AS raw
+       |  FROM documents)
+       |SELECT doc_id, CAST($tags AS BIGINT) AS n_tags,
+       |  $tags > 0 AS had_markup,
+       |  $strip AS clean_text
+       |FROM planted ORDER BY doc_id""".stripMargin
+  }
 }

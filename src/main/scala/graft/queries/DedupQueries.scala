@@ -41,7 +41,7 @@ object DedupQueries {
   /** documents ∪ near-dup copies (first two tokens dropped) of every
     * 10th doc.
     */
-  private[queries] def corpusNear(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def corpusNear(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id").cast(LongType), col("text"))
     val toks = Fts.tokens(Seq(col("text")))
     val perturbed = d.filter(col("doc_id") % 10 === 0)
@@ -275,6 +275,100 @@ object DedupQueries {
        |  CAST(count(*) AS BIGINT) AS n_clusters,
        |  CAST(sz * count(*) AS BIGINT) AS n_docs
        |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin
+  }
+
+  /** EXACT set-similarity join ([[graft.operators.SetJoin]], prefix
+    * filtering): every pair with shingle-Jaccard >= 1/2 over the
+    * near-dup-planted corpus — recall 1.0 by theorem, vs the LSH
+    * pairs' banded approximation. Same output shape as
+    * [[minhashPairs]] so the two families are directly comparable.
+    */
+  def ppjoinPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SetJoin.ppjoinPairs(corpusNear(spark, dir), "doc_id", "text")
+      .orderBy("id_a", "id_b")
+
+  val ppjoinPairsOracle: String =
+    s"""WITH corpus AS ($corpusNearSql),
+       |${graft.operators.SetJoin.ppjoinSql()}
+       |SELECT id_a, id_b, jaccard FROM pp_pairs ORDER BY id_a, id_b""".stripMargin
+
+  /** Cross-source duplicate leakage matrix: near-dup pairs classified
+    * by the (source, source) edge they connect — original docs keep
+    * their `source`, planted near-dups get `"planted"`. The readout
+    * that tells a curation team WHICH crawls/dumps are duplicating each
+    * other (and how much eval-set material leaks between them).
+    * Canonicalized with least/greatest so the matrix is triangular.
+    *
+    * Scale: the (doc_id, source) side is corpus-sized, so it is NOT
+    * broadcast — two hash joins keyed on the pair ids, then a tiny
+    * grouped count.
+    */
+  def dedupLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val srcs = d.select(col("doc_id").cast(LongType).as("id"), col("source"))
+      .unionAll(d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("id"), lit("planted").as("source")))
+    val pairs = TextDedup.minhashPairs(corpusNear(spark, dir), "doc_id", "text",
+      numPerms = 16, r = 2, jaccardThreshold = 0.5)
+    pairs
+      .join(srcs.select(col("id").as("id_a"), col("source").as("src_a")), Seq("id_a"))
+      .join(srcs.select(col("id").as("id_b"), col("source").as("src_b")), Seq("id_b"))
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).cast(LongType).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val dedupLeakageOracle: String =
+    s"""$minhashPairsCtes,
+       |srcs AS (SELECT CAST(doc_id AS BIGINT) AS id, source FROM documents
+       |  UNION ALL
+       |  SELECT CAST(doc_id + 1000000 AS BIGINT), 'planted' FROM documents
+       |  WHERE doc_id % 10 = 0),
+       |good AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5)
+       |SELECT least(a.source, b.source) AS source_a,
+       |  greatest(a.source, b.source) AS source_b,
+       |  CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM good JOIN srcs a ON a.id = good.id_a JOIN srcs b ON b.id = good.id_b
+       |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+
+  /** Dedup removal manifest: per keeper, the count and the sorted
+    * comma-joined list of removed doc ids — the provenance record a
+    * pipeline writes alongside a dedup pass so removals are auditable
+    * and reversible. Sorted NUMERICALLY before stringifying (a
+    * lexicographic sort of stringified ids would scramble cross-engine
+    * parity and human readability alike).
+    */
+  def dedupManifest(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusNear(spark, dir)
+    val pairs = TextDedup.minhashPairs(corpus, "doc_id", "text",
+      numPerms = 16, r = 2, jaccardThreshold = 0.5)
+    TextDedup.dedupClusters(corpus, "doc_id", pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .groupBy(col("cluster_id").as("keep_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_removed"),
+        array_join(transform(sort_array(collect_list(col("doc_id"))),
+          _.cast(StringType)), ",").as("removed_ids"))
+      .orderBy("keep_id")
+  }
+
+  val dedupManifestOracle: String = {
+    val ctes = minhashPairsCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")
+    s"""$ctes,
+       |good AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM good
+       |  UNION ALL SELECT id_b, id_a FROM good),
+       |reach(id, label) AS (
+       |  SELECT doc_id, doc_id FROM corpus
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+       |labels AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
+       |SELECT CAST(cluster_id AS BIGINT) AS keep_id,
+       |  CAST(count(*) AS BIGINT) AS n_removed,
+       |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS removed_ids
+       |FROM labels WHERE id <> cluster_id
+       |GROUP BY cluster_id ORDER BY keep_id""".stripMargin
   }
 
   // ---- SimHash fingerprints + near-dup pairs -----------------------

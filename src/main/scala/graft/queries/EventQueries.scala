@@ -350,6 +350,95 @@ object EventQueries {
       |  LEFT JOIN p USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** Trailing-window anomaly flags over the zero-filled hourly grid
+    * (same densification as [[denseHourly]] — honest trailing means
+    * need explicit zeros): an (event_type, hour) cell is anomalous when
+    * its count is at least 5 and more than 2× the trailing 24-hour
+    * mean, compared in exact integers (`12·n > Σ_prev24` ⟺
+    * `n > 2·mean`) so no cross-engine float drift. The rate-spike
+    * monitor a streaming ingest pipeline runs per source.
+    */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events(spark, dir)
+      .select(col("event_type"), expr("CAST(ts AS BIGINT) div 3600").as("hr"))
+    val bounds = e.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+    val axis = bounds.select(explode(sequence(col("lo"), col("hi"))).as("hr"))
+    val types = e.select("event_type").distinct()
+    val agg = e.groupBy("hr", "event_type")
+      .agg(count(lit(1)).cast(LongType).as("n"))
+    val grid = axis.crossJoin(types)
+      .join(agg, Seq("hr", "event_type"), "left")
+      .select(col("hr").cast(LongType).as("hr"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("hr")
+    grid
+      .withColumn("rn", row_number().over(w))
+      .withColumn("sum_prev24",
+        coalesce(sum(col("n_events")).over(w.rowsBetween(-24, -1)), lit(0L))
+          .cast(LongType))
+      .filter(col("rn") > 24 && col("n_events") >= 5 &&
+        col("n_events") * 12 > col("sum_prev24"))
+      .select(col("event_type"), col("hr"), col("n_events"), col("sum_prev24"))
+      .orderBy("event_type", "hr")
+  }
+
+  val eventsAnomalyOracle: String =
+    """WITH e AS (SELECT event_type, epoch_ms(ts) // 1000 // 3600 AS hr FROM events),
+      |bounds AS (SELECT min(hr) AS lo, max(hr) AS hi FROM e),
+      |axis AS (SELECT unnest(range(lo, hi + 1)) AS hr FROM bounds),
+      |types AS (SELECT DISTINCT event_type FROM e),
+      |agg AS (SELECT hr, event_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM e GROUP BY hr, event_type),
+      |grid AS (SELECT CAST(axis.hr AS BIGINT) AS hr, types.event_type,
+      |    coalesce(n, 0) AS n_events
+      |  FROM axis CROSS JOIN types
+      |  LEFT JOIN agg ON agg.hr = axis.hr AND agg.event_type = types.event_type),
+      |t AS (SELECT event_type, hr, n_events,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn,
+      |    CAST(coalesce(sum(n_events) OVER (PARTITION BY event_type ORDER BY hr
+      |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS sum_prev24
+      |  FROM grid)
+      |SELECT event_type, hr, n_events, sum_prev24 FROM t
+      |WHERE rn > 24 AND n_events >= 5 AND n_events * 12 > sum_prev24
+      |ORDER BY event_type, hr""".stripMargin
+
+  /** Behavioral path mining: per user, the ordered event-type stream
+    * yields sliding trigram paths (`view>click>purchase`), aggregated
+    * into global occurrence and distinct-user counts — the sequence
+    * summary behind funnel DISCOVERY (vs [[funnel]], which checks one
+    * known sequence). One user-partitioned window (never a global
+    * sort), then a path-keyed map-side-combined aggregation over
+    * O(|event types|³) distinct keys.
+    */
+  def eventPaths(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"),
+        col("user_id"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).cast(LongType).as("n_occurrences"),
+        countDistinct(col("user_id")).cast(LongType).as("n_users"))
+      .orderBy("path")
+  }
+
+  val eventPathsOracle: String =
+    """WITH s AS (SELECT user_id, event_type,
+      |    lead(event_type, 1) OVER w AS e2,
+      |    lead(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT event_type || '>' || e2 || '>' || e3 AS path,
+      |  CAST(count(*) AS BIGINT) AS n_occurrences,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM s WHERE e3 IS NOT NULL
+      |GROUP BY 1 ORDER BY path""".stripMargin
+
   /** Multimodal: documents wrapped as binary blobs, batch-decoded with
     * the (stub) decoder — byte length, md5, pseudo-dimensions.
     */

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Markup
+
+/** Markup stripping goldens: tag removal, script-block semantics
+  * (non-greedy, newline-spanning), entity decode order, whitespace
+  * collapse — pinned on literal inputs so regressions are obvious.
+  */
+class MarkupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def strip(s: String): String =
+    Seq(s).toDF("t").select(Markup.stripHtml(col("t"))).as[String].head()
+
+  private def tags(s: String): Long =
+    Seq(s).toDF("t").select(Markup.countTags(col("t"))).as[Long].head()
+
+  test("tags removed, text joined with collapsed whitespace") {
+    assert(strip("<p>Hello <b>world</b></p>") === "Hello world")
+    assert(strip("<div  class='x'>a</div> \n <span>b</span>") === "a b")
+  }
+
+  test("script blocks drop content too, non-greedily, across newlines") {
+    assert(strip("a <script>var x = 1;</script> b") === "a b")
+    // non-greedy: the text between two script blocks survives
+    assert(strip("<script>a</script>keep<script>b</script>") === "keep")
+    // (?s): a script body spanning lines still matches
+    assert(strip("x<script>\nline1\nline2\n</script>y") === "x y")
+    assert(strip("s<style>p { color: red }</style>e") === "s e")
+  }
+
+  test("entity decode: core five, &amp; LAST so &amp;lt; does not double-decode") {
+    assert(strip("a &amp; b") === "a & b")
+    assert(strip("&lt;tag&gt;") === "<tag>")
+    assert(strip("&quot;q&quot; &#39;s&#39;") === "\"q\" 's'")
+    assert(strip("&amp;lt;") === "&lt;")
+    assert(strip("a&nbsp;b") === "a b")
+  }
+
+  test("countTags counts raw tags including unclosed-pair halves") {
+    assert(tags("<p>x</p>") === 2L)
+    assert(tags("no markup here") === 0L)
+    assert(tags("<br/><hr/>") === 2L)
+  }
+
+  test("non-markup text passes through modulo whitespace normalization") {
+    assert(strip("  plain   text\twith\nspace  ") === "plain text with space")
+    assert(strip("math: 3 < 5 stays when not a tag shape") ===
+      "math: 3 < 5 stays when not a tag shape")
+  }
+}

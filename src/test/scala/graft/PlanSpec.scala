@@ -183,7 +183,8 @@ class PlanSpec extends SparkSpec {
       "x_collocations",                        // (b) 1-row scalar joins
       "x_dedup_recall",                        // two 1-row count scalars
       "x_keywords",                            // corpus-N scalar into idf
-      "x_events_dense_hourly")                 // bounded hour×type axis grid
+      "x_events_dense_hourly",                 // bounded hour×type axis grid
+      "x_events_anomaly")                      // same bounded axis grid
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, dir)

@@ -67,6 +67,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: streaming facts join a static dimension, batch-equal") {
+    val sfDir = "/root/testdata/sf0.001"
+    val cust = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val dir = Files.createTempDirectory("graft-enrich-stream").toString
+    orders.write.mode("overwrite").parquet(dir)
+    // static side of a stream-static join is re-readable per micro-batch
+    // and broadcast when small — the standard streaming dimension lookup
+    val q = spark.readStream.schema(orders.schema).parquet(dir)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("enrich_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_out").orderBy("c_mktsegment").collect().toSeq
+      val batch = orders.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+        .orderBy("c_mktsegment").collect().toSeq
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("streaming Count-Min sketch (complete mode) is bit-equal to the batch sketch") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, sfDir, "documents").select(col("lang"), col("text"))
+    val dir = Files.createTempDirectory("graft-cms-stream").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val termsOf = (df: org.apache.spark.sql.DataFrame) => df.select(col("lang"),
+      explode(graft.operators.Fts.tokens(Seq(col("text")))).as("term"))
+    val q = termsOf(spark.readStream.schema(docs.schema).parquet(dir))
+      .groupBy("lang")
+      .agg(graft.operators.CountMin.sketchAgg(col("term"), 4, 64).as("cells"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("cms_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("cms_out")
+        .orderBy("lang").collect().toSeq
+      // cell sums commute, so the streaming result is IDENTICAL to
+      // batch — the property HLL/MG sketches cannot offer
+      val batch = termsOf(docs)
+        .groupBy("lang")
+        .agg(graft.operators.CountMin.sketchAgg(col("term"), 4, 64).as("cells"))
+        .orderBy("lang").collect().toSeq
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization closes sessions on gap (flatMapGroupsWithState)") {
     import spark.implicits._
     import graft.streaming.EventWindows.{SessionEvent, SessionOut}

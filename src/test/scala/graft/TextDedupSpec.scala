@@ -231,6 +231,32 @@ class TextDedupSpec extends SparkSpec {
     assert(out === Set(20L))
   }
 
+  test("ppjoin is exact: equals brute-force ground truth and covers every LSH pair") {
+    import spark.implicits._
+    val corpus = graft.queries.DedupQueries
+      .corpusNear(spark, "/root/testdata/sf0.001")
+    val pp = graft.operators.SetJoin.ppjoinPairs(corpus, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // ground truth: brute-force all-pairs exact Jaccard on the same sets
+    // (fine at spec scale; the operator exists so this never runs at 100 TB)
+    val sets = corpus.select($"doc_id",
+        array_sort(TextDedup.shingleHashes($"text")).as("s"))
+      .as[(Long, Seq[Long])].collect()
+    val truth = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = sa.toSet.intersect(sb.toSet).size
+      uni = sa.size + sb.size - inter
+      if inter * 2 >= uni
+    } yield (ia, ib)).toSet
+    assert(pp === truth)
+    // recall 1.0 vs the probabilistic family: every LSH pair at the same
+    // threshold is also found by the exact join
+    val lsh = TextDedup.minhashPairs(corpus, "doc_id", "text",
+        numPerms = 16, r = 2, jaccardThreshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(pp), s"LSH found pairs the exact join missed: ${lsh -- pp}")
+  }
+
   test("simhash: equal for identical docs, close for near-dups (hamming)") {
     val sims = TextDedup.withSimhash(docs, "text").select($"doc_id", $"sim").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
