@@ -79,6 +79,7 @@ object SparkEntry {
     "x_split_assign" -> (DedupQueries.splitAssign _),
     "x_corpus_report" -> (DedupQueries.corpusReport _),
     "x_quality_sample" -> (DedupQueries.qualitySample _),
+    "x_quality_calibrated" -> (DedupQueries.qualityCalibrated _),
     "x_pack_assign" -> (DedupQueries.packAssign _),
     "x_redact_pii" -> (DedupQueries.redactPii _),
     "x_repetition" -> (DedupQueries.repetitionReport _),
@@ -95,6 +96,8 @@ object SparkEntry {
     "x_oov_rate" -> (CorpusQueries.oovRate _),
     "x_corpus_diff" -> (CorpusQueries.corpusDiff _),
     "x_length_deciles" -> (CorpusQueries.lengthDeciles _),
+    "x_url_filter" -> (CorpusQueries.urlFilter _),
+    "x_shard_skew" -> (CorpusQueries.shardSkew _),
     "x_bloom_membership" -> (CorpusQueries.bloomMembership _),
     "x_corpus_shuffle" -> (CorpusQueries.corpusShuffle _),
     "x_para_dedup" -> (CorpusQueries.paraDedup _),
@@ -155,6 +158,7 @@ object SparkEntry {
     "x_events_funnel" -> (EventQueries.funnel _),
     "x_events_paths" -> (EventQueries.eventPaths _),
     "x_events_anomaly" -> (EventQueries.eventsAnomaly _),
+    "x_events_transitions" -> (EventQueries.eventTransitions _),
     "x_multimodal_resize" -> (EventQueries.multimodalResize _),
     "x_events_tumbling" -> (EventQueries.tumbling _),
     "x_events_sliding" -> (EventQueries.sliding _),
@@ -289,6 +293,7 @@ object SparkEntry {
     "x_split_assign" -> DedupQueries.splitAssignOracle,
     "x_corpus_report" -> DedupQueries.corpusReportOracle,
     "x_quality_sample" -> DedupQueries.qualitySampleOracle,
+    "x_quality_calibrated" -> DedupQueries.qualityCalibratedOracle,
     "x_pack_assign" -> DedupQueries.packAssignOracle,
     "x_redact_pii" -> DedupQueries.redactPiiOracle,
     "x_repetition" -> DedupQueries.repetitionReportOracle,
@@ -305,6 +310,8 @@ object SparkEntry {
     "x_oov_rate" -> CorpusQueries.oovRateOracle,
     "x_corpus_diff" -> CorpusQueries.corpusDiffOracle,
     "x_length_deciles" -> CorpusQueries.lengthDecilesOracle,
+    "x_url_filter" -> CorpusQueries.urlFilterOracle,
+    "x_shard_skew" -> CorpusQueries.shardSkewOracle,
     "x_bloom_membership" -> CorpusQueries.bloomMembershipOracle,
     "x_corpus_shuffle" -> CorpusQueries.corpusShuffleOracle,
     "x_para_dedup" -> CorpusQueries.paraDedupOracle,
@@ -357,6 +364,7 @@ object SparkEntry {
     "x_events_funnel" -> EventQueries.funnelOracle,
     "x_events_paths" -> EventQueries.eventPathsOracle,
     "x_events_anomaly" -> EventQueries.eventsAnomalyOracle,
+    "x_events_transitions" -> EventQueries.eventTransitionsOracle,
     "x_multimodal_resize" -> EventQueries.multimodalResizeOracle,
     "x_events_tumbling" -> EventQueries.tumblingOracle,
     "x_events_sliding" -> EventQueries.slidingOracle,

@@ -553,6 +553,97 @@ object CorpusQueries {
        |FROM t GROUP BY lang, decile ORDER BY lang, decile""".stripMargin
   }
 
+  /** URL→registered-domain filtering: plant a deterministic URL on
+    * every 3rd doc (rotating over four domains, two of them
+    * blocklisted), extract the host, reduce it to the last-two-label
+    * registered domain, and flag blocklisted docs. Narrow per-row regex
+    * + an `isin` literal check — the honest shape for a handful of
+    * domains; a blocklist past broadcast size goes through
+    * [[graft.operators.Bloom]] instead (already built).
+    */
+  def urlFilter(spark: SparkSession, dir: String): DataFrame = {
+    val doms = Seq("spam.example", "ok-site.org", "adfarm.net", "news.example")
+    val domExpr = (0 until 4).foldRight(lit(""): org.apache.spark.sql.Column) { (i, acc) =>
+      when(col("doc_id") % 4 === i, lit(doms(i))).otherwise(acc)
+    }
+    val planted = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" see https://www."), domExpr,
+            lit("/p/"), col("doc_id")))
+          .otherwise(col("text")).as("text"))
+    planted
+      .withColumn("host", regexp_extract(col("text"), "https?://([^/\\s]+)", 1))
+      .withColumn("reg_domain",
+        when(col("host") === "", lit(""))
+          .otherwise(array_join(slice(split(col("host"), "\\."), -2, 2), ".")))
+      .withColumn("blocked", col("reg_domain").isin("spam.example", "adfarm.net"))
+      .select(col("doc_id"), col("reg_domain"), col("blocked"))
+      .orderBy("doc_id")
+  }
+
+  val urlFilterOracle: String =
+    """WITH planted AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN text || ' see https://www.' ||
+      |      CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'spam.example'
+      |        WHEN 1 THEN 'ok-site.org' WHEN 2 THEN 'adfarm.net'
+      |        ELSE 'news.example' END || '/p/' || CAST(doc_id AS VARCHAR)
+      |      ELSE text END AS text
+      |  FROM documents),
+      |h AS (SELECT doc_id, regexp_extract(text, 'https?://([^/\s]+)', 1) AS host
+      |  FROM planted),
+      |r AS (SELECT doc_id, host,
+      |    CASE WHEN host = '' THEN ''
+      |      ELSE array_to_string(string_split(host, '.')[-2:], '.') END AS reg_domain
+      |  FROM h)
+      |SELECT doc_id, reg_domain,
+      |  reg_domain IN ('spam.example', 'adfarm.net') AS blocked
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  /** Shard-skew report over the seeded-shuffle 100-doc shards (same
+    * assignment as [[epochShards]]): per shard, its byte load and its
+    * ppm share of ideal (1e6 = perfectly balanced) — the readout that
+    * tells a layout job whether shards need re-balancing before
+    * training reads them. The grand-total divisor is a 1-row scalar
+    * cross-joined in (constant-size at any corpus scale).
+    */
+  def shardSkew(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        col("n_chars").cast(LongType).as("bytes"))
+    val shards = Shuffle.globalOrderIndex(d, keyCol = "doc_id", seed = 7L,
+        tieBreak = "doc_id")
+      .withColumn("shard", expr("(shuffle_pos - 1) div 100"))
+      .groupBy("shard")
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(col("bytes")).cast(LongType).as("total_bytes"))
+    val totals = shards.agg(count(lit(1)).cast(LongType).as("n_shards"),
+      sum(col("total_bytes")).cast(LongType).as("grand_total"))
+    shards.crossJoin(broadcast(totals))
+      .withColumn("share_of_ideal_ppm",
+        expr("(1000000 * total_bytes * n_shards) div grand_total"))
+      .select(col("shard").cast(LongType).as("shard"), col("n_docs"),
+        col("total_bytes"), col("share_of_ideal_ppm"))
+      .orderBy("shard")
+  }
+
+  val shardSkewOracle: String = {
+    val h = DuckSql.hash60Seeded("7", "CAST(doc_id AS VARCHAR)")
+    s"""WITH pos AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    CAST(n_chars AS BIGINT) AS bytes,
+       |    CAST(row_number() OVER (ORDER BY $h, doc_id) AS BIGINT) AS shuffle_pos
+       |  FROM documents),
+       |shards AS (SELECT (shuffle_pos - 1) // 100 AS shard,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(bytes) AS BIGINT) AS total_bytes
+       |  FROM pos GROUP BY 1),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n_shards,
+       |    CAST(sum(total_bytes) AS BIGINT) AS grand_total FROM shards)
+       |SELECT CAST(shard AS BIGINT) AS shard, n_docs, total_bytes,
+       |  (1000000 * total_bytes * n_shards) // grand_total AS share_of_ideal_ppm
+       |FROM shards CROSS JOIN t ORDER BY shard""".stripMargin
+  }
+
   /** Count-Min frequency estimation over 3-token shingles
     * ([[graft.operators.CountMin]]): build the 4×512 sketch from the
     * full shingle vocabulary, then point-query every shingle with true

@@ -758,6 +758,56 @@ object DedupQueries {
        |ORDER BY lang, stratum_rank""".stripMargin
   }
 
+  /** Cross-lingual quality calibration: within each language, the
+    * quality score is replaced by its integer percent-rank in ppm
+    * (`(rank-1)·1e6 div (n-1)`; single-doc stratum pins to the
+    * midpoint) — so a "top-10%-German" doc and a "top-10%-French" doc
+    * carry the SAME calibrated score even when the raw distributions
+    * differ. The quantile-mapping step before any cross-language
+    * quality threshold. Windows partition by language; exact integer
+    * arithmetic end to end.
+    */
+  def qualityCalibrated(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("lang"),
+        TextStats.quality(col("text")).getField("quality_score").as("quality_score"))
+    val w = Window.partitionBy("lang").orderBy(col("quality_score"), col("doc_id"))
+    d.withColumn("rk", row_number().over(w).cast(LongType))
+      .withColumn("n_l", count(lit(1)).over(Window.partitionBy("lang")).cast(LongType))
+      .withColumn("pr_ppm",
+        when(col("n_l") === 1, 500000L)
+          .otherwise(expr("((rk - 1) * 1000000) div (n_l - 1)")))
+      .select(col("doc_id"), col("lang"), col("quality_score"), col("pr_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val qualityCalibratedOracle: String = {
+    val t = DuckSql.tokens("text")
+    val allStop = TextStats.stopwords.values.flatten.toSeq.distinct.sorted
+    s"""WITH t AS (SELECT doc_id, lang,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len($t) AS BIGINT) AS n_tokens,
+       |    CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT) AS alnum,
+       |    CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS spaces,
+       |    CAST(${DuckSql.hitCount(t, allStop)} AS BIGINT) AS stop_hits
+       |  FROM documents),
+       |q AS (SELECT doc_id, lang,
+       |    round(greatest(0.0, least(1.0,
+       |      0.5 * (CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens ELSE 0.0 END) +
+       |      0.1 * (CASE WHEN n_tokens > 0 THEN CAST(alnum AS DOUBLE) / n_tokens ELSE 0.0 END) -
+       |      (CASE WHEN n_chars > 0 THEN CAST(n_chars - alnum - spaces AS DOUBLE) / n_chars ELSE 0.0 END))), 6) AS quality_score
+       |  FROM t),
+       |r AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, quality_score,
+       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY quality_score, doc_id) AS BIGINT) AS rk,
+       |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_l
+       |  FROM q)
+       |SELECT doc_id, lang, quality_score,
+       |  CASE WHEN n_l = 1 THEN 500000
+       |       ELSE ((rk - 1) * 1000000) // (n_l - 1) END AS pr_ppm
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   /** Token-length distribution per language: exact continuous
     * percentiles (both engines implement the same R-7 linear
     * interpolation, so the doubles match on exact-integer inputs).

@@ -403,6 +403,41 @@ object EventQueries {
       |WHERE rn > 24 AND n_events >= 5 AND n_events * 12 > sum_prev24
       |ORDER BY event_type, hr""".stripMargin
 
+  /** Markov transition matrix over per-user event streams: bigram
+    * (from_type, to_type) counts plus integer-exact row-normalized
+    * transition probabilities in ppm — the one-step companion of
+    * [[eventPaths]]' trigrams. The row-total window runs over the
+    * ALREADY-AGGREGATED |types|² table, never the event stream.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).cast(LongType).as("n"))
+      .withColumn("row_total",
+        sum(col("n")).over(Window.partitionBy("from_type")).cast(LongType))
+      .withColumn("p_ppm", expr("(1000000 * n) div row_total"))
+      .select(col("from_type"), col("to_type"), col("n"), col("p_ppm"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val eventTransitionsOracle: String =
+    """WITH s AS (SELECT user_id, event_type,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |b AS (SELECT event_type AS from_type, next_type AS to_type,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_type, to_type, n,
+      |    CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_total
+      |  FROM b)
+      |SELECT from_type, to_type, n, (1000000 * n) // row_total AS p_ppm
+      |FROM t ORDER BY from_type, to_type""".stripMargin
+
   /** Behavioral path mining: per user, the ordered event-type stream
     * yields sliding trigram paths (`view>click>purchase`), aggregated
     * into global occurrence and distinct-user counts — the sequence
