@@ -152,6 +152,7 @@ object SparkEntry {
     "x_ann_ivf_trained" -> (SimilarityQueries.annIvfTrained _),
     // extensions: event-time windows + multimodal plumbing
     "x_events_asof" -> (EventQueries.asofJoin _),
+    "x_events_asof_nearest" -> (EventQueries.asofNearest _),
     "x_events_range_join" -> (EventQueries.rangeJoin _),
     "x_events_interval_overlap" -> (EventQueries.intervalOverlap _),
     "x_events_retention" -> (EventQueries.retention _),
@@ -165,6 +166,7 @@ object SparkEntry {
     "x_events_sessions" -> (EventQueries.sessions _),
     "x_multimodal_decode" -> (EventQueries.multimodalDecode _),
     "x_multimodal_frames" -> (EventQueries.multimodalFrames _),
+    "x_multimodal_patches" -> (EventQueries.multimodalPatches _),
     "x_multimodal_embed_topk" -> (EventQueries.multimodalEmbedTopK _),
   )
 
@@ -358,6 +360,7 @@ object SparkEntry {
     "x_kmeans_clusters" -> SimilarityQueries.kmeansClustersOracle,
     "x_ann_ivf_trained" -> SimilarityQueries.annIvfTrainedOracle,
     "x_events_asof" -> EventQueries.asofJoinOracle,
+    "x_events_asof_nearest" -> EventQueries.asofNearestOracle,
     "x_events_range_join" -> EventQueries.rangeJoinOracle,
     "x_events_interval_overlap" -> EventQueries.intervalOverlapOracle,
     "x_events_retention" -> EventQueries.retentionOracle,
@@ -371,6 +374,7 @@ object SparkEntry {
     "x_events_sessions" -> EventQueries.sessionsOracle,
     "x_multimodal_decode" -> EventQueries.multimodalDecodeOracle,
     "x_multimodal_frames" -> EventQueries.multimodalFramesOracle,
+    "x_multimodal_patches" -> EventQueries.multimodalPatchesOracle,
     "x_multimodal_embed_topk" -> EventQueries.multimodalEmbedTopKOracle,
   )
 }

@@ -48,4 +48,61 @@ object AsOf {
       .filter(col("__side") === 0)
       .select(col("__l.*"), col("__match").as(asofCol))
   }
+
+  /** NEAREST-event join: for each left row, the right row with the same
+    * key whose time is CLOSEST in either direction, within `tolerance`
+    * time units — the sensor/log alignment variant of [[joinPrior]]
+    * (backward-only). Ties in |delta| prefer the backward match (state
+    * already known beats state from the future). `tCol` must be an
+    * integer time column (e.g. epoch micros) on BOTH inputs so every
+    * delta comparison is exact; `right` must be unique per (key, t) —
+    * pre-dedup with a window if it isn't, or matches at duplicated
+    * instants are nondeterministic.
+    *
+    * Same scale shape as [[joinPrior]]: one union, ONE shuffle on the
+    * key, two windowed passes (ascending for the backward candidate,
+    * descending for the forward one) — never a |L|×|R| range join.
+    * Output: left columns + `nearestCol` struct (t + payload, NULL when
+    * nothing lands within tolerance).
+    */
+  def joinNearest(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tCol: String,
+      payloadCols: Seq[String], tolerance: Long,
+      nearestCol: String = "nearest"): DataFrame = {
+    val r = right.select(col(keyCol).as("__k"), col(tCol).cast("long").as("__ts"),
+      struct(payloadCols.map(col): _*).as("__p"))
+    val l = left.select(col(keyCol).as("__k"), col(tCol).cast("long").as("__ts"),
+      struct(left.columns.map(col): _*).as("__l"))
+    // right rows tag 0 so they sort BEFORE left at equal t in BOTH
+    // passes: a same-instant right row is a valid delta-0 match
+    val u = l.select(col("__k"), col("__ts"), lit(1).as("__side"),
+        col("__l"), lit(null).cast(r.schema("__p").dataType).as("__p"))
+      .unionByName(r.select(col("__k"), col("__ts"), lit(0).as("__side"),
+        lit(null).cast(l.schema("__l").dataType).as("__l"), col("__p")))
+      .withColumn("__cand",
+        when(col("__side") === 0,
+          struct(col("__ts").as("t"), col("__p").as("p"))))
+    val wb = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts").desc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val back = last(col("__cand"), ignoreNulls = true).over(wb)
+    val fwd = last(col("__cand"), ignoreNulls = true).over(wf)
+    u.withColumn("__b", back).withColumn("__f", fwd)
+      .filter(col("__side") === 1)
+      .withColumn("__db", col("__ts") - col("__b.t"))
+      .withColumn("__df", col("__f.t") - col("__ts"))
+      .withColumn("__chosen",
+        when(col("__b").isNull && col("__f").isNull, lit(null))
+          .when(col("__f").isNull, col("__b"))
+          .when(col("__b").isNull, col("__f"))
+          .when(col("__db") <= col("__df"), col("__b"))
+          .otherwise(col("__f")))
+      .withColumn(nearestCol,
+        when(abs(col("__chosen.t") - col("__ts")) <= tolerance, col("__chosen")))
+      .select(col("__l.*"), col(nearestCol))
+  }
 }

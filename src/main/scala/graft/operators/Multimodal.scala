@@ -128,6 +128,30 @@ object Multimodal {
     blobs.mapPartitions(_.map(StubDecoder.decode))(enc)
   }
 
+  /** ViT-style patch grid over decoded images: cover the (stub-decoded)
+    * width×height with `patch`×`patch` tiles in row-major order; edge
+    * tiles are clipped to the image bounds. Pure integer geometry on
+    * top of [[decodeAll]] — one explode per image, no shuffle; the
+    * pixel extraction itself is the same stub boundary as the decoder
+    * (a real pipeline slices the decoded buffer per emitted
+    * coordinate).
+    */
+  def patchGrid(blobs: Dataset[MediaBlob], patch: Long): DataFrame = {
+    require(patch > 0, "patch > 0")
+    decodeAll(blobs).toDF()
+      .select(col("media_id"), col("width"), col("height"))
+      .withColumn("nx", expr(s"(width + ${patch - 1}) div $patch"))
+      .withColumn("ny", expr(s"(height + ${patch - 1}) div $patch"))
+      .withColumn("patch_no",
+        explode(sequence(lit(0L), col("nx") * col("ny") - 1)))
+      .withColumn("px", (col("patch_no") % col("nx")) * patch)
+      .withColumn("py", expr(s"(patch_no div nx) * $patch"))
+      .select(col("media_id"), col("patch_no").cast(LongType).as("patch_no"),
+        col("px").cast(LongType).as("px"), col("py").cast(LongType).as("py"),
+        least(lit(patch), col("width") - col("px")).cast(LongType).as("patch_w"),
+        least(lit(patch), col("height") - col("py")).cast(LongType).as("patch_h"))
+  }
+
   /** Frame sampling for "video" blobs: every `stride` bytes yields a
     * frame offset (stand-in for keyframe extraction); output is one row
     * per sampled frame with the frame's byte offset.

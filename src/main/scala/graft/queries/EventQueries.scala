@@ -187,6 +187,68 @@ object EventQueries {
       |FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND p.ts > e.ts
       |ORDER BY purchase_id""".stripMargin
 
+  /** NEAREST-event as-of variant ([[AsOf.joinNearest]]): every purchase
+    * annotated with the closest error event of the same user in EITHER
+    * direction, within a 1-hour tolerance; |delta| ties prefer the
+    * backward match. Times compared as epoch MICROS longs (exact).
+    * Errors are pre-deduped to one per (user, instant) — the
+    * determinism contract of the operator. The oracle composes DuckDB's
+    * native ASOF JOIN twice (backward, and forward via negated time) —
+    * again two independent implementations of the same semantics.
+    */
+  def asofNearest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus"))
+    val w = Window.partitionBy("user_id", "tus").orderBy(col("event_id").desc)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    AsOf.joinNearest(purchases, errors, "user_id", "tus",
+        payloadCols = Seq("event_id", "value"), tolerance = 3600000000L)
+      .select(col("event_id").cast(LongType).as("purchase_id"),
+        col("user_id").cast(LongType).as("user_id"),
+        coalesce(col("nearest.p.event_id").cast(LongType), lit(-1L)).as("error_id"),
+        coalesce(col("nearest.t") - col("tus"), lit(0L)).cast(LongType).as("delta_us"),
+        coalesce(col("nearest.p.value"), lit(0.0d)).as("error_value"))
+      .orderBy("purchase_id")
+  }
+
+  val asofNearestOracle: String =
+    """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
+      |  WHERE event_type = 'purchase'),
+      |e0 AS (SELECT user_id, epoch_us(ts) AS tus, event_id, value FROM events
+      |  WHERE event_type = 'error'),
+      |e AS (SELECT user_id, tus, event_id, value FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, tus
+      |      ORDER BY event_id DESC) AS rn FROM e0) WHERE rn = 1),
+      |b AS (SELECT p.event_id AS pid, e.tus AS bt, e.event_id AS bid, e.value AS bv
+      |  FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND p.tus >= e.tus),
+      |f AS (SELECT p.event_id AS pid, -en.ntus AS ft, en.event_id AS fid, en.value AS fv
+      |  FROM p ASOF LEFT JOIN (SELECT user_id, -tus AS ntus, event_id, value FROM e) en
+      |    ON p.user_id = en.user_id AND -p.tus >= en.ntus),
+      |j AS (SELECT p.event_id, p.user_id, p.tus, bt, bid, bv, ft, fid, fv
+      |  FROM p JOIN b ON b.pid = p.event_id JOIN f ON f.pid = p.event_id),
+      |c AS (SELECT event_id, user_id, tus,
+      |    CASE WHEN bt IS NOT NULL AND (ft IS NULL OR (tus - bt) <= (ft - tus))
+      |      THEN bt ELSE ft END AS ct,
+      |    CASE WHEN bt IS NOT NULL AND (ft IS NULL OR (tus - bt) <= (ft - tus))
+      |      THEN bid ELSE fid END AS cid,
+      |    CASE WHEN bt IS NOT NULL AND (ft IS NULL OR (tus - bt) <= (ft - tus))
+      |      THEN bv ELSE fv END AS cv
+      |  FROM j)
+      |SELECT CAST(event_id AS BIGINT) AS purchase_id,
+      |  CAST(user_id AS BIGINT) AS user_id,
+      |  CASE WHEN ct IS NOT NULL AND abs(ct - tus) <= 3600000000
+      |    THEN CAST(cid AS BIGINT) ELSE -1 END AS error_id,
+      |  CASE WHEN ct IS NOT NULL AND abs(ct - tus) <= 3600000000
+      |    THEN CAST(ct - tus AS BIGINT) ELSE 0 END AS delta_us,
+      |  CASE WHEN ct IS NOT NULL AND abs(ct - tus) <= 3600000000
+      |    THEN cv ELSE 0.0 END AS error_value
+      |FROM c ORDER BY purchase_id""".stripMargin
+
   /** Point-in-interval (range) join: activity windows = [first event,
     * +2h) of the 20 busiest users; every event (any user) landing in a
     * window is aggregated per window. [[graft.operators.RangeJoin]] for
@@ -527,6 +589,37 @@ object EventQueries {
        |  CAST(dh * 1000000 // ht AS BIGINT) AS scale_y_ppm,
        |  md5(md5_hex || ':' || CAST(dw AS VARCHAR) || 'x' || CAST(dh AS VARCHAR)) AS resized_md5
        |FROM g ORDER BY media_id""".stripMargin
+  }
+
+  /** Multimodal: ViT-style 128×128 patch grids over every 10th image —
+    * the tokenization step between decode and a vision encoder. Exact
+    * integer geometry (clipped edge tiles) over the stub decoder's
+    * pseudo-dimensions.
+    */
+  def multimodalPatches(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+    val blobs = Multimodal.asBlobs(docs, "doc_id", "text", "image")
+    Multimodal.patchGrid(blobs, patch = 128L)
+      .orderBy("media_id", "patch_no")
+  }
+
+  val multimodalPatchesOracle: String = {
+    val h = DuckSql.hash60("text")
+    s"""WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+       |    CAST(16 + $h % 2032 AS BIGINT) AS w,
+       |    CAST(16 + ($h // 2048) % 2032 AS BIGINT) AS ht
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |g AS (SELECT media_id, w, ht,
+       |    (w + 127) // 128 AS nx, (ht + 127) // 128 AS ny FROM m),
+       |e AS (SELECT media_id, w, ht, nx,
+       |    unnest(range(0, nx * ny)) AS patch_no FROM g)
+       |SELECT media_id, CAST(patch_no AS BIGINT) AS patch_no,
+       |  CAST((patch_no % nx) * 128 AS BIGINT) AS px,
+       |  CAST((patch_no // nx) * 128 AS BIGINT) AS py,
+       |  CAST(least(128, w - (patch_no % nx) * 128) AS BIGINT) AS patch_w,
+       |  CAST(least(128, ht - (patch_no // nx) * 128) AS BIGINT) AS patch_h
+       |FROM e ORDER BY media_id, patch_no""".stripMargin
   }
 
   /** Multimodal: frame sampling over "video" blobs (every 100 bytes). */

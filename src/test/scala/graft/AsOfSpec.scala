@@ -59,6 +59,37 @@ class AsOfSpec extends SparkSpec {
     assert(expected.values.exists(_.isDefined) && expected.values.exists(_.isEmpty))
   }
 
+  test("joinNearest: closest match either direction, ties backward, tolerance-gated") {
+    val left = Seq(
+      (1L, 10L, "a"),  // back@8 (d2) vs fwd@13 (d3) -> back
+      (1L, 11L, "b"),  // back@8 (d3) vs fwd@13 (d2) -> fwd
+      (1L, 8L, "c"),   // exact instant -> delta 0 (backward)
+      (1L, 100L, "d"), // nearest is 13, delta 87 > tol 50 -> null
+      (2L, 5L, "e")    // no right rows for key
+    ).toDF("user_id", "t", "tag")
+    val right = Seq((1L, 8L, 80.0), (1L, 13L, 130.0)).toDF("user_id", "t", "value")
+    val out = AsOf.joinNearest(left, right, "user_id", "t", Seq("value"),
+        tolerance = 50L)
+      .select($"tag", $"nearest.t".as("rt"), $"nearest.p.value".as("rv"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2)))))
+      .toMap
+    assert(out("a") === Some((8L, 80.0)))
+    assert(out("b") === Some((13L, 130.0)))
+    assert(out("c") === Some((8L, 80.0)))
+    assert(out("d") === None)
+    assert(out("e") === None)
+  }
+
+  test("joinNearest: equidistant |delta| prefers the backward match") {
+    val left = Seq((1L, 10L, "mid")).toDF("k", "t", "tag")
+    val right = Seq((1L, 7L, 1.0), (1L, 13L, 2.0)).toDF("k", "t", "value")
+    val out = AsOf.joinNearest(left, right, "k", "t", Seq("value"), 100L)
+      .select($"nearest.t", $"nearest.p.value").as[(Long, Double)].head()
+    assert(out === ((7L, 1.0)))
+  }
+
   test("joinPrior preserves every left column and row count") {
     val left = Seq((1L, 2L, "x", 9), (1L, 3L, "y", 8)).toDF("k", "ts", "s", "n")
     val right = Seq((1L, 1L, 7.0)).toDF("k", "ts", "v")
