@@ -98,6 +98,7 @@ object SparkEntry {
     "x_length_deciles" -> (CorpusQueries.lengthDeciles _),
     "x_url_filter" -> (CorpusQueries.urlFilter _),
     "x_shard_skew" -> (CorpusQueries.shardSkew _),
+    "x_token_mass_median" -> (CorpusQueries.tokenMassMedian _),
     "x_bloom_membership" -> (CorpusQueries.bloomMembership _),
     "x_corpus_shuffle" -> (CorpusQueries.corpusShuffle _),
     "x_para_dedup" -> (CorpusQueries.paraDedup _),
@@ -112,6 +113,7 @@ object SparkEntry {
     "x_curation_verdict" -> (CurationQueries.curationVerdict _),
     "x_keywords" -> (CurationQueries.keywords _),
     "x_html_strip" -> (CurationQueries.htmlStrip _),
+    "x_curation_by_source" -> (CurationQueries.curationBySource _),
     "x_semdedup" -> (SimilarityQueries.semDedup _),
     // extensions: corpus analytics (round 6)
     "x_kmv_distinct" -> (AnalyticsQueries.kmvDistinct _),
@@ -314,6 +316,7 @@ object SparkEntry {
     "x_length_deciles" -> CorpusQueries.lengthDecilesOracle,
     "x_url_filter" -> CorpusQueries.urlFilterOracle,
     "x_shard_skew" -> CorpusQueries.shardSkewOracle,
+    "x_token_mass_median" -> CorpusQueries.tokenMassMedianOracle,
     "x_bloom_membership" -> CorpusQueries.bloomMembershipOracle,
     "x_corpus_shuffle" -> CorpusQueries.corpusShuffleOracle,
     "x_para_dedup" -> CorpusQueries.paraDedupOracle,
@@ -327,6 +330,7 @@ object SparkEntry {
     "x_curation_verdict" -> CurationQueries.curationVerdictOracle,
     "x_keywords" -> CurationQueries.keywordsOracle,
     "x_html_strip" -> CurationQueries.htmlStripOracle,
+    "x_curation_by_source" -> CurationQueries.curationBySourceOracle,
     "x_semdedup" -> SimilarityQueries.semDedupOracle,
     "x_kmv_distinct" -> AnalyticsQueries.kmvDistinctOracle,
     "x_edit_verify" -> AnalyticsQueries.editVerifyOracle,

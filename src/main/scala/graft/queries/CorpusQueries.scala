@@ -396,6 +396,46 @@ object CorpusQueries {
       .orderBy("lang", "term")
   }
 
+  /** Token-mass median length per language: the document length L such
+    * that docs of at most L tokens hold at least HALF the language's
+    * total tokens — the budget-centric median (a plain doc-count median
+    * says where the documents are; this says where the TOKENS are,
+    * which is what a training budget consumes). Per-language cumsum
+    * window + a broadcast per-language total; `2·cum >= tot` in exact
+    * integers.
+    */
+  def tokenMassMedian(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("lang"),
+        graft.operators.TextStats.wsTokenCount(col("text")).as("ws"))
+    val w = Window.partitionBy("lang").orderBy(col("ws"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = d.withColumn("cum", sum(col("ws")).over(w).cast(LongType))
+    val tot = d.groupBy("lang").agg(sum(col("ws")).cast(LongType).as("total_tokens"))
+    cum.join(broadcast(tot), "lang")
+      .filter(col("cum") * 2 >= col("total_tokens"))
+      .groupBy(col("lang"))
+      .agg(min(col("ws")).cast(LongType).as("token_mass_median_len"),
+        min(col("total_tokens")).cast(LongType).as("total_tokens"))
+      .orderBy("lang")
+  }
+
+  val tokenMassMedianOracle: String = {
+    val ws = """CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT)"""
+    s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, $ws AS ws
+       |  FROM documents),
+       |c AS (SELECT lang, ws,
+       |    CAST(sum(ws) OVER (PARTITION BY lang ORDER BY ws, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM d),
+       |t AS (SELECT lang, CAST(sum(ws) AS BIGINT) AS total_tokens FROM d GROUP BY lang)
+       |SELECT c.lang AS lang, CAST(min(ws) AS BIGINT) AS token_mass_median_len,
+       |  CAST(min(total_tokens) AS BIGINT) AS total_tokens
+       |FROM c JOIN t ON t.lang = c.lang
+       |WHERE cum * 2 >= total_tokens
+       |GROUP BY c.lang ORDER BY c.lang""".stripMargin
+  }
+
   /** Z-order data layout ([[graft.operators.ZOrder]]): quantize two
     * dimensions (language hash-bucket, token-length bucket), interleave
     * to a Morton key, globally rank by it with the bounded

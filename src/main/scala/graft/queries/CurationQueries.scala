@@ -305,6 +305,68 @@ object CurationQueries {
        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Per-source curation funnel: the [[curationVerdict]] gate bits
+    * rolled up by source — docs in, docs kept, and per-gate failure
+    * counts. The report a pipeline operator reads to decide which
+    * upstream dump is rotting. Same one-scan bit computation, one
+    * grouped aggregation on the (tiny) source key.
+    */
+  def curationBySource(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    val d = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("source"), col("text"))
+    d.withColumn("g", GopherFilter.flags(col("text")))
+      .withColumn("sh2", TextDedup.shingles(col("text"), 2))
+      .withColumn("sh3", TextDedup.shingles(col("text"), 3))
+      .withColumn("t2", size(col("sh2")).cast(LongType))
+      .withColumn("d2", size(array_distinct(col("sh2"))).cast(LongType))
+      .withColumn("t3", size(col("sh3")).cast(LongType))
+      .withColumn("d3", size(array_distinct(col("sh3"))).cast(LongType))
+      .withColumn("bit_gopher", (col("g.pass") === 0).cast(LongType))
+      .withColumn("bit_dup2", ((col("t2") - col("d2")) * 5 > col("t2")).cast(LongType))
+      .withColumn("bit_dup3", ((col("t3") - col("d3")) * 20 > col("t3") * 3).cast(LongType))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum((col("bit_gopher") + col("bit_dup2") + col("bit_dup3") === 0)
+          .cast(LongType)).cast(LongType).as("n_keep"),
+        sum(col("bit_gopher")).cast(LongType).as("n_fail_gopher"),
+        sum(col("bit_dup2")).cast(LongType).as("n_fail_dup2"),
+        sum(col("bit_dup3")).cast(LongType).as("n_fail_dup3"))
+      .orderBy("source")
+  }
+
+  val curationBySourceOracle: String = {
+    val t = DuckSql.tokens("text")
+    val hits = DuckSql.hitCount("tk", GopherFilter.requiredStopwords)
+    val sh2 = DuckSql.shinglesFromTokens("tk", 2)
+    val sh3 = DuckSql.shinglesFromTokens("tk", 3)
+    s"""WITH base AS (SELECT source, $t AS tk FROM documents),
+       |c AS (SELECT source,
+       |    CAST(len(tk) AS BIGINT) AS n_words,
+       |    CAST(coalesce(list_sum(list_transform(tk, x -> length(x))), 0) AS BIGINT) AS sum_word_len,
+       |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha_words,
+       |    CAST($hits AS BIGINT) AS stop_hits,
+       |    CAST(len($sh2) AS BIGINT) AS t2,
+       |    CAST(len(list_distinct($sh2)) AS BIGINT) AS d2,
+       |    CAST(len($sh3) AS BIGINT) AS t3,
+       |    CAST(len(list_distinct($sh3)) AS BIGINT) AS d3
+       |  FROM base),
+       |f AS (SELECT source,
+       |    CASE WHEN n_words >= 50 AND n_words <= 100000
+       |      AND n_words > 0 AND sum_word_len >= n_words * 3 AND sum_word_len <= n_words * 10
+       |      AND n_alpha_words * 5 >= n_words * 4
+       |      AND stop_hits >= 2 THEN 0 ELSE 1 END AS bit_gopher,
+       |    CASE WHEN (t2 - d2) * 5 > t2 THEN 1 ELSE 0 END AS bit_dup2,
+       |    CASE WHEN (t3 - d3) * 20 > t3 * 3 THEN 1 ELSE 0 END AS bit_dup3
+       |  FROM c)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN bit_gopher + bit_dup2 + bit_dup3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |  CAST(sum(bit_gopher) AS BIGINT) AS n_fail_gopher,
+       |  CAST(sum(bit_dup2) AS BIGINT) AS n_fail_dup2,
+       |  CAST(sum(bit_dup3) AS BIGINT) AS n_fail_dup3
+       |FROM f GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // ---- HTML/markup stripping ---------------------------------------
 
   /** Markup stripping ([[graft.operators.Markup]]): every 4th doc is

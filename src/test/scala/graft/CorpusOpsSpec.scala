@@ -350,6 +350,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept === Set(11L, 22L, 33L))
   }
 
+  test("chunking round-trip: stride == chunkTokens reassembles the tokenized text") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id".cast("long").as("doc_id"), $"text")
+    val reassembled = graft.operators.Chunk
+      .chunkDocs(docs, "doc_id", "text", chunkTokens = 64, stride = 64)
+      .groupBy("doc_id")
+      .agg(concat_ws(" ",
+        array_compact(transform(
+          array_sort(collect_list(struct($"chunk_no", $"chunk_text"))),
+          s => when(s("chunk_text") =!= "", s("chunk_text"))))).as("rebuilt"))
+    val original = docs.select($"doc_id",
+      concat_ws(" ", graft.operators.Fts.tokens(Seq($"text"))).as("toks"))
+    val mismatches = reassembled.join(original, "doc_id")
+      .filter($"rebuilt" =!= $"toks").count()
+    assert(mismatches === 0L)
+  }
+
   test("Bloom prefilter prunes: non-members mostly rejected before the join") {
     val bf = Bloom.buildLong(Seq(1L, 2L, 3L).toDF("k"), "k",
       expectedItems = 1000L, fpp = 0.001)
