@@ -292,6 +292,52 @@ object DedupQueries {
        |${graft.operators.SetJoin.ppjoinSql()}
        |SELECT id_a, id_b, jaccard FROM pp_pairs ORDER BY id_a, id_b""".stripMargin
 
+  /** Measured LSH recall against exact ground truth: the banded MinHash
+    * pairs ([[TextDedup.minhashPairs]]) scored against the
+    * prefix-filter join's complete answer ([[graft.operators.SetJoin]])
+    * on the same corpus at the same threshold — the metrology that
+    * turns "LSH is probabilistic" into a NUMBER a pipeline can gate on
+    * (vs [[graft.queries.AnalyticsQueries]]'s planted-pair audit, which
+    * measures recovery of known clones only). Full-outer join of the
+    * two pair sets + ONE aggregation — no driver-side counting, no
+    * scalar cross joins.
+    */
+  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusNear(spark, dir)
+    val exact = graft.operators.SetJoin.ppjoinPairs(corpus, "doc_id", "text")
+      .select(col("id_a"), col("id_b"), lit(1L).as("in_exact"))
+    val lsh = TextDedup.minhashPairs(corpus, "doc_id", "text",
+        numPerms = 16, r = 2, jaccardThreshold = 0.5)
+      .select(col("id_a"), col("id_b"), lit(1L).as("in_lsh"))
+    exact.join(lsh, Seq("id_a", "id_b"), "full_outer")
+      .agg(sum(coalesce(col("in_exact"), lit(0L))).cast(LongType).as("n_exact"),
+        sum(coalesce(col("in_lsh"), lit(0L))).cast(LongType).as("n_lsh"),
+        sum(coalesce(col("in_exact"), lit(0L)) * coalesce(col("in_lsh"), lit(0L)))
+          .cast(LongType).as("n_common"))
+      .select(col("n_exact"), col("n_lsh"), col("n_common"),
+        expr("(1000000 * n_common) div n_exact").as("recall_ppm"))
+  }
+
+  val lshRecallOracle: String = {
+    val pp = graft.operators.SetJoin.ppjoinSql()
+    // minhashPairsCtes already begins with "WITH corpus AS (...)" — append
+    // the prefix-filter chain to the same WITH list
+    s"""$minhashPairsCtes,
+       |$pp,
+       |lsh AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
+       |ex AS (SELECT id_a, id_b FROM pp_pairs),
+       |u AS (SELECT coalesce(ex.id_a, lsh.id_a) AS id_a,
+       |    CASE WHEN ex.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_exact,
+       |    CASE WHEN lsh.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_lsh
+       |  FROM ex FULL JOIN lsh ON ex.id_a = lsh.id_a AND ex.id_b = lsh.id_b)
+       |SELECT CAST(sum(in_exact) AS BIGINT) AS n_exact,
+       |  CAST(sum(in_lsh) AS BIGINT) AS n_lsh,
+       |  CAST(sum(in_exact * in_lsh) AS BIGINT) AS n_common,
+       |  (1000000 * CAST(sum(in_exact * in_lsh) AS BIGINT))
+       |    // CAST(sum(in_exact) AS BIGINT) AS recall_ppm
+       |FROM u""".stripMargin
+  }
+
   /** Cross-source duplicate leakage matrix: near-dup pairs classified
     * by the (source, source) edge they connect — original docs keep
     * their `source`, planted near-dups get `"planted"`. The readout

@@ -67,6 +67,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked windowed Count-Min sketch equals the batch per-window cells") {
+    val sfDir = "/root/testdata/sf0.001"
+    val ev = Tables.load(spark, sfDir, "events").select(col("ts"), col("event_type"))
+    val dir = Files.createTempDirectory("graft-cms-win").toString
+    ev.write.mode("overwrite").parquet(dir)
+    // per-window frequency sketches: the state a streaming ingest keeps
+    // to answer "how often did term X occur in window W" after the raw
+    // events are gone — watermark bounds the open-window state
+    val q = spark.readStream.schema(ev.schema).parquet(dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(graft.operators.CountMin.sketchAgg(col("event_type"), 2, 32).as("cells"))
+      .select(col("window.start").as("ws"), col("cells"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("cms_win").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("cms_win").orderBy("ws").collect().toSeq
+      val batch = ev
+        .groupBy(window(col("ts"), "6 hours"))
+        .agg(graft.operators.CountMin.sketchAgg(col("event_type"), 2, 32).as("cells"))
+        .select(col("window.start").as("ws"), col("cells"))
+        .orderBy("ws").collect().toSeq
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment: streaming facts join a static dimension, batch-equal") {
     val sfDir = "/root/testdata/sf0.001"
     val cust = Tables.load(spark, sfDir, "customer")
