@@ -25,10 +25,14 @@ import org.apache.spark.sql.types.LongType
   * none, their intersection <= matches outside either prefix
   * <= min share of the suffixes < what J >= t requires). Candidates =
   * the inverted-index self-join of prefixes; each candidate then
-  * verifies with the exact Jaccard. The global order here is ascending
-  * hash — valid for ANY fixed order; frequency-ascending order (the
-  * PPJoin refinement) would shrink candidates further at the cost of a
-  * frequency-table join on both engines.
+  * verifies with the exact Jaccard. The global order is
+  * FREQUENCY-ASCENDING (df, then hash) — the PPJoin refinement: every
+  * prefix holds its set's RAREST tokens, so the candidate volume
+  * Σ df_prefix² collapses compared to an arbitrary order (a token
+  * shared by k sets expands k² candidates — you want k small exactly
+  * where tokens land in prefixes). Any fixed total order is CORRECT;
+  * this one is the fast one, and the two df-table shuffles it costs are
+  * vocabulary-sized.
   *
   * Threshold is a RATIONAL tNum/tDen so the prefix length and length
   * filter are exact integer arithmetic on both engines (a double
@@ -49,8 +53,18 @@ object SetJoin {
   def ppjoinPairs(df: DataFrame, idCol: String, textCol: String,
       w: Int = 3, tNum: Long = 1, tDen: Long = 2): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold in (0, 1]")
-    val sets = df.select(col(idCol).cast(LongType).as("id"),
-        array_sort(TextDedup.shingleHashes(col(textCol), w)).as("sset"))
+    val raw = df.select(col(idCol).cast(LongType).as("id"),
+      TextDedup.shingleHashes(col(textCol), w).as("sset"))
+    // global (df, hash) token order: explode once, count sets per
+    // token (map-side combined), regroup each set sorted rare-first.
+    // Struct array_sort is lexicographic (df, then h) — a total order
+    // because h is distinct within a set.
+    val ex = raw.select(col("id"), explode(col("sset")).as("h"))
+    val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    val sets = ex.join(dfreq, "h")
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("df"), col("h")))),
+        s => s("h")).as("sset"))
       .withColumn("n", size(col("sset")).cast(LongType))
       // p = n - ceil(t*n) + 1, exact integer ceil (`div`, never
       // Column./ whose double division drifts past 2^53)
@@ -84,9 +98,12 @@ object SetJoin {
     val t = graft.queries.DuckSql.tokens("text")
     val sh = graft.queries.DuckSql.shinglesFromTokens(t, w)
     val hashed = s"list_sort(list_distinct(list_transform($sh, x -> ${graft.queries.DuckSql.hash60("x")})))"
-    s"""pp_sets AS (SELECT doc_id AS id, $hashed AS sset,
-       |    CAST(len($hashed) AS BIGINT) AS n
-       |  FROM corpus),
+    s"""pp_raw AS (SELECT doc_id AS id, $hashed AS sset0 FROM corpus),
+       |pp_ex AS (SELECT id, unnest(sset0) AS h FROM pp_raw),
+       |pp_df AS (SELECT h, count(*) AS df FROM pp_ex GROUP BY h),
+       |pp_sets AS (SELECT id, list(h ORDER BY df, h) AS sset,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM pp_ex JOIN pp_df USING (h) GROUP BY id),
        |pp_pref AS (SELECT id, sset, n,
        |    n - ((n * $tNum + ${tDen - 1}) // $tDen) + 1 AS p
        |  FROM pp_sets),

@@ -206,6 +206,18 @@ class PlanSpec extends SparkSpec {
     assert(failures.isEmpty, "scale-killer plans:\n" + failures.mkString("\n"))
   }
 
+  test("CMS probe broadcast-joins the constant-size sketch; corpus side stays partitioned") {
+    val df = graft.queries.CorpusQueries.cmsFreq(spark, dir)
+    val hinted = forcedBroadcastSubtrees(df)
+    assert(hinted.nonEmpty, "the sketch side must carry the broadcast hint")
+    // the sketch subtree is the depth×width aggregate — never the raw
+    // probe/corpus scan
+    for (sub <- hinted)
+      assert(sub.contains("cell_count"), "only the sketch may be broadcast:\n" + sub)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("as-of join is one hash exchange — no range join, no nested loop") {
     import org.apache.spark.sql.functions.col
     val ev = graft.Tables.load(spark, dir, "events")
