@@ -148,6 +148,7 @@ object SparkEntry {
     // extensions: similarity search (embeddings)
     "x_ann_topk" -> (SimilarityQueries.annTopK _),
     "x_ann_ivf" -> (SimilarityQueries.annIvf _),
+    "x_ann_recall" -> (SimilarityQueries.annRecall _),
     "x_ann_lsh" -> (SimilarityQueries.annLsh _),
     "x_embed_neardups" -> (SimilarityQueries.embedNearDups _),
     "x_embed_centroids" -> (SimilarityQueries.embedCentroids _),
@@ -163,6 +164,7 @@ object SparkEntry {
     "x_events_paths" -> (EventQueries.eventPaths _),
     "x_events_anomaly" -> (EventQueries.eventsAnomaly _),
     "x_events_transitions" -> (EventQueries.eventTransitions _),
+    "x_join_skew_report" -> (EventQueries.joinSkewReport _),
     "x_multimodal_resize" -> (EventQueries.multimodalResize _),
     "x_events_tumbling" -> (EventQueries.tumbling _),
     "x_events_sliding" -> (EventQueries.sliding _),
@@ -360,6 +362,7 @@ object SparkEntry {
     "x_fingerprints" -> DedupQueries.fingerprintsOracle,
     "x_ann_topk" -> SimilarityQueries.annTopKOracle,
     "x_ann_ivf" -> SimilarityQueries.annIvfOracle,
+    "x_ann_recall" -> SimilarityQueries.annRecallOracle,
     "x_ann_lsh" -> SimilarityQueries.annLshOracle,
     "x_embed_neardups" -> SimilarityQueries.embedNearDupsOracle,
     "x_embed_centroids" -> SimilarityQueries.embedCentroidsOracle,
@@ -374,6 +377,7 @@ object SparkEntry {
     "x_events_paths" -> EventQueries.eventPathsOracle,
     "x_events_anomaly" -> EventQueries.eventsAnomalyOracle,
     "x_events_transitions" -> EventQueries.eventTransitionsOracle,
+    "x_join_skew_report" -> EventQueries.joinSkewReportOracle,
     "x_multimodal_resize" -> EventQueries.multimodalResizeOracle,
     "x_events_tumbling" -> EventQueries.tumblingOracle,
     "x_events_sliding" -> EventQueries.slidingOracle,

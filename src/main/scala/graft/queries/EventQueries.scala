@@ -465,6 +465,39 @@ object EventQueries {
       |WHERE rn > 24 AND n_events >= 5 AND n_events * 12 > sum_prev24
       |ORDER BY event_type, hr""".stripMargin
 
+  /** Join-key skew diagnostic for `events.user_id` — the pre-flight
+    * readout that decides whether a key needs salting
+    * ([[graft.operators.Scale]]) before a shuffle lands on it: key
+    * cardinality, per-key row-count order statistics, and the heaviest
+    * key's share of all rows in exact ppm. One keyed aggregation (the
+    * thing being diagnosed) + one scalar-sized summary.
+    */
+  def joinSkewReport(spark: SparkSession, dir: String): DataFrame = {
+    val perKey = events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).cast(LongType).as("c"))
+    perKey.agg(
+        count(lit(1)).cast(LongType).as("n_keys"),
+        sum(col("c")).cast(LongType).as("n_rows"),
+        min(col("c")).cast(LongType).as("min_per_key"),
+        round(percentile(col("c"), lit(0.5)), 6).as("p50_per_key"),
+        round(percentile(col("c"), lit(0.99)), 6).as("p99_per_key"),
+        max(col("c")).cast(LongType).as("max_per_key"))
+      .withColumn("top_key_share_ppm",
+        expr("(1000000 * max_per_key) div n_rows"))
+  }
+
+  val joinSkewReportOracle: String =
+    """WITH k AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY user_id)
+      |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+      |  CAST(sum(c) AS BIGINT) AS n_rows,
+      |  CAST(min(c) AS BIGINT) AS min_per_key,
+      |  round(quantile_cont(c, 0.5), 6) AS p50_per_key,
+      |  round(quantile_cont(c, 0.99), 6) AS p99_per_key,
+      |  CAST(max(c) AS BIGINT) AS max_per_key,
+      |  (1000000 * CAST(max(c) AS BIGINT)) // CAST(sum(c) AS BIGINT) AS top_key_share_ppm
+      |FROM k""".stripMargin
+
   /** Markov transition matrix over per-user event streams: bigram
     * (from_type, to_type) counts plus integer-exact row-normalized
     * transition probabilities in ppm — the one-step companion of

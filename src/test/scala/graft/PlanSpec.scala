@@ -176,6 +176,7 @@ class PlanSpec extends SparkSpec {
     // Everything else must stay hash/broadcast-hash/sort-merge.
     val bnljByDesign = Set(
       "x_ann_topk", "x_multimodal_embed_topk", // (a) all-pairs scoring
+      "x_ann_recall",                          //     ground-truth side reuses (a)
       "x_fts_ranked", "x_temperature_sample",
       "x_freq_score", "x_embed_quantize",
       "x_mixture_sample",
