@@ -82,6 +82,7 @@ object SparkEntry {
     "x_quality_sample" -> (DedupQueries.qualitySample _),
     "x_quality_calibrated" -> (DedupQueries.qualityCalibrated _),
     "x_pack_assign" -> (DedupQueries.packAssign _),
+    "x_pack_sequences" -> (DedupQueries.packSequences _),
     "x_redact_pii" -> (DedupQueries.redactPii _),
     "x_repetition" -> (DedupQueries.repetitionReport _),
     "x_stratified_sample" -> (DedupQueries.stratifiedSample _),
@@ -303,6 +304,7 @@ object SparkEntry {
     "x_quality_sample" -> DedupQueries.qualitySampleOracle,
     "x_quality_calibrated" -> DedupQueries.qualityCalibratedOracle,
     "x_pack_assign" -> DedupQueries.packAssignOracle,
+    "x_pack_sequences" -> DedupQueries.packSequencesOracle,
     "x_redact_pii" -> DedupQueries.redactPiiOracle,
     "x_repetition" -> DedupQueries.repetitionReportOracle,
     "x_stratified_sample" -> DedupQueries.stratifiedSampleOracle,

@@ -587,6 +587,50 @@ object DedupQueries {
        |  CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS pack_no
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Packed-sequence CONSTRUCTION: the step after [[packAssign]] that
+    * actually materializes each 2048-token training sequence — docs of
+    * a (bucket, pack) concatenated in doc_id order with doc and token
+    * counts. The grouped concat runs per pack (bounded by the token
+    * budget), never over the corpus; order inside the string is pinned
+    * by sorting the collected (doc_id, text) structs, the exact twin of
+    * the oracle's `string_agg(... ORDER BY doc_id)`.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("text"),
+        graft.operators.Sampling.hashBucket(col("text"), 100).as("bucket"),
+        TextStats.bpeishTokenCount(col("text")).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w).cast(LongType))
+      .withColumn("pack_no", expr("(cum_tokens - n_tokens) div 2048").cast(LongType))
+      .groupBy(col("bucket"), col("pack_no"))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(col("n_tokens")).cast(LongType).as("pack_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          s => s("text")), " ").as("seq_text"))
+      .orderBy("bucket", "pack_no")
+  }
+
+  val packSequencesOracle: String =
+    s"""WITH b AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+       |    CAST((${DuckSql.hash60("text")}) % 100 AS BIGINT) AS bucket,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, text, bucket, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM b),
+       |p AS (SELECT doc_id, text, bucket, n_tokens,
+       |    CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS pack_no
+       |  FROM c)
+       |SELECT bucket, pack_no, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       |  string_agg(text, ' ' ORDER BY doc_id) AS seq_text
+       |FROM p GROUP BY bucket, pack_no ORDER BY bucket, pack_no""".stripMargin
+
   /** PII scrubbing: every 3rd doc gets a deterministic email + URL
     * appended (the synthetic corpus has none), then the scrubber
     * redacts and counts them. Both the planting and the redaction are
