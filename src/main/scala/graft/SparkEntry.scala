@@ -69,6 +69,7 @@ object SparkEntry {
     "x_dedup_leakage" -> (DedupQueries.dedupLeakage _),
     "x_ppjoin_pairs" -> (DedupQueries.ppjoinPairs _),
     "x_lsh_recall" -> (DedupQueries.lshRecall _),
+    "x_split_leakage" -> (DedupQueries.splitLeakage _),
     "x_dedup_manifest" -> (DedupQueries.dedupManifest _),
     "x_dedup_incremental" -> (DedupQueries.dedupIncremental _),
     "x_dedup_incremental_near" -> (DedupQueries.dedupIncrementalNear _),
@@ -291,6 +292,7 @@ object SparkEntry {
     "x_dedup_leakage" -> DedupQueries.dedupLeakageOracle,
     "x_ppjoin_pairs" -> DedupQueries.ppjoinPairsOracle,
     "x_lsh_recall" -> DedupQueries.lshRecallOracle,
+    "x_split_leakage" -> DedupQueries.splitLeakageOracle,
     "x_dedup_manifest" -> DedupQueries.dedupManifestOracle,
     "x_dedup_incremental" -> DedupQueries.dedupIncrementalOracle,
     "x_dedup_incremental_near" -> DedupQueries.dedupIncrementalNearOracle,

@@ -79,6 +79,8 @@ object CountMin {
     */
   def estimate(sk: DataFrame, probes: DataFrame, termCol: String,
       depth: Int = DefaultDepth, width: Int = DefaultWidth): DataFrame = {
+    require(!probes.columns.contains("cell") && !probes.columns.contains("cms_estimate"),
+      "probes must not carry reserved columns 'cell'/'cms_estimate'")
     val probeCols = probes.columns.map(col).toSeq
     probes
       .withColumn("cell", explode(cells(col(termCol), depth, width)))

@@ -292,6 +292,44 @@ object DedupQueries {
        |${graft.operators.SetJoin.ppjoinSql()}
        |SELECT id_a, id_b, jaccard FROM pp_pairs ORDER BY id_a, id_b""".stripMargin
 
+  /** Near-dup SPLIT LEAKAGE: near-duplicate pairs whose members landed
+    * in different train/validation/test splits — the contamination mode
+    * content-hash splitting cannot prevent (exact clones hash to the
+    * same bucket and stay together; near-dups hash apart and leak).
+    * One number to gate on: leaked pairs per million near-dup pairs.
+    * Dedup-before-split is the mitigation this readout justifies.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusNear(spark, dir)
+    val pairs = TextDedup.minhashPairs(corpus, "doc_id", "text",
+      numPerms = 16, r = 2, jaccardThreshold = 0.5)
+    val splits = corpus.select(col("doc_id"),
+      graft.operators.Sampling.splitLabel(
+        graft.operators.Sampling.hashBucket(col("text"), 1000), 90, 5).as("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("id_a"), col("split").as("split_a")), Seq("id_a"))
+      .join(splits.select(col("doc_id").as("id_b"), col("split").as("split_b")), Seq("id_b"))
+      .agg(count(lit(1)).cast(LongType).as("n_pairs"),
+        sum((col("split_a") =!= col("split_b")).cast(LongType))
+          .cast(LongType).as("n_cross_split"))
+      .withColumn("leak_ppm", expr("(1000000 * n_cross_split) div n_pairs"))
+  }
+
+  val splitLeakageOracle: String =
+    s"""$minhashPairsCtes,
+       |splits AS (SELECT doc_id, CASE
+       |    WHEN (${DuckSql.hash60("text")}) % 1000 < 900 THEN 'train'
+       |    WHEN (${DuckSql.hash60("text")}) % 1000 < 950 THEN 'validation'
+       |    ELSE 'test' END AS split
+       |  FROM corpus),
+       |good AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5)
+       |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_split,
+       |  (1000000 * CAST(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT))
+       |    // CAST(count(*) AS BIGINT) AS leak_ppm
+       |FROM good JOIN splits a ON a.doc_id = good.id_a
+       |JOIN splits b ON b.doc_id = good.id_b""".stripMargin
+
   /** Measured LSH recall against exact ground truth: the banded MinHash
     * pairs ([[TextDedup.minhashPairs]]) scored against the
     * prefix-filter join's complete answer ([[graft.operators.SetJoin]])
