@@ -70,6 +70,7 @@ object SparkEntry {
     "x_ppjoin_pairs" -> (DedupQueries.ppjoinPairs _),
     "x_lsh_recall" -> (DedupQueries.lshRecall _),
     "x_split_leakage" -> (DedupQueries.splitLeakage _),
+    "x_dedup_savings" -> (DedupQueries.dedupSavings _),
     "x_dedup_manifest" -> (DedupQueries.dedupManifest _),
     "x_dedup_incremental" -> (DedupQueries.dedupIncremental _),
     "x_dedup_incremental_near" -> (DedupQueries.dedupIncrementalNear _),
@@ -293,6 +294,7 @@ object SparkEntry {
     "x_ppjoin_pairs" -> DedupQueries.ppjoinPairsOracle,
     "x_lsh_recall" -> DedupQueries.lshRecallOracle,
     "x_split_leakage" -> DedupQueries.splitLeakageOracle,
+    "x_dedup_savings" -> DedupQueries.dedupSavingsOracle,
     "x_dedup_manifest" -> DedupQueries.dedupManifestOracle,
     "x_dedup_incremental" -> DedupQueries.dedupIncrementalOracle,
     "x_dedup_incremental_near" -> DedupQueries.dedupIncrementalNearOracle,

@@ -292,6 +292,58 @@ object DedupQueries {
        |${graft.operators.SetJoin.ppjoinSql()}
        |SELECT id_a, id_b, jaccard FROM pp_pairs ORDER BY id_a, id_b""".stripMargin
 
+  /** Dedup savings summary: after near-dup clustering, the docs and
+    * TOKENS the keeper policy removes, in exact ppm — the one-row
+    * cost/benefit readout that justifies (or kills) a dedup pass:
+    * training budgets are spent in tokens, so `tokens_saved_ppm` is the
+    * number that matters, not the doc count.
+    */
+  def dedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusNear(spark, dir)
+    val pairs = TextDedup.minhashPairs(corpus, "doc_id", "text",
+      numPerms = 16, r = 2, jaccardThreshold = 0.5)
+    val labels = TextDedup.dedupClusters(corpus, "doc_id", pairs)
+    val toks = corpus.select(col("doc_id"),
+      TextStats.wsTokenCount(col("text")).as("ws"))
+    labels.join(toks, "doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(col("ws")).cast(LongType).as("n_tokens"),
+        sum(when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L))
+          .cast(LongType).as("n_docs_kept"),
+        sum(when(col("doc_id") === col("cluster_id"), col("ws")).otherwise(0L))
+          .cast(LongType).as("n_tokens_kept"))
+      .withColumn("docs_saved_ppm",
+        expr("(1000000 * (n_docs - n_docs_kept)) div n_docs"))
+      .withColumn("tokens_saved_ppm",
+        expr("(1000000 * (n_tokens - n_tokens_kept)) div n_tokens"))
+  }
+
+  val dedupSavingsOracle: String = {
+    val ctes = minhashPairsCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")
+    val ws = """CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT)"""
+    s"""$ctes,
+       |good AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM good
+       |  UNION ALL SELECT id_b, id_a FROM good),
+       |reach(id, label) AS (
+       |  SELECT doc_id, doc_id FROM corpus
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+       |labels AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+       |toks AS (SELECT doc_id, $ws AS ws FROM corpus),
+       |j AS (SELECT labels.id, labels.cluster_id, toks.ws
+       |  FROM labels JOIN toks ON toks.doc_id = labels.id)
+       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(ws) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN id = cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+       |  CAST(sum(CASE WHEN id = cluster_id THEN ws ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+       |  (1000000 * (CAST(count(*) AS BIGINT) - CAST(sum(CASE WHEN id = cluster_id THEN 1 ELSE 0 END) AS BIGINT)))
+       |    // CAST(count(*) AS BIGINT) AS docs_saved_ppm,
+       |  (1000000 * (CAST(sum(ws) AS BIGINT) - CAST(sum(CASE WHEN id = cluster_id THEN ws ELSE 0 END) AS BIGINT)))
+       |    // CAST(sum(ws) AS BIGINT) AS tokens_saved_ppm
+       |FROM j""".stripMargin
+  }
+
   /** Near-dup SPLIT LEAKAGE: near-duplicate pairs whose members landed
     * in different train/validation/test splits — the contamination mode
     * content-hash splitting cannot prevent (exact clones hash to the
