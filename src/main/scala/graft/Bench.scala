@@ -84,7 +84,21 @@ object Bench {
     val anyFailed = results.exists(!_._3)
     val total =
       if (anyFailed) "null" else results.map(_._2).sum.toString
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // Persist the full JSON to disk too: the driver's stdout capture
+    // truncates long lines, which has been destroying per-query history
+    // (every BENCH_r*.json so far has parsed:null with a clipped tail).
+    // bench.json = latest run; BENCH_HISTORY.jsonl = append-only log.
+    try {
+      import java.nio.file.{Files, Paths, StandardOpenOption => O}
+      import java.nio.charset.StandardCharsets.UTF_8
+      Files.write(Paths.get("bench.json"), (line + "\n").getBytes(UTF_8))
+      val stamped = s"""{"ts_ms":${System.currentTimeMillis()},""" + line.drop(1) + "\n"
+      Files.write(Paths.get("BENCH_HISTORY.jsonl"), stamped.getBytes(UTF_8),
+        O.CREATE, O.APPEND)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not persist bench.json: ${e.getMessage}") }
     spark.stop()
   }
 }

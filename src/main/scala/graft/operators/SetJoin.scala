@@ -49,17 +49,52 @@ object SetJoin {
   /** All pairs (id_a < id_b) with Jaccard(shingle-set a, shingle-set b)
     * >= tNum/tDen. Output: (id_a, id_b, jaccard) with jaccard rounded
     * to 6 dp (the same rounding every scored-pair operator here uses).
+    *
+    * Skew guard (exactness-preserving): before prefix filtering, docs
+    * with IDENTICAL shingle sets collapse to one representative. The
+    * degenerate corpus — n byte-identical docs, every token at df=n —
+    * previously expanded ~n²/2 candidates per prefix token; collapsed,
+    * it is ONE group and zero prefix candidates. Within-group pairs are
+    * emitted directly (identical non-empty sets have Jaccard exactly 1,
+    * which passes every valid threshold t <= 1; identical EMPTY sets
+    * share no prefix token and so, in parity with prefix filtering,
+    * never pair). Cross-group pairs come from the prefix join over
+    * representatives and re-expand through the membership table —
+    * output-sized work only. Token df is counted over distinct sets
+    * rather than docs; any fixed total order is correct (the theorem is
+    * order-agnostic), this one additionally stops duplicated docs from
+    * inflating prefix selectivity.
     */
   def ppjoinPairs(df: DataFrame, idCol: String, textCol: String,
       w: Int = 3, tNum: Long = 1, tDen: Long = 2): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold in (0, 1]")
     val raw = df.select(col(idCol).cast(LongType).as("id"),
-      TextDedup.shingleHashes(col(textCol), w).as("sset"))
-    // global (df, hash) token order: explode once, count sets per
-    // token (map-side combined), regroup each set sorted rare-first.
-    // Struct array_sort is lexicographic (df, then h) — a total order
-    // because h is distinct within a set.
-    val ex = raw.select(col("id"), explode(col("sset")).as("h"))
+      TextDedup.shingleHashes(col(textCol), w).as("sset0"))
+    // exact-dedup pre-collapse: one hash-keyed shuffle on the SORTED
+    // shingle-hash array (shingleHashes output is distinct but
+    // insertion-ordered — sorting canonicalizes, so equal sets are
+    // equal group keys). Feeds the representative pipeline, the
+    // within-group pairs, and two expansion joins — materialize once.
+    val groups = raw.groupBy(array_sort(col("sset0")).as("sset0"))
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .withColumn("rid", element_at(col("ids"), 1))
+      .localCheckpoint(true)
+    val members = groups.select(col("rid"), explode(col("ids")).as("id"))
+    // within-group: identical non-empty sets, all C(g,2) pairs at J=1 —
+    // candidate generation is O(1) per group, the pair fan-out is
+    // legitimate output (it IS the answer for a duplicated corpus)
+    val m = groups.filter(size(col("sset0")) > 0)
+      .select(col("rid"), explode(col("ids")).as("id"))
+    val within = m.as("x").join(m.as("y"),
+        col("x.rid") === col("y.rid") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        lit(1.0).as("jaccard"))
+    // global (df, hash) token order over REPRESENTATIVES: explode once,
+    // count distinct sets per token (map-side combined), regroup each
+    // set sorted rare-first. Struct array_sort is lexicographic
+    // (df, then h) — a total order because h is distinct within a set.
+    val reps = groups.select(col("rid").as("id"), col("sset0").as("sset"))
+    val ex = reps.select(col("id"), explode(col("sset")).as("h"))
     val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
     val sets = ex.join(dfreq, "h")
       .groupBy("id")
@@ -80,7 +115,7 @@ object SetJoin {
             greatest(col("a.n"), col("b.n")) * tNum)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    cand
+    val repPairs = cand
       .join(mat.select(col("id").as("id_a"), col("sset").as("sa")), Seq("id_a"))
       .join(mat.select(col("id").as("id_b"), col("sset").as("sb")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast(LongType))
@@ -88,6 +123,15 @@ object SetJoin {
       .filter(col("inter") * tDen >= col("uni") * tNum)
       .select(col("id_a"), col("id_b"),
         round(col("inter").cast("double") / col("uni").cast("double"), 6).as("jaccard"))
+    // cross-group expansion: every member pair inherits its
+    // representatives' Jaccard; re-orient so id_a < id_b holds even
+    // when group memberships interleave
+    val cross = repPairs
+      .join(members.select(col("rid").as("id_a"), col("id").as("ma")), Seq("id_a"))
+      .join(members.select(col("rid").as("id_b"), col("id").as("mb")), Seq("id_b"))
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
+    cross.unionAll(within)
   }
 
   /** DuckDB oracle CTE chain ending in `pp_pairs(id_a, id_b, jaccard)`

@@ -482,18 +482,27 @@ object CorpusQueries {
     * integer division.
     */
   def oovRate(spark: SparkSession, dir: String): DataFrame = {
-    val sh = DedupQueries.docs(spark, dir)
+    // ONE explode pass over the corpus, pre-aggregated to the compact
+    // (doc_id, lang, term, tf) table and materialized (eager local
+    // checkpoint) — both consumers (the vocab rank window and the
+    // per-doc OOV sums) read the aggregate instead of re-running the
+    // corpus-wide 3-shingle explode.
+    val tf = DedupQueries.docs(spark, dir)
       .select(col("doc_id").cast(LongType).as("doc_id"), col("lang"),
         explode(TextDedup.shingles(col("text"), 3)).as("term"))
-    val counts = sh.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"), col("lang"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val counts = tf.groupBy(col("lang"), col("term")).agg(sum(col("tf")).as("n"))
     val w = Window.partitionBy("lang").orderBy(col("n").desc, col("term"))
     val vocab = counts.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 200)
       .select(col("lang"), col("term"), lit(true).as("in_vocab"))
-    sh.join(broadcast(vocab), Seq("lang", "term"), "left")
+    tf.join(broadcast(vocab), Seq("lang", "term"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast(LongType).as("n_shingles"),
-        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).cast(LongType).as("n_oov"))
+      .agg(sum(col("tf")).cast(LongType).as("n_shingles"),
+        sum(when(col("in_vocab").isNull, col("tf")).otherwise(lit(0L)))
+          .cast(LongType).as("n_oov"))
       .withColumn("oov_ppm", expr("(1000000 * n_oov) div n_shingles"))
       .orderBy("doc_id")
   }

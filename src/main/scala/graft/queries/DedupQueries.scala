@@ -27,7 +27,7 @@ object DedupQueries {
     Tables.loadSpread(spark, dir, "documents")
 
   /** documents ∪ exact clones of every 5th doc. */
-  private[queries] def corpusExact(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def corpusExact(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id").cast(LongType), col("text"))
     d.unionAll(d.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
@@ -557,8 +557,12 @@ object DedupQueries {
 
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
+    // The shingle pipeline feeds both sides of the self-join; eager
+    // local checkpoint so the corpus-wide explode+distinct runs once
+    // (same idiom as TextDedup.minhashPairs).
     val sets = d.select(col("doc_id").cast(LongType).as("id"),
       array_distinct(TextDedup.shingles(col("text"), 3)).as("sset"))
+      .localCheckpoint(true)
     val a = sets.as("a")
     val b = sets.as("b")
     a.join(b, col("b.id") === col("a.id") + 1)
@@ -656,6 +660,10 @@ object DedupQueries {
       .select(col("doc_id").cast(LongType).as("doc_id"),
         graft.operators.Sampling.hashBucket(col("text"), 100).as("bucket"),
         TextStats.bpeishTokenCount(col("text")).as("n_tokens"))
+      // Materialize the 3-column per-row compute once: the final
+      // orderBy's range-partitioner sampling pass would otherwise
+      // re-run the token-count scan over the full corpus.
+      .localCheckpoint(true)
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w).cast(LongType))
       // `div`, not `/`: Long / Long in Spark is DOUBLE division, which
       // loses exactness past 2^53 cumulative tokens

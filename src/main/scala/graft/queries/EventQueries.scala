@@ -677,10 +677,15 @@ object EventQueries {
   def multimodalEmbedTopK(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.loadSpread(spark, dir, "documents")
+    // The stub-embed pipeline feeds both the broadcast query side and
+    // the corpus join side — eager local checkpoint so the full-corpus
+    // mapPartitions embed runs exactly once (idiom of
+    // Similarity.nearDupPairs).
     val emb = Multimodal
       .embedAll(Multimodal.asBlobs(docs, "doc_id", "text", "image"), dim = 16)
       .toDF()
       .withColumn("n2", Similarity.idot(col("embedding"), col("embedding")))
+      .localCheckpoint(true)
     val q = broadcast(emb.filter(col("media_id") < 5)
       .select(col("media_id").as("q_id"), col("embedding").as("q_emb"),
         col("n2").as("q_n2")))

@@ -257,6 +257,58 @@ class TextDedupSpec extends SparkSpec {
     assert(lsh.subsetOf(pp), s"LSH found pairs the exact join missed: ${lsh -- pp}")
   }
 
+  test("ppjoin skew guard: exact clones collapse — output still equals brute force") {
+    import spark.implicits._
+    // corpusExact contains byte-identical clones of every 5th doc — the
+    // degenerate input for prefix filtering. The pre-collapse path must
+    // reproduce brute-force ground truth exactly (within-group J=1
+    // pairs AND cross-group expansion through the membership table).
+    val corpus = graft.queries.DedupQueries
+      .corpusExact(spark, "/root/testdata/sf0.001")
+    val pp = graft.operators.SetJoin.ppjoinPairs(corpus, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sets = corpus.select($"doc_id",
+        array_sort(TextDedup.shingleHashes($"text")).as("s"))
+      .as[(Long, Seq[Long])].collect()
+    val truth = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = sa.toSet.intersect(sb.toSet).size
+      uni = sa.size + sb.size - inter
+      if inter * 2 >= uni
+    } yield (ia, ib)).toSet
+    assert(pp === truth)
+  }
+
+  test("ppjoin skew guard: 1000 identical docs cost O(n) candidates, not n^2") {
+    import spark.implicits._
+    // 20 tokens; `near` differs only in the last -> high overlap (>= 1/2),
+    // `far` shares nothing. Before the exact-dedup pre-collapse this
+    // corpus expanded ~ p * C(1000,2) prefix candidates; collapsed it is
+    // one group + 2 singletons, and all pair fan-out is final output.
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 19).map(i => s"tok$i").mkString(" ") + " other"
+    val far = "nothing here matches the duplicated corpus at all frankly"
+    val corpus = ((1L to 1000L).map(i => (i, base)) ++
+      Seq((2001L, near), (2002L, far))).toDF("doc_id", "text")
+    val pp = graft.operators.SetJoin.ppjoinPairs(corpus, "doc_id", "text")
+    val byKind = pp.withColumn("kind",
+        when($"id_b" <= 1000L, "within")
+          .when($"id_b" === 2001L, "cross")
+          .otherwise("far"))
+      .groupBy("kind").agg(count(lit(1)).as("n"), min("jaccard").as("jmin"),
+        max("jaccard").as("jmax"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // all C(1000,2) identical pairs at exactly 1.0
+    assert(byKind("within") === ((1000L * 999L / 2L, 1.0, 1.0)))
+    // near-dup: J = 15/21 >= 1/2, one pair per clone, all equal
+    val (nCross, jCrossMin, jCrossMax) = byKind("cross")
+    assert(nCross === 1000L)
+    assert(jCrossMin === jCrossMax)
+    assert(jCrossMin > 0.5 && jCrossMin < 1.0)
+    // the unrelated doc pairs with nothing
+    assert(!byKind.contains("far"))
+  }
+
   test("simhash: equal for identical docs, close for near-dups (hamming)") {
     val sims = TextDedup.withSimhash(docs, "text").select($"doc_id", $"sim").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
