@@ -138,8 +138,8 @@ object SparkEntry {
     "x_winsor_means" -> (AnalyticsQueries.winsorMeans _),
     "x_token_cdf" -> (AnalyticsQueries.tokenCdf _),
     "x_dedup_recall" -> (AnalyticsQueries.dedupRecall _),
-    // sketch queries: estimates by design -> NO oracle entries (driver
-    // records rows-only checks; specs bound them against exact results)
+    // sketch queries: deterministic portable-hash sketches (KMV sample,
+    // per-group CMS) -> hash-exact oracles like everything else
     "x_approx_length_quantiles" -> (CorpusQueries.approxLengthQuantiles _),
     "x_heavy_hitters_sketch" -> (CorpusQueries.heavyHittersSketch _),
     "x_lang_id" -> (DedupQueries.langId _),
@@ -284,8 +284,9 @@ object SparkEntry {
     "x_rollup_revenue" -> AggQueries.rollupRevenueOracle,
     "x_cube_revenue" -> AggQueries.cubeRevenueOracle,
     "x_distinct_parts" -> AggQueries.distinctPartsOracle,
-    // x_approx_distinct_parts intentionally has NO oracle: HLL sketch
-    // values are engine-specific (driver records a rows-only check)
+    "x_approx_distinct_parts" -> AggQueries.approxDistinctPartsOracle,
+    "x_approx_length_quantiles" -> CorpusQueries.approxLengthQuantilesOracle,
+    "x_heavy_hitters_sketch" -> CorpusQueries.heavyHittersSketchOracle,
     "x_anti_join_customers" -> AggQueries.customersWithoutOrdersOracle,
     "x_dedup_exact" -> DedupQueries.dedupExactOracle,
     "x_dedup_clusters" -> DedupQueries.dedupClustersOracle,

@@ -40,28 +40,38 @@ object GFormat {
 }
 
 /** Fuzzy date/datetime parse to ISO string
-  * ([[graft.functions.DateParse]], P5). `formats` and the date/datetime
-  * mode are plan-time constants (CLI flags), baked into the expression.
+  * ([[graft.functions.DateParse]], P5). `formats`, the date/datetime
+  * mode, and the relative-date base clock are plan-time constants (CLI
+  * flags), baked into the expression. When `relativeBaseIso` is unset,
+  * the base resolves to `now()` ONCE per plan (at codegen/eval setup) —
+  * dateparser's default behavior, but consistent across every row and
+  * partition of the job; pin it explicitly for replayable pipelines.
   */
-case class FuzzyDateParse(child: Expression, formats: Seq[String], dateOnly: Boolean)
+case class FuzzyDateParse(child: Expression, formats: Seq[String], dateOnly: Boolean,
+    relativeBaseIso: Option[String] = None)
     extends UnaryExpression {
   override def dataType: DataType = StringType
+
+  @transient private lazy val base: java.time.LocalDateTime =
+    relativeBaseIso.map(java.time.LocalDateTime.parse)
+      .getOrElse(java.time.LocalDateTime.now())
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
     val out =
-      if (dateOnly) graft.functions.DateParse.parseDateIso(s, formats)
-      else graft.functions.DateParse.parseDatetimeIso(s, formats)
+      if (dateOnly) graft.functions.DateParse.parseDateIso(s, formats, base)
+      else graft.functions.DateParse.parseDatetimeIso(s, formats, base)
     if (out == null) null else UTF8String.fromString(out)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val fmtsRef = ctx.addReferenceObj("formats", formats, "scala.collection.immutable.Seq")
+    val baseRef = ctx.addReferenceObj("relBase", base, "java.time.LocalDateTime")
     val call = if (dateOnly) "parseDateIso" else "parseDatetimeIso"
     val out = ctx.freshName("iso")
     nullSafeCodeGen(ctx, ev, c =>
       s"""
-         |String $out = graft.functions.DateParse.$call($c.toString(), $fmtsRef);
+         |String $out = graft.functions.DateParse.$call($c.toString(), $fmtsRef, $baseRef);
          |if ($out == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($out); }
        """.stripMargin)
@@ -72,10 +82,14 @@ case class FuzzyDateParse(child: Expression, formats: Seq[String], dateOnly: Boo
 }
 
 object FuzzyDateParse {
-  def parse_date(c: Column, formats: Seq[String] = Nil): Column =
-    GraftShim.column(FuzzyDateParse(GraftShim.expression(c), formats, dateOnly = true))
-  def parse_datetime(c: Column, formats: Seq[String] = Nil): Column =
-    GraftShim.column(FuzzyDateParse(GraftShim.expression(c), formats, dateOnly = false))
+  def parse_date(c: Column, formats: Seq[String] = Nil,
+      relativeBase: Option[java.time.LocalDateTime] = None): Column =
+    GraftShim.column(FuzzyDateParse(GraftShim.expression(c), formats,
+      dateOnly = true, relativeBase.map(_.toString)))
+  def parse_datetime(c: Column, formats: Seq[String] = Nil,
+      relativeBase: Option[java.time.LocalDateTime] = None): Column =
+    GraftShim.column(FuzzyDateParse(GraftShim.expression(c), formats,
+      dateOnly = false, relativeBase.map(_.toString)))
 }
 
 /** Unicode NFC normalization (`java.text.Normalizer`, Form.NFC) —

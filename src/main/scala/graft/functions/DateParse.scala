@@ -95,12 +95,38 @@ object DateParse {
     "(?i)^\\s*(\\d{1,2})(?::(\\d{2}))?\\s*(am|pm)\\s+on\\s+(.*)$".r
   private val timePrefixRe =
     "^\\s*(\\d{1,2}):(\\d{2})(?::(\\d{2}))?\\s+(.*)$".r
+  // dateparser-style relative grammar ("2 weeks ago", "in 3 days",
+  // "a month ago"), resolved against an explicit base clock
+  private val relAgoRe =
+    "(?i)^\\s*(\\d+|an?)\\s+(second|minute|hour|day|week|month|year)s?\\s+ago\\s*$".r
+  private val relInRe =
+    "(?i)^\\s*in\\s+(\\d+|an?)\\s+(second|minute|hour|day|week|month|year)s?\\s*$".r
 
-  /** Parse one value. Explicit strptime `formats` first, then the fuzzy
-    * chain. Returns None only for null/blank input; throws on a value
-    * nothing can parse (reference error-propagation semantics).
+  private def shiftBy(base: LocalDateTime, nStr: String, unit: String,
+      sign: Long): LocalDateTime = {
+    val n = (if (nStr.equalsIgnoreCase("a") || nStr.equalsIgnoreCase("an")) 1L
+             else nStr.toLong) * sign
+    unit.toLowerCase match {
+      case "second" => base.plusSeconds(n)
+      case "minute" => base.plusMinutes(n)
+      case "hour"   => base.plusHours(n)
+      case "day"    => base.plusDays(n)
+      case "week"   => base.plusWeeks(n)
+      case "month"  => base.plusMonths(n) // calendar-aware, clamps like relativedelta
+      case "year"   => base.plusYears(n)
+    }
+  }
+
+  /** Parse one value. Explicit strptime `formats` first, then the
+    * relative grammar against `relativeBase` (dateparser's
+    * RELATIVE_BASE — injectable so distributed runs and tests resolve
+    * "2 weeks ago" against ONE deterministic clock, not per-row
+    * `now()`), then the fuzzy chain. Returns None only for null/blank
+    * input; throws on a value nothing can parse (reference
+    * error-propagation semantics).
     */
-  def parse(value: String, formats: Seq[String] = Nil): Option[LocalDateTime] = {
+  def parse(value: String, formats: Seq[String] = Nil,
+      relativeBase: LocalDateTime = LocalDateTime.now()): Option[LocalDateTime] = {
     if (value == null || value.trim.isEmpty) return None
     val v = value.trim
 
@@ -111,10 +137,25 @@ object DateParse {
     val viaUser = userFormatters.view.flatMap(f => tryFormatter(f, v)).headOption
     if (viaUser.isDefined) return viaUser
 
+    // Relative dates (dateparser `freshness_date_parser`): keyword
+    // forms carry the base's own time-of-day, exactly as dateparser
+    // resolves them against RELATIVE_BASE.
+    v.toLowerCase match {
+      case "now" | "today" => return Some(relativeBase)
+      case "yesterday"     => return Some(relativeBase.minusDays(1))
+      case "tomorrow"      => return Some(relativeBase.plusDays(1))
+      case _               =>
+    }
+    v match {
+      case relAgoRe(n, unit) => return Some(shiftBy(relativeBase, n, unit, -1L))
+      case relInRe(n, unit)  => return Some(shiftBy(relativeBase, n, unit, 1L))
+      case _                 =>
+    }
+
     // Meridiem prefix: "10pm on April 4 1938" / "10:30am on ...".
     v match {
       case meridiemPrefixRe(h, m, ap, rest) =>
-        val base = parse(rest, formats)
+        val base = parse(rest, formats, relativeBase)
         return base.map { d =>
           val hour0 = h.toInt % 12
           val hour = if (ap.equalsIgnoreCase("pm")) hour0 + 12 else hour0
@@ -125,14 +166,15 @@ object DateParse {
     // Leading bare time: "5:45 10 December 2009".
     v match {
       case timePrefixRe(h, m, s, rest) if rest.nonEmpty && !rest.forall(_.isDigit) =>
-        val base = parse(rest, formats)
+        val base = parse(rest, formats, relativeBase)
         if (base.isDefined)
           return base.map(d => d.toLocalDate.atTime(
             LocalTime.of(h.toInt, m.toInt, Option(s).map(_.toInt).getOrElse(0))))
       case _ =>
     }
 
-    // Strip ordinal suffixes: "3rd May 2017" -> "3 May 2017".
+    // Strip ordinal suffixes: "3rd May 2017" / "May 3rd, 2017" ->
+    // "3 May 2017" / "May 3, 2017".
     val deOrdinal = ordinalRe.replaceAllIn(v, mm => mm.group(1))
     val hit = fallbackFormats.view.flatMap(f => tryFormatter(f, deOrdinal)).headOption
     hit match {
@@ -142,11 +184,25 @@ object DateParse {
     }
   }
 
-  def parseDateIso(value: String, formats: Seq[String] = Nil): String =
+  def parseDateIso(value: String): String = parseDateIso(value, Nil)
+
+  def parseDatetimeIso(value: String): String = parseDatetimeIso(value, Nil)
+
+  def parseDateIso(value: String, formats: Seq[String]): String =
     parse(value, formats).map(_.toLocalDate.toString).orNull
 
-  def parseDatetimeIso(value: String, formats: Seq[String] = Nil): String =
+  def parseDateIso(value: String, formats: Seq[String],
+      relativeBase: LocalDateTime): String =
+    parse(value, formats, relativeBase).map(_.toLocalDate.toString).orNull
+
+  def parseDatetimeIso(value: String, formats: Seq[String]): String =
     parse(value, formats)
+      .map(_.format(DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")))
+      .orNull
+
+  def parseDatetimeIso(value: String, formats: Seq[String],
+      relativeBase: LocalDateTime): String =
+    parse(value, formats, relativeBase)
       .map(_.format(DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")))
       .orNull
 
@@ -155,9 +211,11 @@ object DateParse {
     * expression ([[graft.expressions.FuzzyDateParse]]) rather than a
     * UDF: date columns are fact-table-wide.
     */
-  def parseDate(c: Column, formats: Seq[String] = Nil): Column =
-    graft.expressions.FuzzyDateParse.parse_date(c, formats)
+  def parseDate(c: Column, formats: Seq[String] = Nil,
+      relativeBase: Option[LocalDateTime] = None): Column =
+    graft.expressions.FuzzyDateParse.parse_date(c, formats, relativeBase)
 
-  def parseDatetime(c: Column, formats: Seq[String] = Nil): Column =
-    graft.expressions.FuzzyDateParse.parse_datetime(c, formats)
+  def parseDatetime(c: Column, formats: Seq[String] = Nil,
+      relativeBase: Option[LocalDateTime] = None): Column =
+    graft.expressions.FuzzyDateParse.parse_datetime(c, formats, relativeBase)
 }

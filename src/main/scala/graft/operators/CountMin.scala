@@ -61,31 +61,40 @@ object CountMin {
   /** Build the sketch from pre-aggregated `(term, count)` rows — the
     * efficient shape: the term aggregation upstream is itself map-side
     * combined, and the sketch build then touches vocabulary-sized, not
-    * corpus-sized, data. Output: `(row, bucket, cell_count)`, at most
-    * depth × width rows.
+    * corpus-sized, data. Output: `groupCols + (row, bucket, cell_count)`,
+    * at most depth × width rows per group (`groupCols` builds one
+    * independent sketch per group — e.g. per language).
     */
   def sketch(termCounts: DataFrame, termCol: String, countCol: String,
-      depth: Int = DefaultDepth, width: Int = DefaultWidth): DataFrame =
+      depth: Int = DefaultDepth, width: Int = DefaultWidth,
+      groupCols: Seq[String] = Nil): DataFrame =
     termCounts
-      .select(col(countCol).cast(LongType).as("n"),
-        explode(cells(col(termCol), depth, width)).as("cell"))
-      .groupBy(col("cell.row").as("row"), col("cell.bucket").as("bucket"))
+      .select(groupCols.map(col) ++ Seq(col(countCol).cast(LongType).as("n"),
+        explode(cells(col(termCol), depth, width)).as("cell")): _*)
+      .groupBy(groupCols.map(col) ++ Seq(col("cell.row").as("row"),
+        col("cell.bucket").as("bucket")): _*)
       .agg(sum(col("n")).cast(LongType).as("cell_count"))
 
   /** Point-query the sketch: for each probe term, the estimate is the
-    * MIN over the depth rows of the addressed cell. The sketch side is
-    * constant-size → broadcast; the probe side stays partitioned.
+    * MIN over the depth rows of the addressed cell (within the probe's
+    * group when `groupCols` is set). The sketch side is constant-size →
+    * broadcast; the probe side stays partitioned.
     * Output: probe columns + `cms_estimate`.
     */
   def estimate(sk: DataFrame, probes: DataFrame, termCol: String,
-      depth: Int = DefaultDepth, width: Int = DefaultWidth): DataFrame = {
+      depth: Int = DefaultDepth, width: Int = DefaultWidth,
+      groupCols: Seq[String] = Nil): DataFrame = {
     require(!probes.columns.contains("cell") && !probes.columns.contains("cms_estimate"),
       "probes must not carry reserved columns 'cell'/'cms_estimate'")
     val probeCols = probes.columns.map(col).toSeq
+    val skr = groupCols.foldLeft(sk)((d, g) => d.withColumnRenamed(g, s"__sk_$g"))
+    val cond = groupCols
+      .map(g => col(g) === col(s"__sk_$g"))
+      .foldLeft(col("cell.row") === skr("row") &&
+        col("cell.bucket") === skr("bucket"))(_ && _)
     probes
       .withColumn("cell", explode(cells(col(termCol), depth, width)))
-      .join(broadcast(sk),
-        col("cell.row") === sk("row") && col("cell.bucket") === sk("bucket"))
+      .join(broadcast(skr), cond)
       .groupBy(probeCols: _*)
       .agg(min(col("cell_count")).cast(LongType).as("cms_estimate"))
   }

@@ -71,6 +71,35 @@ object Kmv {
           .cast(LongType))
   }
 
+  /** Deterministic bottom-k-by-hash sample per group — the KMV idea
+    * applied to SAMPLING: keep the k rows whose (hash, tiebreak) is
+    * smallest. Mergeable exactly like the distinct sketch (bottom-k of
+    * a union of bottom-k sets is the bottom-k of the union), and fully
+    * replayable in SQL, so sample-derived statistics stay hash-exact
+    * cross-engine.
+    *
+    * Two-stage rank so no single per-group sort sees the whole corpus:
+    * stage 1 ranks within (group, h mod fanout) sub-buckets — corpus
+    * partitioned `fanout` ways per group — and keeps at most k rows
+    * each; stage 2 ranks the surviving <= fanout·k candidate rows per
+    * group. Equivalent to one global rank (a row in the global bottom-k
+    * is in its sub-bucket's bottom-k a fortiori).
+    *
+    * Output: input columns + `sample_rk` (1-based position in the
+    * group's (hash, tiebreak) order).
+    */
+  def bottomKByHash(df: DataFrame, groupCol: String, hashCol: String,
+      tieCol: String, k: Int, fanout: Int = 256): DataFrame = {
+    require(k >= 1 && fanout >= 1)
+    val pre = Window.partitionBy(col(groupCol), pmod(col(hashCol), lit(fanout.toLong)))
+      .orderBy(col(hashCol), col(tieCol))
+    val cand = df.withColumn("__pre_rk", row_number().over(pre))
+      .filter(col("__pre_rk") <= k).drop("__pre_rk")
+    val fin = Window.partitionBy(col(groupCol)).orderBy(col(hashCol), col(tieCol))
+    cand.withColumn("sample_rk", row_number().over(fin))
+      .filter(col("sample_rk") <= k)
+  }
+
   // ---- Aggregator form (the mergeable 100 TB / streaming path) -----
 
   /** Bottom-k buffer: ascending, distinct, size <= k. */
@@ -141,7 +170,8 @@ object Kmv {
        |    CAST(max(rk) AS BIGINT) AS k_seen,
        |    CAST(max(h) AS BIGINT) AS kth_min,
        |    CAST(CASE WHEN max(rk) < $k THEN max(rk)
-       |         ELSE (${k - 1} * ${HashDomain}) // greatest(max(h), 1) END AS BIGINT)
+       |         ELSE (CAST(${k - 1} AS BIGINT) * CAST(${HashDomain} AS BIGINT))
+       |           // greatest(max(h), 1) END AS BIGINT)
        |      AS est_distinct
        |  FROM ranked WHERE rk <= $k GROUP BY $groupCol)""".stripMargin
   }

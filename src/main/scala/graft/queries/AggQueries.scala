@@ -206,18 +206,26 @@ object AggQueries {
       |  CAST(COUNT(*) AS BIGINT) AS n_rows
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  /** Extension — HyperLogLog++ sketch counts (the 100 TB path where
-    * exact distinct is too expensive: map-side mergeable sketches, no
-    * distinct shuffle). Sketch values are engine-specific, so this query
-    * has NO SQL oracle — the driver records a rows-only check; the
-    * companion spec bounds the estimate against the exact count.
+  /** Extension — approximate distinct counts, the 100 TB path where
+    * exact distinct is too expensive. Uses the deterministic KMV
+    * bottom-k sketch ([[graft.operators.Kmv]]) rather than HLL: same
+    * mergeable O(k)-state scale story, but the portable hash makes the
+    * estimate bit-identical cross-engine, so the DuckDB oracle grades
+    * it HASH-EXACT instead of rows-only. k=1024 → ~3% rsd; groups with
+    * fewer distincts than k report the exact count.
     */
   def approxDistinctParts(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
-    li.groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), rsd = 0.01).cast(LongType).as("approx_parts"))
+    graft.operators.Kmv.distinctSketch(li, "l_returnflag", "l_partkey", k = 1024)
+      .select(col("l_returnflag"), col("est_distinct").as("approx_parts"))
       .orderBy("l_returnflag")
   }
+
+  val approxDistinctPartsOracle: String =
+    s"""WITH src AS (SELECT l_returnflag, l_partkey FROM lineitem),
+       |${graft.operators.Kmv.distinctSketchSql("src", "l_returnflag", "l_partkey", k = 1024)}
+       |SELECT l_returnflag, est_distinct AS approx_parts
+       |FROM kmv ORDER BY l_returnflag""".stripMargin
 
   /** Extension — anti/semi join: customers without orders, and the
     * distinct-count per segment of those with orders.

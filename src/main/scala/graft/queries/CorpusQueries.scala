@@ -363,37 +363,114 @@ object CorpusQueries {
        |GROUP BY 1, 2 ORDER BY true_lang, pred_lang""".stripMargin
 
   /** Approximate per-language length percentiles — the mergeable-sketch
-    * scale path beside the exact `x_length_quantiles` (same division of
-    * labor as exact vs HLL distinct counts). `approx_percentile` keeps
-    * a bounded summary per group and merges map-side; values are
-    * engine-specific, so this query has NO SQL oracle — the driver
-    * records a rows-only check and the companion spec bounds the
-    * estimates against the exact percentiles.
+    * scale path beside the exact `x_length_quantiles`. A deterministic
+    * KMV bottom-k-by-hash sample ([[graft.operators.Kmv.bottomKByHash]],
+    * k=256 docs per language) replaces `approx_percentile`, whose
+    * engine-specific summary can only be graded rows-only; the hash
+    * sample is bit-replayable in SQL, so the estimates hash-match the
+    * DuckDB oracle. Quantiles are nearest-rank over the sorted sample
+    * (`rank = ceil(q·m)` in exact integers); under-filled groups
+    * (n_docs <= k) report exact percentiles by construction.
     */
-  def approxLengthQuantiles(spark: SparkSession, dir: String): DataFrame =
-    DedupQueries.docs(spark, dir)
-      .select(col("lang"),
-        graft.operators.TextStats.wsTokenCount(col("text")).as("ws"))
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).cast(LongType).as("n_docs"),
-        approx_percentile(col("ws"), lit(0.5), lit(10000)).as("p50_tokens"),
-        approx_percentile(col("ws"), lit(0.9), lit(10000)).as("p90_tokens"),
-        approx_percentile(col("ws"), lit(0.99), lit(10000)).as("p99_tokens"))
+  def approxLengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val d = DedupQueries.docs(spark, dir)
+      .select(col("lang"), col("doc_id").cast(LongType).as("doc_id"),
+        graft.operators.TextStats.wsTokenCount(col("text")).as("ws"),
+        graft.operators.Kmv.hash30(col("doc_id")).as("h"))
+    val sample = graft.operators.Kmv.bottomKByHash(d, "lang", "h", "doc_id", k)
+    val sizes = sample.groupBy("lang").agg(max(col("sample_rk")).as("m"))
+    val w = Window.partitionBy("lang").orderBy(col("ws"), col("doc_id"))
+    val ranked = sample.withColumn("qr", row_number().over(w))
+    val nDocs = d.groupBy("lang").agg(count(lit(1)).cast(LongType).as("n_docs"))
+    ranked.join(broadcast(sizes), "lang")
+      .groupBy("lang")
+      .agg(
+        max(when(col("qr") === expr("(m * 50 + 99) div 100"), col("ws")))
+          .cast(LongType).as("p50_tokens"),
+        max(when(col("qr") === expr("(m * 90 + 99) div 100"), col("ws")))
+          .cast(LongType).as("p90_tokens"),
+        max(when(col("qr") === expr("(m * 99 + 99) div 100"), col("ws")))
+          .cast(LongType).as("p99_tokens"))
+      .join(broadcast(nDocs), "lang")
+      .select(col("lang"), col("n_docs"), col("p50_tokens"),
+        col("p90_tokens"), col("p99_tokens"))
       .orderBy("lang")
+  }
 
-  /** Heavy-hitter terms per language via the Misra-Gries sketch
-    * ([[graft.operators.HeavyHitters]]) — counts are ESTIMATES with a
-    * proven floor, so like the HLL query this has no SQL oracle; the
-    * spec asserts the sketch guarantees against exact counts.
+  val approxLengthQuantilesOracle: String = {
+    val ws = """CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT)"""
+    val h = DuckSql.hash60("CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (SELECT lang, CAST(doc_id AS BIGINT) AS doc_id, $ws AS ws,
+       |    ($h) // ${graft.operators.Kmv.HashDomain} AS h
+       |  FROM documents),
+       |r AS (SELECT lang, doc_id, ws,
+       |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+       |  FROM d),
+       |s AS (SELECT lang, doc_id, ws FROM r WHERE rk <= 256),
+       |q AS (SELECT lang, ws,
+       |    row_number() OVER (PARTITION BY lang ORDER BY ws, doc_id) AS qr,
+       |    count(*) OVER (PARTITION BY lang) AS m
+       |  FROM s),
+       |n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY lang)
+       |SELECT q.lang, n_docs,
+       |  CAST(max(CASE WHEN qr = (m * 50 + 99) // 100 THEN ws END) AS BIGINT) AS p50_tokens,
+       |  CAST(max(CASE WHEN qr = (m * 90 + 99) // 100 THEN ws END) AS BIGINT) AS p90_tokens,
+       |  CAST(max(CASE WHEN qr = (m * 99 + 99) // 100 THEN ws END) AS BIGINT) AS p99_tokens
+       |FROM q JOIN n USING (lang) GROUP BY q.lang, n_docs ORDER BY lang""".stripMargin
+  }
+
+  /** Heavy-hitter terms per language via per-group Count-Min sketches:
+    * a term is reported when its CMS estimate holds at least 1/32 of
+    * the language's token mass (`est·32 >= total`). CMS never
+    * undercounts, so every TRUE phi-heavy hitter is reported (the
+    * classic CMS heavy-hitters reduction); the estimates are
+    * deterministic portable-hash arithmetic, so unlike the
+    * Misra-Gries sketch (merge-order-dependent survivors, kept as
+    * [[graft.operators.HeavyHitters]] with its own spec) this query is
+    * graded HASH-EXACT against the DuckDB oracle. `true_count` rides
+    * along to expose the overcount.
     */
   def heavyHittersSketch(spark: SparkSession, dir: String): DataFrame = {
-    val terms = DedupQueries.docs(spark, dir).select(col("lang"),
-      explode(Fts.tokens(Seq(col("text")))).as("term"))
-    terms.groupBy(col("lang"))
-      .agg(graft.operators.HeavyHitters.sketch(col("term"), k = 16).as("hh"))
-      .select(col("lang"), explode(col("hh")).as(Seq("term", "est_count")))
-      .select(col("lang"), col("term"), col("est_count").cast(LongType).as("est_count"))
+    val k = 32
+    val counts = DedupQueries.docs(spark, dir)
+      .select(col("lang"), explode(Fts.tokens(Seq(col("text")))).as("term"))
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).cast(LongType).as("n"))
+    val sk = graft.operators.CountMin.sketch(counts, "term", "n",
+      groupCols = Seq("lang"))
+    val totals = counts.groupBy("lang").agg(sum(col("n")).cast(LongType).as("total_n"))
+    val probes = counts.select(col("lang"), col("term"), col("n").as("true_count"))
+    graft.operators.CountMin.estimate(sk, probes, "term", groupCols = Seq("lang"))
+      .join(broadcast(totals), "lang")
+      .filter(col("cms_estimate") * k >= col("total_n"))
+      .select(col("lang"), col("term"), col("true_count"),
+        col("cms_estimate").cast(LongType).as("est_count"))
       .orderBy("lang", "term")
+  }
+
+  val heavyHittersSketchOracle: String = {
+    val t = DuckSql.tokens("text")
+    val bucket = graft.operators.CountMin.bucketSql("j.j", "term", 512)
+    s"""WITH tk AS (SELECT lang, unnest($t) AS term FROM documents),
+       |counts AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS n
+       |  FROM tk GROUP BY lang, term),
+       |cells AS (SELECT lang, term, n, j.j AS rw, $bucket AS bucket
+       |  FROM counts CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j),
+       |sketch AS (SELECT lang, rw, bucket, CAST(sum(n) AS BIGINT) AS cell_count
+       |  FROM cells GROUP BY lang, rw, bucket),
+       |est AS (SELECT c.lang, c.term, c.n AS true_count,
+       |    min(s.cell_count) AS cms_estimate
+       |  FROM cells c JOIN sketch s
+       |    ON s.lang = c.lang AND s.rw = c.rw AND s.bucket = c.bucket
+       |  GROUP BY c.lang, c.term, c.n),
+       |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS total_n
+       |  FROM counts GROUP BY lang)
+       |SELECT e.lang, e.term, true_count,
+       |  CAST(cms_estimate AS BIGINT) AS est_count
+       |FROM est e JOIN tot USING (lang)
+       |WHERE cms_estimate * 32 >= total_n
+       |ORDER BY lang, term""".stripMargin
   }
 
   /** Token-mass median length per language: the document length L such

@@ -51,4 +51,61 @@ class DateParseSpec extends AnyFunSuite {
     assert(DateParse.parseDatetimeIso("2017-05-03T10:20:30") === "2017-05-03T10:20:30")
     assert(DateParse.parseDateIso("May 3, 2017") === "2017-05-03")
   }
+
+  // ---- round-8 widening toward dateparser's grammar ----------------
+
+  private val base = java.time.LocalDateTime.of(2026, 8, 13, 10, 30, 0)
+
+  test("relative dates resolve against the injected base clock") {
+    assert(DateParse.parseDatetimeIso("2 weeks ago", Nil, base) === "2026-07-30T10:30:00")
+    assert(DateParse.parseDateIso("yesterday", Nil, base) === "2026-08-12")
+    assert(DateParse.parseDateIso("tomorrow", Nil, base) === "2026-08-14")
+    assert(DateParse.parseDatetimeIso("today", Nil, base) === "2026-08-13T10:30:00")
+    assert(DateParse.parseDatetimeIso("now", Nil, base) === "2026-08-13T10:30:00")
+    assert(DateParse.parseDateIso("in 3 days", Nil, base) === "2026-08-16")
+    assert(DateParse.parseDatetimeIso("45 minutes ago", Nil, base) === "2026-08-13T09:45:00")
+    assert(DateParse.parseDateIso("3 years ago", Nil, base) === "2023-08-13")
+  }
+
+  test("relative 'a'/'an' quantifiers; month arithmetic clamps like relativedelta") {
+    assert(DateParse.parseDateIso("a week ago", Nil, base) === "2026-08-06")
+    assert(DateParse.parseDateIso("an hour ago", Nil, base) === "2026-08-13")
+    val eom = java.time.LocalDateTime.of(2026, 3, 31, 0, 0, 0)
+    assert(DateParse.parseDateIso("a month ago", Nil, eom) === "2026-02-28")
+  }
+
+  test("relative parsing is deterministic for a fixed base (distributed-safe)") {
+    val a = DateParse.parse("2 weeks ago", Nil, base)
+    val b = DateParse.parse("2 weeks ago", Nil, base)
+    assert(a === b)
+  }
+
+  test("explicit formats still win over the relative grammar") {
+    // a user format that literally matches "yesterday"-like text never
+    // arises, but a format matching the shape must take precedence
+    assert(DateParse.parseDateIso("03/02/01", Seq("%y/%d/%m")) === "2003-01-02")
+  }
+
+  test("abbreviated-month ordinals and 'Month DDth, YYYY' variants") {
+    assert(DateParse.parseDateIso("3rd Jan 2017") === "2017-01-03")
+    assert(DateParse.parseDateIso("Jan 3rd, 2017") === "2017-01-03")
+    assert(DateParse.parseDateIso("January 3rd, 2017") === "2017-01-03")
+    assert(DateParse.parseDateIso("April 21st, 2019") === "2019-04-21")
+    assert(DateParse.parseDateIso("August 2nd 1999") === "1999-08-02")
+  }
+
+  test("errors still propagate for near-miss relative strings") {
+    intercept[IllegalArgumentException] { DateParse.parseDateIso("several weeks ago") }
+    intercept[IllegalArgumentException] { DateParse.parseDateIso("2 fortnights ago") }
+  }
+
+  test("column API: relative base pins the expression at plan time") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq("2 weeks ago", "3rd May 2017", "yesterday").toDF("raw")
+    val out = df.select(DateParse.parseDate(org.apache.spark.sql.functions.col("raw"),
+        relativeBase = Some(base)).as("iso"))
+      .as[String].collect().toSeq
+    assert(out === Seq("2026-07-30", "2017-05-03", "2026-08-12"))
+  }
 }

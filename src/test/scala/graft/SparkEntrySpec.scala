@@ -26,13 +26,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracleSql entries without a query: $orphans")
   }
 
-  test("every query has an oracle (or is a documented rows-only check)") {
-    // sketch queries produce engine-specific estimates — deliberately
-    // oracle-free, each bounded against its exact twin by a spec
-    // (ApproxDistinctSpec, CorpusOpsSpec).
-    val rowsOnly = Set("x_approx_distinct_parts",
-      "x_approx_length_quantiles", "x_heavy_hitters_sketch")
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+  test("every query has an oracle") {
+    // since round 8 even the sketch queries are oracle-checked: KMV and
+    // CMS arithmetic is deterministic portable hashing, replayed in SQL
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without an oracle: $missing")
   }
 }
