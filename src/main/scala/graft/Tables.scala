@@ -37,7 +37,24 @@ object Tables {
   def loadSpread(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     val df = load(spark, sfDir, table)
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Under-split probe via file-size metadata, NOT `df.rdd` — building
+    // the RDD lineage forces physical planning (and AQE stage prep) on
+    // every call just to read a partition count. The scan's split count
+    // is bytes / maxPartitionBytes; a 100 TB input (many large files)
+    // clears `target` and skips the shuffle, a single small test file
+    // does not and gets spread.
+    val maxPartitionBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val splits = df.inputFiles.length match {
+      case 0 => target // empty relation: nothing to spread
+      case _ =>
+        val totalBytes = df.inputFiles.map { f =>
+          try new java.io.File(new java.net.URI(f).getPath).length
+          catch { case _: Exception => 0L }
+        }.sum
+        math.max(df.inputFiles.length.toLong,
+          (totalBytes + maxPartitionBytes - 1) / maxPartitionBytes)
+    }
+    if (splits < target) df.repartition(target) else df
   }
 
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {

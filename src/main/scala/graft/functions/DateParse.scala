@@ -81,6 +81,15 @@ object DateParse {
       .parseDefaulting(ChronoField.SECOND_OF_MINUTE, 0)
       .toFormatter(java.util.Locale.US)
 
+  private def fmtIn(pattern: String, locale: java.util.Locale): DateTimeFormatter =
+    new DateTimeFormatterBuilder()
+      .parseCaseInsensitive()
+      .appendPattern(pattern)
+      .parseDefaulting(ChronoField.HOUR_OF_DAY, 0)
+      .parseDefaulting(ChronoField.MINUTE_OF_HOUR, 0)
+      .parseDefaulting(ChronoField.SECOND_OF_MINUTE, 0)
+      .toFormatter(locale)
+
   /** Fallback chain of common concrete shapes (tried after user formats). */
   private lazy val fallbackFormats: Seq[DateTimeFormatter] = Seq(
     "yyyy-M-d'T'H:m:s", "yyyy-M-d H:m:s", "yyyy-M-d H:m", "yyyy-M-d",
@@ -89,6 +98,34 @@ object DateParse {
     "MMMM d, yyyy", "d MMM yyyy", "MMM d yyyy", "MMM d, yyyy",
     "yyyyMMdd"
   ).map(fmt)
+
+  /** Non-English month names (dateparser parses many languages; the
+    * reference crashes nothing a user feeds it). Tried AFTER the full
+    * US chain, so every previously-parsing input is untouched;
+    * deterministic locale order.
+    */
+  private lazy val localizedFormats: Seq[DateTimeFormatter] = {
+    import java.util.Locale
+    val locales = Seq(Locale.GERMAN, Locale.FRENCH, new Locale("es"),
+      Locale.ITALIAN, new Locale("pt"), new Locale("nl"))
+    val shapes = Seq("d MMMM yyyy H:m", "d MMMM yyyy", "d. MMMM yyyy",
+      "MMMM d yyyy", "d MMM yyyy", "d. MMM yyyy", "d 'de' MMMM 'de' yyyy")
+    for (l <- locales; p <- shapes) yield fmtIn(p, l)
+  }
+
+  /** Timezone-bearing shapes: ISO offset datetimes plus space-separated
+    * and RFC-822 (+0200) variants; trailing " UTC"/" GMT" pre-rewrites
+    * to +00:00.
+    */
+  private lazy val offsetFormats: Seq[DateTimeFormatter] =
+    DateTimeFormatter.ISO_OFFSET_DATE_TIME +: Seq(
+      "yyyy-M-d H:m:sXXX", "yyyy-M-d H:m:sXX", "yyyy-M-d H:m:sX",
+      "yyyy-M-d H:m:s XXX", "yyyy-M-d H:m:s XX",
+      "yyyy-M-d'T'H:m:sXX", "yyyy-M-d'T'H:m:sX"
+    ).map(p => new DateTimeFormatterBuilder()
+      .parseCaseInsensitive().appendPattern(p).toFormatter(java.util.Locale.US))
+
+  private val utcSuffixRe = "(?i)\\s+(UTC|GMT)\\s*$".r
 
   private val ordinalRe = "(?i)\\b(\\d{1,2})(st|nd|rd|th)\\b".r
   private val meridiemPrefixRe =
@@ -117,16 +154,21 @@ object DateParse {
     }
   }
 
-  /** Parse one value. Explicit strptime `formats` first, then the
-    * relative grammar against `relativeBase` (dateparser's
-    * RELATIVE_BASE — injectable so distributed runs and tests resolve
-    * "2 weeks ago" against ONE deterministic clock, not per-row
-    * `now()`), then the fuzzy chain. Returns None only for null/blank
-    * input; throws on a value nothing can parse (reference
-    * error-propagation semantics).
+  /** Parse one value, keeping any explicit UTC offset the input carried
+    * (dateparser returns a tz-AWARE datetime for offset-bearing input,
+    * and the reference's `dt.isoformat()` keeps the offset in the
+    * stored TEXT — `utils.py:510-513`). Order: explicit strptime
+    * `formats`, the relative grammar against `relativeBase`
+    * (dateparser's RELATIVE_BASE — injectable so distributed runs and
+    * tests resolve "2 weeks ago" against ONE deterministic clock, not
+    * per-row `now()`), offset-bearing shapes, the fuzzy US chain, then
+    * non-English month names. Returns None only for null/blank input;
+    * throws on a value nothing can parse (reference error-propagation
+    * semantics).
     */
-  def parse(value: String, formats: Seq[String] = Nil,
-      relativeBase: LocalDateTime = LocalDateTime.now()): Option[LocalDateTime] = {
+  def parseFull(value: String, formats: Seq[String] = Nil,
+      relativeBase: LocalDateTime = LocalDateTime.now())
+      : Option[(LocalDateTime, Option[java.time.ZoneOffset])] = {
     if (value == null || value.trim.isEmpty) return None
     val v = value.trim
 
@@ -135,21 +177,33 @@ object DateParse {
 
     val userFormatters = formats.map(f => fmt(strptimeToJava(f)))
     val viaUser = userFormatters.view.flatMap(f => tryFormatter(f, v)).headOption
-    if (viaUser.isDefined) return viaUser
+    if (viaUser.isDefined) return viaUser.map((_, None))
 
     // Relative dates (dateparser `freshness_date_parser`): keyword
     // forms carry the base's own time-of-day, exactly as dateparser
     // resolves them against RELATIVE_BASE.
     v.toLowerCase match {
-      case "now" | "today" => return Some(relativeBase)
-      case "yesterday"     => return Some(relativeBase.minusDays(1))
-      case "tomorrow"      => return Some(relativeBase.plusDays(1))
+      case "now" | "today" => return Some((relativeBase, None))
+      case "yesterday"     => return Some((relativeBase.minusDays(1), None))
+      case "tomorrow"      => return Some((relativeBase.plusDays(1), None))
       case _               =>
     }
     v match {
-      case relAgoRe(n, unit) => return Some(shiftBy(relativeBase, n, unit, -1L))
-      case relInRe(n, unit)  => return Some(shiftBy(relativeBase, n, unit, 1L))
+      case relAgoRe(n, unit) => return Some((shiftBy(relativeBase, n, unit, -1L), None))
+      case relInRe(n, unit)  => return Some((shiftBy(relativeBase, n, unit, 1L), None))
       case _                 =>
+    }
+
+    // Timezone-bearing shapes: wall-clock LocalDateTime + the offset,
+    // NOT converted to UTC (python `dt.date()`/`dt.isoformat()` are
+    // wall-clock too). Fractional seconds parse and truncate.
+    val pre = utcSuffixRe.replaceFirstIn(v, "+00:00")
+    val viaOffset = offsetFormats.view
+      .flatMap(f => Try(java.time.OffsetDateTime.parse(pre, f)).toOption)
+      .headOption
+    viaOffset match {
+      case Some(o) => return Some((o.toLocalDateTime.withNano(0), Some(o.getOffset)))
+      case None =>
     }
 
     // Meridiem prefix: "10pm on April 4 1938" / "10:30am on ...".
@@ -159,7 +213,8 @@ object DateParse {
         return base.map { d =>
           val hour0 = h.toInt % 12
           val hour = if (ap.equalsIgnoreCase("pm")) hour0 + 12 else hour0
-          d.toLocalDate.atTime(LocalTime.of(hour, Option(m).map(_.toInt).getOrElse(0)))
+          (d.toLocalDate.atTime(LocalTime.of(hour, Option(m).map(_.toInt).getOrElse(0))),
+            None)
         }
       case _ =>
     }
@@ -168,21 +223,26 @@ object DateParse {
       case timePrefixRe(h, m, s, rest) if rest.nonEmpty && !rest.forall(_.isDigit) =>
         val base = parse(rest, formats, relativeBase)
         if (base.isDefined)
-          return base.map(d => d.toLocalDate.atTime(
-            LocalTime.of(h.toInt, m.toInt, Option(s).map(_.toInt).getOrElse(0))))
+          return base.map(d => (d.toLocalDate.atTime(
+            LocalTime.of(h.toInt, m.toInt, Option(s).map(_.toInt).getOrElse(0))), None))
       case _ =>
     }
 
     // Strip ordinal suffixes: "3rd May 2017" / "May 3rd, 2017" ->
     // "3 May 2017" / "May 3, 2017".
     val deOrdinal = ordinalRe.replaceAllIn(v, mm => mm.group(1))
-    val hit = fallbackFormats.view.flatMap(f => tryFormatter(f, deOrdinal)).headOption
+    val hit = (fallbackFormats.view ++ localizedFormats.view)
+      .flatMap(f => tryFormatter(f, deOrdinal)).headOption
     hit match {
-      case Some(d) => Some(d)
+      case Some(d) => Some((d, None))
       case None =>
         throw new IllegalArgumentException(s"Unable to parse date value: '$value'")
     }
   }
+
+  def parse(value: String, formats: Seq[String] = Nil,
+      relativeBase: LocalDateTime = LocalDateTime.now()): Option[LocalDateTime] =
+    parseFull(value, formats, relativeBase).map(_._1)
 
   def parseDateIso(value: String): String = parseDateIso(value, Nil)
 
@@ -195,16 +255,24 @@ object DateParse {
       relativeBase: LocalDateTime): String =
     parse(value, formats, relativeBase).map(_.toLocalDate.toString).orNull
 
+  /** `dt.isoformat()` parity: wall-clock datetime, and the input's own
+    * offset appended when it carried one (python prints "+00:00" for
+    * UTC, never "Z").
+    */
+  private def isoDatetime(d: LocalDateTime, off: Option[java.time.ZoneOffset]): String = {
+    val s = d.format(DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss"))
+    off match {
+      case Some(o) => s + (if (o.getTotalSeconds == 0) "+00:00" else o.getId)
+      case None    => s
+    }
+  }
+
   def parseDatetimeIso(value: String, formats: Seq[String]): String =
-    parse(value, formats)
-      .map(_.format(DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")))
-      .orNull
+    parseFull(value, formats).map((isoDatetime _).tupled).orNull
 
   def parseDatetimeIso(value: String, formats: Seq[String],
       relativeBase: LocalDateTime): String =
-    parse(value, formats, relativeBase)
-      .map(_.format(DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")))
-      .orNull
+    parseFull(value, formats, relativeBase).map((isoDatetime _).tupled).orNull
 
   /** Column-level API. `formats` is captured at plan time (it comes from
     * the CLI `-df` flags, not from data). Backed by a native codegen

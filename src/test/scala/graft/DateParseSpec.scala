@@ -99,6 +99,27 @@ class DateParseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { DateParse.parseDateIso("2 fortnights ago") }
   }
 
+  test("timezone-bearing strings keep their offset (dt.isoformat parity)") {
+    assert(DateParse.parseDatetimeIso("2017-05-03T10:20:30+02:00") === "2017-05-03T10:20:30+02:00")
+    assert(DateParse.parseDatetimeIso("2017-05-03T10:20:30Z") === "2017-05-03T10:20:30+00:00")
+    assert(DateParse.parseDatetimeIso("2017-05-03 10:20:30+0200") === "2017-05-03T10:20:30+02:00")
+    assert(DateParse.parseDatetimeIso("2017-05-03 10:20:30 UTC") === "2017-05-03T10:20:30+00:00")
+    assert(DateParse.parseDatetimeIso("2017-05-03T10:20:30.123Z") === "2017-05-03T10:20:30+00:00")
+    // date variant: WALL-CLOCK date, not UTC-converted (python dt.date())
+    assert(DateParse.parseDateIso("2017-05-03T23:30:00-05:00") === "2017-05-03")
+  }
+
+  test("non-English month names parse after the US chain") {
+    assert(DateParse.parseDateIso("3 März 2017") === "2017-03-03")      // de
+    assert(DateParse.parseDateIso("3. März 2017") === "2017-03-03")     // de dotted
+    assert(DateParse.parseDateIso("3 décembre 2017") === "2017-12-03")  // fr
+    assert(DateParse.parseDateIso("3 diciembre 2017") === "2017-12-03") // es
+    assert(DateParse.parseDateIso("3 dicembre 2017") === "2017-12-03")  // it
+    assert(DateParse.parseDateIso("3 de diciembre de 2017") === "2017-12-03") // es long
+    // English month names still take the US chain first
+    assert(DateParse.parseDateIso("3 December 2017") === "2017-12-03")
+  }
+
   test("column API: relative base pins the expression at plan time") {
     val spark = TestSpark.spark
     import spark.implicits._
