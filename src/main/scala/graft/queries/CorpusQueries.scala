@@ -433,10 +433,13 @@ object CorpusQueries {
     */
   def heavyHittersSketch(spark: SparkSession, dir: String): DataFrame = {
     val k = 32
+    // vocabulary table feeds THREE consumers (sketch build, totals,
+    // probes) — materialize once so the token explode runs once
     val counts = DedupQueries.docs(spark, dir)
       .select(col("lang"), explode(Fts.tokens(Seq(col("text")))).as("term"))
       .groupBy(col("lang"), col("term"))
       .agg(count(lit(1)).cast(LongType).as("n"))
+      .localCheckpoint(true)
     val sk = graft.operators.CountMin.sketch(counts, "term", "n",
       groupCols = Seq("lang"))
     val totals = counts.groupBy("lang").agg(sum(col("n")).cast(LongType).as("total_n"))
@@ -784,9 +787,12 @@ object CorpusQueries {
     * corpus size except the one term-keyed shuffle.
     */
   def cmsFreq(spark: SparkSession, dir: String): DataFrame = {
+    // vocabulary table feeds the sketch build AND the probe side —
+    // materialize once so the corpus shingle explode runs once
     val counts = DedupQueries.docs(spark, dir)
       .select(explode(TextDedup.shingles(col("text"), 3)).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).cast(LongType).as("n"))
+      .localCheckpoint(true)
     val sk = graft.operators.CountMin.sketch(counts, "term", "n")
     val probes = counts.filter(col("n") >= 5)
       .select(col("term"), col("n").as("true_count"))
