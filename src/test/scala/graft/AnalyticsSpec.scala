@@ -62,6 +62,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("bottomKByHash: two-stage rank equals one global rank, any partitioning") {
+    val df = (1L to 3000L).map(i => (s"g${i % 3}", i, Kmv.HashDomain - (i * 7919L % Kmv.HashDomain)))
+      .toDF("g", "id", "h")
+    // single-window reference (fanout=1 degenerates to one global rank)
+    val ref = Kmv.bottomKByHash(df.repartition(1), "g", "h", "id", k = 50, fanout = 1)
+      .select("g", "id", "sample_rk").as[(String, Long, Int)].collect().toSet
+    val got = Kmv.bottomKByHash(df.repartition(11), "g", "h", "id", k = 50, fanout = 8)
+      .select("g", "id", "sample_rk").as[(String, Long, Int)].collect().toSet
+    assert(got === ref)
+    assert(got.groupBy(_._1).forall(_._2.size == 50))
+  }
+
+  test("bottomKByHash: under-filled group keeps every row, ranks dense") {
+    val df = Seq(("a", 1L, 5L), ("a", 2L, 3L), ("b", 9L, 1L)).toDF("g", "id", "h")
+    val got = Kmv.bottomKByHash(df, "g", "h", "id", k = 10)
+      .select("g", "id", "sample_rk").as[(String, Long, Int)].collect().toSet
+    assert(got === Set(("a", 2L, 1), ("a", 1L, 2), ("b", 9L, 1)))
+  }
+
   test("KMV Aggregator: bit-identical to the window-based sketch (mergeable path)") {
     val terms = graft.queries.AnalyticsQueries
       .kmvDistinct(spark, "/root/testdata/sf0.001") // forces same corpus shape

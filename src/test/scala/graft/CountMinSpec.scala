@@ -59,6 +59,30 @@ class CountMinSpec extends SparkSpec {
       assert(CountMin.estimateFromCells(cells, term, depth, width) === est, term)
   }
 
+  test("groupCols: per-group sketches match independently-built sketches") {
+    val df = ((1 to 900).map(i => ("en", s"w${i % 90}")) ++
+      (1 to 600).map(i => ("fr", s"w${i % 40}"))).toDF("lang", "term")
+    val grouped = df.groupBy("lang", "term").agg(count(lit(1)).cast("long").as("n"))
+    val sk = CountMin.sketch(grouped, "term", "n", depth, width, groupCols = Seq("lang"))
+    val probes = grouped.select(col("lang"), col("term"), col("n").as("true_count"))
+    val est = CountMin.estimate(sk, probes, "term", depth, width, groupCols = Seq("lang"))
+      .select("lang", "term", "true_count", "cms_estimate")
+      .as[(String, String, Long, Long)].collect()
+    // the per-group estimate must equal the estimate from a sketch built
+    // over ONLY that group's rows (no cross-language counter bleed)
+    for (lang <- Seq("en", "fr")) {
+      val solo = grouped.filter(col("lang") === lang)
+      val soloSk = CountMin.sketch(solo, "term", "n", depth, width)
+      val soloEst = CountMin.estimate(soloSk,
+          solo.select(col("term"), col("n").as("true_count")), "term", depth, width)
+        .select("term", "cms_estimate").as[(String, Long)].collect().toMap
+      est.filter(_._1 == lang).foreach { case (_, t, n, e) =>
+        assert(e === soloEst(t), s"$lang/$t")
+        assert(e >= n)
+      }
+    }
+  }
+
   test("merge of disjoint-batch sketches equals the single-pass sketch (100 TB combine path)") {
     val (a, b) = ((1 to 1000).map(i => s"term_${i % 300}"),
       (1001 to 2000).map(i => s"term_${i % 300}"))
