@@ -96,7 +96,10 @@ object DateParse {
     "M/d/yyyy H:m:s", "M/d/yyyy H:m", "M/d/yyyy",
     "d MMMM yyyy H:m", "d MMMM yyyy", "MMMM d yyyy H:m", "MMMM d yyyy",
     "MMMM d, yyyy", "d MMM yyyy", "MMM d yyyy", "MMM d, yyyy",
-    "yyyyMMdd"
+    "yyyyMMdd",
+    // dotted European dates (day-first, dateparser's default for "."),
+    // and y/m/d slashes (unambiguous: 4-digit year leads)
+    "d.M.yyyy H:m:s", "d.M.yyyy H:m", "d.M.yyyy", "yyyy/M/d"
   ).map(fmt)
 
   /** Non-English month names (dateparser parses many languages; the
@@ -138,6 +141,8 @@ object DateParse {
     "(?i)^\\s*(\\d+|an?)\\s+(second|minute|hour|day|week|month|year)s?\\s+ago\\s*$".r
   private val relInRe =
     "(?i)^\\s*in\\s+(\\d+|an?)\\s+(second|minute|hour|day|week|month|year)s?\\s*$".r
+  private val relLastRe = "(?i)^\\s*last\\s+(week|month|year)\\s*$".r
+  private val relNextRe = "(?i)^\\s*next\\s+(week|month|year)\\s*$".r
 
   private def shiftBy(base: LocalDateTime, nStr: String, unit: String,
       sign: Long): LocalDateTime = {
@@ -189,9 +194,11 @@ object DateParse {
       case _               =>
     }
     v match {
-      case relAgoRe(n, unit) => return Some((shiftBy(relativeBase, n, unit, -1L), None))
-      case relInRe(n, unit)  => return Some((shiftBy(relativeBase, n, unit, 1L), None))
-      case _                 =>
+      case relAgoRe(n, unit)  => return Some((shiftBy(relativeBase, n, unit, -1L), None))
+      case relInRe(n, unit)   => return Some((shiftBy(relativeBase, n, unit, 1L), None))
+      case relLastRe(unit)    => return Some((shiftBy(relativeBase, "1", unit, -1L), None))
+      case relNextRe(unit)    => return Some((shiftBy(relativeBase, "1", unit, 1L), None))
+      case _                  =>
     }
 
     // Timezone-bearing shapes: wall-clock LocalDateTime + the offset,

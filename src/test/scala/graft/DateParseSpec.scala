@@ -99,6 +99,16 @@ class DateParseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { DateParse.parseDateIso("2 fortnights ago") }
   }
 
+  test("dotted European dates, y/m/d slashes, last/next units") {
+    assert(DateParse.parseDateIso("03.02.2001") === "2001-02-03") // day-first
+    assert(DateParse.parseDateIso("3.2.2001") === "2001-02-03")
+    assert(DateParse.parseDatetimeIso("03.02.2001 10:20") === "2001-02-03T10:20:00")
+    assert(DateParse.parseDateIso("2017/05/03") === "2017-05-03")
+    assert(DateParse.parseDateIso("last month", Nil, base) === "2026-07-13")
+    assert(DateParse.parseDateIso("next year", Nil, base) === "2027-08-13")
+    assert(DateParse.parseDateIso("last week", Nil, base) === "2026-08-06")
+  }
+
   test("timezone-bearing strings keep their offset (dt.isoformat parity)") {
     assert(DateParse.parseDatetimeIso("2017-05-03T10:20:30+02:00") === "2017-05-03T10:20:30+02:00")
     assert(DateParse.parseDatetimeIso("2017-05-03T10:20:30Z") === "2017-05-03T10:20:30+00:00")
