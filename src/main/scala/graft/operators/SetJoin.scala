@@ -15,9 +15,13 @@ import org.apache.spark.sql.types.LongType
   * filtering is EXACT — it returns every pair with Jaccard >= t, no
   * more, no less. The price is sensitivity to token-frequency skew
   * (a prefix token shared by k sets expands k² candidates), which LSH's
-  * banded signatures bound by construction. A pipeline uses LSH for
-  * web-scale recall-tolerant dedup and the exact join where recall must
-  * be 1.0 (eval-set decontamination, legal takedown sweeps).
+  * banded signatures bound by construction. The worst skew mode —
+  * many IDENTICAL sets, every shared token at df=n — is neutralized by
+  * an exactness-preserving pre-collapse (see [[ppjoinPairs]]); residual
+  * skew (many distinct-but-similar sets sharing a rare token) is the
+  * price of recall 1.0. A pipeline uses LSH for web-scale
+  * recall-tolerant dedup and the exact join where recall must be 1.0
+  * (eval-set decontamination, legal takedown sweeps).
   *
   * Prefix-filter theorem: order every set by one GLOBAL total order of
   * tokens and keep each set's first `p = n - ceil(t·n) + 1` tokens. Two
