@@ -309,6 +309,21 @@ class TextDedupSpec extends SparkSpec {
     assert(!byKind.contains("far"))
   }
 
+  test("ppjoin edges: empty corpus, single doc, and empty-text twins") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.SetJoin.ppjoinPairs(empty, "doc_id", "text").count() === 0L)
+    val single = Seq((1L, "just one document here")).toDF("doc_id", "text")
+    assert(graft.operators.SetJoin.ppjoinPairs(single, "doc_id", "text").count() === 0L)
+    // two empty-text docs: the kernel hashes "" into a 1-element set, so
+    // they are identical sets and pair at J=1 — same as the pre-collapse
+    // implementation, where they shared their single prefix token
+    val blanks = Seq((1L, ""), (2L, ""), (3L, "distinct real content words")).toDF("doc_id", "text")
+    val got = graft.operators.SetJoin.ppjoinPairs(blanks, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)))
+  }
+
   test("simhash: equal for identical docs, close for near-dups (hamming)") {
     val sims = TextDedup.withSimhash(docs, "text").select($"doc_id", $"sim").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
