@@ -415,6 +415,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CMS sketch streams per-group in update mode, bit-equal to the batch sketch") {
+    import spark.implicits._
+    import graft.operators.CountMin
+    val dir = Files.createTempDirectory("graft-scms").toString
+    val batch1 = (1 to 400).map(i => (s"g${i % 2}", s"t${i % 30}"))
+    val batch2 = (1 to 300).map(i => (s"g${i % 2}", s"t${i % 50}"))
+    batch1.toDF("g", "term").write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = stream.groupBy("g")
+      .agg(CountMin.sketchAgg(col("term"), depth = 4, width = 32).as("cells"))
+      .writeStream.outputMode("update").format("memory").queryName("scms_out").start()
+    try {
+      q.processAllAvailable()
+      batch2.toDF("g", "term").write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      // last update per group must equal the single-pass batch sketch
+      // over both batches (cell sums commute)
+      val streamed = spark.sql(
+        """SELECT g, cells FROM (
+          |  SELECT g, cells, row_number() OVER (PARTITION BY g ORDER BY mono DESC) AS rk
+          |  FROM (SELECT g, cells, monotonically_increasing_id() AS mono FROM scms_out))
+          |WHERE rk = 1""".stripMargin)
+        .as[(String, Seq[Long])].collect().toMap
+      val whole = (batch1 ++ batch2).toDF("g", "term").groupBy("g")
+        .agg(CountMin.sketchAgg(col("term"), depth = 4, width = 32).as("cells"))
+        .as[(String, Seq[Long])].collect().toMap
+      assert(streamed === whole)
+    } finally q.stop()
+  }
+
   test("streaming near-dup: distinct hits equal the batch LSH candidate pairs") {
     import spark.implicits._
     import graft.streaming.StreamNearDup
