@@ -378,7 +378,11 @@ object CorpusQueries {
       .select(col("lang"), col("doc_id").cast(LongType).as("doc_id"),
         graft.operators.TextStats.wsTokenCount(col("text")).as("ws"),
         graft.operators.Kmv.hash30(col("doc_id")).as("h"))
+    // the (tiny, <= k rows per language) sample feeds both the size
+    // lookup and the quantile ranking — materialize once so the
+    // two-stage rank pipeline doesn't evaluate per consumer
     val sample = graft.operators.Kmv.bottomKByHash(d, "lang", "h", "doc_id", k)
+      .localCheckpoint(true)
     val sizes = sample.groupBy("lang").agg(max(col("sample_rk")).as("m"))
     val w = Window.partitionBy("lang").orderBy(col("ws"), col("doc_id"))
     val ranked = sample.withColumn("qr", row_number().over(w))
