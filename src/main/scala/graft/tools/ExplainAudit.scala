@@ -15,6 +15,32 @@ object ExplainAudit {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    // sweep mode: per-query raw-scan counts — a table scanned >= 2x is a
+    // candidate multi-consumer pipeline, to be cross-checked against the
+    // bench board. NOTE: repeated scans of column-pruned source parquet
+    // are usually the CORRECT 100 TB shape (re-scan beats materializing
+    // a corpus-sized intermediate); the disease this hunts is expensive
+    // DERIVED compute (explodes, hashes, windows) repeated above the
+    // scan, which the per-query localCheckpoints eliminate. Audited
+    // round 8: every >= 2x hit is either cheap projections or
+    // already-checkpointed compute.
+    if (args.contains("--sweep")) {
+      val scanRe = "FileScan parquet".r
+      val tableRe = "([a-z]+)\\.parquet".r
+      for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
+        try {
+          val plan = fn(spark, dir).queryExecution.executedPlan.toString
+          val tables = plan.linesIterator
+            .filter(l => scanRe.findFirstIn(l).isDefined)
+            .flatMap(l => tableRe.findFirstMatchIn(l).map(_.group(1)))
+            .toSeq
+          val dups = tables.groupBy(identity).collect { case (t, xs) if xs.size > 1 => s"$t x${xs.size}" }
+          if (dups.nonEmpty) println(s"[sweep] $name: ${dups.mkString(", ")}")
+        } catch { case e: Throwable => println(s"[sweep] $name ERROR ${e.getMessage}") }
+      }
+      spark.stop(); return
+    }
     for (name <- Seq("x_oov_rate", "x_approx_length_quantiles",
         "x_heavy_hitters_sketch", "x_approx_distinct_parts", "x_ppjoin_pairs")) {
       println(s"===== $name =====")
