@@ -65,10 +65,25 @@ object CsvLoader {
     * path: pandas loads the whole file in driver RAM anyway, so one
     * streamed driver-side pass is strictly cheaper than the reference.)
     */
+  /** pandas infers compression from the extension and decodes the
+    * DECOMPRESSED bytes; mirror that for the codecs Spark's CSV reader
+    * also decompresses natively (gz, bz2) so the encoding fallback
+    * chain sees text, not container bytes. zip/xz/zstd are pandas-only
+    * (no Hadoop text codec) and stay out of scope.
+    */
+  private def rawStream(p: java.nio.file.Path): java.io.InputStream = {
+    val in = Files.newInputStream(p)
+    val name = p.getFileName.toString.toLowerCase
+    if (name.endsWith(".gz")) new java.util.zip.GZIPInputStream(in)
+    else if (name.endsWith(".bz2"))
+      new org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream(in)
+    else in
+  }
+
   private def decodesAs(path: String, encoding: String): Boolean = {
     val p = Paths.get(path)
     if (!Files.isRegularFile(p)) return true // globs/dirs: skip validation
-    val in = Files.newInputStream(p)
+    val in = rawStream(p)
     try {
       val dec = java.nio.charset.Charset.forName(charsetName(encoding)).newDecoder()
         .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)

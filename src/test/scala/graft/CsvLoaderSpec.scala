@@ -73,6 +73,28 @@ class CsvLoaderSpec extends SparkSpec {
     assert(row.getAs[String]("place") === "Zürich")
   }
 
+  test("gzipped CSV loads with encoding detection through the codec (pandas compression parity)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gz")
+    def gz(name: String, bytes: Array[Byte]): String = {
+      val f = dir.resolve(name)
+      val out = new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(f))
+      try out.write(bytes) finally out.close()
+      f.toString
+    }
+    // UTF-8 content: must load as UTF-8 (not fall through to latin-1
+    // because the probe saw gzip container bytes)
+    val utf8 = gz("data.csv.gz", "name,place\ncafé,Zürich\n".getBytes("UTF-8"))
+    val r1 = CsvLoader.load(spark, utf8).collect()(0)
+    assert(r1.getAs[String]("name") === "café")
+    // latin-1 content inside gzip: the fallback chain must still engage
+    val lat = gz("lat.csv.gz", "name,place\ncafé,Zürich\n".getBytes("ISO-8859-1"))
+    val r2 = CsvLoader.load(spark, lat).collect()(0)
+    assert(r2.getAs[String]("place") === "Zürich")
+    // naming parity: one splitext, like the reference (foo.csv.gz -> foo.csv)
+    val found = CsvLoader.discover(Seq(utf8)).toMap
+    assert(found.keySet === Set("data.csv"))
+  }
+
   test("custom separator (-s '|')") {
     val path = tempCsv("pipe.csv", "a|b\n1|x\n2|y\n")
     val df = CsvLoader.load(spark, path, CsvOptions(separator = "|"))
