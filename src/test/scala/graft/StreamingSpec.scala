@@ -431,13 +431,15 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       batch2.toDF("g", "term").write.mode("append").parquet(dir)
       q.processAllAvailable()
-      // last update per group must equal the single-pass batch sketch
-      // over both batches (cell sums commute)
+      // latest update per group must equal the single-pass batch sketch
+      // over both batches. "Latest" = the row with the largest total
+      // cell mass: counters only grow across updates, and mass is
+      // insertion-order-independent (monotonically_increasing_id over a
+      // memory sink is NOT — partition layout broke that ordering under
+      // a loaded suite run).
       val streamed = spark.sql(
-        """SELECT g, cells FROM (
-          |  SELECT g, cells, row_number() OVER (PARTITION BY g ORDER BY mono DESC) AS rk
-          |  FROM (SELECT g, cells, monotonically_increasing_id() AS mono FROM scms_out))
-          |WHERE rk = 1""".stripMargin)
+        """SELECT g, max_by(cells, aggregate(cells, 0L, (a, x) -> a + x)) AS cells
+          |FROM scms_out GROUP BY g""".stripMargin)
         .as[(String, Seq[Long])].collect().toMap
       val whole = (batch1 ++ batch2).toDF("g", "term").groupBy("g")
         .agg(CountMin.sketchAgg(col("term"), depth = 4, width = 32).as("cells"))
