@@ -309,6 +309,40 @@ class TextDedupSpec extends SparkSpec {
     assert(!byKind.contains("far"))
   }
 
+  test("ppjoin equals brute force on seeded random corpora with duplicate groups") {
+    import spark.implicits._
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val texts = (1 to 30).map { _ =>
+        val len = 4 + rnd.nextInt(8)
+        (1 to len).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      // clone a third of the docs -> duplicate groups exercise the
+      // pre-collapse path; the tiny vocabulary forces shared shingles
+      val all = texts ++ texts.take(10)
+      val corpus = all.zipWithIndex
+        .map { case (t, i) => ((i + 1).toLong, t) }.toDF("doc_id", "text")
+      val pp = graft.operators.SetJoin.ppjoinPairs(corpus, "doc_id", "text")
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect()
+        .map { case (a, b, j) => (a, b) -> j }.toMap
+      val sets = corpus.select($"doc_id", TextDedup.shingleHashes($"text").as("s"))
+        .as[(Long, Seq[Long])].collect()
+      val truth = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        inter = sa.toSet.intersect(sb.toSet).size
+        uni = sa.size + sb.size - inter
+        if inter * 2 >= uni
+      } yield (ia, ib) ->
+        BigDecimal(inter.toDouble / uni).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+      assert(pp.keySet === truth.keySet, s"seed=$seed")
+      truth.foreach { case (k, j) =>
+        assert(math.abs(pp(k) - j) < 1e-9, s"seed=$seed pair=$k") }
+    }
+  }
+
   test("ppjoin edges: empty corpus, single doc, and empty-text twins") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
