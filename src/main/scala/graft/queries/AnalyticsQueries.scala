@@ -192,11 +192,16 @@ object AnalyticsQueries {
     * `pair >= 5` survivors.
     */
   def collocations(spark: SparkSession, dir: String): DataFrame = {
+    // the tokenized corpus feeds three consumers (unigram counts,
+    // bigram explode, bigram-total) and the unigram table three more
+    // (two PMI joins + the token total) — materialize each once
     val toks = DedupQueries.docs(spark, dir)
       .select(Fts.tokens(Seq(col("text"))).as("t"))
       .filter(size(col("t")) >= 2)
+      .localCheckpoint(true)
     val uni = toks.select(explode(col("t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val bi = toks
       .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
         i => concat_ws(" ",
