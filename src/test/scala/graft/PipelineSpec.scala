@@ -30,6 +30,19 @@ class PipelineSpec extends SparkSpec {
     assert(rows(5).toSeq === Seq("Yolo", 100001, "State Assembly", 7, "REP", "Ryan K. Brown", 291))
   }
 
+  test("gzipped CSV runs the full pipeline (pandas compression parity)") {
+    val dir = Files.createTempDirectory("graft-gzp")
+    val f = dir.resolve("test.csv.gz")
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(f))
+    try out.write(Fixtures.CSV.getBytes("UTF-8")) finally out.close()
+    val r = Pipeline.run(spark, cfg(Seq(f.toString)))
+    // reference naming: one splitext -> table "test.csv"
+    val rows = r.tables("test.csv").orderBy("rowid")
+      .select("county", "candidate", "votes").collect()
+    assert(rows.length === 6)
+    assert(rows(0).toSeq === Seq("Yolo", "Gary Johnson", 41))
+  }
+
   test("test_extract_columns: dicts, %g district, reconstruction joins (:74-146)") {
     val csv = tempCsv("test.csv", Fixtures.CSV)
     val r = Pipeline.run(spark, cfg(Seq(csv)).copy(
