@@ -68,8 +68,9 @@ object CsvLoader {
   /** pandas infers compression from the extension and decodes the
     * DECOMPRESSED bytes; mirror that for the codecs Spark's CSV reader
     * also decompresses natively (gz, bz2) so the encoding fallback
-    * chain sees text, not container bytes. zip/xz/zstd are pandas-only
-    * (no Hadoop text codec) and stay out of scope.
+    * chain sees text, not container bytes. zip/xz/zstd have no Hadoop
+    * text codec and are spooled driver-side instead
+    * ([[spoolIfOpaqueCodec]]), reaching this probe as plain files.
     */
   private def rawStream(p: java.nio.file.Path): java.io.InputStream = {
     val in = Files.newInputStream(p)
@@ -107,8 +108,44 @@ object CsvLoader {
     finally in.close()
   }
 
+  /** pandas-parity compression handling for the codecs Spark/Hadoop
+    * can NOT stream natively (zip, xz, zstd): spool the decompressed
+    * bytes to a temp file and recurse — the reference loads the whole
+    * file into driver RAM via pandas anyway, so a driver-side spool is
+    * parity, not a regression. gz/bz2 never hit this path: Hadoop
+    * decompresses those inside the distributed scan.
+    */
+  private def spoolIfOpaqueCodec(path: String): Option[String] = {
+    val name = path.toLowerCase
+    def spool(open: java.io.InputStream => java.io.InputStream): String = {
+      val tmp = Files.createTempFile("graft-decomp-", ".csv")
+      val in = open(Files.newInputStream(Paths.get(path)))
+      try Files.copy(in, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      tmp.toString
+    }
+    import org.apache.commons.compress.archivers.zip.ZipArchiveInputStream
+    import org.apache.commons.compress.compressors.xz.XZCompressorInputStream
+    import org.apache.commons.compress.compressors.zstandard.ZstdCompressorInputStream
+    if (name.endsWith(".zip"))
+      Some(spool { raw =>
+        val z = new ZipArchiveInputStream(raw)
+        if (z.getNextEntry == null)
+          throw new IllegalArgumentException(s"$path: empty zip archive")
+        z // first entry, like pandas with a single-member archive
+      })
+    else if (name.endsWith(".xz")) Some(spool(new XZCompressorInputStream(_)))
+    else if (name.endsWith(".zst") || name.endsWith(".zstd"))
+      Some(spool(new ZstdCompressorInputStream(_)))
+    else None
+  }
+
   /** S1: load one CSV with the encoding fallback chain. */
   def load(spark: SparkSession, path: String, opts: CsvOptions = CsvOptions()): DataFrame = {
+    spoolIfOpaqueCodec(path) match {
+      case Some(tmp) => return load(spark, tmp, opts)
+      case None =>
+    }
     def attempt(encoding: String): DataFrame = {
       if (!decodesAs(path, encoding))
         throw new IllegalArgumentException(s"$path is not valid $encoding")

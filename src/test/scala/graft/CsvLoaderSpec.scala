@@ -95,6 +95,30 @@ class CsvLoaderSpec extends SparkSpec {
     assert(found.keySet === Set("data.csv"))
   }
 
+  test("zip/xz/zst CSVs spool driver-side and load (pandas compression parity)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-codec")
+    val content = "a,b\n1,x\n2,y\n".getBytes("UTF-8")
+    def check(path: String): Unit = {
+      val df = CsvLoader.load(spark, path)
+      assert(df.columns.toSeq === Seq("a", "b", "rowid"))
+      assert(df.orderBy("rowid").collect().map(_.getAs[String]("b")).toSeq === Seq("x", "y"))
+    }
+    val zipF = dir.resolve("z.csv.zip")
+    val zo = new java.util.zip.ZipOutputStream(java.nio.file.Files.newOutputStream(zipF))
+    zo.putNextEntry(new java.util.zip.ZipEntry("z.csv")); zo.write(content); zo.closeEntry(); zo.close()
+    check(zipF.toString)
+    val xzF = dir.resolve("x.csv.xz")
+    val xo = new org.apache.commons.compress.compressors.xz.XZCompressorOutputStream(
+      java.nio.file.Files.newOutputStream(xzF))
+    try xo.write(content) finally xo.close()
+    check(xzF.toString)
+    val zstF = dir.resolve("s.csv.zst")
+    val so = new org.apache.commons.compress.compressors.zstandard.ZstdCompressorOutputStream(
+      java.nio.file.Files.newOutputStream(zstF))
+    try so.write(content) finally so.close()
+    check(zstF.toString)
+  }
+
   test("custom separator (-s '|')") {
     val path = tempCsv("pipe.csv", "a|b\n1|x\n2|y\n")
     val df = CsvLoader.load(spark, path, CsvOptions(separator = "|"))
