@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sinks.SqliteCli
+
+/** The reference's ACTUAL output surface — a SQLite `.db` file —
+  * exercised against real SQLite through the `sqlite3` CLI (no JDBC
+  * jar exists in this offline env; the binary ships with miniconda).
+  * Goldens mirror the reference's own end-to-end tests byte-for-byte
+  * (`tests/test_csvs_to_sqlite.py` test_flat :41-71, test_fts
+  * :167-188, test_fts_and_extract_columns :200-229).
+  */
+class SqliteCliSpec extends SparkSpec {
+
+  private def dbFile(): String =
+    Files.createTempDirectory("graft-realdb").resolve("test.db").toString
+
+  private def cfg(paths: Seq[String]) =
+    Pipeline.Config(paths = paths, dbName = "test.db")
+
+  test("real .db: golden PRAGMA table_info incl. the int-or-null district (test_flat)") {
+    assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
+    val csv = tempCsv("test.csv", Fixtures.CSV)
+    val r = Pipeline.run(spark, cfg(Seq(csv)))
+    val f = dbFile()
+    SqliteCli.writeDb(f, r)
+    val info = SqliteCli.query(f, "PRAGMA table_info([test]);")
+      .map(row => (row(1).get, row(2).get))
+    assert(info === Seq(
+      "county" -> "TEXT", "precinct" -> "INTEGER", "office" -> "TEXT",
+      "district" -> "INTEGER", "party" -> "TEXT", "candidate" -> "TEXT",
+      "votes" -> "INTEGER"))
+    val rows = SqliteCli.query(f,
+      "SELECT county, precinct, office, district, party, candidate, votes FROM [test];")
+    assert(rows.length === 6)
+    assert(rows.head === Seq(Some("Yolo"), Some("100001"), Some("President"),
+      None, Some("LIB"), Some("Gary Johnson"), Some("41")))
+    assert(rows.last === Seq(Some("Yolo"), Some("100001"), Some("State Assembly"),
+      Some("7"), Some("REP"), Some("Ryan K. Brown"), Some("291")))
+  }
+
+  test("real .db: FTS5 MATCH 'president gloria' finds exactly the reference row (test_fts)") {
+    assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
+    val csv = tempCsv("test.csv", Fixtures.CSV)
+    val r = Pipeline.run(spark, cfg(Seq(csv))
+      .copy(ftsColumns = Seq("office", "party", "candidate")))
+    val f = dbFile()
+    SqliteCli.writeDb(f, r)
+    val hits = SqliteCli.query(f,
+      """SELECT county, precinct, office, party, candidate
+        |FROM test
+        |WHERE rowid IN (
+        |  SELECT rowid FROM test_fts WHERE test_fts MATCH 'president gloria'
+        |);""".stripMargin)
+    assert(hits === Seq(Seq(Some("Yolo"), Some("100001"), Some("President"),
+      Some("PAF"), Some("Gloria Estela La Riva"))))
+  }
+
+  test("real .db: FTS over EXTRACTED columns matches original strings through lookups") {
+    assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
+    val csv = tempCsv("test.csv", Fixtures.CSV)
+    val r = Pipeline.run(spark, cfg(Seq(csv)).copy(
+      extractColumns = Seq("office", "party", "candidate"),
+      ftsColumns = Seq("office", "party", "candidate")))
+    val f = dbFile()
+    SqliteCli.writeDb(f, r)
+    // the fact table now stores integer ids; the FTS populate SQL
+    // (byte-parity with utils.py:374-438) joined the lookup strings —
+    // a MATCH on original text must resolve through real SQLite
+    val hits = SqliteCli.query(f,
+      """SELECT county,
+        |  (SELECT value FROM candidate WHERE id = test.candidate)
+        |FROM test
+        |WHERE rowid IN (
+        |  SELECT rowid FROM test_fts WHERE test_fts MATCH 'president gloria'
+        |);""".stripMargin)
+    assert(hits === Seq(Seq(Some("Yolo"), Some("Gloria Estela La Riva"))))
+  }
+}
