@@ -57,6 +57,35 @@ class SqliteCliSpec extends SparkSpec {
       Some("PAF"), Some("Gloria Estela La Riva"))))
   }
 
+  test("real .db: custom indexes land in sqlite_master with golden names (test_custom_indexes)") {
+    assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
+    val csv = tempCsv("test.csv", Fixtures.CSV)
+    val r = Pipeline.run(spark, cfg(Seq(csv))
+      .copy(indexes = Seq("county", "party,candidate")))
+    val f = dbFile()
+    SqliteCli.writeDb(f, r)
+    val idx = SqliteCli.query(f,
+      """SELECT name, tbl_name FROM sqlite_master
+        |WHERE type = 'index' ORDER BY name;""".stripMargin)
+      .map(row => (row(0).get, row(1).get))
+    // The reference brackets an already-quoted name (`utils.py:496`), so the
+    // stored index name includes literal double quotes — its own golden
+    // (`tests/test_csvs_to_sqlite.py:567-569`) asserts exactly that.
+    assert(idx === Seq("\"test_county\"" -> "test", "\"test_party_candidate\"" -> "test"))
+  }
+
+  test("real .db: -pk columns become real PRIMARY KEY columns (test_custom_primary_keys)") {
+    assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
+    val csv = tempCsv("pks.csv", Fixtures.CSV_CUSTOM_PRIMARY_KEYS)
+    val r = Pipeline.run(spark, cfg(Seq(csv))
+      .copy(primaryKeys = Seq("pk1", "pk2")))
+    val f = dbFile()
+    SqliteCli.writeDb(f, r)
+    val pks = SqliteCli.query(f, "PRAGMA table_info([pks]);")
+      .filter(row => row.last.get != "0").map(_(1).get)
+    assert(pks === Seq("pk1", "pk2"))
+  }
+
   test("real .db: FTS over EXTRACTED columns matches original strings through lookups") {
     assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
     val csv = tempCsv("test.csv", Fixtures.CSV)
