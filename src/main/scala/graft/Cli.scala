@@ -78,6 +78,12 @@ object Cli {
     spark.sparkContext.setLogLevel("WARN")
     val result = Pipeline.run(spark, config.copy(
       outputDir = config.outputDir.orElse(Some(config.dbName.stripSuffix(".db") + ".out"))))
+    // With a sqlite3 binary on the box, emit the reference's actual
+    // artifact: a real SQLite db at the normalized dbname (fresh create
+    // or incremental append — SqliteCli detects which). The parquet
+    // output dir remains the engine's distributed-state store either way.
+    if (graft.sinks.SqliteCli.binary.isDefined)
+      graft.sinks.SqliteCli.writeDb(result.dbName, result)
     result.messages.foreach(println)
     spark.stop()
   }

@@ -59,7 +59,8 @@ object Pipeline {
       tables: Map[String, DataFrame],       // fact + lookup tables (final content)
       createdTables: Seq[String],
       ddl: Seq[String],                     // schema.sql statements in order
-      messages: Seq[String])
+      messages: Seq[String],
+      lookupTables: Set[String] = Set.empty) // dictionary (id, value) tables
 
   def run(spark: SparkSession, config: Config): Result = {
     val dbName = SqliteDdl.normalizeDbName(config.dbName)
@@ -187,9 +188,16 @@ object Pipeline {
     dictionaries.foreach { case (table, dict) =>
       if (!dictWasExisting.getOrElse(table, false)) {
         ddl += SqliteDdl.lookupTableSql(table, dictValueCol(table))
-        if (config.fulltextFks)
+        if (config.fulltextFks) {
+          val shadow = s"${table}_${dictValueCol(table)}_fts"
           ddl += SqliteDdl.ftsCreateSql(table, Seq(dictValueCol(table)), Fts.bestFtsVersion)
-            .replace(s""""${table}_fts"""", s""""${table}_${dictValueCol(table)}_fts"""")
+            .replace(s""""${table}_fts"""", s""""$shadow"""")
+          // The reference inserts (id, value) into the shadow FTS as each
+          // new lookup value lands (utils.py:224-235); loaded in bulk,
+          // that is one INSERT-SELECT over the finished lookup table.
+          ddl += s"""INSERT INTO "$shadow" (rowid, "${dictValueCol(table)}") """ +
+            s"""SELECT id, "${dictValueCol(table)}" FROM "$table""""
+        }
         createdTables += table
       }
       writeTable(spark, config, table, dict)
@@ -272,7 +280,8 @@ object Pipeline {
       if (!dictWasExisting.getOrElse(table, false)) dict.unpersist()
     }
 
-    Result(dbName, (facts ++ dictionaries).toMap, createdTables.toSeq, ddl.toSeq, messages.toSeq)
+    Result(dbName, (facts ++ dictionaries).toMap, createdTables.toSeq, ddl.toSeq, messages.toSeq,
+      dictionaries.keySet.toSet)
   }
 
   private def writeTable(

@@ -67,10 +67,21 @@ object SqliteCli {
     * DDL (sans FTS populate), table data, then the FTS populate
     * INSERT-SELECTs from the DDL stream — they read the now-loaded
     * tables, exactly as the reference executes them after `to_sql`.
+    *
+    * When `dbPath` already exists, the write is INCREMENTAL, mirroring
+    * the reference's connect-and-append (`cli.py:248-251`): the run's
+    * DDL executes as-is (new tables create; `--replace-tables` runs
+    * carry their own DROPs), fact rows insert wholesale (an append
+    * run's Result holds only the new rows), and extended lookup tables
+    * insert only ids past the db's current max — the id-reuse contract
+    * (`utils.py:204-235`) means lower ids are already present.
+    * Requires the db to match the pipeline's parquet state store; a
+    * missing table surfaces as a loud sqlite3 error, not silent skew.
     */
   def writeDb(dbPath: String, result: Pipeline.Result): Unit = {
     val bin = binary.getOrElse(
       throw new IllegalStateException("no sqlite3 binary found"))
+    val existingDb = Files.exists(Paths.get(dbPath))
     val (populates, schema) = result.ddl.partition(_.trim.startsWith("INSERT INTO"))
     val script = new StringBuilder
     def stmt(s0: String): Unit = {
@@ -82,7 +93,22 @@ object SqliteCli {
     script ++= "PRAGMA journal_mode=OFF;\nBEGIN;\n"
     schema.foreach(stmt)
     result.tables.toSeq.sortBy(_._1).foreach { case (name, df) =>
-      insertsFor(name, df).foreach(stmt)
+      val isExtendedLookup = existingDb && result.lookupTables.contains(name) &&
+        !result.createdTables.contains(name)
+      if (isExtendedLookup) {
+        val existingMax = query(dbPath, s"SELECT max(id) FROM [$name];")
+          .headOption.flatMap(_.headOption.flatten).map(_.toLong).getOrElse(0L)
+        insertsFor(name, df.filter(df.col("id") > existingMax)).foreach(stmt)
+        // Keep the shadow FTS in step (utils.py:224-235): new lookup
+        // values get (id, value) FTS rows when a shadow table exists.
+        val valueCol = df.columns.filterNot(_ == "id").head
+        val shadow = s"${name}_${valueCol}_fts"
+        val hasShadow = query(dbPath,
+          s"SELECT name FROM sqlite_master WHERE type = 'table' AND name = '$shadow';").nonEmpty
+        if (hasShadow)
+          stmt(s"""INSERT INTO "$shadow" (rowid, "$valueCol") """ +
+            s"""SELECT id, "$valueCol" FROM "$name" WHERE id > $existingMax""")
+      } else insertsFor(name, df).foreach(stmt)
     }
     populates.foreach(stmt)
     script ++= "COMMIT;\n"

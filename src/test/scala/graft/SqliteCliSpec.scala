@@ -86,6 +86,36 @@ class SqliteCliSpec extends SparkSpec {
     assert(pks === Seq("pk1", "pk2"))
   }
 
+  test("real .db: incremental append extends facts, reuses lookup ids, syncs shadow FTS") {
+    assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
+    val out = Files.createTempDirectory("graft-realdb-out").toString
+    val f = dbFile()
+    val csv1 = tempCsv("test.csv", Fixtures.CSV_MULTI)
+    val base = cfg(Seq(csv1)).copy(
+      extractColumns = Seq("actor_1:actors:name", "actor_2:actors:name"),
+      outputDir = Some(out))
+    SqliteCli.writeDb(f, Pipeline.run(spark, base))
+    // second run against the SAME db: one known actor, one new
+    val csv2 = tempCsv("test.csv",
+      "film,actor_1,actor_2\nSeven,Brad Pitt,Nicolas Cage\n")
+    SqliteCli.writeDb(f, Pipeline.run(spark, base.copy(paths = Seq(csv2))))
+
+    assert(SqliteCli.query(f, "SELECT count(*) FROM [test];")
+      === Seq(Seq(Some("4"))))
+    val actors = SqliteCli.query(f, "SELECT id, name FROM [actors] ORDER BY id;")
+      .map(r => (r(0).get, r(1).get))
+    assert(actors === Seq("1" -> "Sean Connery", "2" -> "Nicolas Cage",
+      "3" -> "Diane Kruger", "4" -> "Orlando Bloom", "5" -> "Brad Pitt"))
+    // the appended fact row encodes the reused id (2) and the new id (5)
+    assert(SqliteCli.query(f,
+      "SELECT actor_1, actor_2 FROM [test] WHERE film = 'Seven';")
+      === Seq(Seq(Some("5"), Some("2"))))
+    // shadow FTS extended with exactly the new value at rowid 5
+    assert(SqliteCli.query(f,
+      "SELECT rowid FROM [actors_name_fts] WHERE actors_name_fts MATCH 'Pitt';")
+      === Seq(Seq(Some("5"))))
+  }
+
   test("real .db: FTS over EXTRACTED columns matches original strings through lookups") {
     assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
     val csv = tempCsv("test.csv", Fixtures.CSV)
