@@ -94,6 +94,7 @@ object SparkEntry {
     "x_decontaminate" -> (DedupQueries.decontaminate _),
     "x_shared_ngrams" -> (CorpusQueries.sharedNgrams _),
     "x_freq_score" -> (CorpusQueries.freqScore _),
+    "x_dsir_select" -> (CorpusQueries.dsirSelect _),
     "x_top_terms" -> (CorpusQueries.topTerms _),
     "x_cms_freq" -> (CorpusQueries.cmsFreq _),
     "x_zorder_layout" -> (CorpusQueries.zorderLayout _),
@@ -319,6 +320,7 @@ object SparkEntry {
     "x_decontaminate" -> DedupQueries.decontaminateOracle,
     "x_shared_ngrams" -> CorpusQueries.sharedNgramsOracle,
     "x_freq_score" -> CorpusQueries.freqScoreOracle,
+    "x_dsir_select" -> CorpusQueries.dsirSelectOracle,
     "x_top_terms" -> CorpusQueries.topTermsOracle,
     "x_cms_freq" -> CorpusQueries.cmsFreqOracle,
     "x_zorder_layout" -> CorpusQueries.zorderLayoutOracle,

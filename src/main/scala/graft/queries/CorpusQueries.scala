@@ -835,4 +835,30 @@ object CorpusQueries {
        |  CAST(min(doc_id) AS BIGINT) AS min_doc_id
        |FROM pos GROUP BY 1 ORDER BY shard""".stripMargin
   }
+
+  /** DSIR-style importance-weighted selection ([[graft.operators.Dsir]]):
+    * `src0` plays the curated target domain; every document gets an
+    * integer target-affinity score and a keep verdict.
+    */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dsir.score(
+      DedupQueries.docs(spark, dir), col("source") === "src0")
+
+  val dsirSelectOracle: String = {
+    val t = DuckSql.tokens("text")
+    val h = DuckSql.hash60("term")
+    s"""WITH tok AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    source = 'src0' AS is_target, unnest($t) AS term FROM documents),
+       |tf AS (SELECT doc_id, is_target, CAST(($h) % 4096 AS BIGINT) AS bucket,
+       |    CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2, 3),
+       |w AS (SELECT bucket,
+       |    CAST(1000000 * (sum(CASE WHEN is_target THEN tf ELSE 0 END) + 1)
+       |      // (sum(tf) + 2) AS BIGINT) AS w_ppm
+       |  FROM tf GROUP BY bucket)
+       |SELECT tf.doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |  CAST(sum(tf * w_ppm) // sum(tf) AS BIGINT) AS score_ppm,
+       |  CAST(sum(tf * w_ppm) // sum(tf) >= 500000 AS BIGINT) AS keep
+       |FROM tf JOIN w USING (bucket)
+       |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin
+  }
 }

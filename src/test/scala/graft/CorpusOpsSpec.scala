@@ -374,4 +374,37 @@ class CorpusOpsSpec extends SparkSpec {
     val falsePos = (1000L to 11000L).count(bf.mightContainLong)
     assert(falsePos < 100, s"bloom at fpp=0.001 should prune ~all of 10k non-members, kept $falsePos")
   }
+
+  // ---------------- Dsir ----------------
+
+  test("Dsir.score: disjoint vocabularies separate cleanly; mixed doc scores between") {
+    // target talks about stars, raw about fish; one mixed doc half-half
+    val docs = Seq(
+      (1L, "star nebula galaxy star comet", "wiki"),
+      (2L, "nebula comet star galaxy galaxy", "wiki"),
+      (3L, "fish trout salmon fish eel", "web"),
+      (4L, "salmon eel trout trout fish", "web"),
+      (5L, "star galaxy fish trout", "web")
+    ).toDF("doc_id", "text", "source")
+    val out = graft.operators.Dsir.score(docs, col("source") === "wiki")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // target-exclusive terms weigh 1e6*(t+1)/(t+2); star/galaxy leak into
+    // the mixed doc 5, pulling pure-target docs to ~0.7e6 (doc 1 exact:
+    // (2*666666 + 750000 + 666666 + 750000) div 5 = 699999)
+    assert(out(1L)._1 > 650000L && out(2L)._1 > 650000L)
+    assert(out(3L)._1 < 300000L && out(4L)._1 < 300000L)
+    assert(out(5L)._1 > out(3L)._1 && out(5L)._1 < out(1L)._1)
+    assert(out(1L)._2 === 1L && out(3L)._2 === 0L)
+  }
+
+  test("Dsir.score: zero-token docs drop; scores invariant to corpus partitioning") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", "t"), (2L, "", "r"), (3L, "alpha delta", "r"))
+      .toDF("doc_id", "text", "source")
+    val a = graft.operators.Dsir.score(docs, col("source") === "t").collect()
+    val b = graft.operators.Dsir.score(docs.repartition(7), col("source") === "t")
+      .collect()
+    assert(a.map(_.getLong(0)).toSeq === Seq(1L, 3L)) // doc 2 has no tokens
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
 }
