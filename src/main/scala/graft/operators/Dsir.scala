@@ -34,7 +34,54 @@ import graft.functions.PortableHash
   */
 object Dsir {
 
-  /** Per-document target-affinity scores.
+  /** Compact `(doc_id, is_target, bucket, tf)` feature table — the one
+    * tokenize+hash pass everything else reads.
+    */
+  private def bucketTf(docs: DataFrame, isTarget: Column, d: Int): DataFrame =
+    docs
+      .select(col("doc_id").cast(LongType).as("doc_id"), isTarget.as("is_target"),
+        explode(graft.operators.Fts.tokens(Seq(col("text")))).as("term"))
+      .withColumn("bucket", PortableHash.hash60(col("term")) % d)
+      .groupBy(col("doc_id"), col("is_target"), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Train the bucket-weight model `(bucket, w_ppm)` from a corpus with
+    * marked target exemplars — the persistable DSIR artifact (same
+    * cross-run contract as [[Similarity.trainCentroids]] /
+    * [[Bloom.save]]): write it with `.write.parquet(...)`, reload, and
+    * score future batches with [[applyWeights]] without re-reading the
+    * reference corpus. At most D rows at any corpus scale.
+    */
+  def weights(docs: DataFrame, isTarget: Column, d: Int = 4096): DataFrame =
+    bucketTf(docs, isTarget, d).groupBy(col("bucket"))
+      .agg(
+        sum(when(col("is_target"), col("tf")).otherwise(lit(0L))).as("t_raw"),
+        sum(when(!col("is_target"), col("tf")).otherwise(lit(0L))).as("r_raw"))
+      .select(col("bucket"),
+        expr("1000000 * (t_raw + 1) div (t_raw + r_raw + 2)").as("w_ppm"))
+
+  /** Score a batch against a trained weight model. Buckets unseen at
+    * training time carry the uninformative prior 1e6*1/2 = 500000
+    * (t=r=0 in the smoothed weight), so novel vocabulary neither
+    * attracts nor repels. One explode pass, one broadcast join — the
+    * batch never shuffles on anything wider than its own tf aggregate.
+    */
+  def applyWeights(batch: DataFrame, model: DataFrame, d: Int = 4096,
+      keepPpm: Long = 500000L): DataFrame = {
+    val tf = bucketTf(batch, lit(false), d).drop("is_target")
+    tf.join(broadcast(model), Seq("bucket"), "left")
+      .withColumn("w_ppm", coalesce(col("w_ppm"), lit(500000L)))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast(LongType).as("n_tokens"),
+        sum(col("tf") * col("w_ppm")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("s div n_tokens").cast(LongType).as("score_ppm"))
+      .withColumn("keep", (col("score_ppm") >= keepPpm).cast(LongType))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document target-affinity scores, trained and applied on the
+    * same corpus (one materialized feature pass feeds both).
     *
     * @param docs     corpus with `doc_id`, `text` columns
     * @param isTarget predicate marking the target-domain exemplars
@@ -46,20 +93,14 @@ object Dsir {
     */
   def score(docs: DataFrame, isTarget: Column, d: Int = 4096,
       keepPpm: Long = 500000L): DataFrame = {
-    val tf = docs
-      .select(col("doc_id").cast(LongType).as("doc_id"), isTarget.as("is_target"),
-        explode(graft.operators.Fts.tokens(Seq(col("text")))).as("term"))
-      .withColumn("bucket", PortableHash.hash60(col("term")) % d)
-      .groupBy(col("doc_id"), col("is_target"), col("bucket"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
-    val weights = tf.groupBy(col("bucket"))
+    val tf = bucketTf(docs, isTarget, d).localCheckpoint(true)
+    val w = tf.groupBy(col("bucket"))
       .agg(
         sum(when(col("is_target"), col("tf")).otherwise(lit(0L))).as("t_raw"),
         sum(when(!col("is_target"), col("tf")).otherwise(lit(0L))).as("r_raw"))
       .select(col("bucket"),
         expr("1000000 * (t_raw + 1) div (t_raw + r_raw + 2)").as("w_ppm"))
-    tf.join(broadcast(weights), Seq("bucket"))
+    tf.join(broadcast(w), Seq("bucket"))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).cast(LongType).as("n_tokens"),
         sum(col("tf") * col("w_ppm")).as("s"))

@@ -397,6 +397,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(1L)._2 === 1L && out(3L)._2 === 0L)
   }
 
+  test("Dsir weights: parquet round-trip; applyWeights reproduces score; unseen buckets neutral") {
+    val docs = Seq(
+      (1L, "star nebula galaxy star comet", "wiki"),
+      (2L, "nebula comet star galaxy galaxy", "wiki"),
+      (3L, "fish trout salmon fish eel", "web"),
+      (4L, "salmon eel trout trout fish", "web"),
+      (5L, "star galaxy fish trout", "web")
+    ).toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("dsir-model").toString
+    graft.operators.Dsir.weights(docs, col("source") === "wiki")
+      .write.mode("overwrite").parquet(s"$dir/w.parquet")
+    val model = spark.read.parquet(s"$dir/w.parquet")
+    val applied = graft.operators.Dsir.applyWeights(docs, model)
+      .collect().map(_.toSeq).toSeq
+    val scored = graft.operators.Dsir.score(docs, col("source") === "wiki")
+      .collect().map(_.toSeq).toSeq
+    assert(applied === scored)
+    // a batch of entirely novel vocabulary sits at the neutral prior
+    val novel = Seq((9L, "zzz yyy xxx", "new")).toDF("doc_id", "text", "source")
+    val out = graft.operators.Dsir.applyWeights(novel, model).collect()
+    assert(out.length === 1 && out(0).getLong(2) === 500000L && out(0).getLong(3) === 1L)
+  }
+
   test("Dsir.score: zero-token docs drop; scores invariant to corpus partitioning") {
     val docs = Seq(
       (1L, "alpha beta gamma", "t"), (2L, "", "r"), (3L, "alpha delta", "r"))
