@@ -65,6 +65,7 @@ object SparkEntry {
     // extensions: dedup + text analysis (documents)
     "x_dedup_exact" -> (DedupQueries.dedupExact _),
     "x_dedup_clusters" -> (DedupQueries.dedupClusters _),
+    "x_dedup_keep_best" -> (DedupQueries.dedupKeepBest _),
     "x_dedup_cluster_sizes" -> (DedupQueries.dedupClusterSizes _),
     "x_dedup_leakage" -> (DedupQueries.dedupLeakage _),
     "x_ppjoin_pairs" -> (DedupQueries.ppjoinPairs _),
@@ -95,6 +96,7 @@ object SparkEntry {
     "x_shared_ngrams" -> (CorpusQueries.sharedNgrams _),
     "x_freq_score" -> (CorpusQueries.freqScore _),
     "x_dsir_select" -> (CorpusQueries.dsirSelect _),
+    "x_ngram_lm_score" -> (CorpusQueries.ngramLmScore _),
     "x_top_terms" -> (CorpusQueries.topTerms _),
     "x_cms_freq" -> (CorpusQueries.cmsFreq _),
     "x_zorder_layout" -> (CorpusQueries.zorderLayout _),
@@ -291,6 +293,7 @@ object SparkEntry {
     "x_anti_join_customers" -> AggQueries.customersWithoutOrdersOracle,
     "x_dedup_exact" -> DedupQueries.dedupExactOracle,
     "x_dedup_clusters" -> DedupQueries.dedupClustersOracle,
+    "x_dedup_keep_best" -> DedupQueries.dedupKeepBestOracle,
     "x_dedup_cluster_sizes" -> DedupQueries.dedupClusterSizesOracle,
     "x_dedup_leakage" -> DedupQueries.dedupLeakageOracle,
     "x_ppjoin_pairs" -> DedupQueries.ppjoinPairsOracle,
@@ -321,6 +324,7 @@ object SparkEntry {
     "x_shared_ngrams" -> CorpusQueries.sharedNgramsOracle,
     "x_freq_score" -> CorpusQueries.freqScoreOracle,
     "x_dsir_select" -> CorpusQueries.dsirSelectOracle,
+    "x_ngram_lm_score" -> CorpusQueries.ngramLmScoreOracle,
     "x_top_terms" -> CorpusQueries.topTermsOracle,
     "x_cms_freq" -> CorpusQueries.cmsFreqOracle,
     "x_zorder_layout" -> CorpusQueries.zorderLayoutOracle,

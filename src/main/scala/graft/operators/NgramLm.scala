@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** CCNet-style n-gram language-model quality scoring (Wenzek et al.
+  * 2020, "CCNet: Extracting High Quality Monolingual Datasets from Web
+  * Crawl Data", arXiv:1911.00359), integer-exact variant.
+  *
+  * CCNet scores web documents by the perplexity of a KenLM n-gram model
+  * trained on a curated target corpus (Wikipedia) and keeps the
+  * low-perplexity head of the distribution. This keeps that
+  * architecture — an add-one-smoothed bigram model trained on marked
+  * target exemplars, applied to every document — but replaces the float
+  * log-probability with the integer per-bigram likelihood
+  *
+  *   p_ppm(w1 w2) = 1e6 * (c2(w1,w2) + 1) div (c1(w1) + V)
+  *
+  * where `c2` is the bigram's target count, `c1` the target count of
+  * contexts starting with `w1` (so `sum_w2 c2 = c1` and the smoothed
+  * distribution normalizes over the V-successor vocabulary), and V the
+  * number of distinct successor tokens in the target. A document scores
+  * the mean of its bigrams' `p_ppm` — high = target-like fluent text,
+  * low = out-of-domain or garbled — and every value is exactly
+  * reproducible cross-engine (the DuckDB oracle hash-matches), unlike
+  * a float log-sum whose value depends on accumulation order.
+  *
+  * Complements [[Dsir]]: DSIR is a discriminative target-vs-raw
+  * importance weight over hashed unigrams; this is a generative LM
+  * likelihood over exact bigrams — the two disagree exactly where a
+  * quality pipeline wants two opinions (rare-vocabulary target docs,
+  * fluent-but-off-domain raw docs).
+  *
+  * 100 TB shape: ONE tokenize+bigram pass pre-aggregated to
+  * `(doc_id, w1, w2, tf)` and materialized once for its two consumers
+  * (model counts from the target slice, scoring over everything). The
+  * model is vocabulary-bounded, not corpus-bounded; scoring joins are
+  * keyed shuffles on `(w1, w2)` and `w1` with map-side partial
+  * aggregation, and the scalar V rides a broadcast. Nothing
+  * corpus-sized is ever broadcast or re-tokenized.
+  */
+object NgramLm {
+
+  /** Compact `(doc_id, is_target, w1, w2, tf)` bigram table — the one
+    * tokenize pass everything else reads. Documents with fewer than two
+    * tokens contribute no rows (a bigram LM is undefined on them).
+    */
+  private def bigramTf(docs: DataFrame, isTarget: Column): DataFrame =
+    docs
+      .select(col("doc_id").cast(LongType).as("doc_id"), isTarget.as("is_target"),
+        Fts.tokens(Seq(col("text"))).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("is_target"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("bg"))
+      .groupBy(col("doc_id"), col("is_target"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Train the bigram model `(w1, w2, c2)` from a corpus with marked
+    * target exemplars — the persistable artifact (same cross-run
+    * contract as [[Dsir.weights]]): write with `.write.parquet(...)`,
+    * reload, and score future batches with [[applyModel]] without
+    * re-reading the reference corpus. Context counts and the successor
+    * vocabulary are derived from it at apply time, so one table IS the
+    * whole model.
+    */
+  def train(docs: DataFrame, isTarget: Column): DataFrame =
+    bigramTf(docs.filter(isTarget), lit(true))
+      .groupBy(col("w1"), col("w2"))
+      .agg(sum(col("tf")).cast(LongType).as("c2"))
+
+  /** Score a batch against a trained model: per document, the mean
+    * integer bigram likelihood `lm_ppm` and the bigram count. Unseen
+    * bigrams fall back to the smoothed floor `1e6 div (c1 + V)`; unseen
+    * contexts to `1e6 div V`. Documents with < 2 tokens drop.
+    */
+  def applyModel(batch: DataFrame, model: DataFrame): DataFrame = {
+    val m = model.localCheckpoint(true)
+    val ctx = m.groupBy(col("w1")).agg(sum(col("c2")).cast(LongType).as("c1"))
+    // V >= 1 keeps the smoothed divisor nonzero on an empty model
+    // (every doc then scores the neutral 1e6).
+    val v = m.agg(greatest(countDistinct(col("w2")), lit(1L)).cast(LongType).as("v"))
+    bigramTf(batch, lit(false)).drop("is_target")
+      .join(m, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("p_ppm",
+        expr("1000000 * (coalesce(c2, 0) + 1) div (coalesce(c1, 0) + v)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast(LongType).as("n_bigrams"),
+        sum(col("tf") * col("p_ppm")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("s div n_bigrams").cast(LongType).as("lm_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** Train on the target slice and score the whole corpus in one call
+    * (one materialized bigram pass feeds both).
+    */
+  def score(docs: DataFrame, isTarget: Column): DataFrame = {
+    val bg = bigramTf(docs, isTarget).localCheckpoint(true)
+    val model = bg.filter(col("is_target"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(sum(col("tf")).cast(LongType).as("c2"))
+      .localCheckpoint(true)
+    val ctx = model.groupBy(col("w1")).agg(sum(col("c2")).cast(LongType).as("c1"))
+    val v = model.agg(greatest(countDistinct(col("w2")), lit(1L)).cast(LongType).as("v"))
+    bg.drop("is_target")
+      .join(model, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("p_ppm",
+        expr("1000000 * (coalesce(c2, 0) + 1) div (coalesce(c1, 0) + v)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast(LongType).as("n_bigrams"),
+        sum(col("tf") * col("p_ppm")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("s div n_bigrams").cast(LongType).as("lm_ppm"))
+      .orderBy("doc_id")
+  }
+}

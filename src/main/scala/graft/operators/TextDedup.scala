@@ -373,6 +373,38 @@ object TextDedup {
         coalesce(col("label"), col("id")).as("cluster_id"))
   }
 
+  /** Canonical-document selection: within each dedup cluster, keep the
+    * member with the HIGHEST quality score (ties broken by lowest id) —
+    * the keeper policy production pipelines actually want, instead of
+    * the structural "keep the min-id member" default the cluster label
+    * encodes. `labels` is [[dedupClusters]] output
+    * (`doc_id, cluster_id`); `quality` maps `doc_id` to an integer
+    * score (higher = better). Docs missing from `quality` rank below
+    * every scored member (score −∞ via null-last ordering), so a
+    * partial score table still yields exactly one keeper per cluster.
+    *
+    * Output: `(doc_id, cluster_id, quality, keep)` with `keep ∈ {0,1}`
+    * and exactly one `keep = 1` per cluster.
+    *
+    * Scale shape: one `doc_id`-keyed join, then a single
+    * `cluster_id`-partitioned window — both keyed shuffles; cluster
+    * sizes bound the window partitions (the near-dup graph is sparse,
+    * and [[dedupClusters]] upstream already capped bucket fan-out), so
+    * no skew beyond what clustering itself admits.
+    */
+  def keepBest(labels: DataFrame, quality: DataFrame,
+      idCol: String = "doc_id", qCol: String = "quality"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = quality.select(col(idCol).cast(LongType).as("doc_id"),
+      col(qCol).cast(LongType).as("quality"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc_nulls_last, col("doc_id"))
+    labels.join(q, Seq("doc_id"), "left")
+      .withColumn("keep",
+        (row_number().over(w) === 1).cast(LongType))
+      .select(col("doc_id"), col("cluster_id"), col("quality"), col("keep"))
+  }
+
   /** Eval-set decontamination: flag corpus documents sharing at least
     * `minContainment` of a benchmark document's distinct w-shingle set
     * (containment = |S(doc) ∩ S(bench)| / |S(bench)| — the standard

@@ -861,4 +861,33 @@ object CorpusQueries {
        |FROM tf JOIN w USING (bucket)
        |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin
   }
+
+  /** CCNet-style bigram-LM quality scoring ([[graft.operators.NgramLm]]):
+    * `src0` plays the curated target corpus; every document (>= 2
+    * tokens) gets the integer mean bigram likelihood under the
+    * add-one-smoothed target model.
+    */
+  def ngramLmScore(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.NgramLm.score(
+      DedupQueries.docs(spark, dir), col("source") === "src0")
+
+  val ngramLmScoreOracle: String = {
+    val t = DuckSql.tokens("text")
+    s"""WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    source = 'src0' AS is_target, $t AS t FROM documents
+       |  WHERE len($t) >= 2),
+       |bg AS (SELECT doc_id, is_target, t[i] AS w1, t[i + 1] AS w2,
+       |    CAST(count(*) AS BIGINT) AS tf
+       |  FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+       |  GROUP BY 1, 2, 3, 4),
+       |c2 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c2 FROM bg
+       |  WHERE is_target GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+       |v AS (SELECT CAST(greatest(count(DISTINCT w2), 1) AS BIGINT) AS v FROM c2)
+       |SELECT bg.doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(tf * (1000000 * (coalesce(c2.c2, 0) + 1)
+       |      // (coalesce(c1.c1, 0) + v.v))) // sum(tf) AS BIGINT) AS lm_ppm
+       |FROM bg LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN v
+       |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin
+  }
 }

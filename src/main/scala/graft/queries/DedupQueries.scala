@@ -277,6 +277,44 @@ object DedupQueries {
        |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin
   }
 
+  /** Canonical keeper selection ([[TextDedup.keepBest]]): within each
+    * near-dup cluster keep the member with the most whitespace tokens
+    * (ties → lowest doc_id) — the "keep the longest variant" policy, vs
+    * the structural min-id keeper [[dedupSavings]] assumes. Exactly one
+    * `keep = 1` per cluster.
+    */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusNear(spark, dir)
+    val pairs = TextDedup.minhashPairs(corpus, "doc_id", "text",
+      numPerms = 16, r = 2, jaccardThreshold = 0.5)
+    val labels = TextDedup.dedupClusters(corpus, "doc_id", pairs)
+    val quality = corpus.select(col("doc_id"),
+      TextStats.wsTokenCount(col("text")).as("quality"))
+    TextDedup.keepBest(labels, quality).orderBy("doc_id")
+  }
+
+  val dedupKeepBestOracle: String = {
+    val ctes = minhashPairsCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")
+    val ws = """CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT)"""
+    s"""$ctes,
+       |good AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM good
+       |  UNION ALL SELECT id_b, id_a FROM good),
+       |reach(id, label) AS (
+       |  SELECT doc_id, doc_id FROM corpus
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+       |labels AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+       |q AS (SELECT doc_id, $ws AS quality FROM corpus)
+       |SELECT CAST(labels.id AS BIGINT) AS doc_id,
+       |  CAST(labels.cluster_id AS BIGINT) AS cluster_id,
+       |  q.quality,
+       |  CAST(row_number() OVER (PARTITION BY labels.cluster_id
+       |    ORDER BY q.quality DESC, labels.id) = 1 AS BIGINT) AS keep
+       |FROM labels JOIN q ON q.doc_id = labels.id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** EXACT set-similarity join ([[graft.operators.SetJoin]], prefix
     * filtering): every pair with shingle-Jaccard >= 1/2 over the
     * near-dup-planted corpus — recall 1.0 by theorem, vs the LSH

@@ -430,4 +430,59 @@ class CorpusOpsSpec extends SparkSpec {
     assert(a.map(_.getLong(0)).toSeq === Seq(1L, 3L)) // doc 2 has no tokens
     assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
   }
+
+  // ---------------- NgramLm ----------------
+
+  test("NgramLm.score: fluent in-domain text scores above garbled; exact integer values") {
+    val docs = Seq(
+      (1L, "the star shines the star glows", "wiki"),
+      (2L, "the star fades", "wiki"),
+      (3L, "purple monkey dishwasher", "web"),
+      (4L, "the star shines", "web")
+    ).toDF("doc_id", "text", "source")
+    val out = graft.operators.NgramLm.score(docs, col("source") === "wiki")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // model: c2(the,star)=3 c2(star,shines)=1 c2(shines,the)=1
+    //        c2(star,glows)=1 c2(star,fades)=1; c1(the)=3 c1(star)=3
+    //        c1(shines)=1; V=5
+    // doc4 = ((1e6*4 div 8) + (1e6*2 div 8)) div 2 = 375000
+    // doc3 = both contexts unseen -> 1e6 div 5 = 200000
+    // doc1 = (2*500000 + 250000 + 333333 + 250000) div 5 = 366666
+    assert(out(4L) === ((2L, 375000L)))
+    assert(out(3L) === ((2L, 200000L)))
+    assert(out(1L) === ((5L, 366666L)))
+    assert(out(4L)._2 > out(3L)._2)
+  }
+
+  test("NgramLm: model parquet round-trip; applyModel reproduces score; empty model neutral") {
+    val docs = Seq(
+      (1L, "the star shines the star glows", "wiki"),
+      (2L, "the star fades", "wiki"),
+      (3L, "purple monkey dishwasher", "web"),
+      (4L, "the star shines", "web")
+    ).toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("lm-model").toString
+    graft.operators.NgramLm.train(docs, col("source") === "wiki")
+      .write.mode("overwrite").parquet(s"$dir/m.parquet")
+    val model = spark.read.parquet(s"$dir/m.parquet")
+    val applied = graft.operators.NgramLm.applyModel(docs, model)
+      .collect().map(_.toSeq).toSeq
+    val scored = graft.operators.NgramLm.score(docs, col("source") === "wiki")
+      .collect().map(_.toSeq).toSeq
+    assert(applied === scored)
+    // empty model: every doc sits at the neutral 1e6 (V floor = 1)
+    val none = graft.operators.NgramLm.score(docs, lit(false)).collect()
+    assert(none.forall(_.getLong(2) === 1000000L))
+  }
+
+  test("NgramLm.score: sub-bigram docs drop; invariant to corpus partitioning") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", "t"), (2L, "solo", "r"), (3L, "", "r"),
+      (4L, "alpha beta", "r")).toDF("doc_id", "text", "source")
+    val a = graft.operators.NgramLm.score(docs, col("source") === "t").collect()
+    val b = graft.operators.NgramLm.score(docs.repartition(7), col("source") === "t")
+      .collect()
+    assert(a.map(_.getLong(0)).toSeq === Seq(1L, 4L)) // docs 2,3 have < 2 tokens
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
 }

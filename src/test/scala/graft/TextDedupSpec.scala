@@ -168,6 +168,27 @@ class TextDedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L, 15L -> 10L))
   }
 
+  test("keepBest: one keeper per cluster — highest quality wins, ties to lowest id, null quality last") {
+    import spark.implicits._
+    val labels = Seq( // clusters {1,2,3}, {5,6}, singleton 4
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "cluster_id")
+    // doc 3 missing from the score table; docs 5 and 6 tie on quality
+    val quality = Seq((1L, 10L), (2L, 30L), (4L, 7L), (5L, 9L), (6L, 9L))
+      .toDF("doc_id", "quality")
+    val out = TextDedup.keepBest(labels, quality).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(2)), r.getLong(3))).toMap
+    assert(out(2L)._2 === 1L && out(1L)._2 === 0L && out(3L)._2 === 0L)
+    assert(out(3L)._1 === None) // unscored member surfaces null, never keeps
+    assert(out(4L)._2 === 1L)   // singleton keeps itself
+    assert(out(5L)._2 === 1L && out(6L)._2 === 0L) // tie -> lowest id
+    // exactly one keeper per cluster
+    val keepersPerCluster = TextDedup.keepBest(labels, quality)
+      .groupBy("cluster_id").agg(sum("keep").as("k")).collect()
+      .map(_.getLong(1)).toSet
+    assert(keepersPerCluster === Set(1L))
+  }
+
   test("minhashPairsIncremental: cross-side pairs only, batch-internal dups ignored") {
     import spark.implicits._
     val existing = Seq(
