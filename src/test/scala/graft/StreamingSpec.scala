@@ -205,6 +205,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination flags benchmark-overlapping docs at ingest, batch-equal") {
+    import spark.implicits._
+    import graft.streaming.StreamDecontam
+    // benchmark: one eval doc; its 3-shingles define the taint set
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("bench_id", "text")
+    val bf = StreamDecontam.benchmarkBloom(bench, "text", expectedShingles = 1000L)
+    val dir = Files.createTempDirectory("graft-sdecon").toString
+    // doc 1 is a verbatim leak, doc 2 clean, doc 3 a partial overlap
+    Seq((1L, "the quick brown fox jumps over the lazy dog tonight"),
+        (2L, "completely unrelated content with different words entirely here"),
+        (3L, "the quick brown fox sat still"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamDecontam.flagContaminated(stream, "text", bf)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sdecon_out").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: another clean doc arrives — stateless, nothing carried
+      Seq((4L, "more fresh text nothing shared with any benchmark item"))
+        .toDF("doc_id", "text").write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val got = spark.table("sdecon_out")
+        .select("doc_id", "contaminated").as[(Long, Long)].collect().toMap
+      assert(got(1L) === 1L && got(2L) === 0L && got(4L) === 0L)
+      // stream and batch agree row-for-row on the same corpus
+      val streamed = spark.table("sdecon_out")
+        .select("doc_id", "n_shingles", "n_hits", "hit_ppm", "contaminated")
+        .collect().map(_.toSeq).toSet
+      val batch = StreamDecontam
+        .flagContaminated(spark.read.parquet(dir), "text", bf)
+        .select("doc_id", "n_shingles", "n_hits", "hit_ppm", "contaminated")
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming per-source quota admits until exhausted, across batches") {
     import spark.implicits._
     import graft.streaming.StreamQuota
