@@ -97,6 +97,7 @@ object SparkEntry {
     "x_freq_score" -> (CorpusQueries.freqScore _),
     "x_dsir_select" -> (CorpusQueries.dsirSelect _),
     "x_ngram_lm_score" -> (CorpusQueries.ngramLmScore _),
+    "x_negative_samples" -> (CorpusQueries.negativeSamples _),
     "x_top_terms" -> (CorpusQueries.topTerms _),
     "x_cms_freq" -> (CorpusQueries.cmsFreq _),
     "x_zorder_layout" -> (CorpusQueries.zorderLayout _),
@@ -325,6 +326,7 @@ object SparkEntry {
     "x_freq_score" -> CorpusQueries.freqScoreOracle,
     "x_dsir_select" -> CorpusQueries.dsirSelectOracle,
     "x_ngram_lm_score" -> CorpusQueries.ngramLmScoreOracle,
+    "x_negative_samples" -> CorpusQueries.negativeSamplesOracle,
     "x_top_terms" -> CorpusQueries.topTermsOracle,
     "x_cms_freq" -> CorpusQueries.cmsFreqOracle,
     "x_zorder_layout" -> CorpusQueries.zorderLayoutOracle,

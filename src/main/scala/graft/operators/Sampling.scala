@@ -104,4 +104,45 @@ object Sampling {
       .filter(col("stratum_rank") <= ceil(col("__stratum_n") * pct / lit(100.0)))
       .drop("__stratum_n")
   }
+
+  /** Deterministic positional negative sampling for contrastive /
+    * embedding training: each query document gets `k` negatives drawn
+    * at evenly-spaced offsets in the seeded global shuffle order —
+    *
+    *   neg_pos(q, i) = ((pos(q) − 1 + i·(N div (k+1))) mod N) + 1
+    *
+    * The shuffle position IS the randomness (seeded 60-bit hash rank,
+    * [[Shuffle.globalOrderIndex]]), so negatives are uniform-ish,
+    * reproducible across runs and cluster sizes, and collision-free
+    * with the query whenever N > k (i·stride < N for i ≤ k). This is
+    * the O(n) at-scale shape: the naive "hash-rank every (query,
+    * candidate) pair" is a q×n cross join, while positions need one
+    * bounded-rank pass and the lookup is ONE position-keyed equi-join.
+    * Self-pairs (only possible when N ≤ k, where stride = 0) are
+    * filtered, never emitted.
+    *
+    * Output: `(q_id, neg_rank, neg_id)`, neg_rank 1..k.
+    */
+  def positionalNegatives(
+      docs: DataFrame, idCol: String, isQuery: Column => Column,
+      k: Int = 4, seed: Long = 7L): DataFrame = {
+    require(k > 0, "k must be positive")
+    val pos = Shuffle.globalOrderIndex(
+        docs.select(col(idCol).cast(LongType).as("id")),
+        keyCol = "id", seed = seed, tieBreak = "id", posCol = "pos")
+      .localCheckpoint(true) // feeds the query side AND the lookup side
+    val n = pos.agg(count(lit(1)).cast(LongType).as("n"))
+    pos.filter(isQuery(col("id")))
+      .select(col("id").as("q_id"), col("pos").as("q_pos"))
+      .crossJoin(broadcast(n))
+      .select(col("q_id"), col("q_pos"), col("n"),
+        explode(sequence(lit(1), lit(k))).as("neg_rank"))
+      .withColumn("neg_pos",
+        expr(s"((q_pos - 1 + neg_rank * (n div ${k + 1})) % n) + 1"))
+      .join(pos.select(col("id").as("neg_id"), col("pos").as("neg_pos")),
+        Seq("neg_pos"))
+      .filter(col("neg_id") =!= col("q_id"))
+      .select(col("q_id"), col("neg_rank").cast(LongType).as("neg_rank"),
+        col("neg_id"))
+  }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.PortableHash
-import graft.operators.{Bloom, Fts, Shuffle, TextDedup}
+import graft.operators.{Bloom, Fts, Sampling, Shuffle, TextDedup}
 
 /** Round-6 graded extension queries: cross-document n-gram analysis,
   * corpus-statistics scoring, heavy hitters, Bloom-prefiltered
@@ -834,6 +834,35 @@ object CorpusQueries {
        |  CAST(max(shuffle_pos) AS BIGINT) AS max_pos,
        |  CAST(min(doc_id) AS BIGINT) AS min_doc_id
        |FROM pos GROUP BY 1 ORDER BY shard""".stripMargin
+  }
+
+  /** Deterministic positional negative sampling
+    * ([[Sampling.positionalNegatives]]): 4 contrastive negatives per
+    * query doc (every 100th), drawn at evenly-spaced offsets in the
+    * seeded global shuffle order — reproducible, collision-free, O(n).
+    */
+  def negativeSamples(spark: SparkSession, dir: String): DataFrame =
+    Sampling.positionalNegatives(
+        DedupQueries.docs(spark, dir), "doc_id",
+        isQuery = _ % 100 === 0, k = 4, seed = 7L)
+      .orderBy("q_id", "neg_rank")
+
+  val negativeSamplesOracle: String = {
+    val h = DuckSql.hash60Seeded("7", "CAST(doc_id AS VARCHAR)")
+    s"""WITH pos AS (SELECT CAST(doc_id AS BIGINT) AS id,
+       |    CAST(row_number() OVER (ORDER BY $h, doc_id) AS BIGINT) AS pos
+       |  FROM documents),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pos),
+       |q AS (SELECT id AS q_id, pos AS q_pos FROM pos WHERE id % 100 = 0),
+       |e AS (SELECT q_id, q_pos, CAST(i AS BIGINT) AS neg_rank
+       |  FROM q CROSS JOIN (SELECT unnest(range(1, 5)) AS i) r),
+       |x AS (SELECT q_id, neg_rank,
+       |    ((q_pos - 1 + neg_rank * (n // 5)) % n) + 1 AS neg_pos
+       |  FROM e CROSS JOIN n)
+       |SELECT q_id, neg_rank, pos.id AS neg_id
+       |FROM x JOIN pos ON pos.pos = x.neg_pos
+       |WHERE pos.id <> x.q_id
+       |ORDER BY q_id, neg_rank""".stripMargin
   }
 
   /** DSIR-style importance-weighted selection ([[graft.operators.Dsir]]):

@@ -101,6 +101,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.values.toSet === (1L to 1000L).toSet)
   }
 
+  test("positionalNegatives: exactly k distinct non-self negatives per query, seeded, partition-invariant") {
+    val df = (1L to 500L).toDF("id")
+    val out = graft.operators.Sampling
+      .positionalNegatives(df, "id", isQuery = _ % 100 === 0, k = 4, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet === Set(100L, 200L, 300L, 400L, 500L))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === Seq(1L, 2L, 3L, 4L)) // ranks 1..k
+      assert(rows.map(_._3).distinct.length === 4)                // negatives distinct
+      assert(!rows.exists(_._3 == q))                             // never the query itself
+    }
+    // deterministic under repartitioning; seed changes the draw
+    val again = graft.operators.Sampling
+      .positionalNegatives(df.repartition(7), "id", isQuery = _ % 100 === 0, k = 4, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sorted.toSeq === again.sorted.toSeq)
+    val other = graft.operators.Sampling
+      .positionalNegatives(df, "id", isQuery = _ % 100 === 0, k = 4, seed = 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sorted.toSeq !== other.sorted.toSeq)
+  }
+
   test("globalOrderIndex is seed-sensitive and partitioning-invariant") {
     val df = (1L to 200L).toDF("id")
     val a = Shuffle.globalOrderIndex(df, "id", seed = 1L, tieBreak = "id")
