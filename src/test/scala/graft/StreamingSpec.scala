@@ -244,6 +244,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming DSIR scoring with a broadcast model is integer-identical to the batch scorer") {
+    import spark.implicits._
+    import graft.streaming.StreamScore
+    // train a model offline on a corpus with marked target docs
+    val train = Seq(
+      (1L, "star nebula galaxy star comet", "wiki"),
+      (2L, "nebula comet star galaxy galaxy", "wiki"),
+      (3L, "fish trout salmon fish eel", "web"),
+      (4L, "salmon eel trout trout fish", "web"))
+      .toDF("doc_id", "text", "source")
+    val model = graft.operators.Dsir.weights(train, col("source") === "wiki")
+    val m = StreamScore.collectModel(model)
+    val dir = Files.createTempDirectory("graft-sscore").toString
+    Seq((10L, "star galaxy nebula"), (11L, "fish trout eel"),
+        (12L, "star fish"), (13L, ""))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamScore.dsirScore(stream, "text", m)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sscore_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sscore_out")
+        .select("doc_id", "n_tokens", "score_ppm", "keep")
+        .collect().map(_.toSeq).toSet
+      // the zero-token doc 13 must be dropped, target-ish doc kept
+      assert(!streamed.exists(_.head == 13L))
+      // batch scorer (the shuffle-join spelling) agrees value-for-value
+      val batch = graft.operators.Dsir
+        .applyWeights(spark.read.parquet(dir), model)
+        .select(col("doc_id"), col("n_tokens"), col("score_ppm"), col("keep"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      // and the narrow spelling agrees with itself on a batch DataFrame
+      val narrowBatch = StreamScore.dsirScore(spark.read.parquet(dir), "text", m)
+        .select("doc_id", "n_tokens", "score_ppm", "keep")
+        .collect().map(_.toSeq).toSet
+      assert(narrowBatch === batch)
+    } finally q.stop()
+  }
+
   test("streaming per-source quota admits until exhausted, across batches") {
     import spark.implicits._
     import graft.streaming.StreamQuota
