@@ -154,6 +154,7 @@ object SparkEntry {
     "x_fingerprints" -> (DedupQueries.fingerprints _),
     // extensions: similarity search (embeddings)
     "x_ann_topk" -> (SimilarityQueries.annTopK _),
+    "x_hard_negatives" -> (SimilarityQueries.hardNegatives _),
     "x_ann_ivf" -> (SimilarityQueries.annIvf _),
     "x_ann_recall" -> (SimilarityQueries.annRecall _),
     "x_ann_lsh" -> (SimilarityQueries.annLsh _),
@@ -376,6 +377,7 @@ object SparkEntry {
     "x_token_counts" -> DedupQueries.tokenCountsOracle,
     "x_fingerprints" -> DedupQueries.fingerprintsOracle,
     "x_ann_topk" -> SimilarityQueries.annTopKOracle,
+    "x_hard_negatives" -> SimilarityQueries.hardNegativesOracle,
     "x_ann_ivf" -> SimilarityQueries.annIvfOracle,
     "x_ann_recall" -> SimilarityQueries.annRecallOracle,
     "x_ann_lsh" -> SimilarityQueries.annLshOracle,

@@ -59,6 +59,34 @@ object SimilarityQueries {
        |SELECT q_id, rank, c_id AS neighbor_id, cosine
        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
+  /** DPR-style hard-negative mining: for each query vector, the exact
+    * cosine neighbors at ranks 6–10 — past the top-5 likely positives,
+    * but close enough to be confusable — the negatives that actually
+    * move a contrastive encoder's decision boundary. Complements
+    * `x_negative_samples` (uniform positional draws): uniform negatives
+    * buy coverage, hard negatives buy the boundary. Same plan shape as
+    * [[annTopK]] (broadcast queries, corpus never shuffles).
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(emb(spark, dir),
+        embSmall(spark, dir).filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 10)
+      .filter(col("rank") > 5)
+      .select(col("q_id"), (col("rank") - 5).cast(LongType).as("hn_rank"),
+        col("neighbor_id"), col("cosine"))
+      .orderBy("q_id", "hn_rank")
+
+  val hardNegativesOracle: String =
+    s"""WITH $quantCte,
+       |scored AS (SELECT qq.id AS q_id, c.id AS c_id,
+       |    ${duckCos(duckDot("c.qv", "qq.qv"), "c.n2", "qq.n2")} AS cosine
+       |  FROM n c JOIN n qq ON qq.id < 10 AND c.id <> qq.id),
+       |ranked AS (SELECT q_id, c_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT q_id, CAST(rank - 5 AS BIGINT) AS hn_rank, c_id AS neighbor_id, cosine
+       |FROM ranked WHERE rank BETWEEN 6 AND 10 ORDER BY q_id, hn_rank""".stripMargin
+
   /** IVF top-5, probing the 2 nearest of the label-cluster centroids. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)

@@ -176,7 +176,10 @@ class PlanSpec extends SparkSpec {
     // Everything else must stay hash/broadcast-hash/sort-merge.
     val bnljByDesign = Set(
       "x_ann_topk", "x_multimodal_embed_topk", // (a) all-pairs scoring
+      "x_hard_negatives",                      //     rank-window reuse of (a)
       "x_ann_recall",                          //     ground-truth side reuses (a)
+      "x_ngram_lm_score",                      // (b) 1-row V scalar into smoothing
+      "x_negative_samples",                    // (b) 1-row corpus-N scalar into offsets
       "x_fts_ranked", "x_temperature_sample",
       "x_freq_score", "x_embed_quantize",
       "x_mixture_sample",
