@@ -98,6 +98,7 @@ object SparkEntry {
     "x_dsir_select" -> (CorpusQueries.dsirSelect _),
     "x_ngram_lm_score" -> (CorpusQueries.ngramLmScore _),
     "x_negative_samples" -> (CorpusQueries.negativeSamples _),
+    "x_curriculum_order" -> (CorpusQueries.curriculumOrder _),
     "x_top_terms" -> (CorpusQueries.topTerms _),
     "x_cms_freq" -> (CorpusQueries.cmsFreq _),
     "x_zorder_layout" -> (CorpusQueries.zorderLayout _),
@@ -328,6 +329,7 @@ object SparkEntry {
     "x_dsir_select" -> CorpusQueries.dsirSelectOracle,
     "x_ngram_lm_score" -> CorpusQueries.ngramLmScoreOracle,
     "x_negative_samples" -> CorpusQueries.negativeSamplesOracle,
+    "x_curriculum_order" -> CorpusQueries.curriculumOrderOracle,
     "x_top_terms" -> CorpusQueries.topTermsOracle,
     "x_cms_freq" -> CorpusQueries.cmsFreqOracle,
     "x_zorder_layout" -> CorpusQueries.zorderLayoutOracle,

@@ -900,7 +900,10 @@ object CorpusQueries {
     graft.operators.NgramLm.score(
       DedupQueries.docs(spark, dir), col("source") === "src0")
 
-  val ngramLmScoreOracle: String = {
+  /** The LM-score query body WITHOUT the final sort, reusable as a
+    * subquery ([[ngramLmScoreOracle]], [[curriculumOrderOracle]]).
+    */
+  private val ngramLmBase: String = {
     val t = DuckSql.tokens("text")
     s"""WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
        |    source = 'src0' AS is_target, $t AS t FROM documents
@@ -917,6 +920,35 @@ object CorpusQueries {
        |  CAST(sum(tf * (1000000 * (coalesce(c2.c2, 0) + 1)
        |      // (coalesce(c1.c1, 0) + v.v))) // sum(tf) AS BIGINT) AS lm_ppm
        |FROM bg LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN v
-       |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin
+       |GROUP BY bg.doc_id""".stripMargin
   }
+
+  val ngramLmScoreOracle: String = s"$ngramLmBase ORDER BY doc_id"
+
+  /** Curriculum ordering: every scored document gets a 1-based position
+    * in the easy→hard curriculum — descending target-LM likelihood
+    * ([[ngramLmScore]]), ties by doc_id. The rank is the bounded
+    * bucket-decomposed [[Shuffle.globalRankBy]] (lm_ppm ∈ [0, 1e6] →
+    * 20-bit key domain), NOT a single-partition window — the standard
+    * curriculum-learning data prep at corpus scale.
+    */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    val scored = graft.operators.NgramLm.score(
+        DedupQueries.docs(spark, dir), col("source") === "src0")
+      .select(col("doc_id"), col("lm_ppm"))
+      // descending likelihood via an ascending 20-bit key
+      .withColumn("__k", expr("1000000 - lm_ppm"))
+    Shuffle.globalRankBy(scored, "__k", domainBits = 20,
+        tieBreak = "doc_id", posCol = "curriculum_pos")
+      .select(col("doc_id"), col("lm_ppm"),
+        col("curriculum_pos").cast(LongType).as("curriculum_pos"))
+      .orderBy("curriculum_pos")
+  }
+
+  val curriculumOrderOracle: String =
+    s"""SELECT doc_id, lm_ppm,
+       |  CAST(row_number() OVER (ORDER BY lm_ppm DESC, doc_id) AS BIGINT)
+       |    AS curriculum_pos
+       |FROM ($ngramLmBase) s
+       |ORDER BY curriculum_pos""".stripMargin
 }
