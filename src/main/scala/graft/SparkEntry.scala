@@ -99,6 +99,7 @@ object SparkEntry {
     "x_ngram_lm_score" -> (CorpusQueries.ngramLmScore _),
     "x_negative_samples" -> (CorpusQueries.negativeSamples _),
     "x_curriculum_order" -> (CorpusQueries.curriculumOrder _),
+    "x_token_budget_plan" -> (CorpusQueries.tokenBudgetPlan _),
     "x_top_terms" -> (CorpusQueries.topTerms _),
     "x_cms_freq" -> (CorpusQueries.cmsFreq _),
     "x_zorder_layout" -> (CorpusQueries.zorderLayout _),
@@ -330,6 +331,7 @@ object SparkEntry {
     "x_ngram_lm_score" -> CorpusQueries.ngramLmScoreOracle,
     "x_negative_samples" -> CorpusQueries.negativeSamplesOracle,
     "x_curriculum_order" -> CorpusQueries.curriculumOrderOracle,
+    "x_token_budget_plan" -> CorpusQueries.tokenBudgetPlanOracle,
     "x_top_terms" -> CorpusQueries.topTermsOracle,
     "x_cms_freq" -> CorpusQueries.cmsFreqOracle,
     "x_zorder_layout" -> CorpusQueries.zorderLayoutOracle,

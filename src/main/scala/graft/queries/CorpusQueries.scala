@@ -865,6 +865,47 @@ object CorpusQueries {
        |ORDER BY q_id, neg_rank""".stripMargin
   }
 
+  /** Training-mix token budget plan: the one-glance per-source table a
+    * training run is configured from — corpus shares, temperature-
+    * rebalanced weights (T=0.5 via the integer-exact floor-sqrt idiom
+    * of `x_temperature_sample`), the token allocation out of a fixed
+    * 200k budget, and the implied effective epochs (ppm; > 1e6 means
+    * that source repeats). Pure keyed aggregation + a 1-row scalar —
+    * constant output at any corpus scale.
+    */
+  def tokenBudgetPlan(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 200000L
+    val perSrc = DedupQueries.docs(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(graft.operators.TextStats.wsTokenCount(col("text")))
+          .cast(LongType).as("n_tokens"))
+      .withColumn("w", floor(sqrt(col("n_tokens").cast(DoubleType))).cast(LongType))
+    val tot = perSrc.agg(sum(col("w")).cast(LongType).as("z"),
+      sum(col("n_tokens")).cast(LongType).as("tok_tot"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("(1000000 * n_tokens) div tok_tot").as("share_ppm"),
+        expr(s"($budget * w) div z").as("alloc_tokens"),
+        expr(s"(1000000 * (($budget * w) div z)) div n_tokens").as("epochs_ppm"))
+      .orderBy("source")
+  }
+
+  val tokenBudgetPlanOracle: String = {
+    val ws = """CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT)"""
+    s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum($ws) AS BIGINT) AS n_tokens,
+       |    CAST(floor(sqrt(CAST(sum($ws) AS DOUBLE))) AS BIGINT) AS w
+       |  FROM documents GROUP BY source),
+       |z AS (SELECT CAST(sum(w) AS BIGINT) AS z,
+       |    CAST(sum(n_tokens) AS BIGINT) AS tok_tot FROM c)
+       |SELECT source, n_docs, n_tokens,
+       |  (1000000 * n_tokens) // tok_tot AS share_ppm,
+       |  (200000 * w) // z AS alloc_tokens,
+       |  (1000000 * ((200000 * w) // z)) // n_tokens AS epochs_ppm
+       |FROM c CROSS JOIN z ORDER BY source""".stripMargin
+  }
+
   /** DSIR-style importance-weighted selection ([[graft.operators.Dsir]]):
     * `src0` plays the curated target domain; every document gets an
     * integer target-affinity score and a keep verdict.
