@@ -124,6 +124,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.sorted.toSeq !== other.sorted.toSeq)
   }
 
+  test("positionalNegatives matches a driver-side reference model across random sizes (seeded)") {
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val n = 20 + rnd.nextInt(180)
+      val k = 1 + rnd.nextInt(6)
+      val seed = 1L + rnd.nextInt(100)
+      val ids = (1L to n.toLong)
+      val order = ids.sortBy(id => (h60(s"$seed:$id"), id))
+      val pos = order.zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+      val byPos = order.zipWithIndex.map { case (id, i) => (i + 1L) -> id }.toMap
+      val stride = n.toLong / (k + 1)
+      val expected = (for {
+        q <- ids if q % 10 == 0
+        i <- 1 to k
+        np = ((pos(q) - 1 + i * stride) % n) + 1
+        nid = byPos(np) if nid != q
+      } yield (q, i.toLong, nid)).sorted
+      val got = graft.operators.Sampling
+        .positionalNegatives(ids.toDF("id"), "id", _ % 10 === 0, k, seed)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      assert(got.toSeq === expected.toSeq, s"n=$n k=$k seed=$seed")
+    }
+  }
+
   test("globalOrderIndex is seed-sensitive and partitioning-invariant") {
     val df = (1L to 200L).toDF("id")
     val a = Shuffle.globalOrderIndex(df, "id", seed = 1L, tieBreak = "id")
