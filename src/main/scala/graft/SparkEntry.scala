@@ -100,6 +100,7 @@ object SparkEntry {
     "x_negative_samples" -> (CorpusQueries.negativeSamples _),
     "x_curriculum_order" -> (CorpusQueries.curriculumOrder _),
     "x_token_budget_plan" -> (CorpusQueries.tokenBudgetPlan _),
+    "x_topk_two_phase" -> (EventQueries.topkTwoPhase _),
     "x_top_terms" -> (CorpusQueries.topTerms _),
     "x_cms_freq" -> (CorpusQueries.cmsFreq _),
     "x_zorder_layout" -> (CorpusQueries.zorderLayout _),
@@ -332,6 +333,7 @@ object SparkEntry {
     "x_negative_samples" -> CorpusQueries.negativeSamplesOracle,
     "x_curriculum_order" -> CorpusQueries.curriculumOrderOracle,
     "x_token_budget_plan" -> CorpusQueries.tokenBudgetPlanOracle,
+    "x_topk_two_phase" -> EventQueries.topkTwoPhaseOracle,
     "x_top_terms" -> CorpusQueries.topTermsOracle,
     "x_cms_freq" -> CorpusQueries.cmsFreqOracle,
     "x_zorder_layout" -> CorpusQueries.zorderLayoutOracle,

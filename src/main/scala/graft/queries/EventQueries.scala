@@ -75,6 +75,31 @@ object EventQueries {
       |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** EXACT two-phase top-k per group ([[graft.operators.Scale.topKPerGroup]]):
+    * top-3 events by value per event_type. Same SEMANTICS as the plain
+    * window spelling (`x_window_top_orders`) — the oracle IS that
+    * window — but the physical plan shuffles only per-partition
+    * survivors (≤ partitions × groups × k rows), not the corpus:
+    * event_type is a handful of hot groups over millions of rows,
+    * exactly the shape where the one-shuffle window rank melts a task
+    * and the map-side bounded-heap prune does not.
+    */
+  def topkTwoPhase(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Scale.topKPerGroup(
+        events(spark, dir).select(col("event_id").cast(LongType).as("event_id"),
+          col("event_type"), col("value")),
+        "event_type", "value", "event_id", k = 3)
+      .select(col("event_type"), col("rank"), col("event_id"), col("value"))
+      .orderBy("event_type", "rank")
+
+  val topkTwoPhaseOracle: String =
+    """SELECT event_type, CAST(rn AS BIGINT) AS rank,
+      |  CAST(event_id AS BIGINT) AS event_id, value
+      |FROM (SELECT event_type, event_id, value,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY value DESC, event_id) AS rn FROM events)
+      |WHERE rn <= 3 ORDER BY event_type, rank""".stripMargin
+
   /** Dense hourly time series with zero-fill: the full
     * (hour × event_type) grid from the corpus min to max hour, missing
     * cells as explicit zeros — the gap-filling densification every

@@ -48,4 +48,44 @@ class ScaleSpec extends SparkSpec {
       .select("__salt").distinct().count()
     assert(saltSpread > 4, s"expected hot key spread over >4 salts, got $saltSpread")
   }
+
+  test("topKPerGroup equals the plain window top-k, including ties and null scores") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 5000L).map { id =>
+      (id % 37, if (id % 211 == 0) null else java.lang.Long.valueOf(rnd.nextInt(50).toLong), id)
+    }
+    val df = rows.toDF("grp", "score", "id").repartition(16)
+    val got = Scale.topKPerGroup(df, "grp", "score", "id", k = 3)
+      .select("grp", "score", "id", "rank")
+      .collect().map(_.toSeq).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"grp").orderBy($"score".desc_nulls_last, $"id".asc_nulls_last)
+    val want = df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3).select("grp", "score", "id", "rank")
+      .collect().map(_.toSeq).toSet
+    assert(got === want)
+  }
+
+  test("topKPerGroup phase 1 bounds the shuffle: a hot group arrives pre-pruned") {
+    // one group holding ALL 40k rows across 16 partitions
+    val df = (1L to 40000L).map(i => (0L, i % 1000, i)).toDF("grp", "score", "id")
+      .repartition(16)
+    val pruned = Scale.partitionTopK(df, "grp", "score", "id", k = 5)
+    val n = pruned.count()
+    assert(n <= 16L * 5, s"phase 1 must emit <= partitions*k rows for one group, got $n")
+    // and the exact answer still comes out the other end
+    val top = Scale.topKPerGroup(df, "grp", "score", "id", k = 5)
+      .select("id").as[Long].collect().sorted.toSeq
+    // score = i % 1000, best score 999 at ids 999, 1999, ..; top-5 by
+    // (score desc, id asc) = the five smallest ids with score 999
+    assert(top === Seq(999L, 1999L, 2999L, 3999L, 4999L))
+  }
+
+  test("topKPerGroup with k >= group size returns whole groups, ranked") {
+    val df = Seq((1L, 10L, 1L), (1L, 20L, 2L), (2L, 5L, 3L)).toDF("grp", "score", "id")
+    val out = Scale.topKPerGroup(df, "grp", "score", "id", k = 10)
+      .select("grp", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(out === Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 3L, 1L)))
+  }
 }
