@@ -101,6 +101,7 @@ object SparkEntry {
     "x_curriculum_order" -> (CorpusQueries.curriculumOrder _),
     "x_token_budget_plan" -> (CorpusQueries.tokenBudgetPlan _),
     "x_topk_two_phase" -> (EventQueries.topkTwoPhase _),
+    "x_kmv_set_ops" -> (CorpusQueries.kmvSetOps _),
     "x_top_terms" -> (CorpusQueries.topTerms _),
     "x_cms_freq" -> (CorpusQueries.cmsFreq _),
     "x_zorder_layout" -> (CorpusQueries.zorderLayout _),
@@ -334,6 +335,7 @@ object SparkEntry {
     "x_curriculum_order" -> CorpusQueries.curriculumOrderOracle,
     "x_token_budget_plan" -> CorpusQueries.tokenBudgetPlanOracle,
     "x_topk_two_phase" -> EventQueries.topkTwoPhaseOracle,
+    "x_kmv_set_ops" -> CorpusQueries.kmvSetOpsOracle,
     "x_top_terms" -> CorpusQueries.topTermsOracle,
     "x_cms_freq" -> CorpusQueries.cmsFreqOracle,
     "x_zorder_layout" -> CorpusQueries.zorderLayoutOracle,

@@ -156,6 +156,68 @@ object Kmv {
     shiftright(PortableHash.hash60(value.cast("string")), HashBits)
       .cast(LongType)
 
+  /** KMV set-operation estimates between two value sets sharing the
+    * 30-bit hash space: distinct-count estimates for each side, their
+    * union (bottom-k of the merged distinct hashes — KMV sketches are
+    * closed under union), and the intersection via the
+    * Jaccard-from-union-sketch identity (Beyer et al., SIGMOD'07):
+    * of the union sketch's k smallest hashes, the fraction present in
+    * BOTH sides estimates the Jaccard, so
+    *
+    *   est_intersection = n_both · est_union div u_seen
+    *
+    * (integer arithmetic; under-filled sketches degrade to EXACT
+    * values, since the sketch then holds the whole union). The audit
+    * column `inter_hashes` is the exact distinct-hash intersection.
+    *
+    * This is the sketch algebra a query planner / corpus-diff tool
+    * runs INSTEAD of a distinct-join at 100 TB: each side collapses to
+    * k longs (`orderBy(h).limit(k)` is Spark's TakeOrderedAndProject —
+    * per-partition bottom-k, driver merge of partitions × k rows, no
+    * global sort), and only the vocabulary-sized exact-audit join
+    * touches more.
+    *
+    * Output (1 row): est_a, est_b, est_union, n_both, est_intersection,
+    * inter_hashes.
+    */
+  def setOpsSketch(a: DataFrame, b: DataFrame, valueCol: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val ha = a.select(hash30(col(valueCol)).as("h")).distinct()
+      .localCheckpoint(true) // feeds own sketch + merge + exact audit
+    val hb = b.select(hash30(col(valueCol)).as("h")).distinct()
+      .localCheckpoint(true)
+    def est(seen: String, kth: String): org.apache.spark.sql.Column =
+      when(col(seen) < k, col(seen))
+        .otherwise(expr(s"(${k - 1} * ${HashDomain}L) div greatest($kth, 1L)"))
+        .cast(LongType)
+    def side(h: DataFrame, tag: String): DataFrame =
+      h.orderBy("h").limit(k)
+        .agg(count(lit(1)).cast(LongType).as(s"${tag}_seen"),
+          max(col("h")).as(s"${tag}_kth"))
+    val merged = ha.select(col("h"), lit(1L).as("in_a"), lit(0L).as("in_b"))
+      .unionAll(hb.select(col("h"), lit(0L).as("in_a"), lit(1L).as("in_b")))
+      .groupBy("h")
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val u = merged.orderBy("h").limit(k)
+      .agg(count(lit(1)).cast(LongType).as("u_seen"),
+        max(col("h")).as("u_kth"),
+        sum(col("in_a") * col("in_b")).cast(LongType).as("n_both"))
+    val exact = ha.join(hb, Seq("h"))
+      .agg(count(lit(1)).cast(LongType).as("inter_hashes"))
+    side(ha, "a").crossJoin(broadcast(side(hb, "b")))
+      .crossJoin(broadcast(u)).crossJoin(broadcast(exact))
+      .select(
+        est("a_seen", "a_kth").as("est_a"),
+        est("b_seen", "b_kth").as("est_b"),
+        est("u_seen", "u_kth").as("est_union"),
+        col("n_both"),
+        when(col("u_seen") > 0,
+          expr(s"(n_both * (CASE WHEN u_seen < $k THEN u_seen ELSE (${k - 1} * ${HashDomain}L) div greatest(u_kth, 1L) END)) div u_seen"))
+          .otherwise(lit(0L)).cast(LongType).as("est_intersection"),
+        col("inter_hashes"))
+  }
+
   /** DuckDB oracle twin of [[distinctSketch]] over a CTE exposing
     * (group, value) rows; keep in lockstep.
     */

@@ -865,6 +865,52 @@ object CorpusQueries {
        |ORDER BY q_id, neg_rank""".stripMargin
   }
 
+  /** KMV set-operation estimates ([[graft.operators.Kmv.setOpsSketch]]):
+    * the src0-vs-src1 token-vocabulary overlap — per-side distinct
+    * estimates, the union estimate from the merged bottom-64 sketch,
+    * the Jaccard-derived intersection estimate, and the exact
+    * distinct-hash intersection as the audit column.
+    */
+  def kmvSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir)
+    def side(src: String): DataFrame = d.filter(col("source") === src)
+      .select(explode(Fts.tokens(Seq(col("text")))).as("term"))
+    graft.operators.Kmv.setOpsSketch(side("src0"), side("src1"), "term", k = 64)
+  }
+
+  val kmvSetOpsOracle: String = {
+    val t = DuckSql.tokens("text")
+    val h = DuckSql.hash60("term")
+    val dom = graft.operators.Kmv.HashDomain
+    def est(seen: String, kth: String): String =
+      s"CASE WHEN $seen < 64 THEN $seen ELSE (63 * ${dom}) // greatest($kth, 1) END"
+    s"""WITH ta AS (SELECT DISTINCT ($h) // ${dom} AS h FROM (
+       |    SELECT unnest($t) AS term FROM documents WHERE source = 'src0')),
+       |tb AS (SELECT DISTINCT ($h) // ${dom} AS h FROM (
+       |    SELECT unnest($t) AS term FROM documents WHERE source = 'src1')),
+       |sa AS (SELECT CAST(count(*) AS BIGINT) AS a_seen, max(h) AS a_kth
+       |  FROM (SELECT h FROM ta ORDER BY h LIMIT 64)),
+       |sb AS (SELECT CAST(count(*) AS BIGINT) AS b_seen, max(h) AS b_kth
+       |  FROM (SELECT h FROM tb ORDER BY h LIMIT 64)),
+       |m AS (SELECT h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+       |    SELECT h, 1 AS in_a, 0 AS in_b FROM ta
+       |    UNION ALL SELECT h, 0, 1 FROM tb) GROUP BY h),
+       |su AS (SELECT CAST(count(*) AS BIGINT) AS u_seen, max(h) AS u_kth,
+       |    CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+       |  FROM (SELECT * FROM m ORDER BY h LIMIT 64)),
+       |ex AS (SELECT CAST(count(*) AS BIGINT) AS inter_hashes
+       |  FROM ta JOIN tb USING (h))
+       |SELECT CAST(${est("a_seen", "a_kth")} AS BIGINT) AS est_a,
+       |  CAST(${est("b_seen", "b_kth")} AS BIGINT) AS est_b,
+       |  CAST(${est("u_seen", "u_kth")} AS BIGINT) AS est_union,
+       |  n_both,
+       |  CAST(CASE WHEN u_seen > 0
+       |    THEN (n_both * (${est("u_seen", "u_kth")})) // u_seen
+       |    ELSE 0 END AS BIGINT) AS est_intersection,
+       |  inter_hashes
+       |FROM sa CROSS JOIN sb CROSS JOIN su CROSS JOIN ex""".stripMargin
+  }
+
   /** Training-mix token budget plan: the one-glance per-source table a
     * training run is configured from — corpus shares, temperature-
     * rebalanced weights (T=0.5 via the integer-exact floor-sqrt idiom

@@ -23,4 +23,30 @@ class ApproxDistinctSpec extends SparkSpec {
       else assert(math.abs(a - n).toDouble / n < 0.05, s"group $k: exact=$n approx=$a")
     }
   }
+
+  test("KMV set-ops: exact when under-filled; union/intersection estimates within 25% when filled") {
+    import spark.implicits._
+    // under-filled: 40 + 40 values with 20 shared — the sketch holds
+    // everything, so every estimate must be EXACT
+    val smallA = (1L to 40L).map(i => s"v$i").toDF("v")
+    val smallB = (21L to 60L).map(i => s"v$i").toDF("v")
+    val s = graft.operators.Kmv.setOpsSketch(smallA, smallB, "v", k = 64).collect()(0)
+    assert(s.getLong(0) === 40L && s.getLong(1) === 40L) // est_a, est_b
+    assert(s.getLong(2) === 60L)                          // est_union
+    assert(s.getLong(4) === 20L && s.getLong(5) === 20L)  // est_inter, exact audit
+    // filled: 4000 + 4000 with 2000 shared — k=256 (σ ≈ 1/√k ≈ 6%, so
+    // 25% is a ~4σ bound; k=64's single-draw σ ≈ 12.5% flaked at 47%)
+    val bigA = (1L to 4000L).map(i => s"w$i").toDF("v")
+    val bigB = (2001L to 6000L).map(i => s"w$i").toDF("v")
+    val e = graft.operators.Kmv.setOpsSketch(bigA, bigB, "v", k = 256).collect()(0)
+    assert(e.getLong(5) === 2000L) // the exact audit join is exact
+    for ((got, want) <- Seq(e.getLong(0) -> 4000L, e.getLong(1) -> 4000L,
+        e.getLong(2) -> 6000L, e.getLong(4) -> 2000L))
+      assert(math.abs(got - want).toDouble / want < 0.25, s"got $got want ~$want")
+    // deterministic: same inputs, same sketch, repartitioned or not
+    val e2 = graft.operators.Kmv
+      .setOpsSketch(bigA.repartition(13), bigB.repartition(7), "v", k = 256)
+      .collect()(0)
+    assert(e.toSeq === e2.toSeq)
+  }
 }

@@ -181,6 +181,7 @@ class PlanSpec extends SparkSpec {
       "x_ngram_lm_score",                      // (b) 1-row V scalar into smoothing
       "x_curriculum_order",                    //     reuses the LM scorer's V scalar
       "x_token_budget_plan",                   // (b) 1-row budget-total scalar
+      "x_kmv_set_ops",                         // (b) four 1-row sketch scalars
       "x_negative_samples",                    // (b) 1-row corpus-N scalar into offsets
       "x_fts_ranked", "x_temperature_sample",
       "x_freq_score", "x_embed_quantize",
