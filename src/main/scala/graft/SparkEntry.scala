@@ -102,6 +102,7 @@ object SparkEntry {
     "x_token_budget_plan" -> (CorpusQueries.tokenBudgetPlan _),
     "x_topk_two_phase" -> (EventQueries.topkTwoPhase _),
     "x_kmv_set_ops" -> (CorpusQueries.kmvSetOps _),
+    "x_readability" -> (CorpusQueries.readability _),
     "x_top_terms" -> (CorpusQueries.topTerms _),
     "x_cms_freq" -> (CorpusQueries.cmsFreq _),
     "x_zorder_layout" -> (CorpusQueries.zorderLayout _),
@@ -336,6 +337,7 @@ object SparkEntry {
     "x_token_budget_plan" -> CorpusQueries.tokenBudgetPlanOracle,
     "x_topk_two_phase" -> EventQueries.topkTwoPhaseOracle,
     "x_kmv_set_ops" -> CorpusQueries.kmvSetOpsOracle,
+    "x_readability" -> CorpusQueries.readabilityOracle,
     "x_top_terms" -> CorpusQueries.topTermsOracle,
     "x_cms_freq" -> CorpusQueries.cmsFreqOracle,
     "x_zorder_layout" -> CorpusQueries.zorderLayoutOracle,

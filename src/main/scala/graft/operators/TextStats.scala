@@ -138,4 +138,29 @@ object TextStats {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
       .cast(LongType)
+
+  /** Readability counts for the Flesch reading-ease feature, with the
+    * standard cheap proxies: sentences = non-empty `[.!?]+` splits,
+    * words = [[Fts.tokens]], syllables = vowel-group runs
+    * (`[aeiouy]+`) per token, floored at 1 so all-consonant tokens
+    * ("mr", "xyz") count one. Words and sentences are floored at 1 so
+    * the downstream divisions are total. All codegen'd builtins over
+    * one row — no shuffle. The score itself
+    * (`206835 − (1015·w div s) − (84600·sy div w)`, ×1e3 integer) is
+    * applied at the query layer with exact `div`, keeping the division
+    * sequence the cross-engine contract.
+    */
+  def readabilityCounts(text: Column): Column = {
+    val sentences = greatest(
+      size(filter(split(text, "[.!?]+"), s => trim(s) =!= "")), lit(1))
+      .cast(LongType)
+    val toks = Fts.tokens(Seq(text))
+    val words = greatest(size(toks), lit(1)).cast(LongType)
+    val syllables = aggregate(
+      transform(toks, t =>
+        greatest(size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0))), lit(1))),
+      lit(0L), (acc, x) => acc + x.cast(LongType))
+    struct(words.as("n_words"), sentences.as("n_sentences"),
+      syllables.as("n_syllables"))
+  }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.PortableHash
-import graft.operators.{Bloom, Fts, Sampling, Shuffle, TextDedup}
+import graft.operators.{Bloom, Fts, Sampling, Shuffle, TextDedup, TextStats}
 
 /** Round-6 graded extension queries: cross-document n-gram analysis,
   * corpus-statistics scoring, heavy hitters, Bloom-prefiltered
@@ -863,6 +863,40 @@ object CorpusQueries {
        |FROM x JOIN pos ON pos.pos = x.neg_pos
        |WHERE pos.id <> x.q_id
        |ORDER BY q_id, neg_rank""".stripMargin
+  }
+
+  /** Flesch reading-ease readability
+    * ([[TextStats.readabilityCounts]]), ×1e3 integer: the classic
+    * readability feature over every document — proxy sentence/word/
+    * syllable counts plus the exact-div score. Narrow per-row codegen;
+    * no shuffle.
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        TextStats.readabilityCounts(col("text")).as("r"))
+      .select(col("doc_id"), col("r.n_words").as("n_words"),
+        col("r.n_sentences").as("n_sentences"),
+        col("r.n_syllables").as("n_syllables"))
+      .withColumn("flesch_e3",
+        expr("""206835 - (1015 * n_words) div n_sentences
+               | - (84600 * n_syllables) div n_words""".stripMargin))
+      .orderBy("doc_id")
+
+  val readabilityOracle: String = {
+    val t = DuckSql.tokens("text")
+    s"""WITH c AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    CAST(greatest(len(list_filter(string_split_regex(text, '[.!?]+'),
+       |      s -> trim(s) <> '')), 1) AS BIGINT) AS n_sentences,
+       |    CAST(greatest(len($t), 1) AS BIGINT) AS n_words,
+       |    CAST(coalesce(list_sum(list_transform($t,
+       |      tk -> greatest(len(regexp_extract_all(tk, '[aeiouy]+')), 1))), 0)
+       |      AS BIGINT) AS n_syllables
+       |  FROM documents)
+       |SELECT doc_id, n_words, n_sentences, n_syllables,
+       |  206835 - (1015 * n_words) // n_sentences
+       |    - (84600 * n_syllables) // n_words AS flesch_e3
+       |FROM c ORDER BY doc_id""".stripMargin
   }
 
   /** KMV set-operation estimates ([[graft.operators.Kmv.setOpsSketch]]):

@@ -483,6 +483,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
   }
 
+  test("readabilityCounts: hand-computed Flesch inputs; empty text total") {
+    val df = Seq((1L, "the cat sat. it ran!"), (2L, "")).toDF("doc_id", "text")
+      .select($"doc_id", graft.operators.TextStats.readabilityCounts($"text").as("r"))
+      .select($"doc_id", $"r.n_words", $"r.n_sentences", $"r.n_syllables")
+      .withColumn("flesch_e3",
+        expr("206835 - (1015 * n_words) div n_sentences - (84600 * n_syllables) div n_words"))
+    val out = df.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // doc 1: 5 words, 2 sentences, 5 vowel-group syllables
+    //   206835 - (1015*5) div 2 - (84600*5) div 5 = 206835 - 2537 - 84600
+    assert(out(1L) === ((5L, 2L, 5L, 119698L)))
+    // empty text: floors make the score total (w=1, s=1, sy=0)
+    assert(out(2L) === ((1L, 1L, 0L, 205820L)))
+  }
+
   // ---------------- NgramLm ----------------
 
   test("NgramLm.score: fluent in-domain text scores above garbled; exact integer values") {
