@@ -103,6 +103,7 @@ object SparkEntry {
     "x_topk_two_phase" -> (EventQueries.topkTwoPhase _),
     "x_kmv_set_ops" -> (CorpusQueries.kmvSetOps _),
     "x_readability" -> (CorpusQueries.readability _),
+    "x_profile_columns" -> (CorpusQueries.profileColumns _),
     "x_top_terms" -> (CorpusQueries.topTerms _),
     "x_cms_freq" -> (CorpusQueries.cmsFreq _),
     "x_zorder_layout" -> (CorpusQueries.zorderLayout _),
@@ -338,6 +339,7 @@ object SparkEntry {
     "x_topk_two_phase" -> EventQueries.topkTwoPhaseOracle,
     "x_kmv_set_ops" -> CorpusQueries.kmvSetOpsOracle,
     "x_readability" -> CorpusQueries.readabilityOracle,
+    "x_profile_columns" -> CorpusQueries.profileColumnsOracle,
     "x_top_terms" -> CorpusQueries.topTermsOracle,
     "x_cms_freq" -> CorpusQueries.cmsFreqOracle,
     "x_zorder_layout" -> CorpusQueries.zorderLayoutOracle,

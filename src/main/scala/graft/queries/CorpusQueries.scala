@@ -865,6 +865,41 @@ object CorpusQueries {
        |ORDER BY q_id, neg_rank""".stripMargin
   }
 
+  /** Column profile / expectations table
+    * ([[graft.operators.Profile.table]]) over `documents`: per column,
+    * rows, nulls, exact distincts, and value (numeric) or length
+    * (string) bounds — the validation report before trusting a corpus
+    * drop.
+    */
+  def profileColumns(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.table(
+        DedupQueries.docs(spark, dir),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+      .orderBy("column")
+
+  val profileColumnsOracle: String = {
+    def longCol(c: String) =
+      s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS BIGINT) AS min_value, CAST(max($c) AS BIGINT) AS max_value,
+         |  CAST(NULL AS BIGINT) AS min_length, CAST(NULL AS BIGINT) AS max_length
+         |FROM documents""".stripMargin
+    def strCol(c: String) =
+      s"""SELECT '$c', CAST(count(*) AS BIGINT),
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |  CAST(count(DISTINCT $c) AS BIGINT),
+         |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         |  CAST(min(length($c)) AS BIGINT), CAST(max(length($c)) AS BIGINT)
+         |FROM documents""".stripMargin
+    s"""${longCol("doc_id")}
+       |UNION ALL ${strCol("text")}
+       |UNION ALL ${strCol("lang")}
+       |UNION ALL ${strCol("source")}
+       |UNION ALL ${longCol("n_chars")}
+       |ORDER BY "column"""".stripMargin
+  }
+
   /** Flesch reading-ease readability
     * ([[TextStats.readabilityCounts]]), ×1e3 integer: the classic
     * readability feature over every document — proxy sentence/word/

@@ -483,6 +483,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
   }
 
+  test("Profile.table: exact per-column cells including nulls and bounds") {
+    val df = Seq(
+      (1L, "alpha", Some(10L)), (2L, "bb", None), (3L, "alpha", Some(30L)))
+      .toDF("id", "name", "score")
+      .select($"id", $"name", $"score".cast("long").as("score"))
+    val out = graft.operators.Profile.table(df, Seq("id", "name", "score"))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(out("id") === Seq(3L, 0L, 3L, 1L, 3L, null, null))
+    assert(out("name") === Seq(3L, 0L, 2L, null, null, 2L, 5L))
+    assert(out("score") === Seq(3L, 1L, 2L, 10L, 30L, null, null))
+  }
+
   test("readabilityCounts: hand-computed Flesch inputs; empty text total") {
     val df = Seq((1L, "the cat sat. it ran!"), (2L, "")).toDF("doc_id", "text")
       .select($"doc_id", graft.operators.TextStats.readabilityCounts($"text").as("r"))
