@@ -60,6 +60,37 @@ object Dsir {
       .select(col("bucket"),
         expr("1000000 * (t_raw + 1) div (t_raw + r_raw + 2)").as("w_ppm"))
 
+  /** The MERGEABLE form of the model: raw per-bucket target/raw counts
+    * `(bucket, t_raw, r_raw)` — the sufficient statistic behind
+    * [[weights]]'s collapsed ratio (which is NOT mergeable). Counts
+    * add across corpus drops; collapse with [[weightsFromCounts]] at
+    * apply time. `mergeCounts(counts(A), counts(B)) == counts(A ∪ B)`
+    * exactly (spec-proven).
+    */
+  def counts(docs: DataFrame, isTarget: Column, d: Int = 4096): DataFrame =
+    bucketTf(docs, isTarget, d).groupBy(col("bucket"))
+      .agg(
+        sum(when(col("is_target"), col("tf")).otherwise(lit(0L)))
+          .cast(LongType).as("t_raw"),
+        sum(when(!col("is_target"), col("tf")).otherwise(lit(0L)))
+          .cast(LongType).as("r_raw"))
+
+  def mergeCounts(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "merge at least one count table")
+    parts.reduce(_ unionAll _)
+      .groupBy(col("bucket"))
+      .agg(sum(col("t_raw")).cast(LongType).as("t_raw"),
+        sum(col("r_raw")).cast(LongType).as("r_raw"))
+  }
+
+  /** Collapse a (merged) count table to the `(bucket, w_ppm)` model
+    * [[applyWeights]] consumes — identical to [[weights]] on the same
+    * corpus.
+    */
+  def weightsFromCounts(counts: DataFrame): DataFrame =
+    counts.select(col("bucket"),
+      expr("1000000 * (t_raw + 1) div (t_raw + r_raw + 2)").as("w_ppm"))
+
   /** Score a batch against a trained weight model. Buckets unseen at
     * training time carry the uninformative prior 1e6*1/2 = 500000
     * (t=r=0 in the smoothed weight), so novel vocabulary neither

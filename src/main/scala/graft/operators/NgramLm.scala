@@ -72,6 +72,19 @@ object NgramLm {
       .groupBy(col("w1"), col("w2"))
       .agg(sum(col("tf")).cast(LongType).as("c2"))
 
+  /** Merge trained models (cross-run incremental training): the model
+    * is a plain count table — a sufficient statistic — so counts ADD
+    * and `merge(train(A), train(B)) == train(A ∪ B)` exactly (the spec
+    * proves equality). Train per corpus drop, persist each, merge at
+    * apply time; no drop ever re-reads another's data.
+    */
+  def mergeModels(models: Seq[DataFrame]): DataFrame = {
+    require(models.nonEmpty, "merge at least one model")
+    models.reduce(_ unionAll _)
+      .groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c2")).cast(LongType).as("c2"))
+  }
+
   /** Score a batch against a trained model: per document, the mean
     * integer bigram likelihood `lm_ppm` and the bigram count. Unseen
     * bigrams fall back to the smoothed floor `1e6 div (c1 + V)`; unseen

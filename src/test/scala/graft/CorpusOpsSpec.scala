@@ -554,6 +554,34 @@ class CorpusOpsSpec extends SparkSpec {
     assert(none.forall(_.getLong(2) === 1000000L))
   }
 
+  test("model mergeability: train-per-drop + merge equals train-on-union, exactly") {
+    val dropA = Seq(
+      (1L, "the star shines the star glows", "wiki"),
+      (3L, "purple monkey dishwasher", "web")).toDF("doc_id", "text", "source")
+    val dropB = Seq(
+      (2L, "the star fades", "wiki"),
+      (4L, "the star shines", "web")).toDF("doc_id", "text", "source")
+    val union = dropA.unionAll(dropB)
+    val isT = col("source") === "wiki"
+    // NgramLm: count tables add
+    val lmMerged = graft.operators.NgramLm.mergeModels(Seq(
+        graft.operators.NgramLm.train(dropA, isT),
+        graft.operators.NgramLm.train(dropB, isT)))
+      .collect().map(_.toSeq).toSet
+    val lmWhole = graft.operators.NgramLm.train(union, isT)
+      .collect().map(_.toSeq).toSet
+    assert(lmMerged === lmWhole)
+    // DSIR: bucket counts add; collapsed weights match the direct model
+    val dsirMerged = graft.operators.Dsir.weightsFromCounts(
+        graft.operators.Dsir.mergeCounts(Seq(
+          graft.operators.Dsir.counts(dropA, isT),
+          graft.operators.Dsir.counts(dropB, isT))))
+      .collect().map(_.toSeq).toSet
+    val dsirWhole = graft.operators.Dsir.weights(union, isT)
+      .collect().map(_.toSeq).toSet
+    assert(dsirMerged === dsirWhole)
+  }
+
   test("NgramLm.score: sub-bigram docs drop; invariant to corpus partitioning") {
     val docs = Seq(
       (1L, "alpha beta gamma", "t"), (2L, "solo", "r"), (3L, "", "r"),
