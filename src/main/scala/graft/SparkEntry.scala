@@ -104,6 +104,7 @@ object SparkEntry {
     "x_kmv_set_ops" -> (CorpusQueries.kmvSetOps _),
     "x_readability" -> (CorpusQueries.readability _),
     "x_profile_columns" -> (CorpusQueries.profileColumns _),
+    "x_multimodal_windows" -> (EventQueries.multimodalWindows _),
     "x_top_terms" -> (CorpusQueries.topTerms _),
     "x_cms_freq" -> (CorpusQueries.cmsFreq _),
     "x_zorder_layout" -> (CorpusQueries.zorderLayout _),
@@ -340,6 +341,7 @@ object SparkEntry {
     "x_kmv_set_ops" -> CorpusQueries.kmvSetOpsOracle,
     "x_readability" -> CorpusQueries.readabilityOracle,
     "x_profile_columns" -> CorpusQueries.profileColumnsOracle,
+    "x_multimodal_windows" -> EventQueries.multimodalWindowsOracle,
     "x_top_terms" -> CorpusQueries.topTermsOracle,
     "x_cms_freq" -> CorpusQueries.cmsFreqOracle,
     "x_zorder_layout" -> CorpusQueries.zorderLayoutOracle,

@@ -164,4 +164,32 @@ object Multimodal {
         explode(sequence(lit(0L), floor((col("byte_len") - 1) / stride).cast(LongType))))
       .select(col("media_id"), col("frame_no").cast(LongType).as("frame_no"),
         (col("frame_no") * stride).cast(LongType).as("byte_offset"))
+
+  /** OVERLAPPING analysis windows for "audio" blobs — the classic
+    * frame/hop decomposition (window `width` bytes every `hop` bytes,
+    * hop < width ⇒ overlap), the byte-level stand-in for STFT /
+    * spectrogram framing the way [[sampleFrames]] stands in for
+    * keyframes. Windows start while at least one payload byte remains
+    * (`start < byte_len`); the last windows clip (`win_len < width`),
+    * matching feature extractors that zero-pad the tail. One narrow
+    * explode per row; window count per blob is `ceil(byte_len / hop)`.
+    */
+  def audioWindows(
+      df: DataFrame, idCol: String, payloadCol: String,
+      width: Int, hop: Int): DataFrame = {
+    require(width >= 1 && hop >= 1 && hop <= width,
+      "need width >= hop >= 1 (hop > width would skip bytes)")
+    df.select(
+        col(idCol).cast(LongType).as("media_id"),
+        octet_length(col(payloadCol).cast(BinaryType)).as("byte_len"))
+      .filter(col("byte_len") > 0)
+      .withColumn("window_no",
+        explode(sequence(lit(0L),
+          floor((col("byte_len") - 1) / hop).cast(LongType))))
+      .select(col("media_id"),
+        col("window_no").cast(LongType).as("window_no"),
+        (col("window_no") * hop).cast(LongType).as("byte_start"),
+        least(lit(width.toLong),
+          col("byte_len") - col("window_no") * hop).cast(LongType).as("win_len"))
+  }
 }

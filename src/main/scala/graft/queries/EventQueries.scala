@@ -694,6 +694,25 @@ object EventQueries {
       |FROM documents, LATERAL (SELECT unnest(range(0, ((octet_length(encode(text)) - 1) // 100) + 1)) AS f) f
       |ORDER BY media_id, frame_no""".stripMargin
 
+  /** Multimodal: OVERLAPPING frame/hop windows over "audio" blobs
+    * ([[Multimodal.audioWindows]], width 256 / hop 100 — the STFT
+    * framing stand-in; tail windows clip).
+    */
+  def multimodalWindows(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    Multimodal.audioWindows(docs, "doc_id", "text", width = 256, hop = 100)
+      .orderBy("media_id", "window_no")
+  }
+
+  val multimodalWindowsOracle: String =
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |  CAST(f.i AS BIGINT) AS window_no,
+      |  CAST(f.i * 100 AS BIGINT) AS byte_start,
+      |  CAST(least(256, octet_length(encode(text)) - f.i * 100) AS BIGINT) AS win_len
+      |FROM documents, LATERAL (SELECT unnest(range(0, ((octet_length(encode(text)) - 1) // 100) + 1)) AS i) f
+      |WHERE octet_length(encode(text)) > 0
+      |ORDER BY media_id, window_no""".stripMargin
+
   /** Media→embedding→ANN bridge: blobs run through the stub embedding
     * head (16-dim integer vectors), then exact cosine top-3 for
     * media_id < 5 — the end-to-end shape of a multimodal similarity

@@ -79,4 +79,21 @@ class MultimodalSpec extends SparkSpec {
     assert(sq1.dst_w === 256L && sq1.dst_h === 256L)
     assert(sq1.resized_md5 === sq2.resized_md5 && sq1.resized_md5.length === 32)
   }
+
+  test("audio windows: hop spacing, clipped tail, full byte coverage with overlap") {
+    import spark.implicits._
+    // 250-byte payload, width 100 / hop 40: windows start at
+    // 0,40,...,240 (7 windows); the last three clip (90, 50, 10)
+    val df = Seq((1L, "x" * 250), (2L, "")).toDF("id", "payload")
+    val out = graft.operators.Multimodal
+      .audioWindows(df, "id", "payload", width = 100, hop = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(!out.exists(_._1 == 2L)) // empty payload: no windows
+    val w1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(w1.map(_._3).toSeq === Seq(0L, 40L, 80L, 120L, 160L, 200L, 240L))
+    assert(w1.map(_._4).toSeq === Seq(100L, 100L, 100L, 100L, 90L, 50L, 10L))
+    // every byte is covered by at least one window (start <= b < start+len)
+    val covered = w1.flatMap(w => w._3 until (w._3 + w._4)).toSet
+    assert(covered === (0L until 250L).toSet)
+  }
 }
