@@ -105,6 +105,7 @@ object SparkEntry {
     "x_readability" -> (CorpusQueries.readability _),
     "x_profile_columns" -> (CorpusQueries.profileColumns _),
     "x_multimodal_windows" -> (EventQueries.multimodalWindows _),
+    "x_card_numbers" -> (DedupQueries.cardNumbers _),
     "x_top_terms" -> (CorpusQueries.topTerms _),
     "x_cms_freq" -> (CorpusQueries.cmsFreq _),
     "x_zorder_layout" -> (CorpusQueries.zorderLayout _),
@@ -342,6 +343,7 @@ object SparkEntry {
     "x_readability" -> CorpusQueries.readabilityOracle,
     "x_profile_columns" -> CorpusQueries.profileColumnsOracle,
     "x_multimodal_windows" -> EventQueries.multimodalWindowsOracle,
+    "x_card_numbers" -> DedupQueries.cardNumbersOracle,
     "x_top_terms" -> CorpusQueries.topTermsOracle,
     "x_cms_freq" -> CorpusQueries.cmsFreqOracle,
     "x_zorder_layout" -> CorpusQueries.zorderLayoutOracle,

@@ -29,4 +29,36 @@ object Redact {
     */
   def scrub(text: Column): Column =
     regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), UrlRe, "<URL>")
+
+  /** Card-shaped digit runs: 13–22 chars of digits with optional
+    * space/dash separators, digit-bounded. Shape alone over-matches
+    * (order ids, phone strings) — [[countCardNumbers]] confirms with
+    * the Luhn check digit, the discriminator real PII scanners use.
+    */
+  val CardShapeRe = "[0-9][0-9 -]{11,20}[0-9]"
+
+  /** Luhn checksum of a digit string (rightmost digit is position 1;
+    * even positions double, 9-subtract) — codegen'd HOFs end to end,
+    * no UDF.
+    */
+  private def luhnSum(ds: Column): Column = {
+    val chars = split(reverse(ds), "")
+    aggregate(
+      transform(sequence(lit(1), length(ds)), i => {
+        val d = element_at(chars, i).cast("int")
+        val dbl = d * lit(2)
+        when(i % 2 === 0, when(dbl > 9, dbl - 9).otherwise(dbl)).otherwise(d)
+      }),
+      lit(0), (acc, x) => acc + x)
+  }
+
+  /** Count of Luhn-VALID card numbers (13–19 digits after separator
+    * strip) — shape candidates that fail the checksum don't count.
+    */
+  def countCardNumbers(text: Column): Column =
+    size(filter(
+      transform(regexp_extract_all(text, lit(CardShapeRe), lit(0)),
+        c => regexp_replace(c, "[^0-9]", "")),
+      ds => length(ds) >= 13 && length(ds) <= 19 &&
+        luhnSum(ds) % 10 === 0)).cast("long")
 }

@@ -801,6 +801,49 @@ object DedupQueries {
        |    '${graft.operators.Redact.UrlRe}', '<URL>', 'g') AS clean_text
        |FROM planted ORDER BY doc_id""".stripMargin
 
+  /** Luhn-validated card-number detection
+    * ([[graft.operators.Redact.countCardNumbers]]): every 50th doc
+    * gets a VALID test card planted (4111-...-1111 passes Luhn), every
+    * 70th an INVALID card-shaped number — the count must accept the
+    * first and reject the second, per-doc over the whole corpus.
+    */
+  def cardNumbers(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Redact
+    val planted = docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        when(col("doc_id") % 50 === 0,
+          concat(col("text"), lit(" card 4111 1111 1111 1111 ok")))
+          .when(col("doc_id") % 70 === 0,
+            concat(col("text"), lit(" num 1234 5678 9012 3456 x")))
+          .otherwise(col("text")).as("text"))
+    planted.select(col("doc_id"),
+        Redact.countCardNumbers(col("text")).as("n_cards"))
+      .orderBy("doc_id")
+  }
+
+  val cardNumbersOracle: String = {
+    val shape = graft.operators.Redact.CardShapeRe
+    s"""WITH planted AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    CASE WHEN doc_id % 50 = 0 THEN text || ' card 4111 1111 1111 1111 ok'
+       |         WHEN doc_id % 70 = 0 THEN text || ' num 1234 5678 9012 3456 x'
+       |         ELSE text END AS text
+       |  FROM documents),
+       |cand AS (SELECT doc_id,
+       |    list_transform(regexp_extract_all(text, '$shape'),
+       |      c -> regexp_replace(c, '[^0-9]', '', 'g')) AS cards
+       |  FROM planted)
+       |SELECT doc_id, CAST(len(list_filter(cards, ds ->
+       |    len(ds) BETWEEN 13 AND 19 AND
+       |    list_sum(list_transform(range(1, len(ds) + 1), i ->
+       |      CASE WHEN i % 2 = 0
+       |        THEN CASE WHEN 2 * CAST(reverse(ds)[i] AS INTEGER) > 9
+       |          THEN 2 * CAST(reverse(ds)[i] AS INTEGER) - 9
+       |          ELSE 2 * CAST(reverse(ds)[i] AS INTEGER) END
+       |        ELSE CAST(reverse(ds)[i] AS INTEGER) END)) % 10 = 0))
+       |  AS BIGINT) AS n_cards
+       |FROM cand ORDER BY doc_id""".stripMargin
+  }
+
   // ---- text analysis ------------------------------------------------
 
   def langId(spark: SparkSession, dir: String): DataFrame =

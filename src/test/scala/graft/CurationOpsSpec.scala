@@ -84,6 +84,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(g.getAs[Long]("pass") === 0L)
   }
 
+  test("countCardNumbers: Luhn accepts valid cards in any separator style, rejects shape-only") {
+    import spark.implicits._
+    val cases = Seq(
+      (1L, "pay 4111 1111 1111 1111 now", 1L),        // classic Visa test number
+      (2L, "pay 4111-1111-1111-1111 now", 1L),        // dash separators
+      (3L, "id 4111111111111111 raw", 1L),            // no separators
+      (4L, "num 1234 5678 9012 3456 x", 0L),          // card-shaped, fails Luhn
+      (5L, "378282246310005 amex style", 1L),         // 15-digit Amex test number
+      (6L, "short 4111 1111 111", 0L),                // too few digits
+      (7L, "two: 4111 1111 1111 1111 and 378282246310005", 2L),
+      (8L, "plain text, no numbers at all", 0L))
+      .toDF("id", "text", "want")
+    val got = cases
+      .select($"id", $"want",
+        graft.operators.Redact.countCardNumbers($"text").as("got"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for ((id, want, g) <- got) assert(g === want, s"case $id: want $want got $g")
+  }
+
   test("tfidf topkSimilar: identical docs rank first with cosine 1") {
     val df = Seq(
       (100L, "alpha beta gamma delta"),
