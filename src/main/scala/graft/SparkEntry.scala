@@ -106,6 +106,7 @@ object SparkEntry {
     "x_profile_columns" -> (CorpusQueries.profileColumns _),
     "x_multimodal_windows" -> (EventQueries.multimodalWindows _),
     "x_card_numbers" -> (DedupQueries.cardNumbers _),
+    "x_priority_sample" -> (CorpusQueries.prioritySample _),
     "x_top_terms" -> (CorpusQueries.topTerms _),
     "x_cms_freq" -> (CorpusQueries.cmsFreq _),
     "x_zorder_layout" -> (CorpusQueries.zorderLayout _),
@@ -344,6 +345,7 @@ object SparkEntry {
     "x_profile_columns" -> CorpusQueries.profileColumnsOracle,
     "x_multimodal_windows" -> EventQueries.multimodalWindowsOracle,
     "x_card_numbers" -> DedupQueries.cardNumbersOracle,
+    "x_priority_sample" -> CorpusQueries.prioritySampleOracle,
     "x_top_terms" -> CorpusQueries.topTermsOracle,
     "x_cms_freq" -> CorpusQueries.cmsFreqOracle,
     "x_zorder_layout" -> CorpusQueries.zorderLayoutOracle,

@@ -105,6 +105,45 @@ object Sampling {
       .drop("__stratum_n")
   }
 
+  /** Priority sampling (Duffield–Lund–Thorup, JACM 2007):
+    * weight-proportional sampling without replacement — each row gets
+    * priority `hash div weight` (the integer spelling of `u/w`, u
+    * uniform from the seeded 60-bit hash) and the sample is the k
+    * SMALLEST priorities. Heavier rows divide by more, land lower,
+    * and are proportionally likelier to be drawn — the published
+    * scheme's near-optimal subset-sum variance comes with it for free.
+    * Deterministic (hash-keyed, no RNG state), so the sample is stable
+    * across runs and engines.
+    *
+    * Scale shape: one narrow projection + `orderBy(priority).limit(k)`
+    * — Spark's TakeOrderedAndProject (per-partition bottom-k, driver
+    * merge of partitions × k rows); the corpus is never globally
+    * sorted. Zero/negative weights are rejected loudly.
+    *
+    * Output: input columns + `priority`, `sample_rank` (1..k by
+    * (priority, tieBreak)).
+    */
+  def prioritySample(
+      df: DataFrame, weightCol: String, tieBreak: String, k: Int,
+      seed: Long = 7L): DataFrame = {
+    require(k > 0, "k must be positive")
+    // the rank window runs AFTER limit(k): bounded input, same stance
+    // as globalOrderIndex's offsets window
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("priority"), col(tieBreak))
+    df.withColumn("__ph",
+        PortableHash.hash60Seeded(lit(seed), col(tieBreak).cast("string")))
+      .withColumn("priority",
+        when(col(weightCol) <= 0, raise_error(concat(
+          lit(s"prioritySample: non-positive weight in $weightCol for "),
+          col(tieBreak).cast("string"))))
+          .otherwise(expr(s"__ph div `$weightCol`")).cast(LongType))
+      .drop("__ph")
+      .orderBy(col("priority"), col(tieBreak))
+      .limit(k)
+      .withColumn("sample_rank", row_number().over(w).cast(LongType))
+  }
+
   /** Deterministic positional negative sampling for contrastive /
     * embedding training: each query document gets `k` negatives drawn
     * at evenly-spaced offsets in the seeded global shuffle order —

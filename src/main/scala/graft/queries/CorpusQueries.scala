@@ -836,6 +836,30 @@ object CorpusQueries {
        |FROM pos GROUP BY 1 ORDER BY shard""".stripMargin
   }
 
+  /** Priority sampling ([[Sampling.prioritySample]]): 100 documents
+    * drawn weight-proportionally to length (weight `n_chars + 1` so
+    * empty docs stay drawable), deterministic via the seeded hash.
+    */
+  def prioritySample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.prioritySample(
+        DedupQueries.docs(spark, dir)
+          .select(col("doc_id").cast(LongType).as("doc_id"),
+            (col("n_chars") + 1).cast(LongType).as("weight")),
+        weightCol = "weight", tieBreak = "doc_id", k = 100, seed = 7L)
+      .select(col("doc_id"), col("weight"), col("priority"), col("sample_rank"))
+      .orderBy("sample_rank")
+
+  val prioritySampleOracle: String = {
+    val h = DuckSql.hash60Seeded("7", "CAST(doc_id AS VARCHAR)")
+    s"""WITH p AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    CAST(n_chars + 1 AS BIGINT) AS weight,
+       |    CAST(($h) // (n_chars + 1) AS BIGINT) AS priority
+       |  FROM documents)
+       |SELECT doc_id, weight, priority,
+       |  CAST(row_number() OVER (ORDER BY priority, doc_id) AS BIGINT) AS sample_rank
+       |FROM p ORDER BY priority, doc_id LIMIT 100""".stripMargin
+  }
+
   /** Deterministic positional negative sampling
     * ([[Sampling.positionalNegatives]]): 4 contrastive negatives per
     * query doc (every 100th), drawn at evenly-spaced offsets in the

@@ -124,6 +124,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.sorted.toSeq !== other.sorted.toSeq)
   }
 
+  test("prioritySample: weight-proportional draw, deterministic, loud on zero weight") {
+    // 500 light rows (w=1) + 500 heavy rows (w=100): the heavy half
+    // must dominate a k=100 sample (E[heavy] ≈ 99)
+    val df = (1L to 1000L).map(i => (i, if (i > 500) 100L else 1L))
+      .toDF("id", "w")
+    val s = graft.operators.Sampling.prioritySample(df, "w", "id", k = 100)
+    val picked = s.select("id").as[Long].collect()
+    assert(picked.length === 100)
+    val heavy = picked.count(_ > 500)
+    assert(heavy > 80, s"heavy rows should dominate, got $heavy/100")
+    // deterministic under repartitioning
+    val again = graft.operators.Sampling
+      .prioritySample(df.repartition(9), "w", "id", k = 100)
+      .select("id", "sample_rank").collect().map(_.toSeq).toSet
+    assert(again === s.select("id", "sample_rank").collect().map(_.toSeq).toSet)
+    // zero weight fails loudly, never silently dominates
+    val err = intercept[Exception] {
+      graft.operators.Sampling.prioritySample(
+        Seq((1L, 0L), (2L, 5L)).toDF("id", "w"), "w", "id", k = 1).collect()
+    }
+    assert(err.getMessage.contains("non-positive weight"))
+  }
+
   test("positionalNegatives matches a driver-side reference model across random sizes (seeded)") {
     def h60(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
