@@ -1014,12 +1014,15 @@ object CorpusQueries {
     */
   def tokenBudgetPlan(spark: SparkSession, dir: String): DataFrame = {
     val budget = 200000L
+    // materialized once: the corpus-wide token-count pass feeds both
+    // the totals scalar and the final select (sweep showed 2 scans)
     val perSrc = DedupQueries.docs(spark, dir)
       .groupBy(col("source"))
       .agg(count(lit(1)).cast(LongType).as("n_docs"),
         sum(graft.operators.TextStats.wsTokenCount(col("text")))
           .cast(LongType).as("n_tokens"))
       .withColumn("w", floor(sqrt(col("n_tokens").cast(DoubleType))).cast(LongType))
+      .localCheckpoint(true)
     val tot = perSrc.agg(sum(col("w")).cast(LongType).as("z"),
       sum(col("n_tokens")).cast(LongType).as("tok_tot"))
     perSrc.crossJoin(broadcast(tot))
