@@ -99,6 +99,7 @@ object SparkEntry {
     "x_ngram_lm_score" -> (CorpusQueries.ngramLmScore _),
     "x_negative_samples" -> (CorpusQueries.negativeSamples _),
     "x_curriculum_order" -> (CorpusQueries.curriculumOrder _),
+    "x_nb_domain" -> (CorpusQueries.nbDomain _),
     "x_token_budget_plan" -> (CorpusQueries.tokenBudgetPlan _),
     "x_topk_two_phase" -> (EventQueries.topkTwoPhase _),
     "x_kmv_set_ops" -> (CorpusQueries.kmvSetOps _),
@@ -338,6 +339,7 @@ object SparkEntry {
     "x_ngram_lm_score" -> CorpusQueries.ngramLmScoreOracle,
     "x_negative_samples" -> CorpusQueries.negativeSamplesOracle,
     "x_curriculum_order" -> CorpusQueries.curriculumOrderOracle,
+    "x_nb_domain" -> CorpusQueries.nbDomainOracle,
     "x_token_budget_plan" -> CorpusQueries.tokenBudgetPlanOracle,
     "x_topk_two_phase" -> EventQueries.topkTwoPhaseOracle,
     "x_kmv_set_ops" -> CorpusQueries.kmvSetOpsOracle,

@@ -1134,4 +1134,63 @@ object CorpusQueries {
        |    AS curriculum_pos
        |FROM ($ngramLmBase) s
        |ORDER BY curriculum_pos""".stripMargin
+
+  /** Domain classification ([[graft.operators.NaiveBayes]]): train the
+    * multinomial NB model on the 80% of documents with `doc_id % 5 != 0`
+    * (labels = `source`), predict a source for the held-out 20%, and
+    * report the confusion matrix with mean score and argmax margin —
+    * the end-to-end readout of whether source domains are separable
+    * enough to route unlabeled crawl text by.
+    */
+  def nbDomain(spark: SparkSession, dir: String): DataFrame = {
+    val docs = DedupQueries.docs(spark, dir)
+    val preds = graft.operators.NaiveBayes.classifySplit(
+      docs, when(col("doc_id") % 5 =!= 0, col("source")))
+    preds
+      .join(docs.select(col("doc_id").cast(LongType).as("doc_id"),
+        col("source").as("true_label")), Seq("doc_id"))
+      .filter(col("doc_id") % 5 === 0)
+      .groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        expr("sum(score_ppm) div count(1)").cast(LongType).as("mean_score_ppm"),
+        expr("sum(margin_ppm) div count(1)").cast(LongType).as("mean_margin_ppm"))
+      .orderBy("true_label", "pred_label")
+  }
+
+  val nbDomainOracle: String = {
+    val t = DuckSql.tokens("text")
+    s"""WITH tok AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       |    unnest($t) AS w FROM documents),
+       |tf AS (SELECT doc_id, source, w, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok GROUP BY 1, 2, 3),
+       |m AS (SELECT source AS label, w, CAST(sum(tf) AS BIGINT) AS c
+       |  FROM tf WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+       |lab AS (SELECT label, CAST(sum(c) AS BIGINT) AS cl FROM m GROUP BY 1),
+       |v AS (SELECT CAST(greatest(count(DISTINCT w), 1) AS BIGINT) AS v FROM m),
+       |tot AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS t FROM tf GROUP BY 1),
+       |pres AS (SELECT tf.doc_id, m.label,
+       |    CAST(sum(tf.tf * (1000000 * (m.c + 1) // (lab.cl + v.v))) AS BIGINT) AS sp,
+       |    CAST(sum(tf.tf) AS BIGINT) AS tfp
+       |  FROM tf JOIN m USING (w) JOIN lab USING (label) CROSS JOIN v
+       |  GROUP BY 1, 2),
+       |sc AS (SELECT tot.doc_id, lab.label,
+       |    (coalesce(pres.sp, 0)
+       |      + (tot.t - coalesce(pres.tfp, 0)) * (1000000 // (lab.cl + v.v)))
+       |      // tot.t AS score_ppm
+       |  FROM tot CROSS JOIN lab CROSS JOIN v
+       |  LEFT JOIN pres ON pres.doc_id = tot.doc_id AND pres.label = lab.label),
+       |pred AS (SELECT doc_id, label, score_ppm,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score_ppm DESC, label ASC) AS rn,
+       |    coalesce(score_ppm - lead(score_ppm, 1) OVER (PARTITION BY doc_id
+       |      ORDER BY score_ppm DESC, label ASC), 0) AS margin
+       |  FROM sc)
+       |SELECT d.source AS true_label, p.label AS pred_label,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(p.score_ppm) // count(*) AS BIGINT) AS mean_score_ppm,
+       |  CAST(sum(p.margin) // count(*) AS BIGINT) AS mean_margin_ppm
+       |FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+       |WHERE p.rn = 1 AND p.doc_id % 5 = 0
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 }

@@ -615,4 +615,66 @@ class CorpusOpsSpec extends SparkSpec {
     assert(a.map(_.getLong(0)).toSeq === Seq(1L, 4L)) // docs 2,3 have < 2 tokens
     assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
   }
+
+  // ---------------- NaiveBayes ----------------
+
+  test("NaiveBayes.classify: hand-computed smoothed scores, OOV floor, tie-break") {
+    val train = Seq(
+      (1L, "the star shines", "wiki"),
+      (2L, "purple monkey dishwasher the", "web")).toDF("doc_id", "text", "source")
+    val model = graft.operators.NaiveBayes.train(train, col("source"))
+    val test = Seq(
+      (10L, "the star"),        // wiki: (222222+222222)/2; web: (200000+100000)/2
+      (11L, "monkey dishwasher"), // wiki: OOV floor 111111; web: 200000
+      (12L, "zzz qqq"),         // all-OOV: wiki 111111 beats web 100000
+      (13L, "")                 // zero tokens -> no prediction row
+    ).toDF("doc_id", "text")
+    // C(wiki)=3, C(web)=4, V=6 -> divisors 9 and 10
+    val out = graft.operators.NaiveBayes.classify(test, model)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out === Map(
+      10L -> (("wiki", 222222L, 72222L)),
+      11L -> (("web", 200000L, 88889L)),
+      12L -> (("wiki", 111111L, 11111L))))
+    // exact score tie -> deterministic label-ascending argmax, margin 0
+    val sym = Seq((1L, "x", "b"), (2L, "x", "a")).toDF("doc_id", "text", "source")
+    val tied = graft.operators.NaiveBayes
+      .classify(Seq((9L, "x")).toDF("doc_id", "text"),
+        graft.operators.NaiveBayes.train(sym, col("source")))
+      .collect()
+    assert(tied.map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSeq ===
+      Seq(("a", 1000000L, 0L)))
+  }
+
+  test("NaiveBayes: merge equals train-on-union; parquet round-trip; split consistency") {
+    val dropA = Seq(
+      (1L, "the star shines", "wiki"),
+      (3L, "purple monkey dishwasher the", "web")).toDF("doc_id", "text", "source")
+    val dropB = Seq(
+      (2L, "the star fades fades", "wiki"),
+      (4L, "monkey sees monkey does", "web")).toDF("doc_id", "text", "source")
+    val union = dropA.unionAll(dropB)
+    val merged = graft.operators.NaiveBayes.mergeModels(Seq(
+        graft.operators.NaiveBayes.train(dropA, col("source")),
+        graft.operators.NaiveBayes.train(dropB, col("source"))))
+      .collect().map(_.toSeq).toSet
+    val whole = graft.operators.NaiveBayes.train(union, col("source"))
+    assert(merged === whole.collect().map(_.toSeq).toSet)
+    // model is a plain parquet table; reload classifies identically, and
+    // classifySplit (one-pass train+apply) agrees with the two-call path
+    val dir = java.nio.file.Files.createTempDirectory("nb-model").toString
+    whole.write.mode("overwrite").parquet(s"$dir/m.parquet")
+    val reloaded = spark.read.parquet(s"$dir/m.parquet")
+    val viaModel = graft.operators.NaiveBayes.classify(union, reloaded)
+      .collect().map(_.toSeq).toSet
+    val viaSplit = graft.operators.NaiveBayes.classifySplit(union, col("source"))
+      .collect().map(_.toSeq).toSet
+    assert(viaModel === viaSplit)
+    // partitioning invariance
+    val viaSplit7 = graft.operators.NaiveBayes
+      .classifySplit(union.repartition(7), col("source"))
+      .collect().map(_.toSeq).toSet
+    assert(viaSplit7 === viaSplit)
+  }
 }

@@ -192,6 +192,7 @@ class PlanSpec extends SparkSpec {
       "x_keywords",                            // corpus-N scalar into idf
       "x_events_dense_hourly",                 // bounded hour×type axis grid
       "x_events_anomaly",                      // same bounded axis grid
+      "x_nb_domain",                           // (b) |labels|-row smoothing grid
       "x_shard_skew")                          // 1-row totals scalar
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
