@@ -93,6 +93,7 @@ object SparkEntry {
     "x_length_quantiles" -> (DedupQueries.lengthQuantiles _),
     "x_chunk_docs" -> (DedupQueries.chunkDocs _),
     "x_decontaminate" -> (DedupQueries.decontaminate _),
+    "x_contam_span" -> (DedupQueries.contamSpan _),
     "x_shared_ngrams" -> (CorpusQueries.sharedNgrams _),
     "x_freq_score" -> (CorpusQueries.freqScore _),
     "x_dsir_select" -> (CorpusQueries.dsirSelect _),
@@ -333,6 +334,7 @@ object SparkEntry {
     "x_length_quantiles" -> DedupQueries.lengthQuantilesOracle,
     "x_chunk_docs" -> DedupQueries.chunkDocsOracle,
     "x_decontaminate" -> DedupQueries.decontaminateOracle,
+    "x_contam_span" -> DedupQueries.contamSpanOracle,
     "x_shared_ngrams" -> CorpusQueries.sharedNgramsOracle,
     "x_freq_score" -> CorpusQueries.freqScoreOracle,
     "x_dsir_select" -> CorpusQueries.dsirSelectOracle,

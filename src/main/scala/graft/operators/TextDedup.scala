@@ -441,6 +441,56 @@ object TextDedup {
       .select(col("doc_id"), col("bench_id"), col("n_shared"), col("containment"))
   }
 
+  /** Contamination SPAN metrology — how much of a document is benchmark
+    * text, not just whether any of it is ([[contaminationCheck]]'s
+    * binary containment gate). Per corpus document: the positional
+    * w-shingle stream is marked against the union of the benchmark's
+    * shingle hashes, and the longest CONSECUTIVE contaminated run is
+    * extracted gaps-and-islands style (`pos - row_number` grouping).
+    * A doc sharing 40 scattered common trigrams is noise; a doc whose
+    * longest run is 40 consecutive shingles contains a verbatim ~42-
+    * token benchmark passage — the span length separates the two, which
+    * is how eval-overlap audits (GPT-3 appendix C; Dodge et al. 2021,
+    * C4 audit) report contamination.
+    *
+    * Returns only contaminated docs (`n_contaminated > 0`):
+    * `(doc_id, n_shingles, n_contaminated, contam_ppm, max_run)`.
+    *
+    * 100 TB shape: one positional-shingle pass over the corpus (no
+    * distinct — order matters), the benchmark hash set rides a
+    * broadcast (eval sets are bounded), and the run extraction windows
+    * partition BY DOCUMENT — never a global sort. Cost is
+    * O(shingles) + one per-doc window over the contaminated subset.
+    */
+  def contaminationSpans(
+      corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, w: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = corpus
+      .select(col(idCol).cast(LongType).as("doc_id"),
+        transform(shingles(col(textCol), w), s => PortableHash.hash60(s)).as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast(LongType).as("n_shingles"),
+        posexplode(col("hs")).as(Seq("pos", "h")))
+    val bset = benchmark
+      .select(explode(shingleHashes(col(benchTextCol), w)).as("h"))
+      .distinct()
+    val hits = pos.join(broadcast(bset), Seq("h"))
+    val runGrp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = hits
+      .withColumn("grp", col("pos") - row_number().over(runGrp))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).cast(LongType).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("run")).cast(LongType).as("n_contaminated"),
+        max(col("run")).cast(LongType).as("max_run"))
+    pos.groupBy(col("doc_id"))
+      .agg(max(col("n_shingles")).as("n_shingles"))
+      .join(runs, Seq("doc_id"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        expr("1000000 * n_contaminated div n_shingles").as("contam_ppm"),
+        col("max_run"))
+  }
+
   /** SimHash bit-fold given an already-materialized token-hash array
     * column — native codegen expression
     * ([[graft.expressions.SimHash60]]): one pass over the hash array per

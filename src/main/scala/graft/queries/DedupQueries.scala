@@ -1244,4 +1244,47 @@ object DedupQueries {
        |HAVING round(CAST(count(*) AS DOUBLE) / bench_size, 6) >= 0.5
        |ORDER BY doc_id, bench_id""".stripMargin
   }
+
+  /** Contamination span audit ([[TextDedup.contaminationSpans]]): same
+    * benchmark (every 50th doc) and corpus (documents ∪ perturbed
+    * copies) as [[decontaminate]], minus the benchmark originals
+    * themselves — each remaining doc that shares any shingle reports
+    * its longest consecutive contaminated run. The planted copies
+    * surface with near-total spans; docs sharing only scattered common
+    * trigrams stay at `max_run` ~1.
+    */
+  def contamSpan(spark: SparkSession, dir: String): DataFrame = {
+    val bench = docs(spark, dir).filter(col("doc_id") % 50 === 0).select(col("text"))
+    val corpus = corpusNear(spark, dir)
+      .filter(!(col("doc_id") % 50 === 0 && col("doc_id") < 1000000L))
+    TextDedup.contaminationSpans(corpus, "doc_id", "text", bench, "text")
+      .orderBy("doc_id")
+  }
+
+  val contamSpanOracle: String = {
+    val sh = DuckSql.shinglesFromTokens(DuckSql.tokens("text"))
+    s"""WITH corpus AS ($corpusNearSql),
+       |filt AS (SELECT * FROM corpus
+       |  WHERE NOT (doc_id % 50 = 0 AND doc_id < 1000000)),
+       |shl AS (SELECT doc_id, $sh AS sh FROM filt),
+       |pos AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles, i,
+       |    ${DuckSql.hash60("sh[i]")} AS h
+       |  FROM shl CROSS JOIN LATERAL (SELECT unnest(range(1, len(sh) + 1)) AS i) r),
+       |bset AS (SELECT DISTINCT ${DuckSql.hash60("s")} AS h FROM (
+       |    SELECT unnest($sh) AS s FROM documents WHERE doc_id % 50 = 0) b),
+       |hits AS (SELECT pos.doc_id, pos.i FROM pos JOIN bset USING (h)),
+       |runs AS (SELECT doc_id,
+       |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+       |  FROM hits),
+       |rl AS (SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS run
+       |  FROM runs GROUP BY 1, 2),
+       |agg AS (SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_contaminated,
+       |    CAST(max(run) AS BIGINT) AS max_run FROM rl GROUP BY 1),
+       |tot AS (SELECT doc_id, CAST(max(n_shingles) AS BIGINT) AS n_shingles
+       |  FROM pos GROUP BY 1)
+       |SELECT tot.doc_id, tot.n_shingles, agg.n_contaminated,
+       |  1000000 * agg.n_contaminated // tot.n_shingles AS contam_ppm,
+       |  agg.max_run
+       |FROM tot JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
 }

@@ -223,6 +223,25 @@ class TextDedupSpec extends SparkSpec {
     assert(out.toSeq === Seq((2L, 1L, 6L, 0.857143)))
   }
 
+  test("contaminationSpans: longest consecutive run, scattered hits stay short") {
+    import spark.implicits._
+    val bench = Seq((1L, "a b c d e f")).toDF("doc_id", "text") // shingles: abc bcd cde def
+    val corpus = Seq(
+      // shingles: xxa xab [abc bcd cde] dey eyz yzw -> one run of 3 at pos 2..4
+      (10L, "x x a b c d e y z w"),
+      // shingles: [abc] bcq cqq qqq qqc qcd [cde] -> two scattered runs of 1
+      (11L, "a b c q q q q c d e"),
+      (12L, "m n o p q r")                        // no overlap: absent from output
+    ).toDF("doc_id", "text")
+    val out = TextDedup.contaminationSpans(corpus, "doc_id", "text", bench, "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (10L, 8L, 3L, 375000L, 3L),
+      (11L, 8L, 2L, 250000L, 1L)))
+  }
+
   test("dedupClusters: pointer jumping converges a diameter-200 path within default iters") {
     import spark.implicits._
     // the degenerate-corpus shape: cap-chain links form one long path.
