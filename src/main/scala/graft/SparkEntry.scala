@@ -127,6 +127,7 @@ object SparkEntry {
     // extensions: line-level curation + lexical retrieval
     "x_c4_line_filter" -> (CurationQueries.c4LineFilter _),
     "x_boilerplate_strip" -> (CurationQueries.boilerplateStrip _),
+    "x_dedup_lines_doc" -> (CurationQueries.dedupLinesDoc _),
     "x_gopher_quality" -> (CurationQueries.gopherQuality _),
     "x_tfidf_topk" -> (CurationQueries.tfidfTopk _),
     "x_curation_verdict" -> (CurationQueries.curationVerdict _),
@@ -367,6 +368,7 @@ object SparkEntry {
     "x_epoch_shards" -> CorpusQueries.epochShardsOracle,
     "x_c4_line_filter" -> CurationQueries.c4LineFilterOracle,
     "x_boilerplate_strip" -> CurationQueries.boilerplateStripOracle,
+    "x_dedup_lines_doc" -> CurationQueries.dedupLinesDocOracle,
     "x_gopher_quality" -> CurationQueries.gopherQualityOracle,
     "x_tfidf_topk" -> CurationQueries.tfidfTopkOracle,
     "x_curation_verdict" -> CurationQueries.curationVerdictOracle,

@@ -57,6 +57,32 @@ object LineOps {
       when(docKept, array_join(kept, "\n")).otherwise(lit("")).as("clean_text"))
   }
 
+  /** WITHIN-document exact duplicate-line removal (the Dolma toolkit's
+    * intra-doc paragraph dedup; Soldaini et al. 2024, arXiv:2402.00159)
+    * — keep the FIRST occurrence of each exact line, preserve order.
+    * The cross-doc complement is [[boilerplateStrip]]: that one removes
+    * lines shared ACROSS documents; this one removes a document
+    * repeating itself (scraped nav menus, pagination echoes, template
+    * stutter).
+    *
+    * Returns `struct(n_lines, n_removed, clean_text)`. Pure narrow
+    * per-row compute — no shuffle, no join, stays in whole-stage
+    * codegen; the prefix-containment filter is O(lines²) per document
+    * in the worst case, on line counts (not characters), which is the
+    * right trade against a per-doc hash-set UDF that would leave
+    * codegen.
+    */
+  def dedupLines(raw: Column): Column = {
+    val lines = split(raw, "\n")
+    // keep index i iff lines[i] is absent from the prefix lines[0..i-1]
+    val kept = filter(lines,
+      (l: Column, i: Column) => !array_contains(slice(lines, lit(1), i), l))
+    struct(
+      size(lines).cast(LongType).as("n_lines"),
+      (size(lines) - size(kept)).cast(LongType).as("n_removed"),
+      array_join(kept, "\n").as("clean_text"))
+  }
+
   /** Remove every line that occurs in >= `minDocs` DISTINCT documents.
     * Returns one row per input document:
     * (doc_id, n_lines, n_boiler, clean_text) where clean_text is the

@@ -126,6 +126,39 @@ object CurationQueries {
        |FROM hx JOIN hf USING (h)
        |GROUP BY hx.doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- intra-doc duplicate-line removal ----------------------------
+
+  /** Within-doc dup-line removal ([[LineOps.dedupLines]]): the planted
+    * line corpus with a guaranteed self-repeat — every 3rd doc gets its
+    * own first line appended — so removal counts are non-trivial and
+    * order preservation is observable in `clean_text`.
+    */
+  def dedupLinesDoc(spark: SparkSession, dir: String): DataFrame =
+    plantedLines(spark, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("raw"), lit("\n"), split(col("raw"), "\n")(0)))
+          .otherwise(col("raw")).as("raw"))
+      .select(col("doc_id"), LineOps.dedupLines(col("raw")).as("r"))
+      .select(col("doc_id"), col("r.n_lines").as("n_lines"),
+        col("r.n_removed").as("n_removed"),
+        col("r.clean_text").as("clean_text"))
+      .orderBy("doc_id")
+
+  val dedupLinesDocOracle: String =
+    s"""WITH $plantedLinesCtes,
+       |p2 AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+       |    THEN raw || chr(10) || string_split(raw, chr(10))[1]
+       |    ELSE raw END AS raw FROM planted),
+       |ls AS (SELECT doc_id, string_split(raw, chr(10)) AS ls FROM p2),
+       |k AS (SELECT doc_id, len(ls) AS n_lines,
+       |    list_filter(ls, (l, i) -> NOT list_contains(ls[1:i-1], l)) AS kept
+       |  FROM ls)
+       |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+       |  CAST(n_lines - len(kept) AS BIGINT) AS n_removed,
+       |  array_to_string(kept, chr(10)) AS clean_text
+       |FROM k ORDER BY doc_id""".stripMargin
+
   // ---- Gopher quality gates ----------------------------------------
 
   def gopherQuality(spark: SparkSession, dir: String): DataFrame =

@@ -137,4 +137,23 @@ class CurationOpsSpec extends SparkSpec {
         r.getAs[Long]("is_dup"))).toSeq
     assert(out === Seq((1L, 1L, 0L), (2L, 1L, 1L), (3L, 3L, 0L), (4L, 4L, 0L)))
   }
+
+  test("dedupLines: first occurrence survives in order; singles and all-same docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "a\nb\na\nc\nb"), // dups at 3rd and 5th line
+      (2L, "x"),             // single line untouched
+      (3L, "y\ny\ny")        // self-stutter collapses to one line
+    ).toDF("doc_id", "raw")
+    val out = df.select(col("doc_id"),
+        graft.operators.LineOps.dedupLines(col("raw")).as("r"))
+      .select(col("doc_id"), col("r.n_lines"), col("r.n_removed"), col("r.clean_text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq === Seq(
+      (1L, 5L, 2L, "a\nb\nc"),
+      (2L, 1L, 0L, "x"),
+      (3L, 3L, 2L, "y")))
+  }
 }
