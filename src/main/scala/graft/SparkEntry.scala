@@ -133,6 +133,8 @@ object SparkEntry {
     "x_curation_verdict" -> (CurationQueries.curationVerdict _),
     "x_keywords" -> (CurationQueries.keywords _),
     "x_html_strip" -> (CurationQueries.htmlStrip _),
+    "x_markdown_strip" -> (CurationQueries.markdownStrip _),
+    "x_mojibake" -> (CurationQueries.mojibake _),
     "x_curation_by_source" -> (CurationQueries.curationBySource _),
     "x_semdedup" -> (SimilarityQueries.semDedup _),
     // extensions: corpus analytics (round 6)
@@ -374,6 +376,8 @@ object SparkEntry {
     "x_curation_verdict" -> CurationQueries.curationVerdictOracle,
     "x_keywords" -> CurationQueries.keywordsOracle,
     "x_html_strip" -> CurationQueries.htmlStripOracle,
+    "x_markdown_strip" -> CurationQueries.markdownStripOracle,
+    "x_mojibake" -> CurationQueries.mojibakeOracle,
     "x_curation_by_source" -> CurationQueries.curationBySourceOracle,
     "x_semdedup" -> SimilarityQueries.semDedupOracle,
     "x_kmv_distinct" -> AnalyticsQueries.kmvDistinctOracle,

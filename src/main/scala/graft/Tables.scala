@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   *
@@ -10,11 +10,16 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * `sfDir`; this helper centralizes that so predicate pushdown / column
   * pruning stay visible in one place.
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects by
-  * default (PARQUET_TYPE_ILLEGAL). Sessions we control set
-  * `spark.sql.legacy.parquet.nanosAsLong=true`; the loader then converts
-  * nanos -> micros with exact integer division (the values are ~1.7e18,
-  * beyond double precision, so `/ 1000` via doubles would corrupt them).
+  * `events.ts` has varied across driver regenerations of the testdata:
+  * TIMESTAMP(NANOS) (which Spark rejects by default — sessions we
+  * control set `spark.sql.legacy.parquet.nanosAsLong=true`, and the
+  * loader converts nanos -> micros with exact integer division; the
+  * values are ~1.7e18, beyond double precision, so `/ 1000` via doubles
+  * would corrupt them) and naive micros (which Spark 4 infers as
+  * TIMESTAMP_NTZ — cast back to TIMESTAMP, identical instants under the
+  * UTC session timezone, and required by watermarks/`unix_micros`/every
+  * graded event query). The loader normalizes every variant to
+  * TIMESTAMP so downstream operators see ONE type.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -62,6 +67,8 @@ object Tables {
     if (table == "events") df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampType => df
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     } else df
   }

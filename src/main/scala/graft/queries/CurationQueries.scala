@@ -440,4 +440,96 @@ object CurationQueries {
        |  $strip AS clean_text
        |FROM planted ORDER BY doc_id""".stripMargin
   }
+
+  // ---- Markdown stripping ------------------------------------------
+
+  /** Markdown stripping ([[graft.operators.Markup.stripMarkdown]]):
+    * every 3rd doc is wrapped in planted markdown (heading, link,
+    * image, blockquote, inline code, a fenced block, emphasis, an
+    * hrule), then the stripper recovers plain text, keeping link/image
+    * anchor text and dropping fence contents. Counts of links and
+    * fences removed ride along. Same planted-structure pattern as
+    * [[htmlStrip]]; narrow per-row regex compute.
+    */
+  def markdownStrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Markup
+    val md = concat(
+      lit("# Doc "), col("doc_id"),
+      lit("\n\nIntro [site "), col("doc_id"),
+      lit("](http://example.com/x) and ![logo](logo.png) here.\n\n> quoted wisdom\n\nuse `x = 1` then\n\n```\nfenced code "), col("doc_id"),
+      lit("\n```\n\n*strong* _em_\n\n---\n\n"), col("text"))
+    val planted = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        when(col("doc_id") % 3 === 0, md).otherwise(col("text")).as("raw"))
+    planted.select(col("doc_id"),
+        Markup.countLinks(col("raw")).as("n_links"),
+        Markup.countFences(col("raw")).as("n_fences"),
+        Markup.stripMarkdown(col("raw")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  val markdownStripOracle: String = {
+    val strip = graft.operators.Markup.stripMarkdownSql("raw")
+    val links = s"len(regexp_extract_all(raw, '${graft.operators.Markup.LinkRe}'))"
+    val fences = s"len(regexp_extract_all(raw, '${graft.operators.Markup.FenceRe}'))"
+    val nl = "chr(10)"
+    val md = s"'# Doc ' || CAST(doc_id AS VARCHAR) || $nl || $nl || " +
+      s"'Intro [site ' || CAST(doc_id AS VARCHAR) || " +
+      s"'](http://example.com/x) and ![logo](logo.png) here.' || $nl || $nl || " +
+      s"'> quoted wisdom' || $nl || $nl || 'use `x = 1` then' || $nl || $nl || " +
+      s"'${"```"}' || $nl || 'fenced code ' || CAST(doc_id AS VARCHAR) || $nl || '${"```"}' || $nl || $nl || " +
+      s"'*strong* _em_' || $nl || $nl || '---' || $nl || $nl || text"
+    s"""WITH planted AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN $md ELSE text END AS raw
+       |  FROM documents)
+       |SELECT doc_id, CAST($links AS BIGINT) AS n_links,
+       |  CAST($fences AS BIGINT) AS n_fences,
+       |  $strip AS clean_text
+       |FROM planted ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- encoding anomalies (mojibake / lossy decode / control bytes) -
+
+  /** Encoding-anomaly screen ([[graft.operators.Encoding]]): three
+    * independent corruption classes planted on residue-class-disjoint
+    * doc slices (cp1252 double-encode artifacts on `%5=1`, U+FFFD
+    * replacement chars on `%7=2`, a BEL control byte on `%11=3` — some
+    * docs draw several), then counted back exactly. The quarantine
+    * flag is any-signal. Narrow per-row regex counts, zero shuffles
+    * besides the output sort.
+    */
+  def mojibake(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Encoding
+    val planted = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 1, lit(" cafÃ© said â€™")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 2, lit(" �x�")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 3, lit("\u0007")).otherwise(lit(""))).as("raw"))
+    planted.select(col("doc_id"),
+        Encoding.countReplacement(col("raw")).as("n_replacement"),
+        Encoding.countMojibake(col("raw")).as("n_mojibake"),
+        Encoding.countControl(col("raw")).as("n_ctrl"),
+        (Encoding.countReplacement(col("raw")) + Encoding.countMojibake(col("raw")) +
+          Encoding.countControl(col("raw")) > 0).as("is_suspect"))
+      .orderBy("doc_id")
+  }
+
+  val mojibakeOracle: String = {
+    import graft.operators.Encoding
+    val rep = Encoding.countSql("raw", Encoding.ReplacementRe)
+    val moj = Encoding.countSql("raw", Encoding.MojibakeRe)
+    val ctl = Encoding.countSql("raw", Encoding.CtrlRe)
+    s"""WITH planted AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    text ||
+       |    CASE WHEN doc_id % 5 = 1 THEN ' cafÃ© said â€™' ELSE '' END ||
+       |    CASE WHEN doc_id % 7 = 2 THEN ' �x�' ELSE '' END ||
+       |    CASE WHEN doc_id % 11 = 3 THEN chr(7) ELSE '' END AS raw
+       |  FROM documents)
+       |SELECT doc_id, CAST($rep AS BIGINT) AS n_replacement,
+       |  CAST($moj AS BIGINT) AS n_mojibake,
+       |  CAST($ctl AS BIGINT) AS n_ctrl,
+       |  $rep + $moj + $ctl > 0 AS is_suspect
+       |FROM planted ORDER BY doc_id""".stripMargin
+  }
 }

@@ -50,4 +50,33 @@ class MarkupSpec extends SparkSpec {
     assert(strip("math: 3 < 5 stays when not a tag shape") ===
       "math: 3 < 5 stays when not a tag shape")
   }
+
+  private def stripMd(s: String): String =
+    Seq(s).toDF("t").select(Markup.stripMarkdown(col("t"))).as[String].head()
+
+  test("markdown: links and images keep anchor/alt text") {
+    assert(stripMd("see [the docs](http://x.y/z) now") === "see the docs now")
+    assert(stripMd("logo ![alt text](img.png) end") === "logo alt text end")
+    assert(stripMd("[a](u1) mid [b](u2)") === "a mid b")
+  }
+
+  test("markdown: fenced blocks drop content, inline code drops, non-greedy") {
+    assert(stripMd("a\n```\ncode here\n```\nb") === "a b")
+    assert(stripMd("```one```keep```two```") === "keep")
+    assert(stripMd("use `x = 1` then") === "use then")
+  }
+
+  test("markdown: headings, quotes, hrules, emphasis markers strip") {
+    assert(stripMd("# Title\nbody") === "Title body")
+    assert(stripMd("### deep heading") === "deep heading")
+    assert(stripMd("> quoted line\nplain") === "quoted line plain")
+    assert(stripMd("a\n---\nb") === "a b")
+    assert(stripMd("*strong* and _em_ text") === "strong and em text")
+  }
+
+  test("markdown: countLinks / countFences") {
+    val df = Seq("[a](u) ![b](v) and ```f``` ```g```").toDF("t")
+    assert(df.select(Markup.countLinks(col("t"))).as[Long].head() === 2L)
+    assert(df.select(Markup.countFences(col("t"))).as[Long].head() === 2L)
+  }
 }
