@@ -135,6 +135,7 @@ object SparkEntry {
     "x_html_strip" -> (CurationQueries.htmlStrip _),
     "x_markdown_strip" -> (CurationQueries.markdownStrip _),
     "x_mojibake" -> (CurationQueries.mojibake _),
+    "x_code_prose" -> (CurationQueries.codeProse _),
     "x_curation_by_source" -> (CurationQueries.curationBySource _),
     "x_semdedup" -> (SimilarityQueries.semDedup _),
     // extensions: corpus analytics (round 6)
@@ -378,6 +379,7 @@ object SparkEntry {
     "x_html_strip" -> CurationQueries.htmlStripOracle,
     "x_markdown_strip" -> CurationQueries.markdownStripOracle,
     "x_mojibake" -> CurationQueries.mojibakeOracle,
+    "x_code_prose" -> CurationQueries.codeProseOracle,
     "x_curation_by_source" -> CurationQueries.curationBySourceOracle,
     "x_semdedup" -> SimilarityQueries.semDedupOracle,
     "x_kmv_distinct" -> AnalyticsQueries.kmvDistinctOracle,

@@ -532,4 +532,68 @@ object CurationQueries {
        |  $rep + $moj + $ctl > 0 AS is_suspect
        |FROM planted ORDER BY doc_id""".stripMargin
   }
+
+  // ---- code-vs-prose routing ---------------------------------------
+
+  /** Code-vs-prose routing ([[graft.operators.CodeDetect]]): every 6th
+    * doc gets a planted polyglot snippet (indented python-ish lines, a
+    * C-style while, a JS let) appended, then the three ppm densities
+    * and their mean decide the route. Prose keyword noise ("if"/"for"
+    * as English words) stays well under the 40000 ppm routing
+    * threshold; planted docs land far above it. Integer-exact ppm on
+    * both engines.
+    */
+  def codeProse(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CodeDetect
+    val snippet = concat(
+      lit("\ndef compute_"), col("doc_id"),
+      lit("(x):\n    return x + "), col("doc_id"),
+      lit(";\nwhile (i < 10) { print(i); i = i + 1; }\n    let y = [x];"))
+    val planted = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 6 === 0, snippet).otherwise(lit(""))).as("raw"))
+    planted
+      .select(col("doc_id"), CodeDetect.codeCounts(col("raw")).as("c"))
+      .select(col("doc_id") +: Seq("n_chars", "n_lines", "n_tokens",
+        "n_symbols", "n_indented", "n_keywords").map(f => col(s"c.$f").as(f)): _*)
+      .selectExpr(Seq("doc_id") ++ CodeDetect.scoreSql("div").split(",\n"): _*)
+      .withColumn("code_score_ppm",
+        expr("(symbol_ppm + indent_ppm + keyword_ppm) div 3").cast(LongType))
+      .withColumn("is_code", col("code_score_ppm") >= 40000)
+      .select(col("doc_id"), col("symbol_ppm").cast(LongType),
+        col("indent_ppm").cast(LongType), col("keyword_ppm").cast(LongType),
+        col("code_score_ppm"), col("is_code"))
+      .orderBy("doc_id")
+  }
+
+  val codeProseOracle: String = {
+    import graft.operators.CodeDetect
+    val nl = "chr(10)"
+    val snippet = s"$nl || 'def compute_' || CAST(doc_id AS VARCHAR) || '(x):' || $nl || " +
+      s"'    return x + ' || CAST(doc_id AS VARCHAR) || ';' || $nl || " +
+      s"'while (i < 10) { print(i); i = i + 1; }' || $nl || '    let y = [x];'"
+    val ws = """len(list_filter(string_split_regex(raw, '\s+'), x -> x <> ''))"""
+    val kw = DuckSql.hitCount(DuckSql.tokens("raw"), CodeDetect.Keywords)
+    s"""WITH planted AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    text || CASE WHEN doc_id % 6 = 0 THEN $snippet ELSE '' END AS raw
+       |  FROM documents),
+       |c AS (SELECT doc_id,
+       |    CAST(length(raw) AS BIGINT) AS n_chars,
+       |    CAST(len(string_split(raw, $nl)) AS BIGINT) AS n_lines,
+       |    CAST($ws AS BIGINT) AS n_tokens,
+       |    CAST(len(regexp_extract_all(raw, '${CodeDetect.SymbolRe}')) AS BIGINT) AS n_symbols,
+       |    CAST(len(regexp_extract_all(raw, '${CodeDetect.IndentRe}')) AS BIGINT) AS n_indented,
+       |    CAST($kw AS BIGINT) AS n_keywords
+       |  FROM planted),
+       |p AS (SELECT doc_id,
+       |${CodeDetect.scoreSql("//")}
+       |  FROM c)
+       |SELECT doc_id, CAST(symbol_ppm AS BIGINT) AS symbol_ppm,
+       |  CAST(indent_ppm AS BIGINT) AS indent_ppm,
+       |  CAST(keyword_ppm AS BIGINT) AS keyword_ppm,
+       |  CAST((symbol_ppm + indent_ppm + keyword_ppm) // 3 AS BIGINT) AS code_score_ppm,
+       |  (symbol_ppm + indent_ppm + keyword_ppm) // 3 >= 40000 AS is_code
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
 }
