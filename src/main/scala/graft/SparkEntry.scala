@@ -86,6 +86,7 @@ object SparkEntry {
     "x_quality_calibrated" -> (DedupQueries.qualityCalibrated _),
     "x_pack_assign" -> (DedupQueries.packAssign _),
     "x_pack_sequences" -> (DedupQueries.packSequences _),
+    "x_batch_padding" -> (DedupQueries.batchPadding _),
     "x_redact_pii" -> (DedupQueries.redactPii _),
     "x_repetition" -> (DedupQueries.repetitionReport _),
     "x_stratified_sample" -> (DedupQueries.stratifiedSample _),
@@ -113,6 +114,8 @@ object SparkEntry {
     "x_cms_freq" -> (CorpusQueries.cmsFreq _),
     "x_zorder_layout" -> (CorpusQueries.zorderLayout _),
     "x_oov_rate" -> (CorpusQueries.oovRate _),
+    "x_vocab_growth" -> (CorpusQueries.vocabGrowth _),
+    "x_corpus_manifest" -> (CorpusQueries.corpusManifest _),
     "x_corpus_diff" -> (CorpusQueries.corpusDiff _),
     "x_length_deciles" -> (CorpusQueries.lengthDeciles _),
     "x_url_filter" -> (CorpusQueries.urlFilter _),
@@ -331,6 +334,7 @@ object SparkEntry {
     "x_quality_calibrated" -> DedupQueries.qualityCalibratedOracle,
     "x_pack_assign" -> DedupQueries.packAssignOracle,
     "x_pack_sequences" -> DedupQueries.packSequencesOracle,
+    "x_batch_padding" -> DedupQueries.batchPaddingOracle,
     "x_redact_pii" -> DedupQueries.redactPiiOracle,
     "x_repetition" -> DedupQueries.repetitionReportOracle,
     "x_stratified_sample" -> DedupQueries.stratifiedSampleOracle,
@@ -358,6 +362,8 @@ object SparkEntry {
     "x_cms_freq" -> CorpusQueries.cmsFreqOracle,
     "x_zorder_layout" -> CorpusQueries.zorderLayoutOracle,
     "x_oov_rate" -> CorpusQueries.oovRateOracle,
+    "x_vocab_growth" -> CorpusQueries.vocabGrowthOracle,
+    "x_corpus_manifest" -> CorpusQueries.corpusManifestOracle,
     "x_corpus_diff" -> CorpusQueries.corpusDiffOracle,
     "x_length_deciles" -> CorpusQueries.lengthDecilesOracle,
     "x_url_filter" -> CorpusQueries.urlFilterOracle,

@@ -1193,4 +1193,125 @@ object CorpusQueries {
        |WHERE p.rn = 1 AND p.doc_id % 5 = 0
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
+
+  // ---- vocabulary growth curve (Heaps' law readout) ----------------
+
+  /** Vocabulary growth across corpus deciles — the Heaps'-law readout
+    * that says whether a corpus keeps contributing NEW types (healthy
+    * diversity) or has gone asymptotic (more of the same; marginal
+    * training value declining). Types are 3-shingles (the synthetic
+    * corpus's unigram vocabulary saturates in decile 0 — context
+    * patterns are what keep growing, which is also the right unit for
+    * an LM); deciles are doc_id ranges, so the curve is a
+    * corpus-ingestion timeline.
+    *
+    * Scale shape: ONE corpus-wide explode pre-aggregated to the
+    * (decile, term, tf) table and materialized (the [[oovRate]]
+    * pattern); per-decile token totals AND term first-appearance both
+    * derive from it — the vocabulary-sized shuffles are the only ones.
+    * The cumulative window runs over exactly 10 rows (limit-bounded,
+    * same idiom as [[Shuffle.globalOrderIndex]]'s offsets).
+    */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("text"))
+    val mx = d.agg(max(col("doc_id")).as("mx"))
+    val tf = d.crossJoin(broadcast(mx))
+      .withColumn("decile", expr("least(9, (doc_id * 10) div (mx + 1))").cast(LongType))
+      .select(col("decile"), explode(TextDedup.shingles(col("text"), 3)).as("term"))
+      .groupBy(col("decile"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val perDec = tf.groupBy("decile").agg(sum(col("tf")).as("n_tokens"))
+    val newTerms = tf.groupBy("term").agg(min(col("decile")).as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("n_new_terms"))
+    val base = perDec.join(newTerms, Seq("decile"), "left")
+      .na.fill(0L, Seq("n_new_terms"))
+      .limit(10) // bound visible to Catalyst: the window below is 10 rows
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("n_tokens_cum", sum(col("n_tokens")).over(w).cast(LongType))
+      .withColumn("vocab_cum", sum(col("n_new_terms")).over(w).cast(LongType))
+      .select(col("decile"), col("n_tokens").cast(LongType).as("n_tokens"),
+        col("n_new_terms").cast(LongType).as("n_new_terms"),
+        col("n_tokens_cum"), col("vocab_cum"))
+      .orderBy("decile")
+  }
+
+  val vocabGrowthOracle: String = {
+    val sh = DuckSql.shinglesFromTokens(DuckSql.tokens("text"), 3)
+    s"""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+       |d AS (SELECT least(9, (doc_id * 10) // (mx + 1)) AS decile, text
+       |  FROM documents, mx),
+       |tok AS (SELECT decile, unnest($sh) AS term FROM d),
+       |tf AS (SELECT decile, term, count(*) AS tf FROM tok GROUP BY decile, term),
+       |perdec AS (SELECT decile, sum(tf) AS n_tokens FROM tf GROUP BY decile),
+       |firstseen AS (SELECT term, min(decile) AS decile FROM tf GROUP BY term),
+       |newterms AS (SELECT decile, count(*) AS n_new_terms FROM firstseen GROUP BY decile)
+       |SELECT CAST(p.decile AS BIGINT) AS decile,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(n_new_terms, 0) AS BIGINT) AS n_new_terms,
+       |  CAST(sum(n_tokens) OVER (ORDER BY p.decile
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_tokens_cum,
+       |  CAST(sum(coalesce(n_new_terms, 0)) OVER (ORDER BY p.decile
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_cum
+       |FROM perdec p LEFT JOIN newterms n USING (decile)
+       |ORDER BY decile""".stripMargin
+  }
+
+  // ---- Merkle corpus manifest --------------------------------------
+
+  /** Reproducibility manifest: per-shard content hash (md5 of per-doc
+    * md5 leaves concatenated in doc_id order) plus a root hash over the
+    * shard hashes (`shard = -1` row) — the artifact a training run pins
+    * so "same corpus" is checkable byte-for-byte later, and shard-level
+    * so a diff localizes to 1/S of the data. Shard count S=16 here;
+    * at 100 TB raise S (the per-shard ordered concat is the manifest's
+    * inherent sequential step — bound it by sharding finer, the same
+    * lever as [[Shuffle.globalOrderIndex]]'s buckets).
+    */
+  def corpusManifest(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        (col("doc_id") % 16).cast(LongType).as("shard"),
+        md5(col("text").cast("binary")).as("leaf"),
+        octet_length(col("text")).cast(LongType).as("nb"))
+    // one shard-keyed shuffle; feeds the output AND the root aggregate
+    val shards = d.groupBy(col("shard")).agg(
+        count(lit(1)).cast(LongType).as("n_docs"),
+        sum(col("nb")).cast(LongType).as("n_bytes"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("leaf")))),
+          s => s("leaf")), "").cast("binary")).as("shard_hash"))
+      .localCheckpoint(true)
+    val root = shards.agg(
+        sum(col("n_docs")).cast(LongType).as("n_docs"),
+        sum(col("n_bytes")).cast(LongType).as("n_bytes"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("shard"), col("shard_hash")))),
+          s => s("shard_hash")), "").cast("binary")).as("shard_hash"))
+      .select(lit(-1L).as("shard"), col("n_docs"), col("n_bytes"), col("shard_hash"))
+    shards.select(col("shard"), col("n_docs"), col("n_bytes"), col("shard_hash"))
+      .unionAll(root)
+      .orderBy("shard")
+  }
+
+  val corpusManifestOracle: String =
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    CAST(doc_id % 16 AS BIGINT) AS shard,
+      |    md5(text) AS leaf,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS nb
+      |  FROM documents),
+      |shards AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(nb) AS BIGINT) AS n_bytes,
+      |    md5(string_agg(leaf, '' ORDER BY doc_id)) AS shard_hash
+      |  FROM d GROUP BY shard)
+      |SELECT shard, n_docs, n_bytes, shard_hash FROM shards
+      |UNION ALL
+      |SELECT CAST(-1 AS BIGINT) AS shard,
+      |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+      |  md5(string_agg(shard_hash, '' ORDER BY shard)) AS shard_hash
+      |FROM shards
+      |ORDER BY shard""".stripMargin
 }

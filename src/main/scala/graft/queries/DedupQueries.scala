@@ -767,6 +767,62 @@ object DedupQueries {
        |  string_agg(text, ' ' ORDER BY doc_id) AS seq_text
        |FROM p GROUP BY bucket, pack_no ORDER BY bucket, pack_no""".stripMargin
 
+  /** Inference/training batch padding waste: batches of 8 docs padded
+    * to the batch max length, under two batching orders — arrival
+    * (doc_id) vs length-sorted — the measurement behind length-bucketed
+    * batching (the sorted strategy's waste_ppm is the achievable
+    * floor). Global positions come from [[graft.operators.Shuffle
+    * .globalRankBy]] (bucket-decomposed rank, no single-partition
+    * window); the token-count scan materializes once and feeds both
+    * strategies. Exact integer ppm.
+    */
+  def batchPadding(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Shuffle
+    val d = docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        TextStats.bpeishTokenCount(col("text")).as("n_tokens"))
+      .localCheckpoint(true) // feeds both strategies (rank offsets + join, ×2)
+    def waste(ranked: DataFrame, label: String): DataFrame =
+      ranked.withColumn("batch", expr("(pos - 1) div 8"))
+        .groupBy(col("batch"))
+        .agg(max(col("n_tokens")).as("mx"), sum(col("n_tokens")).as("sm"),
+          count(lit(1)).as("n"))
+        .agg(count(lit(1)).cast(LongType).as("n_batches"),
+          sum(col("sm")).cast(LongType).as("real_tokens"),
+          sum(col("mx") * col("n") - col("sm")).cast(LongType).as("padded_tokens"))
+        .select(lit(label).as("strategy"), col("n_batches"), col("real_tokens"),
+          col("padded_tokens"),
+          expr("(1000000 * padded_tokens) div (real_tokens + padded_tokens)")
+            .cast(LongType).as("waste_ppm"))
+    val arrival = Shuffle.globalRankBy(d, "doc_id", domainBits = 40,
+      tieBreak = "doc_id", posCol = "pos")
+    val bySize = Shuffle.globalRankBy(d, "n_tokens", domainBits = 30,
+      tieBreak = "doc_id", posCol = "pos")
+    waste(arrival, "arrival").unionAll(waste(bySize, "length_sorted"))
+      .orderBy("strategy")
+  }
+
+  val batchPaddingOracle: String =
+    s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |ra AS (SELECT n_tokens, row_number() OVER (ORDER BY doc_id) AS pos FROM d),
+       |rs AS (SELECT n_tokens, row_number() OVER (ORDER BY n_tokens, doc_id) AS pos FROM d),
+       |ba AS (SELECT (pos - 1) // 8 AS batch, max(n_tokens) AS mx,
+       |    sum(n_tokens) AS sm, count(*) AS n FROM ra GROUP BY 1),
+       |bs AS (SELECT (pos - 1) // 8 AS batch, max(n_tokens) AS mx,
+       |    sum(n_tokens) AS sm, count(*) AS n FROM rs GROUP BY 1),
+       |wa AS (SELECT 'arrival' AS strategy, CAST(count(*) AS BIGINT) AS n_batches,
+       |    CAST(sum(sm) AS BIGINT) AS real_tokens,
+       |    CAST(sum(mx * n - sm) AS BIGINT) AS padded_tokens FROM ba),
+       |ws AS (SELECT 'length_sorted' AS strategy, CAST(count(*) AS BIGINT) AS n_batches,
+       |    CAST(sum(sm) AS BIGINT) AS real_tokens,
+       |    CAST(sum(mx * n - sm) AS BIGINT) AS padded_tokens FROM bs),
+       |u AS (SELECT * FROM wa UNION ALL SELECT * FROM ws)
+       |SELECT strategy, n_batches, real_tokens, padded_tokens,
+       |  CAST((1000000 * padded_tokens) // (real_tokens + padded_tokens) AS BIGINT) AS waste_ppm
+       |FROM u ORDER BY strategy""".stripMargin
+
   /** PII scrubbing: every 3rd doc gets a deterministic email + URL
     * appended (the synthetic corpus has none), then the scrubber
     * redacts and counts them. Both the planting and the redaction are
