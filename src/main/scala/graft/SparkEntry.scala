@@ -139,6 +139,7 @@ object SparkEntry {
     "x_markdown_strip" -> (CurationQueries.markdownStrip _),
     "x_mojibake" -> (CurationQueries.mojibake _),
     "x_code_prose" -> (CurationQueries.codeProse _),
+    "x_chat_validate" -> (CurationQueries.chatValidate _),
     "x_curation_by_source" -> (CurationQueries.curationBySource _),
     "x_semdedup" -> (SimilarityQueries.semDedup _),
     // extensions: corpus analytics (round 6)
@@ -175,6 +176,7 @@ object SparkEntry {
     "x_hard_negatives" -> (SimilarityQueries.hardNegatives _),
     "x_ann_ivf" -> (SimilarityQueries.annIvf _),
     "x_ann_recall" -> (SimilarityQueries.annRecall _),
+    "x_matryoshka_recall" -> (SimilarityQueries.matryoshkaRecall _),
     "x_ann_lsh" -> (SimilarityQueries.annLsh _),
     "x_embed_neardups" -> (SimilarityQueries.embedNearDups _),
     "x_embed_centroids" -> (SimilarityQueries.embedCentroids _),
@@ -386,6 +388,7 @@ object SparkEntry {
     "x_markdown_strip" -> CurationQueries.markdownStripOracle,
     "x_mojibake" -> CurationQueries.mojibakeOracle,
     "x_code_prose" -> CurationQueries.codeProseOracle,
+    "x_chat_validate" -> CurationQueries.chatValidateOracle,
     "x_curation_by_source" -> CurationQueries.curationBySourceOracle,
     "x_semdedup" -> SimilarityQueries.semDedupOracle,
     "x_kmv_distinct" -> AnalyticsQueries.kmvDistinctOracle,
@@ -416,6 +419,7 @@ object SparkEntry {
     "x_hard_negatives" -> SimilarityQueries.hardNegativesOracle,
     "x_ann_ivf" -> SimilarityQueries.annIvfOracle,
     "x_ann_recall" -> SimilarityQueries.annRecallOracle,
+    "x_matryoshka_recall" -> SimilarityQueries.matryoshkaRecallOracle,
     "x_ann_lsh" -> SimilarityQueries.annLshOracle,
     "x_embed_neardups" -> SimilarityQueries.embedNearDupsOracle,
     "x_embed_centroids" -> SimilarityQueries.embedCentroidsOracle,

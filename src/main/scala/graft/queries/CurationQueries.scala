@@ -596,4 +596,68 @@ object CurationQueries {
        |  (symbol_ppm + indent_ppm + keyword_ppm) // 3 >= 40000 AS is_code
        |FROM p ORDER BY doc_id""".stripMargin
   }
+
+  // ---- conversation-format validation (SFT data QA) ----------------
+
+  /** Chat-transcript structural QA — the validation an SFT pipeline
+    * runs on conversation data before training: starts with a user
+    * turn, ends with an assistant turn, roles strictly alternate. The
+    * flat corpus is formed into role-tagged transcripts (two tokens of
+    * content per turn); planted violations — a doubled user turn on
+    * `%7=1`, a dropped final assistant turn on `%5=2` (first rule wins
+    * on overlap) — are then caught by the checks. All array HOFs, no
+    * UDFs; one row per doc, zero shuffles besides the output sort.
+    */
+  def chatValidate(spark: SparkSession, dir: String): DataFrame = {
+    val u = lit("user")
+    val a = lit("assistant")
+    val planted = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        Fts.tokens(Seq(col("text"))).as("t"))
+      .withColumn("roles",
+        when(col("doc_id") % 7 === 1, array(u, u, a, a))
+          .when(col("doc_id") % 5 === 2, array(u, a, u))
+          .otherwise(array(u, a, u, a)))
+    planted
+      .withColumn("transcript", array_join(
+        zip_with(col("roles"),
+          sequence(lit(0), size(col("roles")) - 1),
+          (r, i) => concat(r, lit(": "),
+            concat_ws(" ", slice(col("t"), i * 2 + 1, lit(2))))), "\n"))
+      .withColumn("n_turns", size(col("roles")).cast(LongType))
+      .withColumn("starts_user", element_at(col("roles"), 1) === "user")
+      .withColumn("ends_assistant", element_at(col("roles"), -1) === "assistant")
+      .withColumn("n_alt_violations",
+        size(filter(sequence(lit(1), size(col("roles")) - 1),
+          i => element_at(col("roles"), i) === element_at(col("roles"), i + 1)))
+          .cast(LongType))
+      .withColumn("is_valid",
+        col("starts_user") && col("ends_assistant") && col("n_alt_violations") === 0)
+      .select("doc_id", "n_turns", "starts_user", "ends_assistant",
+        "n_alt_violations", "is_valid", "transcript")
+      .orderBy("doc_id")
+  }
+
+  val chatValidateOracle: String = {
+    val t = DuckSql.tokens("text")
+    s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, $t AS t,
+       |    CASE WHEN doc_id % 7 = 1 THEN ['user', 'user', 'assistant', 'assistant']
+       |         WHEN doc_id % 5 = 2 THEN ['user', 'assistant', 'user']
+       |         ELSE ['user', 'assistant', 'user', 'assistant'] END AS roles
+       |  FROM documents),
+       |v AS (SELECT doc_id, roles,
+       |    array_to_string(list_transform(range(1, len(roles) + 1),
+       |      i -> roles[i] || ': ' || array_to_string(t[(i-1)*2 + 1 : (i-1)*2 + 2], ' ')),
+       |      chr(10)) AS transcript,
+       |    CAST(len(roles) AS BIGINT) AS n_turns,
+       |    roles[1] = 'user' AS starts_user,
+       |    roles[len(roles)] = 'assistant' AS ends_assistant,
+       |    CAST(len(list_filter(range(1, len(roles)),
+       |      i -> roles[i] = roles[i + 1])) AS BIGINT) AS n_alt_violations
+       |  FROM d)
+       |SELECT doc_id, n_turns, starts_user, ends_assistant, n_alt_violations,
+       |  starts_user AND ends_assistant AND n_alt_violations = 0 AS is_valid,
+       |  transcript
+       |FROM v ORDER BY doc_id""".stripMargin
+  }
 }

@@ -388,4 +388,71 @@ object SimilarityQueries {
        |  CAST(sum(v) AS BIGINT) AS sum_q,
        |  round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_q
        |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin
+
+  /** Matryoshka truncation audit: top-5 recall of prefix-truncated
+    * embeddings (dims 4 and 16) against the full-64-dim exact top-5 —
+    * the measurement behind "can we store/search at a fraction of the
+    * dim and re-rank with the full vector". Per (dim, query) overlap
+    * count, exact: truncation-then-quantization equals
+    * quantization-then-prefix, so both engines slice the same integer
+    * lists. Three corpus scans (full + two truncations) are
+    * definitional — each is the standard broadcast-queries brute-force
+    * shape; the 50-row full-dim ground truth materializes once.
+    */
+  def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = embSmall(spark, dir).filter(col("vec_id") < 10)
+    def top5(dim: Option[Int]): DataFrame = {
+      def cut(df: DataFrame): DataFrame = dim match {
+        case Some(d) => df.withColumn("embedding", slice(col("embedding"), 1, d))
+        case None => df
+      }
+      Similarity.bruteForceTopK(cut(e), cut(q), "vec_id", "embedding", k = 5)
+        .select(col("q_id"), col("neighbor_id"))
+    }
+    val full = top5(None).localCheckpoint(true) // ground truth feeds every dim
+    val qIds = q.select(col("vec_id").cast(LongType).as("q_id"))
+    val perDim = Seq(4, 16).map { d =>
+      val overlap = top5(Some(d))
+        .join(full, Seq("q_id", "neighbor_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+      qIds.join(overlap, Seq("q_id"), "left")
+        .select(lit(d.toLong).as("dim"), col("q_id"),
+          coalesce(col("n_overlap"), lit(0L)).cast(LongType).as("n_overlap"))
+    }
+    perDim.reduce(_ unionAll _)
+      .withColumn("recall_ppm", (col("n_overlap") * 200000L).cast(LongType))
+      .orderBy("dim", "q_id")
+  }
+
+  val matryoshkaRecallOracle: String = {
+    def rankedCte(name: String, dims: Int): String = {
+      val dot = s"CAST(list_sum(list_transform(range(1, ${dims + 1}), i -> c.qv[i] * qq.qv[i])) AS BIGINT)"
+      val n2 = (a: String) => s"CAST(list_sum(list_transform(range(1, ${dims + 1}), i -> $a.qv[i] * $a.qv[i])) AS BIGINT)"
+      val cos = duckCos(dot, n2("c"), n2("qq"))
+      s"""${name} AS (SELECT q_id, c_id FROM (
+         |  SELECT qq.id AS q_id, c.id AS c_id,
+         |    row_number() OVER (PARTITION BY qq.id ORDER BY $cos DESC, c.id) AS rank
+         |  FROM q c JOIN q qq ON qq.id < 10 AND c.id <> qq.id)
+         |  WHERE rank <= 5)""".stripMargin
+    }
+    s"""WITH $quantCte,
+       |${rankedCte("full5", 64)},
+       |${rankedCte("t4", 4)},
+       |${rankedCte("t16", 16)},
+       |qi AS (SELECT DISTINCT id AS q_id FROM q WHERE id < 10),
+       |o4 AS (SELECT t.q_id, count(*) AS n FROM t4 t JOIN full5 f
+       |  ON f.q_id = t.q_id AND f.c_id = t.c_id GROUP BY t.q_id),
+       |o16 AS (SELECT t.q_id, count(*) AS n FROM t16 t JOIN full5 f
+       |  ON f.q_id = t.q_id AND f.c_id = t.c_id GROUP BY t.q_id),
+       |u AS (
+       |  SELECT CAST(4 AS BIGINT) AS dim, qi.q_id, coalesce(o4.n, 0) AS n_overlap
+       |  FROM qi LEFT JOIN o4 ON o4.q_id = qi.q_id
+       |  UNION ALL
+       |  SELECT CAST(16 AS BIGINT) AS dim, qi.q_id, coalesce(o16.n, 0) AS n_overlap
+       |  FROM qi LEFT JOIN o16 ON o16.q_id = qi.q_id)
+       |SELECT dim, q_id, CAST(n_overlap AS BIGINT) AS n_overlap,
+       |  CAST(n_overlap * 200000 AS BIGINT) AS recall_ppm
+       |FROM u ORDER BY dim, q_id""".stripMargin
+  }
 }
