@@ -178,6 +178,7 @@ class PlanSpec extends SparkSpec {
       "x_ann_topk", "x_multimodal_embed_topk", // (a) all-pairs scoring
       "x_hard_negatives",                      //     rank-window reuse of (a)
       "x_ann_recall",                          //     ground-truth side reuses (a)
+      "x_matryoshka_recall",                   //     truncated-dim reuse of (a)
       "x_ngram_lm_score",                      // (b) 1-row V scalar into smoothing
       "x_curriculum_order",                    //     reuses the LM scorer's V scalar
       "x_token_budget_plan",                   // (b) 1-row budget-total scalar
