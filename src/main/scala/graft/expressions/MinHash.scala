@@ -105,6 +105,34 @@ object MinHashKernel {
     new GenericArrayData(out)
   }
 
+  /** hash60 per w-shingle, POSITIONAL: order kept, NOT distinct — the
+    * contamination-span input, where consecutive-run extraction needs
+    * every occurrence at its position (set semantics would delete
+    * repeats and split runs).
+    */
+  def shingleHashSeq(text: UTF8String, w: Int): ArrayData = {
+    val toks = tokens(text)
+    if (toks.length >= w) {
+      val out = new Array[Long](toks.length - w + 1)
+      val sb = new java.lang.StringBuilder(w * 12)
+      var i = 0
+      while (i <= toks.length - w) {
+        sb.setLength(0)
+        var j = 0
+        while (j < w) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(i) = hash60(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      new GenericArrayData(Array(hash60(toks.mkString(" "))))
+    }
+  }
+
   /** hash60 per token, order kept, NOT distinct (the SimHash input —
     * frequency-weighted bit votes need every occurrence).
     */
@@ -208,6 +236,28 @@ case class ShingleHash60(child: Expression, w: Int) extends UnaryExpression {
 object ShingleHash60 {
   def shingle_hash60(text: Column, w: Int): Column =
     GraftShim.column(ShingleHash60(GraftShim.expression(text), w))
+}
+
+/** `shingle_hash_seq60(text, w)` — see [[MinHashKernel.shingleHashSeq]]. */
+case class ShingleHashSeq60(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, "shingle width must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.shingleHashSeq(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.MinHashKernel.shingleHashSeq($c, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashSeq60 =
+    copy(child = newChild)
+}
+
+object ShingleHashSeq60 {
+  def shingle_hash_seq60(text: Column, w: Int): Column =
+    GraftShim.column(ShingleHashSeq60(GraftShim.expression(text), w))
 }
 
 /** `token_hash60(text)` — see [[MinHashKernel.tokenHashes]]. */

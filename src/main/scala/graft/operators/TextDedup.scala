@@ -466,9 +466,12 @@ object TextDedup {
       corpus: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, w: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // positional shingle hashes via the native kernel (one JIT'd call
+    // per row) — the HOF spelling `transform(shingles(...), hash60)` is
+    // CodegenFallback and dominated this operator's runtime
     val pos = corpus
       .select(col(idCol).cast(LongType).as("doc_id"),
-        transform(shingles(col(textCol), w), s => PortableHash.hash60(s)).as("hs"))
+        graft.expressions.ShingleHashSeq60.shingle_hash_seq60(col(textCol), w).as("hs"))
       .select(col("doc_id"), size(col("hs")).cast(LongType).as("n_shingles"),
         posexplode(col("hs")).as(Seq("pos", "h")))
     val bset = benchmark
@@ -476,16 +479,20 @@ object TextDedup {
       .distinct()
     val hits = pos.join(broadcast(bset), Seq("h"))
     val runGrp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val runs = hits
+    // n_shingles rides along through both aggregations (constant per
+    // doc), so the positional explode has exactly ONE consumer — a
+    // second pos.groupBy for the count would re-run the corpus-wide
+    // explode (the double-evaluation disease; output is contaminated
+    // docs only, so the hits stream already contains every output doc)
+    hits
       .withColumn("grp", col("pos") - row_number().over(runGrp))
       .groupBy(col("doc_id"), col("grp"))
-      .agg(count(lit(1)).cast(LongType).as("run"))
+      .agg(count(lit(1)).cast(LongType).as("run"),
+        max(col("n_shingles")).as("n_shingles"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("run")).cast(LongType).as("n_contaminated"),
+      .agg(max(col("n_shingles")).as("n_shingles"),
+        sum(col("run")).cast(LongType).as("n_contaminated"),
         max(col("run")).cast(LongType).as("max_run"))
-    pos.groupBy(col("doc_id"))
-      .agg(max(col("n_shingles")).as("n_shingles"))
-      .join(runs, Seq("doc_id"))
       .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
         expr("1000000 * n_contaminated div n_shingles").as("contam_ppm"),
         col("max_run"))
