@@ -116,6 +116,8 @@ object SparkEntry {
     "x_oov_rate" -> (CorpusQueries.oovRate _),
     "x_vocab_growth" -> (CorpusQueries.vocabGrowth _),
     "x_corpus_manifest" -> (CorpusQueries.corpusManifest _),
+    "x_token_fertility" -> (CorpusQueries.tokenFertility _),
+    "x_mix_drift" -> (CorpusQueries.mixDrift _),
     "x_corpus_diff" -> (CorpusQueries.corpusDiff _),
     "x_length_deciles" -> (CorpusQueries.lengthDeciles _),
     "x_url_filter" -> (CorpusQueries.urlFilter _),
@@ -366,6 +368,8 @@ object SparkEntry {
     "x_oov_rate" -> CorpusQueries.oovRateOracle,
     "x_vocab_growth" -> CorpusQueries.vocabGrowthOracle,
     "x_corpus_manifest" -> CorpusQueries.corpusManifestOracle,
+    "x_token_fertility" -> CorpusQueries.tokenFertilityOracle,
+    "x_mix_drift" -> CorpusQueries.mixDriftOracle,
     "x_corpus_diff" -> CorpusQueries.corpusDiffOracle,
     "x_length_deciles" -> CorpusQueries.lengthDecilesOracle,
     "x_url_filter" -> CorpusQueries.urlFilterOracle,

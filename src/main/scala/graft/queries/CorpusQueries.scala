@@ -1314,4 +1314,103 @@ object CorpusQueries {
       |  md5(string_agg(shard_hash, '' ORDER BY shard)) AS shard_hash
       |FROM shards
       |ORDER BY shard""".stripMargin
+
+  // ---- tokenizer fertility per language ----------------------------
+
+  /** Tokenizer fertility by language: UTF-8 bytes and whitespace words
+    * per BPE-ish token, in exact integer ppm (×1e6 bytes/token). High
+    * fertility = the tokenizer fragments that language's text into many
+    * small pieces — the per-language cost multiplier that decides
+    * whether a vocab is fair across languages (a doc costs its token
+    * count, not its information content). One map-side-combined
+    * aggregation; all per-row counts are narrow codegen.
+    */
+  def tokenFertility(spark: SparkSession, dir: String): DataFrame =
+    DedupQueries.docs(spark, dir)
+      .select(col("lang"),
+        octet_length(col("text")).cast(LongType).as("nb"),
+        TextStats.wsTokenCount(col("text")).as("nw"),
+        TextStats.bpeishTokenCount(col("text")).as("nt"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(col("nb")).cast(LongType).as("n_bytes"),
+        sum(col("nw")).cast(LongType).as("n_words"),
+        sum(col("nt")).cast(LongType).as("n_tokens"))
+      .withColumn("bytes_per_token_ppm",
+        expr("(1000000 * n_bytes) div n_tokens").cast(LongType))
+      .withColumn("tokens_per_word_ppm",
+        expr("(1000000 * n_tokens) div n_words").cast(LongType))
+      .orderBy("lang")
+
+  val tokenFertilityOracle: String = {
+    val ws = """len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))"""
+    val bpe = """len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))"""
+    s"""WITH d AS (SELECT lang,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+       |    CAST($ws AS BIGINT) AS nw,
+       |    CAST($bpe AS BIGINT) AS nt
+       |  FROM documents),
+       |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(nb) AS BIGINT) AS n_bytes,
+       |    CAST(sum(nw) AS BIGINT) AS n_words,
+       |    CAST(sum(nt) AS BIGINT) AS n_tokens
+       |  FROM d GROUP BY lang)
+       |SELECT lang, n_docs, n_bytes, n_words, n_tokens,
+       |  CAST((1000000 * n_bytes) // n_tokens AS BIGINT) AS bytes_per_token_ppm,
+       |  CAST((1000000 * n_tokens) // n_words AS BIGINT) AS tokens_per_word_ppm
+       |FROM g ORDER BY lang""".stripMargin
+  }
+
+  // ---- source-mix drift between snapshots --------------------------
+
+  /** Training-mix drift: each source's share of corpus tokens (ppm) in
+    * two snapshots (the [[corpusDiff]] planting: docs `%11=3` arrive
+    * later, `%9=0` get dropped), and the signed per-source delta — the
+    * monitor that catches a refresh silently shifting the mix a
+    * curriculum was tuned against. Two map-side-combined aggregations
+    * over one scan pass each; totals ride a broadcast scalar.
+    */
+  def mixDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("source"),
+        TextStats.wsTokenCount(col("text")).as("nt"))
+      .localCheckpoint(true) // feeds both snapshot aggregates
+    def share(snap: DataFrame, outCol: String): DataFrame = {
+      val bySource = snap.groupBy(col("source"))
+        .agg(sum(col("nt")).cast(LongType).as("toks"))
+      val tot = bySource.agg(sum(col("toks")).cast(LongType).as("tot"))
+      bySource.crossJoin(broadcast(tot))
+        .select(col("source"),
+          expr("(1000000 * toks) div tot").cast(LongType).as(outCol))
+    }
+    val old = share(d.filter(col("doc_id") % 11 =!= 3), "share_old_ppm")
+    val neu = share(d.filter(col("doc_id") % 9 =!= 0), "share_new_ppm")
+    old.join(neu, Seq("source"), "full_outer")
+      .na.fill(0L, Seq("share_old_ppm", "share_new_ppm"))
+      .withColumn("delta_ppm",
+        (col("share_new_ppm") - col("share_old_ppm")).cast(LongType))
+      .orderBy("source")
+  }
+
+  val mixDriftOracle: String = {
+    val ws = """CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT)"""
+    s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source, $ws AS nt
+       |  FROM documents),
+       |o AS (SELECT source, CAST(sum(nt) AS BIGINT) AS toks FROM d
+       |  WHERE doc_id % 11 <> 3 GROUP BY source),
+       |n AS (SELECT source, CAST(sum(nt) AS BIGINT) AS toks FROM d
+       |  WHERE doc_id % 9 <> 0 GROUP BY source),
+       |os AS (SELECT source,
+       |    CAST((1000000 * toks) // (SELECT sum(toks) FROM o) AS BIGINT) AS share_old_ppm
+       |  FROM o),
+       |ns AS (SELECT source,
+       |    CAST((1000000 * toks) // (SELECT sum(toks) FROM n) AS BIGINT) AS share_new_ppm
+       |  FROM n)
+       |SELECT coalesce(os.source, ns.source) AS source,
+       |  CAST(coalesce(share_old_ppm, 0) AS BIGINT) AS share_old_ppm,
+       |  CAST(coalesce(share_new_ppm, 0) AS BIGINT) AS share_new_ppm,
+       |  CAST(coalesce(share_new_ppm, 0) - coalesce(share_old_ppm, 0) AS BIGINT) AS delta_ppm
+       |FROM os FULL OUTER JOIN ns ON ns.source = os.source
+       |ORDER BY source""".stripMargin
+  }
 }
