@@ -567,4 +567,45 @@ class StreamingSpec extends SparkSpec {
       assert(est12 === 1.0)
     } finally q.stop()
   }
+
+  test("curation screens (mojibake/code/markdown) run stateless in streaming, batch-equal") {
+    import spark.implicits._
+    import graft.operators.{CodeDetect, Encoding, Markup}
+    // the ingest-time screen: every new doc gets its quarantine and
+    // routing signals at arrival — stateless narrow ops, so the
+    // streaming result must be row-identical to the batch form
+    def screen(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(col("doc_id"),
+        Encoding.countMojibake(col("text")).as("n_mojibake"),
+        Encoding.countControl(col("text")).as("n_ctrl"),
+        CodeDetect.codeCounts(col("text")).getField("n_symbols").as("n_symbols"),
+        CodeDetect.codeCounts(col("text")).getField("n_keywords").as("n_keywords"),
+        Markup.stripMarkdown(col("text")).as("clean_text"))
+    val docs = Seq(
+      (1L, "plain prose nothing special at all"),
+      (2L, "broken cafÃ© text with mojibake"),
+      (3L, "def f(x):\n    return x; let y = [x];"),
+      (4L, "# Title\n\nsee [docs](http://x.y) and `code` here"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-sscreen").toString
+    docs.filter($"doc_id" <= 2).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = screen(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sscreen_out").start()
+    try {
+      q.processAllAvailable()
+      docs.filter($"doc_id" >= 3).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val streamed = spark.table("sscreen_out").collect().map(_.toSeq).toSet
+      val batch = screen(spark.read.parquet(dir)).collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      val byId = spark.table("sscreen_out")
+        .select("doc_id", "n_mojibake", "n_symbols", "clean_text")
+        .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+      assert(byId(2L)._2 > 0L) // mojibake caught at ingest
+      assert(byId(3L)._3 > 0L) // code symbols caught
+      assert(byId(4L)._4 === "Title see docs and here")
+    } finally q.stop()
+  }
 }
