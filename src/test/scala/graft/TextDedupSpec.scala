@@ -83,6 +83,18 @@ class TextDedupSpec extends SparkSpec {
       assert(r.getSeq[Long](3) === r.getSeq[Long](4), s"token hashes differ for id ${r.getLong(0)}")
       assert(r.getSeq[Long](5) === r.getSeq[Long](6), s"signatures differ for id ${r.getLong(0)}")
     }
+
+    // the POSITIONAL kernel (ordered, non-distinct) against its HOF
+    // spelling on the same awkward inputs
+    texts.select($"id",
+        graft.expressions.ShingleHashSeq60.shingle_hash_seq60($"text", 3).as("native_seq"),
+        transform(TextDedup.shingles($"text", 3),
+          s => graft.functions.PortableHash.hash60(s)).as("hof_seq"))
+      .collect()
+      .foreach { r =>
+        assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+          s"positional shingle hashes differ for id ${r.getLong(0)}")
+      }
   }
 
   test("native capped pair expansion emits the same pair set as the HOF spelling") {
