@@ -1315,6 +1315,67 @@ object CorpusQueries {
       |FROM shards
       |ORDER BY shard""".stripMargin
 
+  // ---- manifest-based snapshot verification ------------------------
+
+  /** Shard-level manifest check: recompute the [[corpusManifest]] shard
+    * hashes for the stored snapshot and a live corpus with localized
+    * damage (a shard-0 doc dropped — `%144 = 0`; a shard-14 doc edited
+    * — `%48 = 30`; both residues pin the shard since shard = `%16`) and
+    * report per shard whether content moved and by how many docs. The
+    * cheap answer to "is this the corpus we trained on, and if not,
+    * WHERE does it differ" — S shard rows instead of a corpus-sized
+    * diff, and only the damaged shards flag; drill into a changed shard
+    * with [[corpusDiff]].
+    */
+  def manifestCheck(spark: SparkSession, dir: String): DataFrame = {
+    val base = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("text"))
+    def shardManifest(d: DataFrame): DataFrame =
+      d.select(col("doc_id"), (col("doc_id") % 16).cast(LongType).as("shard"),
+          md5(col("text").cast("binary")).as("leaf"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("leaf")))),
+            s => s("leaf")), "").cast("binary")).as("shard_hash"))
+    val stored = shardManifest(base)
+      .select(col("shard"), col("n_docs").as("n_docs_stored"),
+        col("shard_hash").as("hash_stored"))
+    val live = shardManifest(base.filter(col("doc_id") % 144 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 48 === 30, concat(col("text"), lit(" updated")))
+            .otherwise(col("text")).as("text")))
+      .select(col("shard"), col("n_docs").as("n_docs_live"),
+        col("shard_hash").as("hash_live"))
+    stored.join(live, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        coalesce(col("n_docs_stored"), lit(0L)).as("n_docs_stored"),
+        coalesce(col("n_docs_live"), lit(0L)).as("n_docs_live"),
+        when(col("hash_stored") === col("hash_live"), lit("ok"))
+          .otherwise(lit("changed")).as("status"))
+      .orderBy("shard")
+  }
+
+  val manifestCheckOracle: String =
+    """WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+      |stored AS (SELECT CAST(doc_id % 16 AS BIGINT) AS shard,
+      |    CAST(count(*) AS BIGINT) AS n_docs_stored,
+      |    md5(string_agg(md5(text), '' ORDER BY doc_id)) AS hash_stored
+      |  FROM base GROUP BY 1),
+      |live0 AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 48 = 30 THEN text || ' updated' ELSE text END AS text
+      |  FROM base WHERE doc_id % 144 <> 0),
+      |live AS (SELECT CAST(doc_id % 16 AS BIGINT) AS shard,
+      |    CAST(count(*) AS BIGINT) AS n_docs_live,
+      |    md5(string_agg(md5(text), '' ORDER BY doc_id)) AS hash_live
+      |  FROM live0 GROUP BY 1)
+      |SELECT coalesce(stored.shard, live.shard) AS shard,
+      |  CAST(coalesce(n_docs_stored, 0) AS BIGINT) AS n_docs_stored,
+      |  CAST(coalesce(n_docs_live, 0) AS BIGINT) AS n_docs_live,
+      |  CASE WHEN hash_stored = hash_live THEN 'ok' ELSE 'changed' END AS status
+      |FROM stored FULL OUTER JOIN live ON live.shard = stored.shard
+      |ORDER BY shard""".stripMargin
+
   // ---- tokenizer fertility per language ----------------------------
 
   /** Tokenizer fertility by language: UTF-8 bytes and whitespace words
