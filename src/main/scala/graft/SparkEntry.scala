@@ -197,6 +197,7 @@ object SparkEntry {
     "x_events_transitions" -> (EventQueries.eventTransitions _),
     "x_join_skew_report" -> (EventQueries.joinSkewReport _),
     "x_multimodal_resize" -> (EventQueries.multimodalResize _),
+    "x_multimodal_crops" -> (EventQueries.multimodalCrops _),
     "x_events_tumbling" -> (EventQueries.tumbling _),
     "x_events_sliding" -> (EventQueries.sliding _),
     "x_events_sessions" -> (EventQueries.sessions _),
@@ -442,6 +443,7 @@ object SparkEntry {
     "x_events_transitions" -> EventQueries.eventTransitionsOracle,
     "x_join_skew_report" -> EventQueries.joinSkewReportOracle,
     "x_multimodal_resize" -> EventQueries.multimodalResizeOracle,
+    "x_multimodal_crops" -> EventQueries.multimodalCropsOracle,
     "x_events_tumbling" -> EventQueries.tumblingOracle,
     "x_events_sliding" -> EventQueries.slidingOracle,
     "x_events_sessions" -> EventQueries.sessionsOracle,

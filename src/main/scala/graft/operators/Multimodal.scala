@@ -110,6 +110,43 @@ object Multimodal {
     blobs.mapPartitions(_.map(b => StubResizer.resize(StubDecoder.decode(b), target)))(enc)
   }
 
+  case class MediaCrop(
+      media_id: Long, src_w: Long, src_h: Long, crop_w: Long, crop_h: Long,
+      off_x: Long, off_y: Long, crop_md5: String)
+
+  /** THE STUB cropper — seeded random-crop augmentation, the other
+    * standard vision preprocessing step next to [[StubResizer]]. Crop
+    * box is `num/den` of each source dimension (floor, min 1); the
+    * offset is drawn deterministically from (blob md5, seed) so every
+    * epoch with the same seed reproduces the same crop and a different
+    * seed redraws it — "random" augmentation as a pure function, which
+    * is what makes it re-runnable on a cluster. Geometry is exact
+    * integer; the pixel slice is the stub boundary (a real pipeline
+    * crops the decoded buffer).
+    */
+  object StubCropper {
+    def crop(m: MediaMeta, num: Long, den: Long, seed: Long): MediaCrop = {
+      val cw = math.max(1L, m.width * num / den)
+      val ch = math.max(1L, m.height * num / den)
+      val ox = graft.expressions.MinHashKernel.hash60(s"${m.md5_hex}:$seed:x") %
+        (m.width - cw + 1)
+      val oy = graft.expressions.MinHashKernel.hash60(s"${m.md5_hex}:$seed:y") %
+        (m.height - ch + 1)
+      val md5 = MessageDigest.getInstance("MD5")
+        .digest(s"${m.md5_hex}:$ox,$oy,${cw}x$ch".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      MediaCrop(m.media_id, m.width, m.height, cw, ch, ox, oy, md5)
+    }
+  }
+
+  /** Batch decode+crop: one partition per task, no shuffle. */
+  def cropAll(
+      blobs: Dataset[MediaBlob], num: Long, den: Long, seed: Long): Dataset[MediaCrop] = {
+    require(num > 0 && den > 0 && num <= den, "crop fraction in (0, 1]")
+    val enc = Encoders.product[MediaCrop]
+    blobs.mapPartitions(_.map(b => StubCropper.crop(StubDecoder.decode(b), num, den, seed)))(enc)
+  }
+
   /** Wrap a text column as a binary media blob (the ingest step a real
     * pipeline does when reading raw media files).
     */

@@ -680,6 +680,43 @@ object EventQueries {
        |FROM e ORDER BY media_id, patch_no""".stripMargin
   }
 
+  /** Multimodal: seeded 3/4 random-crop augmentation — deterministic
+    * per (blob, seed), so an epoch's crops are reproducible and a new
+    * seed redraws them ([[Multimodal.StubCropper]]). Exact integer
+    * geometry over the stub decoder's pseudo-dimensions.
+    */
+  def multimodalCrops(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val blobs = Multimodal.asBlobs(docs, "doc_id", "text", "image")
+    Multimodal.cropAll(blobs, num = 3L, den = 4L, seed = 7L).toDF()
+      .select(col("media_id"), col("src_w"), col("src_h"),
+        col("crop_w"), col("crop_h"), col("off_x"), col("off_y"), col("crop_md5"))
+      .orderBy("media_id")
+  }
+
+  val multimodalCropsOracle: String = {
+    val h = DuckSql.hash60("text")
+    val hx = graft.functions.PortableHash.duckdbHash60("md5_hex || ':7:x'")
+    val hy = graft.functions.PortableHash.duckdbHash60("md5_hex || ':7:y'")
+    s"""WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id, md5(text) AS md5_hex,
+       |    CAST(16 + $h % 2032 AS BIGINT) AS w,
+       |    CAST(16 + ($h // 2048) % 2032 AS BIGINT) AS ht
+       |  FROM documents),
+       |g AS (SELECT media_id, md5_hex, w, ht,
+       |    greatest(1, w * 3 // 4) AS cw, greatest(1, ht * 3 // 4) AS ch
+       |  FROM m),
+       |o AS (SELECT media_id, md5_hex, w, ht, cw, ch,
+       |    ($hx) % (w - cw + 1) AS ox,
+       |    ($hy) % (ht - ch + 1) AS oy
+       |  FROM g)
+       |SELECT media_id, w AS src_w, ht AS src_h,
+       |  CAST(cw AS BIGINT) AS crop_w, CAST(ch AS BIGINT) AS crop_h,
+       |  CAST(ox AS BIGINT) AS off_x, CAST(oy AS BIGINT) AS off_y,
+       |  md5(md5_hex || ':' || CAST(ox AS VARCHAR) || ',' || CAST(oy AS VARCHAR) ||
+       |    ',' || CAST(cw AS VARCHAR) || 'x' || CAST(ch AS VARCHAR)) AS crop_md5
+       |FROM o ORDER BY media_id""".stripMargin
+  }
+
   /** Multimodal: frame sampling over "video" blobs (every 100 bytes). */
   def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")

@@ -79,4 +79,19 @@ class MarkupSpec extends SparkSpec {
     assert(df.select(Markup.countLinks(col("t"))).as[Long].head() === 2L)
     assert(df.select(Markup.countFences(col("t"))).as[Long].head() === 2L)
   }
+
+  test("markdown strip leaves no residual link/fence constructs") {
+    val gnarly = Seq(
+      "# H\n[a](u) ![b](v)\n```\n[inside](fence)\n```\n*x* > y",
+      "adjacent [a](u1)[b](u2) links and ``` lone fence",
+      "![](empty-alt) [](empty-text) `tick` ``` ```",
+      "plain text stays plain")
+    gnarly.foreach { s =>
+      val out = Seq(s).toDF("t")
+        .select(Markup.stripMarkdown(col("t")).as("c"))
+        .select(Markup.countLinks(col("c")), Markup.countFences(col("c")))
+        .as[(Long, Long)].head()
+      assert(out === ((0L, 0L)), s"residual markdown in strip of: $s")
+    }
+  }
 }

@@ -194,7 +194,8 @@ class PlanSpec extends SparkSpec {
       "x_events_dense_hourly",                 // bounded hour×type axis grid
       "x_events_anomaly",                      // same bounded axis grid
       "x_nb_domain",                           // (b) |labels|-row smoothing grid
-      "x_shard_skew")                          // 1-row totals scalar
+      "x_shard_skew",                          // 1-row totals scalar
+      "x_mix_drift")                           // two 1-row snapshot-total scalars
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, dir)
