@@ -117,6 +117,7 @@ object SparkEntry {
     "x_vocab_growth" -> (CorpusQueries.vocabGrowth _),
     "x_corpus_manifest" -> (CorpusQueries.corpusManifest _),
     "x_manifest_check" -> (CorpusQueries.manifestCheck _),
+    "x_pagerank" -> (CorpusQueries.pagerank _),
     "x_token_fertility" -> (CorpusQueries.tokenFertility _),
     "x_mix_drift" -> (CorpusQueries.mixDrift _),
     "x_corpus_diff" -> (CorpusQueries.corpusDiff _),
@@ -371,6 +372,7 @@ object SparkEntry {
     "x_vocab_growth" -> CorpusQueries.vocabGrowthOracle,
     "x_corpus_manifest" -> CorpusQueries.corpusManifestOracle,
     "x_manifest_check" -> CorpusQueries.manifestCheckOracle,
+    "x_pagerank" -> CorpusQueries.pagerankOracle,
     "x_token_fertility" -> CorpusQueries.tokenFertilityOracle,
     "x_mix_drift" -> CorpusQueries.mixDriftOracle,
     "x_corpus_diff" -> CorpusQueries.corpusDiffOracle,

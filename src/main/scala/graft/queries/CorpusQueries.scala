@@ -1315,6 +1315,41 @@ object CorpusQueries {
       |FROM shards
       |ORDER BY shard""".stripMargin
 
+  // ---- PageRank over a synthetic citation graph --------------------
+
+  /** PageRank importance prior ([[graft.operators.PageRank]]): the
+    * corpus gets a deterministic 2-out-regular citation graph
+    * (`d → (7d+1) mod n`, `d → (13d+3) mod n` — affine maps, so
+    * in-degrees vary and the rank distribution is non-trivial), then 5
+    * integer-exact rounds; top-50 by rank. The oracle replays all 5
+    * rounds as unrolled CTEs — bit-identical because the arithmetic is
+    * ppb-integer throughout.
+    */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val v = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("id"))
+    // vertex count is bounded driver state (same stance as the BPE
+    // merge table); it pins the edge modulus identically on both engines
+    val n = v.count()
+    def edge(a: Long, b: Long): DataFrame =
+      v.select(col("id").as("src"), ((col("id") * a + b) % n).as("dst"))
+    val edges = edge(7L, 1L).unionAll(edge(13L, 3L))
+    graft.operators.PageRank.iterate(v, edges, iters = 5)
+      .orderBy(col("rank_ppb").desc, col("id"))
+      .limit(50)
+      .select(col("id").as("doc_id"), col("rank_ppb"))
+  }
+
+  val pagerankOracle: String = {
+    val nExpr = "SELECT count(*) FROM v"
+    s"""WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+       |e AS (SELECT id AS src, (id * 7 + 1) % ($nExpr) AS dst FROM v
+       |  UNION ALL SELECT id, (id * 13 + 3) % ($nExpr) FROM v),
+       |${graft.operators.PageRank.iterateSql(nExpr, iters = 5)}
+       |SELECT id AS doc_id, rank_ppb FROM rank_final
+       |ORDER BY rank_ppb DESC, doc_id LIMIT 50""".stripMargin
+  }
+
   // ---- manifest-based snapshot verification ------------------------
 
   /** Shard-level manifest check: recompute the [[corpusManifest]] shard
