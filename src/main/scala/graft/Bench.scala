@@ -66,14 +66,23 @@ object Bench {
     // recorded as -1 and its name lands in "failed".
     // SPARK_GRAFT_ONLY=a,b,c restricts to named queries (local profiling).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // SPARK_GRAFT_REPS=k (default 1): run each query k times and keep
+    // the MINIMUM — the standard noise floor when the box is shared
+    // (observed same-code swings up to 5x under concurrent load).
+    // Default stays 1 so the driver's single-pass time budget holds.
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(1).max(1)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      val best = if (times.contains(-1.0)) -1.0 else times.min
+      (name, best, best >= 0)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

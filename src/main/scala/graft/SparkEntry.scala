@@ -144,6 +144,7 @@ object SparkEntry {
     "x_mojibake" -> (CurationQueries.mojibake _),
     "x_code_prose" -> (CurationQueries.codeProse _),
     "x_chat_validate" -> (CurationQueries.chatValidate _),
+    "x_passage_rank" -> (CurationQueries.passageRank _),
     "x_curation_by_source" -> (CurationQueries.curationBySource _),
     "x_semdedup" -> (SimilarityQueries.semDedup _),
     // extensions: corpus analytics (round 6)
@@ -398,6 +399,7 @@ object SparkEntry {
     "x_mojibake" -> CurationQueries.mojibakeOracle,
     "x_code_prose" -> CurationQueries.codeProseOracle,
     "x_chat_validate" -> CurationQueries.chatValidateOracle,
+    "x_passage_rank" -> CurationQueries.passageRankOracle,
     "x_curation_by_source" -> CurationQueries.curationBySourceOracle,
     "x_semdedup" -> SimilarityQueries.semDedupOracle,
     "x_kmv_distinct" -> AnalyticsQueries.kmvDistinctOracle,

@@ -597,6 +597,60 @@ object CurationQueries {
        |FROM p ORDER BY doc_id""".stripMargin
   }
 
+  // ---- passage-level ranked retrieval (RAG shape) ------------------
+
+  /** Passage retrieval: strided 64/48 chunks ([[graft.operators.Chunk]])
+    * scored with the tf·idf ranker ([[Fts.rankedMatch]]) AT CHUNK
+    * GRANULARITY — the retrieval unit RAG actually serves, where
+    * idf is computed over passages so a term common across one huge
+    * doc's chunks is correctly discounted. chunk_id packs
+    * (doc, chunk_no) into one rowid (×100000 — bound documented at the
+    * packing site); top-20 with full deterministic tie order.
+    */
+  def passageRank(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = graft.operators.Chunk
+      .chunkDocs(DedupQueries.docs(spark, dir), "doc_id", "text", 64, 48)
+      // 100k chunks/doc bound = 4.8M tokens/doc at stride 48; packing
+      // keeps rankedMatch's single-rowid contract
+      .withColumn("chunk_id",
+        (col("doc_id") * 100000L + col("chunk_no")).cast(LongType))
+    Fts.rankedMatch(chunks, Seq("chunk_text"), "spark window hash",
+        rowidCol = "chunk_id")
+      .select(expr("chunk_id div 100000").cast(LongType).as("doc_id"),
+        (col("chunk_id") % 100000L).cast(LongType).as("chunk_no"),
+        col("score"), col("terms_hit"))
+      .orderBy(col("score").desc, col("doc_id"), col("chunk_no"))
+      .limit(20)
+  }
+
+  val passageRankOracle: String = {
+    val t = DuckSql.tokens("text")
+    val ct = DuckSql.tokens("chunk_text")
+    s"""WITH tok AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, $t AS t FROM documents),
+       |k AS (SELECT doc_id, t,
+       |    CASE WHEN len(t) > 64 THEN CAST(ceil((len(t) - 64) / 48.0) AS BIGINT)
+       |         ELSE 0 END AS kmax
+       |  FROM tok),
+       |e AS (SELECT doc_id, t, unnest(range(0, kmax + 1)) AS i FROM k),
+       |ch AS (SELECT doc_id * 100000 + i AS chunk_id,
+       |    array_to_string(t[i*48 + 1 : i*48 + 64], ' ') AS chunk_text
+       |  FROM e),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ch),
+       |tf AS (SELECT chunk_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT chunk_id, unnest($ct) AS term FROM ch)
+       |  WHERE term IN ('spark', 'window', 'hash')
+       |  GROUP BY chunk_id, term),
+       |idf AS (SELECT term,
+       |    CAST(((SELECT n FROM n) * 1000000) // count(DISTINCT chunk_id) AS BIGINT) AS idf_scaled
+       |  FROM tf GROUP BY term),
+       |sc AS (SELECT tf.chunk_id, CAST(sum(tf * idf_scaled) AS BIGINT) AS score,
+       |    CAST(count(DISTINCT tf.term) AS BIGINT) AS terms_hit
+       |  FROM tf JOIN idf USING (term) GROUP BY tf.chunk_id)
+       |SELECT CAST(chunk_id // 100000 AS BIGINT) AS doc_id,
+       |  CAST(chunk_id % 100000 AS BIGINT) AS chunk_no, score, terms_hit
+       |FROM sc ORDER BY score DESC, doc_id, chunk_no LIMIT 20""".stripMargin
+  }
+
   // ---- conversation-format validation (SFT data QA) ----------------
 
   /** Chat-transcript structural QA — the validation an SFT pipeline
