@@ -52,6 +52,8 @@ object SparkEntry {
     "s12_fts_term_stats" -> (ParityQueries.ftsTermStats _),
     "s13_fts_index_match" -> (ParityQueries.ftsIndexMatch _),
     "x_fts_ranked" -> (ParityQueries.ftsRanked _),
+    "x_fts_boolean" -> (ParityQueries.ftsBoolean _),
+    "x_fts_bm25" -> (ParityQueries.ftsBm25 _),
     // headline agg/join workloads
     "q1_pricing_summary" -> (AggQueries.pricingSummary _),
     "q3_top_revenue_orders" -> (AggQueries.topRevenueOrders _),
@@ -80,6 +82,8 @@ object SparkEntry {
     "x_simhash" -> (DedupQueries.simhashFingerprints _),
     "x_simhash_pairs" -> (DedupQueries.simhashPairs _),
     "x_ngram_jaccard" -> (DedupQueries.ngramJaccard _),
+    "x_winnow_fingerprints" -> (DedupQueries.winnowFingerprints _),
+    "x_winnow_pairs" -> (DedupQueries.winnowPairs _),
     "x_split_assign" -> (DedupQueries.splitAssign _),
     "x_corpus_report" -> (DedupQueries.corpusReport _),
     "x_quality_sample" -> (DedupQueries.qualitySample _),
@@ -308,6 +312,8 @@ object SparkEntry {
          |FROM tf JOIN idf USING (term)
          |GROUP BY tf.doc_id
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "x_fts_boolean" -> ParityQueries.ftsBooleanOracle,
+    "x_fts_bm25" -> ParityQueries.ftsBm25Oracle,
     "q1_pricing_summary" -> AggQueries.pricingSummaryOracle,
     "q3_top_revenue_orders" -> AggQueries.topRevenueOrdersOracle,
     "q5_revenue_by_nation" -> AggQueries.revenueByNationOracle,
@@ -336,6 +342,8 @@ object SparkEntry {
     "x_simhash" -> DedupQueries.simhashFingerprintsOracle,
     "x_simhash_pairs" -> DedupQueries.simhashPairsOracle,
     "x_ngram_jaccard" -> DedupQueries.ngramJaccardOracle,
+    "x_winnow_fingerprints" -> DedupQueries.winnowFingerprintsOracle,
+    "x_winnow_pairs" -> DedupQueries.winnowPairsOracle,
     "x_split_assign" -> DedupQueries.splitAssignOracle,
     "x_corpus_report" -> DedupQueries.corpusReportOracle,
     "x_quality_sample" -> DedupQueries.qualitySampleOracle,

@@ -179,6 +179,47 @@ object MinHashKernel {
     }
     new GenericArrayData(mins)
   }
+
+  /** Winnowing selection (Schleimer–Wilkerson–Aiken, SIGMOD'03): over
+    * every window of `w` consecutive hashes, select the minimum —
+    * rightmost on ties — and record each selected POSITION once
+    * (1-based, ascending). Documents with fewer than `w` hashes use one
+    * window covering all of them. O(P) via a monotonic deque (back-pop
+    * on `>=` keeps the LATEST index among equal minima, which is
+    * exactly the rightmost-tie rule).
+    *
+    * Selections of overlapping windows form contiguous runs (a position
+    * inside two windows is inside every window between them), so
+    * "record on change" emits precisely the distinct selected set.
+    */
+  def winnowPositions(hashes: ArrayData, w: Int): ArrayData = {
+    val p = hashes.numElements()
+    if (p == 0) return new GenericArrayData(Array.emptyLongArray)
+    val we = math.min(w, p)
+    val h = new Array[Long](p)
+    var i = 0
+    while (i < p) { h(i) = hashes.getLong(i); i += 1 }
+    val out = new java.util.ArrayList[Long](2 * p / (we + 1) + 2)
+    val deque = new Array[Int](p)
+    var head = 0
+    var tail = 0
+    var last = -1
+    var e = 0
+    while (e < p) {
+      while (tail > head && h(deque(tail - 1)) >= h(e)) tail -= 1
+      deque(tail) = e; tail += 1
+      if (e >= we - 1) {
+        while (deque(head) < e - we + 1) head += 1
+        val m = deque(head)
+        if (m != last) { out.add((m + 1).toLong); last = m }
+      }
+      e += 1
+    }
+    val arr = new Array[Long](out.size)
+    i = 0
+    while (i < arr.length) { arr(i) = out.get(i); i += 1 }
+    new GenericArrayData(arr)
+  }
 }
 
 /** `stopword_hits(text, words)`: tokens of `text` that are members of
@@ -300,4 +341,26 @@ case class MinHashSig(child: Expression, numPerms: Int) extends UnaryExpression 
 object MinHashSig {
   def minhash_sig(hashes: Column, numPerms: Int): Column =
     GraftShim.column(MinHashSig(GraftShim.expression(hashes), numPerms))
+}
+
+/** `winnow_pos(hashes, w)` — see [[MinHashKernel.winnowPositions]]. */
+case class WinnowPos(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 2, "winnowing window must be >= 2")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.winnowPositions(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.MinHashKernel.winnowPositions($c, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowPos =
+    copy(child = newChild)
+}
+
+object WinnowPos {
+  def winnow_pos(hashes: Column, w: Int): Column =
+    GraftShim.column(WinnowPos(GraftShim.expression(hashes), w))
 }

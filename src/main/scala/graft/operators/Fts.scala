@@ -118,6 +118,139 @@ object Fts {
         countDistinct(col("term")).cast("long").as("terms_hit"))
   }
 
+  /** FTS5 phrase match: the quoted-`"a b c"` form — tokens adjacent and
+    * in order. Re-expressed as a substring test on the space-joined
+    * token stream (tokens never contain spaces, so ` a b c ` in
+    * ` tok1 tok2 ... ` is exactly token-adjacency): plain codegen'd
+    * string ops, no HOF fallback, no shuffle — the predicate rides the
+    * scan like [[matches]].
+    */
+  def phrase(cols: Seq[Column], phraseText: String): Column = {
+    val terms = phraseText.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    require(terms.nonEmpty, "empty FTS phrase")
+    val stream = concat(lit(" "), array_join(tokens(cols), " "), lit(" "))
+    stream.contains(" " + terms.mkString(" ") + " ")
+  }
+
+  /** FTS5-style boolean MATCH queries (reference `utils.py:434-438`
+    * passes the query through to SQLite's MATCH, which supports
+    * `AND`/`OR`/`NOT`, parentheses, quoted phrases, and implicit AND by
+    * juxtaposition — `sqlite.org/fts5.html#full_text_query_syntax`).
+    *
+    * Grammar (binding loosest→tightest, as FTS5):
+    * {{{
+    *   query   := and ( OR and )*
+    *   and     := not ( [AND] not )*          // juxtaposition = AND
+    *   not     := primary ( NOT primary )*    // binary: a NOT b
+    *   primary := '(' query ')' | '"'…'"' | term
+    * }}}
+    * Compiles to one Column predicate — stays inside whole-stage
+    * codegen, pushes down with the scan exactly like [[matches]].
+    */
+  def matchQuery(cols: Seq[Column], query: String): Column = {
+    // tokenizer: parens, quoted phrases, bare words (operators are the
+    // upper-case bare words AND/OR/NOT, as in FTS5)
+    val lexemes = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < query.length) query.charAt(i) match {
+      case c if c.isWhitespace => i += 1
+      case '(' | ')' => lexemes += query.charAt(i).toString; i += 1
+      case '"' =>
+        val end = query.indexOf('"', i + 1)
+        require(end > i, s"unterminated phrase in FTS query: $query")
+        lexemes += query.substring(i, end + 1); i = end + 1
+      case _ =>
+        val end = query.indexWhere(c => c.isWhitespace || c == '(' || c == ')' || c == '"', i)
+        val stop = if (end < 0) query.length else end
+        lexemes += query.substring(i, stop); i = stop
+    }
+    var pos = 0
+    def peek: Option[String] = if (pos < lexemes.length) Some(lexemes(pos)) else None
+    def next(): String = { val l = lexemes(pos); pos += 1; l }
+    def primary(): Column = next() match {
+      case "(" =>
+        val inner = orExpr()
+        require(peek.contains(")"), s"missing ')' in FTS query: $query"); next(); inner
+      case p if p.startsWith("\"") => phrase(cols, p.substring(1, p.length - 1))
+      case term => matches(cols, term)
+    }
+    def notExpr(): Column = {
+      var acc = primary()
+      while (peek.contains("NOT")) { next(); acc = acc && !primary() }
+      acc
+    }
+    def andExpr(): Column = {
+      var acc = notExpr()
+      while (peek.exists(l => l != ")" && l != "OR" && l != "NOT")) {
+        if (peek.contains("AND")) next()
+        acc = acc && notExpr()
+      }
+      acc
+    }
+    def orExpr(): Column = {
+      var acc = andExpr()
+      while (peek.contains("OR")) { next(); acc = acc || andExpr() }
+      acc
+    }
+    require(lexemes.nonEmpty, "empty FTS query")
+    val result = orExpr()
+    require(pos == lexemes.length, s"trailing tokens in FTS query: $query")
+    result
+  }
+
+  /** BM25-ranked MATCH — SQLite FTS5's actual ranking function
+    * (`bm25()`, k1=1.2 b=0.75), re-expressed in exact integer rationals
+    * so scores are bit-identical in any engine (same policy as
+    * [[rankedMatch]]'s scaled idf — no float logs, no division-order
+    * sensitivity):
+    *
+    *   - `avgdl_s = (Σ dl * 1000) div N` — corpus average doc length ×1000
+    *   - `idf_x(t) = ((2(N−df)+1) * 1000000) div (2·df+1)` — the
+    *     rational inside FTS5's `ln((N−df+0.5)/(df+0.5))`, ×1e6 without
+    *     the log (strictly monotone decreasing in df, which is the
+    *     ranking contract; the log only compresses the scale)
+    *   - tf saturation with k1=1.2, b=0.75 cleared of fractions:
+    *     `sat_x = 22000·tf·avgdl_s div (10·tf·avgdl_s + 3·avgdl_s + 9000·dl)`
+    *     ∈ (0, 2200] — exactly tf(k1+1)/(tf + k1(1−b+b·dl/avgdl)) ×1000
+    *   - `score = Σ_t idf_x(t) · sat_x(t)`
+    *
+    * All intermediates fit signed 64-bit for N ≤ 4e8 docs per ranking
+    * domain (idf_x ≤ 2e6·N; ×2200 < 2^63) — shard the idf domain above
+    * that. Plan: one corpus pass builds the term-filtered tf WITH the
+    * doc length riding alongside (no second per-doc join); a narrow
+    * rowid+length pass produces the single (N, Σdl) stats row that
+    * broadcasts into the tiny idf side; scoring is tf ⋈ broadcast(idf).
+    */
+  def bm25Match(
+      df: DataFrame, cols: Seq[String], query: String,
+      rowidCol: String = Rowid.ColName): DataFrame = {
+    val terms = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "empty FTS query")
+    val tf = df
+      .select(col(rowidCol), tokens(cols.map(col)).as("__toks"))
+      .select(col(rowidCol), size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(rowidCol), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .localCheckpoint(true) // feeds idf build AND scoring join
+    val stats = df
+      .select(size(tokens(cols.map(col))).cast("long").as("dl"))
+      .agg(count(lit(1)).cast("long").as("__n"), sum(col("dl")).as("__sumdl"))
+      .withColumn("avgdl_s", expr("(__sumdl * 1000) div __n"))
+    val idf = tf.groupBy(col("term"))
+      .agg(countDistinct(col(rowidCol)).cast("long").as("df"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_x", expr("((2 * (__n - df) + 1) * 1000000) div (2 * df + 1)"))
+      .select(col("term"), col("idf_x"), col("avgdl_s"))
+    tf.join(broadcast(idf), Seq("term"))
+      .withColumn("sat_x", expr(
+        "(22000 * tf * avgdl_s) div (10 * tf * avgdl_s + 3 * avgdl_s + 9000 * dl)"))
+      .groupBy(col(rowidCol))
+      .agg(sum(expr("idf_x * sat_x")).cast("long").as("score"),
+        countDistinct(col("term")).cast("long").as("terms_hit"))
+  }
+
   /** S9: FTS version probe. The reference tries FTS5→4→3 in :memory:
     * SQLite (`utils.py:362-371`); the native engine's index has FTS5-level
     * capability, so the probe is a constant.

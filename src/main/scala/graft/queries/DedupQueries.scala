@@ -1343,4 +1343,67 @@ object DedupQueries {
        |  agg.max_run
        |FROM tot JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
   }
+
+  // ---- winnowing fingerprints (MOSS; SIGMOD'03) --------------------
+
+  /** Winnowed (k=8, w=4) fingerprint selections over the first 50 docs
+    * ([[graft.operators.Winnow.fingerprints]]): per-row native deque
+    * selection, no shuffle. The oracle replays the selection as the
+    * per-window rightmost-min group-by with packed keys — a different
+    * spelling of the same function, pinned equivalent in WinnowSpec.
+    */
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).filter(col("doc_id") < 50)
+    graft.operators.Winnow.fingerprints(d, "doc_id", "text", k = 8, w = 4)
+      .orderBy("doc_id", "pos")
+  }
+
+  /** The winnowing selection in DuckDB: explode windows, group to the
+    * rightmost-min per window (packed key `h*4 + (we-1-offset)`),
+    * distinct selected (pos, fp).
+    */
+  private def winnowFpSql(sourceSql: String): String = {
+    val sh = DuckSql.shinglesFromTokens("toks", 8)
+    s"""base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, ${DuckSql.tokens("text")} AS toks
+       |  FROM ($sourceSql) src),
+       |hl AS (SELECT doc_id,
+       |    list_transform($sh, s -> CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT)) AS hs
+       |  FROM base),
+       |hh AS (SELECT doc_id, len(hs) AS p, least(4, len(hs)) AS we,
+       |    unnest(hs) AS h, generate_subscripts(hs, 1) AS pos FROM hl),
+       |ex AS (SELECT doc_id, pos, h, we, pos - o.o AS s
+       |  FROM hh CROSS JOIN (SELECT unnest(range(0, 4)) AS o) o
+       |  WHERE pos - o.o >= 1 AND pos - o.o <= p - we + 1),
+       |sel AS (SELECT doc_id, s, we, min(h * 4 + (we - 1 - (pos - s))) AS key
+       |  FROM ex GROUP BY doc_id, s, we),
+       |fps AS (SELECT DISTINCT doc_id,
+       |    CAST(s + we - 1 - (key % 4) AS BIGINT) AS pos,
+       |    CAST(key // 4 AS BIGINT) AS fp
+       |  FROM sel)""".stripMargin
+  }
+
+  val winnowFingerprintsOracle: String =
+    s"""WITH ${winnowFpSql("SELECT doc_id, text FROM documents WHERE doc_id < 50")}
+       |SELECT doc_id, pos, fp FROM fps ORDER BY doc_id, pos""".stripMargin
+
+  /** Document pairs sharing >= 6 distinct winnow fingerprints
+    * ([[graft.operators.Winnow.sharedPairs]]) — local-overlap
+    * detection: shared verbatim runs of k+w-1 = 11 tokens are
+    * guaranteed to surface. One fingerprint-keyed shuffle with the
+    * LSH-style bucket cap.
+    */
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    graft.operators.Winnow.sharedPairs(d, "doc_id", "text", k = 8, w = 4, minShared = 6L)
+      .orderBy("id_a", "id_b")
+  }
+
+  val winnowPairsOracle: String =
+    s"""WITH ${winnowFpSql("SELECT doc_id, text FROM documents")},
+       |dfp AS (SELECT DISTINCT doc_id, fp FROM fps)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(count(*) AS BIGINT) AS shared
+       |FROM dfp a JOIN dfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 6
+       |ORDER BY id_a, id_b""".stripMargin
 }

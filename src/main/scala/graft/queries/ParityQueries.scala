@@ -204,4 +204,67 @@ object ParityQueries {
       .select(col("rowid").cast(LongType).as("doc_id"))
       .orderBy("doc_id")
   }
+
+  /** S13 extension — FTS5 boolean MATCH syntax: quoted phrase,
+    * OR / NOT, parentheses ([[Fts.matchQuery]]). One codegen'd
+    * predicate on the scan, no shuffle.
+    */
+  def ftsBoolean(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    docs.filter(Fts.matchQuery(Seq(col("text")), """"table hash" OR (vector NOT stream)"""))
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val ftsBooleanOracle: String = {
+    val toks = DuckSql.tokens("text")
+    val stream = s"' ' || array_to_string($toks, ' ') || ' '"
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+       |FROM documents
+       |WHERE position(' table hash ' IN $stream) > 0
+       |   OR (list_contains($toks, 'vector') AND NOT list_contains($toks, 'stream'))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Extension — BM25-ranked FTS (FTS5's `bm25()` rank function,
+    * k1=1.2 b=0.75) in exact integer rationals ([[Fts.bm25Match]]).
+    */
+  def ftsBm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents").withColumnRenamed("doc_id", "rowid")
+    Fts.bm25Match(docs, Seq("text"), "spark vector hash")
+      .select(col("rowid").cast(LongType).as("doc_id"), col("score"), col("terms_hit"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val ftsBm25Oracle: String = {
+    val toks = DuckSql.tokens("text")
+    s"""WITH base AS (
+       |  SELECT doc_id, $toks AS toks FROM documents),
+       |stats AS (
+       |  SELECT count(*) AS n, CAST(sum(len(toks)) * 1000 // count(*) AS BIGINT) AS avgdl_s
+       |  FROM base),
+       |tf AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, term,
+       |    CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, toks, unnest(toks) AS term FROM base)
+       |  WHERE term IN ('spark', 'vector', 'hash')
+       |  GROUP BY doc_id, dl, term),
+       |idf AS (
+       |  SELECT term,
+       |    CAST(((2 * (s.n - count(DISTINCT doc_id)) + 1) * 1000000)
+       |         // (2 * count(DISTINCT doc_id) + 1) AS BIGINT) AS idf_x,
+       |    any_value(s.avgdl_s) AS avgdl_s
+       |  FROM tf CROSS JOIN stats s GROUP BY term, s.n),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    idf.idf_x * ((22000 * tf.tf * idf.avgdl_s)
+       |      // (10 * tf.tf * idf.avgdl_s + 3 * idf.avgdl_s + 9000 * tf.dl)) AS ts
+       |  FROM tf JOIN idf USING (term))
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(sum(ts) AS BIGINT) AS score,
+       |  CAST(count(DISTINCT term) AS BIGINT) AS terms_hit
+       |FROM scored GROUP BY doc_id
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
 }

@@ -75,4 +75,81 @@ class FtsSpec extends SparkSpec {
   test("fts version probe is constant FTS5 (utils.py:362-371)") {
     assert(Fts.bestFtsVersion === "FTS5")
   }
+
+  // --- FTS5 phrase / boolean query syntax (sqlite.org/fts5.html) ---
+
+  lazy val phraseDocs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "quick the brown fox"),      // terms present, order broken
+      (3L, "Quick Brown fox runs"),     // phrase at start, mixed case
+      (4L, "a fox quick brown"),        // phrase at end... no: "quick brown" at end
+      (5L, "slow red dog")
+    ).toDF("id", "txt")
+  }
+
+  test("phrase: adjacency and order required, case-insensitive") {
+    val hits = phraseDocs.filter(Fts.phrase(Seq(col("txt")), "quick brown"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(hits === Set(1L, 3L, 4L)) // 2 has both terms but not adjacent
+  }
+
+  test("phrase: single-term phrase equals term match; punctuation tokenizes away") {
+    val viaPhrase = phraseDocs.filter(Fts.phrase(Seq(col("txt")), "fox"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val viaMatch = phraseDocs.filter(Fts.matches(Seq(col("txt")), "fox"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(viaPhrase === viaMatch)
+    // "quick-brown" tokenizes to two adjacent terms, same as the phrase
+    val hyphen = phraseDocs.filter(Fts.phrase(Seq(col("txt")), "quick-brown"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(hyphen === Set(1L, 3L, 4L))
+  }
+
+  test("matchQuery: OR / NOT / parens / phrase with FTS5 precedence (NOT > AND > OR)") {
+    def ids(q: String): Set[Long] =
+      phraseDocs.filter(Fts.matchQuery(Seq(col("txt")), q))
+        .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids("\"quick brown\" OR dog") === Set(1L, 3L, 4L, 5L))
+    assert(ids("fox NOT jumps") === Set(2L, 3L, 4L))
+    assert(ids("quick brown") === Set(1L, 2L, 3L, 4L))            // implicit AND
+    assert(ids("quick AND brown") === ids("quick brown"))          // explicit AND
+    // NOT binds tighter than AND: fox NOT jumps brown = (fox NOT jumps) AND brown
+    assert(ids("fox NOT jumps brown") === Set(2L, 3L, 4L))
+    // parens override: fox NOT (jumps brown) still excludes only doc 1
+    assert(ids("fox NOT (jumps brown)") === Set(2L, 3L, 4L))
+    assert(ids("(dog OR jumps) runs") === Set.empty)
+    intercept[IllegalArgumentException](ids("\"unterminated phrase"))
+    intercept[IllegalArgumentException](ids("(missing close"))
+  }
+
+  test("bm25Match: hand-computed integer-rational scores on a tiny corpus") {
+    import spark.implicits._
+    // 3 docs; query term "fox": df=2, N=3; dl = 3, 4, 2; Σdl = 9
+    val docs = Seq(
+      (1L, "fox fox den"),       // tf=2, dl=3
+      (2L, "fox runs very far"), // tf=1, dl=4
+      (3L, "red dog")            // tf=0
+    ).toDF("rowid", "txt")
+    val got = Fts.bm25Match(docs, Seq("txt"), "fox")
+      .orderBy("rowid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // avgdl_s = 9*1000 div 3 = 3000
+    // idf_x = ((2*(3-2)+1) * 1e6) div (2*2+1) = 3e6 div 5 = 600000
+    // doc1: sat = 22000*2*3000 div (10*2*3000 + 3*3000 + 9000*3) = 132e6 div 96000 = 1375
+    // doc2: sat = 22000*1*3000 div (10*1*3000 + 3*3000 + 9000*4) = 66e6 div 75000 = 880
+    assert(got === Array((1L, 600000L * 1375, 1L), (2L, 600000L * 880, 1L)))
+  }
+
+  test("bm25Match: rarer terms outscore common ones at equal tf (idf monotonicity)") {
+    import spark.implicits._
+    val docs = (1L to 20L).map { i =>
+      val rare = if (i == 1) " zebra" else ""
+      (i, s"common words here$rare")
+    }.toDF("rowid", "txt")
+    val score = (t: String) => Fts.bm25Match(docs, Seq("txt"), t)
+      .filter(col("rowid") === 1L).collect()(0).getLong(1)
+    assert(score("zebra") > score("common"))
+  }
 }

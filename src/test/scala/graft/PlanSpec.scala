@@ -185,6 +185,8 @@ class PlanSpec extends SparkSpec {
       "x_kmv_set_ops",                         // (b) four 1-row sketch scalars
       "x_negative_samples",                    // (b) 1-row corpus-N scalar into offsets
       "x_fts_ranked", "x_temperature_sample",
+      "x_passage_rank",                        // chunk-granular reuse of rankedMatch's N scalar
+      "x_fts_bm25",                            // (b) 1-row (N, Σdl) stats scalar into idf
       "x_freq_score", "x_embed_quantize",
       "x_mixture_sample",
       "x_tfidf_topk",                          // corpus-N scalar into idf
