@@ -186,6 +186,8 @@ object SparkEntry {
     "x_ann_ivf" -> (SimilarityQueries.annIvf _),
     "x_ann_recall" -> (SimilarityQueries.annRecall _),
     "x_matryoshka_recall" -> (SimilarityQueries.matryoshkaRecall _),
+    "x_rand_project" -> (SimilarityQueries.randProject _),
+    "x_rp_recall" -> (SimilarityQueries.rpRecall _),
     "x_ann_lsh" -> (SimilarityQueries.annLsh _),
     "x_embed_neardups" -> (SimilarityQueries.embedNearDups _),
     "x_embed_centroids" -> (SimilarityQueries.embedCentroids _),
@@ -439,6 +441,8 @@ object SparkEntry {
     "x_ann_ivf" -> SimilarityQueries.annIvfOracle,
     "x_ann_recall" -> SimilarityQueries.annRecallOracle,
     "x_matryoshka_recall" -> SimilarityQueries.matryoshkaRecallOracle,
+    "x_rand_project" -> SimilarityQueries.randProjectOracle,
+    "x_rp_recall" -> SimilarityQueries.rpRecallOracle,
     "x_ann_lsh" -> SimilarityQueries.annLshOracle,
     "x_embed_neardups" -> SimilarityQueries.embedNearDupsOracle,
     "x_embed_centroids" -> SimilarityQueries.embedCentroidsOracle,

@@ -74,6 +74,27 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"), col("cosine"))
   }
 
+  /** [[bruteForceTopK]] over vectors that are ALREADY exact integers
+    * (quantized, truncated, or sign-projected) — same scoring, ranking
+    * and tie order, minus the ×1000 quantization step.
+    */
+  def bruteForceTopKInt(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).cast(LongType).as("c_id"),
+      col(vecCol).as("c_q"))
+      .withColumn("c_n2", inorm2(col("c_q")))
+    val q = broadcast(queries.select(col(idCol).cast(LongType).as("q_id"),
+      col(vecCol).as("q_q"))
+      .withColumn("q_n2", inorm2(col("q_q"))))
+    val scored = c.join(q, col("c_id") =!= col("q_id"))
+      .withColumn("cosine", cosine(idot(col("c_q"), col("q_q")), col("c_n2"), col("q_n2")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"), col("cosine"))
+  }
+
   /** A driver-resident centroid: cluster id, integer component sums,
     * squared norm. k×dim longs by definition — collecting these is how
     * k-means drivers work on real clusters too, and it lets every

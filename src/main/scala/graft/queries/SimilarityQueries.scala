@@ -455,4 +455,90 @@ object SimilarityQueries {
        |  CAST(n_overlap * 200000 AS BIGINT) AS recall_ppm
        |FROM u ORDER BY dim, q_id""".stripMargin
   }
+
+  // ---- Johnson–Lindenstrauss sign projection -----------------------
+
+  /** JL sign projection 64→16 over the first 50 vectors
+    * ([[graft.operators.RandomProjection]]): exact integer projections
+    * from the hash-derived ±1 matrix, flattened to (vec_id, k, y).
+    */
+  def randProject(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.RandomProjection.projectRows(
+      embSmall(spark, dir).filter(col("vec_id") < 50),
+      "vec_id", "embedding", outDim = 16)
+      .orderBy("vec_id", "k")
+
+  /** The hash-derived sign matrix + flattened quantized dims, in SQL. */
+  private def projCte(corpusFilter: String): String = {
+    val h = graft.functions.PortableHash.duckdbHash60(
+      "'rp:' || CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)")
+    s"""sg AS (SELECT j.j AS j, k.k AS k,
+       |    CASE WHEN ($h) % 2 = 0 THEN 1 ELSE -1 END AS s
+       |  FROM (SELECT unnest(range(0, 64)) AS j) j
+       |  CROSS JOIN (SELECT unnest(range(0, 16)) AS k) k),
+       |d AS (SELECT id, i - 1 AS j, qv[i] AS x
+       |  FROM q CROSS JOIN unnest(range(1, 65)) AS t(i) $corpusFilter),
+       |p AS (SELECT id, k, CAST(sum(s * x) AS BIGINT) AS y
+       |  FROM d JOIN sg USING (j) GROUP BY id, k)""".stripMargin
+  }
+
+  val randProjectOracle: String =
+    s"""WITH $quantCte,
+       |${projCte("WHERE id < 50")}
+       |SELECT id AS vec_id, CAST(k AS BIGINT) AS k, y
+       |FROM p ORDER BY vec_id, k""".stripMargin
+
+  /** JL projection quality audit: top-5 recall in the 16-dim projected
+    * space against the exact 64-dim top-5 — the measured answer to
+    * "how much recall does 4x index compression cost". Corpus
+    * projections are one narrow native pass; both rankings are the
+    * standard broadcast-queries brute-force shape.
+    */
+  def rpRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val qs = embSmall(spark, dir).filter(col("vec_id") < 10)
+    val full = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", k = 5)
+      .select(col("q_id"), col("neighbor_id"))
+    val proj = Similarity.bruteForceTopKInt(
+      graft.operators.RandomProjection.projectVecs(e, "vec_id", "embedding", 16),
+      graft.operators.RandomProjection.projectVecs(qs, "vec_id", "embedding", 16),
+      "vec_id", "yv", k = 5)
+      .select(col("q_id"), col("neighbor_id"))
+    val qIds = qs.select(col("vec_id").cast(LongType).as("q_id"))
+    val overlap = proj.join(full, Seq("q_id", "neighbor_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+    qIds.join(overlap, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_overlap"), lit(0L)).cast(LongType).as("n_overlap"))
+      .withColumn("recall_ppm", (col("n_overlap") * 200000L).cast(LongType))
+      .orderBy("q_id")
+  }
+
+  val rpRecallOracle: String = {
+    val pdot = "CAST(list_sum(list_transform(range(1, 17), i -> c.yv[i] * qq.yv[i])) AS BIGINT)"
+    val pn2 = (a: String) => s"CAST(list_sum(list_transform(range(1, 17), i -> $a.yv[i] * $a.yv[i])) AS BIGINT)"
+    val fdot = "CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * qq.qv[i])) AS BIGINT)"
+    val fn2 = (a: String) => s"CAST(list_sum(list_transform(range(1, 65), i -> $a.qv[i] * $a.qv[i])) AS BIGINT)"
+    s"""WITH $quantCte,
+       |${projCte("")},
+       |pv AS (SELECT id, list(y ORDER BY k) AS yv FROM p GROUP BY id),
+       |full5 AS (SELECT q_id, c_id FROM (
+       |  SELECT qq.id AS q_id, c.id AS c_id,
+       |    row_number() OVER (PARTITION BY qq.id
+       |      ORDER BY ${duckCos(fdot, fn2("c"), fn2("qq"))} DESC, c.id) AS rank
+       |  FROM q c JOIN q qq ON qq.id < 10 AND c.id <> qq.id)
+       |  WHERE rank <= 5),
+       |proj5 AS (SELECT q_id, c_id FROM (
+       |  SELECT qq.id AS q_id, c.id AS c_id,
+       |    row_number() OVER (PARTITION BY qq.id
+       |      ORDER BY ${duckCos(pdot, pn2("c"), pn2("qq"))} DESC, c.id) AS rank
+       |  FROM pv c JOIN pv qq ON qq.id < 10 AND c.id <> qq.id)
+       |  WHERE rank <= 5),
+       |qi AS (SELECT DISTINCT id AS q_id FROM q WHERE id < 10),
+       |o AS (SELECT t.q_id, count(*) AS n FROM proj5 t JOIN full5 f
+       |  ON f.q_id = t.q_id AND f.c_id = t.c_id GROUP BY t.q_id)
+       |SELECT qi.q_id, CAST(coalesce(o.n, 0) AS BIGINT) AS n_overlap,
+       |  CAST(coalesce(o.n, 0) * 200000 AS BIGINT) AS recall_ppm
+       |FROM qi LEFT JOIN o ON o.q_id = qi.q_id ORDER BY qi.q_id""".stripMargin
+  }
 }

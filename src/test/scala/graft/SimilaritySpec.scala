@@ -138,4 +138,48 @@ class SimilaritySpec extends SparkSpec {
     assert(loaded === trained,
       "assignment from the persisted model must equal in-session k-means output")
   }
+
+  // ---- JL sign projection ------------------------------------------
+
+  test("sign projection: matrix is hash-derived and the kernel matches a manual dot") {
+    import graft.expressions.{MinHashKernel, SignProjectKernel}
+    val mat = SignProjectKernel.matrix(3, 4)
+    for (k <- 0 until 4; j <- 0 until 3) {
+      val expect = if (MinHashKernel.hash60(s"rp:$j:$k") % 2 == 0) 1L else -1L
+      assert(mat(k)(j) === expect)
+    }
+    val out = graft.operators.RandomProjection
+      .projectVecs(vectors.filter($"vec_id" === 0), "vec_id", "embedding",
+        outDim = 4, inDim = 3)
+      .collect()(0).getSeq[Long](1)
+    // vec 0 quantizes to (1000, 0, 0) — projection = 1000 * sign(0, k)
+    assert(out === (0 until 4).map(k => 1000L * mat(k)(0)))
+  }
+
+  test("sign projection: opposite vectors project to opposite points (linearity)") {
+    val p = graft.operators.RandomProjection
+      .projectVecs(vectors, "vec_id", "embedding", outDim = 8, inDim = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(p(5L) === p(0L).map(-_)) // vec 5 = -vec 0
+    assert(p(0L).length === 8)
+  }
+
+  test("bruteForceTopKInt on pre-quantized vectors equals bruteForceTopK on floats") {
+    import graft.expressions.QuantizeVec
+    val qv = vectors.select($"vec_id", QuantizeVec.quantize_vec($"embedding").as("qv"))
+    val viaInt = Similarity.bruteForceTopKInt(qv, qv.filter($"vec_id" < 2),
+      "vec_id", "qv", k = 3).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val viaFloat = Similarity.bruteForceTopK(vectors, vectors.filter($"vec_id" < 2),
+      "vec_id", "embedding", k = 3).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(viaInt.sortBy(t => (t._1, t._2)) === viaFloat.sortBy(t => (t._1, t._2)))
+  }
+
+  test("short vectors project their prefix (missing dims contribute zero)") {
+    val two = Seq((0L, Array(0.5f, -0.5f))).toDF("vec_id", "embedding")
+    val out = graft.operators.RandomProjection
+      .projectVecs(two, "vec_id", "embedding", outDim = 4, inDim = 3)
+      .collect()(0).getSeq[Long](1)
+    val mat = graft.expressions.SignProjectKernel.matrix(3, 4)
+    assert(out === (0 until 4).map(k => 500L * mat(k)(0) - 500L * mat(k)(1)))
+  }
 }
