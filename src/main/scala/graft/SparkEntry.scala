@@ -167,6 +167,7 @@ object SparkEntry {
     "x_rank_fusion" -> (AnalyticsQueries.rankFusion _),
     "x_events_latest" -> (EventQueries.eventsLatest _),
     "x_events_dense_hourly" -> (EventQueries.denseHourly _),
+    "x_kmv_sliding" -> (EventQueries.kmvSliding _),
     "x_winsor_means" -> (AnalyticsQueries.winsorMeans _),
     "x_token_cdf" -> (AnalyticsQueries.tokenCdf _),
     "x_dedup_recall" -> (AnalyticsQueries.dedupRecall _),
@@ -188,6 +189,8 @@ object SparkEntry {
     "x_matryoshka_recall" -> (SimilarityQueries.matryoshkaRecall _),
     "x_rand_project" -> (SimilarityQueries.randProject _),
     "x_rp_recall" -> (SimilarityQueries.rpRecall _),
+    "x_pq_codes" -> (SimilarityQueries.pqCodes _),
+    "x_pq_recall" -> (SimilarityQueries.pqRecall _),
     "x_ann_lsh" -> (SimilarityQueries.annLsh _),
     "x_embed_neardups" -> (SimilarityQueries.embedNearDups _),
     "x_embed_centroids" -> (SimilarityQueries.embedCentroids _),
@@ -427,6 +430,7 @@ object SparkEntry {
     "x_rank_fusion" -> AnalyticsQueries.rankFusionOracle,
     "x_events_latest" -> EventQueries.eventsLatestOracle,
     "x_events_dense_hourly" -> EventQueries.denseHourlyOracle,
+    "x_kmv_sliding" -> EventQueries.kmvSlidingOracle,
     "x_winsor_means" -> AnalyticsQueries.winsorMeansOracle,
     "x_token_cdf" -> AnalyticsQueries.tokenCdfOracle,
     "x_dedup_recall" -> AnalyticsQueries.dedupRecallOracle,
@@ -443,6 +447,8 @@ object SparkEntry {
     "x_matryoshka_recall" -> SimilarityQueries.matryoshkaRecallOracle,
     "x_rand_project" -> SimilarityQueries.randProjectOracle,
     "x_rp_recall" -> SimilarityQueries.rpRecallOracle,
+    "x_pq_codes" -> SimilarityQueries.pqCodesOracle,
+    "x_pq_recall" -> SimilarityQueries.pqRecallOracle,
     "x_ann_lsh" -> SimilarityQueries.annLshOracle,
     "x_embed_neardups" -> SimilarityQueries.embedNearDupsOracle,
     "x_embed_centroids" -> SimilarityQueries.embedCentroidsOracle,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.operators.{AsOf, Multimodal, Similarity}
+import graft.operators.{AsOf, Kmv, Multimodal, Similarity}
 import graft.streaming.EventWindows
 
 /** Graded queries over `events` (event-time windowing, sessionization)
@@ -798,5 +798,79 @@ object EventQueries {
        |  FROM scored)
        |SELECT q_id, rank, c_id AS neighbor_id, cosine
        |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  }
+
+  // ---- sliding distinct users via KMV sketch algebra ---------------
+
+  /** Sliding 3-hour distinct-user estimates computed by MERGING
+    * per-hour KMV sketches (k=8), not by re-scanning raw events per
+    * window — the sketch-algebra pattern that makes rolling distinct
+    * counts affordable at 100 TB (O(k) sketch rows per hour cross the
+    * window explode, not the raw events; mergeability is exact —
+    * bottom-k of a union of bottom-k sets IS the union's bottom-k, so
+    * the merged estimate equals a direct per-window sketch; Agarwal et
+    * al., PODS'12). An exact per-window audit (the definitional raw 3x
+    * explode) rides along with a signed ppm error.
+    *
+    * `err_ppm = est*1e6 div exact - 1e6` keeps the integer division on
+    * positive operands — Spark `div` truncates while DuckDB `//`
+    * floors, so a negative numerator would diverge cross-engine.
+    */
+  def kmvSliding(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 8
+    val ev = events(spark, dir)
+      .select(expr("CAST(ts AS BIGINT) div 3600").as("hr"), col("user_id"))
+    val hourly = ev.select(col("hr"), Kmv.hash30(col("user_id")).as("h")).distinct()
+    val hw = Window.partitionBy(col("hr")).orderBy(col("h"))
+    val sk = hourly.withColumn("rk", row_number().over(hw)).filter(col("rk") <= k)
+      .select(col("hr"), col("h"))
+    val contrib = sk
+      .select(explode(sequence(col("hr") - 2, col("hr"))).as("win"), col("h"))
+      .distinct()
+    val ww = Window.partitionBy(col("win")).orderBy(col("h"))
+    val merged = contrib.withColumn("rk", row_number().over(ww)).filter(col("rk") <= k)
+      .groupBy(col("win"))
+      .agg(max(col("rk")).cast(LongType).as("k_seen"), max(col("h")).as("kth_min"))
+      .withColumn("est_distinct",
+        when(col("k_seen") < k, col("k_seen"))
+          .otherwise(expr(s"(${k - 1} * ${Kmv.HashDomain}L) div greatest(kth_min, 1L)"))
+          .cast(LongType))
+    val exact = ev
+      .select(explode(sequence(col("hr") - 2, col("hr"))).as("win"), col("user_id"))
+      .groupBy(col("win"))
+      .agg(countDistinct(col("user_id")).cast(LongType).as("exact_distinct"))
+    merged.join(exact, "win")
+      .withColumn("err_ppm",
+        expr("est_distinct * 1000000 div exact_distinct - 1000000"))
+      .select(col("win").cast(LongType).as("win"), col("k_seen"), col("kth_min"),
+        col("est_distinct"), col("exact_distinct"), col("err_ppm"))
+      .orderBy("win")
+  }
+
+  val kmvSlidingOracle: String = {
+    val h30 = s"(${graft.functions.PortableHash.duckdbHash60("CAST(user_id AS VARCHAR)")}) // ${Kmv.HashDomain}"
+    s"""WITH ev AS (SELECT epoch_ms(ts) // 1000 // 3600 AS hr, user_id FROM events),
+       |hourly AS (SELECT DISTINCT hr, $h30 AS h FROM ev),
+       |sk AS (SELECT hr, h FROM (SELECT hr, h,
+       |    row_number() OVER (PARTITION BY hr ORDER BY h) AS rk FROM hourly)
+       |  WHERE rk <= 8),
+       |contrib AS (SELECT DISTINCT win, h FROM (
+       |  SELECT unnest(range(hr - 2, hr + 1)) AS win, h FROM sk) t),
+       |merged AS (SELECT win,
+       |    CAST(max(rk) AS BIGINT) AS k_seen, CAST(max(h) AS BIGINT) AS kth_min,
+       |    CAST(CASE WHEN max(rk) < 8 THEN max(rk)
+       |         ELSE (CAST(7 AS BIGINT) * CAST(${Kmv.HashDomain} AS BIGINT))
+       |           // greatest(max(h), 1) END AS BIGINT) AS est_distinct
+       |  FROM (SELECT win, h,
+       |      row_number() OVER (PARTITION BY win ORDER BY h) AS rk FROM contrib)
+       |  WHERE rk <= 8 GROUP BY win),
+       |ex AS (SELECT win, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+       |  FROM (SELECT unnest(range(hr - 2, hr + 1)) AS win, user_id FROM ev) t
+       |  GROUP BY win)
+       |SELECT CAST(m.win AS BIGINT) AS win, k_seen, kth_min, est_distinct,
+       |  exact_distinct,
+       |  CAST(est_distinct * 1000000 // exact_distinct - 1000000 AS BIGINT) AS err_ppm
+       |FROM merged m JOIN ex ON ex.win = m.win ORDER BY win""".stripMargin
   }
 }

@@ -541,4 +541,122 @@ object SimilarityQueries {
        |  CAST(coalesce(o.n, 0) * 200000 AS BIGINT) AS recall_ppm
        |FROM qi LEFT JOIN o ON o.q_id = qi.q_id ORDER BY qi.q_id""".stripMargin
   }
+
+  // ---- product quantization (PQ; Jégou et al. 2011) ----------------
+
+  /** PQ codes — m=8 subspaces, k=16 entries, 2 Lloyd iterations
+    * ([[graft.operators.ProductQuantize]]): each 64-dim vector becomes
+    * 8 small codes (8·log2(16) = 4 bytes), the billion-scale ANN
+    * compression step. Exact spherical integer k-means per subspace,
+    * all subspaces trained in one pass per iteration.
+    */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val model = graft.operators.ProductQuantize
+      .train(e, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+    graft.operators.ProductQuantize.encode(e, "vec_id", "embedding", model)
+      .orderBy("vec_id", "sub")
+  }
+
+  /** Unrolled per-subspace Lloyd (init = first 16 ids' subvectors; 2
+    * iterations; integer-sum centroids; cosine, ties to lowest
+    * cluster) — [[SimilarityQueries.kmeansClustersOracle]]'s shape with
+    * `sub` as an extra grouping key throughout. `paf` = final codes,
+    * `pc2` = final codebooks.
+    */
+  private val pqCte: String = {
+    def subCos(sv: String, cent: String, sn: String, cn: String) = duckCos(
+      s"CAST(list_sum(list_transform(range(1, 9), t -> $sv[t] * $cent[t])) AS BIGINT)", sn, cn)
+    def assignCte(name: String, centName: String) =
+      s"""$name AS (SELECT id, sub, sv, sn2, cluster FROM (
+         |  SELECT s.id, s.sub, s.sv, s.sn2, c.cluster,
+         |    row_number() OVER (PARTITION BY s.id, s.sub ORDER BY
+         |      ${subCos("s.sv", "c.cent", "s.sn2", "c.n2x")} DESC, c.cluster) AS rk
+         |  FROM sq s JOIN $centName c ON c.sub = s.sub)
+         |  WHERE rk = 1)""".stripMargin
+    def centCte(name: String, aName: String) =
+      s"""$name AS (SELECT sub, cluster, cent,
+         |    CAST(list_sum(list_transform(range(1, 9), t -> cent[t] * cent[t])) AS BIGINT) AS n2x
+         |  FROM (SELECT sub, cluster, array_agg(CAST(s2 AS BIGINT) ORDER BY pos) AS cent
+         |    FROM (SELECT sub, cluster, p.p AS pos, sum(sv[p.p]) AS s2
+         |      FROM $aName CROSS JOIN (SELECT unnest(range(1, 9)) AS p) p
+         |      GROUP BY sub, cluster, p.p) t1 GROUP BY sub, cluster) t2)""".stripMargin
+    s"""sq AS (SELECT id, s.s AS sub, qv[s.s*8+1 : s.s*8+8] AS sv,
+       |    CAST(list_sum(list_transform(range(1, 9), t -> qv[s.s*8+t] * qv[s.s*8+t])) AS BIGINT) AS sn2
+       |  FROM q CROSS JOIN (SELECT unnest(range(0, 8)) AS s) s),
+       |cent0 AS (SELECT sub, id AS cluster, sv AS cent, sn2 AS n2x FROM sq WHERE id < 16),
+       |${assignCte("pa1", "cent0")},
+       |${centCte("pc1", "pa1")},
+       |${assignCte("pa2", "pc1")},
+       |${centCte("pc2", "pa2")},
+       |${assignCte("paf", "pc2")}""".stripMargin
+  }
+
+  val pqCodesOracle: String =
+    s"""WITH $quantCte,
+       |$pqCte
+       |SELECT CAST(id AS BIGINT) AS vec_id, CAST(sub AS BIGINT) AS sub,
+       |  CAST(cluster AS BIGINT) AS code
+       |FROM paf ORDER BY vec_id, sub""".stripMargin
+
+  /** PQ quality audit: asymmetric-distance top-5 (exact queries vs
+    * reconstructed corpus — `dot(concat(c_i), q) = Σ_i dot(c_i, q_i)`)
+    * against the exact 64-dim top-5. The decoded corpus is pure per-row
+    * compute; ranking is the standard broadcast-queries shape.
+    */
+  def pqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val qs = embSmall(spark, dir).filter(col("vec_id") < 10)
+    val model = graft.operators.ProductQuantize
+      .train(e, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+    val dec = graft.operators.ProductQuantize
+      .decode(e, "vec_id", "embedding", model)
+      .select(col("vec_id"), col("rv").as("v"))
+    val qq = qs.select(col("vec_id"),
+      graft.expressions.QuantizeVec.quantize_vec(col("embedding")).as("v"))
+    val approx = Similarity.bruteForceTopKInt(dec, qq, "vec_id", "v", k = 5)
+      .select(col("q_id"), col("neighbor_id"))
+    val full = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", k = 5)
+      .select(col("q_id"), col("neighbor_id"))
+    val qIds = qs.select(col("vec_id").cast(LongType).as("q_id"))
+    val overlap = approx.join(full, Seq("q_id", "neighbor_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+    qIds.join(overlap, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_overlap"), lit(0L)).cast(LongType).as("n_overlap"))
+      .withColumn("recall_ppm", (col("n_overlap") * 200000L).cast(LongType))
+      .orderBy("q_id")
+  }
+
+  val pqRecallOracle: String = {
+    val rdot = "CAST(list_sum(list_transform(range(1, 65), i -> c.rv[i] * qq.qv[i])) AS BIGINT)"
+    val fdot = "CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * qq.qv[i])) AS BIGINT)"
+    val fn2 = (a: String) => s"CAST(list_sum(list_transform(range(1, 65), i -> $a.qv[i] * $a.qv[i])) AS BIGINT)"
+    s"""WITH $quantCte,
+       |$pqCte,
+       |rv AS (SELECT a.id, flatten(list(c.cent ORDER BY c.sub)) AS rv
+       |  FROM paf a JOIN pc2 c ON c.sub = a.sub AND c.cluster = a.cluster
+       |  GROUP BY a.id),
+       |rn AS (SELECT id, rv,
+       |  CAST(list_sum(list_transform(range(1, 65), i -> rv[i] * rv[i])) AS BIGINT) AS rn2
+       |  FROM rv),
+       |full5 AS (SELECT q_id, c_id FROM (
+       |  SELECT qq.id AS q_id, c.id AS c_id,
+       |    row_number() OVER (PARTITION BY qq.id
+       |      ORDER BY ${duckCos(fdot, fn2("c"), fn2("qq"))} DESC, c.id) AS rank
+       |  FROM q c JOIN q qq ON qq.id < 10 AND c.id <> qq.id)
+       |  WHERE rank <= 5),
+       |adc5 AS (SELECT q_id, c_id FROM (
+       |  SELECT qq.id AS q_id, c.id AS c_id,
+       |    row_number() OVER (PARTITION BY qq.id
+       |      ORDER BY ${duckCos(rdot, "c.rn2", fn2("qq"))} DESC, c.id) AS rank
+       |  FROM rn c JOIN q qq ON qq.id < 10 AND c.id <> qq.id)
+       |  WHERE rank <= 5),
+       |qi AS (SELECT DISTINCT id AS q_id FROM q WHERE id < 10),
+       |o AS (SELECT t.q_id, count(*) AS n FROM adc5 t JOIN full5 f
+       |  ON f.q_id = t.q_id AND f.c_id = t.c_id GROUP BY t.q_id)
+       |SELECT qi.q_id, CAST(coalesce(o.n, 0) AS BIGINT) AS n_overlap,
+       |  CAST(coalesce(o.n, 0) * 200000 AS BIGINT) AS recall_ppm
+       |FROM qi LEFT JOIN o ON o.q_id = qi.q_id ORDER BY qi.q_id""".stripMargin
+  }
 }

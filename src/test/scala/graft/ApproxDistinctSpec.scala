@@ -49,4 +49,24 @@ class ApproxDistinctSpec extends SparkSpec {
       .collect()(0)
     assert(e.toSeq === e2.toSeq)
   }
+
+  test("sliding KMV merge equals a direct per-window sketch (exact mergeability)") {
+    // x_kmv_sliding merges per-hour bottom-k sketches into 3-hour
+    // windows; mergeability must be EXACT — the merged (k_seen,
+    // kth_min, est) per window equals distinctSketch run directly on
+    // the window's raw rows.
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val merged = graft.queries.EventQueries.kmvSliding(spark, dir)
+      .select("win", "k_seen", "kth_min", "est_distinct")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val raw = graft.Tables.load(spark, dir, "events")
+      .select(expr("CAST(ts AS BIGINT) div 3600").as("hr"), col("user_id"))
+      .select(explode(sequence(col("hr") - 2, col("hr"))).as("win"), col("user_id"))
+    val direct = graft.operators.Kmv.distinctSketch(raw, "win", "user_id", k = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(merged === direct)
+    // the estimate path is actually exercised (some window overflows k)
+    assert(merged.values.exists(_._1 === 8L), "no window filled the sketch")
+  }
 }

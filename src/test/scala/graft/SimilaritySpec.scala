@@ -182,4 +182,64 @@ class SimilaritySpec extends SparkSpec {
     val mat = graft.expressions.SignProjectKernel.matrix(3, 4)
     assert(out === (0 until 4).map(k => 500L * mat(k)(0) - 500L * mat(k)(1)))
   }
+
+  // ---- product quantization ----------------------------------------
+
+  import graft.operators.ProductQuantize
+
+  lazy val pqVectors = {
+    // 6 vectors of dim 4 = 2 subspaces x 2 dims; two tight groups per
+    // subspace so k=2 training separates them
+    Seq(
+      (0L, Array(1.0f, 0.1f, 0.0f, 1.0f)),
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.1f)),
+      (2L, Array(0.9f, 0.2f, 0.1f, 0.9f)),   // near 0 in both subspaces
+      (3L, Array(0.1f, 0.9f, 0.9f, 0.2f)),   // near 1 in both subspaces
+      (4L, Array(1.0f, 0.0f, 0.95f, 0.0f)),  // sub0 near 0, sub1 near 1
+      // no two subvectors parallel: spherical codebooks merge parallel
+      // subvectors by design (cosine can't tell them apart)
+      (5L, Array(0.05f, 1.0f, 0.05f, 0.95f)) // sub0 near 1, sub1 near 0
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("PQ codes: m rows per vector, codes are cluster ids, groups split as planted") {
+    val model = ProductQuantize.train(pqVectors, "vec_id", "embedding",
+      m = 2, k = 2, iters = 2, dim = 4)
+    val codes = ProductQuantize.encode(pqVectors, "vec_id", "embedding", model, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(codes.length === 12) // 6 vectors x 2 subspaces
+    val bySub = codes.groupBy(_._2).view.mapValues(_.map(c => c._1 -> c._3).toMap).toMap
+    // subspace 0: {0,2,4} together, {1,3,5} together
+    assert(bySub(0L)(0L) === bySub(0L)(2L) && bySub(0L)(2L) === bySub(0L)(4L))
+    assert(bySub(0L)(1L) === bySub(0L)(3L) && bySub(0L)(3L) === bySub(0L)(5L))
+    assert(bySub(0L)(0L) !== bySub(0L)(1L))
+    // subspace 1: {0,2,5} together, {1,3,4} together
+    assert(bySub(1L)(0L) === bySub(1L)(2L) && bySub(1L)(2L) === bySub(1L)(5L))
+    assert(bySub(1L)(1L) === bySub(1L)(3L) && bySub(1L)(3L) === bySub(1L)(4L))
+    assert(bySub(1L)(0L) !== bySub(1L)(1L))
+  }
+
+  test("PQ decode reconstructs each vector as its codebook entries, concatenated") {
+    val model = ProductQuantize.train(pqVectors, "vec_id", "embedding",
+      m = 2, k = 2, iters = 2, dim = 4)
+    val cents = model.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+    val codes = ProductQuantize.encode(pqVectors, "vec_id", "embedding", model, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val dec = ProductQuantize.decode(pqVectors, "vec_id", "embedding", model, dim = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for (id <- 0L to 5L)
+      assert(dec(id) === cents((0L, codes((id, 0L)))) ++ cents((1L, codes((id, 1L)))))
+  }
+
+  test("PQ with k = n vectors is lossless: every vector is its own codebook entry") {
+    val model = ProductQuantize.train(pqVectors, "vec_id", "embedding",
+      m = 2, k = 6, iters = 1, dim = 4)
+    val dec = ProductQuantize.decode(pqVectors, "vec_id", "embedding", model, dim = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val qv = pqVectors.select($"vec_id",
+      graft.expressions.QuantizeVec.quantize_vec($"embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for (id <- 0L to 5L) assert(dec(id) === qv(id), s"vec $id not lossless")
+  }
 }
