@@ -54,6 +54,7 @@ object SparkEntry {
     "x_fts_ranked" -> (ParityQueries.ftsRanked _),
     "x_fts_boolean" -> (ParityQueries.ftsBoolean _),
     "x_fts_bm25" -> (ParityQueries.ftsBm25 _),
+    "x_fts_snippet" -> (ParityQueries.ftsSnippet _),
     // headline agg/join workloads
     "q1_pricing_summary" -> (AggQueries.pricingSummary _),
     "q3_top_revenue_orders" -> (AggQueries.topRevenueOrders _),
@@ -150,6 +151,7 @@ object SparkEntry {
     "x_chat_validate" -> (CurationQueries.chatValidate _),
     "x_passage_rank" -> (CurationQueries.passageRank _),
     "x_curation_by_source" -> (CurationQueries.curationBySource _),
+    "x_blocklist" -> (CurationQueries.blocklist _),
     "x_semdedup" -> (SimilarityQueries.semDedup _),
     // extensions: corpus analytics (round 6)
     "x_kmv_distinct" -> (AnalyticsQueries.kmvDistinct _),
@@ -319,6 +321,7 @@ object SparkEntry {
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "x_fts_boolean" -> ParityQueries.ftsBooleanOracle,
     "x_fts_bm25" -> ParityQueries.ftsBm25Oracle,
+    "x_fts_snippet" -> ParityQueries.ftsSnippetOracle,
     "q1_pricing_summary" -> AggQueries.pricingSummaryOracle,
     "q3_top_revenue_orders" -> AggQueries.topRevenueOrdersOracle,
     "q5_revenue_by_nation" -> AggQueries.revenueByNationOracle,
@@ -414,6 +417,7 @@ object SparkEntry {
     "x_chat_validate" -> CurationQueries.chatValidateOracle,
     "x_passage_rank" -> CurationQueries.passageRankOracle,
     "x_curation_by_source" -> CurationQueries.curationBySourceOracle,
+    "x_blocklist" -> CurationQueries.blocklistOracle,
     "x_semdedup" -> SimilarityQueries.semDedupOracle,
     "x_kmv_distinct" -> AnalyticsQueries.kmvDistinctOracle,
     "x_edit_verify" -> AnalyticsQueries.editVerifyOracle,

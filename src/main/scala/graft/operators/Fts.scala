@@ -251,6 +251,38 @@ object Fts {
         countDistinct(col("term")).cast("long").as("terms_hit"))
   }
 
+  /** FTS5 `snippet()` — the third aux function next to MATCH and
+    * `bm25()`: the best window of `window` tokens (most DISTINCT query
+    * terms; ties to the earliest window), with matched tokens wrapped
+    * in `<b>`/`</b>` (FTS5's defaults). Deterministic contract pinned
+    * for engine-exact replay; FTS5's own selection heuristic is more
+    * elaborate but serves the same "show why this row matched" need.
+    *
+    * Per-row array compute (window count ≤ token count): candidate
+    * windows score `hits·100000 + (100000 − start)` so one integer
+    * `array_max` picks (max hits, earliest start) — struct ordering
+    * isn't portable to SQL list aggregates, packed integers are.
+    * Documents shorter than `window` use one whole-document window.
+    */
+  def snippet(cols: Seq[Column], query: String, window: Int = 8): Column = {
+    val terms = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "empty FTS query")
+    require(window >= 1 && window < 100000, "snippet window out of range")
+    val qlit = array(terms.map(lit): _*)
+    val toks = tokens(cols)
+    val n = size(toks)
+    val starts = sequence(lit(1), greatest(n - (window - 1), lit(1)))
+    val scored = transform(starts, s =>
+      size(array_distinct(filter(slice(toks, s, lit(window)),
+        t => array_contains(qlit, t)))) * 100000 + (lit(100000) - s))
+    val best = array_max(scored)
+    val bs = lit(100000) - pmod(best, lit(100000))
+    val marked = transform(slice(toks, bs, lit(window)), t =>
+      when(array_contains(qlit, t), concat(lit("<b>"), t, lit("</b>")))
+        .otherwise(t))
+    array_join(marked, " ")
+  }
+
   /** S9: FTS version probe. The reference tries FTS5→4→3 in :memory:
     * SQLite (`utils.py:362-371`); the native engine's index has FTS5-level
     * capability, so the probe is a constant.

@@ -714,4 +714,40 @@ object CurationQueries {
        |  transcript
        |FROM v ORDER BY doc_id""".stripMargin
   }
+
+  // ---- multi-phrase blocklist screening ----------------------------
+
+  /** Blocklist screening ([[graft.operators.Blocklist]]): token-aligned
+    * occurrences of any of 4 phrases (mixed 1- and 2-token lengths) per
+    * document, with a block verdict at >= 3 hits. One positional
+    * shingle pass per distinct phrase length + a broadcast hash join —
+    * blocklist size never touches the corpus plan.
+    */
+  def blocklist(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Blocklist.summary(
+        graft.Tables.loadSpread(spark, dir, "documents"), "doc_id", "text",
+        Seq("spark", "table hash", "customer join", "slow key"), blockAt = 3L)
+      .orderBy("doc_id")
+
+  val blocklistOracle: String = {
+    val toks = graft.queries.DuckSql.tokens("text")
+    val sh2 = graft.queries.DuckSql.shinglesFromTokens("toks", 2)
+    s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, $toks AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, s AS phrase FROM
+       |    (SELECT doc_id, unnest(toks) AS s FROM base) t1
+       |  WHERE s = 'spark'
+       |  UNION ALL
+       |  SELECT doc_id, s FROM
+       |    (SELECT doc_id, unnest($sh2) AS s FROM base) t2
+       |  WHERE s IN ('table hash', 'customer join', 'slow key')),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       |    CAST(count(DISTINCT phrase) AS BIGINT) AS n_phrases
+       |  FROM m GROUP BY doc_id)
+       |SELECT b.doc_id, coalesce(n_hits, 0) AS n_hits,
+       |  coalesce(n_phrases, 0) AS n_phrases,
+       |  CAST(coalesce(n_hits, 0) >= 3 AS BIGINT) AS blocked
+       |FROM base b LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
 }

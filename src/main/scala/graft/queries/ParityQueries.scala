@@ -226,6 +226,37 @@ object ParityQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** S13 extension — FTS5 `snippet()`: best 8-token window by distinct
+    * query-term hits for every matching document, matches wrapped in
+    * FTS5's default `<b>` markers ([[Fts.snippet]]).
+    */
+  def ftsSnippet(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    docs.filter(Fts.matches(Seq(col("text")), "vector hash"))
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        Fts.snippet(Seq(col("text")), "vector hash", window = 8).as("snippet"))
+      .orderBy("doc_id")
+  }
+
+  val ftsSnippetOracle: String = {
+    val toks = DuckSql.tokens("text")
+    val hit = "t IN ('vector', 'hash')"
+    s"""WITH base AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, $toks AS toks
+       |  FROM documents
+       |  WHERE list_contains($toks, 'vector') AND list_contains($toks, 'hash')),
+       |sc AS (SELECT doc_id, toks,
+       |    list_max(list_transform(range(1, greatest(len(toks) - 7, 1) + 1),
+       |      s -> len(list_distinct(list_filter(toks[s:s+7], t -> $hit))) * 100000
+       |           + (100000 - s))) AS best
+       |  FROM base),
+       |bs AS (SELECT doc_id, toks, 100000 - best % 100000 AS s FROM sc)
+       |SELECT doc_id,
+       |  array_to_string(list_transform(toks[s:s+7],
+       |    t -> CASE WHEN $hit THEN '<b>' || t || '</b>' ELSE t END), ' ') AS snippet
+       |FROM bs ORDER BY doc_id""".stripMargin
+  }
+
   /** Extension — BM25-ranked FTS (FTS5's `bm25()` rank function,
     * k1=1.2 b=0.75) in exact integer rationals ([[Fts.bm25Match]]).
     */

@@ -156,4 +156,33 @@ class CurationOpsSpec extends SparkSpec {
       (2L, 1L, 0L, "x"),
       (3L, 3L, 2L, "y")))
   }
+
+  test("blocklist: token-aligned phrase hits with positions; mixed lengths; punctuation-robust") {
+    import graft.operators.Blocklist
+    val docs = Seq(
+      (1L, "Bad-Phrase here and bad phrase again, plus lone bad"), // 2x "bad phrase" + 1x "bad"... careful: "bad" token appears 3x
+      (2L, "nothing to see"),
+      (3L, "bad")                                                  // whole doc == 1-token phrase
+    ).toDF("doc_id", "text")
+    val m = Blocklist.matches(docs, "doc_id", "text", Seq("bad phrase", "see"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    // doc1 tokens: bad phrase here and bad phrase again plus lone bad
+    //   "bad phrase" at positions 1 and 5; doc2 "see" at 3
+    assert(m.toSeq === Seq((1L, 1L, "bad phrase"), (1L, 5L, "bad phrase"), (2L, 3L, "see")))
+  }
+
+  test("blocklist summary: zero-hit docs kept, verdict at threshold, whole-doc degenerate match") {
+    import graft.operators.Blocklist
+    val docs = Seq(
+      (1L, "spam spam spam eggs"),
+      (2L, "clean text only"),
+      (3L, "spam")
+    ).toDF("doc_id", "text")
+    val out = Blocklist.summary(docs, "doc_id", "text", Seq("spam", "spam eggs"), blockAt = 3L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc1: "spam" x3 + "spam eggs" x1 = 4 hits, 2 phrases, blocked
+    // doc3: single-token doc, whole-doc shingle == "spam"
+    assert(out.toSeq === Seq((1L, 4L, 2L, 1L), (2L, 0L, 0L, 0L), (3L, 1L, 1L, 0L)))
+  }
 }

@@ -142,6 +142,24 @@ class FtsSpec extends SparkSpec {
     assert(got === Array((1L, 600000L * 1375, 1L), (2L, 600000L * 880, 1L)))
   }
 
+  test("snippet: best window by distinct hits, ties earliest, matches marked") {
+    import spark.implicits._
+    val docs = Seq(
+      // window 4: [x x fox x] has 1 distinct hit; [fox x dog cat] later has 3 — later wins
+      (1L, "x x fox x x fox x dog cat x"),
+      // two windows tie at 1 hit -> earliest ("fox a b c") wins
+      (2L, "fox a b c d e f g h dog"),
+      // shorter than the window: whole doc, all matches marked
+      (3L, "dog fox")
+    ).toDF("id", "txt")
+    val got = docs.select(col("id"),
+        graft.operators.Fts.snippet(Seq(col("txt")), "fox dog cat", window = 4).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "<b>fox</b> x <b>dog</b> <b>cat</b>")
+    assert(got(2L) === "<b>fox</b> a b c")
+    assert(got(3L) === "<b>dog</b> <b>fox</b>")
+  }
+
   test("bm25Match: rarer terms outscore common ones at equal tf (idf monotonicity)") {
     import spark.implicits._
     val docs = (1L to 20L).map { i =>
