@@ -55,6 +55,9 @@ object SparkEntry {
     "x_fts_boolean" -> (ParityQueries.ftsBoolean _),
     "x_fts_bm25" -> (ParityQueries.ftsBm25 _),
     "x_fts_snippet" -> (ParityQueries.ftsSnippet _),
+    "x_fts_highlight" -> (ParityQueries.ftsHighlight _),
+    "x_span_corrupt" -> (CorpusQueries.spanCorrupt _),
+    "x_token_dropout" -> (CorpusQueries.tokenDropout _),
     // headline agg/join workloads
     "q1_pricing_summary" -> (AggQueries.pricingSummary _),
     "q3_top_revenue_orders" -> (AggQueries.topRevenueOrders _),
@@ -322,6 +325,9 @@ object SparkEntry {
     "x_fts_boolean" -> ParityQueries.ftsBooleanOracle,
     "x_fts_bm25" -> ParityQueries.ftsBm25Oracle,
     "x_fts_snippet" -> ParityQueries.ftsSnippetOracle,
+    "x_fts_highlight" -> ParityQueries.ftsHighlightOracle,
+    "x_span_corrupt" -> CorpusQueries.spanCorruptOracle,
+    "x_token_dropout" -> CorpusQueries.tokenDropoutOracle,
     "q1_pricing_summary" -> AggQueries.pricingSummaryOracle,
     "q3_top_revenue_orders" -> AggQueries.topRevenueOrdersOracle,
     "q5_revenue_by_nation" -> AggQueries.revenueByNationOracle,

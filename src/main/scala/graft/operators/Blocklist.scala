@@ -54,6 +54,28 @@ object Blocklist {
     parts.reduce(_ unionAll _)
   }
 
+  /** Per-ROW screening column — the stateless/streaming form of
+    * [[summary]]: `struct(n_hits, n_phrases)` computed entirely inside
+    * the row (one positional shingle array per phrase length, filtered
+    * against the phrase-hash literals). No join, no aggregation —
+    * drops into a `readStream` select unchanged, and batch == streaming
+    * row-for-row (StreamingSpec). Phrases of different lengths are
+    * distinct by construction, so per-length distinct hash counts add.
+    */
+  def screen(textCol: org.apache.spark.sql.Column,
+      phrases: Seq[String]): org.apache.spark.sql.Column = {
+    val normed = phrases.map(norm).filter(_.nonEmpty)
+    require(normed.nonEmpty, "empty blocklist")
+    val perLen = normed.groupBy(_.length).toSeq.sortBy(_._1).map { case (len, ps) =>
+      val hs = ps.map(toks => graft.expressions.MinHashKernel.hash60(toks.mkString(" ")))
+      val matched = filter(ShingleHashSeq60.shingle_hash_seq60(textCol, len),
+        h => h.isInCollection(hs))
+      (size(matched).cast(LongType), size(array_distinct(matched)).cast(LongType))
+    }
+    val (hits, distincts) = perLen.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    struct(hits.as("n_hits"), distincts.as("n_phrases"))
+  }
+
   /** Per-document totals over the WHOLE corpus (zero rows kept):
     * `(doc_id, n_hits, n_phrases, blocked)` with `blocked` when hits
     * reach `blockAt`.

@@ -283,6 +283,19 @@ object Fts {
     array_join(marked, " ")
   }
 
+  /** FTS5 `highlight()` — the whole-document companion of [[snippet]]:
+    * every matched token wrapped in the `<b>`/`</b>` markers, full
+    * token stream returned. Per-row transform, no selection step.
+    */
+  def highlight(cols: Seq[Column], query: String): Column = {
+    val terms = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "empty FTS query")
+    val qlit = array(terms.map(lit): _*)
+    array_join(transform(tokens(cols), t =>
+      when(array_contains(qlit, t), concat(lit("<b>"), t, lit("</b>")))
+        .otherwise(t)), " ")
+  }
+
   /** S9: FTS version probe. The reference tries FTS5→4→3 in :memory:
     * SQLite (`utils.py:362-371`); the native engine's index has FTS5-level
     * capability, so the probe is a constant.

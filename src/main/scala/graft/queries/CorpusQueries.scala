@@ -1509,4 +1509,64 @@ object CorpusQueries {
        |FROM os FULL OUTER JOIN ns ON ns.source = os.source
        |ORDER BY source""".stripMargin
   }
+
+  // ---- T5 span corruption + seeded augmentation --------------------
+
+  /** T5-style span corruption ([[graft.operators.SpanCorrupt]]):
+    * hash-masked spans (seed 11, rate 3/20) -> sentinel-keyed
+    * (input, target) pairs per document.
+    */
+  def spanCorrupt(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SpanCorrupt.corrupt(
+        graft.Tables.loadSpread(spark, dir, "documents"), "doc_id", "text",
+        seed = 11L, numer = 3, denom = 20)
+      .orderBy("doc_id")
+
+  val spanCorruptOracle: String = {
+    val toks = DuckSql.tokens("text")
+    val h = PortableHash.duckdbHash60("'11:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")
+    s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, $toks AS toks FROM documents),
+       |p AS (SELECT doc_id, i AS pos, toks[i] AS tok, ($h) % 20 < 3 AS masked
+       |  FROM base CROSS JOIN LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) r),
+       |m1 AS (SELECT doc_id, pos, tok, masked,
+       |    masked AND NOT coalesce(lag(masked) OVER
+       |      (PARTITION BY doc_id ORDER BY pos), false) AS run_start
+       |  FROM p),
+       |m2 AS (SELECT *, CAST(sum(CASE WHEN run_start THEN 1 ELSE 0 END) OVER
+       |    (PARTITION BY doc_id ORDER BY pos) - 1 AS BIGINT) AS span_k FROM m1),
+       |pieces AS (SELECT doc_id, pos, masked, run_start,
+       |    CASE WHEN run_start THEN '<extra_id_' || CAST(span_k AS VARCHAR) || '>'
+       |         WHEN NOT masked THEN tok END AS in_piece,
+       |    CASE WHEN run_start THEN '<extra_id_' || CAST(span_k AS VARCHAR) || '> ' || tok
+       |         WHEN masked THEN tok END AS tgt_piece
+       |  FROM m2)
+       |SELECT doc_id,
+       |  CAST(sum(CASE WHEN run_start THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+       |  CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupted,
+       |  coalesce(string_agg(in_piece, ' ' ORDER BY pos), '') AS input_text,
+       |  coalesce(string_agg(tgt_piece, ' ' ORDER BY pos), '') AS target_text
+       |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Seeded token dropout ([[graft.operators.TextAug.tokenDropout]]):
+    * the contrastive-augmentation view (seed 5, drop rate 1/10).
+    */
+  def tokenDropout(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAug.tokenDropout(
+        graft.Tables.loadSpread(spark, dir, "documents"), "doc_id", "text",
+        seed = 5L, numer = 1, denom = 10)
+      .orderBy("doc_id")
+
+  val tokenDropoutOracle: String = {
+    val toks = DuckSql.tokens("text")
+    val h = PortableHash.duckdbHash60("'5:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")
+    s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, $toks AS toks FROM documents),
+       |k AS (SELECT doc_id, len(toks) AS n_tokens,
+       |    list_filter(toks, (t, i) -> ($h) % 10 >= 1) AS kept
+       |  FROM base)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(len(kept) AS BIGINT) AS n_kept,
+       |  array_to_string(kept, ' ') AS aug_text
+       |FROM k ORDER BY doc_id""".stripMargin
+  }
 }

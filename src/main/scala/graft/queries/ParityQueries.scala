@@ -257,6 +257,28 @@ object ParityQueries {
        |FROM bs ORDER BY doc_id""".stripMargin
   }
 
+  /** S13 extension — FTS5 `highlight()`: the whole-document match
+    * markup ([[Fts.highlight]]) for every document matching the query.
+    */
+  def ftsHighlight(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    docs.filter(Fts.matches(Seq(col("text")), "spark window"))
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        Fts.highlight(Seq(col("text")), "spark window").as("highlighted"))
+      .orderBy("doc_id")
+  }
+
+  val ftsHighlightOracle: String = {
+    val toks = DuckSql.tokens("text")
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  array_to_string(list_transform($toks,
+       |    t -> CASE WHEN t IN ('spark', 'window') THEN '<b>' || t || '</b>'
+       |         ELSE t END), ' ') AS highlighted
+       |FROM documents
+       |WHERE list_contains($toks, 'spark') AND list_contains($toks, 'window')
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Extension — BM25-ranked FTS (FTS5's `bm25()` rank function,
     * k1=1.2 b=0.75) in exact integer rationals ([[Fts.bm25Match]]).
     */

@@ -608,4 +608,42 @@ class StreamingSpec extends SparkSpec {
       assert(byId(4L)._4 === "Title see docs and here")
     } finally q.stop()
   }
+
+  test("blocklist screen runs stateless in streaming, batch-equal, and matches summary") {
+    import spark.implicits._
+    import graft.operators.Blocklist
+    val phrases = Seq("spam", "bad phrase")
+    def screen(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(col("doc_id"),
+        Blocklist.screen(col("text"), phrases).as("s"))
+        .select(col("doc_id"), col("s.n_hits").as("n_hits"),
+          col("s.n_phrases").as("n_phrases"))
+    val docs = Seq(
+      (1L, "spam and a bad phrase and more spam"),
+      (2L, "clean content"),
+      (3L, "bad phrase bad phrase"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-sblock").toString
+    docs.filter($"doc_id" <= 2).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = screen(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sblock_out").start()
+    try {
+      q.processAllAvailable()
+      docs.filter($"doc_id" >= 3).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val streamed = spark.table("sblock_out").collect().map(_.toSeq).toSet
+      val batch = screen(spark.read.parquet(dir)).collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      // the per-row screen agrees with the join-based batch summary
+      val viaSummary = Blocklist.summary(docs, "doc_id", "text", phrases)
+        .select("doc_id", "n_hits", "n_phrases")
+        .collect().map(_.toSeq).toSet
+      assert(batch === viaSummary)
+      val byId = spark.table("sblock_out")
+        .as[(Long, Long, Long)].collect().map(r => (r._1, (r._2, r._3))).toMap
+      assert(byId(1L) === ((3L, 2L)) && byId(2L) === ((0L, 0L)) && byId(3L) === ((2L, 1L)))
+    } finally q.stop()
+  }
 }
