@@ -88,6 +88,7 @@ object SparkEntry {
     "x_ngram_jaccard" -> (DedupQueries.ngramJaccard _),
     "x_winnow_fingerprints" -> (DedupQueries.winnowFingerprints _),
     "x_winnow_pairs" -> (DedupQueries.winnowPairs _),
+    "x_containment_pairs" -> (DedupQueries.containmentPairs _),
     "x_split_assign" -> (DedupQueries.splitAssign _),
     "x_corpus_report" -> (DedupQueries.corpusReport _),
     "x_quality_sample" -> (DedupQueries.qualitySample _),
@@ -358,6 +359,7 @@ object SparkEntry {
     "x_ngram_jaccard" -> DedupQueries.ngramJaccardOracle,
     "x_winnow_fingerprints" -> DedupQueries.winnowFingerprintsOracle,
     "x_winnow_pairs" -> DedupQueries.winnowPairsOracle,
+    "x_containment_pairs" -> DedupQueries.containmentPairsOracle,
     "x_split_assign" -> DedupQueries.splitAssignOracle,
     "x_corpus_report" -> DedupQueries.corpusReportOracle,
     "x_quality_sample" -> DedupQueries.qualitySampleOracle,

@@ -169,4 +169,46 @@ object SetJoin {
        |  WHERE len(list_intersect(sa.sset, sb.sset)) * $tDen >=
        |    (sa.n + sb.n - len(list_intersect(sa.sset, sb.sset))) * $tNum)""".stripMargin
   }
+
+  /** ASYMMETRIC containment join: pairs where either set's shingles are
+    * >= tNum/tDen contained in the other — `|A∩B| / |A|` (resp. `/|B|`)
+    * — the near-superset/quote-detection mode Jaccard structurally
+    * misses (a 40-token doc quoted inside a 4000-token doc has J ≈ 0.01
+    * but containment 1.0). The dedup policy for it is KEEP-SUPERSET,
+    * not keep-one.
+    *
+    * Candidates come from shared-shingle buckets with the LSH-style cap
+    * ([[TextDedup.cappedBucketPairsLong]]) — one shingle-keyed shuffle,
+    * per-bucket O(n·cap); recall is exact while no shingle's df exceeds
+    * the cap (massively duplicated corpora should pre-collapse with
+    * [[TextDedup.exact]], same trade as [[ppjoinPairs]] documents).
+    * Verification is two id-keyed joins + exact integer ppm.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, tNum: Long = 4, tDen: Long = 5,
+      maxBucket: Int = 256): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold in (0, 1]")
+    val thresholdPpm = tNum * 1000000L / tDen
+    val sets = df.select(col(idCol).cast(LongType).as("id"),
+      TextDedup.shingleHashes(col(textCol), w).as("sset"))
+      .localCheckpoint(true) // feeds bucket build + both verification joins
+    val cand = sets.select(col("id"), explode(col("sset")).as("h"))
+      .groupBy(col("h"))
+      .agg(sort_array(collect_list(col("id"))).as("members"))
+      .filter(size(col("members")) >= 2)
+      .select(explode(TextDedup.cappedBucketPairsLong(col("members"), maxBucket)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sset").as("sa")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sset").as("sb")), Seq("id_b"))
+      .withColumn("n_shared", size(array_intersect(col("sa"), col("sb"))).cast(LongType))
+      .withColumn("na", size(col("sa")).cast(LongType))
+      .withColumn("nb", size(col("sb")).cast(LongType))
+      .withColumn("cont_a_ppm", expr("n_shared * 1000000 div na"))
+      .withColumn("cont_b_ppm", expr("n_shared * 1000000 div nb"))
+      .filter(greatest(col("cont_a_ppm"), col("cont_b_ppm")) >= lit(thresholdPpm))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        col("cont_a_ppm"), col("cont_b_ppm"))
+  }
 }

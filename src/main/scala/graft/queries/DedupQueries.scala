@@ -1398,6 +1398,39 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Containment pairs over the near-dup corpus
+    * ([[graft.operators.SetJoin.containmentPairs]], w=8, t=4/5): the
+    * planted perturbed docs (first two tokens dropped) are full shingle
+    * SUBSETS of their originals — Jaccard sees ~0.9, containment sees
+    * 1.0, and the keep-superset policy needs the latter.
+    */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SetJoin.containmentPairs(
+        corpusNear(spark, dir), "doc_id", "text", w = 8, tNum = 4, tDen = 5)
+      .orderBy("id_a", "id_b")
+
+  val containmentPairsOracle: String = {
+    val sh = DuckSql.shinglesFromTokens(DuckSql.tokens("text"), 8)
+    val h = DuckSql.hash60("x")
+    s"""WITH corpus AS ($corpusNearSql),
+       |s AS (SELECT CAST(doc_id AS BIGINT) AS id,
+       |    list_distinct(list_transform($sh, x -> $h)) AS ss
+       |  FROM corpus),
+       |ex AS (SELECT id, unnest(ss) AS h FROM s),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM ex a JOIN ex b ON a.h = b.h AND a.id < b.id),
+       |v AS (SELECT id_a, id_b,
+       |    CAST(len(list_intersect(sa.ss, sb.ss)) AS BIGINT) AS n_shared,
+       |    CAST(len(sa.ss) AS BIGINT) AS na, CAST(len(sb.ss) AS BIGINT) AS nb
+       |  FROM cand JOIN s sa ON sa.id = cand.id_a JOIN s sb ON sb.id = cand.id_b)
+       |SELECT id_a, id_b, n_shared,
+       |  CAST(n_shared * 1000000 // na AS BIGINT) AS cont_a_ppm,
+       |  CAST(n_shared * 1000000 // nb AS BIGINT) AS cont_b_ppm
+       |FROM v
+       |WHERE greatest(n_shared * 1000000 // na, n_shared * 1000000 // nb) >= 800000
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val winnowPairsOracle: String =
     s"""WITH ${winnowFpSql("SELECT doc_id, text FROM documents")},
        |dfp AS (SELECT DISTINCT doc_id, fp FROM fps)

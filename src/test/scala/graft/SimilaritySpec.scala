@@ -232,6 +232,19 @@ class SimilaritySpec extends SparkSpec {
       assert(dec(id) === cents((0L, codes((id, 0L)))) ++ cents((1L, codes((id, 1L)))))
   }
 
+  test("PQ model round-trips through parquet; encode from the loaded model is identical") {
+    val model = ProductQuantize.train(pqVectors, "vec_id", "embedding",
+      m = 2, k = 2, iters = 2, dim = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-model").toString
+    model.write.mode("overwrite").parquet(dir)
+    val loaded = spark.read.parquet(dir)
+    def codes(m: org.apache.spark.sql.DataFrame) =
+      ProductQuantize.encode(pqVectors, "vec_id", "embedding", m, dim = 4)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(codes(model) === codes(loaded),
+      "codes from the persisted model must equal in-session codes")
+  }
+
   test("PQ with k = n vectors is lossless: every vector is its own codebook entry") {
     val model = ProductQuantize.train(pqVectors, "vec_id", "embedding",
       m = 2, k = 6, iters = 1, dim = 4)

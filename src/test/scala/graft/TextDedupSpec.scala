@@ -424,4 +424,40 @@ class TextDedupSpec extends SparkSpec {
     assert(p12.isDefined)
     assert(p12.get.getAs[Long]("hamming") === 0L)
   }
+
+  test("containmentPairs: quote inside a long doc is full containment despite tiny Jaccard") {
+    import spark.implicits._
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ") // 12 tokens -> 10 3-shingles
+    val filler = (1 to 200).map(i => s"f$i").mkString(" ")
+    val cdocs = Seq(
+      (1L, s"$filler $quote"), // long doc embedding the quote
+      (2L, quote),             // the quoted doc itself
+      (3L, "entirely unrelated content with its own words here")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.SetJoin
+      .containmentPairs(cdocs, "doc_id", "text", w = 3, tNum = 9, tDen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(out.length === 1)
+    val (a, b, contA, contB) = out.head
+    assert((a, b) === ((1L, 2L)))
+    assert(contB === 1000000L, "the quote's shingles are fully contained")
+    assert(contA < 100000L, "the long doc is barely contained in the quote")
+    // Jaccard would never have paired them at any usual threshold
+    val j = graft.operators.SetJoin
+      .ppjoinPairs(cdocs, "doc_id", "text", w = 3, tNum = 1, tDen = 2)
+    assert(j.count() === 0L)
+  }
+
+  test("containmentPairs: below-threshold overlap excluded") {
+    import spark.implicits._
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val cdocs = Seq(
+      (1L, base),
+      (2L, (1 to 10).map(i => s"w$i").mkString(" ") + " x y z a b c d e f g")
+    ).toDF("doc_id", "text")
+    // doc2 shares 8 of its 18 3-shingles -> containment < 0.5 both ways
+    val out = graft.operators.SetJoin
+      .containmentPairs(cdocs, "doc_id", "text", w = 3, tNum = 4, tDen = 5)
+    assert(out.count() === 0L)
+  }
 }
