@@ -58,6 +58,8 @@ object SparkEntry {
     "x_fts_highlight" -> (ParityQueries.ftsHighlight _),
     "x_span_corrupt" -> (CorpusQueries.spanCorrupt _),
     "x_token_dropout" -> (CorpusQueries.tokenDropout _),
+    "x_semantic_chunks" -> (CorpusQueries.semanticChunks _),
+    "x_fim_transform" -> (CorpusQueries.fimTransform _),
     // headline agg/join workloads
     "q1_pricing_summary" -> (AggQueries.pricingSummary _),
     "q3_top_revenue_orders" -> (AggQueries.topRevenueOrders _),
@@ -329,6 +331,8 @@ object SparkEntry {
     "x_fts_highlight" -> ParityQueries.ftsHighlightOracle,
     "x_span_corrupt" -> CorpusQueries.spanCorruptOracle,
     "x_token_dropout" -> CorpusQueries.tokenDropoutOracle,
+    "x_semantic_chunks" -> CorpusQueries.semanticChunksOracle,
+    "x_fim_transform" -> CorpusQueries.fimTransformOracle,
     "q1_pricing_summary" -> AggQueries.pricingSummaryOracle,
     "q3_top_revenue_orders" -> AggQueries.topRevenueOrdersOracle,
     "q5_revenue_by_nation" -> AggQueries.revenueByNationOracle,

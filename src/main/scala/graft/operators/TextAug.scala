@@ -34,4 +34,39 @@ object TextAug {
         size(col("kept")).cast(LongType).as("n_kept"),
         array_join(col("kept"), " ").as("aug_text"))
   }
+
+  /** FIM — fill-in-the-middle transformation (Bavarian et al., "
+    * Efficient Training of Language Models to Fill in the Middle",
+    * 2022): reorder each document into PSM form
+    * `<PRE> prefix <SUF> suffix <MID> middle` so a causal LM learns
+    * infilling. Cut points are two seeded hash draws over [0, n]
+    * (sorted), so the same (corpus, seed) always produces the same
+    * split and a new seed redraws it — per-row compute, no shuffle,
+    * streaming-safe.
+    */
+  def fimTransform(df: DataFrame, idCol: String, textCol: String,
+      seed: Long): DataFrame = {
+    val toks = Fts.tokens(Seq(col(textCol)))
+    def cut(tag: String) = PortableHash.hash60(
+      concat(lit(s"$seed:"), col("doc_id").cast("string"), lit(s":$tag")))
+    df.select(col(idCol).cast(LongType).as("doc_id"), toks.as("toks"))
+      .withColumn("n", size(col("toks")).cast(LongType))
+      .withColumn("a", pmod(cut("a"), col("n") + 1))
+      .withColumn("b", pmod(cut("b"), col("n") + 1))
+      .withColumn("lo", least(col("a"), col("b")))
+      .withColumn("hi", greatest(col("a"), col("b")))
+      .withColumn("pre", slice(col("toks"), lit(1), col("lo").cast("int")))
+      .withColumn("mid", slice(col("toks"), (col("lo") + 1).cast("int"),
+        (col("hi") - col("lo")).cast("int")))
+      .withColumn("suf", slice(col("toks"), (col("hi") + 1).cast("int"),
+        (col("n") - col("hi")).cast("int")))
+      .select(col("doc_id"),
+        size(col("pre")).cast(LongType).as("n_prefix"),
+        size(col("mid")).cast(LongType).as("n_middle"),
+        size(col("suf")).cast(LongType).as("n_suffix"),
+        array_join(concat(
+          array(lit("<PRE>")), col("pre"),
+          array(lit("<SUF>")), col("suf"),
+          array(lit("<MID>")), col("mid")), " ").as("fim_text"))
+  }
 }

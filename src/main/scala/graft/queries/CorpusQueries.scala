@@ -1557,6 +1557,78 @@ object CorpusQueries {
         seed = 5L, numer = 1, denom = 10)
       .orderBy("doc_id")
 
+  /** Cohesion-based chunking ([[graft.operators.SemanticChunk]]):
+    * 8-token segments, 16-bucket hashed histograms, boundaries where
+    * adjacent cosine < 0.2.
+    */
+  def semanticChunks(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SemanticChunk.chunks(
+        graft.Tables.loadSpread(spark, dir, "documents"), "doc_id", "text",
+        segTokens = 8, dims = 16, minCohesion = 0.2)
+      .orderBy("doc_id", "seg_no")
+
+  val semanticChunksOracle: String = {
+    val toks = DuckSql.tokens("text")
+    val h = PortableHash.duckdbHash60("t")
+    s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, $toks AS toks FROM documents),
+       |p AS (SELECT doc_id, (i - 1) // 8 AS seg_no, ($h) % 16 AS bucket
+       |  FROM (SELECT doc_id, unnest(toks) AS t,
+       |          generate_subscripts(toks, 1) AS i FROM base) e),
+       |hist AS (SELECT doc_id, seg_no, bucket, CAST(count(*) AS BIGINT) AS c
+       |  FROM p GROUP BY doc_id, seg_no, bucket),
+       |grid AS (SELECT doc_id, seg_no, k.k AS bucket
+       |  FROM (SELECT DISTINCT doc_id, seg_no FROM hist) s
+       |  CROSS JOIN (SELECT unnest(range(0, 16)) AS k) k),
+       |vec AS (SELECT g.doc_id, g.seg_no,
+       |    list(coalesce(h.c, 0) ORDER BY g.bucket) AS v
+       |  FROM grid g LEFT JOIN hist h
+       |    ON h.doc_id = g.doc_id AND h.seg_no = g.seg_no AND h.bucket = g.bucket
+       |  GROUP BY g.doc_id, g.seg_no),
+       |wp AS (SELECT doc_id, seg_no, v,
+       |    lag(v) OVER (PARTITION BY doc_id ORDER BY seg_no) AS pv FROM vec),
+       |sc AS (SELECT doc_id, seg_no,
+       |    CASE WHEN pv IS NULL THEN -1.0
+       |      ELSE round(
+       |        CAST(list_sum(list_transform(range(1, 17), i -> v[i] * pv[i])) AS DOUBLE) /
+       |        (sqrt(CAST(list_sum(list_transform(range(1, 17), i -> v[i] * v[i])) AS DOUBLE)) *
+       |         sqrt(CAST(list_sum(list_transform(range(1, 17), i -> pv[i] * pv[i])) AS DOUBLE))), 6)
+       |    END AS cohesion
+       |  FROM wp)
+       |SELECT doc_id, seg_no, cohesion,
+       |  CAST(sum(CASE WHEN cohesion >= 0 AND cohesion < 0.2 THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY doc_id ORDER BY seg_no) AS BIGINT) AS chunk_id
+       |FROM sc ORDER BY doc_id, seg_no""".stripMargin
+  }
+
+  /** FIM transformation ([[graft.operators.TextAug.fimTransform]],
+    * seed 3): PSM-ordered infilling pairs.
+    */
+  def fimTransform(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAug.fimTransform(
+        graft.Tables.loadSpread(spark, dir, "documents"), "doc_id", "text",
+        seed = 3L)
+      .orderBy("doc_id")
+
+  val fimTransformOracle: String = {
+    val toks = DuckSql.tokens("text")
+    def h(tag: String) = PortableHash.duckdbHash60(s"'3:' || CAST(doc_id AS VARCHAR) || ':$tag'")
+    s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, $toks AS toks FROM documents),
+       |c AS (SELECT doc_id, toks, len(toks) AS n,
+       |    (${h("a")}) % (len(toks) + 1) AS a,
+       |    (${h("b")}) % (len(toks) + 1) AS b
+       |  FROM base),
+       |s AS (SELECT doc_id, toks, n, least(a, b) AS lo, greatest(a, b) AS hi FROM c),
+       |parts AS (SELECT doc_id,
+       |    toks[1:lo] AS pre, toks[lo+1:hi] AS mid, toks[hi+1:n] AS suf
+       |  FROM s)
+       |SELECT doc_id,
+       |  CAST(len(pre) AS BIGINT) AS n_prefix,
+       |  CAST(len(mid) AS BIGINT) AS n_middle,
+       |  CAST(len(suf) AS BIGINT) AS n_suffix,
+       |  array_to_string(['<PRE>'] || pre || ['<SUF>'] || suf || ['<MID>'] || mid, ' ') AS fim_text
+       |FROM parts ORDER BY doc_id""".stripMargin
+  }
+
   val tokenDropoutOracle: String = {
     val toks = DuckSql.tokens("text")
     val h = PortableHash.duckdbHash60("'5:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")

@@ -81,4 +81,46 @@ class SpanCorruptSpec extends SparkSpec {
       .collect()(0).getString(0)
     assert(got === "a <b>fox</b> and a <b>dog</b> and a <b>fox</b>")
   }
+
+  test("FIM: PSM parts partition the token stream in order; seed-deterministic") {
+    val out = TextAug.fimTransform(corpus, "doc_id", "text", seed = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val original = corpus
+      .select(col("doc_id"), Fts.tokens(Seq(col("text"))).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val cuts = scala.collection.mutable.Set.empty[(Long, Long)]
+    for ((id, np, nm, ns, fim) <- out) {
+      assert(np + nm + ns === original(id).size, s"doc $id parts must partition")
+      val body = fim.split(" ").filter(_.nonEmpty).toSeq
+      assert(body.head === "<PRE>")
+      val pre = body.slice(1, 1 + np.toInt)
+      val sufAt = 1 + np.toInt
+      assert(body(sufAt) === "<SUF>")
+      val suf = body.slice(sufAt + 1, sufAt + 1 + ns.toInt)
+      val midAt = sufAt + 1 + ns.toInt
+      assert(body(midAt) === "<MID>")
+      val mid = body.drop(midAt + 1)
+      assert(pre ++ mid ++ suf === original(id), s"doc $id reorder must invert")
+      cuts += ((np, nm))
+    }
+    assert(cuts.size > 5, "cut points must vary across documents")
+    val again = TextAug.fimTransform(corpus, "doc_id", "text", seed = 3L)
+      .collect().map(r => (r.getLong(0), r.getString(4))).toMap
+    assert(out.map(r => (r._1, r._5)).toMap === again)
+  }
+
+  test("semantic chunks: planted topic shift opens a boundary; cohesive text does not") {
+    import graft.operators.SemanticChunk
+    val topicA = "alpha beta gamma delta " * 4    // 16 tokens = 2 segments, same vocab
+    val topicB = "zulu yankee xray whiskey " * 2  // 8 tokens = 1 segment, disjoint vocab
+    val docs = Seq((1L, topicA + topicB)).toDF("doc_id", "text")
+    val segs = SemanticChunk.chunks(docs, "doc_id", "text",
+      segTokens = 8, dims = 16, minCohesion = 0.2)
+      .orderBy("seg_no").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(segs.length === 3)
+    assert(segs(0) === ((0L, -1.0, 0L)))
+    assert(segs(1)._2 === 1.0 && segs(1)._3 === 0L, "identical vocab stays one chunk")
+    assert(segs(2)._2 < 0.2 && segs(2)._3 === 1L, "topic shift opens chunk 1")
+  }
 }
