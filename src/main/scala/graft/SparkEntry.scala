@@ -65,6 +65,7 @@ object SparkEntry {
     "q3_top_revenue_orders" -> (AggQueries.topRevenueOrders _),
     "q5_revenue_by_nation" -> (AggQueries.revenueByNation _),
     "q6_forecast_revenue" -> (AggQueries.forecastRevenue _),
+    "q14_promo_share" -> (AggQueries.promoShare _),
     "x_rollup_revenue" -> (AggQueries.rollupRevenue _),
     "x_cube_revenue" -> (AggQueries.cubeRevenue _),
     "x_distinct_parts" -> (AggQueries.distinctParts _),
@@ -176,6 +177,7 @@ object SparkEntry {
     "x_events_latest" -> (EventQueries.eventsLatest _),
     "x_events_dense_hourly" -> (EventQueries.denseHourly _),
     "x_kmv_sliding" -> (EventQueries.kmvSliding _),
+    "x_events_props" -> (EventQueries.eventsProps _),
     "x_winsor_means" -> (AnalyticsQueries.winsorMeans _),
     "x_token_cdf" -> (AnalyticsQueries.tokenCdf _),
     "x_dedup_recall" -> (AnalyticsQueries.dedupRecall _),
@@ -337,6 +339,7 @@ object SparkEntry {
     "q3_top_revenue_orders" -> AggQueries.topRevenueOrdersOracle,
     "q5_revenue_by_nation" -> AggQueries.revenueByNationOracle,
     "q6_forecast_revenue" -> AggQueries.forecastRevenueOracle,
+    "q14_promo_share" -> AggQueries.promoShareOracle,
     "x_rollup_revenue" -> AggQueries.rollupRevenueOracle,
     "x_cube_revenue" -> AggQueries.cubeRevenueOracle,
     "x_distinct_parts" -> AggQueries.distinctPartsOracle,
@@ -447,6 +450,7 @@ object SparkEntry {
     "x_events_latest" -> EventQueries.eventsLatestOracle,
     "x_events_dense_hourly" -> EventQueries.denseHourlyOracle,
     "x_kmv_sliding" -> EventQueries.kmvSlidingOracle,
+    "x_events_props" -> EventQueries.eventsPropsOracle,
     "x_winsor_means" -> AnalyticsQueries.winsorMeansOracle,
     "x_token_cdf" -> AnalyticsQueries.tokenCdfOracle,
     "x_dedup_recall" -> AnalyticsQueries.dedupRecallOracle,

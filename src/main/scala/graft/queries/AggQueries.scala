@@ -255,4 +255,45 @@ object AggQueries {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY n_name, r_name
       |ORDER BY n_name""".stripMargin
+
+  /** TPC-H Q14-style: promotion revenue share per month — fact-to-dim
+    * broadcast join (part is the dimension), conditional aggregation,
+    * exact DECIMAL revenue. The share is the DOUBLE ratio of two exact
+    * decimal sums, rounded to 6 dp (bit-identical cross-engine).
+    */
+  def promoShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"),
+        col("l_shipdate"))
+      .filter(col("l_shipdate") >= "1996-03-01" && col("l_shipdate") < "1996-04-01")
+    val part = Tables.load(spark, dir, "part").select(col("p_partkey"), col("p_type"))
+    val revenue = col("l_extendedprice").cast(dec(18, 2)) *
+      (lit(1).cast(dec(3, 2)) - col("l_discount").cast(dec(4, 2)))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", revenue).otherwise(lit(0).cast(dec(18, 2))))
+          .as("pr"),
+        sum(revenue).as("tr"),
+        count(lit(1)).cast(LongType).as("n_items"))
+      .select(
+        round(col("pr").cast(DoubleType) / col("tr").cast(DoubleType), 6)
+          .as("promo_share"),
+        col("pr").cast(DoubleType).as("promo_revenue"),
+        col("tr").cast(DoubleType).as("total_revenue"),
+        col("n_items"))
+  }
+
+  val promoShareOracle: String =
+    """WITH f AS (
+      |  SELECT p_type,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS rev
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'),
+      |s AS (SELECT
+      |    SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(18,2)) END) AS pr,
+      |    SUM(rev) AS tr, CAST(COUNT(*) AS BIGINT) AS n_items FROM f)
+      |SELECT round(CAST(pr AS DOUBLE) / CAST(tr AS DOUBLE), 6) AS promo_share,
+      |  CAST(pr AS DOUBLE) AS promo_revenue, CAST(tr AS DOUBLE) AS total_revenue,
+      |  n_items
+      |FROM s""".stripMargin
 }

@@ -800,6 +800,42 @@ object EventQueries {
        |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---- semi-structured props extraction ----------------------------
+
+  /** JSON property extraction + typed aggregation — the
+    * semi-structured-ingest step (event payloads, crawler metadata)
+    * every pipeline runs before columnar analytics. Spark's native
+    * `get_json_object` (codegen'd, null on malformed — no job-killing
+    * parse errors at 100 TB) extracts `$$.k`; per-type stats aggregate
+    * the typed column. The oracle guards with `json_valid` to mirror
+    * the null-on-malformed contract (DuckDB's extractor throws).
+    */
+  def eventsProps(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(LongType).as("n_events"),
+        count(col("k")).cast(LongType).as("n_with_k"),
+        sum(col("k")).cast(LongType).as("sum_k"),
+        min(col("k")).cast(LongType).as("min_k"),
+        max(col("k")).cast(LongType).as("max_k"),
+        countDistinct(col("k")).cast(LongType).as("n_distinct_k"))
+      .orderBy("event_type")
+
+  val eventsPropsOracle: String =
+    """WITH e AS (SELECT event_type,
+      |    CASE WHEN json_valid(props)
+      |      THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+      |  FROM events)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(count(k) AS BIGINT) AS n_with_k,
+      |  CAST(sum(k) AS BIGINT) AS sum_k,
+      |  CAST(min(k) AS BIGINT) AS min_k,
+      |  CAST(max(k) AS BIGINT) AS max_k,
+      |  CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---- sliding distinct users via KMV sketch algebra ---------------
 
   /** Sliding 3-hour distinct-user estimates computed by MERGING
