@@ -159,6 +159,8 @@ object SparkEntry {
     "x_passage_rank" -> (CurationQueries.passageRank _),
     "x_curation_by_source" -> (CurationQueries.curationBySource _),
     "x_blocklist" -> (CurationQueries.blocklist _),
+    "x_turn_dedup" -> (CurationQueries.turnDedup _),
+    "x_pipeline_e2e" -> (CurationQueries.pipelineE2e _),
     "x_semdedup" -> (SimilarityQueries.semDedup _),
     // extensions: corpus analytics (round 6)
     "x_kmv_distinct" -> (AnalyticsQueries.kmvDistinct _),
@@ -433,6 +435,8 @@ object SparkEntry {
     "x_passage_rank" -> CurationQueries.passageRankOracle,
     "x_curation_by_source" -> CurationQueries.curationBySourceOracle,
     "x_blocklist" -> CurationQueries.blocklistOracle,
+    "x_turn_dedup" -> CurationQueries.turnDedupOracle,
+    "x_pipeline_e2e" -> CurationQueries.pipelineE2eOracle,
     "x_semdedup" -> SimilarityQueries.semDedupOracle,
     "x_kmv_distinct" -> AnalyticsQueries.kmvDistinctOracle,
     "x_edit_verify" -> AnalyticsQueries.editVerifyOracle,

@@ -715,6 +715,113 @@ object CurationQueries {
        |FROM v ORDER BY doc_id""".stripMargin
   }
 
+  // ---- turn-level SFT dedup ----------------------------------------
+
+  /** Turn-level duplicate detection over chat transcripts — the SFT
+    * quality issue DOC-level dedup misses: a templated assistant reply
+    * ("As an AI...") repeated across thousands of otherwise-distinct
+    * conversations overfits the model to the template. Transcripts are
+    * the same planted derivation as `x_chat_validate`; the report is
+    * (role, content) turns appearing in many distinct conversations.
+    * One turn-keyed shuffle, map-side combined.
+    */
+  def turnDedup(spark: SparkSession, dir: String): DataFrame = {
+    val planted = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        Fts.tokens(Seq(col("text"))).as("t"))
+      .withColumn("roles",
+        when(col("doc_id") % 7 === 1, array(lit("user"), lit("user"), lit("assistant"), lit("assistant")))
+          .when(col("doc_id") % 5 === 2, array(lit("user"), lit("assistant"), lit("user")))
+          .otherwise(array(lit("user"), lit("assistant"), lit("user"), lit("assistant"))))
+    planted
+      .select(col("doc_id"), explode(zip_with(col("roles"),
+        sequence(lit(0), size(col("roles")) - 1),
+        (r, i) => struct(r.as("role"),
+          concat_ws(" ", slice(col("t"), i * 2 + 1, lit(2))).as("content")))).as("turn"))
+      .select(col("doc_id"), col("turn.role").as("role"), col("turn.content").as("content"))
+      .groupBy(col("role"), col("content"))
+      .agg(countDistinct(col("doc_id")).cast(LongType).as("n_convs"),
+        count(lit(1)).cast(LongType).as("n_occurrences"))
+      .filter(col("n_convs") >= 20)
+      .orderBy(col("n_convs").desc, col("role"), col("content"))
+      .limit(50)
+  }
+
+  val turnDedupOracle: String = {
+    val t = graft.queries.DuckSql.tokens("text")
+    s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, $t AS t,
+       |    CASE WHEN doc_id % 7 = 1 THEN ['user', 'user', 'assistant', 'assistant']
+       |         WHEN doc_id % 5 = 2 THEN ['user', 'assistant', 'user']
+       |         ELSE ['user', 'assistant', 'user', 'assistant'] END AS roles
+       |  FROM documents),
+       |turns AS (SELECT doc_id, roles[i] AS role,
+       |    array_to_string(t[(i-1)*2 + 1 : (i-1)*2 + 2], ' ') AS content
+       |  FROM d CROSS JOIN LATERAL (SELECT unnest(range(1, len(roles) + 1)) AS i) r)
+       |SELECT role, content,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_convs,
+       |  CAST(count(*) AS BIGINT) AS n_occurrences
+       |FROM turns GROUP BY role, content
+       |HAVING count(DISTINCT doc_id) >= 20
+       |ORDER BY n_convs DESC, role, content LIMIT 50""".stripMargin
+  }
+
+  // ---- end-to-end curation pipeline --------------------------------
+
+  /** The composed curation pipeline as ONE graded dataflow —
+    * quality gate → exact dedup (keep lowest id) → content-hash split →
+    * sequential packing — summarized per (split, pack). Every stage is
+    * an already-graded operator; this query grades their COMPOSITION
+    * (the thing a user actually runs), with the oracle chaining the
+    * same steps as CTEs. Stage shuffles: one dedup hash, one pack
+    * window per split partition — nothing global.
+    */
+  def pipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = DedupQueries.corpusExact(spark, dir)
+    val gated = corpus.filter(
+      graft.operators.TextStats.quality(col("text")).getField("quality_score") >= 0.4)
+    val kept = gated
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).cast(LongType).as("doc_id"))
+    val split = kept.select(col("doc_id"),
+        graft.operators.Sampling.hashBucket(col("text"), 1000).as("bucket"),
+        graft.operators.TextStats.bpeishTokenCount(col("text")).as("n_tokens"))
+      .withColumn("split", graft.operators.Sampling.splitLabel(col("bucket"), 90, 5))
+      .localCheckpoint(true) // feeds the pack window after its own shuffle
+    val w = Window.partitionBy(col("split")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    split
+      .withColumn("cum", sum(col("n_tokens")).over(w).cast(LongType))
+      .withColumn("pack_no", expr("(cum - n_tokens) div 2048").cast(LongType))
+      .groupBy(col("split"), col("pack_no"))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(col("n_tokens")).cast(LongType).as("n_tokens"))
+      .orderBy("split", "pack_no")
+  }
+
+  val pipelineE2eOracle: String = {
+    val h = graft.functions.PortableHash.duckdbHash60("text")
+    s"""WITH corpus AS (${DedupQueries.corpusExactSql}),
+       |gated AS (SELECT * FROM corpus
+       |  WHERE (${graft.queries.DuckSql.qualityScore("text")}) >= 0.4),
+       |kept AS (SELECT text, CAST(min(doc_id) AS BIGINT) AS doc_id
+       |  FROM gated GROUP BY text),
+       |sp AS (SELECT doc_id,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens,
+       |    CASE WHEN ($h) % 1000 < 900 THEN 'train'
+       |         WHEN ($h) % 1000 < 950 THEN 'validation'
+       |         ELSE 'test' END AS split
+       |  FROM kept),
+       |c AS (SELECT split, doc_id, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM sp)
+       |SELECT split, CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_no,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       |FROM c GROUP BY split, pack_no ORDER BY split, pack_no""".stripMargin
+  }
+
   // ---- multi-phrase blocklist screening ----------------------------
 
   /** Blocklist screening ([[graft.operators.Blocklist]]): token-aligned

@@ -35,4 +35,22 @@ object DuckSql {
     val inList = words.map(w => s"'$w'").mkString(", ")
     s"len(list_filter($toksExpr, t -> t IN ($inList)))"
   }
+
+  /** Twin of [[graft.operators.TextStats.quality]]'s `quality_score` as
+    * ONE scalar expression (same component arithmetic and order as the
+    * per-component oracles in DedupQueries — keep all three in
+    * lockstep).
+    */
+  def qualityScore(textExpr: String): String = {
+    val t = tokens(textExpr)
+    val allStop = graft.operators.TextStats.stopwords.values.flatten.toSeq.distinct.sorted
+    val nToks = s"len($t)"
+    val alnum = s"length(regexp_replace(lower($textExpr), '[^a-z0-9]', '', 'g'))"
+    val spaces = s"length(regexp_replace($textExpr, '[^ ]', '', 'g'))"
+    s"""round(greatest(0.0, least(1.0,
+       |  0.5 * (CASE WHEN $nToks > 0 THEN CAST(${hitCount(t, allStop)} AS DOUBLE) / CAST($nToks AS BIGINT) ELSE 0.0 END) +
+       |  0.1 * (CASE WHEN $nToks > 0 THEN CAST($alnum AS DOUBLE) / CAST($nToks AS BIGINT) ELSE 0.0 END) -
+       |  (CASE WHEN length($textExpr) > 0 THEN CAST(length($textExpr) - $alnum - $spaces AS DOUBLE) / CAST(length($textExpr) AS BIGINT) ELSE 0.0 END))), 6)"""
+      .stripMargin.replace("\n", " ")
+  }
 }
