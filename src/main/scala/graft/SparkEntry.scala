@@ -92,6 +92,7 @@ object SparkEntry {
     "x_winnow_fingerprints" -> (DedupQueries.winnowFingerprints _),
     "x_winnow_pairs" -> (DedupQueries.winnowPairs _),
     "x_containment_pairs" -> (DedupQueries.containmentPairs _),
+    "x_cdc_chunks" -> (DedupQueries.cdcChunks _),
     "x_split_assign" -> (DedupQueries.splitAssign _),
     "x_corpus_report" -> (DedupQueries.corpusReport _),
     "x_quality_sample" -> (DedupQueries.qualitySample _),
@@ -180,6 +181,7 @@ object SparkEntry {
     "x_events_dense_hourly" -> (EventQueries.denseHourly _),
     "x_kmv_sliding" -> (EventQueries.kmvSliding _),
     "x_events_props" -> (EventQueries.eventsProps _),
+    "x_events_trend" -> (EventQueries.eventsTrend _),
     "x_winsor_means" -> (AnalyticsQueries.winsorMeans _),
     "x_token_cdf" -> (AnalyticsQueries.tokenCdf _),
     "x_dedup_recall" -> (AnalyticsQueries.dedupRecall _),
@@ -369,6 +371,7 @@ object SparkEntry {
     "x_winnow_fingerprints" -> DedupQueries.winnowFingerprintsOracle,
     "x_winnow_pairs" -> DedupQueries.winnowPairsOracle,
     "x_containment_pairs" -> DedupQueries.containmentPairsOracle,
+    "x_cdc_chunks" -> DedupQueries.cdcChunksOracle,
     "x_split_assign" -> DedupQueries.splitAssignOracle,
     "x_corpus_report" -> DedupQueries.corpusReportOracle,
     "x_quality_sample" -> DedupQueries.qualitySampleOracle,
@@ -455,6 +458,7 @@ object SparkEntry {
     "x_events_dense_hourly" -> EventQueries.denseHourlyOracle,
     "x_kmv_sliding" -> EventQueries.kmvSlidingOracle,
     "x_events_props" -> EventQueries.eventsPropsOracle,
+    "x_events_trend" -> EventQueries.eventsTrendOracle,
     "x_winsor_means" -> AnalyticsQueries.winsorMeansOracle,
     "x_token_cdf" -> AnalyticsQueries.tokenCdfOracle,
     "x_dedup_recall" -> AnalyticsQueries.dedupRecallOracle,

@@ -1398,6 +1398,45 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Content-defined chunking duplication report
+    * ([[graft.operators.CdcChunk]], mod=16): hash-positioned chunk
+    * boundaries re-align after edits, so the planted perturbed docs
+    * share most chunks with their originals — the storage-dedup /
+    * byte-level-dedup signal fixed strides can't give.
+    */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.CdcChunk.dupReport(
+        corpusNear(spark, dir), "doc_id", "text", mod = 16)
+      .orderBy("doc_id")
+
+  val cdcChunksOracle: String = {
+    val t = DuckSql.tokens("text")
+    val hTok = DuckSql.hash60("t")
+    s"""WITH corpus AS ($corpusNearSql),
+       |hl AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    list_transform($t, t -> $hTok) AS hs
+       |  FROM corpus),
+       |p AS (SELECT doc_id, generate_subscripts(hs, 1) AS pos, unnest(hs) AS h
+       |  FROM hl),
+       |b AS (SELECT doc_id, pos, h,
+       |    CASE WHEN h % 16 = 0 THEN 1 ELSE 0 END AS boundary FROM p),
+       |c AS (SELECT doc_id, pos, h,
+       |    coalesce(sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_no
+       |  FROM b),
+       |ch AS (SELECT doc_id, chunk_no,
+       |    CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(('0x' || substring(md5(string_agg(CAST(h AS VARCHAR), '|' ORDER BY pos)), 1, 15)) AS BIGINT) AS chunk_hash
+       |  FROM c GROUP BY doc_id, chunk_no),
+       |f AS (SELECT chunk_hash, count(*) AS n_slots FROM ch GROUP BY chunk_hash)
+       |SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(CASE WHEN f.n_slots > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       |  CAST(sum(CASE WHEN f.n_slots > 1 THEN 1 ELSE 0 END) * 1000000
+       |    // count(*) AS BIGINT) AS dup_ppm
+       |FROM ch JOIN f USING (chunk_hash)
+       |GROUP BY ch.doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Containment pairs over the near-dup corpus
     * ([[graft.operators.SetJoin.containmentPairs]], w=8, t=4/5): the
     * planted perturbed docs (first two tokens dropped) are full shingle

@@ -800,6 +800,58 @@ object EventQueries {
        |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---- per-type OLS trend ------------------------------------------
+
+  /** Per-event-type least-squares trend of `value` over hours — the
+    * drift detector monitoring pipelines fit per series. Moments
+    * (n, Σx, Σy, Σxy, Σx²) accumulate EXACTLY (x rebased per type so
+    * products stay small-integer; y in DECIMAL(18,6)) in one map-side-
+    * combined aggregation; slope/intercept form in IEEE doubles with
+    * the identical expression tree in both engines. Rebasing minima are
+    * a |types|-row broadcast.
+    */
+  def eventsTrend(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("event_type"), expr("CAST(ts AS BIGINT) div 3600").as("hr"),
+        col("value").cast(DecimalType(18, 6)).as("y"))
+    val mins = e.groupBy(col("event_type")).agg(min(col("hr")).as("hr0"))
+    val m = e.join(broadcast(mins), "event_type")
+      .withColumn("x", (col("hr") - col("hr0")).cast(LongType))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(LongType).as("n_events"),
+        sum(col("x")).cast(LongType).as("sx"),
+        sum(expr("x * x")).cast(LongType).as("sxx"),
+        sum(col("y")).as("sy"),
+        sum(expr("y * x")).as("sxy"))
+    m.select(col("event_type"), col("n_events"), col("sx"), col("sxx"),
+        col("sy").cast(DoubleType).as("sy"), col("sxy").cast(DoubleType).as("sxy"))
+      .withColumn("slope", round(
+        (col("n_events") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_events") * col("sxx") - col("sx") * col("sx")), 6))
+      .withColumn("intercept", round(
+        (col("sy") - ((col("n_events") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_events") * col("sxx") - col("sx") * col("sx"))) * col("sx"))
+          / col("n_events"), 6))
+      .orderBy("event_type")
+  }
+
+  val eventsTrendOracle: String =
+    """WITH e AS (SELECT event_type, epoch_ms(ts) // 1000 // 3600 AS hr,
+      |    CAST(value AS DECIMAL(18,6)) AS y FROM events),
+      |mins AS (SELECT event_type, min(hr) AS hr0 FROM e GROUP BY event_type),
+      |m AS (SELECT e.event_type,
+      |    CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(sum(e.hr - mins.hr0) AS BIGINT) AS sx,
+      |    CAST(sum((e.hr - mins.hr0) * (e.hr - mins.hr0)) AS BIGINT) AS sxx,
+      |    CAST(sum(y) AS DOUBLE) AS sy,
+      |    CAST(sum(y * (e.hr - mins.hr0)) AS DOUBLE) AS sxy
+      |  FROM e JOIN mins USING (event_type) GROUP BY e.event_type)
+      |SELECT event_type, n_events, sx, sxx, sy, sxy,
+      |  round((n_events * sxy - sx * sy) / (n_events * sxx - sx * sx), 6) AS slope,
+      |  round((sy - ((n_events * sxy - sx * sy) / (n_events * sxx - sx * sx)) * sx)
+      |    / n_events, 6) AS intercept
+      |FROM m ORDER BY event_type""".stripMargin
+
   // ---- semi-structured props extraction ----------------------------
 
   /** JSON property extraction + typed aggregation — the

@@ -646,4 +646,37 @@ class StreamingSpec extends SparkSpec {
       assert(byId(1L) === ((3L, 2L)) && byId(2L) === ((0L, 0L)) && byId(3L) === ((2L, 1L)))
     } finally q.stop()
   }
+
+  test("sliding-window KMV distinct runs in streaming; closed windows equal batch sketches") {
+    import spark.implicits._
+    import graft.operators.Kmv
+    // x_kmv_sliding's streaming form: 3h windows hopping 1h, KmvAgg per
+    // window — the mergeable-sketch path; complete-mode results must be
+    // bit-equal to batch sketches over the same windowed rows.
+    val rows = (0 until 300).map { i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-01 ${i % 10}%02d:10:00"), (i * 37 % 50).toLong)
+    }
+    val dir = Files.createTempDirectory("graft-skmv").toString
+    rows.toDF("ts", "user_id").write.mode("overwrite").parquet(dir)
+    val schema = rows.toDF("ts", "user_id").schema
+    val agg = Kmv.sketchAgg(Kmv.hash30($"user_id"), k = 8).as("sk")
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .groupBy(window($"ts", "3 hours", "1 hour"))
+      .agg(agg)
+    val q = stream.writeStream.outputMode("complete").format("memory")
+      .queryName("skmv_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("skmv_out")
+        .select($"window.start".cast("long").as("w"), $"sk.est_distinct")
+        .as[(Long, Long)].collect().toMap
+      val batch = rows.toDF("ts", "user_id")
+        .groupBy(window($"ts", "3 hours", "1 hour"))
+        .agg(agg)
+        .select($"window.start".cast("long").as("w"), $"sk.est_distinct")
+        .as[(Long, Long)].collect().toMap
+      assert(streamed === batch)
+      assert(batch.nonEmpty && batch.values.exists(_ > 0))
+    } finally q.stop()
+  }
 }
