@@ -161,6 +161,7 @@ object SparkEntry {
     "x_curation_by_source" -> (CurationQueries.curationBySource _),
     "x_blocklist" -> (CurationQueries.blocklist _),
     "x_turn_dedup" -> (CurationQueries.turnDedup _),
+    "x_k_anonymity" -> (CurationQueries.kAnonymity _),
     "x_pipeline_e2e" -> (CurationQueries.pipelineE2e _),
     "x_semdedup" -> (SimilarityQueries.semDedup _),
     // extensions: corpus analytics (round 6)
@@ -439,6 +440,7 @@ object SparkEntry {
     "x_curation_by_source" -> CurationQueries.curationBySourceOracle,
     "x_blocklist" -> CurationQueries.blocklistOracle,
     "x_turn_dedup" -> CurationQueries.turnDedupOracle,
+    "x_k_anonymity" -> CurationQueries.kAnonymityOracle,
     "x_pipeline_e2e" -> CurationQueries.pipelineE2eOracle,
     "x_semdedup" -> SimilarityQueries.semDedupOracle,
     "x_kmv_distinct" -> AnalyticsQueries.kmvDistinctOracle,

@@ -822,6 +822,32 @@ object CurationQueries {
        |FROM c GROUP BY split, pack_no ORDER BY split, pack_no""".stripMargin
   }
 
+  // ---- k-anonymity risk report -------------------------------------
+
+  /** k-anonymity screening over quasi-identifiers — the data-governance
+    * check PII scrubbing alone misses: a document whose
+    * (lang, source, size-bucket) combination is shared by fewer than k
+    * corpus members is re-identifiable even with direct identifiers
+    * redacted (Sweeney, IJUFKS 2002). One map-side-combined groupBy;
+    * reports every under-k combination with its member count.
+    */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.loadSpread(spark, dir, "documents")
+      .select(col("lang"), col("source"),
+        expr("CAST(n_chars AS BIGINT) div 100").as("len_bucket"))
+      .groupBy(col("lang"), col("source"), col("len_bucket"))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"))
+      .filter(col("n_docs") < 5)
+      .orderBy("lang", "source", "len_bucket")
+
+  val kAnonymityOracle: String =
+    """SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+      |  CAST(count(*) AS BIGINT) AS n_docs
+      |FROM documents
+      |GROUP BY lang, source, len_bucket
+      |HAVING count(*) < 5
+      |ORDER BY lang, source, len_bucket""".stripMargin
+
   // ---- multi-phrase blocklist screening ----------------------------
 
   /** Blocklist screening ([[graft.operators.Blocklist]]): token-aligned

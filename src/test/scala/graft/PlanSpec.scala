@@ -220,6 +220,35 @@ class PlanSpec extends SparkSpec {
     assert(failures.isEmpty, "scale-killer plans:\n" + failures.mkString("\n"))
   }
 
+  test("JL projection and PQ encode are shuffle-free narrow transforms") {
+    import org.apache.spark.sql.functions.col
+    // projection: per-row native compute — no Exchange anywhere
+    val proj = graft.operators.RandomProjection.projectVecs(
+      graft.Tables.load(spark, dir, "embeddings"), "vec_id", "embedding", 16)
+    assert(!plan(proj).contains("Exchange"),
+      "sign projection must not shuffle the corpus:\n" + plan(proj))
+    // PQ encode against a trained model: literal-centroid assignment,
+    // corpus never moves (the flattened (vec_id, sub, code) output is
+    // generate + project over the scan)
+    val e = graft.Tables.load(spark, dir, "embeddings")
+    val model = graft.operators.ProductQuantize.train(e, "vec_id", "embedding",
+      m = 2, k = 4, iters = 1, dim = 64)
+    val enc = graft.operators.ProductQuantize.encode(e, "vec_id", "embedding", model)
+    assert(!plan(enc).contains("Exchange"),
+      "PQ encode must not shuffle the corpus:\n" + plan(enc))
+  }
+
+  test("blocklist matching broadcast-joins the phrase table; corpus side stays partitioned") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.queries.CurationQueries.blocklist(spark, dir)
+    val hinted = forcedBroadcastSubtrees(df)
+    assert(hinted.nonEmpty, "the phrase tables must carry broadcast hints")
+    for (sub <- hinted)
+      assert(sub.contains("LocalRelation") || sub.contains("phrase"),
+        "only the phrase table may be broadcast:\n" + sub)
+    assert(plan(df).contains("BroadcastHashJoin"), plan(df))
+  }
+
   test("CMS probe broadcast-joins the constant-size sketch; corpus side stays partitioned") {
     val df = graft.queries.CorpusQueries.cmsFreq(spark, dir)
     val hinted = forcedBroadcastSubtrees(df)
