@@ -56,6 +56,7 @@ object SparkEntry {
     "x_fts_bm25" -> (ParityQueries.ftsBm25 _),
     "x_fts_snippet" -> (ParityQueries.ftsSnippet _),
     "x_fts_highlight" -> (ParityQueries.ftsHighlight _),
+    "x_fts_near" -> (ParityQueries.ftsNear _),
     "x_span_corrupt" -> (CorpusQueries.spanCorrupt _),
     "x_token_dropout" -> (CorpusQueries.tokenDropout _),
     "x_semantic_chunks" -> (CorpusQueries.semanticChunks _),
@@ -336,6 +337,7 @@ object SparkEntry {
     "x_fts_bm25" -> ParityQueries.ftsBm25Oracle,
     "x_fts_snippet" -> ParityQueries.ftsSnippetOracle,
     "x_fts_highlight" -> ParityQueries.ftsHighlightOracle,
+    "x_fts_near" -> ParityQueries.ftsNearOracle,
     "x_span_corrupt" -> CorpusQueries.spanCorruptOracle,
     "x_token_dropout" -> CorpusQueries.tokenDropoutOracle,
     "x_semantic_chunks" -> CorpusQueries.semanticChunksOracle,

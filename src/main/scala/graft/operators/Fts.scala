@@ -283,6 +283,26 @@ object Fts {
     array_join(marked, " ")
   }
 
+  /** FTS5 `NEAR(a b, N)` support: the minimum number of INTERVENING
+    * tokens between any occurrence of `termA` and any of `termB`
+    * (`|posA − posB| − 1`; 0 = adjacent), or NULL when either term is
+    * absent — `nearMinGap <= N` is the NEAR predicate, pinned to
+    * single-token phrases. Per-row array compute over the token
+    * positions of the two terms (each occurrence list is typically
+    * tiny; the pair expansion is |A|·|B| within one row).
+    */
+  def nearMinGap(cols: Seq[Column], termA: String, termB: String): Column = {
+    val toks = tokens(cols)
+    def positions(t: String) =
+      filter(transform(toks, (tok, i) => when(tok === lit(t.toLowerCase), i + 1)),
+        p => p.isNotNull)
+    val pa = positions(termA)
+    val pb = positions(termB)
+    when(size(pa) > 0 && size(pb) > 0,
+      array_min(flatten(transform(pa, x =>
+        transform(pb, y => abs(x - y) - 1))))).cast("long")
+  }
+
   /** FTS5 `highlight()` — the whole-document companion of [[snippet]]:
     * every matched token wrapped in the `<b>`/`</b>` markers, full
     * token stream returned. Per-row transform, no selection step.

@@ -279,6 +279,37 @@ object ParityQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** S13 extension — FTS5 `NEAR(spark hash, 3)`: documents where the
+    * terms occur within 3 intervening tokens, with the minimum gap
+    * ([[Fts.nearMinGap]]).
+    */
+  def ftsNear(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    docs
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        Fts.nearMinGap(Seq(col("text")), "spark", "hash").as("min_gap"))
+      .filter(col("min_gap") <= 3)
+      .orderBy("doc_id")
+  }
+
+  val ftsNearOracle: String = {
+    val toks = DuckSql.tokens("text")
+    def pos(t: String) =
+      s"list_filter(list_transform($toks, (x, i) -> CASE WHEN x = '$t' THEN i END), p -> p IS NOT NULL)"
+    s"""WITH g AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    ${pos("spark")} AS pa, ${pos("hash")} AS pb
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(list_min(flatten(list_transform(pa,
+       |    x -> list_transform(pb, y -> abs(x - y) - 1)))) AS BIGINT) AS min_gap
+       |FROM g
+       |WHERE len(pa) > 0 AND len(pb) > 0
+       |  AND list_min(flatten(list_transform(pa,
+       |    x -> list_transform(pb, y -> abs(x - y) - 1)))) <= 3
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Extension — BM25-ranked FTS (FTS5's `bm25()` rank function,
     * k1=1.2 b=0.75) in exact integer rationals ([[Fts.bm25Match]]).
     */

@@ -124,6 +124,21 @@ class FtsSpec extends SparkSpec {
     intercept[IllegalArgumentException](ids("(missing close"))
   }
 
+  test("nearMinGap: intervening-token counts, multiple occurrences, absent terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "fox dog"),                // adjacent: gap 0
+      (2L, "fox a b dog"),            // gap 2
+      (3L, "dog z z z z fox z dog"),  // best pair is fox..dog on the right: gap 1
+      (4L, "fox only here"),          // dog absent -> null
+      (5L, "nothing at all")
+    ).toDF("id", "txt")
+    val got = docs.select($"id",
+        graft.operators.Fts.nearMinGap(Seq($"txt"), "fox", "dog").as("g"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got === Map(1L -> Some(0L), 2L -> Some(2L), 3L -> Some(1L), 4L -> None, 5L -> None))
+  }
+
   test("bm25Match: hand-computed integer-rational scores on a tiny corpus") {
     import spark.implicits._
     // 3 docs; query term "fox": df=2, N=3; dl = 3, 4, 2; Σdl = 9
