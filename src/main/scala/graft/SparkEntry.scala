@@ -60,6 +60,7 @@ object SparkEntry {
     "x_span_corrupt" -> (CorpusQueries.spanCorrupt _),
     "x_token_dropout" -> (CorpusQueries.tokenDropout _),
     "x_semantic_chunks" -> (CorpusQueries.semanticChunks _),
+    "x_prefix_savings" -> (CorpusQueries.prefixSavings _),
     "x_fim_transform" -> (CorpusQueries.fimTransform _),
     // headline agg/join workloads
     "q1_pricing_summary" -> (AggQueries.pricingSummary _),
@@ -341,6 +342,7 @@ object SparkEntry {
     "x_span_corrupt" -> CorpusQueries.spanCorruptOracle,
     "x_token_dropout" -> CorpusQueries.tokenDropoutOracle,
     "x_semantic_chunks" -> CorpusQueries.semanticChunksOracle,
+    "x_prefix_savings" -> CorpusQueries.prefixSavingsOracle,
     "x_fim_transform" -> CorpusQueries.fimTransformOracle,
     "q1_pricing_summary" -> AggQueries.pricingSummaryOracle,
     "q3_top_revenue_orders" -> AggQueries.topRevenueOrdersOracle,

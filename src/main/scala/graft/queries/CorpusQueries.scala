@@ -1510,6 +1510,68 @@ object CorpusQueries {
        |ORDER BY source""".stripMargin
   }
 
+  // ---- prefix-reuse layout audit -----------------------------------
+
+  /** Prefix-sharing layout measurement: within each source, sort
+    * documents lexicographically and count the tokens each document
+    * shares with its predecessor's PREFIX — the quantity prefix-reuse
+    * systems (KV-cache sharing across prompts, front-coded storage,
+    * delta compression) actually save. Windows are partitioned by
+    * source (never global); the common-prefix length is per-row array
+    * compute over least-length-sliced neighbors.
+    */
+  def prefixSavings(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("t"), col("doc_id"))
+    val base = graft.Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("source"),
+        Fts.tokens(Seq(col("text"))).as("toks"))
+      .withColumn("t", array_join(col("toks"), " "))
+    base
+      .withColumn("prev", lag(col("toks"), 1).over(w))
+      .withColumn("m", least(size(col("toks")), size(col("prev"))))
+      .withColumn("eq", zip_with(
+        slice(col("toks"), lit(1), col("m")),
+        slice(col("prev"), lit(1), col("m")), (a, b) => a === b))
+      .withColumn("mismatch_at", array_position(col("eq"), false))
+      .withColumn("common",
+        when(col("prev").isNull, lit(0L))
+          .when(col("mismatch_at") === 0, col("m").cast(LongType))
+          .otherwise((col("mismatch_at") - 1).cast(LongType)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(size(col("toks"))).cast(LongType).as("total_tokens"),
+        sum(col("common")).cast(LongType).as("prefix_tokens"))
+      .withColumn("savings_ppm", expr("prefix_tokens * 1000000 div total_tokens"))
+      .orderBy("source")
+  }
+
+  val prefixSavingsOracle: String = {
+    val toks = DuckSql.tokens("text")
+    s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       |    $toks AS toks, array_to_string($toks, ' ') AS t
+       |  FROM documents),
+       |lg AS (SELECT doc_id, source, toks,
+       |    lag(toks) OVER (PARTITION BY source ORDER BY t, doc_id) AS prev
+       |  FROM base),
+       |-- list_position yields 0/NULL (version-dependent) when no
+       |-- mismatch exists -> coalesce to 0 and treat 0 as full-common
+       |cm AS (SELECT doc_id, source, toks,
+       |    CASE WHEN prev IS NULL THEN 0
+       |      ELSE (CASE
+       |        WHEN coalesce(list_position(list_transform(range(1, least(len(toks), len(prev)) + 1),
+       |          i -> toks[i] = prev[i]), false), 0) = 0
+       |          THEN least(len(toks), len(prev))
+       |        ELSE list_position(list_transform(range(1, least(len(toks), len(prev)) + 1),
+       |          i -> toks[i] = prev[i]), false) - 1 END)
+       |    END AS common
+       |  FROM lg)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+       |  CAST(sum(common) AS BIGINT) AS prefix_tokens,
+       |  CAST(sum(common) * 1000000 // sum(len(toks)) AS BIGINT) AS savings_ppm
+       |FROM cm GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // ---- T5 span corruption + seeded augmentation --------------------
 
   /** T5-style span corruption ([[graft.operators.SpanCorrupt]]):
