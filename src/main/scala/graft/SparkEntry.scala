@@ -95,6 +95,7 @@ object SparkEntry {
     "x_winnow_pairs" -> (DedupQueries.winnowPairs _),
     "x_containment_pairs" -> (DedupQueries.containmentPairs _),
     "x_cdc_chunks" -> (DedupQueries.cdcChunks _),
+    "x_snm_pairs" -> (DedupQueries.snmPairs _),
     "x_split_assign" -> (DedupQueries.splitAssign _),
     "x_corpus_report" -> (DedupQueries.corpusReport _),
     "x_quality_sample" -> (DedupQueries.qualitySample _),
@@ -377,6 +378,7 @@ object SparkEntry {
     "x_winnow_pairs" -> DedupQueries.winnowPairsOracle,
     "x_containment_pairs" -> DedupQueries.containmentPairsOracle,
     "x_cdc_chunks" -> DedupQueries.cdcChunksOracle,
+    "x_snm_pairs" -> DedupQueries.snmPairsOracle,
     "x_split_assign" -> DedupQueries.splitAssignOracle,
     "x_corpus_report" -> DedupQueries.corpusReportOracle,
     "x_quality_sample" -> DedupQueries.qualitySampleOracle,

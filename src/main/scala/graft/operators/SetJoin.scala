@@ -170,6 +170,44 @@ object SetJoin {
        |    (sa.n + sb.n - len(list_intersect(sa.sset, sb.sset))) * $tNum)""".stripMargin
   }
 
+  /** Sorted-neighborhood near-dup pairs (Hernández & Stolfo, SIGMOD'95
+    * merge/purge) — the THIRD blocking family next to LSH bands
+    * (probabilistic, tunable recall) and prefix filtering (exact,
+    * skew-sensitive): sort the corpus by a similarity-preserving key
+    * and compare each record only to its next `window` neighbors —
+    * candidates are O(n·window) REGARDLESS of skew, the property
+    * neither of the others can promise. Recall depends entirely on the
+    * key; the canonical bag-of-words key (space-joined SORTED tokens)
+    * puts token-multiset-similar docs adjacent, so token-level edits
+    * (drops, reorders) land neighbors while topic-different docs never
+    * meet.
+    *
+    * Shape: one bounded-rank global sort ([[Shuffle.rangeOrderIndex]] —
+    * range partitions, per-partition windows, |partitions|-row offset
+    * broadcast), an equi-join on rank offsets 1..window, exact Jaccard
+    * verification. No candidate blowup exists to cap.
+    */
+  def snmPairs(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 3, window: Int = 3, tNum: Long = 1, tDen: Long = 2): DataFrame = {
+    require(window >= 1, "neighborhood window must be >= 1")
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold in (0, 1]")
+    val keyed = df.select(col(idCol).cast(LongType).as("id"),
+      TextDedup.shingleHashes(col(textCol), w).as("sset"),
+      array_join(array_sort(TextDedup.tokensCol(col(textCol))), " ").as("k"))
+    val ranked = Shuffle.rangeOrderIndex(keyed, Seq("k", "id"), "pos")
+      .select(col("id"), col("sset"), col("pos"))
+      .localCheckpoint(true) // feeds both sides of the neighbor join
+    val lhs = ranked.select(col("id").as("id_a"), col("sset").as("sa"),
+      explode(sequence(col("pos") + 1, col("pos") + window)).as("pos"))
+    lhs.join(ranked.select(col("id").as("id_b"), col("sset").as("sb"), col("pos")), Seq("pos"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast(LongType))
+      .withColumn("uni", size(col("sa")) + size(col("sb")) - col("inter"))
+      .filter(col("inter") * tDen >= col("uni") * tNum)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        round(col("inter").cast("double") / col("uni").cast("double"), 6).as("jaccard"))
+  }
+
   /** ASYMMETRIC containment join: pairs where either set's shingles are
     * >= tNum/tDen contained in the other — `|A∩B| / |A|` (resp. `/|B|`)
     * — the near-superset/quote-detection mode Jaccard structurally

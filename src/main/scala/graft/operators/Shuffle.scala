@@ -93,4 +93,39 @@ object Shuffle {
       .withColumn(posCol, (col("__offset") + row_number().over(within)).cast("long"))
       .drop("__bucket", "__offset")
   }
+
+  /** Attach `posCol` (1-based global rank) under the LEXICOGRAPHIC
+    * order of `orderCols` — the string-key companion of
+    * [[globalRankBy]] (whose bucket decomposition needs an integer
+    * domain). Range-repartition supplies ordered, non-overlapping key
+    * ranges per partition; each partition ranks only its own rows and
+    * a |partitions|-row broadcast of cumulative counts turns local
+    * ranks global. The rank is a function of the TOTAL ORDER alone, so
+    * where the sampled range bounds fall (which varies with input
+    * splits) never changes the output — `orderCols` must be a total
+    * order (include a unique tiebreak).
+    */
+  def rangeOrderIndex(
+      df: DataFrame, orderCols: Seq[String],
+      posCol: String = "pos", numParts: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    val n = if (numParts > 0) numParts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val cols = orderCols.map(col)
+    val parted = df.repartitionByRange(n, cols: _*)
+      .withColumn("__pid", spark_partition_id().cast("long"))
+    // the limit never truncates (pids < n by construction) — it makes
+    // the bound visible to Catalyst so the offsets window is provably
+    // small at plan time (same idiom as globalOrderIndex)
+    val offsets = parted.groupBy("__pid").count().limit(n)
+      .withColumn("__offset",
+        coalesce(sum(col("count")).over(
+          Window.orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    val within = Window.partitionBy("__pid").orderBy(cols: _*)
+    parted.join(broadcast(offsets), "__pid")
+      .withColumn(posCol, (col("__offset") + row_number().over(within)).cast("long"))
+      .drop("__pid")
+  }
 }

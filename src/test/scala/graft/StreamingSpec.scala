@@ -647,6 +647,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("seeded augmentation (dropout + FIM) runs stateless in streaming, batch-equal") {
+    import spark.implicits._
+    import graft.operators.TextAug
+    // augmentation at ingest: same seed must give identical views
+    // whether the doc arrives in a batch or on a stream
+    def aug(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      TextAug.tokenDropout(df, "doc_id", "text", seed = 5L)
+        .join(TextAug.fimTransform(df, "doc_id", "text", seed = 3L)
+          .select(col("doc_id"), col("fim_text")), Seq("doc_id"))
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel"),
+      (2L, "india juliet kilo lima mike november oscar papa"),
+      (3L, "quebec romeo sierra tango uniform victor whiskey xray"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-saug").toString
+    docs.filter($"doc_id" <= 2).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    // the dropout/FIM selects are narrow; the join of two stateless
+    // projections of the SAME stream stays append-safe
+    val q = TextAug.tokenDropout(stream, "doc_id", "text", seed = 5L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("saug_out").start()
+    try {
+      q.processAllAvailable()
+      docs.filter($"doc_id" >= 3).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val streamed = spark.table("saug_out").collect().map(_.toSeq).toSet
+      val batch = TextAug.tokenDropout(spark.read.parquet(dir), "doc_id", "text", seed = 5L)
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      // batch composition of both augmented views is deterministic too
+      assert(aug(docs).collect().map(_.toSeq).toSet ===
+        aug(docs).collect().map(_.toSeq).toSet)
+    } finally q.stop()
+  }
+
   test("sliding-window KMV distinct runs in streaming; closed windows equal batch sketches") {
     import spark.implicits._
     import graft.operators.Kmv

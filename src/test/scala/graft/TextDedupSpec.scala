@@ -448,6 +448,39 @@ class TextDedupSpec extends SparkSpec {
     assert(j.count() === 0L)
   }
 
+  test("rangeOrderIndex: ranks equal a driver-side lexicographic sort, any partitioning") {
+    import spark.implicits._
+    import graft.operators.Shuffle
+    val rows = Seq("pear", "apple", "banana", "apple pie", "cherry", "apricot", "date",
+      "elderberry", "fig", "grape", "apple", "kiwi")
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val expect = rows.sortBy(r => (r._2, r._1)).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    for (parts <- Seq(1, 3, 7)) {
+      val df = rows.toDF("id", "k").repartition(parts)
+      val got = Shuffle.rangeOrderIndex(df, Seq("k", "id"), "pos", numParts = 4)
+        .select("id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expect, s"input partitions = $parts")
+    }
+  }
+
+  test("snmPairs: token-level edits land in the neighborhood; candidates stay O(n*window)") {
+    import spark.implicits._
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val cdocs = Seq(
+      (1L, base),
+      (2L, "bravo " + base),                      // prepend: bag-of-words key nearly equal
+      (3L, "zulu yankee xray whiskey victor uniform tango sierra"),
+      (4L, base.replace("echo", "echo2"))          // one-token substitution
+    ).toDF("doc_id", "text")
+    val pairs = graft.operators.SetJoin
+      .snmPairs(cdocs, "doc_id", "text", w = 3, window = 3, tNum = 1, tDen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)), s"prepend variant missed: ${pairs.toSeq}")
+    assert(pairs.contains((1L, 4L)), s"substitution variant missed: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
+  }
+
   test("CDC chunking: boundaries re-align after a prefix edit (chunks shared); partition exact") {
     import spark.implicits._
     import graft.operators.CdcChunk
