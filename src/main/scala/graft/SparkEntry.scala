@@ -164,6 +164,9 @@ object SparkEntry {
     "x_curation_by_source" -> (CurationQueries.curationBySource _),
     "x_blocklist" -> (CurationQueries.blocklist _),
     "x_turn_dedup" -> (CurationQueries.turnDedup _),
+    "x_sft_loss_mask" -> (CurationQueries.sftLossMask _),
+    "x_preference_pairs" -> (CurationQueries.preferencePairs _),
+    "x_soft_dedup_weights" -> (DedupQueries.softDedupWeights _),
     "x_k_anonymity" -> (CurationQueries.kAnonymity _),
     "x_pipeline_e2e" -> (CurationQueries.pipelineE2e _),
     "x_semdedup" -> (SimilarityQueries.semDedup _),
@@ -446,6 +449,9 @@ object SparkEntry {
     "x_curation_by_source" -> CurationQueries.curationBySourceOracle,
     "x_blocklist" -> CurationQueries.blocklistOracle,
     "x_turn_dedup" -> CurationQueries.turnDedupOracle,
+    "x_sft_loss_mask" -> CurationQueries.sftLossMaskOracle,
+    "x_preference_pairs" -> CurationQueries.preferencePairsOracle,
+    "x_soft_dedup_weights" -> DedupQueries.softDedupWeightsOracle,
     "x_k_anonymity" -> CurationQueries.kAnonymityOracle,
     "x_pipeline_e2e" -> CurationQueries.pipelineE2eOracle,
     "x_semdedup" -> SimilarityQueries.semDedupOracle,

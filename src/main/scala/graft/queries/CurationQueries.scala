@@ -883,4 +883,131 @@ object CurationQueries {
        |  CAST(coalesce(n_hits, 0) >= 3 AS BIGINT) AS blocked
        |FROM base b LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
   }
+
+  // ---- SFT loss-mask spans -----------------------------------------
+
+  /** Loss-mask span table for SFT packing — per conversation turn, the
+    * token span `[tok_start, tok_end)` it occupies in the rendered
+    * transcript and whether the span is trainable (assistant turns
+    * only): the table a trainer zips against the packed token stream
+    * to zero user-turn losses. Transcripts are the same planted
+    * derivation as `x_chat_validate` (2 content tokens per turn + a
+    * 2-token `role:` header); offsets are per-doc HOF prefix sums —
+    * zero shuffles besides the output sort, so the op is pure per-row
+    * compute at corpus scale.
+    */
+  def sftLossMask(spark: SparkSession, dir: String): DataFrame = {
+    val planted = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        Fts.tokens(Seq(col("text"))).as("t"))
+      .withColumn("roles",
+        when(col("doc_id") % 7 === 1,
+          array(lit("user"), lit("user"), lit("assistant"), lit("assistant")))
+          .when(col("doc_id") % 5 === 2,
+            array(lit("user"), lit("assistant"), lit("user")))
+          .otherwise(array(lit("user"), lit("assistant"), lit("user"), lit("assistant"))))
+    planted
+      // per-turn token count: 2-token header + whatever of the 2
+      // content tokens the doc still has at that offset
+      .withColumn("counts",
+        transform(sequence(lit(1), size(col("roles"))),
+          i => (lit(2) + size(slice(col("t"), (i - lit(1)) * 2 + 1, lit(2)))).cast(LongType)))
+      // prefix sums stay inside the row (n_turns <= 4): starts(i) = sum counts(1..i-1)
+      .withColumn("starts",
+        transform(sequence(lit(1), size(col("roles"))),
+          i => aggregate(slice(col("counts"), lit(1), i - lit(1)), lit(0L), (a, x) => a + x)))
+      .withColumn("turn",
+        explode(transform(sequence(lit(1), size(col("roles"))),
+          i => struct(
+            i.cast(LongType).as("turn_no"),
+            element_at(col("roles"), i).as("role"),
+            element_at(col("starts"), i).as("tok_start"),
+            (element_at(col("starts"), i) + element_at(col("counts"), i)).as("tok_end"),
+            (element_at(col("roles"), i) === "assistant").as("trainable")))))
+      .select(col("doc_id"), col("turn.turn_no").as("turn_no"),
+        col("turn.role").as("role"), col("turn.tok_start").as("tok_start"),
+        col("turn.tok_end").as("tok_end"), col("turn.trainable").as("trainable"))
+      .orderBy("doc_id", "turn_no")
+  }
+
+  val sftLossMaskOracle: String = {
+    val t = graft.queries.DuckSql.tokens("text")
+    s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, $t AS t,
+       |    CASE WHEN doc_id % 7 = 1 THEN ['user', 'user', 'assistant', 'assistant']
+       |         WHEN doc_id % 5 = 2 THEN ['user', 'assistant', 'user']
+       |         ELSE ['user', 'assistant', 'user', 'assistant'] END AS roles
+       |  FROM documents),
+       |c AS (SELECT doc_id, roles,
+       |    list_transform(range(1, len(roles) + 1),
+       |      i -> 2 + len(t[(i-1)*2 + 1 : (i-1)*2 + 2])) AS counts
+       |  FROM d),
+       |e AS (SELECT doc_id, r.i AS turn_no, roles[r.i] AS role,
+       |    CAST(coalesce(list_sum(counts[1 : r.i - 1]), 0) AS BIGINT) AS tok_start,
+       |    CAST(coalesce(list_sum(counts[1 : r.i]), 0) AS BIGINT) AS tok_end,
+       |    roles[r.i] = 'assistant' AS trainable
+       |  FROM c CROSS JOIN LATERAL (SELECT unnest(range(1, len(roles) + 1)) AS i) r)
+       |SELECT doc_id, CAST(turn_no AS BIGINT) AS turn_no, role, tok_start,
+       |  tok_end, trainable
+       |FROM e ORDER BY doc_id, turn_no""".stripMargin
+  }
+
+  // ---- preference-pair construction (DPO data) ---------------------
+
+  /** Preference-pair assembly — the DPO/RLHF data step that turns a
+    * scored pool into (chosen, rejected) rows: within each
+    * (source, content-hash bucket) group, the highest-quality document
+    * is paired against the lowest (quality ties broken by doc_id, so
+    * the draw is deterministic under re-sharding); groups whose best
+    * and worst coincide, or whose scores tie exactly, yield no pair.
+    * Two rank windows over the same grouped scan — the group key
+    * partitions both, so no single-partition window exists at scale.
+    */
+  def preferencePairs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("source"),
+        graft.operators.Sampling.hashBucket(col("text"), 10).as("bucket"),
+        graft.operators.TextStats.quality(col("text"))
+          .getField("quality_score").as("q"))
+    val wTop = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("q").desc, col("doc_id"))
+    val wBot = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("q").asc, col("doc_id"))
+    val ranked = scored
+      .withColumn("rk_top", row_number().over(wTop))
+      .withColumn("rk_bot", row_number().over(wBot))
+    val chosen = ranked.filter(col("rk_top") === 1)
+      .select(col("source"), col("bucket"),
+        col("doc_id").as("chosen_id"), col("q").as("chosen_q"))
+    val rejected = ranked.filter(col("rk_bot") === 1)
+      .select(col("source"), col("bucket"),
+        col("doc_id").as("rejected_id"), col("q").as("rejected_q"))
+    chosen.join(rejected, Seq("source", "bucket"))
+      .filter(col("chosen_id") =!= col("rejected_id") &&
+        col("chosen_q") > col("rejected_q"))
+      .select(col("source"), col("bucket"), col("chosen_id"), col("rejected_id"),
+        round(col("chosen_q") - col("rejected_q"), 6).as("margin"))
+      .orderBy("source", "bucket")
+  }
+
+  val preferencePairsOracle: String = {
+    val h = graft.functions.PortableHash.duckdbHash60("text")
+    val q = graft.queries.DuckSql.qualityScore("text")
+    s"""WITH scored AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       |    CAST(($h) % 10 AS BIGINT) AS bucket, ($q) AS q
+       |  FROM documents),
+       |ranked AS (SELECT *,
+       |    row_number() OVER (PARTITION BY source, bucket ORDER BY q DESC, doc_id) AS rk_top,
+       |    row_number() OVER (PARTITION BY source, bucket ORDER BY q ASC, doc_id) AS rk_bot
+       |  FROM scored),
+       |c AS (SELECT source, bucket, doc_id AS chosen_id, q AS chosen_q
+       |  FROM ranked WHERE rk_top = 1),
+       |r AS (SELECT source, bucket, doc_id AS rejected_id, q AS rejected_q
+       |  FROM ranked WHERE rk_bot = 1)
+       |SELECT c.source, c.bucket, chosen_id, rejected_id,
+       |  round(chosen_q - rejected_q, 6) AS margin
+       |FROM c JOIN r ON r.source = c.source AND r.bucket = c.bucket
+       |WHERE chosen_id <> rejected_id AND chosen_q > rejected_q
+       |ORDER BY c.source, c.bucket""".stripMargin
+  }
 }

@@ -1512,4 +1512,36 @@ object DedupQueries {
        |FROM dfp a JOIN dfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 HAVING count(*) >= 6
        |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- soft dedup: repetition down-weighting -----------------------
+
+  /** Soft dedup — instead of dropping duplicates, every doc carries a
+    * sampling weight `1e6 div n_copies` so a text seen n times
+    * contributes one doc's worth of expected tokens (the
+    * down-weighting alternative to hard removal when near-boundary
+    * duplicates carry signal). Over the clone-planted corpus so
+    * n_copies > 1 actually occurs. One content-hash-keyed aggregation
+    * broadcast back is WRONG at scale (the count table is corpus-sized)
+    * — so it's a shuffle join on the hash key, map-side combined.
+    */
+  def softDedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusExact(spark, dir)
+      .select(col("doc_id"), graft.functions.PortableHash.hash60(col("text")).as("h"))
+    val counts = corpus.groupBy(col("h"))
+      .agg(count(lit(1)).cast(LongType).as("n_copies"))
+    corpus.join(counts, Seq("h"))
+      .select(col("doc_id"), col("n_copies"),
+        expr("1000000 div n_copies").cast(LongType).as("weight_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val softDedupWeightsOracle: String =
+    s"""WITH corpus AS ($corpusExactSql),
+       |hashed AS (SELECT doc_id, ${DuckSql.hash60("text")} AS h FROM corpus),
+       |counts AS (SELECT h, CAST(count(*) AS BIGINT) AS n_copies
+       |  FROM hashed GROUP BY h)
+       |SELECT doc_id, n_copies,
+       |  CAST(1000000 // n_copies AS BIGINT) AS weight_ppm
+       |FROM hashed JOIN counts USING (h)
+       |ORDER BY doc_id""".stripMargin
 }
