@@ -139,6 +139,7 @@ object SparkEntry {
     "x_corpus_diff" -> (CorpusQueries.corpusDiff _),
     "x_length_deciles" -> (CorpusQueries.lengthDeciles _),
     "x_url_filter" -> (CorpusQueries.urlFilter _),
+    "x_url_dedup" -> (CorpusQueries.urlDedup _),
     "x_shard_skew" -> (CorpusQueries.shardSkew _),
     "x_token_mass_median" -> (CorpusQueries.tokenMassMedian _),
     "x_bloom_membership" -> (CorpusQueries.bloomMembership _),
@@ -425,6 +426,7 @@ object SparkEntry {
     "x_corpus_diff" -> CorpusQueries.corpusDiffOracle,
     "x_length_deciles" -> CorpusQueries.lengthDecilesOracle,
     "x_url_filter" -> CorpusQueries.urlFilterOracle,
+    "x_url_dedup" -> CorpusQueries.urlDedupOracle,
     "x_shard_skew" -> CorpusQueries.shardSkewOracle,
     "x_token_mass_median" -> CorpusQueries.tokenMassMedianOracle,
     "x_bloom_membership" -> CorpusQueries.bloomMembershipOracle,

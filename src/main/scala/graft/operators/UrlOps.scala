@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization for crawl dedup — the normalization step web
+  * corpora (C4, RefinedWeb, Dolma) apply before URL-keyed dedup so the
+  * same page fetched as `HTTPS://Host/p/?utm_source=x#top` and
+  * `https://host/p` collapses to one key.
+  *
+  * Rules (the standard, order-sensitive set):
+  *   1. lowercase the scheme and host (path/query stay case-sensitive),
+  *   2. drop the `#fragment`,
+  *   3. strip tracking parameters (`utm_*`, `ref`, `fbclid`),
+  *   4. re-anchor the query: if stripping removed the leading `?`, the
+  *      first surviving `&` becomes `?`,
+  *   5. drop a dangling `?` and trailing slashes on the path.
+  *
+  * Every step is a codegen'd `regexp_replace`/`regexp_extract` chain —
+  * pure per-row compute, no UDF, nothing leaves whole-stage codegen —
+  * so canonicalization costs one narrow pass at any corpus size. The
+  * patterns avoid lookaround so they behave identically under Java
+  * regex (Spark) and RE2 (DuckDB); only the replacement-reference
+  * dialect differs (`$1` vs `\1`), which the oracle spells natively.
+  */
+object UrlOps {
+
+  /** Canonical form of `url` per the rules above. */
+  def canonicalize(url: Column): Column = {
+    // 1. lowercase scheme://host (host ends at the first of / ? #)
+    val head = lower(regexp_extract(url, "^[A-Za-z]+://[^/?#]*", 0))
+    val tail = regexp_replace(url, "^[A-Za-z]+://[^/?#]*", "")
+    val u1 = concat(head, tail)
+    // 2. drop fragment
+    val u2 = regexp_replace(u1, "#.*$", "")
+    // 3. strip tracking params together with their ? or & prefix
+    val u3 = regexp_replace(u2, "[?&](utm_[a-z]+|ref|fbclid)=[^&]*", "")
+    // 4. if the ? was stripped, promote the first & (only fires when an
+    //    & appears before any ?)
+    val u4 = regexp_replace(u3, "^([^?&]*)&", "$1?")
+    // 5. dangling '?' and trailing slashes (also directly before the ?)
+    val u5 = regexp_replace(u4, "/+(\\?|$)", "$1")
+    regexp_replace(u5, "\\?$", "")
+  }
+}

@@ -733,6 +733,64 @@ object CorpusQueries {
       |  reg_domain IN ('spam.example', 'adfarm.net') AS blocked
       |FROM r ORDER BY doc_id""".stripMargin
 
+  /** URL-keyed crawl dedup ([[graft.operators.UrlOps.canonicalize]]):
+    * plant a deterministic messy URL per doc — mixed-case scheme/host,
+    * a trailing path slash on every 3rd, a `#fragment` on every 4th,
+    * `utm_source`/`ref` tracking params in varying positions around the
+    * one identity param — canonicalize, and keep the latest crawl
+    * (max doc_id) per canonical URL. The whole normalization is one
+    * narrow codegen'd regex chain; dedup is a single canonical-key
+    * aggregation, map-side combined — the C4/RefinedWeb pre-dedup step
+    * at its true cost.
+    */
+  def urlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("source"))
+    val url = concat(
+      lit("HTTPS://WWW."), col("source"), lit(".Example.COM/sec/"),
+      (col("doc_id") % 50).cast(StringType),
+      when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit("?id="), (col("doc_id") % 20).cast(StringType),
+          lit("&utm_source=feed")))
+        .otherwise(concat(lit("?utm_source=feed&id="),
+          (col("doc_id") % 20).cast(StringType), lit("&ref=en"))),
+      when(col("doc_id") % 4 === 0, lit("#frag")).otherwise(lit("")))
+    d.withColumn("canonical_url", graft.operators.UrlOps.canonicalize(url))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).cast(LongType).as("n_crawls"),
+        max(col("doc_id")).cast(LongType).as("keep_id"))
+      .orderBy("canonical_url")
+  }
+
+  val urlDedupOracle: String =
+    """WITH planted AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    'HTTPS://WWW.' || source || '.Example.COM/sec/' ||
+      |    CAST(doc_id % 50 AS VARCHAR) ||
+      |    CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0
+      |      THEN '?id=' || CAST(doc_id % 20 AS VARCHAR) || '&utm_source=feed'
+      |      ELSE '?utm_source=feed&id=' || CAST(doc_id % 20 AS VARCHAR) || '&ref=en' END ||
+      |    CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url
+      |  FROM documents),
+      |canon AS (SELECT doc_id,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(
+      |            regexp_replace(
+      |              lower(regexp_extract(url, '^[A-Za-z]+://[^/?#]*', 0)) ||
+      |                regexp_replace(url, '^[A-Za-z]+://[^/?#]*', ''),
+      |              '#.*$', ''),
+      |            '[?&](utm_[a-z]+|ref|fbclid)=[^&]*', '', 'g'),
+      |          '^([^?&]*)&', '\1?'),
+      |        '/+(\?|$)', '\1'),
+      |      '\?$', '') AS canonical_url
+      |  FROM planted)
+      |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_crawls,
+      |  CAST(max(doc_id) AS BIGINT) AS keep_id
+      |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin
+
   /** Shard-skew report over the seeded-shuffle 100-doc shards (same
     * assignment as [[epochShards]]): per shard, its byte load and its
     * ppm share of ideal (1e6 = perfectly balanced) — the readout that
