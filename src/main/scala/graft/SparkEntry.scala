@@ -217,6 +217,7 @@ object SparkEntry {
     "x_embed_neardups" -> (SimilarityQueries.embedNearDups _),
     "x_embed_centroids" -> (SimilarityQueries.embedCentroids _),
     "x_kmeans_clusters" -> (SimilarityQueries.kmeansClusters _),
+    "x_cluster_topics" -> (SimilarityQueries.clusterTopics _),
     "x_ann_ivf_trained" -> (SimilarityQueries.annIvfTrained _),
     // extensions: event-time windows + multimodal plumbing
     "x_events_asof" -> (EventQueries.asofJoin _),
@@ -497,6 +498,7 @@ object SparkEntry {
     "x_embed_neardups" -> SimilarityQueries.embedNearDupsOracle,
     "x_embed_centroids" -> SimilarityQueries.embedCentroidsOracle,
     "x_kmeans_clusters" -> SimilarityQueries.kmeansClustersOracle,
+    "x_cluster_topics" -> SimilarityQueries.clusterTopicsOracle,
     "x_ann_ivf_trained" -> SimilarityQueries.annIvfTrainedOracle,
     "x_events_asof" -> EventQueries.asofJoinOracle,
     "x_events_asof_nearest" -> EventQueries.asofNearestOracle,

@@ -659,4 +659,61 @@ object SimilarityQueries {
        |  CAST(coalesce(o.n, 0) * 200000 AS BIGINT) AS recall_ppm
        |FROM qi LEFT JOIN o ON o.q_id = qi.q_id ORDER BY qi.q_id""".stripMargin
   }
+
+  // ---- cluster topic labeling (c-TF-IDF) ---------------------------
+
+  /** Topic labels for the trained k-means clusters — BERTopic-style
+    * c-TF-IDF (Grootendorst 2022): each cluster's documents form one
+    * pseudo-document; a term's weight is its cluster tf scaled by
+    * inverse cluster frequency `tf · (k·1e6 div n_clusters_with_term)`,
+    * integer-exact; top-3 terms label the cluster. The readout a
+    * data-mixing pipeline uses to see WHAT each embedding cluster
+    * contains before assigning sampling weights. vec_id↔doc_id is the
+    * corpus's planted 1:1 linkage ("embedding of document i"). Term
+    * tables are vocabulary-bounded, so both aggregations and the join
+    * are small keyed shuffles; the rank window partitions by cluster.
+    */
+  def clusterTopics(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = Similarity
+      .kmeansAssign(emb(spark, dir), "vec_id", "embedding", k = 8, iters = 2)
+    val docs = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("vec_id"), col("text"))
+    val tf = docs.join(assigned, Seq("vec_id"))
+      .select(col("cluster"),
+        explode(graft.operators.Fts.tokens(Seq(col("text")))).as("term"))
+      .groupBy("cluster", "term").agg(count(lit(1)).as("tf"))
+    val cdf = tf.groupBy("term")
+      .agg(count(lit(1)).cast(LongType).as("n_clusters"))
+    val w = Window.partitionBy("cluster").orderBy(col("weight").desc, col("term"))
+    tf.join(cdf, Seq("term"))
+      .withColumn("weight", col("tf") * expr("(8 * 1000000) div n_clusters"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
+      .select(col("cluster").cast(LongType).as("cluster"), col("rank"),
+        col("term"), col("weight").cast(LongType).as("weight"))
+      .orderBy("cluster", "rank")
+  }
+
+  val clusterTopicsOracle: String = {
+    val marker = "SELECT CAST(id AS BIGINT) AS vec_id"
+    val kmeansPart =
+      kmeansClustersOracle.substring(0, kmeansClustersOracle.indexOf(marker)).trim
+    val t = DuckSql.tokens("d.text")
+    s"""$kmeansPart,
+       |dt AS (SELECT a.cluster, unnest($t) AS term
+       |  FROM afinal a JOIN documents d ON CAST(d.doc_id AS BIGINT) = a.id),
+       |tf AS (SELECT cluster, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM dt GROUP BY cluster, term),
+       |cdf AS (SELECT term, CAST(count(*) AS BIGINT) AS n_clusters
+       |  FROM tf GROUP BY term),
+       |sc AS (SELECT cluster, term, tf * ((8 * 1000000) // n_clusters) AS weight
+       |  FROM tf JOIN cdf USING (term)),
+       |r AS (SELECT cluster, term, weight,
+       |    row_number() OVER (PARTITION BY cluster ORDER BY weight DESC, term) AS rank
+       |  FROM sc)
+       |SELECT CAST(cluster AS BIGINT) AS cluster, CAST(rank AS BIGINT) AS rank,
+       |  term, CAST(weight AS BIGINT) AS weight
+       |FROM r WHERE rank <= 3 ORDER BY cluster, rank""".stripMargin
+  }
 }

@@ -36,4 +36,18 @@ object StreamDedup {
     df.withColumn("content_hash", PortableHash.hash60(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** URL-keyed crawl dedup at ingest: canonicalize
+    * ([[graft.operators.UrlOps.canonicalize]] — a stateless codegen'd
+    * regex chain, streaming-safe by construction) and keep the FIRST
+    * crawl per canonical URL. State is keyed on the canonical string's
+    * 60-bit hash — 8 bytes per distinct page, same footprint argument
+    * as [[exactDedupStream]]. (The batch `x_url_dedup` keeps the LATEST
+    * crawl; an unbounded stream has no "latest", so ingest-time policy
+    * is first-wins — re-crawls are dropped until state is evicted.)
+    */
+  def urlDedupStream(df: DataFrame, urlCol: String): DataFrame =
+    df.withColumn("canonical_url", graft.operators.UrlOps.canonicalize(col(urlCol)))
+      .withColumn("url_hash", PortableHash.hash60(col("canonical_url")))
+      .dropDuplicates("url_hash")
 }

@@ -176,6 +176,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming URL dedup canonicalizes at ingest and keeps the first crawl per page") {
+    import spark.implicits._
+    import graft.streaming.StreamDedup
+    val dir = Files.createTempDirectory("graft-surl").toString
+    // three spellings of the SAME page + one distinct page
+    Seq((1L, "HTTPS://Host/p/?utm_source=a&id=3"),
+        (2L, "https://host/p?id=3&ref=x"),
+        (3L, "https://host/q?id=9"))
+      .toDF("crawl_id", "url").write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamDedup.urlDedupStream(stream, "url")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("surl_out").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.table("surl_out")
+        .select("crawl_id", "canonical_url").as[(Long, String)].collect().sortBy(_._1)
+      assert(kept.map(_._2).toSeq ===
+        Seq("https://host/p?id=3", "https://host/q?id=9"))
+      // batch 2: a re-crawl of page p in yet another spelling — state
+      // keyed on the canonical hash must drop it
+      Seq((4L, "https://host/p?utm_b=z&id=3#frag"), (5L, "https://host/r"))
+        .toDF("crawl_id", "url").write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val all = spark.table("surl_out")
+        .select("canonical_url").as[String].collect().sorted
+      assert(all.toSeq ===
+        Seq("https://host/p?id=3", "https://host/q?id=9", "https://host/r"))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup keeps first occurrence per content hash across batches") {
     import spark.implicits._
     import graft.streaming.StreamDedup
