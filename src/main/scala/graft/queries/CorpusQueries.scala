@@ -250,6 +250,44 @@ object CorpusQueries {
        |WHERE (${DuckSql.hash60("text")}) % 10000 < keep_buckets
        |ORDER BY doc_id""".stripMargin
 
+  /** Weighted-interleave stream schedule: serialize the multi-source
+    * mixture into ONE deterministic training order using weighted fair
+    * queuing — doc r of a weight-w source runs at virtual time
+    * `r · (1e6 div w)`, so a weight-4 source appears 4× as often as a
+    * weight-1 source, evenly spread rather than in bursts (the
+    * interleave a data loader needs when it streams one shard sequence
+    * but must honor mixture weights). Weights are the
+    * [[mixtureSample]] convention (`srcK → K%4+1`). The per-source rank
+    * window partitions by source; the global order is
+    * [[Shuffle.globalRankBy]]'s bucket-decomposed rank over the integer
+    * virtual time — no single-partition window anywhere.
+    */
+  def interleavePlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("source"))
+      .withColumn("w", substring(col("source"), 4, 10).cast(LongType) % 4 + 1)
+    val wSrc = Window.partitionBy("source").orderBy("doc_id")
+    val vt = d.withColumn("src_rank", row_number().over(wSrc).cast(LongType))
+      .withColumn("vtime", col("src_rank") * expr("1000000 div w"))
+    Shuffle.globalRankBy(vt, "vtime", domainBits = 42, tieBreak = "doc_id",
+        posCol = "stream_pos")
+      .select(col("doc_id"), col("source"), col("src_rank"), col("vtime"),
+        col("stream_pos"))
+      .orderBy("stream_pos")
+  }
+
+  val interleavePlanOracle: String =
+    """WITH r AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+      |    CAST(CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS BIGINT) AS w,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS src_rank
+      |  FROM documents),
+      |v AS (SELECT doc_id, source, src_rank,
+      |    CAST(src_rank * (1000000 // w) AS BIGINT) AS vtime FROM r)
+      |SELECT doc_id, source, src_rank, vtime,
+      |  CAST(row_number() OVER (ORDER BY vtime, doc_id) AS BIGINT) AS stream_pos
+      |FROM v ORDER BY stream_pos""".stripMargin
+
   /** Epoch shard manifest: the deterministic global shuffle composed
     * into fixed-size training shards — shard k holds positions
     * [k*100+1, (k+1)*100], so shard contents are reproducible across

@@ -52,4 +52,26 @@ class UrlOpsSpec extends SparkSpec {
   test("a URL with nothing to fix is unchanged") {
     assert(canon("https://h/p?id=3") === "https://h/p?id=3")
   }
+
+  test("canonicalize is idempotent over 300 seeded messy URLs") {
+    val rnd = new scala.util.Random(7)
+    val schemes = Seq("http", "HTTPS", "Http")
+    val hosts = Seq("Example.COM", "www.site.org", "A.B.c.NET")
+    val params = Seq("id=3", "utm_source=x", "ref=tw", "q=Mixed+Case",
+      "fbclid=ABC", "utm_campaign=y", "page=2")
+    val urls = (1 to 300).map { _ =>
+      val path = (0 until rnd.nextInt(3)).map(_ => s"p${rnd.nextInt(9)}").mkString("/", "/", "")
+      val slash = if (rnd.nextBoolean()) "/" else ""
+      val qs = (0 until rnd.nextInt(4)).map(_ => params(rnd.nextInt(params.size)))
+      val query = if (qs.isEmpty) "" else qs.mkString("?", "&", "")
+      val frag = if (rnd.nextBoolean()) "#Sec-2" else ""
+      s"${schemes(rnd.nextInt(3))}://${hosts(rnd.nextInt(3))}$path$slash$query$frag"
+    }
+    val bad = urls.map(Tuple1(_)).toDF("url")
+      .select(UrlOps.canonicalize($"url").as("c1"))
+      .select($"c1", UrlOps.canonicalize($"c1").as("c2"))
+      .filter($"c1" =!= $"c2")
+      .collect()
+    assert(bad.isEmpty, s"non-fixpoint: ${bad.take(3).mkString(", ")}")
+  }
 }
