@@ -167,6 +167,7 @@ object SparkEntry {
     "x_blocklist" -> (CurationQueries.blocklist _),
     "x_turn_dedup" -> (CurationQueries.turnDedup _),
     "x_sft_loss_mask" -> (CurationQueries.sftLossMask _),
+    "x_sft_pipeline" -> (CurationQueries.sftPipeline _),
     "x_preference_pairs" -> (CurationQueries.preferencePairs _),
     "x_soft_dedup_weights" -> (DedupQueries.softDedupWeights _),
     "x_k_anonymity" -> (CurationQueries.kAnonymity _),
@@ -455,6 +456,7 @@ object SparkEntry {
     "x_blocklist" -> CurationQueries.blocklistOracle,
     "x_turn_dedup" -> CurationQueries.turnDedupOracle,
     "x_sft_loss_mask" -> CurationQueries.sftLossMaskOracle,
+    "x_sft_pipeline" -> CurationQueries.sftPipelineOracle,
     "x_preference_pairs" -> CurationQueries.preferencePairsOracle,
     "x_soft_dedup_weights" -> DedupQueries.softDedupWeightsOracle,
     "x_k_anonymity" -> CurationQueries.kAnonymityOracle,

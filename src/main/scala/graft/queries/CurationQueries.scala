@@ -951,6 +951,96 @@ object CurationQueries {
        |FROM e ORDER BY doc_id, turn_no""".stripMargin
   }
 
+  // ---- composed SFT data build -------------------------------------
+
+  /** The SFT data build graded as ONE dataflow (the [[pipelineE2e]]
+    * pattern applied to conversation data): structural QA gate
+    * ([[chatValidate]] rules — starts user, ends assistant, strict
+    * alternation) → per-turn token accounting with assistant-only
+    * trainability ([[sftLossMask]] spans) → content-hash-bucketed
+    * sequence packing ([[DedupQueries.packAssign]] shape) → per-pack
+    * conversation/token/trainable-token totals. Everything up to the
+    * pack window is per-row HOF compute; the one window partitions by
+    * the hash bucket — the same two-shuffle budget as the batch text
+    * pipeline, at any corpus size.
+    */
+  def sftPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val planted = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("text"),
+        Fts.tokens(Seq(col("text"))).as("t"))
+      .withColumn("roles",
+        when(col("doc_id") % 7 === 1,
+          array(lit("user"), lit("user"), lit("assistant"), lit("assistant")))
+          .when(col("doc_id") % 5 === 2,
+            array(lit("user"), lit("assistant"), lit("user")))
+          .otherwise(array(lit("user"), lit("assistant"), lit("user"), lit("assistant"))))
+    val conv = planted
+      .withColumn("counts",
+        transform(sequence(lit(1), size(col("roles"))),
+          i => (lit(2) + size(slice(col("t"), (i - lit(1)) * 2 + 1, lit(2)))).cast(LongType)))
+      .filter(element_at(col("roles"), 1) === "user" &&
+        element_at(col("roles"), -1) === "assistant" &&
+        size(filter(sequence(lit(1), size(col("roles")) - 1),
+          i => element_at(col("roles"), i) === element_at(col("roles"), i + 1))) === 0)
+      .withColumn("n_tokens", aggregate(col("counts"), lit(0L), (a, x) => a + x))
+      .withColumn("n_trainable",
+        aggregate(transform(sequence(lit(1), size(col("roles"))),
+          i => when(element_at(col("roles"), i) === "assistant",
+            element_at(col("counts"), i)).otherwise(lit(0L))),
+          lit(0L), (a, x) => a + x))
+      .withColumn("bucket",
+        graft.operators.Sampling.hashBucket(col("text"), 100))
+      .select("doc_id", "bucket", "n_tokens", "n_trainable")
+      // the pack window re-sorts within buckets; materialize the gated
+      // per-conv compute once so the HOF pipeline doesn't re-run for
+      // the window's sort pass (packAssign's lesson)
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    conv
+      .withColumn("cum", sum(col("n_tokens")).over(w).cast(LongType))
+      .withColumn("pack_no", expr("(cum - n_tokens) div 2048").cast(LongType))
+      .groupBy(col("bucket"), col("pack_no"))
+      .agg(count(lit(1)).cast(LongType).as("n_convs"),
+        sum(col("n_tokens")).cast(LongType).as("n_tokens"),
+        sum(col("n_trainable")).cast(LongType).as("n_trainable"))
+      .orderBy("bucket", "pack_no")
+  }
+
+  val sftPipelineOracle: String = {
+    val t = graft.queries.DuckSql.tokens("text")
+    val h = graft.functions.PortableHash.duckdbHash60("text")
+    s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text, $t AS t,
+       |    CASE WHEN doc_id % 7 = 1 THEN ['user', 'user', 'assistant', 'assistant']
+       |         WHEN doc_id % 5 = 2 THEN ['user', 'assistant', 'user']
+       |         ELSE ['user', 'assistant', 'user', 'assistant'] END AS roles
+       |  FROM documents),
+       |c AS (SELECT doc_id, text, roles,
+       |    list_transform(range(1, len(roles) + 1),
+       |      i -> 2 + len(t[(i-1)*2 + 1 : (i-1)*2 + 2])) AS counts
+       |  FROM d),
+       |k AS (SELECT doc_id,
+       |    CAST(list_sum(counts) AS BIGINT) AS n_tokens,
+       |    CAST(list_sum(list_transform(range(1, len(roles) + 1),
+       |      i -> CASE WHEN roles[i] = 'assistant' THEN counts[i] ELSE 0 END))
+       |      AS BIGINT) AS n_trainable,
+       |    CAST(($h) % 100 AS BIGINT) AS bucket
+       |  FROM c
+       |  WHERE roles[1] = 'user' AND roles[len(roles)] = 'assistant'
+       |    AND len(list_filter(range(1, len(roles)),
+       |      i -> roles[i] = roles[i + 1])) = 0),
+       |p AS (SELECT bucket, doc_id, n_tokens, n_trainable,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM k)
+       |SELECT bucket, CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_no,
+       |  CAST(count(*) AS BIGINT) AS n_convs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_trainable) AS BIGINT) AS n_trainable
+       |FROM p GROUP BY bucket, pack_no ORDER BY bucket, pack_no""".stripMargin
+  }
+
   // ---- preference-pair construction (DPO data) ---------------------
 
   /** Preference-pair assembly — the DPO/RLHF data step that turns a
