@@ -276,4 +276,35 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges === 1, s"expected exactly 1 key shuffle, got $exchanges:\n$p")
   }
+
+  test("URL canonicalization stays in whole-stage codegen — no UDF, no fallback") {
+    val df = graft.queries.CorpusQueries.urlDedup(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "canonicalization must be a codegen'd regex chain:\n" + p)
+    // AQE plan text marks whole-stage-codegen subtrees "*(n)"
+    assert(p.contains("*(") || p.contains("WholeStageCodegen"), p)
+  }
+
+  test("interleave schedule: both windows are partitioned — no global rank window") {
+    val df = graft.queries.CorpusQueries.interleavePlan(spark, dir)
+    val p = plan(df)
+    assert(p.contains("Window"), p)
+    // the only SinglePartition stage allowed is the bounded (<= 2^bucketBits
+    // row) offsets prefix sum inside globalRankBy; the corpus-sized windows
+    // must never be single-partition. The offsets subtree is recognizable
+    // by its count aggregate over __bucket.
+    val windowLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    val globalCorpusWindow = windowLines.exists(l =>
+      l.contains("SinglePartition") && l.contains("src_rank"))
+    assert(!globalCorpusWindow, "corpus rank window must partition:\n" + p)
+  }
+
+  test("SFT pipeline: per-conv compute is HOF-narrow; the one window packs per bucket") {
+    val df = graft.queries.CurationQueries.sftPipeline(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("SinglePartition"),
+      "pack cumsum must partition by hash bucket:\n" + p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
 }
