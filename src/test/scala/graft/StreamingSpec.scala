@@ -471,6 +471,32 @@ class StreamingSpec extends SparkSpec {
       "the restarted query must restore dedup state and drop the batch-1 duplicate")
   }
 
+  test("streaming URL dedup state survives a restart (canonical-hash state store)") {
+    import spark.implicits._
+    import graft.streaming.StreamDedup
+    val base = Files.createTempDirectory("graft-surl-cp")
+    val (in, cp, out) = (s"$base/in", s"$base/cp", s"$base/out")
+    Seq((1L, "HTTPS://Host/p/?utm_source=a&id=3"), (2L, "https://host/q"))
+      .toDF("crawl_id", "url").write.mode("overwrite").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def start() = StreamDedup
+      .urlDedupStream(spark.readStream.schema(schema).parquet(in), "url")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", cp).format("parquet")
+      .option("path", out).start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // restart from the same checkpoint; batch 2 re-crawls page p under a
+    // different raw spelling — only restored state can catch it
+    Seq((3L, "https://HOST/p?id=3&ref=x"), (4L, "https://host/r"))
+      .toDF("crawl_id", "url").write.mode("append").parquet(in)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val kept = spark.read.parquet(out).select("crawl_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 2L, 4L),
+      "the restarted query must restore canonical-URL state and drop the re-crawl")
+  }
+
   test("stream-stream time-bounded join (watermarked) equals the batch theta join") {
     import spark.implicits._
     val sfDir = "/root/testdata/sf0.001"
