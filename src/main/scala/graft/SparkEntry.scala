@@ -149,6 +149,7 @@ object SparkEntry {
     "x_mixture_sample" -> (CorpusQueries.mixtureSample _),
     "x_epoch_shards" -> (CorpusQueries.epochShards _),
     "x_interleave_plan" -> (CorpusQueries.interleavePlan _),
+    "x_length_gini" -> (CorpusQueries.lengthGini _),
     // extensions: line-level curation + lexical retrieval
     "x_c4_line_filter" -> (CurationQueries.c4LineFilter _),
     "x_boilerplate_strip" -> (CurationQueries.boilerplateStrip _),
@@ -439,6 +440,7 @@ object SparkEntry {
     "x_mixture_sample" -> CorpusQueries.mixtureSampleOracle,
     "x_epoch_shards" -> CorpusQueries.epochShardsOracle,
     "x_interleave_plan" -> CorpusQueries.interleavePlanOracle,
+    "x_length_gini" -> CorpusQueries.lengthGiniOracle,
     "x_c4_line_filter" -> CurationQueries.c4LineFilterOracle,
     "x_boilerplate_strip" -> CurationQueries.boilerplateStripOracle,
     "x_dedup_lines_doc" -> CurationQueries.dedupLinesDocOracle,

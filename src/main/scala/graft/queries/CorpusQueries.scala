@@ -250,6 +250,55 @@ object CorpusQueries {
        |WHERE (${DuckSql.hash60("text")}) % 10000 < keep_buckets
        |ORDER BY doc_id""".stripMargin
 
+  /** Per-source length inequality (exact Gini, ppm) — the
+    * corpus-balance diagnostic next to [[shardSkew]] and batch padding
+    * waste: a source whose token mass concentrates in a few huge
+    * documents packs, shards, and batches differently from one with
+    * even lengths, and the Gini coefficient is the standard single
+    * number for that. Uses the rank formula
+    * `G = (2·Σ rᵢxᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ)` with ascending per-source
+    * ranks. Ranks come from [[Shuffle.rangeOrderIndex]] over
+    * (source, n_chars, doc_id) — a range shuffle with bounded
+    * per-partition windows, NOT a per-source single-partition window
+    * (a 100 TB source would serialize onto one task) — rebased
+    * per-source via a |sources|-row broadcast of min ranks. The
+    * rank-weighted sum accumulates in DECIMAL(38,0): Σ rᵢxᵢ ≤ n²·xmax
+    * overflows BIGINT near 1e9 docs/source, and DuckDB's HUGEINT sum
+    * matches decimal exactly.
+    */
+  def lengthGini(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("source"),
+        col("n_chars").cast(LongType).as("x"))
+    val ranked = Shuffle.rangeOrderIndex(d, Seq("source", "x", "doc_id"),
+      posCol = "gpos")
+    val offsets = ranked.groupBy("source").agg(min(col("gpos")).as("src_off"))
+    ranked.join(broadcast(offsets), "source")
+      .withColumn("rk", col("gpos") - col("src_off") + 1)
+      .groupBy("source")
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(col("x")).cast(LongType).as("total_chars"),
+        sum((col("rk") * col("x")).cast(DecimalType(38, 0))).as("wsum"))
+      .withColumn("gini_ppm", expr(
+        "CAST((1000000 * (2 * wsum - (n_docs + 1) * total_chars)) div (n_docs * total_chars) AS BIGINT)"))
+      .select(col("source"), col("n_docs"), col("total_chars"), col("gini_ppm"))
+      .orderBy("source")
+  }
+
+  val lengthGiniOracle: String =
+    """WITH r AS (SELECT source, CAST(n_chars AS BIGINT) AS x,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id) AS BIGINT) AS rk
+      |  FROM documents),
+      |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(x) AS BIGINT) AS total_chars,
+      |    sum(rk * x) AS wsum
+      |  FROM r GROUP BY source)
+      |SELECT source, n_docs, total_chars,
+      |  CAST((1000000 * (2 * wsum - (n_docs + 1) * total_chars))
+      |    // (n_docs * total_chars) AS BIGINT) AS gini_ppm
+      |FROM a ORDER BY source""".stripMargin
+
   /** Weighted-interleave stream schedule: serialize the multi-source
     * mixture into ONE deterministic training order using weighted fair
     * queuing — doc r of a weight-w source runs at virtual time
