@@ -240,6 +240,7 @@ object SparkEntry {
     "x_events_sessions" -> (EventQueries.sessions _),
     "x_multimodal_decode" -> (EventQueries.multimodalDecode _),
     "x_multimodal_frames" -> (EventQueries.multimodalFrames _),
+    "x_multimodal_frame_dedup" -> (EventQueries.multimodalFrameDedup _),
     "x_multimodal_patches" -> (EventQueries.multimodalPatches _),
     "x_multimodal_embed_topk" -> (EventQueries.multimodalEmbedTopK _),
   )
@@ -523,6 +524,7 @@ object SparkEntry {
     "x_events_sessions" -> EventQueries.sessionsOracle,
     "x_multimodal_decode" -> EventQueries.multimodalDecodeOracle,
     "x_multimodal_frames" -> EventQueries.multimodalFramesOracle,
+    "x_multimodal_frame_dedup" -> EventQueries.multimodalFrameDedupOracle,
     "x_multimodal_patches" -> EventQueries.multimodalPatchesOracle,
     "x_multimodal_embed_topk" -> EventQueries.multimodalEmbedTopKOracle,
   )

@@ -202,6 +202,41 @@ object Multimodal {
       .select(col("media_id"), col("frame_no").cast(LongType).as("frame_no"),
         (col("frame_no") * stride).cast(LongType).as("byte_offset"))
 
+  /** Consecutive-duplicate frame collapse — static-scene removal, the
+    * step a video pipeline runs between keyframe sampling and the
+    * (expensive) frame encoder: runs of visually identical frames
+    * contribute one representative, not one embedding per frame. The
+    * stub decoder renders frame f of a blob from the payload character
+    * window starting at `(f div hold)·stride` — i.e. the "scene"
+    * advances every `hold` frames, standing in for a real decoder's
+    * static shots — and the collapse keeps a frame iff its 60-bit
+    * signature differs from the previous frame's (per-media lag
+    * window; frames per blob are payload-bounded, so the window
+    * partition is too). Output is the per-media collapse summary.
+    */
+  def dedupFrames(df: DataFrame, idCol: String, payloadCol: String,
+      stride: Int = 100, hold: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).cast(LongType).as("media_id"),
+        col(payloadCol).cast(StringType).as("payload"),
+        length(col(payloadCol).cast(StringType)).as("n_chars"))
+      .filter(col("n_chars") > 0)
+    val framed = base
+      .withColumn("frame_no",
+        explode(sequence(lit(0L),
+          floor((col("n_chars") - 1) / stride).cast(LongType))))
+      .withColumn("sig", graft.functions.PortableHash.hash60(expr(
+        s"substring(payload, CAST((frame_no div $hold) * $stride + 1 AS INT), $stride)")))
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame_no"))
+    framed
+      .withColumn("kept",
+        lag(col("sig"), 1).over(w).isNull || col("sig") =!= lag(col("sig"), 1).over(w))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_frames"),
+        sum(col("kept").cast(LongType)).cast(LongType).as("n_kept"))
+      .withColumn("n_dropped", (col("n_frames") - col("n_kept")).cast(LongType))
+  }
+
   /** OVERLAPPING analysis windows for "audio" blobs — the classic
     * frame/hop decomposition (window `width` bytes every `hop` bytes,
     * hop < width ⇒ overlap), the byte-level stand-in for STFT /

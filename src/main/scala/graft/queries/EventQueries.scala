@@ -731,6 +731,33 @@ object EventQueries {
       |FROM documents, LATERAL (SELECT unnest(range(0, ((octet_length(encode(text)) - 1) // 100) + 1)) AS f) f
       |ORDER BY media_id, frame_no""".stripMargin
 
+  /** Multimodal: static-scene frame collapse
+    * ([[Multimodal.dedupFrames]]) — consecutive identical stub frames
+    * (the scene window advances every 3rd frame) keep one
+    * representative before any per-frame encoding spend.
+    */
+  def multimodalFrameDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    Multimodal.dedupFrames(docs, "doc_id", "text", stride = 100, hold = 3)
+      .orderBy("media_id")
+  }
+
+  val multimodalFrameDedupOracle: String = {
+    val sig = graft.functions.PortableHash.duckdbHash60(
+      "substr(text, CAST((f.f // 3) * 100 + 1 AS BIGINT), 100)")
+    s"""WITH b AS (SELECT CAST(doc_id AS BIGINT) AS media_id, text,
+       |    length(text) AS n_chars FROM documents WHERE length(text) > 0),
+       |fr AS (SELECT media_id, CAST(f.f AS BIGINT) AS frame_no, ($sig) AS sig
+       |  FROM b, LATERAL (SELECT unnest(range(0, ((n_chars - 1) // 100) + 1)) AS f) f),
+       |k AS (SELECT media_id, frame_no, sig,
+       |    lag(sig) OVER (PARTITION BY media_id ORDER BY frame_no) AS prev
+       |  FROM fr)
+       |SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,
+       |  CAST(sum(CASE WHEN prev IS NULL OR sig <> prev THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN prev IS NOT NULL AND sig = prev THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+       |FROM k GROUP BY media_id ORDER BY media_id""".stripMargin
+  }
+
   /** Multimodal: OVERLAPPING frame/hop windows over "audio" blobs
     * ([[Multimodal.audioWindows]], width 256 / hop 100 — the STFT
     * framing stand-in; tail windows clip).
