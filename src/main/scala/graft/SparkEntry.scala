@@ -150,6 +150,8 @@ object SparkEntry {
     "x_epoch_shards" -> (CorpusQueries.epochShards _),
     "x_interleave_plan" -> (CorpusQueries.interleavePlan _),
     "x_length_gini" -> (CorpusQueries.lengthGini _),
+    "x_source_quota" -> (CorpusQueries.sourceQuota _),
+    "x_vocab_coverage" -> (CorpusQueries.vocabCoverage _),
     // extensions: line-level curation + lexical retrieval
     "x_c4_line_filter" -> (CurationQueries.c4LineFilter _),
     "x_boilerplate_strip" -> (CurationQueries.boilerplateStrip _),
@@ -442,6 +444,8 @@ object SparkEntry {
     "x_epoch_shards" -> CorpusQueries.epochShardsOracle,
     "x_interleave_plan" -> CorpusQueries.interleavePlanOracle,
     "x_length_gini" -> CorpusQueries.lengthGiniOracle,
+    "x_source_quota" -> CorpusQueries.sourceQuotaOracle,
+    "x_vocab_coverage" -> CorpusQueries.vocabCoverageOracle,
     "x_c4_line_filter" -> CurationQueries.c4LineFilterOracle,
     "x_boilerplate_strip" -> CurationQueries.boilerplateStripOracle,
     "x_dedup_lines_doc" -> CurationQueries.dedupLinesDocOracle,

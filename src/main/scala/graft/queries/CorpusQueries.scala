@@ -250,6 +250,99 @@ object CorpusQueries {
        |WHERE (${DuckSql.hash60("text")}) % 10000 < keep_buckets
        |ORDER BY doc_id""".stripMargin
 
+  /** Batch per-source token-budget admission — the graded batch twin
+    * of [[graft.streaming.StreamQuota]] (which is doc-count-keyed and
+    * spec-verified): documents are admitted in doc_id order until the
+    * source's 1000-token budget is crossed; the first doc that crosses
+    * is still admitted (its tokens were partly in budget — the
+    * convention that makes the budget a floor, matching how a trainer
+    * truncates the final sequence rather than dropping it). Admission
+    * is inherently sequential per source, so the cumsum window
+    * partitions by source — the same O(|sources|) ordering state the
+    * streaming twin keeps.
+    */
+  def sourceQuota(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("source"),
+        graft.operators.TextStats.bpeishTokenCount(col("text")).as("nt"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum", sum(col("nt")).over(w).cast(LongType))
+      .withColumn("admitted", col("cum") - col("nt") < 1000)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(col("admitted").cast(LongType)).cast(LongType).as("n_admitted"),
+        sum(when(col("admitted"), col("nt")).otherwise(lit(0L)))
+          .cast(LongType).as("tokens_admitted"))
+      .orderBy("source")
+  }
+
+  val sourceQuotaOracle: String =
+    s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS nt
+       |  FROM documents),
+       |c AS (SELECT doc_id, source, nt,
+       |    CAST(sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM d)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN cum - nt < 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+       |  CAST(sum(CASE WHEN cum - nt < 1000 THEN nt ELSE 0 END) AS BIGINT) AS tokens_admitted
+       |FROM c GROUP BY source ORDER BY source""".stripMargin
+
+  /** Vocabulary coverage curve: per-language OOV rate at nested vocab
+    * sizes 50/100/200/400 — [[oovRate]]'s single point widened to the
+    * curve a tokenizer-sizing decision actually reads (how much
+    * coverage each doubling buys). ONE corpus explode builds the
+    * materialized (lang, term, n) count table; the four thresholds are
+    * a 4-row literal cross join against the rank window — the curve
+    * costs the same one shuffle as the single point.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tf = DedupQueries.docs(spark, dir)
+      .select(col("lang"),
+        explode(TextDedup.shingles(col("text"), 3)).as("term"))
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("term"))
+    val ranked = tf.withColumn("rk", row_number().over(w))
+    val sizes = Seq(50, 100, 200, 400)
+    val totals = tf.groupBy("lang").agg(sum(col("n")).cast(LongType).as("total"))
+    ranked
+      .crossJoin(broadcast(sizes.toDF("vocab_size")))
+      .filter(col("rk") <= col("vocab_size"))
+      .groupBy(col("lang"), col("vocab_size"))
+      .agg(sum(col("n")).cast(LongType).as("covered"))
+      .join(broadcast(totals), Seq("lang"))
+      .withColumn("oov_ppm",
+        expr("(1000000 * (total - covered)) div total").cast(LongType))
+      .select(col("lang"), col("vocab_size").cast(LongType).as("vocab_size"),
+        col("covered"), col("total"), col("oov_ppm"))
+      .orderBy("lang", "vocab_size")
+  }
+
+  val vocabCoverageOracle: String = {
+    val sh = DuckSql.shinglesFromTokens(DuckSql.tokens("text"), 3)
+    s"""WITH sh AS (SELECT lang, unnest($sh) AS term FROM documents),
+       |tf AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS n
+       |  FROM sh GROUP BY lang, term),
+       |ranked AS (SELECT lang, term, n,
+       |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rk
+       |  FROM tf),
+       |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS total FROM tf GROUP BY lang),
+       |sz AS (SELECT unnest([50, 100, 200, 400]) AS vocab_size),
+       |cov AS (SELECT lang, vocab_size, CAST(sum(n) AS BIGINT) AS covered
+       |  FROM ranked CROSS JOIN sz WHERE rk <= vocab_size
+       |  GROUP BY lang, vocab_size)
+       |SELECT cov.lang, CAST(vocab_size AS BIGINT) AS vocab_size, covered, total,
+       |  CAST((1000000 * (total - covered)) // total AS BIGINT) AS oov_ppm
+       |FROM cov JOIN tot ON tot.lang = cov.lang
+       |ORDER BY cov.lang, vocab_size""".stripMargin
+  }
+
   /** Per-source length inequality (exact Gini, ppm) — the
     * corpus-balance diagnostic next to [[shardSkew]] and batch padding
     * waste: a source whose token mass concentrates in a few huge
