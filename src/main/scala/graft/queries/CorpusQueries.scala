@@ -300,7 +300,6 @@ object CorpusQueries {
     * costs the same one shuffle as the single point.
     */
   def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val tf = DedupQueries.docs(spark, dir)
       .select(col("lang"),
         explode(TextDedup.shingles(col("text"), 3)).as("term"))
@@ -309,10 +308,13 @@ object CorpusQueries {
       .localCheckpoint(true)
     val w = Window.partitionBy("lang").orderBy(col("n").desc, col("term"))
     val ranked = tf.withColumn("rk", row_number().over(w))
-    val sizes = Seq(50, 100, 200, 400)
     val totals = tf.groupBy("lang").agg(sum(col("n")).cast(LongType).as("total"))
+    // the size ladder rides along as an exploded literal — narrow, not a
+    // theta join (the crossJoin+filter spelling plans as a
+    // BroadcastNestedLoopJoin, which PlanGuard rightly rejects)
     ranked
-      .crossJoin(broadcast(sizes.toDF("vocab_size")))
+      .withColumn("vocab_size",
+        explode(array(lit(50), lit(100), lit(200), lit(400))))
       .filter(col("rk") <= col("vocab_size"))
       .groupBy(col("lang"), col("vocab_size"))
       .agg(sum(col("n")).cast(LongType).as("covered"))
