@@ -184,4 +184,26 @@ object Sampling {
       .select(col("q_id"), col("neg_rank").cast(LongType).as("neg_rank"),
         col("neg_id"))
   }
+
+  /** Weighted fair-queuing interleave: serialize a multi-source corpus
+    * into one deterministic stream order where a weight-w source
+    * surfaces w times as often as a weight-1 source, evenly spread —
+    * doc r of a source runs at virtual time `r · (1e6 div w)` and the
+    * stream is ordered by virtual time (ties by `idCol`). The
+    * per-source rank window partitions by source; the global order is
+    * [[Shuffle.globalRankBy]]'s bucket-decomposed rank — no
+    * single-partition window. `domainBits` must bound
+    * `maxSrcRank · 1e6` (42 bits ≈ 4.4M docs in the heaviest source;
+    * raise it for bigger corpora).
+    */
+  def wfqInterleave(df: DataFrame, sourceCol: String, idCol: String,
+      weight: Column => Column, domainBits: Int = 42,
+      posCol: String = "stream_pos"): DataFrame = {
+    val wSrc = Window.partitionBy(col(sourceCol)).orderBy(col(idCol))
+    val vt = df.withColumn("w", weight(col(sourceCol)))
+      .withColumn("src_rank", row_number().over(wSrc).cast(LongType))
+      .withColumn("vtime", col("src_rank") * expr("1000000 div w"))
+    Shuffle.globalRankBy(vt, "vtime", domainBits = domainBits,
+      tieBreak = idCol, posCol = posCol)
+  }
 }

@@ -406,20 +406,15 @@ object CorpusQueries {
     * [[Shuffle.globalRankBy]]'s bucket-decomposed rank over the integer
     * virtual time — no single-partition window anywhere.
     */
-  def interleavePlan(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val d = DedupQueries.docs(spark, dir)
-      .select(col("doc_id").cast(LongType).as("doc_id"), col("source"))
-      .withColumn("w", substring(col("source"), 4, 10).cast(LongType) % 4 + 1)
-    val wSrc = Window.partitionBy("source").orderBy("doc_id")
-    val vt = d.withColumn("src_rank", row_number().over(wSrc).cast(LongType))
-      .withColumn("vtime", col("src_rank") * expr("1000000 div w"))
-    Shuffle.globalRankBy(vt, "vtime", domainBits = 42, tieBreak = "doc_id",
-        posCol = "stream_pos")
+  def interleavePlan(spark: SparkSession, dir: String): DataFrame =
+    Sampling.wfqInterleave(
+        DedupQueries.docs(spark, dir)
+          .select(col("doc_id").cast(LongType).as("doc_id"), col("source")),
+        "source", "doc_id",
+        src => substring(src, 4, 10).cast(LongType) % 4 + 1)
       .select(col("doc_id"), col("source"), col("src_rank"), col("vtime"),
         col("stream_pos"))
       .orderBy("stream_pos")
-  }
 
   val interleavePlanOracle: String =
     """WITH r AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,

@@ -677,4 +677,37 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(viaSplit7 === viaSplit)
   }
+
+  test("wfqInterleave honors weights exactly: 4:1 sources give a 20:5 prefix") {
+    import spark.implicits._
+    // weight(srcK) = K%4+1 — src3 -> 4, src0 -> 1; 50 docs each.
+    // WFQ virtual times: src3 at 250000·r, src0 at 1000000·r, so any
+    // vtime horizon holds exactly 4 src3 docs per src0 doc.
+    val d = ((1L to 50L).map(i => (i, "src3")) ++
+        (101L to 150L).map(i => (i, "src0")))
+      .toDF("doc_id", "source")
+    val out = graft.operators.Sampling.wfqInterleave(
+        d, "source", "doc_id",
+        src => org.apache.spark.sql.functions.substring(src, 4, 10)
+          .cast("long") % 4 + 1)
+      .select($"stream_pos", $"source").as[(Long, String)]
+      .collect().sortBy(_._1)
+    val first25 = out.take(25).map(_._2)
+    assert(first25.count(_ == "src3") === 20)
+    assert(first25.count(_ == "src0") === 5)
+    // positions are a permutation of 1..100
+    assert(out.map(_._1).toSeq === (1L to 100L))
+    // determinism across partitioning
+    val out7 = graft.operators.Sampling.wfqInterleave(
+        d.repartition(7), "source", "doc_id",
+        src => org.apache.spark.sql.functions.substring(src, 4, 10)
+          .cast("long") % 4 + 1)
+      .select($"stream_pos", $"doc_id").as[(Long, Long)].collect().sortBy(_._1)
+    val base = graft.operators.Sampling.wfqInterleave(
+        d, "source", "doc_id",
+        src => org.apache.spark.sql.functions.substring(src, 4, 10)
+          .cast("long") % 4 + 1)
+      .select($"stream_pos", $"doc_id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(out7.toSeq === base.toSeq)
+  }
 }
