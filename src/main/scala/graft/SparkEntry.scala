@@ -101,6 +101,7 @@ object SparkEntry {
     "x_quality_sample" -> (DedupQueries.qualitySample _),
     "x_quality_calibrated" -> (DedupQueries.qualityCalibrated _),
     "x_pack_assign" -> (DedupQueries.packAssign _),
+    "x_pack_attention" -> (DedupQueries.packAttention _),
     "x_pack_sequences" -> (DedupQueries.packSequences _),
     "x_batch_padding" -> (DedupQueries.batchPadding _),
     "x_redact_pii" -> (DedupQueries.redactPii _),
@@ -395,6 +396,7 @@ object SparkEntry {
     "x_quality_sample" -> DedupQueries.qualitySampleOracle,
     "x_quality_calibrated" -> DedupQueries.qualityCalibratedOracle,
     "x_pack_assign" -> DedupQueries.packAssignOracle,
+    "x_pack_attention" -> DedupQueries.packAttentionOracle,
     "x_pack_sequences" -> DedupQueries.packSequencesOracle,
     "x_batch_padding" -> DedupQueries.batchPaddingOracle,
     "x_redact_pii" -> DedupQueries.redactPiiOracle,

@@ -723,6 +723,44 @@ object DedupQueries {
        |  CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS pack_no
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Pack attention-contamination stats: per packed sequence, the ppm
+    * of token-pair attention mass that stays INTRA-document —
+    * `Σnᵢ² / (Σnᵢ)²` — the number that decides whether packing needs
+    * boundary masking (unmasked packs let tokens attend across
+    * unrelated documents; a pack of one doc scores 1e6, many small
+    * docs score low). Pure aggregation on top of [[packAssign]]'s
+    * per-doc assignment — one extra keyed groupBy, nothing new
+    * touches the corpus.
+    */
+  def packAttention(spark: SparkSession, dir: String): DataFrame =
+    packAssign(spark, dir)
+      .groupBy(col("bucket"), col("pack_no"))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(col("n_tokens")).cast(LongType).as("n_tokens"),
+        sum(col("n_tokens") * col("n_tokens")).cast(LongType).as("sq"))
+      .withColumn("intra_ppm",
+        expr("(1000000 * sq) div (n_tokens * n_tokens)").cast(LongType))
+      .select(col("bucket"), col("pack_no"), col("n_docs"), col("n_tokens"),
+        col("intra_ppm"))
+      .orderBy("bucket", "pack_no")
+
+  val packAttentionOracle: String =
+    s"""WITH b AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    CAST((${DuckSql.hash60("text")}) % 100 AS BIGINT) AS bucket,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, bucket, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM b),
+       |p AS (SELECT bucket, CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS pack_no,
+       |    n_tokens FROM c)
+       |SELECT bucket, pack_no, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST((1000000 * CAST(sum(n_tokens * n_tokens) AS BIGINT))
+       |    // (CAST(sum(n_tokens) AS BIGINT) * CAST(sum(n_tokens) AS BIGINT)) AS BIGINT) AS intra_ppm
+       |FROM p GROUP BY bucket, pack_no ORDER BY bucket, pack_no""".stripMargin
+
   /** Packed-sequence CONSTRUCTION: the step after [[packAssign]] that
     * actually materializes each 2048-token training sequence — docs of
     * a (bucket, pack) concatenated in doc_id order with doc and token
