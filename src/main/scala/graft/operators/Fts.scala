@@ -198,34 +198,104 @@ object Fts {
     result
   }
 
+  /** Scaled fractional bits of the fixed-point log2 idf. */
+  private[graft] val Log2Frac = 30
+
+  /** FTS5 replaces a non-positive idf (`df >= N/2`) with the constant
+    * `1e-6`; in our log2-based 2^30 fixed point that constant is
+    * `round(1e-6 / ln 2 * 2^30) = 1549` — same relative magnitude vs
+    * the positive idfs, so it plays the same tiny-tiebreaker role.
+    */
+  private[graft] val EpsIdf = 1549L
+
+  /** `floor_ish(log2(p/q) * 2^30)` in PURE 64-bit integer arithmetic —
+    * the classic square-and-shift digit recurrence, 30 unrolled steps:
+    * normalize `a/b = p/q` with `b ∈ [2^29, 2^30)`, then per step
+    * square both, emit the bit `a² >= 2b²`, halve if set, and
+    * renormalize `b` back into `[2^29, 2^30)` by a truncating shift
+    * of BOTH (shift ∈ {29,30,31} picked by integer compares — no
+    * floats anywhere). Every intermediate stays under 2^62. The
+    * truncation makes it "floor-ish" (≤ ~100 ulp of true log2 at 2^30
+    * scale ≈ 1e-7 absolute) but perfectly DETERMINISTIC — the DuckDB
+    * oracle replays the identical integer steps and gets the identical
+    * 64-bit value, which float `ln` could never guarantee.
+    * Requires `q >= 1` and `p < 2^62`; returns 0 when `p <= q`
+    * (callers branch to [[EpsIdf]] for that non-positive-idf case).
+    */
+  private[graft] def ilog2Fixed(p: Long, q: Long): Long = {
+    require(q >= 1 && p >= 1 && p < (1L << 62), s"ilog2Fixed domain: p=$p q=$q")
+    var ip = 0
+    while (ip < 61 && (p >> (ip + 1)) >= q) ip += 1
+    var a = p
+    var b = q << ip
+    while (b < (1L << 29)) { a <<= 1; b <<= 1 }
+    while (b >= (1L << 30)) { a >>= 1; b >>= 1 }
+    var out = ip.toLong
+    var i = 0
+    while (i < Log2Frac) {
+      a = a * a
+      b = b * b
+      val bit = if (a >= 2 * b) 1L else 0L
+      if (bit == 1L) b *= 2
+      val s = if (b >= (1L << 60)) 31 else if (b >= (1L << 59)) 30 else 29
+      a >>= s
+      b >>= s
+      out = (out << 1) | bit
+      i += 1
+    }
+    out
+  }
+
   /** BM25-ranked MATCH — SQLite FTS5's actual ranking function
-    * (`bm25()`, k1=1.2 b=0.75), re-expressed in exact integer rationals
-    * so scores are bit-identical in any engine (same policy as
-    * [[rankedMatch]]'s scaled idf — no float logs, no division-order
-    * sensitivity):
+    * (`bm25()`, k1=1.2 b=0.75), re-expressed in deterministic integer
+    * fixed point so scores are bit-identical in any engine AND the
+    * ranking matches real FTS5 (cross-validated against the sqlite3
+    * binary on the fixture corpora — SqliteCliSpec):
     *
-    *   - `avgdl_s = (Σ dl * 1000) div N` — corpus average doc length ×1000
-    *   - `idf_x(t) = ((2(N−df)+1) * 1000000) div (2·df+1)` — the
-    *     rational inside FTS5's `ln((N−df+0.5)/(df+0.5))`, ×1e6 without
-    *     the log (strictly monotone decreasing in df, which is the
-    *     ranking contract; the log only compresses the scale)
-    *   - tf saturation with k1=1.2, b=0.75 cleared of fractions:
-    *     `sat_x = 22000·tf·avgdl_s div (10·tf·avgdl_s + 3·avgdl_s + 9000·dl)`
-    *     ∈ (0, 2200] — exactly tf(k1+1)/(tf + k1(1−b+b·dl/avgdl)) ×1000
-    *   - `score = Σ_t idf_x(t) · sat_x(t)`
+    *   - `avgdl_s = floor(Σdl · 1e6 / N)` — computed overflow-free as
+    *     `(Σdl div N)·1e6 + ((Σdl mod N)·1e6) div N`
+    *   - `idf2(t) = floor(log2((N−df+0.5)/(df+0.5)) · 2^30)` via
+    *     [[ilog2Fixed]] on the integer rational `(2(N−df)+1)/(2df+1)`,
+    *     or [[EpsIdf]] when the ratio ≤ 1 (FTS5's `idf<=0 → 1e-6`
+    *     branch). log2 instead of FTS5's ln is a GLOBAL positive
+    *     rescale (1/ln2) of every term's weight, so the score ORDERING
+    *     is unchanged — that is what makes an exact integer log
+    *     possible at all.
+    *   - tf saturation with k1=1.2, b=0.75 in 2e6-scale fixed point:
+    *     `ratio_s = (dl·1e12) div avgdl_s` (≈ dl/avgdl ×1e6), then
+    *     `sat_x = (tf'·44e12) div (tf'·1e7 + 3e6 + 9·ratio_s)`
+    *     ∈ (0, 4.4e6] — exactly tf(k1+1)/(tf + k1(1−b+b·dl/avgdl))
+    *     ×2e6, with `tf' = min(tf, 1e5)` (beyond 1e5 the saturation
+    *     curve moves < 7e-6 relative — below the fixed-point grain)
+    *   - `score = Σ_t idf2(t) · sat_x(t)` — higher is better (FTS5's
+    *     `bm25()` returns the negated score; `ORDER BY score DESC`
+    *     here ≡ `ORDER BY bm25(t)` there)
     *
-    * All intermediates fit signed 64-bit for N ≤ 4e8 docs per ranking
-    * domain (idf_x ≤ 2e6·N; ×2200 < 2^63) — shard the idf domain above
-    * that. Plan: one corpus pass builds the term-filtered tf WITH the
-    * doc length riding alongside (no second per-doc join); a narrow
-    * rowid+length pass produces the single (N, Σdl) stats row that
-    * broadcasts into the tiny idf side; scoring is tf ⋈ broadcast(idf).
+    * 64-bit bounds, per ranking domain: N < 2^40 docs, dl ≤ 9.2e6
+    * tokens per doc, ≤ 32 query terms (idf2 < 42·2^30, ×4.4e6 ×32
+    * < 2^63); Σdl is unbounded (the split avgdl computation never
+    * forms Σdl·1e6). Shard the ranking domain above those.
+    *
+    * Matching FTS5's MATCH candidate set (implicit AND) is the
+    * composable filter `terms_hit = <n_terms>`; this operator scores
+    * the wider any-term set so OR-style consumers share the plan.
+    *
+    * Plan: one corpus pass builds the term-filtered tf WITH the doc
+    * length riding alongside (no second per-doc join); a narrow
+    * rowid+length pass produces the single (N, Σdl) stats row. The
+    * per-term idf is computed on the DRIVER from the collected
+    * (term, df) aggregate — O(#query-terms) rows, the same bounded-
+    * model-state pattern as the BPE merge table — and rejoins as a
+    * broadcast literal frame; scoring is tf ⋈ broadcast(idf).
     */
   def bm25Match(
       df: DataFrame, cols: Seq[String], query: String,
       rowidCol: String = Rowid.ColName): DataFrame = {
     val terms = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
     require(terms.nonEmpty, "empty FTS query")
+    require(terms.size <= 32, "bm25Match: more than 32 query terms overflows the score domain")
+    val spark = df.sparkSession
+    import spark.implicits._
     val tf = df
       .select(col(rowidCol), tokens(cols.map(col)).as("__toks"))
       .select(col(rowidCol), size(col("__toks")).cast("long").as("dl"),
@@ -233,21 +303,30 @@ object Fts {
       .filter(col("term").isin(terms: _*))
       .groupBy(col(rowidCol), col("dl"), col("term"))
       .agg(count(lit(1)).cast("long").as("tf"))
-      .localCheckpoint(true) // feeds idf build AND scoring join
-    val stats = df
+      .localCheckpoint(true) // feeds df-per-term build AND scoring join
+    // bounded driver collects: one (N, Σdl) row + one row per query term
+    val statsRow = df
       .select(size(tokens(cols.map(col))).cast("long").as("dl"))
-      .agg(count(lit(1)).cast("long").as("__n"), sum(col("dl")).as("__sumdl"))
-      .withColumn("avgdl_s", expr("(__sumdl * 1000) div __n"))
-    val idf = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("long"), coalesce(sum(col("dl")), lit(0L)))
+      .as[(Long, Long)].head()
+    val (n, sumdl) = statsRow
+    val avgdlS = if (n == 0) 1L else (sumdl / n) * 1000000L + ((sumdl % n) * 1000000L) / n
+    val dfPerTerm = tf.groupBy(col("term"))
       .agg(countDistinct(col(rowidCol)).cast("long").as("df"))
-      .crossJoin(broadcast(stats))
-      .withColumn("idf_x", expr("((2 * (__n - df) + 1) * 1000000) div (2 * df + 1)"))
-      .select(col("term"), col("idf_x"), col("avgdl_s"))
+      .as[(String, Long)].collect()
+    val idfRows = dfPerTerm.toSeq.map { case (term, dft) =>
+      val p = 2L * (n - dft) + 1
+      val q = 2L * dft + 1
+      (term, if (p <= q) EpsIdf else ilog2Fixed(p, q))
+    }
+    val idf = idfRows.toDF("term", "idf2")
     tf.join(broadcast(idf), Seq("term"))
+      .withColumn("__tfc", least(col("tf"), lit(100000L)))
+      .withColumn("__ratio_s", expr(s"(dl * 1000000000000L) div ${avgdlS}L"))
       .withColumn("sat_x", expr(
-        "(22000 * tf * avgdl_s) div (10 * tf * avgdl_s + 3 * avgdl_s + 9000 * dl)"))
+        "(__tfc * 44000000000000L) div (__tfc * 10000000L + 3000000L + 9L * __ratio_s)"))
       .groupBy(col(rowidCol))
-      .agg(sum(expr("idf_x * sat_x")).cast("long").as("score"),
+      .agg(sum(expr("idf2 * sat_x")).cast("long").as("score"),
         countDistinct(col("term")).cast("long").as("terms_hit"))
   }
 

@@ -87,22 +87,27 @@ object Sampling {
     * stratum crowd out the rest. Appends `stratum_rank` (1-based within
     * the stratum).
     *
-    * One shuffle on the stratum key: the count and the rank share the
-    * same window partitioning. Rank-within-stratum sorts each stratum —
-    * fine for bounded-cardinality strata (languages, sources), where a
-    * stratum's sort is its own partition's work; for open-ended or
-    * pathologically skewed strata use the hash-threshold samplers above.
+    * Strata are low-cardinality by contract (languages, sources), so a
+    * per-stratum rank WINDOW would serialize each stratum onto one
+    * task — a multi-TB sort at 100 TB. The rank is instead
+    * [[Shuffle.groupedRank]]'s range-decomposed rank (bounded
+    * per-partition sorts + a broadcast per-(partition, stratum) offset
+    * table) on the negated score, and the per-stratum size arrives as
+    * a broadcast count aggregate. Same total order, same output, no
+    * single-task stage.
     */
   def stratifiedTopPct(
       df: DataFrame, stratumCol: String, idCol: String,
       scoreCol: String, pct: Int): DataFrame = {
     require(pct > 0 && pct <= 100, "pct must be in (0, 100]")
-    val byStratum = Window.partitionBy(col(stratumCol))
-    val byScore = byStratum.orderBy(col(scoreCol).desc, col(idCol))
-    df.withColumn("__stratum_n", count(lit(1)).over(byStratum))
-      .withColumn("stratum_rank", row_number().over(byScore).cast(LongType))
+    val n = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__stratum_n"))
+    Shuffle.groupedRank(
+        df.withColumn("__neg_score", -col(scoreCol)),
+        Seq(stratumCol), Seq("__neg_score", idCol), "stratum_rank")
+      .join(broadcast(n), Seq(stratumCol))
       .filter(col("stratum_rank") <= ceil(col("__stratum_n") * pct / lit(100.0)))
-      .drop("__stratum_n")
+      .drop("__stratum_n", "__neg_score")
   }
 
   /** Priority sampling (Duffield–Lund–Thorup, JACM 2007):
@@ -190,19 +195,39 @@ object Sampling {
     * surfaces w times as often as a weight-1 source, evenly spread —
     * doc r of a source runs at virtual time `r · (1e6 div w)` and the
     * stream is ordered by virtual time (ties by `idCol`). The
-    * per-source rank window partitions by source; the global order is
-    * [[Shuffle.globalRankBy]]'s bucket-decomposed rank — no
-    * single-partition window. `domainBits` must bound
-    * `maxSrcRank · 1e6` (42 bits ≈ 4.4M docs in the heaviest source;
-    * raise it for bigger corpora).
+    * per-source rank is [[Shuffle.groupedRank]]'s range-decomposed
+    * rank (a per-source window would serialize each source onto one
+    * task at 100 TB); the global order is [[Shuffle.globalRankBy]]'s
+    * bucket-decomposed rank — no single-partition window anywhere.
+    * `domainBits` must bound `maxSrcRank · 1e6` (42 bits ≈ 4.4M docs
+    * in the heaviest source; raise it for bigger corpora) — an
+    * out-of-domain vtime would silently overflow globalRankBy's bucket
+    * decomposition, so the bound is ENFORCED per row: a codegen'd
+    * `raise_error` fires on the first row whose vtime reaches
+    * 2^domainBits (or whose weight is null/zero), failing the job in
+    * seconds instead of corrupting stream positions.
     */
   def wfqInterleave(df: DataFrame, sourceCol: String, idCol: String,
       weight: Column => Column, domainBits: Int = 42,
       posCol: String = "stream_pos"): DataFrame = {
-    val wSrc = Window.partitionBy(col(sourceCol)).orderBy(col(idCol))
-    val vt = df.withColumn("w", weight(col(sourceCol)))
-      .withColumn("src_rank", row_number().over(wSrc).cast(LongType))
-      .withColumn("vtime", col("src_rank") * expr("1000000 div w"))
+    require(domainBits > 0 && domainBits <= 60, "domainBits in (0, 60]")
+    val vt = Shuffle.groupedRank(
+        df.withColumn("w", weight(col(sourceCol))),
+        Seq(sourceCol), Seq(idCol), "src_rank")
+      .withColumn("__vt_raw", col("src_rank") * expr("1000000 div w"))
+      // the when() keeps the guard in the vtime value path (never
+      // pruned); `1e6 div w` is NULL for w = 0/NULL, which also routes
+      // to raise_error via the non-matching when branch
+      .withColumn("vtime",
+        when(col("__vt_raw") >= 0 && col("__vt_raw") < lit(1L << domainBits),
+          col("__vt_raw"))
+          .otherwise(raise_error(concat(
+            lit(s"wfqInterleave: vtime out of [0, 2^$domainBits) for "),
+            col(sourceCol).cast("string"),
+            lit(" rank "), col("src_rank").cast("string"),
+            lit(" weight "), col("w").cast("string"),
+            lit(" — raise domainBits or fix the weight")))))
+      .drop("__vt_raw")
     Shuffle.globalRankBy(vt, "vtime", domainBits = domainBits,
       tieBreak = idCol, posCol = posCol)
   }

@@ -128,4 +128,71 @@ object Shuffle {
       .withColumn(posCol, (col("__offset") + row_number().over(within)).cast("long"))
       .drop("__pid")
   }
+
+  /** PER-GROUP running sum of `value` under the (groupCols, orderCols)
+    * order — the scale-safe replacement for
+    * `sum(v) OVER (PARTITION BY group ORDER BY o ROWS UNBOUNDED
+    * PRECEDING)` when `group` is LOW-CARDINALITY (lang / source /
+    * split) and the input is document-grain: the naive window funnels
+    * every row of a group onto ONE task (a multi-TB serial sort at
+    * 100 TB), while this decomposition never sorts more than one range
+    * partition per task.
+    *
+    *   1. range-repartition on (groupCols ++ orderCols) — contiguous,
+    *      non-overlapping key ranges per partition;
+    *   2. per-(partition, group) local running sum — each task sorts
+    *      only its own rows;
+    *   3. per-(partition, group) totals — because ranges are contiguous
+    *      in (group, order) sort order, this table holds at most
+    *      `numParts + |groups| − 1` rows;
+    *   4. per-group offsets = prefix sum of the totals over partition
+    *      id (a window PARTITIONED BY group over the tiny totals
+    *      table — ≤ numParts rows per group), broadcast-joined back.
+    *
+    * The result is a function of the TOTAL ORDER alone — where the
+    * sampled range bounds fall never changes it — so `orderCols` must
+    * be a total order within each group (include a unique tiebreak).
+    * Contract: |groups| must stay broadcast-sized (the offsets table is
+    * broadcast); for high-cardinality groups a plain partitioned window
+    * is already scale-safe — use that instead.
+    */
+  def groupedRunningSum(
+      df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
+      value: Column, outCol: String, numParts: Int = 0): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(orderCols.nonEmpty, "need at least one order column")
+    val n = if (numParts > 0) numParts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val keyCols = (groupCols ++ orderCols).map(col)
+    val parted = df.repartitionByRange(n, keyCols: _*)
+      .withColumn("__pid", spark_partition_id().cast("long"))
+      .withColumn("__v", value)
+    val localW = Window.partitionBy(("__pid" +: groupCols).map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = parted.withColumn("__lcum", sum(col("__v")).over(localW))
+    val totals = parted.groupBy(("__pid" +: groupCols).map(col): _*)
+      .agg(sum(col("__v")).as("__ptot"))
+    val offW = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("__goff", coalesce(sum(col("__ptot")).over(offW), lit(0L)))
+      .select(("__pid" +: groupCols).map(col) :+ col("__goff"): _*)
+    withLocal.join(broadcast(offsets), "__pid" +: groupCols)
+      .withColumn(outCol, (col("__goff") + col("__lcum")).cast("long"))
+      .drop("__pid", "__v", "__lcum", "__goff")
+  }
+
+  /** PER-GROUP 1-based `row_number` under the (groupCols, orderCols)
+    * order — [[groupedRunningSum]] of the constant 1; the scale-safe
+    * replacement for `row_number() OVER (PARTITION BY group ORDER BY
+    * o)` on low-cardinality groups over document-grain rows. Same
+    * contract: `orderCols` total within each group, |groups|
+    * broadcast-sized.
+    */
+  def groupedRank(
+      df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
+      rankCol: String, numParts: Int = 0): DataFrame =
+    groupedRunningSum(df, groupCols, orderCols, lit(1L), rankCol, numParts)
 }

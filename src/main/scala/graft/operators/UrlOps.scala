@@ -20,8 +20,13 @@ import org.apache.spark.sql.functions._
   * pure per-row compute, no UDF, nothing leaves whole-stage codegen —
   * so canonicalization costs one narrow pass at any corpus size. The
   * patterns avoid lookaround so they behave identically under Java
-  * regex (Spark) and RE2 (DuckDB); only the replacement-reference
-  * dialect differs (`$1` vs `\1`), which the oracle spells natively.
+  * regex (Spark) and RE2 (DuckDB); two dialect points differ and the
+  * oracle spells both natively: the replacement-reference syntax
+  * (`$1` vs `\1`), and GLOBAL replacement — Spark's `regexp_replace`
+  * always replaces every match, DuckDB's only the first unless the
+  * `'g'` option is passed, so every oracle step carries `'g'` (it
+  * matters for the multi-match steps like trailing-slash removal and
+  * is a no-op for the anchored single-match ones).
   */
 object UrlOps {
 

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo}
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LeafNode, LogicalPlan, SerializeFromObject, Window}
 import org.apache.spark.sql.catalyst.plans.Cross
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -18,6 +18,13 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *    unbounded size: the whole input serializes onto ONE task. The
   *    engine's own bounded uses (dictionary ranking, bucket offsets —
   *    children capped at plan time via maxRows, SURVEY §4) stay silent.
+  *  - a Window whose PARTITION BY keys are all known LOW-CARDINALITY
+  *    columns (lang/source/split — `spark.graft.guard.lowCardCols`)
+  *    over a document-grain child: the moral equivalent of the empty
+  *    partitionSpec — with ~10 groups at 100 TB each group is one
+  *    multi-TB single-task sort. Children that are aggregates,
+  *    object pipelines, prior windows, or provably bounded stay
+  *    silent (see [[PlanGuard.findings]]'s docGrain).
   *  - a cross join whose sides are both unbounded: |L|×|R| rows.
   *    1-row scalar broadcasts (corpus totals) are bounded and pass.
   *
@@ -37,6 +44,38 @@ object PlanGuard {
     */
   private def bounded(p: LogicalPlan, cap: Long): Boolean =
     p.maxRows.exists(_ <= cap)
+
+  /** Column names that are LOW-CARDINALITY by this corpus's data model
+    * (a handful of languages / sources / split labels). Configurable
+    * per session via `spark.graft.guard.lowCardCols` (comma-separated).
+    */
+  private[plans] val defaultLowCardCols = Set("lang", "source", "split")
+
+  /** True when `p` still carries document-grain row count: the plan
+    * reaches a leaf relation through only narrow row-preserving nodes.
+    * Traversal STOPS (returns false) at the nodes that change grain or
+    * impose prior structure:
+    *  - a provably-bounded subtree (maxRows <= cap);
+    *  - an Aggregate — output is group-grain, not row-grain;
+    *  - SerializeFromObject — an object pipeline (e.g. the bounded-heap
+    *    per-partition top-k pruner, graft.operators.Scale) already
+    *    restructured the rows;
+    *  - another Window — an earlier pass (typically a pruning rank +
+    *    filter) imposed structure; the inner window is inspected on
+    *    its own when the rule walks it.
+    * Heuristic by design: a checkpointed bounded sample (LogicalRDD
+    * leaf) is indistinguishable from a corpus scan and flags
+    * conservatively — such sites carry an explicit justification in
+    * the test-suite allowlist (PlanSpec).
+    */
+  private def docGrain(p: LogicalPlan, cap: Long): Boolean = p match {
+    case _ if bounded(p, cap) => false
+    case _: Aggregate => false
+    case _: SerializeFromObject => false
+    case _: Window => false
+    case _: LeafNode => true
+    case other => other.children.exists(c => docGrain(c, cap))
+  }
 
   /** True when any top-level conjunct is an equality with one side
     * referencing only left output and the other only right output —
@@ -62,7 +101,8 @@ object PlanGuard {
     }
   }
 
-  def findings(plan: LogicalPlan, boundedCap: Long = 1 << 20): Seq[String] = {
+  def findings(plan: LogicalPlan, boundedCap: Long = 1 << 20,
+      lowCardCols: Set[String] = defaultLowCardCols): Seq[String] = {
     val out = Seq.newBuilder[String]
     plan.foreach {
       case w: Window if w.partitionSpec.isEmpty && !bounded(w.child, boundedCap) =>
@@ -70,6 +110,17 @@ object PlanGuard {
           s"the whole input sorts on one task. Decompose the rank " +
           s"(bucket + per-bucket window + offsets, see graft.operators.Shuffle) " +
           s"or partition the window."
+      case w: Window if w.partitionSpec.nonEmpty &&
+          w.partitionSpec.forall(e =>
+            e.references.nonEmpty &&
+              e.references.forall(a => lowCardCols(a.name))) &&
+          docGrain(w.child, boundedCap) =>
+        val keys = w.partitionSpec.flatMap(_.references.map(_.name)).distinct.mkString(", ")
+        out += s"low-cardinality Window partition ($keys) over a document-grain " +
+          s"child: each group serializes onto ONE task (a multi-TB sort per " +
+          s"$keys at 100x scale). Use graft.operators.Shuffle.groupedRank / " +
+          s"groupedRunningSum (range-decomposed per-group rank/cumsum) or " +
+          s"graft.operators.Scale.topKPerGroup (bounded-heap top-k) instead."
       case j: Join if j.joinType == Cross &&
           !bounded(j.left, boundedCap) && !bounded(j.right, boundedCap) =>
         out += s"cross join with both sides unbounded: |L|x|R| output. " +
@@ -94,7 +145,11 @@ case class PlanGuardRule(spark: org.apache.spark.sql.SparkSession)
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val mode = spark.conf.get("spark.graft.guard", "warn")
     if (mode != "off") {
-      val found = PlanGuard.findings(plan)
+      val lowCard = spark.conf
+        .get("spark.graft.guard.lowCardCols",
+          PlanGuard.defaultLowCardCols.mkString(","))
+        .split(",").map(_.trim).filter(_.nonEmpty).toSet
+      val found = PlanGuard.findings(plan, lowCardCols = lowCard)
       if (found.nonEmpty) {
         val msg = s"[graft.guard] scale-killer plan shape(s):\n - " + found.mkString("\n - ")
         if (mode == "strict") throw new PlanGuard.ScaleKillerException(msg)

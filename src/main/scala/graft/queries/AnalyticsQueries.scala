@@ -361,24 +361,25 @@ object AnalyticsQueries {
     * then the standard `|x − med| > 3 · 1.4826 · MAD` gate in scaled
     * integers (`dev · 10⁴ > 44478 · MAD`). Output: the flagged docs.
     *
-    * Scale: two window ranks partitioned by language (parallel across
-    * groups) + two broadcast-sized per-group stat tables joined back.
+    * Scale: two [[graft.operators.Shuffle.groupedRank]] range-decomposed
+    * rank passes (a per-language rank window would serialize each
+    * language onto one task at 100 TB) + two broadcast-sized per-group
+    * stat tables joined back.
     */
   def madOutliers(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = DedupQueries.docs(spark, dir)
       .select(col("doc_id").cast(LongType).as("doc_id"), col("lang"),
         graft.operators.TextStats.wsTokenCount(col("text")).as("x"))
     val n = d.groupBy("lang").agg(count(lit(1)).as("n"))
-    val wx = Window.partitionBy("lang").orderBy(col("x"), col("doc_id"))
-    val med = d.withColumn("r", row_number().over(wx))
+    val med = graft.operators.Shuffle.groupedRank(
+        d, Seq("lang"), Seq("x", "doc_id"), "r")
       .join(n, "lang")
       .filter(col("r") === expr("(n + 1) div 2"))
       .select(col("lang"), col("x").as("med"))
     val withDev = d.join(broadcast(med), "lang")
       .withColumn("dev", abs(col("x") - col("med")))
-    val wd = Window.partitionBy("lang").orderBy(col("dev"), col("doc_id"))
-    val mad = withDev.withColumn("r", row_number().over(wd))
+    val mad = graft.operators.Shuffle.groupedRank(
+        withDev, Seq("lang"), Seq("dev", "doc_id"), "r")
       .join(n, "lang")
       .filter(col("r") === expr("(n + 1) div 2"))
       .select(col("lang"), col("dev").as("mad"))
@@ -441,18 +442,22 @@ object AnalyticsQueries {
   /** Per-source document cap (RefinedWeb-style domain balancing): keep
     * at most 15 docs per source, chosen by deterministic seeded-hash
     * rank (reproducible across runs and cluster sizes — never `LIMIT`
-    * inside a group, which is partition-order-dependent). One window
-    * rank partitioned by source.
+    * inside a group, which is partition-order-dependent). The per-source
+    * top-15 is the EXACT two-phase bounded-heap rank
+    * ([[graft.operators.Scale.topKPerGroup]] on the negated hash — a
+    * per-source rank window would serialize each source onto one task
+    * at 100 TB); the shuffle carries ≤ partitions × sources × 15 rows.
     */
   def domainCap(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = DedupQueries.docs(spark, dir)
-      .select(col("doc_id").cast(LongType).as("doc_id"), col("source"), col("text"))
-    val w = Window.partitionBy("source")
-      .orderBy(PortableHash.hash60Seeded(lit(5), col("text")), col("doc_id"))
-    d.withColumn("keep_rank", row_number().over(w).cast(LongType))
-      .filter(col("keep_rank") <= 15)
-      .select(col("doc_id"), col("source"), col("keep_rank"))
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("source"),
+        // negate: topKPerGroup ranks orderCol DESCENDING; -hash desc
+        // == hash asc, ties broken by doc_id asc — the same total
+        // order as the oracle's ORDER BY hash, doc_id
+        (-PortableHash.hash60Seeded(lit(5), col("text"))).as("neg_h"))
+    graft.operators.Scale.topKPerGroup(d, "source", "neg_h", "doc_id", 15)
+      .select(col("doc_id"), col("source"),
+        col("rank").cast(LongType).as("keep_rank"))
       .orderBy("doc_id")
   }
 
@@ -513,16 +518,17 @@ object AnalyticsQueries {
     * p5/p95 (ranks `max(1, n·5 div 100)` and `min(n, (n·95+99) div
     * 100)` — a fixed integer formula, not an interpolating percentile),
     * then the exact ppm mean of the clipped values. The robust mean a
-    * curation report quotes when a few giant docs would dominate.
+    * curation report quotes when a few giant docs would dominate. The
+    * rank is [[graft.operators.Shuffle.groupedRank]]'s range-decomposed
+    * rank — never a per-language single-task window.
     */
   def winsorMeans(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = DedupQueries.docs(spark, dir)
       .select(col("doc_id").cast(LongType).as("doc_id"), col("lang"),
         graft.operators.TextStats.wsTokenCount(col("text")).as("x"))
     val n = d.groupBy("lang").agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy("lang").orderBy(col("x"), col("doc_id"))
-    val ranked = d.withColumn("r", row_number().over(w)).join(n, "lang")
+    val ranked = graft.operators.Shuffle.groupedRank(
+      d, Seq("lang"), Seq("x", "doc_id"), "r").join(n, "lang")
     val lo = ranked.filter(col("r") === expr("greatest(1L, n * 5 div 100)"))
       .select(col("lang"), col("x").as("x_lo"))
     val hi = ranked.filter(col("r") === expr("least(n, (n * 95 + 99) div 100)"))

@@ -108,18 +108,19 @@ object CorpusQueries {
   }
 
   /** Heavy hitters: top-10 terms per language by document frequency
-    * (ties broken by term). The per-group top-k is a window PARTITIONED
-    * BY lang — parallel across groups, never a global sort of the term
-    * table.
+    * (ties broken by term). The per-group top-k is the EXACT two-phase
+    * bounded-heap rank ([[graft.operators.Scale.topKPerGroup]]) — a
+    * language's vocabulary grows with corpus size, so ranking the full
+    * (lang, term) table in one per-language window would serialize a
+    * corpus-sized vocabulary onto one task at 100 TB; the two-phase
+    * shuffle carries at most partitions × langs × 10 rows.
     */
   def topTerms(spark: SparkSession, dir: String): DataFrame = {
     val d = DedupQueries.docs(spark, dir)
     val terms = d.select(col("lang"),
       explode(array_distinct(Fts.tokens(Seq(col("text"))))).as("term"))
     val df = terms.groupBy("lang", "term").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy("lang").orderBy(col("df").desc, col("term"))
-    df.withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= 10)
+    graft.operators.Scale.topKPerGroup(df, "lang", "df", "term", 10)
       .select(col("lang"), col("rank"), col("term"), col("df").cast(LongType).as("df"))
       .orderBy("lang", "rank")
   }
@@ -257,18 +258,17 @@ object CorpusQueries {
     * is still admitted (its tokens were partly in budget — the
     * convention that makes the budget a floor, matching how a trainer
     * truncates the final sequence rather than dropping it). Admission
-    * is inherently sequential per source, so the cumsum window
-    * partitions by source — the same O(|sources|) ordering state the
-    * streaming twin keeps.
+    * is inherently sequential per source, but the cumsum must NOT be a
+    * per-source window (one multi-TB task per source at 100 TB) — it is
+    * [[Shuffle.groupedRunningSum]]'s range-decomposed prefix sum:
+    * bounded per-partition sorts plus a broadcast per-(partition,
+    * source) offset table.
     */
   def sourceQuota(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = DedupQueries.docs(spark, dir)
       .select(col("doc_id").cast(LongType).as("doc_id"), col("source"),
         graft.operators.TextStats.bpeishTokenCount(col("text")).as("nt"))
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    d.withColumn("cum", sum(col("nt")).over(w).cast(LongType))
+    Shuffle.groupedRunningSum(d, Seq("source"), Seq("doc_id"), col("nt"), "cum")
       .withColumn("admitted", col("cum") - col("nt") < 1000)
       .groupBy(col("source"))
       .agg(count(lit(1)).cast(LongType).as("n_docs"),
@@ -306,8 +306,12 @@ object CorpusQueries {
       .groupBy(col("lang"), col("term"))
       .agg(count(lit(1)).as("n"))
       .localCheckpoint(true)
-    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("term"))
-    val ranked = tf.withColumn("rk", row_number().over(w))
+    // the rank only matters up to the largest ladder size, so the full
+    // (corpus-growing) vocabulary is never window-ranked per language:
+    // the two-phase bounded-heap top-k prunes map-side to <=
+    // partitions x langs x 400 rows before the (tiny) exact window
+    val ranked = graft.operators.Scale.topKPerGroup(tf, "lang", "n", "term", 400)
+      .withColumnRenamed("rank", "rk")
     val totals = tf.groupBy("lang").agg(sum(col("n")).cast(LongType).as("total"))
     // the size ladder rides along as an exploded literal — narrow, not a
     // theta join (the crossJoin+filter spelling plans as a
@@ -662,16 +666,16 @@ object CorpusQueries {
     * total tokens — the budget-centric median (a plain doc-count median
     * says where the documents are; this says where the TOKENS are,
     * which is what a training budget consumes). Per-language cumsum
-    * window + a broadcast per-language total; `2·cum >= tot` in exact
-    * integers.
+    * via [[Shuffle.groupedRunningSum]] (range-decomposed — never a
+    * per-language single-task window) + a broadcast per-language
+    * total; `2·cum >= tot` in exact integers.
     */
   def tokenMassMedian(spark: SparkSession, dir: String): DataFrame = {
     val d = DedupQueries.docs(spark, dir)
       .select(col("doc_id").cast(LongType).as("doc_id"), col("lang"),
         graft.operators.TextStats.wsTokenCount(col("text")).as("ws"))
-    val w = Window.partitionBy("lang").orderBy(col("ws"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = d.withColumn("cum", sum(col("ws")).over(w).cast(LongType))
+    val cum = Shuffle.groupedRunningSum(
+      d, Seq("lang"), Seq("ws", "doc_id"), col("ws"), "cum")
     val tot = d.groupBy("lang").agg(sum(col("ws")).cast(LongType).as("total_tokens"))
     cum.join(broadcast(tot), "lang")
       .filter(col("cum") * 2 >= col("total_tokens"))
@@ -737,10 +741,11 @@ object CorpusQueries {
 
   /** Per-language OOV rate against a top-200 in-language shingle
     * vocabulary — the tokenizer-coverage readout that decides whether a
-    * vocab needs retraining before a corpus lands. The vocabulary is a
-    * per-language rank window over the (bounded, vocabulary-sized)
-    * count table; the per-doc scan broadcast-joins it. ppm via exact
-    * integer division.
+    * vocab needs retraining before a corpus lands. The vocabulary is
+    * the two-phase bounded-heap top-200 per language
+    * ([[graft.operators.Scale.topKPerGroup]] — map-side pruned, never a
+    * rank window over the corpus-growing term table); the per-doc scan
+    * broadcast-joins it. ppm via exact integer division.
     */
   def oovRate(spark: SparkSession, dir: String): DataFrame = {
     // ONE explode pass over the corpus, pre-aggregated to the compact
@@ -755,9 +760,10 @@ object CorpusQueries {
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
     val counts = tf.groupBy(col("lang"), col("term")).agg(sum(col("tf")).as("n"))
-    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("term"))
-    val vocab = counts.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 200)
+    // two-phase bounded-heap top-200 per language (Scale.topKPerGroup)
+    // — the vocabulary table grows with the corpus, so a per-language
+    // rank window over ALL of it would be one task per language
+    val vocab = graft.operators.Scale.topKPerGroup(counts, "lang", "n", "term", 200)
       .select(col("lang"), col("term"), lit(true).as("in_vocab"))
     tf.join(broadcast(vocab), Seq("lang", "term"), "left")
       .groupBy(col("doc_id"))
@@ -832,17 +838,27 @@ object CorpusQueries {
        |WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin
   }
 
-  /** Per-language token-length deciles (equal-frequency histogram via
-    * `ntile(10)` partitioned by language — both engines share ntile's
-    * earlier-buckets-get-the-remainder definition) — the
-    * distribution-shape readout feeding length-balanced sampling.
+  /** Per-language token-length deciles (equal-frequency histogram) —
+    * the distribution-shape readout feeding length-balanced sampling.
+    * The bucket is computed from the per-language RANK
+    * ([[Shuffle.groupedRank]] — range-decomposed, never a per-language
+    * single-task `ntile` window) plus a broadcast per-language count,
+    * replaying SQL ntile's earlier-buckets-get-the-remainder
+    * definition exactly: with q = n div 10, rem = n mod 10, the first
+    * `rem` buckets hold q+1 rows.
     */
   def lengthDeciles(spark: SparkSession, dir: String): DataFrame = {
     val d = DedupQueries.docs(spark, dir)
       .select(col("doc_id").cast(LongType).as("doc_id"), col("lang"),
         graft.operators.TextStats.wsTokenCount(col("text")).as("ws"))
-    val w = Window.partitionBy("lang").orderBy(col("ws"), col("doc_id"))
-    d.withColumn("decile", ntile(10).over(w).cast(LongType))
+    val n = d.groupBy("lang").agg(count(lit(1)).cast(LongType).as("n_l"))
+    Shuffle.groupedRank(d, Seq("lang"), Seq("ws", "doc_id"), "rk")
+      .join(broadcast(n), "lang")
+      .withColumn("decile", expr(
+        """CASE WHEN rk <= (n_l % 10) * (n_l div 10 + 1)
+          |  THEN (rk - 1) div (n_l div 10 + 1) + 1
+          |  ELSE (n_l % 10) + (rk - (n_l % 10) * (n_l div 10 + 1) - 1)
+          |    div (n_l div 10) + 1 END""".stripMargin).cast(LongType))
       .groupBy(col("lang"), col("decile"))
       .agg(count(lit(1)).cast(LongType).as("n_docs"),
         min(col("ws")).cast(LongType).as("min_tokens"),
@@ -957,12 +973,12 @@ object CorpusQueries {
       |          regexp_replace(
       |            regexp_replace(
       |              lower(regexp_extract(url, '^[A-Za-z]+://[^/?#]*', 0)) ||
-      |                regexp_replace(url, '^[A-Za-z]+://[^/?#]*', ''),
-      |              '#.*$', ''),
+      |                regexp_replace(url, '^[A-Za-z]+://[^/?#]*', '', 'g'),
+      |              '#.*$', '', 'g'),
       |            '[?&](utm_[a-z]+|ref|fbclid)=[^&]*', '', 'g'),
-      |          '^([^?&]*)&', '\1?'),
-      |        '/+(\?|$)', '\1'),
-      |      '\?$', '') AS canonical_url
+      |          '^([^?&]*)&', '\1?', 'g'),
+      |        '/+(\?|$)', '\1', 'g'),
+      |      '\?$', '', 'g') AS canonical_url
       |  FROM planted)
       |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_crawls,
       |  CAST(max(doc_id) AS BIGINT) AS keep_id
@@ -1751,18 +1767,27 @@ object CorpusQueries {
     * documents lexicographically and count the tokens each document
     * shares with its predecessor's PREFIX — the quantity prefix-reuse
     * systems (KV-cache sharing across prompts, front-coded storage,
-    * delta compression) actually save. Windows are partitioned by
-    * source (never global); the common-prefix length is per-row array
-    * compute over least-length-sliced neighbors.
+    * delta compression) actually save. The per-source lexicographic
+    * neighbor is NOT a per-source `lag` window (one task sorting a
+    * source's full text at 100 TB) — the sort order comes from
+    * [[Shuffle.groupedRank]]'s range-decomposed rank and the
+    * predecessor arrives through ONE (source, rank)-keyed equi-join
+    * (high-cardinality key — shuffles, never serializes); the
+    * common-prefix length is per-row array compute over
+    * least-length-sliced neighbors.
     */
   def prefixSavings(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(col("t"), col("doc_id"))
     val base = graft.Tables.loadSpread(spark, dir, "documents")
       .select(col("doc_id").cast(LongType).as("doc_id"), col("source"),
         Fts.tokens(Seq(col("text"))).as("toks"))
       .withColumn("t", array_join(col("toks"), " "))
-    base
-      .withColumn("prev", lag(col("toks"), 1).over(w))
+    val ranked = Shuffle.groupedRank(
+        base, Seq("source"), Seq("t", "doc_id"), "rk")
+      .localCheckpoint(true) // feeds both sides of the neighbor join
+    ranked
+      .join(ranked.select(col("source"), (col("rk") + 1).as("rk"),
+          col("toks").as("prev")),
+        Seq("source", "rk"), "left")
       .withColumn("m", least(size(col("toks")), size(col("prev"))))
       .withColumn("eq", zip_with(
         slice(col("toks"), lit(1), col("m")),

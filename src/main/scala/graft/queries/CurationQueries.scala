@@ -772,11 +772,12 @@ object CurationQueries {
     * sequential packing — summarized per (split, pack). Every stage is
     * an already-graded operator; this query grades their COMPOSITION
     * (the thing a user actually runs), with the oracle chaining the
-    * same steps as CTEs. Stage shuffles: one dedup hash, one pack
-    * window per split partition — nothing global.
+    * same steps as CTEs. Stage shuffles: one dedup hash, then the
+    * pack cumsum via [[graft.operators.Shuffle.groupedRunningSum]]
+    * (range-decomposed — a per-split window would serialize ~all of
+    * `train` onto one task at 100 TB) — nothing global.
     */
   def pipelineE2e(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val corpus = DedupQueries.corpusExact(spark, dir)
     val gated = corpus.filter(
       graft.operators.TextStats.quality(col("text")).getField("quality_score") >= 0.4)
@@ -787,11 +788,9 @@ object CurationQueries {
         graft.operators.Sampling.hashBucket(col("text"), 1000).as("bucket"),
         graft.operators.TextStats.bpeishTokenCount(col("text")).as("n_tokens"))
       .withColumn("split", graft.operators.Sampling.splitLabel(col("bucket"), 90, 5))
-      .localCheckpoint(true) // feeds the pack window after its own shuffle
-    val w = Window.partitionBy(col("split")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    split
-      .withColumn("cum", sum(col("n_tokens")).over(w).cast(LongType))
+      .localCheckpoint(true) // feeds the pack cumsum after its own shuffle
+    graft.operators.Shuffle.groupedRunningSum(
+        split, Seq("split"), Seq("doc_id"), col("n_tokens"), "cum")
       .withColumn("pack_no", expr("(cum - n_tokens) div 2048").cast(LongType))
       .groupBy(col("split"), col("pack_no"))
       .agg(count(lit(1)).cast(LongType).as("n_docs"),
@@ -966,6 +965,30 @@ object CurationQueries {
     */
   def sftPipeline(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val conv = sftConv(spark, dir)
+      // the pack window re-sorts within buckets; materialize the gated
+      // per-conv compute once so the HOF pipeline doesn't re-run for
+      // the window's sort pass (packAssign's lesson)
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    conv
+      .withColumn("cum", sum(col("n_tokens")).over(w).cast(LongType))
+      .withColumn("pack_no", expr("(cum - n_tokens) div 2048").cast(LongType))
+      .groupBy(col("bucket"), col("pack_no"))
+      .agg(count(lit(1)).cast(LongType).as("n_convs"),
+        sum(col("n_tokens")).cast(LongType).as("n_tokens"),
+        sum(col("n_trainable")).cast(LongType).as("n_trainable"))
+      .orderBy("bucket", "pack_no")
+  }
+
+  /** [[sftPipeline]]'s per-conversation stage BEFORE the
+    * lineage-truncating checkpoint — exposed so the plan lint
+    * (PlanSpec) can verify the gate + token-accounting compute really
+    * is HOF-narrow (no UDF, no window, no extra shuffle), which the
+    * checkpointed plan hides. Production entry is [[sftPipeline]].
+    */
+  private[graft] def sftConv(spark: SparkSession, dir: String): DataFrame = {
     val planted = DedupQueries.docs(spark, dir)
       .select(col("doc_id").cast(LongType).as("doc_id"), col("text"),
         Fts.tokens(Seq(col("text"))).as("t"))
@@ -975,7 +998,7 @@ object CurationQueries {
           .when(col("doc_id") % 5 === 2,
             array(lit("user"), lit("assistant"), lit("user")))
           .otherwise(array(lit("user"), lit("assistant"), lit("user"), lit("assistant"))))
-    val conv = planted
+    planted
       .withColumn("counts",
         transform(sequence(lit(1), size(col("roles"))),
           i => (lit(2) + size(slice(col("t"), (i - lit(1)) * 2 + 1, lit(2)))).cast(LongType)))
@@ -992,20 +1015,6 @@ object CurationQueries {
       .withColumn("bucket",
         graft.operators.Sampling.hashBucket(col("text"), 100))
       .select("doc_id", "bucket", "n_tokens", "n_trainable")
-      // the pack window re-sorts within buckets; materialize the gated
-      // per-conv compute once so the HOF pipeline doesn't re-run for
-      // the window's sort pass (packAssign's lesson)
-      .localCheckpoint(true)
-    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    conv
-      .withColumn("cum", sum(col("n_tokens")).over(w).cast(LongType))
-      .withColumn("pack_no", expr("(cum - n_tokens) div 2048").cast(LongType))
-      .groupBy(col("bucket"), col("pack_no"))
-      .agg(count(lit(1)).cast(LongType).as("n_convs"),
-        sum(col("n_tokens")).cast(LongType).as("n_tokens"),
-        sum(col("n_trainable")).cast(LongType).as("n_trainable"))
-      .orderBy("bucket", "pack_no")
   }
 
   val sftPipelineOracle: String = {

@@ -738,8 +738,13 @@ object DedupQueries {
       .agg(count(lit(1)).cast(LongType).as("n_docs"),
         sum(col("n_tokens")).cast(LongType).as("n_tokens"),
         sum(col("n_tokens") * col("n_tokens")).cast(LongType).as("sq"))
+      // guard the zero-token pack (all-empty docs): Spark's `div` would
+      // yield NULL but DuckDB's `//` raises a division-by-zero error —
+      // an ENGINE-divergent failure, not a hash mismatch. when/NULLIF
+      // pins both engines to NULL.
       .withColumn("intra_ppm",
-        expr("(1000000 * sq) div (n_tokens * n_tokens)").cast(LongType))
+        when(col("n_tokens") > 0,
+          expr("(1000000 * sq) div (n_tokens * n_tokens)")).cast(LongType))
       .select(col("bucket"), col("pack_no"), col("n_docs"), col("n_tokens"),
         col("intra_ppm"))
       .orderBy("bucket", "pack_no")
@@ -758,7 +763,7 @@ object DedupQueries {
        |SELECT bucket, pack_no, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
        |  CAST((1000000 * CAST(sum(n_tokens * n_tokens) AS BIGINT))
-       |    // (CAST(sum(n_tokens) AS BIGINT) * CAST(sum(n_tokens) AS BIGINT)) AS BIGINT) AS intra_ppm
+       |    // NULLIF(CAST(sum(n_tokens) AS BIGINT) * CAST(sum(n_tokens) AS BIGINT), 0) AS BIGINT) AS intra_ppm
        |FROM p GROUP BY bucket, pack_no ORDER BY bucket, pack_no""".stripMargin
 
   /** Packed-sequence CONSTRUCTION: the step after [[packAssign]] that
@@ -1127,17 +1132,20 @@ object DedupQueries {
     * midpoint) — so a "top-10%-German" doc and a "top-10%-French" doc
     * carry the SAME calibrated score even when the raw distributions
     * differ. The quantile-mapping step before any cross-language
-    * quality threshold. Windows partition by language; exact integer
-    * arithmetic end to end.
+    * quality threshold. The per-language rank is
+    * [[graft.operators.Shuffle.groupedRank]]'s range-decomposed rank
+    * (a per-language window would serialize each language onto one
+    * task at 100 TB); the per-language count arrives as a broadcast
+    * join. Exact integer arithmetic end to end.
     */
   def qualityCalibrated(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = docs(spark, dir)
       .select(col("doc_id").cast(LongType).as("doc_id"), col("lang"),
         TextStats.quality(col("text")).getField("quality_score").as("quality_score"))
-    val w = Window.partitionBy("lang").orderBy(col("quality_score"), col("doc_id"))
-    d.withColumn("rk", row_number().over(w).cast(LongType))
-      .withColumn("n_l", count(lit(1)).over(Window.partitionBy("lang")).cast(LongType))
+    val n = d.groupBy("lang").agg(count(lit(1)).cast(LongType).as("n_l"))
+    graft.operators.Shuffle.groupedRank(
+        d, Seq("lang"), Seq("quality_score", "doc_id"), "rk")
+      .join(broadcast(n), "lang")
       .withColumn("pr_ppm",
         when(col("n_l") === 1, 500000L)
           .otherwise(expr("((rk - 1) * 1000000) div (n_l - 1)")))

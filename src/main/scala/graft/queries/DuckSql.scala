@@ -53,4 +53,62 @@ object DuckSql {
        |  (CASE WHEN length($textExpr) > 0 THEN CAST(length($textExpr) - $alnum - $spaces AS DOUBLE) / CAST(length($textExpr) AS BIGINT) ELSE 0.0 END))), 6)"""
       .stripMargin.replace("\n", " ")
   }
+
+  /** Twin of [[graft.operators.Fts.ilog2Fixed]] plus the
+    * [[graft.operators.Fts.EpsIdf]] branch, as a generated CTE chain:
+    * the integer square-and-shift fixed-point log2 (30 unrolled
+    * iterations of pure BIGINT `*`, `//` and CASE — bit-identical to
+    * the Scala loop, which is the whole point: a float `ln` could
+    * never be replayed engine-exactly, this can).
+    *
+    * Input CTE `src` must provide `keep` columns plus BIGINT `p`, `q`
+    * (`p = 2(N-df)+1`, `q = 2df+1`; both >= 1, p < 2^62). Emits CTEs
+    * `<pfx>_ini`, `<pfx>_s1.._s30`, `<pfx>_t1.._t30` and a final
+    * `<pfx>` with columns `<keep...>, idf2` where
+    * `idf2 = 1549 when p <= q else floor_ish(log2(p/q) * 2^30)`.
+    * Splice the result into a WITH list (it is a comma-joined CTE
+    * fragment, no leading/trailing comma).
+    */
+  def ilog2Cte(src: String, pfx: String, keep: Seq[String]): String = {
+    val ks = keep.mkString(", ")
+    def pw(k: Int): String = (1L << k).toString
+    // largest ip in [0, 61] with p // 2^ip >= q (the overflow-free
+    // spelling of q * 2^ip <= p), and b0 = q * 2^ip alongside
+    val ipLadder = (61 to 1 by -1)
+      .map(k => s"WHEN p // ${pw(k)} >= q THEN $k").mkString(" ")
+    val b0Ladder = (61 to 1 by -1)
+      .map(k => s"WHEN p // ${pw(k)} >= q THEN q * ${pw(k)}").mkString(" ")
+    // normalize a/b by a common shift so b lands in [2^29, 2^30)
+    def norm(v: String): String =
+      ((62 to 30 by -1).map(k => s"WHEN b0 >= ${pw(k)} THEN ($v) // ${pw(k - 29)}") ++
+        Seq(s"WHEN b0 >= ${pw(29)} THEN ($v)") ++
+        (28 to 1 by -1).map(k => s"WHEN b0 >= ${pw(k)} THEN ($v) * ${pw(29 - k)}"))
+        .mkString(" ") + s" ELSE ($v) * ${pw(29)}"
+    val ini =
+      s"""${pfx}_ini AS (SELECT $ks, p, q,
+         |    CAST(CASE $ipLadder ELSE 0 END AS BIGINT) AS acc,
+         |    CASE ${norm("p")} END AS a,
+         |    CASE ${norm("b0")} END AS b
+         |  FROM (SELECT $ks, p, q, CASE $b0Ladder ELSE q END AS b0 FROM $src))""".stripMargin
+    val iters = (1 to 30).map { i =>
+      val prev = if (i == 1) s"${pfx}_ini" else s"${pfx}_t${i - 1}"
+      // bb = b^2 doubled when the emitted bit is 1; then both renormalize
+      // by the shift that puts b back into [2^29, 2^30)
+      s"""${pfx}_s$i AS (SELECT $ks, p, q, acc, a*a AS aa, b*b AS b2,
+         |    CASE WHEN a*a >= 2*(b*b) THEN 1 ELSE 0 END AS bit FROM $prev),
+         |${pfx}_t$i AS (SELECT $ks, p, q, acc*2 + bit AS acc,
+         |    CASE WHEN b2*(1+bit) >= ${pw(60)} THEN aa // ${pw(31)}
+         |         WHEN b2*(1+bit) >= ${pw(59)} THEN aa // ${pw(30)}
+         |         ELSE aa // ${pw(29)} END AS a,
+         |    CASE WHEN b2*(1+bit) >= ${pw(60)} THEN (b2*(1+bit)) // ${pw(31)}
+         |         WHEN b2*(1+bit) >= ${pw(59)} THEN (b2*(1+bit)) // ${pw(30)}
+         |         ELSE (b2*(1+bit)) // ${pw(29)} END AS b
+         |  FROM ${pfx}_s$i)""".stripMargin
+    }
+    val fin =
+      s"""$pfx AS (SELECT $ks,
+         |    CASE WHEN p <= q THEN 1549 ELSE acc END AS idf2
+         |  FROM ${pfx}_t30)""".stripMargin
+    (ini +: iters :+ fin).mkString(",\n")
+  }
 }

@@ -311,7 +311,11 @@ object ParityQueries {
   }
 
   /** Extension — BM25-ranked FTS (FTS5's `bm25()` rank function,
-    * k1=1.2 b=0.75) in exact integer rationals ([[Fts.bm25Match]]).
+    * k1=1.2 b=0.75) in deterministic integer fixed point with a
+    * square-and-shift log2 idf ([[Fts.bm25Match]]) — ranking
+    * cross-validated against real SQLite FTS5 (SqliteCliSpec); the
+    * oracle replays the identical integer steps via
+    * [[DuckSql.ilog2Cte]].
     */
   def ftsBm25(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.loadSpread(spark, dir, "documents").withColumnRenamed("doc_id", "rowid")
@@ -326,7 +330,9 @@ object ParityQueries {
     s"""WITH base AS (
        |  SELECT doc_id, $toks AS toks FROM documents),
        |stats AS (
-       |  SELECT count(*) AS n, CAST(sum(len(toks)) * 1000 // count(*) AS BIGINT) AS avgdl_s
+       |  SELECT count(*) AS n,
+       |    CAST((sum(len(toks)) // count(*)) * 1000000
+       |      + ((sum(len(toks)) % count(*)) * 1000000) // count(*) AS BIGINT) AS avgdl_s
        |  FROM base),
        |tf AS (
        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, term,
@@ -334,17 +340,18 @@ object ParityQueries {
        |  FROM (SELECT doc_id, toks, unnest(toks) AS term FROM base)
        |  WHERE term IN ('spark', 'vector', 'hash')
        |  GROUP BY doc_id, dl, term),
-       |idf AS (
+       |dfx AS (
        |  SELECT term,
-       |    CAST(((2 * (s.n - count(DISTINCT doc_id)) + 1) * 1000000)
-       |         // (2 * count(DISTINCT doc_id) + 1) AS BIGINT) AS idf_x,
-       |    any_value(s.avgdl_s) AS avgdl_s
+       |    CAST(2 * (s.n - count(DISTINCT doc_id)) + 1 AS BIGINT) AS p,
+       |    CAST(2 * count(DISTINCT doc_id) + 1 AS BIGINT) AS q
        |  FROM tf CROSS JOIN stats s GROUP BY term, s.n),
+       |${DuckSql.ilog2Cte("dfx", "idf", Seq("term"))},
        |scored AS (
        |  SELECT tf.doc_id, tf.term,
-       |    idf.idf_x * ((22000 * tf.tf * idf.avgdl_s)
-       |      // (10 * tf.tf * idf.avgdl_s + 3 * idf.avgdl_s + 9000 * tf.dl)) AS ts
-       |  FROM tf JOIN idf USING (term))
+       |    idf.idf2 * ((least(tf.tf, 100000) * 44000000000000)
+       |      // (least(tf.tf, 100000) * 10000000 + 3000000
+       |         + 9 * ((tf.dl * 1000000000000) // s.avgdl_s))) AS ts
+       |  FROM tf JOIN idf USING (term) CROSS JOIN stats s)
        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
        |  CAST(sum(ts) AS BIGINT) AS score,
        |  CAST(count(DISTINCT term) AS BIGINT) AS terms_hit

@@ -44,10 +44,30 @@ object StreamDedup {
     * 60-bit hash — 8 bytes per distinct page, same footprint argument
     * as [[exactDedupStream]]. (The batch `x_url_dedup` keeps the LATEST
     * crawl; an unbounded stream has no "latest", so ingest-time policy
-    * is first-wins — re-crawls are dropped until state is evicted.)
+    * is first-wins.) State here is PERMANENT by design — plain
+    * `dropDuplicates` never evicts, so every re-crawl of a page is
+    * dropped for the life of the query and state grows with the number
+    * of DISTINCT pages (8 bytes each). For an unbounded crawl frontier
+    * use [[urlDedupStreamWatermarked]], which bounds state to the
+    * watermark horizon at the cost of re-admitting a page re-crawled
+    * after the horizon passes.
     */
   def urlDedupStream(df: DataFrame, urlCol: String): DataFrame =
     df.withColumn("canonical_url", graft.operators.UrlOps.canonicalize(col(urlCol)))
       .withColumn("url_hash", PortableHash.hash60(col("canonical_url")))
       .dropDuplicates("url_hash")
+
+  /** Watermarked URL dedup: state bounded to the watermark horizon —
+    * the bounded-state ingest variant of [[urlDedupStream]] (same
+    * canonical-hash key; `df` must carry an event-time `tsCol`). A page
+    * re-crawled within the horizon is dropped; beyond it the key has
+    * been evicted and the re-crawl is admitted — the same exact-within-
+    * horizon trade as [[exactDedupStreamWatermarked]].
+    */
+  def urlDedupStreamWatermarked(
+      df: DataFrame, urlCol: String, tsCol: String, watermark: String): DataFrame =
+    df.withColumn("canonical_url", graft.operators.UrlOps.canonicalize(col(urlCol)))
+      .withColumn("url_hash", PortableHash.hash60(col("canonical_url")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("url_hash")
 }

@@ -139,22 +139,32 @@ class FtsSpec extends SparkSpec {
     assert(got === Map(1L -> Some(0L), 2L -> Some(2L), 3L -> Some(1L), 4L -> None, 5L -> None))
   }
 
-  test("bm25Match: hand-computed integer-rational scores on a tiny corpus") {
+  test("bm25Match: hand-computed fixed-point scores on a tiny corpus") {
     import spark.implicits._
-    // 3 docs; query term "fox": df=2, N=3; dl = 3, 4, 2; Σdl = 9
+    // 3 docs; N=3; dl = 3, 4, 2; Σdl = 9; avgdl_s = (9 div 3)*1e6 = 3e6
     val docs = Seq(
-      (1L, "fox fox den"),       // tf=2, dl=3
-      (2L, "fox runs very far"), // tf=1, dl=4
+      (1L, "fox fox den"),       // fox tf=2, den tf=1, dl=3
+      (2L, "fox runs very far"), // fox tf=1, dl=4
       (3L, "red dog")            // tf=0
     ).toDF("rowid", "txt")
-    val got = Fts.bm25Match(docs, Seq("txt"), "fox")
+    // "fox": df=2 of N=3 -> p=3 <= q=5 -> FTS5's non-positive-idf
+    // branch: idf2 = EpsIdf = 1549
+    // doc1: ratio_s = 3e12 div 3e6 = 1e6;
+    //   sat = 2*44e12 div (2e7 + 3e6 + 9e6) = 88e12 div 3.2e7 = 2750000
+    // doc2: ratio_s = 4e12 div 3e6 = 1333333;
+    //   sat = 44e12 div (1e7 + 3e6 + 11999997) = 1760000
+    val fox = Fts.bm25Match(docs, Seq("txt"), "fox")
       .orderBy("rowid").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    // avgdl_s = 9*1000 div 3 = 3000
-    // idf_x = ((2*(3-2)+1) * 1e6) div (2*2+1) = 3e6 div 5 = 600000
-    // doc1: sat = 22000*2*3000 div (10*2*3000 + 3*3000 + 9000*3) = 132e6 div 96000 = 1375
-    // doc2: sat = 22000*1*3000 div (10*1*3000 + 3*3000 + 9000*4) = 66e6 div 75000 = 880
-    assert(got === Array((1L, 600000L * 1375, 1L), (2L, 600000L * 880, 1L)))
+    assert(fox === Array((1L, 1549L * 2750000, 1L), (2L, 1549L * 1760000, 1L)))
+    // "den": df=1 -> p=5, q=3 -> idf2 = ilog2Fixed(5,3); true value
+    // log2(5/3)*2^30 = 791310781.3; the integer recurrence lands
+    // exactly on 791310781 (pinned — the oracle must replay this bit)
+    assert(Fts.ilog2Fixed(5L, 3L) === 791310781L)
+    val den = Fts.bm25Match(docs, Seq("txt"), "den")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc1: tf=1, dl=3: sat = 44e12 div (1e7 + 3e6 + 9e6) = 2000000
+    assert(den === Array((1L, 791310781L * 2000000, 1L)))
   }
 
   test("snippet: best window by distinct hits, ties earliest, matches marked") {

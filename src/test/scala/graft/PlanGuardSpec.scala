@@ -21,6 +21,41 @@ class PlanGuardSpec extends SparkSpec {
     assert(found.exists(_.contains("single-partition Window")))
   }
 
+  test("low-cardinality window over doc-grain rows is flagged; scale-safe spellings stay silent") {
+    // the seeded bad shape: rank every document of a language in ONE
+    // window partition — correct on a sample, one multi-TB task at 100x
+    val bad = docs.withColumn("rn", row_number().over(
+      Window.partitionBy(col("lang")).orderBy(col("doc_id"))))
+    val found = PlanGuard.findings(bad.queryExecution.optimizedPlan)
+    assert(found.exists(_.contains("low-cardinality Window partition (lang)")), found)
+    // same cumsum shape, partitioned by source
+    val badCum = docs.withColumn("cum", sum(col("n_chars")).over(
+      Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assert(PlanGuard.findings(badCum.queryExecution.optimizedPlan)
+      .exists(_.contains("low-cardinality Window partition (source)")))
+    // the scale-safe replacements: range-decomposed grouped rank/cumsum
+    val goodRank = graft.operators.Shuffle.groupedRank(
+      docs.select(col("doc_id"), col("lang")), Seq("lang"), Seq("doc_id"), "rn")
+    assert(PlanGuard.findings(goodRank.queryExecution.optimizedPlan) === Nil)
+    val goodCum = graft.operators.Shuffle.groupedRunningSum(
+      docs.select(col("doc_id"), col("lang"), col("n_chars")),
+      Seq("lang"), Seq("doc_id"), col("n_chars"), "cum")
+    assert(PlanGuard.findings(goodCum.queryExecution.optimizedPlan) === Nil)
+    // group-grain inputs stay silent: a window over an aggregate is not
+    // document-grain (its size is the group count, not the corpus)
+    val agg = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("n").desc, col("source"))))
+    assert(PlanGuard.findings(agg.queryExecution.optimizedPlan) === Nil)
+    // high-cardinality partition keys stay silent
+    val perDoc = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("t"))))
+    assert(PlanGuard.findings(perDoc.queryExecution.optimizedPlan) === Nil)
+  }
+
   test("Shuffle.globalOrderIndex passes: its offsets window is provably bounded") {
     val out = graft.operators.Shuffle
       .globalOrderIndex(docs.select(col("doc_id")), "doc_id", 7L, "doc_id")

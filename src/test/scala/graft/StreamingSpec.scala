@@ -376,6 +376,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked streaming URL dedup: canonical-key state bounded to the horizon") {
+    import spark.implicits._
+    import graft.streaming.StreamDedup
+    val dir = Files.createTempDirectory("graft-surl-wm").toString
+    // two messy spellings of DIFFERENT pages in batch 1
+    Seq(
+      (1L, "HTTPS://Host.example/p/1/?utm_source=x", "2024-01-01 10:00:00"),
+      (2L, "https://host.example/p/2", "2024-01-01 10:01:00"))
+      .toDF("doc_id", "url", "ts_s")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamDedup.urlDedupStreamWatermarked(stream, "url", "ts", "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("surl_wm_out").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a re-crawl of page 1 under a THIRD spelling, 2 min
+      // later — same canonical key, inside the 1h horizon → dropped
+      Seq((3L, "https://host.example/p/1#frag", "2024-01-01 10:02:00"))
+        .toDF("doc_id", "url", "ts_s")
+        .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val kept = spark.table("surl_wm_out").select("doc_id").as[Long].collect().sorted
+      assert(kept.toSeq === Seq(1L, 2L), "in-horizon re-crawl must be dropped")
+    } finally q.stop()
+  }
+
   test("streaming as-of join: state holds newest prior right row per key across batches") {
     import spark.implicits._
     import graft.streaming.StreamAsOf
