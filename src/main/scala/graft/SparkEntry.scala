@@ -80,6 +80,7 @@ object SparkEntry {
     "x_dedup_cluster_sizes" -> (DedupQueries.dedupClusterSizes _),
     "x_dedup_leakage" -> (DedupQueries.dedupLeakage _),
     "x_ppjoin_pairs" -> (DedupQueries.ppjoinPairs _),
+    "x_ppjoin_skew_report" -> (DedupQueries.ppjoinSkewReport _),
     "x_lsh_recall" -> (DedupQueries.lshRecall _),
     "x_split_leakage" -> (DedupQueries.splitLeakage _),
     "x_dedup_savings" -> (DedupQueries.dedupSavings _),
@@ -375,6 +376,7 @@ object SparkEntry {
     "x_dedup_cluster_sizes" -> DedupQueries.dedupClusterSizesOracle,
     "x_dedup_leakage" -> DedupQueries.dedupLeakageOracle,
     "x_ppjoin_pairs" -> DedupQueries.ppjoinPairsOracle,
+    "x_ppjoin_skew_report" -> DedupQueries.ppjoinSkewReportOracle,
     "x_lsh_recall" -> DedupQueries.lshRecallOracle,
     "x_split_leakage" -> DedupQueries.splitLeakageOracle,
     "x_dedup_savings" -> DedupQueries.dedupSavingsOracle,

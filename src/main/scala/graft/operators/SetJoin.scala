@@ -72,17 +72,7 @@ object SetJoin {
   def ppjoinPairs(df: DataFrame, idCol: String, textCol: String,
       w: Int = 3, tNum: Long = 1, tDen: Long = 2): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold in (0, 1]")
-    val raw = df.select(col(idCol).cast(LongType).as("id"),
-      TextDedup.shingleHashes(col(textCol), w).as("sset0"))
-    // exact-dedup pre-collapse: one hash-keyed shuffle on the SORTED
-    // shingle-hash array (shingleHashes output is distinct but
-    // insertion-ordered — sorting canonicalizes, so equal sets are
-    // equal group keys). Feeds the representative pipeline, the
-    // within-group pairs, and two expansion joins — materialize once.
-    val groups = raw.groupBy(array_sort(col("sset0")).as("sset0"))
-      .agg(array_sort(collect_list(col("id"))).as("ids"))
-      .withColumn("rid", element_at(col("ids"), 1))
-      .localCheckpoint(true)
+    val (groups, mat, prefix) = collapsedPrefixBuild(df, idCol, textCol, w, tNum, tDen)
     val members = groups.select(col("rid"), explode(col("ids")).as("id"))
     // within-group: identical non-empty sets, all C(g,2) pairs at J=1 —
     // candidate generation is O(1) per group, the pair fan-out is
@@ -93,26 +83,6 @@ object SetJoin {
         col("x.rid") === col("y.rid") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         lit(1.0).as("jaccard"))
-    // global (df, hash) token order over REPRESENTATIVES: explode once,
-    // count distinct sets per token (map-side combined), regroup each
-    // set sorted rare-first. Struct array_sort is lexicographic
-    // (df, then h) — a total order because h is distinct within a set.
-    val reps = groups.select(col("rid").as("id"), col("sset0").as("sset"))
-    val ex = reps.select(col("id"), explode(col("sset")).as("h"))
-    val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
-    val sets = ex.join(dfreq, "h")
-      .groupBy("id")
-      .agg(transform(array_sort(collect_list(struct(col("df"), col("h")))),
-        s => s("h")).as("sset"))
-      .withColumn("n", size(col("sset")).cast(LongType))
-      // p = n - ceil(t*n) + 1, exact integer ceil (`div`, never
-      // Column./ whose double division drifts past 2^53)
-      .withColumn("p", expr(s"n - ((n * $tNum + ${tDen - 1}) div $tDen) + 1"))
-    // the sets table feeds the inverted index AND two verification
-    // joins — materialize once, same pattern as minhashPairs
-    val mat = sets.localCheckpoint(true)
-    val prefix = mat.select(col("id"), col("n"),
-      explode(slice(col("sset"), lit(1), col("p").cast("int"))).as("tk"))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.tk") === col("b.tk") && col("a.id") < col("b.id") &&
           least(col("a.n"), col("b.n")) * tDen >=
@@ -136,6 +106,147 @@ object SetJoin {
       .select(least(col("ma"), col("mb")).as("id_a"),
         greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
     cross.unionAll(within)
+  }
+
+  /** The shared front of [[ppjoinPairs]] and [[prefixSkewReport]]:
+    * identical-set pre-collapse + the (df, hash)-ordered prefix index
+    * over representatives. Returns `(groups, mat, prefix)` where
+    * `groups(sset0, ids, rid)` is the collapse (one row per DISTINCT
+    * shingle set, members sorted, representative = min id),
+    * `mat(id, sset, n, p)` the rare-first-sorted representative sets
+    * with prefix length, `prefix(id, n, tk)` the exploded prefix
+    * inverted index.
+    *
+    *   - exact-dedup pre-collapse: one hash-keyed shuffle on the SORTED
+    *     shingle-hash array (shingleHashes output is distinct but
+    *     insertion-ordered — sorting canonicalizes, so equal sets are
+    *     equal group keys); materialized once, it feeds the
+    *     representative pipeline and the callers' expansion joins.
+    *   - global (df, hash) token order over REPRESENTATIVES: explode
+    *     once, count distinct sets per token (map-side combined),
+    *     regroup each set sorted rare-first. Struct array_sort is
+    *     lexicographic (df, then h) — a total order because h is
+    *     distinct within a set.
+    *   - p = n - ceil(t*n) + 1, exact integer ceil (`div`, never
+    *     Column./ whose double division drifts past 2^53).
+    */
+  private def collapsedPrefixBuild(
+      df: DataFrame, idCol: String, textCol: String,
+      w: Int, tNum: Long, tDen: Long): (DataFrame, DataFrame, DataFrame) = {
+    val raw = df.select(col(idCol).cast(LongType).as("id"),
+      TextDedup.shingleHashes(col(textCol), w).as("sset0"))
+    val groups = raw.groupBy(array_sort(col("sset0")).as("sset0"))
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .withColumn("rid", element_at(col("ids"), 1))
+      .localCheckpoint(true)
+    val reps = groups.select(col("rid").as("id"), col("sset0").as("sset"))
+    val ex = reps.select(col("id"), explode(col("sset")).as("h"))
+    val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    val sets = ex.join(dfreq, "h")
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("df"), col("h")))),
+        s => s("h")).as("sset"))
+      .withColumn("n", size(col("sset")).cast(LongType))
+      .withColumn("p", expr(s"n - ((n * $tNum + ${tDen - 1}) div $tDen) + 1"))
+    // the sets table feeds the inverted index AND the callers'
+    // verification joins — materialize once, same pattern as
+    // minhashPairs
+    val mat = sets.localCheckpoint(true)
+    val prefix = mat.select(col("id"), col("n"),
+      explode(slice(col("sset"), lit(1), col("p").cast("int"))).as("tk"))
+    (groups, mat, prefix)
+  }
+
+  /** PPJoin candidate-volume observability (defense-in-depth next to
+    * the identical-set pre-collapse): the per-prefix-token candidate
+    * mass a [[ppjoinPairs]] run WOULD generate, as a one-row summary —
+    * the pre-flight readout that makes a pathological corpus (near-
+    * identical docs sharing a universal rare-ish token) visible before
+    * it burns a cluster. NOT a cap: the join is exact by contract;
+    * this reports, the operator never drops.
+    *
+    * Columns: `n_docs`, `n_reps` (distinct shingle sets after the
+    * collapse), `n_prefix_tokens`, `cand_pairs` = Σ_tk C(df_tk, 2)
+    * (the prefix join's candidate upper bound, before the length
+    * filter), `max_token_df`, `top_token_share_ppm` (heaviest token's
+    * share of cand_pairs — the salting/investigation trigger), and
+    * `within_pairs` (identical-set pairs the collapse emits directly —
+    * output-sized, NOT candidates). All exact integers; same
+    * shuffle budget as the ppjoin front itself.
+    */
+  def prefixSkewReport(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 3, tNum: Long = 1, tDen: Long = 2): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold in (0, 1]")
+    val (groups, _, prefix) = collapsedPrefixBuild(df, idCol, textCol, w, tNum, tDen)
+    val tokdf = prefix.groupBy(col("tk"))
+      .agg(count(lit(1)).cast(LongType).as("dfp"))
+    val tok = tokdf.agg(
+      count(lit(1)).cast(LongType).as("n_prefix_tokens"),
+      coalesce(sum(expr("(dfp * (dfp - 1)) div 2")), lit(0L))
+        .cast(LongType).as("cand_pairs"),
+      coalesce(max(col("dfp")), lit(0L)).cast(LongType).as("max_token_df"),
+      coalesce(max(expr("(dfp * (dfp - 1)) div 2")), lit(0L))
+        .cast(LongType).as("max_token_pairs"))
+    val counts = groups.agg(
+      sum(size(col("ids"))).cast(LongType).as("n_docs"),
+      count(lit(1)).cast(LongType).as("n_reps"))
+    val within = groups.filter(size(col("sset0")) > 0)
+      .agg(coalesce(sum(expr(
+          "(cast(size(ids) as bigint) * (size(ids) - 1)) div 2")), lit(0L))
+        .cast(LongType).as("within_pairs"))
+    // three 1-row scalars — constant-size broadcast cross joins
+    counts.crossJoin(tok).crossJoin(within)
+      .withColumn("top_token_share_ppm",
+        when(col("cand_pairs") > 0,
+          expr("(1000000 * max_token_pairs) div cand_pairs")).cast(LongType))
+      .select(col("n_docs"), col("n_reps"), col("n_prefix_tokens"),
+        col("cand_pairs"), col("max_token_df"), col("top_token_share_ppm"),
+        col("within_pairs"))
+  }
+
+  /** DuckDB oracle CTE chain ending in
+    * `pp_skew(n_docs, n_reps, n_prefix_tokens, cand_pairs,
+    * max_token_df, top_token_share_ppm, within_pairs)` over a CTE
+    * `corpus(doc_id, text)` — [[prefixSkewReport]] kept in lockstep,
+    * INCLUDING the identical-set pre-collapse (unlike [[ppjoinSql]],
+    * which skips it because the collapse is answer-preserving for the
+    * pair output; for the skew report the collapse IS the semantics —
+    * it reports post-guard candidate volume).
+    */
+  def prefixSkewSql(w: Int = 3, tNum: Long = 1, tDen: Long = 2): String = {
+    val t = graft.queries.DuckSql.tokens("text")
+    val sh = graft.queries.DuckSql.shinglesFromTokens(t, w)
+    val hashed = s"list_sort(list_distinct(list_transform($sh, x -> ${graft.queries.DuckSql.hash60("x")})))"
+    s"""ps_raw AS (SELECT doc_id AS id, $hashed AS sset0 FROM corpus),
+       |ps_grp AS (SELECT sset0, list_sort(list(id)) AS ids, min(id) AS rid
+       |  FROM ps_raw GROUP BY sset0),
+       |ps_ex AS (SELECT rid AS id, unnest(sset0) AS h FROM ps_grp),
+       |ps_df AS (SELECT h, count(*) AS df FROM ps_ex GROUP BY h),
+       |ps_sets AS (SELECT id, list(h ORDER BY df, h) AS sset,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM ps_ex JOIN ps_df USING (h) GROUP BY id),
+       |ps_pref AS (SELECT id, n, sset,
+       |    n - ((n * $tNum + ${tDen - 1}) // $tDen) + 1 AS p
+       |  FROM ps_sets),
+       |ps_tok AS (SELECT id, n, unnest(sset[1:p]) AS tk FROM ps_pref),
+       |ps_tokdf AS (SELECT tk, CAST(count(*) AS BIGINT) AS dfp
+       |  FROM ps_tok GROUP BY tk),
+       |ps_tagg AS (SELECT CAST(count(*) AS BIGINT) AS n_prefix_tokens,
+       |    CAST(coalesce(sum((dfp * (dfp - 1)) // 2), 0) AS BIGINT) AS cand_pairs,
+       |    CAST(coalesce(max(dfp), 0) AS BIGINT) AS max_token_df,
+       |    CAST(coalesce(max((dfp * (dfp - 1)) // 2), 0) AS BIGINT) AS max_token_pairs
+       |  FROM ps_tokdf),
+       |ps_counts AS (SELECT CAST(sum(len(ids)) AS BIGINT) AS n_docs,
+       |    CAST(count(*) AS BIGINT) AS n_reps FROM ps_grp),
+       |ps_within AS (SELECT CAST(coalesce(sum(
+       |      (CAST(len(ids) AS BIGINT) * (len(ids) - 1)) // 2), 0) AS BIGINT) AS within_pairs
+       |  FROM ps_grp WHERE len(sset0) > 0),
+       |pp_skew AS (SELECT n_docs, n_reps, n_prefix_tokens, cand_pairs,
+       |    max_token_df,
+       |    CAST((1000000 * max_token_pairs) // NULLIF(cand_pairs, 0) AS BIGINT)
+       |      AS top_token_share_ppm,
+       |    within_pairs
+       |  FROM ps_counts, ps_tagg, ps_within)""".stripMargin
   }
 
   /** DuckDB oracle CTE chain ending in `pp_pairs(id_a, id_b, jaccard)`

@@ -330,6 +330,22 @@ object DedupQueries {
        |${graft.operators.SetJoin.ppjoinSql()}
        |SELECT id_a, id_b, jaccard FROM pp_pairs ORDER BY id_a, id_b""".stripMargin
 
+  /** PPJoin candidate-volume pre-flight
+    * ([[graft.operators.SetJoin.prefixSkewReport]]) over the same
+    * near-dup corpus as `x_ppjoin_pairs` — the observability readout
+    * that surfaces a pathological prefix-token fan-out (near-identical
+    * docs sharing a universal rare-ish token) before the exact join
+    * runs at scale.
+    */
+  def ppjoinSkewReport(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SetJoin.prefixSkewReport(corpusNear(spark, dir), "doc_id", "text")
+
+  val ppjoinSkewReportOracle: String =
+    s"""WITH corpus AS ($corpusNearSql),
+       |${graft.operators.SetJoin.prefixSkewSql()}
+       |SELECT n_docs, n_reps, n_prefix_tokens, cand_pairs, max_token_df,
+       |  top_token_share_ppm, within_pairs FROM pp_skew""".stripMargin
+
   /** Dedup savings summary: after near-dup clustering, the docs and
     * TOKENS the keeper policy removes, in exact ppm — the one-row
     * cost/benefit readout that justifies (or kills) a dedup pass:

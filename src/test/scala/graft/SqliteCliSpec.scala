@@ -136,4 +136,91 @@ class SqliteCliSpec extends SparkSpec {
         |);""".stripMargin)
     assert(hits === Seq(Seq(Some("Yolo"), Some("Gloria Estela La Riva"))))
   }
+
+  // ---- FTS RANKING cross-validation against real FTS5 --------------
+  //
+  // The reference delegates all ranking to SQLite (utils.py:374-438
+  // creates the FTS tables; ranking is SQLite's bm25()). These goldens
+  // prove the Spark-native ranking family reproduces the REAL engine,
+  // not just its own DuckDB replay. The corpus is inserted as the
+  // token-joined stream (tokens are [a-z0-9]+ joined by single spaces),
+  // which makes FTS5's unicode61 tokenization identical to
+  // Fts.tokens — isolating RANKING semantics from tokenization.
+
+  private def ftsCorpusDb(): (String, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val corpus = docs
+      .select(col("doc_id").cast("long"),
+        array_join(operators.Fts.tokens(Seq(col("text"))), " "))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val f = dbFile()
+    val script = new StringBuilder("CREATE VIRTUAL TABLE d USING fts5(body);\nBEGIN;\n")
+    corpus.foreach { case (id, body) =>
+      script ++= s"INSERT INTO d(rowid, body) VALUES ($id, '${body.replace("'", "''")}');\n"
+    }
+    script ++= "COMMIT;\n"
+    SqliteCli.query(f, script.toString)
+    (f, docs)
+  }
+
+  test("real FTS5: bm25 ordering matches the fixed-point log2 scorer on multi-term and epsilon-idf queries") {
+    assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val (f, docs) = ftsCorpusDb()
+    // spans: 3-term, 2-term, common-term (df >= N/2 -> FTS5's 1e-6
+    // epsilon idf branch), single rare-ish term, mixed eps+positive
+    val queries = Seq("spark vector hash", "spark hash", "the spark",
+      "spark", "vector", "learning model data")
+    for (q <- queries) {
+      val nTerms = q.split(" ").distinct.length
+      // bm25() returns the NEGATED score: ascending = best-first
+      val real = SqliteCli.query(f,
+        s"SELECT rowid FROM d WHERE d MATCH '$q' ORDER BY bm25(d), rowid LIMIT 20;")
+        .map(_.head.get.toLong)
+      val mine = operators.Fts.bm25Match(
+          docs.withColumnRenamed("doc_id", "rowid"), Seq("text"), q, "rowid")
+        .filter(col("terms_hit") === nTerms) // FTS5 MATCH = implicit AND
+        .orderBy(col("score").desc, col("rowid"))
+        .limit(20).select("rowid").as[Long].collect().toSeq
+      assert(mine === real, s"bm25 ordering diverges from real FTS5 for '$q'")
+    }
+  }
+
+  test("real FTS5: NEAR(a b, N) row sets equal the nearMinGap <= N predicate") {
+    assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val (f, docs) = ftsCorpusDb()
+    for (n <- Seq(0, 3, 10)) {
+      val real = SqliteCli.query(f,
+        s"SELECT rowid FROM d WHERE d MATCH 'NEAR(spark hash, $n)' ORDER BY rowid;")
+        .map(_.head.get.toLong)
+      val mine = docs
+        .select(col("doc_id").cast("long").as("doc_id"),
+          operators.Fts.nearMinGap(Seq(col("text")), "spark", "hash").as("g"))
+        .filter(col("g") <= n)
+        .orderBy("doc_id").select("doc_id").as[Long].collect().toSeq
+      assert(mine === real, s"NEAR($n) row set diverges from real FTS5")
+    }
+  }
+
+  test("real FTS5: highlight() output is byte-identical on the token stream") {
+    assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
+    import org.apache.spark.sql.functions._
+    val (f, docs) = ftsCorpusDb()
+    for (q <- Seq("vector", "spark vector")) {
+      val real = SqliteCli.query(f,
+        s"SELECT rowid, highlight(d, 0, '<b>', '</b>') FROM d WHERE d MATCH '$q' ORDER BY rowid;")
+        .map(r => (r(0).get.toLong, r(1).get)).toMap
+      val mine = docs
+        .filter(operators.Fts.matches(Seq(col("text")), q))
+        .select(col("doc_id").cast("long"),
+          operators.Fts.highlight(Seq(col("text")), q))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(mine === real, s"highlight diverges from real FTS5 for '$q'")
+    }
+  }
 }

@@ -361,6 +361,35 @@ class TextDedupSpec extends SparkSpec {
     assert(!byKind.contains("far"))
   }
 
+  test("prefix skew report: collapse zeroes identical-corpus candidates; near-identical fan-out is visible") {
+    import spark.implicits._
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    // 1000 byte-identical docs + one unrelated: the pre-collapse turns
+    // the degenerate corpus into 2 representatives sharing NO prefix
+    // token — candidate volume is zero, all pair mass is direct output
+    val ident = ((1L to 1000L).map(i => (i, base)) :+
+      (2001L, "totally unrelated words appear in this one"))
+      .toDF("doc_id", "text")
+    val r1 = graft.operators.SetJoin
+      .prefixSkewReport(ident, "doc_id", "text").collect()(0)
+    assert(r1.getAs[Long]("n_docs") === 1001L)
+    assert(r1.getAs[Long]("n_reps") === 2L)
+    assert(r1.getAs[Long]("within_pairs") === 1000L * 999L / 2L)
+    assert(r1.getAs[Long]("cand_pairs") === 0L)
+    // the case the collapse CANNOT absorb: 100 near-identical docs (a
+    // shared 20-token core, unique tail) — the core's shingles land in
+    // every prefix at df=100, and the report makes the ~C(100,2)-per-
+    // token fan-out visible before a cluster burns on it
+    val near = (1L to 100L).map(i => (i, s"$base uniq$i"))
+      .toDF("doc_id", "text")
+    val r2 = graft.operators.SetJoin
+      .prefixSkewReport(near, "doc_id", "text").collect()(0)
+    assert(r2.getAs[Long]("n_reps") === 100L)
+    assert(r2.getAs[Long]("within_pairs") === 0L)
+    assert(r2.getAs[Long]("max_token_df") === 100L)
+    assert(r2.getAs[Long]("cand_pairs") >= 100L * 99L / 2L)
+  }
+
   test("ppjoin equals brute force on seeded random corpora with duplicate groups") {
     import spark.implicits._
     val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
