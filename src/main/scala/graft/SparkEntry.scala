@@ -81,6 +81,7 @@ object SparkEntry {
     "x_dedup_leakage" -> (DedupQueries.dedupLeakage _),
     "x_ppjoin_pairs" -> (DedupQueries.ppjoinPairs _),
     "x_ppjoin_skew_report" -> (DedupQueries.ppjoinSkewReport _),
+    "x_dup_ngram_mass" -> (DedupQueries.dupNgramMass _),
     "x_lsh_recall" -> (DedupQueries.lshRecall _),
     "x_split_leakage" -> (DedupQueries.splitLeakage _),
     "x_dedup_savings" -> (DedupQueries.dedupSavings _),
@@ -377,6 +378,7 @@ object SparkEntry {
     "x_dedup_leakage" -> DedupQueries.dedupLeakageOracle,
     "x_ppjoin_pairs" -> DedupQueries.ppjoinPairsOracle,
     "x_ppjoin_skew_report" -> DedupQueries.ppjoinSkewReportOracle,
+    "x_dup_ngram_mass" -> DedupQueries.dupNgramMassOracle,
     "x_lsh_recall" -> DedupQueries.lshRecallOracle,
     "x_split_leakage" -> DedupQueries.splitLeakageOracle,
     "x_dedup_savings" -> DedupQueries.dedupSavingsOracle,

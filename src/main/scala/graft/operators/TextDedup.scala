@@ -557,4 +557,67 @@ object TextDedup {
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast(LongType).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Duplicated n-gram mass — the EXACT-SUBSTRING dedup readout (Lee
+    * et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022: their suffix-array ExactSubstr primitive
+    * re-expressed on fixed n-token windows, the standard
+    * distributed-friendly approximation): per document, how many of
+    * its n consecutive-token windows occur ANYWHERE else in the corpus
+    * — another document or another position of the same one — and the
+    * duplicated fraction in exact ppm. Document-level dedup misses
+    * this entirely (a boilerplate paragraph pasted into a million
+    * otherwise-unique pages); this is the number that decides whether
+    * a corpus needs substring-level dedup on top.
+    *
+    * Output: `(<idCol>, n_tokens, n_grams, dup_grams, dup_ppm)` —
+    * `n_grams = n_tokens − n + 1` (0 below n: a short document has NO
+    * n-token window, so the whole-doc fallback shingle is explicitly
+    * filtered out), `dup_ppm` NULL when there are no windows.
+    *
+    * Shape: the positional window hashes come from the native
+    * [[graft.expressions.ShingleHashSeq60]] kernel (one JIT'd call per
+    * row — the HOF spelling is CodegenFallback); ONE hash-keyed
+    * shuffle pre-aggregates (doc, gram) counts map-side to the compact
+    * per-doc-distinct table, whose shuffle output both consumers
+    * (gram totals, the totals join) REUSE — Spark's ReuseExchange, so
+    * the corpus-scale explode runs once without materializing a
+    * token-scale checkpoint. The totals join is gram-keyed — a
+    * high-cardinality hash partition, never a broadcast of
+    * corpus-sized state. The short (id, n_tokens) lens pass is a
+    * second narrow scan, same trade as rankedMatch's stats pass.
+    */
+  def dupNgramMass(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 20): DataFrame = {
+    require(n >= 2, "window must be >= 2 tokens")
+    val lens = df.select(col(idCol).cast(LongType).as(idCol),
+      size(tokensCol(col(textCol))).cast(LongType).as("n_tokens"))
+    // the id non-null filter is semantically a no-op (ids are keys) but
+    // must be EXPLICIT: the final left join pushes isnotnull into only
+    // one of the two perDoc consumers, and the asymmetric pushdown
+    // breaks canonical subtree equality — without it ReuseExchange
+    // cannot fire and the corpus-wide kernel pass runs twice
+    // (PlanSpec pins the single-evaluation shape)
+    val grams = df
+      .filter(col(idCol).isNotNull && size(tokensCol(col(textCol))) >= n)
+      .select(col(idCol).cast(LongType).as(idCol),
+        explode(graft.expressions.ShingleHashSeq60
+          .shingle_hash_seq60(col(textCol), n)).as("g"))
+    val perDoc = grams.groupBy(col(idCol), col("g"))
+      .agg(count(lit(1)).cast(LongType).as("cnt"))
+    val totals = perDoc.groupBy(col("g"))
+      .agg(sum(col("cnt")).cast(LongType).as("tot"))
+    val dup = perDoc.join(totals, Seq("g"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).cast(LongType).as("n_grams"),
+        sum(when(col("tot") >= 2, col("cnt")).otherwise(lit(0L)))
+          .cast(LongType).as("dup_grams"))
+    lens.join(dup, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"))
+      .withColumn("dup_ppm",
+        when(col("n_grams") > 0,
+          expr("(1000000 * dup_grams) div n_grams")).cast(LongType))
+  }
 }

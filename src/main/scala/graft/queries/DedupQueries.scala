@@ -330,6 +330,39 @@ object DedupQueries {
        |${graft.operators.SetJoin.ppjoinSql()}
        |SELECT id_a, id_b, jaccard FROM pp_pairs ORDER BY id_a, id_b""".stripMargin
 
+  /** Duplicated n-gram mass ([[graft.operators.TextDedup.dupNgramMass]],
+    * n=20 — the Lee et al. ACL'22 exact-substring window) over the
+    * clone-planted exact-dup corpus: per doc, how much of its text is
+    * a 20-token window that exists elsewhere in the corpus, in exact
+    * ppm — the substring-level readout document-level dedup cannot
+    * see.
+    */
+  def dupNgramMass(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.dupNgramMass(corpusExact(spark, dir), "doc_id", "text", n = 20)
+      .orderBy("doc_id")
+
+  val dupNgramMassOracle: String = {
+    val t = DuckSql.tokens("text")
+    val gh = DuckSql.hash60("array_to_string(t[i:i+19], ' ')")
+    s"""WITH corpus AS ($corpusExactSql),
+       |b AS (SELECT doc_id, $t AS t FROM corpus),
+       |g AS (SELECT doc_id, $gh AS g
+       |  FROM b CROSS JOIN LATERAL (SELECT unnest(range(1, len(t) - 18)) AS i) r
+       |  WHERE len(t) >= 20),
+       |pd AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM g GROUP BY doc_id, g),
+       |tt AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS tot FROM pd GROUP BY g),
+       |d AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+       |    CAST(sum(CASE WHEN tot >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dup_grams
+       |  FROM pd JOIN tt USING (g) GROUP BY doc_id)
+       |SELECT b.doc_id, CAST(len(b.t) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(d.n_grams, 0) AS BIGINT) AS n_grams,
+       |  CAST(coalesce(d.dup_grams, 0) AS BIGINT) AS dup_grams,
+       |  CAST(CASE WHEN coalesce(d.n_grams, 0) > 0
+       |    THEN (1000000 * d.dup_grams) // d.n_grams END AS BIGINT) AS dup_ppm
+       |FROM b LEFT JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   /** PPJoin candidate-volume pre-flight
     * ([[graft.operators.SetJoin.prefixSkewReport]]) over the same
     * near-dup corpus as `x_ppjoin_pairs` — the observability readout

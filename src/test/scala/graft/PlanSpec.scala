@@ -230,6 +230,25 @@ class PlanSpec extends SparkSpec {
     assert(failures.isEmpty, "scale-killer plans:\n" + failures.mkString("\n"))
   }
 
+  test("dup ngram mass: the corpus-scale gram explode is computed once (exchange reuse)") {
+    val df = graft.queries.DedupQueries.dupNgramMass(spark, dir)
+    // AQE's toString appends the pre-adaptive "Initial Plan" section,
+    // which textually duplicates subtrees reuse later collapses — only
+    // the final plan reflects what executes
+    val p = plan(df).split("== Initial Plan ==").head
+    // both consumers of the (doc, gram) table — gram totals and the
+    // totals join — must read ONE shuffle of the explode subtree
+    // (ReusedExchange), not re-run the corpus-wide kernel pass; the
+    // lens pass scans the corpus separately but never shingles
+    val kernelPasses = "generate explode\\(shinglehashseq".r
+      .findAllIn(p.toLowerCase).size
+    assert(kernelPasses === 1,
+      s"gram kernel must run exactly once, found $kernelPasses:\n" + p)
+    assert(p.contains("ReusedExchange"),
+      "perDoc shuffle must be reused by both consumers:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("JL projection and PQ encode are shuffle-free narrow transforms") {
     import org.apache.spark.sql.functions.col
     // projection: per-row native compute — no Exchange anywhere

@@ -390,6 +390,34 @@ class TextDedupSpec extends SparkSpec {
     assert(r2.getAs[Long]("cand_pairs") >= 100L * 99L / 2L)
   }
 
+  test("dup ngram mass: shared windows counted with multiplicity, short docs have zero windows") {
+    import spark.implicits._
+    // n=5 windows. doc1 and doc2 share the 5-token run "a b c d e" at
+    // different positions; doc3 repeats its OWN window twice; doc4 is
+    // 4 tokens — below the window, so zero grams (NOT the whole-doc
+    // fallback); doc5 is unique.
+    val docs = Seq(
+      (1L, "a b c d e tail1 tail2"),          // 3 windows, 1 shared
+      (2L, "head1 head2 a b c d e"),          // 3 windows, 1 shared
+      (3L, "x y z w v x y z w v"),            // 6 windows; "x y z w v" twice
+      (4L, "too short for five"),             // 0 windows
+      (5L, "p q r s t u")                     // 2 windows, unique
+    ).toDF("doc_id", "text")
+    val got = TextDedup.dupNgramMass(docs, "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+    assert(got === Array(
+      (1L, 7L, 3L, 1L, 333333L),
+      (2L, 7L, 3L, 1L, 333333L),
+      // doc3's duplicated window occurs at positions 1 and 6; windows
+      // 2..5 straddle the seam and are unique -> 2 of 6 duplicated
+      (3L, 10L, 6L, 2L, 333333L),
+      (4L, 4L, 0L, 0L, -1L),
+      (5L, 6L, 2L, 0L, 0L)))
+  }
+
   test("ppjoin equals brute force on seeded random corpora with duplicate groups") {
     import spark.implicits._
     val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
