@@ -82,6 +82,7 @@ object SparkEntry {
     "x_ppjoin_pairs" -> (DedupQueries.ppjoinPairs _),
     "x_ppjoin_skew_report" -> (DedupQueries.ppjoinSkewReport _),
     "x_dup_ngram_mass" -> (DedupQueries.dupNgramMass _),
+    "x_dup_span_prune" -> (DedupQueries.dupSpanPrune _),
     "x_lsh_recall" -> (DedupQueries.lshRecall _),
     "x_split_leakage" -> (DedupQueries.splitLeakage _),
     "x_dedup_savings" -> (DedupQueries.dedupSavings _),
@@ -379,6 +380,7 @@ object SparkEntry {
     "x_ppjoin_pairs" -> DedupQueries.ppjoinPairsOracle,
     "x_ppjoin_skew_report" -> DedupQueries.ppjoinSkewReportOracle,
     "x_dup_ngram_mass" -> DedupQueries.dupNgramMassOracle,
+    "x_dup_span_prune" -> DedupQueries.dupSpanPruneOracle,
     "x_lsh_recall" -> DedupQueries.lshRecallOracle,
     "x_split_leakage" -> DedupQueries.splitLeakageOracle,
     "x_dedup_savings" -> DedupQueries.dedupSavingsOracle,

@@ -112,8 +112,19 @@ object Shuffle {
     val n = if (numParts > 0) numParts
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val cols = orderCols.map(col)
+    // The checkpoint FREEZES the partition assignment: RangePartitioner
+    // seeds its reservoir sampling from the physical RDD id, so two
+    // independent evaluations of the same range exchange can pick
+    // DIFFERENT bounds — and `parted` has two consumers (the offsets
+    // aggregate and the rank join). Exchange reuse usually hides this,
+    // but reuse across a broadcast-stage boundary is not guaranteed;
+    // inconsistent __pid between the two sides silently corrupts every
+    // rank past the first moved row (caught by ScaleSpec's
+    // partitioning-equivalence property). Materializing once makes
+    // __pid a fact of the data.
     val parted = df.repartitionByRange(n, cols: _*)
       .withColumn("__pid", spark_partition_id().cast("long"))
+      .localCheckpoint(true)
     // the limit never truncates (pids < n by construction) — it makes
     // the bound visible to Catalyst so the offsets window is provably
     // small at plan time (same idiom as globalOrderIndex)
@@ -155,18 +166,34 @@ object Shuffle {
     * Contract: |groups| must stay broadcast-sized (the offsets table is
     * broadcast); for high-cardinality groups a plain partitioned window
     * is already scale-safe — use that instead.
+    *
+    * `materializeInput` (default true): the range partitioner SAMPLES
+    * its child plan before shuffling it, so the caller's per-row
+    * compute (token counts, quality scores) would run twice; an eager
+    * local checkpoint of the projected input makes both passes read
+    * materialized rows. Pass false when the input still carries
+    * corpus-width columns (full text) — there a second cheap pass
+    * beats materializing a corpus copy.
     */
   def groupedRunningSum(
       df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
-      value: Column, outCol: String, numParts: Int = 0): DataFrame = {
+      value: Column, outCol: String, numParts: Int = 0,
+      materializeInput: Boolean = true): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
     require(orderCols.nonEmpty, "need at least one order column")
     val n = if (numParts > 0) numParts
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val keyCols = (groupCols ++ orderCols).map(col)
-    val parted = df.repartitionByRange(n, keyCols: _*)
+    val src0 = df.withColumn("__v", value)
+    val src = if (materializeInput) src0.localCheckpoint(true) else src0
+    // checkpoint AFTER the shuffle as well: RangePartitioner seeds its
+    // sampling from the physical RDD id, so the two consumers of
+    // `parted` (local window + totals aggregate) could otherwise see
+    // DIFFERENT range bounds — inconsistent __pid corrupts the offsets
+    // join (see rangeOrderIndex's note; ScaleSpec proves the property)
+    val parted = src.repartitionByRange(n, keyCols: _*)
       .withColumn("__pid", spark_partition_id().cast("long"))
-      .withColumn("__v", value)
+      .localCheckpoint(true)
     val localW = Window.partitionBy(("__pid" +: groupCols).map(col): _*)
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -193,6 +220,8 @@ object Shuffle {
     */
   def groupedRank(
       df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
-      rankCol: String, numParts: Int = 0): DataFrame =
-    groupedRunningSum(df, groupCols, orderCols, lit(1L), rankCol, numParts)
+      rankCol: String, numParts: Int = 0,
+      materializeInput: Boolean = true): DataFrame =
+    groupedRunningSum(df, groupCols, orderCols, lit(1L), rankCol, numParts,
+      materializeInput)
 }

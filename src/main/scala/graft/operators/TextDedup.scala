@@ -620,4 +620,66 @@ object TextDedup {
         when(col("n_grams") > 0,
           expr("(1000000 * dup_grams) div n_grams")).cast(LongType))
   }
+
+  /** Duplicated-span PRUNING — the ACTION beside [[dupNgramMass]]'s
+    * readout (Lee et al. ACL'22 ExactSubstr dedup, window-approximated):
+    * drop from each document every token covered by a duplicated
+    * n-token window occurrence that is not the gram's canonical FIRST
+    * occurrence corpus-wide (keeper = lexicographic min (doc, position)
+    * — deterministic, so any engine replays the same keeper). The
+    * boilerplate paragraph pasted into a million pages survives exactly
+    * once; every other copy is cut out of the middle of its page while
+    * the unique text around it survives.
+    *
+    * Output: `(<idCol>, n_tokens, n_removed, pruned_text)` — removal
+    * is by token POSITION (a token covered by ≥ 1 removable occurrence
+    * goes, even where it also overlaps a kept window), which makes the
+    * semantics a pure function of the occurrence table.
+    *
+    * Shape: positional gram hashes (native kernel) → ONE (gram)-keyed
+    * pre-aggregation for the per-gram keeper (min struct — map-side
+    * combined, skew-tolerant where a per-gram window would buffer);
+    * the occurrence table joins the keeper back gram-keyed (exchange
+    * reused across the two consumers, the dupNgramMass pattern);
+    * ONLY removable occurrences expand to their n positions —
+    * output-sized, not corpus×n; one doc-keyed mask aggregation and a
+    * per-row HOF rebuild. Nothing broadcasts corpus-scale state.
+    */
+  def dupSpanPrune(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 20): DataFrame = {
+    require(n >= 2, "window must be >= 2 tokens")
+    val base = df.select(col(idCol).cast(LongType).as(idCol),
+      tokensCol(col(textCol)).as("__toks"))
+    // 1-based window positions; short docs carry no window (explicit
+    // id/size filter keeps the two occ consumers canonically equal —
+    // see dupNgramMass's ReuseExchange note)
+    val occ = df
+      .filter(col(idCol).isNotNull && size(tokensCol(col(textCol))) >= n)
+      .select(col(idCol).cast(LongType).as(idCol),
+        posexplode(graft.expressions.ShingleHashSeq60
+          .shingle_hash_seq60(col(textCol), n)).as(Seq("pos0", "g")))
+      .select(col(idCol), (col("pos0") + 1).cast(LongType).as("pos"), col("g"))
+    val keepers = occ.groupBy(col("g"))
+      .agg(min(struct(col(idCol), col("pos"))).as("keep"),
+        count(lit(1)).cast(LongType).as("tot"))
+    val removable = occ.join(keepers, Seq("g"))
+      .filter(col("tot") >= 2 &&
+        !(col(idCol) === col("keep")(idCol) && col("pos") === col("keep.pos")))
+      .select(col(idCol), col("pos"))
+    val mask = removable
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (n - 1))).as("tp"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("tp")).as("__mask"))
+    base.join(mask, Seq(idCol), "left")
+      .withColumn("__mask", coalesce(col("__mask"), array().cast("array<long>")))
+      .withColumn("__pruned",
+        filter(transform(sequence(lit(1), size(col("__toks"))),
+          i => when(!array_contains(col("__mask"), i.cast(LongType)),
+            element_at(col("__toks"), i))),
+          x => x.isNotNull))
+      .select(col(idCol),
+        size(col("__toks")).cast(LongType).as("n_tokens"),
+        (size(col("__toks")) - size(col("__pruned"))).cast(LongType).as("n_removed"),
+        array_join(col("__pruned"), " ").as("pruned_text"))
+  }
 }

@@ -1781,8 +1781,12 @@ object CorpusQueries {
       .select(col("doc_id").cast(LongType).as("doc_id"), col("source"),
         Fts.tokens(Seq(col("text"))).as("toks"))
       .withColumn("t", array_join(col("toks"), " "))
+    // materializeInput=false: base carries the token-joined TEXT — a
+    // corpus copy is worse than the range sampler's second cheap pass;
+    // the post-rank checkpoint below is the one materialization
     val ranked = Shuffle.groupedRank(
-        base, Seq("source"), Seq("t", "doc_id"), "rk")
+        base, Seq("source"), Seq("t", "doc_id"), "rk",
+        materializeInput = false)
       .localCheckpoint(true) // feeds both sides of the neighbor join
     ranked
       .join(ranked.select(col("source"), (col("rk") + 1).as("rk"),

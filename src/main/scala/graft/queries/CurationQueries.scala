@@ -790,7 +790,10 @@ object CurationQueries {
       .withColumn("split", graft.operators.Sampling.splitLabel(col("bucket"), 90, 5))
       .localCheckpoint(true) // feeds the pack cumsum after its own shuffle
     graft.operators.Shuffle.groupedRunningSum(
-        split, Seq("split"), Seq("doc_id"), col("n_tokens"), "cum")
+        split, Seq("split"), Seq("doc_id"), col("n_tokens"), "cum",
+        // split is ALREADY an eager checkpoint — a second
+        // materialization inside the cumsum would just copy it
+        materializeInput = false)
       .withColumn("pack_no", expr("(cum - n_tokens) div 2048").cast(LongType))
       .groupBy(col("split"), col("pack_no"))
       .agg(count(lit(1)).cast(LongType).as("n_docs"),

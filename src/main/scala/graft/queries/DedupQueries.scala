@@ -363,6 +363,43 @@ object DedupQueries {
        |FROM b LEFT JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 
+  /** Duplicated-span pruning ([[graft.operators.TextDedup.dupSpanPrune]],
+    * n=20) over the clone-planted corpus: each duplicated 20-token
+    * window survives only at its corpus-wide first occurrence; clones
+    * prune to empty, partial boilerplate is cut mid-page. The ACTION
+    * twin of `x_dup_ngram_mass`'s readout.
+    */
+  def dupSpanPrune(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.dupSpanPrune(corpusExact(spark, dir), "doc_id", "text", n = 20)
+      .orderBy("doc_id")
+
+  val dupSpanPruneOracle: String = {
+    val t = DuckSql.tokens("text")
+    val gh = DuckSql.hash60("array_to_string(t[i:i+19], ' ')")
+    s"""WITH corpus AS ($corpusExactSql),
+       |b AS (SELECT doc_id, $t AS t FROM corpus),
+       |occ AS (SELECT doc_id, i AS pos, $gh AS g
+       |  FROM b CROSS JOIN LATERAL (SELECT unnest(range(1, len(t) - 18)) AS i) r
+       |  WHERE len(t) >= 20),
+       |rn AS (SELECT doc_id, pos,
+       |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+       |  FROM occ),
+       |exp AS (SELECT doc_id, unnest(range(pos, pos + 20)) AS tp
+       |  FROM rn WHERE rn >= 2),
+       |mask AS (SELECT doc_id, list(DISTINCT tp) AS m FROM exp GROUP BY doc_id),
+       |p AS (SELECT b.doc_id, b.t,
+       |    list_filter(list_transform(range(1, len(b.t) + 1),
+       |      i -> CASE WHEN NOT coalesce(list_contains(mask.m, i), false)
+       |           THEN b.t[i] END), x -> x IS NOT NULL) AS pruned
+       |  FROM b LEFT JOIN mask USING (doc_id))
+       |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       |  CAST(len(t) - len(pruned) AS BIGINT) AS n_removed,
+       |  -- DuckDB's array_to_string of an EMPTY list is NULL; Spark's
+       |  -- array_join is '' — pin the fully-pruned doc to ''
+       |  coalesce(array_to_string(pruned, ' '), '') AS pruned_text
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
   /** PPJoin candidate-volume pre-flight
     * ([[graft.operators.SetJoin.prefixSkewReport]]) over the same
     * near-dup corpus as `x_ppjoin_pairs` — the observability readout

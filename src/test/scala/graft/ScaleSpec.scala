@@ -49,6 +49,37 @@ class ScaleSpec extends SparkSpec {
     assert(saltSpread > 4, s"expected hot key spread over >4 salts, got $saltSpread")
   }
 
+  test("groupedRank / groupedRunningSum equal the naive per-group window at any partitioning") {
+    import graft.operators.Shuffle
+    // skewed groups (one dominant), duplicate order-keys broken by id —
+    // the contract's required total order
+    val rnd = new scala.util.Random(13)
+    val rows = (1L to 4000L).map { id =>
+      val g = if (id % 10 < 7) "big" else s"g${id % 10}"
+      (g, rnd.nextInt(40).toLong, id, rnd.nextInt(100).toLong)
+    }
+    val df = rows.toDF("grp", "key", "id", "v").repartition(11)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"grp").orderBy($"key", $"id")
+    val wantRank = df.withColumn("r", row_number().over(w).cast("long"))
+      .select("grp", "key", "id", "v", "r").collect().map(_.toSeq).toSet
+    val wantCum = df.withColumn("c", sum($"v").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)).cast("long"))
+      .select("grp", "key", "id", "v", "c").collect().map(_.toSeq).toSet
+    // the decomposition must be a function of the total order ALONE —
+    // where the sampled range bounds fall (numParts) never changes it
+    for (parts <- Seq(1, 3, 16)) {
+      val gotRank = Shuffle.groupedRank(df, Seq("grp"), Seq("key", "id"), "r", parts)
+        .select("grp", "key", "id", "v", "r").collect().map(_.toSeq).toSet
+      assert(gotRank === wantRank, s"groupedRank diverges at numParts=$parts")
+      val gotCum = Shuffle.groupedRunningSum(
+          df, Seq("grp"), Seq("key", "id"), $"v", "c", parts)
+        .select("grp", "key", "id", "v", "c").collect().map(_.toSeq).toSet
+      assert(gotCum === wantCum, s"groupedRunningSum diverges at numParts=$parts")
+    }
+  }
+
   test("topKPerGroup equals the plain window top-k, including ties and null scores") {
     val rnd = new scala.util.Random(7)
     val rows = (1L to 5000L).map { id =>

@@ -418,6 +418,36 @@ class TextDedupSpec extends SparkSpec {
       (5L, 6L, 2L, 0L, 0L)))
   }
 
+  test("dup span prune: first occurrence survives, later copies are cut mid-page") {
+    import spark.implicits._
+    // the shared 5-token run "a b c d e" appears in doc1 (keeper: min
+    // (doc, pos)) and doc2 (removable); doc3 repeats its own window —
+    // position 1 is the keeper, position 6's copy is removed; doc4 is
+    // an exact clone of doc1 — every window duplicated, prunes to
+    // nothing; doc5 is unique and untouched.
+    val docs = Seq(
+      (1L, "a b c d e tail1 tail2"),
+      (2L, "head1 head2 a b c d e"),
+      (3L, "x y z w v x y z w v"),
+      (4L, "a b c d e tail1 tail2"),
+      (5L, "p q r s t u")
+    ).toDF("doc_id", "text")
+    val got = TextDedup.dupSpanPrune(docs, "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got === Array(
+      // all of doc1's windows are duplicated by the clone doc4, but
+      // doc1 holds every keeper -> untouched
+      (1L, 7L, 0L, "a b c d e tail1 tail2"),
+      // doc2's window [3..7] loses to doc1's [1..5] -> tokens 3..7 cut
+      (2L, 7L, 5L, "head1 head2"),
+      // doc3: occurrence at pos 6 loses to its own pos 1 -> 6..10 cut
+      (3L, 10L, 5L, "x y z w v"),
+      // the clone: every one of its 3 windows loses to doc1 -> empty
+      (4L, 7L, 7L, ""),
+      (5L, 6L, 0L, "p q r s t u")))
+  }
+
   test("ppjoin equals brute force on seeded random corpora with duplicate groups") {
     import spark.implicits._
     val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
