@@ -83,6 +83,7 @@ object SparkEntry {
     "x_ppjoin_skew_report" -> (DedupQueries.ppjoinSkewReport _),
     "x_dup_ngram_mass" -> (DedupQueries.dupNgramMass _),
     "x_dup_span_prune" -> (DedupQueries.dupSpanPrune _),
+    "x_dup_span_prune_incr" -> (DedupQueries.dupSpanPruneIncremental _),
     "x_lsh_recall" -> (DedupQueries.lshRecall _),
     "x_split_leakage" -> (DedupQueries.splitLeakage _),
     "x_dedup_savings" -> (DedupQueries.dedupSavings _),
@@ -381,6 +382,7 @@ object SparkEntry {
     "x_ppjoin_skew_report" -> DedupQueries.ppjoinSkewReportOracle,
     "x_dup_ngram_mass" -> DedupQueries.dupNgramMassOracle,
     "x_dup_span_prune" -> DedupQueries.dupSpanPruneOracle,
+    "x_dup_span_prune_incr" -> DedupQueries.dupSpanPruneIncrementalOracle,
     "x_lsh_recall" -> DedupQueries.lshRecallOracle,
     "x_split_leakage" -> DedupQueries.splitLeakageOracle,
     "x_dedup_savings" -> DedupQueries.dedupSavingsOracle,

@@ -648,17 +648,7 @@ object TextDedup {
   def dupSpanPrune(df: DataFrame, idCol: String, textCol: String,
       n: Int = 20): DataFrame = {
     require(n >= 2, "window must be >= 2 tokens")
-    val base = df.select(col(idCol).cast(LongType).as(idCol),
-      tokensCol(col(textCol)).as("__toks"))
-    // 1-based window positions; short docs carry no window (explicit
-    // id/size filter keeps the two occ consumers canonically equal —
-    // see dupNgramMass's ReuseExchange note)
-    val occ = df
-      .filter(col(idCol).isNotNull && size(tokensCol(col(textCol))) >= n)
-      .select(col(idCol).cast(LongType).as(idCol),
-        posexplode(graft.expressions.ShingleHashSeq60
-          .shingle_hash_seq60(col(textCol), n)).as(Seq("pos0", "g")))
-      .select(col(idCol), (col("pos0") + 1).cast(LongType).as("pos"), col("g"))
+    val occ = spanOcc(df, idCol, textCol, n)
     val keepers = occ.groupBy(col("g"))
       .agg(min(struct(col(idCol), col("pos"))).as("keep"),
         count(lit(1)).cast(LongType).as("tot"))
@@ -666,6 +656,71 @@ object TextDedup {
       .filter(col("tot") >= 2 &&
         !(col(idCol) === col("keep")(idCol) && col("pos") === col("keep.pos")))
       .select(col(idCol), col("pos"))
+    pruneByRemovable(df, idCol, textCol, removable, n)
+  }
+
+  /** Incremental [[dupSpanPrune]] for append-only corpus growth — the
+    * substring-level member of the incremental family beside
+    * [[exactIncremental]]: prune a NEW batch against (a) the PRIOR
+    * corpus's persisted gram state and (b) itself. `existingGrams`
+    * needs only a `g` column — the 8-byte window hashes a pipeline
+    * persists between runs (the batch output of one run's
+    * `spanOcc(g).distinct` unioned into the running state). Every
+    * occurrence of a known gram is removable (the prior corpus holds
+    * its keeper by definition); grams first seen in this batch keep
+    * their intra-batch first occurrence, exactly [[dupSpanPrune]]'s
+    * keeper rule restricted to the batch.
+    *
+    * Scale: the batch's occurrence table materializes once (eager
+    * checkpoint — BATCH-scale, not corpus-scale; it feeds both the
+    * known-gram semi/anti split) and all joins are gram-keyed hash
+    * shuffles against the state table — the state is never broadcast
+    * or collected.
+    */
+  def dupSpanPruneIncremental(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      existingGrams: DataFrame, n: Int = 20): DataFrame = {
+    require(n >= 2, "window must be >= 2 tokens")
+    val occ = spanOcc(newDocs, idCol, textCol, n).localCheckpoint(true)
+    val state = existingGrams.select(col("g"))
+    val known = occ.join(state, Seq("g"), "left_semi")
+      .select(col(idCol), col("pos"))
+    val fresh = occ.join(state, Seq("g"), "left_anti")
+    val keepers = fresh.groupBy(col("g"))
+      .agg(min(struct(col(idCol), col("pos"))).as("keep"),
+        count(lit(1)).cast(LongType).as("tot"))
+    val freshRemovable = fresh.join(keepers, Seq("g"))
+      .filter(col("tot") >= 2 &&
+        !(col(idCol) === col("keep")(idCol) && col("pos") === col("keep.pos")))
+      .select(col(idCol), col("pos"))
+    pruneByRemovable(newDocs, idCol, textCol,
+      known.unionAll(freshRemovable), n)
+  }
+
+  /** The positional n-gram occurrence table `(id, pos, g)` shared by
+    * the span-prune family — 1-based positions; short docs carry no
+    * window (the explicit id/size filter keeps multiple consumers
+    * canonically equal so ReuseExchange can fire — see
+    * [[dupNgramMass]]'s note).
+    */
+  private def spanOcc(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.filter(col(idCol).isNotNull && size(tokensCol(col(textCol))) >= n)
+      .select(col(idCol).cast(LongType).as(idCol),
+        posexplode(graft.expressions.ShingleHashSeq60
+          .shingle_hash_seq60(col(textCol), n)).as(Seq("pos0", "g")))
+      .select(col(idCol), (col("pos0") + 1).cast(LongType).as("pos"), col("g"))
+
+  /** Expand removable occurrences `(id, pos)` to their n token
+    * positions, aggregate a per-doc mask, and rebuild each document
+    * without the masked tokens — the shared back half of the
+    * span-prune family. Expansion is removable-occurrence-sized
+    * (output-scale), the rebuild a per-row HOF.
+    */
+  private def pruneByRemovable(df: DataFrame, idCol: String,
+      textCol: String, removable: DataFrame, n: Int): DataFrame = {
+    val base = df.select(col(idCol).cast(LongType).as(idCol),
+      tokensCol(col(textCol)).as("__toks"))
     val mask = removable
       .select(col(idCol), explode(sequence(col("pos"), col("pos") + (n - 1))).as("tp"))
       .groupBy(col(idCol))

@@ -400,6 +400,60 @@ object DedupQueries {
        |FROM p ORDER BY doc_id""".stripMargin
   }
 
+  /** Incremental span pruning
+    * ([[graft.operators.TextDedup.dupSpanPruneIncremental]]): docs
+    * below 250 play the PRIOR corpus (their 20-gram hashes are the
+    * persisted state), the rest arrive as the new batch — known grams
+    * are cut wherever they appear, batch-new duplicated grams keep
+    * their intra-batch first occurrence. The append-only ingest form
+    * of `x_dup_span_prune`.
+    */
+  def dupSpanPruneIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusExact(spark, dir)
+    // state = the prior corpus's distinct gram hashes — the 8-byte
+    // rows a pipeline persists between runs
+    val priorGrams = corpus.filter(col("doc_id") < 250)
+      .filter(size(graft.operators.TextDedup.tokensCol(col("text"))) >= 20)
+      .select(explode(graft.expressions.ShingleHashSeq60
+        .shingle_hash_seq60(col("text"), 20)).as("g"))
+      .distinct()
+    TextDedup.dupSpanPruneIncremental(
+        corpus.filter(col("doc_id") >= 250), "doc_id", "text", priorGrams, n = 20)
+      .orderBy("doc_id")
+  }
+
+  val dupSpanPruneIncrementalOracle: String = {
+    val t = DuckSql.tokens("text")
+    val gh = DuckSql.hash60("array_to_string(t[i:i+19], ' ')")
+    s"""WITH corpus AS ($corpusExactSql),
+       |b AS (SELECT doc_id, $t AS t FROM corpus WHERE doc_id >= 250),
+       |prior AS (SELECT DISTINCT $gh AS g
+       |  FROM (SELECT $t AS t FROM corpus WHERE doc_id < 250)
+       |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(t) - 18)) AS i) r
+       |  WHERE len(t) >= 20),
+       |occ AS (SELECT doc_id, i AS pos, $gh AS g
+       |  FROM b CROSS JOIN LATERAL (SELECT unnest(range(1, len(t) - 18)) AS i) r
+       |  WHERE len(t) >= 20),
+       |known AS (SELECT doc_id, pos FROM occ
+       |  WHERE g IN (SELECT g FROM prior)),
+       |fresh AS (SELECT doc_id, pos,
+       |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+       |  FROM occ WHERE g NOT IN (SELECT g FROM prior)),
+       |removable AS (SELECT doc_id, pos FROM known
+       |  UNION ALL SELECT doc_id, pos FROM fresh WHERE rn >= 2),
+       |exp AS (SELECT doc_id, unnest(range(pos, pos + 20)) AS tp FROM removable),
+       |mask AS (SELECT doc_id, list(DISTINCT tp) AS m FROM exp GROUP BY doc_id),
+       |p AS (SELECT b.doc_id, b.t,
+       |    list_filter(list_transform(range(1, len(b.t) + 1),
+       |      i -> CASE WHEN NOT coalesce(list_contains(mask.m, i), false)
+       |           THEN b.t[i] END), x -> x IS NOT NULL) AS pruned
+       |  FROM b LEFT JOIN mask USING (doc_id))
+       |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       |  CAST(len(t) - len(pruned) AS BIGINT) AS n_removed,
+       |  coalesce(array_to_string(pruned, ' '), '') AS pruned_text
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
   /** PPJoin candidate-volume pre-flight
     * ([[graft.operators.SetJoin.prefixSkewReport]]) over the same
     * near-dup corpus as `x_ppjoin_pairs` — the observability readout

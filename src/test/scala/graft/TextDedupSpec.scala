@@ -448,6 +448,31 @@ class TextDedupSpec extends SparkSpec {
       (5L, 6L, 0L, "p q r s t u")))
   }
 
+  test("incremental span prune: known grams always cut, batch-new grams keep batch-first") {
+    import spark.implicits._
+    // prior state: the grams of "a b c d e" (one 5-gram)
+    val prior = Seq(Tuple1("a b c d e")).toDF("text")
+      .select(explode(graft.expressions.ShingleHashSeq60
+        .shingle_hash_seq60(col("text"), 5)).as("g"))
+    val batch = Seq(
+      // contains the KNOWN run -> cut even though it's this batch's
+      // first occurrence (the prior corpus holds the keeper)
+      (10L, "a b c d e new1 new2"),
+      // batch-new duplicated run "m n o p q": doc11 keeps, doc12 cut
+      (11L, "m n o p q tail"),
+      (12L, "lead m n o p q"),
+      (13L, "all fresh tokens here now")
+    ).toDF("doc_id", "text")
+    val got = TextDedup.dupSpanPruneIncremental(batch, "doc_id", "text", prior, n = 5)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got === Array(
+      (10L, 7L, 5L, "new1 new2"),
+      (11L, 6L, 0L, "m n o p q tail"),
+      (12L, 6L, 5L, "lead"),
+      (13L, 5L, 0L, "all fresh tokens here now")))
+  }
+
   test("ppjoin equals brute force on seeded random corpora with duplicate groups") {
     import spark.implicits._
     val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
