@@ -95,6 +95,11 @@ object Sampling {
     * table) on the negated score, and the per-stratum size arrives as
     * a broadcast count aggregate. Same total order, same output, no
     * single-task stage.
+    *
+    * `scoreCol` must be NON-NULL: the rank orders by the negated score
+    * ascending, where a NULL would sort FIRST (= best) instead of the
+    * old desc-window's nulls-last. Coalesce a sentinel before calling
+    * if nulls are possible.
     */
   def stratifiedTopPct(
       df: DataFrame, stratumCol: String, idCol: String,
