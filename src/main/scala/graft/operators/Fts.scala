@@ -322,7 +322,15 @@ object Fts {
     val idf = idfRows.toDF("term", "idf2")
     tf.join(broadcast(idf), Seq("term"))
       .withColumn("__tfc", least(col("tf"), lit(100000L)))
-      .withColumn("__ratio_s", expr(s"(dl * 1000000000000L) div ${avgdlS}L"))
+      // the dl <= 9,223,372 domain bound is ENFORCED, not just
+      // documented: dl*1e12 past it wraps Long and silently corrupts
+      // the ranking (same loud-failure policy as wfqInterleave's vtime
+      // guard — fail in seconds, not garbage at 100 TB)
+      .withColumn("__ratio_s",
+        when(col("dl") <= 9223372L, expr(s"(dl * 1000000000000L) div ${avgdlS}L"))
+          .otherwise(raise_error(concat(
+            lit("bm25Match: doc length "), col("dl").cast("string"),
+            lit(" exceeds the 9.2e6-token fixed-point domain — shard the ranking domain")))))
       .withColumn("sat_x", expr(
         "(__tfc * 44000000000000L) div (__tfc * 10000000L + 3000000L + 9L * __ratio_s)"))
       .groupBy(col(rowidCol))

@@ -100,16 +100,23 @@ object Sampling {
     * ascending, where a NULL would sort FIRST (= best) instead of the
     * old desc-window's nulls-last. Coalesce a sentinel before calling
     * if nulls are possible.
+    *
+    * `materializeInput` forwards to [[Shuffle.groupedRank]]: keep the
+    * default when `df` is a compact projection (the sampler's second
+    * pass would re-run the score compute); pass false when `df` still
+    * carries corpus-width columns (full text) — a corpus copy is worse.
     */
   def stratifiedTopPct(
       df: DataFrame, stratumCol: String, idCol: String,
-      scoreCol: String, pct: Int): DataFrame = {
+      scoreCol: String, pct: Int,
+      materializeInput: Boolean = true): DataFrame = {
     require(pct > 0 && pct <= 100, "pct must be in (0, 100]")
     val n = df.groupBy(col(stratumCol))
       .agg(count(lit(1)).as("__stratum_n"))
     Shuffle.groupedRank(
         df.withColumn("__neg_score", -col(scoreCol)),
-        Seq(stratumCol), Seq("__neg_score", idCol), "stratum_rank")
+        Seq(stratumCol), Seq("__neg_score", idCol), "stratum_rank",
+        materializeInput = materializeInput)
       .join(broadcast(n), Seq(stratumCol))
       .filter(col("stratum_rank") <= ceil(col("__stratum_n") * pct / lit(100.0)))
       .drop("__stratum_n", "__neg_score")
@@ -214,11 +221,13 @@ object Sampling {
     */
   def wfqInterleave(df: DataFrame, sourceCol: String, idCol: String,
       weight: Column => Column, domainBits: Int = 42,
-      posCol: String = "stream_pos"): DataFrame = {
+      posCol: String = "stream_pos",
+      materializeInput: Boolean = true): DataFrame = {
     require(domainBits > 0 && domainBits <= 60, "domainBits in (0, 60]")
     val vt = Shuffle.groupedRank(
         df.withColumn("w", weight(col(sourceCol))),
-        Seq(sourceCol), Seq(idCol), "src_rank")
+        Seq(sourceCol), Seq(idCol), "src_rank",
+        materializeInput = materializeInput)
       .withColumn("__vt_raw", col("src_rank") * expr("1000000 div w"))
       // the when() keeps the guard in the vtime value path (never
       // pruned); `1e6 div w` is NULL for w = 0/NULL, which also routes

@@ -180,12 +180,22 @@ object SetJoin {
     val (groups, _, prefix) = collapsedPrefixBuild(df, idCol, textCol, w, tNum, tDen)
     val tokdf = prefix.groupBy(col("tk"))
       .agg(count(lit(1)).cast(LongType).as("dfp"))
+      // dfp*(dfp-1) wraps Long past dfp ~ 3.04e9 — precisely the
+      // pathological corpus this pre-flight exists to surface, so it
+      // must fail LOUD there (DuckDB raises on BIGINT overflow; a
+      // silently negative cand_pairs would fail open)
+      .withColumn("__cpairs",
+        when(col("dfp") <= 3037000499L, expr("(dfp * (dfp - 1)) div 2"))
+          .otherwise(raise_error(concat(
+            lit("prefixSkewReport: prefix token df "), col("dfp").cast("string"),
+            lit(" overflows the pair-count domain — the corpus is already "),
+            lit("pathological; investigate the token before joining")))))
     val tok = tokdf.agg(
       count(lit(1)).cast(LongType).as("n_prefix_tokens"),
-      coalesce(sum(expr("(dfp * (dfp - 1)) div 2")), lit(0L))
+      coalesce(sum(col("__cpairs")), lit(0L))
         .cast(LongType).as("cand_pairs"),
       coalesce(max(col("dfp")), lit(0L)).cast(LongType).as("max_token_df"),
-      coalesce(max(expr("(dfp * (dfp - 1)) div 2")), lit(0L))
+      coalesce(max(col("__cpairs")), lit(0L))
         .cast(LongType).as("max_token_pairs"))
     val counts = groups.agg(
       sum(size(col("ids"))).cast(LongType).as("n_docs"),

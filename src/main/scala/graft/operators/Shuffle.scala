@@ -205,10 +205,18 @@ object Shuffle {
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = totals
       .withColumn("__goff", coalesce(sum(col("__ptot")).over(offW), lit(0L)))
-      .select(("__pid" +: groupCols).map(col) :+ col("__goff"): _*)
-    withLocal.join(broadcast(offsets), "__pid" +: groupCols)
+      .select(col("__pid").as("__opid") +:
+        groupCols.map(c => col(c).as(s"__og_$c")) :+ col("__goff"): _*)
+    // NULL-SAFE group equality (<=>): the per-group window this
+    // decomposition replaces ranks a NULL group like any other, and a
+    // plain equi-join would silently DROP those rows (NULL = NULL is
+    // not true) — e.g. docs whose language-ID failed
+    val joinCond = (Seq(col("__pid") === col("__opid")) ++
+      groupCols.map(c => col(c) <=> col(s"__og_$c"))).reduce(_ && _)
+    withLocal.join(broadcast(offsets), joinCond)
       .withColumn(outCol, (col("__goff") + col("__lcum")).cast("long"))
-      .drop("__pid", "__v", "__lcum", "__goff")
+      .drop("__pid" +: "__v" +: "__lcum" +: "__goff" +: "__opid" +:
+        groupCols.map(c => s"__og_$c"): _*)
   }
 
   /** PER-GROUP 1-based `row_number` under the (groupCols, orderCols)

@@ -727,11 +727,20 @@ object TextDedup {
       .agg(collect_set(col("tp")).as("__mask"))
     base.join(mask, Seq(idCol), "left")
       .withColumn("__mask", coalesce(col("__mask"), array().cast("array<long>")))
+      // the empty-doc guard is load-bearing: sequence(1, 0) produces the
+      // DESCENDING [1, 0] and element_at(_, 0) is a runtime error — a
+      // punctuation-only doc (zero tokens) must fall to the empty array.
+      // Rebuild cost is O(n_tokens * |mask|) per row (array_contains is
+      // a linear scan); |mask| <= n_tokens and is small in practice —
+      // a doc that is mostly duplicated spans collapses the output, not
+      // the mask. Revisit with an interval-merge walk if a corpus of
+      // huge heavily-duplicated docs ever surfaces in bench.
       .withColumn("__pruned",
-        filter(transform(sequence(lit(1), size(col("__toks"))),
-          i => when(!array_contains(col("__mask"), i.cast(LongType)),
-            element_at(col("__toks"), i))),
-          x => x.isNotNull))
+        when(size(col("__toks")) === 0, col("__toks"))
+          .otherwise(filter(transform(sequence(lit(1), size(col("__toks"))),
+            i => when(!array_contains(col("__mask"), i.cast(LongType)),
+              element_at(col("__toks"), i))),
+            x => x.isNotNull)))
       .select(col(idCol),
         size(col("__toks")).cast(LongType).as("n_tokens"),
         (size(col("__toks")) - size(col("__pruned"))).cast(LongType).as("n_removed"),

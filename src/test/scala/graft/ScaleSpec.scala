@@ -55,7 +55,11 @@ class ScaleSpec extends SparkSpec {
     // the contract's required total order
     val rnd = new scala.util.Random(13)
     val rows = (1L to 4000L).map { id =>
-      val g = if (id % 10 < 7) "big" else s"g${id % 10}"
+      // NULL group every 97th row: the window ranks the NULL group like
+      // any other, so the decomposition's offsets join must be
+      // null-safe or those rows silently vanish
+      val g = if (id % 97 == 0) null
+        else if (id % 10 < 7) "big" else s"g${id % 10}"
       (g, rnd.nextInt(40).toLong, id, rnd.nextInt(100).toLong)
     }
     val df = rows.toDF("grp", "key", "id", "v").repartition(11)

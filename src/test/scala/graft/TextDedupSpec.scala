@@ -430,7 +430,9 @@ class TextDedupSpec extends SparkSpec {
       (2L, "head1 head2 a b c d e"),
       (3L, "x y z w v x y z w v"),
       (4L, "a b c d e tail1 tail2"),
-      (5L, "p q r s t u")
+      (5L, "p q r s t u"),
+      (6L, ""),                      // zero tokens — must not crash the
+      (7L, "!!! ... ???")            // rebuild (sequence(1,0) trap)
     ).toDF("doc_id", "text")
     val got = TextDedup.dupSpanPrune(docs, "doc_id", "text", n = 5)
       .orderBy("doc_id")
@@ -445,7 +447,9 @@ class TextDedupSpec extends SparkSpec {
       (3L, 10L, 5L, "x y z w v"),
       // the clone: every one of its 3 windows loses to doc1 -> empty
       (4L, 7L, 7L, ""),
-      (5L, 6L, 0L, "p q r s t u")))
+      (5L, 6L, 0L, "p q r s t u"),
+      (6L, 0L, 0L, ""),
+      (7L, 0L, 0L, "")))
   }
 
   test("incremental span prune: known grams always cut, batch-new grams keep batch-first") {
