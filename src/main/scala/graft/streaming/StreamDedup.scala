@@ -70,4 +70,60 @@ object StreamDedup {
       .withColumn("url_hash", PortableHash.hash60(col("canonical_url")))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("url_hash")
+
+  /** Ingest-time SPAN scrubbing — the streaming twin of
+    * [[graft.operators.TextDedup.dupSpanPruneIncremental]]'s
+    * known-gram path: every n-token window whose gram hash probes
+    * positive in a broadcast Bloom of the PRIOR corpus's grams is cut
+    * from the arriving document. Entirely per-row (window hashes via
+    * the native kernel, probe + interval-merge + rebuild in one UDF
+    * call, O(tokens) per doc) — NO state, NO aggregation, NO
+    * watermark, so it composes into any append-mode ingest at any
+    * rate. The trade vs the batch twin: (a) no intra-stream dedup
+    * (two novel near-identical docs in the stream both pass — run the
+    * batch pass over the accumulated corpus periodically), and (b)
+    * Bloom false positives OVER-prune ~fpp of novel windows — size
+    * the filter for the token budget (1% fpp ≈ 1.2 bits/gram; a
+    * 1e10-gram prior corpus is a ~1.5 GB broadcast, the scalable form
+    * of "the state table" that a stream-static join would re-shuffle
+    * every micro-batch).
+    *
+    * Output: `(<idCol>, n_tokens, n_removed, pruned_text)` — the batch
+    * family's schema.
+    */
+  def spanScrubStream(
+      df: DataFrame, idCol: String, textCol: String,
+      grams: org.apache.spark.util.sketch.BloomFilter,
+      n: Int = 20): DataFrame = {
+    require(n >= 2, "window must be >= 2 tokens")
+    val bcast = df.sparkSession.sparkContext.broadcast(grams)
+    val scrub = udf((toks: Seq[String], hs: Seq[Long]) => {
+      val m = toks.length
+      if (m < n) (m.toLong, 0L, toks.mkString(" "))
+      else {
+        val covered = new Array[Boolean](m)
+        var end = 0 // exclusive end of coverage so far — O(m) total
+        var i = 0
+        while (i <= m - n) {
+          if (bcast.value.mightContainLong(hs(i))) {
+            var j = math.max(i, end)
+            while (j < i + n) { covered(j) = true; j += 1 }
+            end = i + n
+          }
+          i += 1
+        }
+        val kept = toks.indices.collect { case j if !covered(j) => toks(j) }
+        (m.toLong, (m - kept.length).toLong, kept.mkString(" "))
+      }
+    })
+    df.select(col(idCol),
+        graft.operators.TextDedup.tokensCol(col(textCol)).as("__toks"),
+        graft.expressions.ShingleHashSeq60
+          .shingle_hash_seq60(col(textCol), n).as("__hs"))
+      .withColumn("__out", scrub(col("__toks"), col("__hs")))
+      .select(col(idCol),
+        col("__out._1").as("n_tokens"),
+        col("__out._2").as("n_removed"),
+        col("__out._3").as("pruned_text"))
+  }
 }

@@ -405,6 +405,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming span scrub: known-gram windows cut per-row, agrees with the batch twin") {
+    import spark.implicits._
+    import graft.streaming.StreamDedup
+    import graft.operators.{Bloom, TextDedup}
+    val priorText = "alpha beta gamma delta epsilon"
+    val priorGrams = Seq(Tuple1(priorText)).toDF("text")
+      .select(explode(graft.expressions.ShingleHashSeq60
+        .shingle_hash_seq60(col("text"), 5)).as("g"))
+    val bf = Bloom.buildLong(priorGrams, "g", expectedItems = 100L, fpp = 0.001)
+    // no intra-batch duplicates, so the batch incremental twin reduces
+    // to exactly the known-gram semantics the stateless stream applies
+    val batch = Seq(
+      (1L, "alpha beta gamma delta epsilon fresh1 fresh2"), // known run cut
+      (2L, "fresh3 fresh4 fresh5 fresh6 fresh7"),           // untouched
+      (3L, "one two")                                       // below window
+    ).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-sscrub").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamDedup.spanScrubStream(stream, "doc_id", "text", bf, n = 5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sscrub_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sscrub_out")
+        .select("doc_id", "n_tokens", "n_removed", "pruned_text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .sortBy(_._1)
+      val want = TextDedup.dupSpanPruneIncremental(batch, "doc_id", "text", priorGrams, n = 5)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      assert(got === want)
+      assert(got.head === ((1L, 7L, 5L, "fresh1 fresh2")))
+    } finally q.stop()
+  }
+
   test("streaming as-of join: state holds newest prior right row per key across batches") {
     import spark.implicits._
     import graft.streaming.StreamAsOf
