@@ -61,6 +61,19 @@ object Bench {
       }
     }
 
+    // Many queries materialize eager localCheckpoints at CONSTRUCTION
+    // (single-evaluation guards); their storage blocks outlive the
+    // query's DataFrame until the ContextCleaner gets around to them.
+    // The ~200-query warmup pass above accumulates all of them — drop
+    // the store once before timing starts so the timed pass begins
+    // clean. (A per-query sweep was tried and REVERTED: 200 forced
+    // full GCs bled concurrent-collector work into the timers and
+    // inflated every query ~0.5s; within the timed pass the async
+    // ContextCleaner keeps up fine.)
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    System.gc()
+
     // A failed query must never masquerade as a fast one (round-2
     // lesson: a fail-fast throw read as a 0.09s "speedup") — its time is
     // recorded as -1 and its name lands in "failed".

@@ -32,6 +32,11 @@ object Verify {
         System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
         failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
+      // free this query's eager localCheckpoint blocks before the next
+      // one — 200+ checkpointing queries in one session otherwise
+      // accumulate storage until the ContextCleaner catches up
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

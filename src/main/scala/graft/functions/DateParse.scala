@@ -144,6 +144,26 @@ object DateParse {
   private val relLastRe = "(?i)^\\s*last\\s+(week|month|year)\\s*$".r
   private val relNextRe = "(?i)^\\s*next\\s+(week|month|year)\\s*$".r
 
+  // dateparser also resolves weekday relatives ("last tuesday", "next
+  // friday"): last = most recent such weekday STRICTLY before the base
+  // date, next = first strictly after (so on a Tuesday, "last tuesday"
+  // is 7 days back, as relativedelta(weekday=TU(-1)) behaves on a
+  // non-matching anchor)
+  private val weekdayNum: Map[String, Int] = Map(
+    "monday" -> 1, "tuesday" -> 2, "wednesday" -> 3, "thursday" -> 4,
+    "friday" -> 5, "saturday" -> 6, "sunday" -> 7)
+  private val relLastWeekdayRe =
+    "(?i)^\\s*last\\s+(monday|tuesday|wednesday|thursday|friday|saturday|sunday)\\s*$".r
+  private val relNextWeekdayRe =
+    "(?i)^\\s*next\\s+(monday|tuesday|wednesday|thursday|friday|saturday|sunday)\\s*$".r
+
+  // A leading weekday name (full or 3-letter, optional '.' and ',') is
+  // informational — dateparser drops it: "Tuesday, 3rd May 2017",
+  // "Tue 3 May 2017"
+  private val weekdayPrefixRe =
+    ("(?i)^\\s*(?:mon|tues?|wed(?:nes)?|thur?s?|fri|sat(?:ur)?|sun)(?:day)?" +
+      "\\.?,?\\s+(.*)$").r
+
   private def shiftBy(base: LocalDateTime, nStr: String, unit: String,
       sign: Long): LocalDateTime = {
     val n = (if (nStr.equalsIgnoreCase("a") || nStr.equalsIgnoreCase("an")) 1L
@@ -198,13 +218,39 @@ object DateParse {
       case relInRe(n, unit)   => return Some((shiftBy(relativeBase, n, unit, 1L), None))
       case relLastRe(unit)    => return Some((shiftBy(relativeBase, "1", unit, -1L), None))
       case relNextRe(unit)    => return Some((shiftBy(relativeBase, "1", unit, 1L), None))
+      case relLastWeekdayRe(wd) =>
+        val target = weekdayNum(wd.toLowerCase)
+        val back = (relativeBase.getDayOfWeek.getValue - target + 7 - 1) % 7 + 1
+        return Some((relativeBase.minusDays(back.toLong), None))
+      case relNextWeekdayRe(wd) =>
+        val target = weekdayNum(wd.toLowerCase)
+        val fwd = (target - relativeBase.getDayOfWeek.getValue + 7 - 1) % 7 + 1
+        return Some((relativeBase.plusDays(fwd.toLong), None))
       case _                  =>
+    }
+
+    // A leading weekday name is informational; strip it and let the
+    // remainder take any later path ("Tuesday, 3rd May 2017"). Only
+    // commits when the remainder actually parses, so a value that
+    // merely STARTS like a weekday falls through to the normal error.
+    v match {
+      case weekdayPrefixRe(rest) if rest.nonEmpty =>
+        Try(parseFull(rest, formats, relativeBase)).toOption.flatten match {
+          case Some(r) => return Some(r)
+          case None    =>
+        }
+      case _ =>
     }
 
     // Timezone-bearing shapes: wall-clock LocalDateTime + the offset,
     // NOT converted to UTC (python `dt.date()`/`dt.isoformat()` are
-    // wall-clock too). Fractional seconds parse and truncate.
-    val pre = utcSuffixRe.replaceFirstIn(v, "+00:00")
+    // wall-clock too). Fractional seconds parse and truncate. An ISO
+    // 'Z' suffix ("2017-05-03T10:00:00Z") is the +00:00 offset.
+    val preZ =
+      if (v.length > 1 && v.last == 'Z' && v.charAt(v.length - 2).isDigit)
+        v.dropRight(1) + "+00:00"
+      else v
+    val pre = utcSuffixRe.replaceFirstIn(preZ, "+00:00")
     val viaOffset = offsetFormats.view
       .flatMap(f => Try(java.time.OffsetDateTime.parse(pre, f)).toOption)
       .headOption

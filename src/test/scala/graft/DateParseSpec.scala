@@ -99,6 +99,31 @@ class DateParseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { DateParse.parseDateIso("2 fortnights ago") }
   }
 
+  // ---- round-9 widening ----
+
+  test("weekday prefixes are informational and stripped") {
+    assert(DateParse.parseDateIso("Tuesday, 3rd May 2017") === "2017-05-03")
+    assert(DateParse.parseDateIso("Tue 3 May 2017") === "2017-05-03")
+    assert(DateParse.parseDateIso("Wednesday May 3, 2017") === "2017-05-03")
+    assert(DateParse.parseDateIso("Fri, 04/30/2005") === "2005-04-30")
+    // a value that merely starts like a weekday still errors normally
+    intercept[IllegalArgumentException] { DateParse.parseDateIso("Sundae special") }
+  }
+
+  test("last/next weekday resolve strictly before/after the base") {
+    // base 2026-08-13 is a Thursday
+    assert(DateParse.parseDateIso("last tuesday", Nil, base) === "2026-08-11")
+    assert(DateParse.parseDateIso("next monday", Nil, base) === "2026-08-17")
+    // same weekday as the anchor: a full week away, never "today"
+    assert(DateParse.parseDateIso("last thursday", Nil, base) === "2026-08-06")
+    assert(DateParse.parseDateIso("next thursday", Nil, base) === "2026-08-20")
+  }
+
+  test("ISO 'Z' suffix is the +00:00 offset, kept isoformat-style") {
+    assert(DateParse.parseDatetimeIso("2017-05-03T10:20:30Z")
+      === "2017-05-03T10:20:30+00:00")
+  }
+
   test("dotted European dates, y/m/d slashes, last/next units") {
     assert(DateParse.parseDateIso("03.02.2001") === "2001-02-03") // day-first
     assert(DateParse.parseDateIso("3.2.2001") === "2001-02-03")
