@@ -135,6 +135,45 @@ object GraftProps extends Properties("graft") {
     }
   }
 
+  property("ilog2Fixed: within 150 ulp of true log2 at 2^30 scale") = {
+    val pq = for {
+      q <- Gen.chooseNum(1L, 1L << 40)
+      p <- Gen.chooseNum(q + 1, 1L << 41)
+    } yield (p, q)
+    forAll(pq) { case (p, q) =>
+      val got = graft.operators.Fts.ilog2Fixed(p, q)
+      val want = math.log(p.toDouble / q) / math.log(2.0) * (1L << 30)
+      math.abs(got - want) < 150
+    }
+  }
+
+  property("ilog2Fixed: monotone in the ratio (the ranking contract)") = {
+    // two rationals with a VERIFIED strict ratio gap beyond the
+    // truncation error bound must order correctly; equal ratios must
+    // map to the same fixed-point value
+    val pairs = for {
+      q  <- Gen.chooseNum(1L, 1000000L)
+      p  <- Gen.chooseNum(q + 1, 4000000L)
+      q2 <- Gen.chooseNum(1L, 1000000L)
+      p2 <- Gen.chooseNum(q2 + 1, 4000000L)
+    } yield (p, q, p2, q2)
+    forAll(pairs) { case (p, q, p2, q2) =>
+      val a = graft.operators.Fts.ilog2Fixed(p, q)
+      val b = graft.operators.Fts.ilog2Fixed(p2, q2)
+      val ratioCmp = java.math.BigInteger.valueOf(p)
+        .multiply(java.math.BigInteger.valueOf(q2))
+        .compareTo(java.math.BigInteger.valueOf(p2)
+          .multiply(java.math.BigInteger.valueOf(q)))
+      // 300 = 2x the absolute-accuracy bound: ratios farther apart than
+      // the combined truncation error must never invert
+      val gap = math.log(p.toDouble * q2 / (p2.toDouble * q)) / math.log(2.0) * (1L << 30)
+      if (ratioCmp == 0) a == b
+      else if (math.abs(gap) < 300) true // within truncation slack — no claim
+      else if (ratioCmp > 0) a > b
+      else a < b
+    }
+  }
+
   property("dictionary first-seen semantics match a sequential reference") = {
     val values = Gen.listOfN(50, Gen.oneOf("a", "b", "c", "d", "e", "f"))
     forAll(values) { vs =>

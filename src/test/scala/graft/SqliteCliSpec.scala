@@ -207,6 +207,41 @@ class SqliteCliSpec extends SparkSpec {
     }
   }
 
+  test("real FTS5: snippet() agrees on short docs, where the window choice degenerates") {
+    assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Docs at or under the 8-token window: FTS5's snippet heuristic has
+    // exactly one candidate (the whole document) so its output must
+    // equal [[Fts.snippet]]'s whole-doc fallback byte for byte. Longer
+    // docs may diverge — FTS5's selection heuristic is more elaborate
+    // than the pinned best-window contract (documented at Fts.snippet).
+    val docs = Seq(
+      (1L, "spark engine with vector index"),
+      (2L, "a spark spark appears twice here"),
+      (3L, "vector store only"),
+      (4L, "spark at the very end vector")
+    ).toDF("doc_id", "text")
+    val f = dbFile()
+    val script = new StringBuilder("CREATE VIRTUAL TABLE d USING fts5(body);\nBEGIN;\n")
+    docs.collect().sortBy(_.getLong(0)).foreach { r =>
+      script ++= s"INSERT INTO d(rowid, body) VALUES (${r.getLong(0)}, '${r.getString(1)}');\n"
+    }
+    script ++= "COMMIT;\n"
+    SqliteCli.query(f, script.toString)
+    for (q <- Seq("spark", "vector", "spark vector")) {
+      val real = SqliteCli.query(f,
+        s"SELECT rowid, snippet(d, 0, '<b>', '</b>', '...', 8) FROM d WHERE d MATCH '$q' ORDER BY rowid;")
+        .map(r => (r(0).get.toLong, r(1).get)).toMap
+      val mine = docs
+        .filter(operators.Fts.matches(Seq(col("text")), q))
+        .select(col("doc_id"),
+          operators.Fts.snippet(Seq(col("text")), q, window = 8))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(mine === real, s"short-doc snippet diverges from real FTS5 for '$q'")
+    }
+  }
+
   test("real FTS5: highlight() output is byte-identical on the token stream") {
     assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
     import org.apache.spark.sql.functions._
