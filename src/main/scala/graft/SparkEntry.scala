@@ -84,6 +84,7 @@ object SparkEntry {
     "x_dup_ngram_mass" -> (DedupQueries.dupNgramMass _),
     "x_dup_span_prune" -> (DedupQueries.dupSpanPrune _),
     "x_dup_span_prune_incr" -> (DedupQueries.dupSpanPruneIncremental _),
+    "x_pipeline_scrub" -> (DedupQueries.pipelineScrub _),
     "x_lsh_recall" -> (DedupQueries.lshRecall _),
     "x_split_leakage" -> (DedupQueries.splitLeakage _),
     "x_dedup_savings" -> (DedupQueries.dedupSavings _),
@@ -383,6 +384,7 @@ object SparkEntry {
     "x_dup_ngram_mass" -> DedupQueries.dupNgramMassOracle,
     "x_dup_span_prune" -> DedupQueries.dupSpanPruneOracle,
     "x_dup_span_prune_incr" -> DedupQueries.dupSpanPruneIncrementalOracle,
+    "x_pipeline_scrub" -> DedupQueries.pipelineScrubOracle,
     "x_lsh_recall" -> DedupQueries.lshRecallOracle,
     "x_split_leakage" -> DedupQueries.splitLeakageOracle,
     "x_dedup_savings" -> DedupQueries.dedupSavingsOracle,

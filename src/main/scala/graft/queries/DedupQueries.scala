@@ -373,11 +373,15 @@ object DedupQueries {
     TextDedup.dupSpanPrune(corpusExact(spark, dir), "doc_id", "text", n = 20)
       .orderBy("doc_id")
 
-  val dupSpanPruneOracle: String = {
+  /** The span-prune CTE chain ending in `p(doc_id, t, pruned)` over a
+    * `corpus(doc_id, text)` CTE — shared by [[dupSpanPruneOracle]] and
+    * the composed scrub pipeline's oracle (kept in lockstep with
+    * [[graft.operators.TextDedup.dupSpanPrune]]).
+    */
+  private def spanPruneCtes: String = {
     val t = DuckSql.tokens("text")
     val gh = DuckSql.hash60("array_to_string(t[i:i+19], ' ')")
-    s"""WITH corpus AS ($corpusExactSql),
-       |b AS (SELECT doc_id, $t AS t FROM corpus),
+    s"""b AS (SELECT doc_id, $t AS t FROM corpus),
        |occ AS (SELECT doc_id, i AS pos, $gh AS g
        |  FROM b CROSS JOIN LATERAL (SELECT unnest(range(1, len(t) - 18)) AS i) r
        |  WHERE len(t) >= 20),
@@ -391,14 +395,52 @@ object DedupQueries {
        |    list_filter(list_transform(range(1, len(b.t) + 1),
        |      i -> CASE WHEN NOT coalesce(list_contains(mask.m, i), false)
        |           THEN b.t[i] END), x -> x IS NOT NULL) AS pruned
-       |  FROM b LEFT JOIN mask USING (doc_id))
+       |  FROM b LEFT JOIN mask USING (doc_id))""".stripMargin
+  }
+
+  val dupSpanPruneOracle: String =
+    s"""WITH corpus AS ($corpusExactSql),
+       |$spanPruneCtes
        |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
        |  CAST(len(t) - len(pruned) AS BIGINT) AS n_removed,
        |  -- DuckDB's array_to_string of an EMPTY list is NULL; Spark's
        |  -- array_join is '' — pin the fully-pruned doc to ''
        |  coalesce(array_to_string(pruned, ' '), '') AS pruned_text
        |FROM p ORDER BY doc_id""".stripMargin
+
+  /** Scrub pipeline graded as ONE dataflow (the [[CurationQueries]]
+    * composition pattern applied to the substring-dedup family):
+    * span-prune the clone-planted corpus → drop husks (fewer than 5
+    * surviving tokens — fully-scrubbed clones and boilerplate-only
+    * pages) → exact-dedup the PRUNED texts (scrubbing different
+    * originals can converge on identical residues) → keeper rows with
+    * copy counts. Grades what a user actually runs: dedup acting on
+    * the OUTPUT of another dedup stage.
+    */
+  def pipelineScrub(spark: SparkSession, dir: String): DataFrame = {
+    val pruned = TextDedup.dupSpanPrune(corpusExact(spark, dir), "doc_id", "text", n = 20)
+    val surv = pruned
+      .withColumn("kept", (col("n_tokens") - col("n_removed")).cast(LongType))
+      .filter(col("kept") >= 5)
+    val kept = surv.select(col("doc_id").as("keep_id"), col("kept"))
+    TextDedup.exact(surv, "doc_id", "pruned_text")
+      .join(kept, Seq("keep_id"))
+      .select(col("keep_id"), col("n_copies"),
+        col("kept").cast(LongType).as("kept_tokens"))
+      .orderBy("keep_id")
   }
+
+  val pipelineScrubOracle: String =
+    s"""WITH corpus AS ($corpusExactSql),
+       |$spanPruneCtes,
+       |surv AS (SELECT doc_id,
+       |    coalesce(array_to_string(pruned, ' '), '') AS pt,
+       |    CAST(len(pruned) AS BIGINT) AS kept
+       |  FROM p WHERE len(pruned) >= 5)
+       |SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+       |  CAST(count(*) AS BIGINT) AS n_copies,
+       |  CAST(kept AS BIGINT) AS kept_tokens
+       |FROM surv GROUP BY pt, kept ORDER BY keep_id""".stripMargin
 
   /** Incremental span pruning
     * ([[graft.operators.TextDedup.dupSpanPruneIncremental]]): docs
