@@ -142,7 +142,8 @@ object Fts {
     *   query   := and ( OR and )*
     *   and     := not ( [AND] not )*          // juxtaposition = AND
     *   not     := primary ( NOT primary )*    // binary: a NOT b
-    *   primary := '(' query ')' | '"'…'"' | term
+    *   primary := NEAR '(' p p [, N] ')'      // span proximity, N=10
+    *            | '(' query ')' | '"'…'"' | term
     * }}}
     * Compiles to one Column predicate — stays inside whole-stage
     * codegen, pushes down with the scan exactly like [[matches]].
@@ -168,6 +169,30 @@ object Fts {
     def peek: Option[String] = if (pos < lexemes.length) Some(lexemes(pos)) else None
     def next(): String = { val l = lexemes(pos); pos += 1; l }
     def primary(): Column = next() match {
+      // NEAR(p1 p2, N) — span proximity, FTS5 default N = 10. The
+      // lexer glues commas to bare words ("b," / lone ","), so args
+      // are comma-stripped; a trailing integer is N. Pinned to two
+      // phrases (the k>2 span rule needs a min-window merge that the
+      // per-pair expansion doesn't express — rejected loudly, never
+      // silently approximated).
+      case "NEAR" if peek.contains("(") =>
+        next() // "("
+        val args = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (!peek.contains(")")) {
+          require(peek.isDefined, s"missing ')' in NEAR: $query")
+          val cleaned = next().stripSuffix(",").trim
+          if (cleaned.nonEmpty) args += cleaned
+        }
+        next() // ")"
+        val (phrases, n) =
+          if (args.nonEmpty && args.last.forall(_.isDigit))
+            (args.init.toSeq, args.last.toInt)
+          else (args.toSeq, 10)
+        require(phrases.length == 2,
+          s"NEAR supports exactly two phrases (got ${phrases.length}): $query")
+        def unq(s: String) =
+          if (s.startsWith("\"") && s.endsWith("\"")) s.substring(1, s.length - 1) else s
+        nearMinGap(cols, unq(phrases(0)), unq(phrases(1))) <= n
       case "(" =>
         val inner = orExpr()
         require(peek.contains(")"), s"missing ')' in FTS query: $query"); next(); inner
@@ -370,24 +395,42 @@ object Fts {
     array_join(marked, " ")
   }
 
-  /** FTS5 `NEAR(a b, N)` support: the minimum number of INTERVENING
-    * tokens between any occurrence of `termA` and any of `termB`
-    * (`|posA − posB| − 1`; 0 = adjacent), or NULL when either term is
-    * absent — `nearMinGap <= N` is the NEAR predicate, pinned to
-    * single-token phrases. Per-row array compute over the token
-    * positions of the two terms (each occurrence list is typically
-    * tiny; the pair expansion is |A|·|B| within one row).
+  /** FTS5 `NEAR(a b, N)` support, phrases included: the minimum number
+    * of INTERVENING tokens between any occurrence of phrase A and any
+    * of phrase B — `max(start) − min(end) − 1` over the two spans,
+    * minimized over occurrence pairs (the span rule real FTS5 applies,
+    * cross-validated against the sqlite3 binary in SqliteCliSpec;
+    * overlapping spans go negative, so `<= N` still holds). NULL when
+    * either phrase is absent; `nearMinGap <= N` IS the NEAR predicate
+    * (FTS5's default N is 10). Single tokens reduce to the old
+    * `|posA − posB| − 1`. Per-row array compute — the occurrence lists
+    * are tiny and the pair expansion is |A|·|B| within one row.
     */
-  def nearMinGap(cols: Seq[Column], termA: String, termB: String): Column = {
+  def nearMinGap(cols: Seq[Column], phraseA: String, phraseB: String): Column = {
     val toks = tokens(cols)
-    def positions(t: String) =
-      filter(transform(toks, (tok, i) => when(tok === lit(t.toLowerCase), i + 1)),
-        p => p.isNotNull)
-    val pa = positions(termA)
-    val pb = positions(termB)
-    when(size(pa) > 0 && size(pb) > 0,
-      array_min(flatten(transform(pa, x =>
-        transform(pb, y => abs(x - y) - 1))))).cast("long")
+    // (start, end) spans of each phrase occurrence, 1-based: start i
+    // where the next L tokens equal the phrase
+    def spans(p: String): (Column, Int) = {
+      val terms = p.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      require(terms.nonEmpty, "empty NEAR phrase")
+      val lits = array(terms.map(lit): _*)
+      val l = terms.length
+      // floor the sequence end at 1 (NOT 0: sequence(1,0) is the
+      // DESCENDING [1,0]); a too-short doc's lone window compares a
+      // short slice against the phrase and fails -> filtered
+      val starts = filter(
+        transform(sequence(lit(1), greatest(size(toks) - (l - 1), lit(1))),
+          i => when(slice(toks, i, lit(l)) === lits, i)),
+        p0 => p0.isNotNull)
+      (starts, l)
+    }
+    val (sa, la) = spans(phraseA)
+    val (sb, lb) = spans(phraseB)
+    when(size(sa) > 0 && size(sb) > 0,
+      array_min(flatten(transform(sa, x =>
+        transform(sb, y =>
+          greatest(x, y) - least(x + (la - 1), y + (lb - 1)) - 1)))))
+      .cast("long")
   }
 
   /** FTS5 `highlight()` — the whole-document companion of [[snippet]]:

@@ -185,6 +185,32 @@ class FtsSpec extends SparkSpec {
     assert(got(3L) === "<b>dog</b> <b>fox</b>")
   }
 
+  test("nearMinGap phrases: span rule, overlap goes negative, absent phrase is NULL") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b x x x c"),    // "a b" span [1,2], c at 6 -> gap 3
+      (2L, "c x x a b"),      // c at 1, "a b" span [4,5] -> gap 2
+      (3L, "a b"),            // phrase present, c absent -> NULL
+      (4L, "a b c")           // adjacent -> gap 0
+    ).toDF("id", "txt")
+    val got = docs.select($"id",
+        graft.operators.Fts.nearMinGap(Seq($"txt"), "a b", "c").as("g"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got === Map(1L -> Some(3L), 2L -> Some(2L), 3L -> None, 4L -> Some(0L)))
+    // overlapping spans: phrase "a b" vs token b -> negative gap, so
+    // any NEAR(N >= 0) accepts
+    val overlap = docs.filter($"id" === 3L).select(
+      graft.operators.Fts.nearMinGap(Seq($"txt"), "a b", "b").as("g"))
+      .collect()(0).getLong(0)
+    assert(overlap < 0L)
+    // grammar: default N=10 and explicit N parse and filter
+    val viaGrammar = docs.filter(
+        graft.operators.Fts.matchQuery(Seq($"txt"), "NEAR(\"a b\" c, 2)"))
+      .select("id").as[Long].collect().sorted
+    assert(viaGrammar.toSeq === Seq(2L, 4L))
+  }
+
   test("bm25Match: rarer terms outscore common ones at equal tf (idf monotonicity)") {
     import spark.implicits._
     val docs = (1L to 20L).map { i =>

@@ -207,6 +207,28 @@ class SqliteCliSpec extends SparkSpec {
     }
   }
 
+  test("real FTS5: NEAR with phrases and default N, through the matchQuery grammar") {
+    assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val (f, docs) = ftsCorpusDb()
+    // phrase arg, explicit N; phrase arg, default N (=10); token pair
+    // spelled through the full query grammar
+    for (q <- Seq("NEAR(\"the spark\" hash, 5)", "NEAR(\"the spark\" hash)",
+        "NEAR(vector hash, 7)")) {
+      // embedded double quotes are literal inside a single-quoted SQL
+      // string — FTS5 sees the phrase quotes verbatim
+      val real = SqliteCli.query(f,
+        s"SELECT rowid FROM d WHERE d MATCH '$q' ORDER BY rowid;")
+        .map(_.head.get.toLong)
+      val mine = docs
+        .filter(operators.Fts.matchQuery(Seq(col("text")), q))
+        .select(col("doc_id").cast("long"))
+        .orderBy("doc_id").as[Long].collect().toSeq
+      assert(mine === real, s"grammar NEAR diverges from real FTS5 for <$q>")
+    }
+  }
+
   test("real FTS5: snippet() agrees on short docs, where the window choice degenerates") {
     assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
     import org.apache.spark.sql.functions._
