@@ -70,8 +70,10 @@ object Bench {
     // full GCs bled concurrent-collector work into the timers and
     // inflated every query ~0.5s; within the timed pass the async
     // ContextCleaner keeps up fine.)
+    // blocking: the sweep is outside any timed region, and an async
+    // unpersist could still be draining blocks when timing starts
     spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+      .foreach(_.unpersist(blocking = true))
     System.gc()
 
     // A failed query must never masquerade as a fast one (round-2

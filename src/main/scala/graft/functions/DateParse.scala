@@ -245,12 +245,9 @@ object DateParse {
     // Timezone-bearing shapes: wall-clock LocalDateTime + the offset,
     // NOT converted to UTC (python `dt.date()`/`dt.isoformat()` are
     // wall-clock too). Fractional seconds parse and truncate. An ISO
-    // 'Z' suffix ("2017-05-03T10:00:00Z") is the +00:00 offset.
-    val preZ =
-      if (v.length > 1 && v.last == 'Z' && v.charAt(v.length - 2).isDigit)
-        v.dropRight(1) + "+00:00"
-      else v
-    val pre = utcSuffixRe.replaceFirstIn(preZ, "+00:00")
+    // 'Z' suffix parses natively (ISO_OFFSET_DATE_TIME and the 'X'
+    // patterns both read it as +00:00 — DateParseSpec pins it).
+    val pre = utcSuffixRe.replaceFirstIn(v, "+00:00")
     val viaOffset = offsetFormats.view
       .flatMap(f => Try(java.time.OffsetDateTime.parse(pre, f)).toOption)
       .headOption

@@ -177,22 +177,36 @@ object Fts {
       // silently approximated).
       case "NEAR" if peek.contains("(") =>
         next() // "("
-        val args = scala.collection.mutable.ArrayBuffer.empty[String]
+        // args carry whether a COMMA preceded them: FTS5 only reads a
+        // trailing integer as N when the comma is present — "NEAR(a b
+        // 5)" is THREE phrases (one of them the token "5"), "NEAR(a b,
+        // 5)" is two phrases with N=5. The lexer glues commas to bare
+        // words, so track them while collecting.
+        val args = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+        var pendingComma = false
         while (!peek.contains(")")) {
           require(peek.isDefined, s"missing ')' in NEAR: $query")
-          val cleaned = next().stripSuffix(",").trim
-          if (cleaned.nonEmpty) args += cleaned
+          val raw = next()
+          val cleaned = raw.stripSuffix(",").trim
+          if (cleaned.nonEmpty) {
+            args += ((cleaned, pendingComma))
+            pendingComma = raw.endsWith(",")
+          } else if (raw.trim == ",") pendingComma = true
         }
         next() // ")"
-        val (phrases, n) =
-          if (args.nonEmpty && args.last.forall(_.isDigit))
-            (args.init.toSeq, args.last.toInt)
-          else (args.toSeq, 10)
+        val (phrases, n) = args.toSeq match {
+          case init :+ ((last, true)) if last.forall(_.isDigit) =>
+            (init.map(_._1), last.toInt)
+          case all => (all.map(_._1), 10) // FTS5 default
+        }
         require(phrases.length == 2,
           s"NEAR supports exactly two phrases (got ${phrases.length}): $query")
         def unq(s: String) =
           if (s.startsWith("\"") && s.endsWith("\"")) s.substring(1, s.length - 1) else s
-        nearMinGap(cols, unq(phrases(0)), unq(phrases(1))) <= n
+        // coalesce: an absent phrase makes nearMinGap NULL, and a NULL
+        // must read as NO-MATCH (false) — under the grammar's NOT, a
+        // bare NULL would otherwise eat the row in three-valued logic
+        coalesce(nearMinGap(cols, unq(phrases(0)), unq(phrases(1))) <= n, lit(false))
       case "(" =>
         val inner = orExpr()
         require(peek.contains(")"), s"missing ')' in FTS query: $query"); next(); inner

@@ -422,6 +422,10 @@ object DedupQueries {
     val surv = pruned
       .withColumn("kept", (col("n_tokens") - col("n_removed")).cast(LongType))
       .filter(col("kept") >= 5)
+      // the whole span-prune dataflow feeds BOTH the exact-dedup group
+      // and the keeper-tokens join — materialize its (output-sized)
+      // result once instead of re-running the prune per consumer
+      .localCheckpoint(true)
     val kept = surv.select(col("doc_id").as("keep_id"), col("kept"))
     TextDedup.exact(surv, "doc_id", "pruned_text")
       .join(kept, Seq("keep_id"))

@@ -98,6 +98,10 @@ object StreamDedup {
     require(n >= 2, "window must be >= 2 tokens")
     val bcast = df.sparkSession.sparkContext.broadcast(grams)
     val scrub = udf((toks: Seq[String], hs: Seq[Long]) => {
+      // null text -> null outputs (the batch twin's behavior); a task
+      // NPE here would take down the whole append-mode streaming query
+      if (toks == null || hs == null) null
+      else {
       val m = toks.length
       if (m < n) (m.toLong, 0L, toks.mkString(" "))
       else {
@@ -114,6 +118,7 @@ object StreamDedup {
         }
         val kept = toks.indices.collect { case j if !covered(j) => toks(j) }
         (m.toLong, (m - kept.length).toLong, kept.mkString(" "))
+      }
       }
     })
     df.select(col(idCol),

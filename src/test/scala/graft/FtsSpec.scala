@@ -209,6 +209,23 @@ class FtsSpec extends SparkSpec {
         graft.operators.Fts.matchQuery(Seq($"txt"), "NEAR(\"a b\" c, 2)"))
       .select("id").as[Long].collect().sorted
     assert(viaGrammar.toSeq === Seq(2L, 4L))
+    // NOT over NEAR: an absent phrase is NO-MATCH (false), so the NOT
+    // keeps the row — a bare NULL would eat it in three-valued logic
+    val notNear = docs.filter(
+        graft.operators.Fts.matchQuery(Seq($"txt"), "a NOT NEAR(a zzz, 5)"))
+      .select("id").as[Long].collect().sorted
+    assert(notNear.toSeq === Seq(1L, 2L, 3L, 4L))
+    // the N comma is load-bearing (FTS5): without it a trailing number
+    // is a THIRD phrase -> rejected loudly, never read as N
+    intercept[IllegalArgumentException] {
+      graft.operators.Fts.matchQuery(Seq($"txt"), "NEAR(a b 5)")
+    }
+    // a numeric token WITH no comma and only two args is a phrase:
+    // "NEAR(a 7)" needs the literal token 7 in the doc
+    val numPhrase = docs.filter(
+        graft.operators.Fts.matchQuery(Seq($"txt"), "NEAR(a 7)"))
+      .select("id").as[Long].collect()
+    assert(numPhrase.isEmpty)
   }
 
   test("bm25Match: rarer terms outscore common ones at equal tf (idf monotonicity)") {

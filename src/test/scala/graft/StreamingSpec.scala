@@ -440,6 +440,14 @@ class StreamingSpec extends SparkSpec {
       assert(got === want)
       assert(got.head === ((1L, 7L, 5L, "fresh1 fresh2")))
     } finally q.stop()
+    // null text must yield a null row, not an NPE that kills the query
+    // (the scrub is a plain projection, so batch mode exercises the
+    // same UDF path)
+    val nullOut = StreamDedup.spanScrubStream(
+        Seq((9L, null: String)).toDF("doc_id", "text"), "doc_id", "text", bf, n = 5)
+      .collect()(0)
+    assert(nullOut.getLong(0) === 9L)
+    assert(nullOut.isNullAt(1) && nullOut.isNullAt(2) && nullOut.isNullAt(3))
   }
 
   test("streaming as-of join: state holds newest prior right row per key across batches") {
