@@ -57,6 +57,9 @@ object SparkEntry {
     "x_fts_snippet" -> (ParityQueries.ftsSnippet _),
     "x_fts_highlight" -> (ParityQueries.ftsHighlight _),
     "x_fts_near" -> (ParityQueries.ftsNear _),
+    "x_fts_prefix" -> (ParityQueries.ftsPrefix _),
+    "x_fts_colfilter" -> (ParityQueries.ftsColFilter _),
+    "x_fts_near3" -> (ParityQueries.ftsNear3 _),
     "x_span_corrupt" -> (CorpusQueries.spanCorrupt _),
     "x_token_dropout" -> (CorpusQueries.tokenDropout _),
     "x_semantic_chunks" -> (CorpusQueries.semanticChunks _),
@@ -357,6 +360,9 @@ object SparkEntry {
     "x_fts_snippet" -> ParityQueries.ftsSnippetOracle,
     "x_fts_highlight" -> ParityQueries.ftsHighlightOracle,
     "x_fts_near" -> ParityQueries.ftsNearOracle,
+    "x_fts_prefix" -> ParityQueries.ftsPrefixOracle,
+    "x_fts_colfilter" -> ParityQueries.ftsColFilterOracle,
+    "x_fts_near3" -> ParityQueries.ftsNear3Oracle,
     "x_span_corrupt" -> CorpusQueries.spanCorruptOracle,
     "x_token_dropout" -> CorpusQueries.tokenDropoutOracle,
     "x_semantic_chunks" -> CorpusQueries.semanticChunksOracle,

