@@ -96,10 +96,14 @@ object Sampling {
     * a broadcast count aggregate. Same total order, same output, no
     * single-task stage.
     *
-    * `scoreCol` must be NON-NULL: the rank orders by the negated score
-    * ascending, where a NULL would sort FIRST (= best) instead of the
-    * old desc-window's nulls-last. Coalesce a sentinel before calling
-    * if nulls are possible.
+    * `scoreCol` must be NON-NULL — ENFORCED, not just documented: the
+    * rank orders by the negated score ascending, where a NULL would
+    * sort FIRST (= best) and silently promote unscored rows to the
+    * stratum's top. A NULL score raises; coalesce a sentinel before
+    * calling if nulls are legitimate. A NULL STRATUM is legitimate
+    * (e.g. failed language-ID) and ranks as its own stratum — the
+    * count join is null-safe (`<=>`), matching
+    * [[Shuffle.groupedRank]]'s null-safe group semantics.
     *
     * `materializeInput` forwards to [[Shuffle.groupedRank]]: keep the
     * default when `df` is a compact projection (the sampler's second
@@ -113,13 +117,20 @@ object Sampling {
     require(pct > 0 && pct <= 100, "pct must be in (0, 100]")
     val n = df.groupBy(col(stratumCol))
       .agg(count(lit(1)).as("__stratum_n"))
-    Shuffle.groupedRank(
-        df.withColumn("__neg_score", -col(scoreCol)),
-        Seq(stratumCol), Seq("__neg_score", idCol), "stratum_rank",
-        materializeInput = materializeInput)
-      .join(broadcast(n), Seq(stratumCol))
+      .withColumnRenamed(stratumCol, "__stratum_key")
+    val ranked = Shuffle.groupedRank(
+      df.withColumn("__neg_score",
+        when(col(scoreCol).isNull, raise_error(concat(
+          lit(s"stratifiedTopPct: NULL $scoreCol for "),
+          col(idCol).cast("string"),
+          lit(" — coalesce a sentinel before calling"))))
+          .otherwise(-col(scoreCol))),
+      Seq(stratumCol), Seq("__neg_score", idCol), "stratum_rank",
+      materializeInput = materializeInput)
+    ranked
+      .join(broadcast(n), col(stratumCol) <=> col("__stratum_key"))
       .filter(col("stratum_rank") <= ceil(col("__stratum_n") * pct / lit(100.0)))
-      .drop("__stratum_n", "__neg_score")
+      .drop("__stratum_key", "__stratum_n", "__neg_score")
   }
 
   /** Priority sampling (Duffield–Lund–Thorup, JACM 2007):

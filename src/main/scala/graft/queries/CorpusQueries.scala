@@ -851,9 +851,14 @@ object CorpusQueries {
     val d = DedupQueries.docs(spark, dir)
       .select(col("doc_id").cast(LongType).as("doc_id"), col("lang"),
         graft.operators.TextStats.wsTokenCount(col("text")).as("ws"))
+    // null-safe count join (<=>): the oracle's PARTITION BY lang window
+    // keeps NULL-lang rows as their own stratum — an equality join
+    // would silently drop them (groupedRank already groups null-safe)
     val n = d.groupBy("lang").agg(count(lit(1)).cast(LongType).as("n_l"))
+      .withColumnRenamed("lang", "__lang_key")
     Shuffle.groupedRank(d, Seq("lang"), Seq("ws", "doc_id"), "rk")
-      .join(broadcast(n), "lang")
+      .join(broadcast(n), col("lang") <=> col("__lang_key"))
+      .drop("__lang_key")
       .withColumn("decile", expr(
         """CASE WHEN rk <= (n_l % 10) * (n_l div 10 + 1)
           |  THEN (rk - 1) div (n_l div 10 + 1) + 1

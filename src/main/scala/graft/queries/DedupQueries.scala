@@ -1328,10 +1328,15 @@ object DedupQueries {
     val d = docs(spark, dir)
       .select(col("doc_id").cast(LongType).as("doc_id"), col("lang"),
         TextStats.quality(col("text")).getField("quality_score").as("quality_score"))
+    // null-safe count join (<=>): the oracle's PARTITION BY lang window
+    // keeps NULL-lang rows as their own stratum — an equality join
+    // would silently drop them (groupedRank already groups null-safe)
     val n = d.groupBy("lang").agg(count(lit(1)).cast(LongType).as("n_l"))
+      .withColumnRenamed("lang", "__lang_key")
     graft.operators.Shuffle.groupedRank(
         d, Seq("lang"), Seq("quality_score", "doc_id"), "rk")
-      .join(broadcast(n), "lang")
+      .join(broadcast(n), col("lang") <=> col("__lang_key"))
+      .drop("__lang_key")
       .withColumn("pr_ppm",
         when(col("n_l") === 1, 500000L)
           .otherwise(expr("((rk - 1) * 1000000) div (n_l - 1)")))

@@ -116,6 +116,26 @@ class TextStatsSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 2L, 6L -> 1L))
   }
 
+  test("stratified sampling: NULL stratum is its own stratum; NULL score raises") {
+    // NULL stratum (failed language-ID) must be RANKED, not silently
+    // dropped by the count join — the null-safe <=> join keeps it
+    val withNull = Seq(
+      (1L, Some("en"), Some(0.9)), (2L, Some("en"), Some(0.1)),
+      (3L, None, Some(0.8)), (4L, None, Some(0.6)), (5L, None, Some(0.2))
+    ).toDF("id", "lang", "score")
+    val kept = Sampling.stratifiedTopPct(withNull, "lang", "id", "score", 40)
+      .select($"id").as[Long].collect().toSet
+    // en: ceil(2*0.4)=1 -> id 1; NULL: ceil(3*0.4)=2 -> ids 3, 4
+    assert(kept === Set(1L, 3L, 4L))
+    // a NULL score would otherwise sort first (= stratum best) — loud
+    val nullScore = Seq((1L, "en", Some(0.9)), (2L, "en", None: Option[Double]))
+      .toDF("id", "lang", "score")
+    val e = intercept[Exception] {
+      Sampling.stratifiedTopPct(nullScore, "lang", "id", "score", 40).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("chunking: strided windows, short tail, single chunk for short/empty docs") {
     import graft.operators.Chunk
     val df = Seq(
