@@ -272,9 +272,10 @@ object CsvLoader {
     if (i > 0) name.substring(0, i) else name
   }
 
-  /** S3: URL detection (`utils.py:93-100`). The zero-egress environment
-    * means URL loads are implemented (download to a temp file, then S1)
-    * but never exercised in tests.
+  /** S3: URL detection (`utils.py:93-100`). URL loads download to a
+    * temp file, then S1 — exercised end-to-end against a loopback
+    * (127.0.0.1) HTTP fixture in CsvLoaderSpec, the zero-egress
+    * equivalent of a live fetch.
     */
   def isUrl(s: String): Boolean =
     Seq("http://", "https://", "ftp://").exists(p => s.toLowerCase.startsWith(p))
