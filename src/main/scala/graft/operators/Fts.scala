@@ -159,6 +159,29 @@ object Fts {
     size(spanStarts(tokens(cols), np)._1) > 0
   }
 
+  /** FTS5 initial-token queries (`^term`, `^"a b"`, `^pfx*` —
+    * `sqlite.org/fts5.html#initial_token_queries`): the phrase must
+    * start at token position 1 of SOME column's OWN token stream —
+    * anchoring is per column, never on the concatenated stream (pinned
+    * against the sqlite3 binary: `^hash` matches a row whose body
+    * starts with `hash` even when its title does not). A NULL column
+    * reads as no-match. `operand` may carry a trailing `*` (anchored
+    * prefix).
+    */
+  def matchesAnchored(cols: Seq[Column], operand: String): Column = {
+    val np = parseNearPhrase(operand)
+    val l = np.terms.length
+    cols.map { c =>
+      val toks = tokens(Seq(c))
+      val conj = (0 until l).map { k =>
+        val tok = try_element_at(toks, lit(k + 1))
+        if (np.lastPrefix && k == l - 1) tok.startsWith(np.terms(k))
+        else tok === lit(np.terms(k))
+      }.reduce(_ && _)
+      coalesce(conj, lit(false))
+    }.reduce(_ || _)
+  }
+
   /** FTS5-style boolean MATCH queries (reference `utils.py:434-438`
     * passes the query through to SQLite's MATCH, which supports
     * `AND`/`OR`/`NOT`, parentheses, quoted phrases, prefixes, NEAR
@@ -170,10 +193,11 @@ object Fts {
     *   query   := and ( OR and )*
     *   and     := not ( [AND] not )*          // juxtaposition = AND
     *   not     := primary ( NOT primary )*    // binary: a NOT b
-    *   primary := [col ':'] NEAR '(' p+ [, N] ')'  // k-phrase, N=10
-    *            | '(' query ')'
-    *            | [col ':'] '"'…'"' ['*']     // phrase / phrase-prefix
-    *            | [col ':'] term ['*']        // term / prefix
+    *   primary := [colspec ':'] operand | '(' query ')'
+    *   colspec := col | '{' col+ '}'          // optionally '-'-negated
+    *   operand := NEAR '(' p+ [, N] ')'       // k-phrase, N=10
+    *            | ['^'] '"'…'"' ['*']         // phrase / -prefix / anchored
+    *            | ['^'] term ['*']            // term / prefix / anchored
     * }}}
     * Column filters need [[matchQueryNamed]] (this entry point has no
     * column names and rejects `col:term` loudly — matching FTS5, where
@@ -182,35 +206,53 @@ object Fts {
     * codegen, pushes down with the scan exactly like [[matches]].
     */
   def matchQuery(cols: Seq[Column], query: String): Column =
-    matchQueryImpl(cols, name => throw new IllegalArgumentException(
-      s"column filter '$name:' needs named columns — use Fts.matchQueryNamed: $query"), query)
+    matchQueryImpl(cols, None, query)
 
   /** [[matchQuery]] over NAMED columns, enabling FTS5 column-filter
     * syntax: `title:spark`, `body:"hash join"`, `title:sp*`,
-    * `body:NEAR(a b, 3)` — whitespace allowed around ':' as in real
-    * FTS5 (pinned against the sqlite3 binary). Names are matched
+    * `body:NEAR(a b, 3)`, column sets `{title body}:term`, and negated
+    * sets `-title:term` / `-{title body}:term` (all columns EXCEPT the
+    * named ones) — whitespace allowed around ':' as in real FTS5
+    * (pinned against the sqlite3 binary). Names are matched
     * case-insensitively; an unknown column is a loud error, as FTS5.
     */
   def matchQueryNamed(cols: Seq[(String, Column)], query: String): Column =
-    matchQueryImpl(cols.map(_._2), { name =>
-      val hit = cols.collect { case (n, c) if n.equalsIgnoreCase(name) => c }
+    matchQueryImpl(cols.map(_._2), Some(cols), query)
+
+  private def matchQueryImpl(
+      allCols: Seq[Column], named: Option[Seq[(String, Column)]], query: String): Column = {
+    def resolve(name: String): Seq[Column] = {
+      val ns = named.getOrElse(throw new IllegalArgumentException(
+        s"column filter '$name:' needs named columns — use Fts.matchQueryNamed: $query"))
+      val hit = ns.collect { case (n, c) if n.equalsIgnoreCase(name) => c }
       if (hit.isEmpty) throw new IllegalArgumentException(
         s"no such FTS column '$name' in query: $query")
       hit
-    }, query)
-
-  private def matchQueryImpl(
-      allCols: Seq[Column], resolve: String => Seq[Column], query: String): Column = {
-    // lexer: parens, colon (the column-filter operator), quoted phrases
-    // (a '*' glued right after the closing quote stays attached — the
-    // FTS5 phrase-prefix form; a '*' INSIDE the quotes is stripped by
-    // the tokenizer downstream, as FTS5 does), bare words (operators
-    // are the upper-case bare words AND/OR/NOT, as in FTS5)
+    }
+    def resolveSet(names: Seq[String], negate: Boolean): Seq[Column] = {
+      val uniq = names.map(_.toLowerCase).distinct
+      if (!negate) uniq.flatMap(resolve)
+      else {
+        val ns = named.getOrElse(throw new IllegalArgumentException(
+          s"column filter needs named columns — use Fts.matchQueryNamed: $query"))
+        uniq.foreach(resolve) // unknown names are loud even under '-'
+        val rest = ns.collect { case (n, c) if !uniq.contains(n.toLowerCase) => c }
+        if (rest.isEmpty) throw new IllegalArgumentException(
+          s"negated column set excludes every column: $query")
+        rest
+      }
+    }
+    // lexer: parens, colon (the column-filter operator), braces (column
+    // sets), quoted phrases (a '*' glued right after the closing quote
+    // stays attached — the FTS5 phrase-prefix form; a '*' INSIDE the
+    // quotes is stripped by the tokenizer downstream, as FTS5 does),
+    // bare words (operators are the upper-case bare words AND/OR/NOT,
+    // as in FTS5)
     val lexemes = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < query.length) query.charAt(i) match {
       case c if c.isWhitespace => i += 1
-      case '(' | ')' | ':' => lexemes += query.charAt(i).toString; i += 1
+      case '(' | ')' | ':' | '{' | '}' => lexemes += query.charAt(i).toString; i += 1
       case '"' =>
         val end = query.indexOf('"', i + 1)
         require(end > i, s"unterminated phrase in FTS query: $query")
@@ -219,7 +261,8 @@ object Fts {
         i = end + (if (starred) 2 else 1)
       case _ =>
         val end = query.indexWhere(
-          c => c.isWhitespace || c == '(' || c == ')' || c == '"' || c == ':', i)
+          c => c.isWhitespace || c == '(' || c == ')' || c == '"' || c == ':'
+            || c == '{' || c == '}', i)
         val stop = if (end < 0) query.length else end
         lexemes += query.substring(i, stop); i = stop
     }
@@ -240,6 +283,9 @@ object Fts {
       while (!peek.contains(")")) {
         require(peek.isDefined, s"missing ')' in NEAR: $query")
         val raw = next()
+        // real FTS5 rejects '^' inside a NEAR group ("syntax error near
+        // '^'") — match that rather than silently dropping the anchor
+        require(!raw.startsWith("^"), s"'^' is not allowed inside NEAR (as FTS5): $query")
         if (raw.startsWith("\"")) { args += ((raw, pendingComma)); pendingComma = false }
         else {
           var first = true
@@ -278,23 +324,61 @@ object Fts {
     def termLexeme(colsIn: Seq[Column], t: String): Column =
       if (t.endsWith("*") && t.length > 1) matchesPrefix(colsIn, t)
       else matches(colsIn, t)
+    // quoted-phrase lexeme -> anchored-operand string (keeps a trailing
+    // phrase-prefix star for parseNearPhrase to read)
+    def unqLexeme(p: String): String =
+      if (p.endsWith("\"*")) p.substring(1, p.length - 2) + "*"
+      else p.substring(1, p.length - 1)
     // operand of a column filter: FTS5 allows a phrase, prefix, term,
-    // or NEAR group after `col:` — not a parenthesized sub-query
+    // anchored form, or NEAR group after `col:` — not a parenthesized
+    // sub-query or a nested column filter
     def colOperand(colsIn: Seq[Column]): Column = {
-      require(peek.exists(l => l != "(" && l != ")" && l != ":"),
+      require(peek.exists(l => l != "(" && l != ")" && l != ":" && l != "{" && l != "}"),
         s"missing operand after column filter in FTS query: $query")
-      next() match {
-        case "NEAR" if peek.contains("(") => nearGroup(colsIn)
-        case p if p.startsWith("\"") => phraseLexeme(colsIn, p)
-        case t => termLexeme(colsIn, t)
+      operand(colsIn)
+    }
+    def operand(colsIn: Seq[Column]): Column = next() match {
+      case "NEAR" if peek.contains("(") => nearGroup(colsIn)
+      case "^" if peek.exists(_.startsWith("\"")) =>
+        matchesAnchored(colsIn, unqLexeme(next()))
+      case p if p.startsWith("\"") => phraseLexeme(colsIn, p)
+      case w if w.startsWith("^") && w.length > 1 => matchesAnchored(colsIn, w.drop(1))
+      case t => termLexeme(colsIn, t)
+    }
+    // column-set names between '{' and '}' (whitespace-separated;
+    // commas are a syntax error in real FTS5 and lex as bare words
+    // here, failing resolve loudly)
+    def readColSetNames(): Seq[String] = {
+      val names = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (!peek.contains("}")) {
+        require(peek.exists(l =>
+          l != "(" && l != ")" && l != ":" && l != "{" && !l.startsWith("\"")),
+          s"bad column set in FTS query: $query")
+        names += next()
       }
+      next() // "}"
+      require(names.nonEmpty, s"empty column set in FTS query: $query")
+      names.toSeq
+    }
+    def afterColon(colsIn: Seq[Column]): Column = {
+      require(peek.contains(":"), s"expected ':' after column set in FTS query: $query")
+      next()
+      colOperand(colsIn)
     }
     def primary(): Column = next() match {
       case "NEAR" if peek.contains("(") => nearGroup(allCols)
       case "(" =>
         val inner = orExpr()
         require(peek.contains(")"), s"missing ')' in FTS query: $query"); next(); inner
+      case "{" => afterColon(resolveSet(readColSetNames(), negate = false))
+      case "-" if peek.contains("{") =>
+        next(); afterColon(resolveSet(readColSetNames(), negate = true))
+      case "^" if peek.exists(_.startsWith("\"")) =>
+        matchesAnchored(allCols, unqLexeme(next()))
       case p if p.startsWith("\"") => phraseLexeme(allCols, p)
+      case w if w.startsWith("^") && w.length > 1 => matchesAnchored(allCols, w.drop(1))
+      case w if w.startsWith("-") && w.length > 1 && peek.contains(":") =>
+        next(); colOperand(resolveSet(Seq(w.drop(1)), negate = true))
       case w if peek.contains(":") => next(); colOperand(resolve(w))
       case term => termLexeme(allCols, term)
     }

@@ -393,6 +393,28 @@ object ParityQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** S13 extension — FTS5 initial-token queries (`^tok`): the anchored
+    * term must be the FIRST token of the column's own stream
+    * ([[Fts.matchesAnchored]]), composed with plain terms and an
+    * anchored prefix through the boolean grammar. Cross-validated
+    * against real FTS5 in SqliteCliSpec.
+    */
+  def ftsAnchor(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    docs.filter(Fts.matchQuery(Seq(col("text")), "^the spark OR ^batc*"))
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val ftsAnchorOracle: String = {
+    val toks = DuckSql.tokens("text")
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+       |FROM documents
+       |WHERE (($toks)[1] = 'the' AND list_contains($toks, 'spark'))
+       |   OR starts_with(($toks)[1], 'batc')
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Extension — BM25-ranked FTS (FTS5's `bm25()` rank function,
     * k1=1.2 b=0.75) in deterministic integer fixed point with a
     * square-and-shift log2 idf ([[Fts.bm25Match]]) — ranking

@@ -290,7 +290,18 @@ class SqliteCliSpec extends SparkSpec {
       "title:sp* OR body:vector",          // prefix operand inside boolean grammar
       "body:NEAR(spark window, 2)",        // NEAR operand
       "title:spark body:hash",             // implicit AND of two filters
-      "TITLE:spark")                       // case-insensitive column name
+      "TITLE:spark",                       // case-insensitive column name
+      "{title body}:spark",                // column set
+      "{title}:hash",                      // singleton set
+      "-title:spark",                      // negated column (all EXCEPT title)
+      "-{title}:hash",                     // negated set
+      "-body:\"spark spark\"",             // negated set, phrase operand
+      "^spark",                            // initial-token: SOME column starts spark
+      "^hash",                             // per-column anchor (body counts)
+      "title:^spark",                      // anchored inside a column filter
+      "^\"hash tables\"",                  // anchored phrase
+      "^ha*",                              // anchored prefix
+      "-title:^spark")                     // anchored in a negated filter
     for (q <- colQueries) {
       val real = SqliteCli.query(f,
         s"SELECT rowid FROM d WHERE d MATCH '$q' ORDER BY rowid;")
@@ -302,6 +313,21 @@ class SqliteCliSpec extends SparkSpec {
     // unknown column is a loud error, as real FTS5
     intercept[IllegalArgumentException] {
       operators.Fts.matchQueryNamed(named, "nosuch:spark")
+    }
+    // ... also under negation and inside sets
+    intercept[IllegalArgumentException] {
+      operators.Fts.matchQueryNamed(named, "-nosuch:spark")
+    }
+    intercept[IllegalArgumentException] {
+      operators.Fts.matchQueryNamed(named, "{title nosuch}:spark")
+    }
+    // a negation that excludes every column cannot match anything — loud
+    intercept[IllegalArgumentException] {
+      operators.Fts.matchQueryNamed(named, "-{title body}:spark")
+    }
+    // '^' inside NEAR is a syntax error in real FTS5 — reproduced loudly
+    intercept[IllegalArgumentException] {
+      operators.Fts.matchQueryNamed(named, "NEAR(^spark engine, 3)")
     }
     // the unnamed entry point rejects column filters loudly
     intercept[IllegalArgumentException] {
