@@ -196,9 +196,14 @@ object Fts {
     *   primary := [colspec ':'] operand | '(' query ')'
     *   colspec := col | '{' col+ '}'          // optionally '-'-negated
     *   operand := NEAR '(' p+ [, N] ')'       // k-phrase, N=10
-    *            | ['^'] '"'…'"' ['*']         // phrase / -prefix / anchored
-    *            | ['^'] term ['*']            // term / prefix / anchored
+    *            | ['^'] chain                 // optionally ^-anchored
+    *   chain   := unit ( '+' unit )*          // '+' concatenates into ONE
+    *   unit    := '"'…'"' ['*'] | term ['*']  //   phrase (adjacency)
     * }}}
+    * Embedded punctuation in a bare query word (`quick-brown`, `3.5`)
+    * is a LOUD syntax error, as real FTS5 — never a silent implicit
+    * AND ([[matches]] keeps the lenient split semantics for direct
+    * programmatic use).
     * Column filters need [[matchQueryNamed]] (this entry point has no
     * column names and rejects `col:term` loudly — matching FTS5, where
     * an unknown column name before ':' is an error, never a term).
@@ -252,7 +257,7 @@ object Fts {
     var i = 0
     while (i < query.length) query.charAt(i) match {
       case c if c.isWhitespace => i += 1
-      case '(' | ')' | ':' | '{' | '}' => lexemes += query.charAt(i).toString; i += 1
+      case '(' | ')' | ':' | '{' | '}' | '+' => lexemes += query.charAt(i).toString; i += 1
       case '"' =>
         val end = query.indexOf('"', i + 1)
         require(end > i, s"unterminated phrase in FTS query: $query")
@@ -262,13 +267,61 @@ object Fts {
       case _ =>
         val end = query.indexWhere(
           c => c.isWhitespace || c == '(' || c == ')' || c == '"' || c == ':'
-            || c == '{' || c == '}', i)
+            || c == '{' || c == '}' || c == '+', i)
         val stop = if (end < 0) query.length else end
         lexemes += query.substring(i, stop); i = stop
     }
     var pos = 0
     def peek: Option[String] = if (pos < lexemes.length) Some(lexemes(pos)) else None
     def next(): String = { val l = lexemes(pos); pos += 1; l }
+    // quoted-phrase lexeme -> operand string (keeps a trailing
+    // phrase-prefix star for parseNearPhrase to read)
+    def unqLexeme(p: String): String =
+      if (p.endsWith("\"*")) p.substring(1, p.length - 2) + "*"
+      else p.substring(1, p.length - 1)
+    // one phrase unit: a quoted lexeme, or a bare word that tokenizes
+    // to EXACTLY one term — embedded punctuation in a bare query word
+    // ("quick-brown", "3.5") is a loud syntax error in real FTS5, never
+    // a silent AND (pinned against the sqlite3 binary). Returns
+    // (text, star, quoted); the prefix star is a FLAG, never part of
+    // text — an in-quote trailing star ('"a b*"') is inert in FTS5
+    // (tokenizer-stripped), only the outside-the-quotes form ('"a b"*')
+    // reads as a phrase prefix.
+    def unit(lx: String): (String, Boolean, Boolean) = lx match {
+      case p if p.startsWith("\"") =>
+        val outerStar = p.endsWith("\"*")
+        val inner = (if (outerStar) p.substring(1, p.length - 2)
+          else p.substring(1, p.length - 1)).replaceAll("\\*+$", "")
+        (inner, outerStar, true)
+      case w =>
+        require(w != "(" && w != ")" && w != ":" && w != "{" && w != "}"
+          && w != "+" && !w.startsWith("^") && !w.startsWith("-"),
+          s"unexpected '$w' in FTS query: $query")
+        val star = w.endsWith("*") && w.length > 1
+        val body = if (star) w.dropRight(1) else w
+        val toks = body.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        require(toks.length == 1,
+          s"syntax error near '$w' (punctuation inside a bare query word, as FTS5): $query")
+        (body, star, false)
+    }
+    // a '+'-chain of units: FTS5 concatenates phrases with '+'
+    // ("quick+brown" ≡ "quick brown" adjacency; works with quoted
+    // units, trailing prefixes, anchors — pinned against sqlite3).
+    // Returns (merged text, star, phraseLike): phraseLike when quoted
+    // or merged, i.e. adjacency semantics apply.
+    def parseChain(firstLexeme: String): (String, Boolean, Boolean) = {
+      var (text, star, phraseLike) = unit(firstLexeme)
+      while (peek.contains("+")) {
+        next()
+        require(!star, s"prefix star must end the phrase in FTS query: $query")
+        require(peek.isDefined, s"dangling '+' in FTS query: $query")
+        val (t2, s2, _) = unit(next())
+        text = text + " " + t2
+        star = s2
+        phraseLike = true
+      }
+      (text, star, phraseLike)
+    }
     // NEAR(p1 … pk, N) — k-phrase span proximity, FTS5 default N = 10.
     def nearGroup(colsIn: Seq[Column]): Column = {
       next() // "("
@@ -277,40 +330,58 @@ object Fts {
       // 5)" is THREE phrases (one of them the token "5"), "NEAR(a b,
       // 5)" is two phrases with N=5. Bare-word lexemes are split on
       // EMBEDDED commas too ("b,5" ≡ "b, 5" — real FTS5 reads N=5 in
-      // both spellings).
-      val args = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+      // both spellings); '+' glues adjacent units into one phrase.
+      // args: (text, hadComma, quotedOrMerged)
+      val args = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean, Boolean)]
       var pendingComma = false
+      var gluePlus = false
+      def push(text: String, quoted: Boolean): Unit = {
+        if (gluePlus) {
+          require(args.nonEmpty, s"dangling '+' in NEAR: $query")
+          val (t, c, _) = args.last
+          require(!t.endsWith("*"),
+            s"prefix star must end the phrase in NEAR: $query")
+          args(args.length - 1) = (t + " " + text, c, true)
+          gluePlus = false
+        } else { args += ((text, pendingComma, quoted)); pendingComma = false }
+      }
       while (!peek.contains(")")) {
         require(peek.isDefined, s"missing ')' in NEAR: $query")
         val raw = next()
         // real FTS5 rejects '^' inside a NEAR group ("syntax error near
         // '^'") — match that rather than silently dropping the anchor
         require(!raw.startsWith("^"), s"'^' is not allowed inside NEAR (as FTS5): $query")
-        if (raw.startsWith("\"")) { args += ((raw, pendingComma)); pendingComma = false }
-        else {
+        if (raw == "+") gluePlus = true
+        else if (raw.startsWith("\"")) {
+          val (t, s, _) = unit(raw)
+          push(t + (if (s) "*" else ""), quoted = true)
+        } else {
           var first = true
           for (seg <- raw.split(",", -1)) {
             if (!first) pendingComma = true
             first = false
-            if (seg.trim.nonEmpty) { args += ((seg.trim, pendingComma)); pendingComma = false }
+            if (seg.trim.nonEmpty) {
+              val s = seg.trim
+              val body = if (s.endsWith("*")) s.dropRight(1) else s
+              require(body.toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty) == 1,
+                s"syntax error near '$s' in NEAR (as FTS5): $query")
+              push(s, quoted = false)
+            }
           }
         }
       }
+      require(!gluePlus, s"dangling '+' in NEAR: $query")
       next() // ")"
       val (phrases, n) = args.toSeq match {
-        case init :+ ((last, true)) if init.nonEmpty && last.forall(_.isDigit) =>
+        case init :+ ((last, true, false)) if init.nonEmpty && last.forall(_.isDigit) =>
           (init.map(_._1), last.toInt)
         case all => (all.map(_._1), 10) // FTS5 default
       }
       require(phrases.nonEmpty, s"empty NEAR group: $query")
-      def unq(s: String): String =
-        if (s.startsWith("\"") && s.endsWith("\"*")) s.substring(1, s.length - 2) + "*"
-        else if (s.startsWith("\"") && s.endsWith("\"")) s.substring(1, s.length - 1)
-        else s
       // coalesce: an absent phrase makes the gap NULL, and a NULL must
       // read as NO-MATCH (false) — under the grammar's NOT, a bare
       // NULL would otherwise eat the row in three-valued logic
-      phrases.map(unq) match {
+      phrases match {
         // one phrase: the proximity constraint is vacuous — plain
         // phrase presence (pinned against sqlite3: NEAR(a, 0) ≡ a)
         case Seq(only) => size(spanStarts(tokens(colsIn), parseNearPhrase(only))._1) > 0
@@ -318,32 +389,32 @@ object Fts {
         case many => coalesce(nearMinGapK(colsIn, many) <= n, lit(false))
       }
     }
-    def phraseLexeme(colsIn: Seq[Column], p: String): Column =
-      if (p.endsWith("\"*")) phrasePrefix(colsIn, p.substring(1, p.length - 2))
-      else phrase(colsIn, p.substring(1, p.length - 1))
-    def termLexeme(colsIn: Seq[Column], t: String): Column =
-      if (t.endsWith("*") && t.length > 1) matchesPrefix(colsIn, t)
-      else matches(colsIn, t)
-    // quoted-phrase lexeme -> anchored-operand string (keeps a trailing
-    // phrase-prefix star for parseNearPhrase to read)
-    def unqLexeme(p: String): String =
-      if (p.endsWith("\"*")) p.substring(1, p.length - 2) + "*"
-      else p.substring(1, p.length - 1)
+    def chainPredicate(colsIn: Seq[Column], chain: (String, Boolean, Boolean)): Column = {
+      val (text, star, phraseLike) = chain
+      if (phraseLike) {
+        if (star) phrasePrefix(colsIn, text) else phrase(colsIn, text)
+      } else if (star) matchesPrefix(colsIn, text + "*")
+      else matches(colsIn, text)
+    }
+    def anchoredChain(colsIn: Seq[Column], chain: (String, Boolean, Boolean)): Column = {
+      val (text, star, _) = chain
+      matchesAnchored(colsIn, text + (if (star) "*" else ""))
+    }
+    def operandFrom(lx: String, colsIn: Seq[Column]): Column = lx match {
+      case "NEAR" if peek.contains("(") => nearGroup(colsIn)
+      case "^" if peek.isDefined =>
+        anchoredChain(colsIn, parseChain(next()))
+      case w if w.startsWith("^") && w.length > 1 =>
+        anchoredChain(colsIn, parseChain(w.drop(1)))
+      case other => chainPredicate(colsIn, parseChain(other))
+    }
     // operand of a column filter: FTS5 allows a phrase, prefix, term,
-    // anchored form, or NEAR group after `col:` — not a parenthesized
-    // sub-query or a nested column filter
+    // anchored form, '+'-chain, or NEAR group after `col:` — not a
+    // parenthesized sub-query or a nested column filter
     def colOperand(colsIn: Seq[Column]): Column = {
       require(peek.exists(l => l != "(" && l != ")" && l != ":" && l != "{" && l != "}"),
         s"missing operand after column filter in FTS query: $query")
-      operand(colsIn)
-    }
-    def operand(colsIn: Seq[Column]): Column = next() match {
-      case "NEAR" if peek.contains("(") => nearGroup(colsIn)
-      case "^" if peek.exists(_.startsWith("\"")) =>
-        matchesAnchored(colsIn, unqLexeme(next()))
-      case p if p.startsWith("\"") => phraseLexeme(colsIn, p)
-      case w if w.startsWith("^") && w.length > 1 => matchesAnchored(colsIn, w.drop(1))
-      case t => termLexeme(colsIn, t)
+      operandFrom(next(), colsIn)
     }
     // column-set names between '{' and '}' (whitespace-separated;
     // commas are a syntax error in real FTS5 and lex as bare words
@@ -366,21 +437,17 @@ object Fts {
       colOperand(colsIn)
     }
     def primary(): Column = next() match {
-      case "NEAR" if peek.contains("(") => nearGroup(allCols)
       case "(" =>
         val inner = orExpr()
         require(peek.contains(")"), s"missing ')' in FTS query: $query"); next(); inner
       case "{" => afterColon(resolveSet(readColSetNames(), negate = false))
       case "-" if peek.contains("{") =>
         next(); afterColon(resolveSet(readColSetNames(), negate = true))
-      case "^" if peek.exists(_.startsWith("\"")) =>
-        matchesAnchored(allCols, unqLexeme(next()))
-      case p if p.startsWith("\"") => phraseLexeme(allCols, p)
-      case w if w.startsWith("^") && w.length > 1 => matchesAnchored(allCols, w.drop(1))
       case w if w.startsWith("-") && w.length > 1 && peek.contains(":") =>
         next(); colOperand(resolveSet(Seq(w.drop(1)), negate = true))
-      case w if peek.contains(":") => next(); colOperand(resolve(w))
-      case term => termLexeme(allCols, term)
+      case w if !w.startsWith("\"") && !w.startsWith("^") && w != "NEAR" && peek.contains(":") =>
+        next(); colOperand(resolve(w))
+      case lx => operandFrom(lx, allCols)
     }
     def notExpr(): Column = {
       var acc = primary()

@@ -243,7 +243,13 @@ class SqliteCliSpec extends SparkSpec {
       "vec*",                             // bare prefix
       "spar* AND hash",                   // prefix inside boolean grammar
       "\"the spar\"*",                    // phrase-prefix (star outside quotes)
-      "NEAR(vec* hash, 6)"                // prefix inside NEAR
+      "NEAR(vec* hash, 6)",               // prefix inside NEAR
+      "the+spark",                        // '+' = phrase concatenation
+      "the + spark",                      // ... whitespace-tolerant
+      "\"the\"+spark",                    // quoted unit in a '+' chain
+      "the+spar*",                        // chain ending in a prefix
+      "^the+spark",                       // anchored chain
+      "NEAR(the+spark hash, 6)"           // '+' chain inside NEAR
     )
     for (q <- grammarQueries) {
       val real = SqliteCli.query(f,
@@ -263,6 +269,14 @@ class SqliteCliSpec extends SparkSpec {
     val mineInert = docs.filter(operators.Fts.matchQuery(Seq(col("text")), "\"the spar*\""))
       .select(col("doc_id").cast("long")).orderBy("doc_id").as[Long].collect().toSeq
     assert(mineInert === inert, "in-quote star should be inert, as real FTS5")
+    // embedded punctuation in a bare query word is a syntax error in
+    // real FTS5 ("quick-brown" reads as a column filter, "3.5" as a
+    // syntax error) — reproduced loudly, never a silent implicit AND
+    for (bad <- Seq("spark-hash", "3.5", "a..b", "NEAR(a-b c, 2)")) {
+      intercept[IllegalArgumentException] {
+        operators.Fts.matchQuery(Seq(col("text")), bad)
+      }
+    }
   }
 
   test("real FTS5: column-filter syntax restricts matching to one column") {
