@@ -449,16 +449,31 @@ object Fts {
         next(); colOperand(resolve(w))
       case lx => operandFrom(lx, allCols)
     }
-    def notExpr(): Column = {
+    // returns (predicate, lastPrimaryWasParenthesized) — the flag feeds
+    // andExpr's juxtaposition rule below
+    def notExpr(): (Column, Boolean) = {
+      var lastParen = peek.contains("(")
       var acc = primary()
-      while (peek.contains("NOT")) { next(); acc = acc && !primary() }
-      acc
+      while (peek.contains("NOT")) {
+        next(); lastParen = peek.contains("("); acc = acc && !primary()
+      }
+      (acc, lastParen)
     }
+    // juxtaposition (implicit AND) is legal between phrase-ish atoms
+    // only — real FTS5 raises a syntax error when either neighbor is a
+    // parenthesized group ('(a) b', 'a (b)', '(a) (b)' all error;
+    // pinned against the sqlite3 binary) — reproduce that loudly
     def andExpr(): Column = {
-      var acc = notExpr()
+      var (acc, lastParen) = notExpr()
       while (peek.exists(l => l != ")" && l != "OR" && l != "NOT")) {
-        if (peek.contains("AND")) next()
-        acc = acc && notExpr()
+        val explicit = peek.contains("AND")
+        if (explicit) next()
+        val nextParen = peek.contains("(")
+        require(explicit || (!lastParen && !nextParen),
+          s"syntax error: a parenthesized group needs an explicit AND/OR/NOT (as FTS5): $query")
+        val (c2, p2) = notExpr()
+        acc = acc && c2
+        lastParen = p2
       }
       acc
     }

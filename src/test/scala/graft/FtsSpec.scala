@@ -119,7 +119,11 @@ class FtsSpec extends SparkSpec {
     assert(ids("fox NOT jumps brown") === Set(2L, 3L, 4L))
     // parens override: fox NOT (jumps brown) still excludes only doc 1
     assert(ids("fox NOT (jumps brown)") === Set(2L, 3L, 4L))
-    assert(ids("(dog OR jumps) runs") === Set.empty)
+    assert(ids("(dog OR jumps) AND runs") === Set.empty)
+    // juxtaposing a parenthesized group is a syntax error in real FTS5
+    // ('(a) b' errors) — reproduced loudly, was a silent implicit AND
+    intercept[IllegalArgumentException](ids("(dog OR jumps) runs"))
+    intercept[IllegalArgumentException](ids("runs (dog OR jumps)"))
     intercept[IllegalArgumentException](ids("\"unterminated phrase"))
     intercept[IllegalArgumentException](ids("(missing close"))
   }

@@ -349,6 +349,82 @@ class SqliteCliSpec extends SparkSpec {
     }
   }
 
+  test("property: 160 seeded random grammar queries match real FTS5 row sets") {
+    assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val (f, docs) = ftsCorpusDb()
+    // corpus-derived building blocks: real tokens (hits) + absent ones
+    // (misses), and real adjacent windows so phrases/NEAR are non-trivial
+    val tokenArrays = docs
+      .select(operators.Fts.tokens(Seq(col("text"))))
+      .collect().map(_.getSeq[String](0)).filter(_.nonEmpty)
+    val rnd = new scala.util.Random(20260814L)
+    def anyDoc() = tokenArrays(rnd.nextInt(tokenArrays.length))
+    def term(): String =
+      if (rnd.nextInt(5) == 0) "zzzq" + rnd.nextInt(3) // absent
+      else { val d = anyDoc(); d(rnd.nextInt(d.length)) }
+    def window(len: Int): Seq[String] = {
+      val d = anyDoc()
+      if (d.length <= len) d.toSeq
+      else { val s = rnd.nextInt(d.length - len); d.slice(s, s + len).toSeq }
+    }
+    def phraseAtom(): String = "\"" + window(2 + rnd.nextInt(2)).mkString(" ") + "\""
+    def prefixAtom(): String = {
+      val t = term()
+      t.substring(0, math.min(t.length, 1 + rnd.nextInt(3))) + "*"
+    }
+    def nearArg(): String =
+      if (rnd.nextInt(4) == 0) "\"" + window(2).mkString(" ") + "\"" else term()
+    def atom(): String = rnd.nextInt(10) match {
+      case 0 => phraseAtom()
+      case 1 => phraseAtom() + "*"                       // phrase-prefix
+      case 2 => prefixAtom()
+      case 3 => "^" + term()
+      case 4 =>                                          // NEAR, 2-3 args
+        val args = Seq.fill(2 + rnd.nextInt(2))(nearArg()).mkString(" ")
+        if (rnd.nextBoolean()) s"NEAR($args, ${rnd.nextInt(9)})" else s"NEAR($args)"
+      case 5 => term() + "+" + term()                    // '+' chain
+      case 6 => "body:" + (if (rnd.nextBoolean()) term() else phraseAtom())
+      case _ => term()
+    }
+    // parenthesized groups always join through explicit operators — the
+    // juxtaposition-next-to-parens error path is pinned separately
+    def expr(depth: Int): String =
+      if (depth == 0) atom()
+      else rnd.nextInt(6) match {
+        case 0 => s"(${expr(depth - 1)}) OR (${expr(depth - 1)})"
+        case 1 => s"(${expr(depth - 1)}) AND (${expr(depth - 1)})"
+        case 2 => s"(${expr(depth - 1)}) NOT (${expr(depth - 1)})"
+        case 3 => s"${atom()} ${atom()}"                 // juxtaposition
+        case 4 => s"${atom()} OR ${atom()} NOT ${atom()}"
+        case _ => atom()
+      }
+    val queries = Seq.fill(160)(expr(1 + rnd.nextInt(2)))
+    val named = Seq("body" -> col("text"))
+    // one sqlite3 invocation for all queries; one Spark pass per batch
+    // of 32 predicates (bounds the generated code per stage)
+    val script = queries.zipWithIndex.map { case (q, i) =>
+      s"SELECT 'q$i', rowid FROM d WHERE d MATCH '${q.replace("'", "''")}' ORDER BY rowid;"
+    }.mkString("\n")
+    val real: Map[Int, Set[Long]] = SqliteCli.query(f, script)
+      .collect { case Seq(Some(tag), Some(rid)) => (tag.drop(1).toInt, rid.toLong) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      .withDefaultValue(Set.empty)
+    queries.zipWithIndex.grouped(32).foreach { batch =>
+      val preds = batch.map { case (q, i) =>
+        operators.Fts.matchQueryNamed(named, q).as(s"q$i")
+      }
+      val rows = docs.select(col("doc_id").cast("long").as("id") +: preds: _*).collect()
+      batch.foreach { case (q, i) =>
+        val mine = rows.filter { r =>
+          val idx = r.fieldIndex(s"q$i"); !r.isNullAt(idx) && r.getBoolean(idx)
+        }.map(_.getLong(0)).toSet
+        assert(mine === real(i), s"row set diverges from real FTS5 for <$q>")
+      }
+    }
+  }
+
   test("real FTS5: snippet() agrees on short docs, where the window choice degenerates") {
     assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
     import org.apache.spark.sql.functions._
