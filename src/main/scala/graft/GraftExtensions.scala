@@ -22,7 +22,8 @@ import graft.expressions._
   * `fuzzy_datetime(str)`, `token_hash60(str)`,
   * `shingle_hash60(str, w)`, `minhash_sig(arr, perms)`,
   * `quantize_vec(arr)`, `capped_pairs(arr, cap)`,
-  * `stopword_hits(str, array(words...))`.
+  * `stopword_hits(str, array(words...))`, `nfc_normalize(str)`,
+  * `fts_match(str..., 'query')` (the full FTS5 MATCH grammar).
   *
   * Non-column parameters (shingle width, perm count, cap, word list)
   * must be foldable literals — they are baked into the expression at
@@ -71,7 +72,24 @@ object GraftExtensions {
     ("stopword_hits", "stopword_hits(str, words) - tokens in the word list, with multiplicity",
       (args: Seq[Expression]) => StopwordHits(args(0), wordsArg(args(1)))),
     ("nfc_normalize", "nfc_normalize(str) - Unicode NFC composition",
-      (args: Seq[Expression]) => NfcNormalize(args.head)))
+      (args: Seq[Expression]) => NfcNormalize(args.head)),
+    // variadic: fts_match(col1, ..., colN, 'query') — the full FTS5
+    // MATCH grammar (boolean ops, phrases, prefixes, anchors, NEAR,
+    // '+' chains) compiled at plan time into the same predicate tree
+    // as Fts.matchQuery; the query must be a string literal. Column
+    // filters need names, which SQL expressions don't carry — they
+    // error loudly here (use Fts.matchQueryNamed from the Column API).
+    ("fts_match", "fts_match(str..., 'query') - FTS5 MATCH grammar predicate over the columns",
+      (args: Seq[Expression]) => {
+        require(args.length >= 2, "fts_match needs at least (column, 'query')")
+        val q = args.last.eval(null) match {
+          case s: UTF8String => s.toString
+          case other => throw new IllegalArgumentException(
+            s"FTS query must be a string literal, got $other")
+        }
+        val shim = org.apache.spark.sql.graftshim.GraftShim
+        shim.expressionEager(graft.operators.Fts.matchQuery(args.init.map(shim.column), q))
+      }))
 
   /** Register on an already-running session: temp functions plus the
     * plan guardrail (via `experimental.extraOptimizations`, the

@@ -17,6 +17,17 @@ object GraftShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** EAGER Column→Expression conversion: `expression` wraps the node
+    * lazily (ColumnNodeExpression), which only resolves when the
+    * surrounding DataFrame machinery runs the converter — inside an
+    * injected FunctionBuilder the analyzer sees the opaque wrapper and
+    * fails with VOID. This runs the classic converter immediately,
+    * yielding plain (unresolved) Catalyst expressions the analyzer
+    * handles like any parsed SQL.
+    */
+  def expressionEager(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Register a function builder on a LIVE session (the
     * `withExtensions` path only applies at session construction —
     * `getOrCreate` silently ignores it when a session already exists).

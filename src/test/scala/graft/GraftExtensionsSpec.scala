@@ -43,6 +43,38 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getAs[Long]("hits") === 3L)
   }
 
+  test("SQL function: fts_match compiles the full MATCH grammar at plan time") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox", "news"),
+      (2L, "a quick dog", "web"),
+      (3L, "brown bears fish", "web")
+    ).toDF("id", "txt", "src").createOrReplaceTempView("fts_docs")
+    def ids(q: String): Seq[Long] =
+      spark.sql(s"SELECT id FROM fts_docs WHERE fts_match(txt, '$q') ORDER BY id")
+        .as[Long].collect().toSeq
+    assert(ids("quick AND brown") === Seq(1L))
+    assert(ids("\"quick brown\" OR bears") === Seq(1L, 3L))
+    assert(ids("qui*") === Seq(1L, 2L))
+    assert(ids("^brown") === Seq(3L))
+    assert(ids("NEAR(quick fox, 1)") === Seq(1L))
+    assert(ids("quick+brown") === Seq(1L))
+    // multi-column form: terms may hit different columns of the row
+    val multi = spark.sql(
+      "SELECT id FROM fts_docs WHERE fts_match(txt, src, 'quick web') ORDER BY id")
+      .as[Long].collect().toSeq
+    assert(multi === Seq(2L))
+    // a non-literal query is rejected at plan time, loudly
+    intercept[Exception] {
+      spark.sql("SELECT fts_match(txt, txt) FROM fts_docs").collect()
+    }
+    // column filters need names - loud from SQL
+    intercept[Exception] {
+      spark.sql("SELECT fts_match(txt, 'txt:quick') FROM fts_docs").collect()
+    }
+  }
+
   test("SQL function: nfc_normalize composes decomposed accents") {
     GraftExtensions.register(spark)
     val got = spark.sql("SELECT nfc_normalize('Café') AS s").head.getString(0)
