@@ -175,8 +175,10 @@ object Fts {
       val toks = tokens(Seq(c))
       val conj = (0 until l).map { k =>
         val tok = try_element_at(toks, lit(k + 1))
-        if (np.lastPrefix && k == l - 1) tok.startsWith(np.terms(k))
-        else tok === lit(np.terms(k))
+        np.terms(k) match {
+          case (t, true) => tok.startsWith(t)
+          case (t, false) => tok === lit(t)
+        }
       }.reduce(_ && _)
       coalesce(conj, lit(false))
     }.reduce(_ || _)
@@ -188,22 +190,32 @@ object Fts {
     * groups, column filters, and implicit AND by juxtaposition —
     * `sqlite.org/fts5.html#full_text_query_syntax`).
     *
-    * Grammar (binding loosest→tightest, as FTS5):
+    * Grammar (binding loosest→tightest, as FTS5; all levels pinned
+    * against the sqlite3 binary, including the non-obvious
+    * juxtaposition-binds-tighter-than-NOT rule: `a NOT b c` ≡
+    * `a NOT (b c)`):
     * {{{
     *   query   := and ( OR and )*
-    *   and     := not ( [AND] not )*          // juxtaposition = AND
-    *   not     := primary ( NOT primary )*    // binary: a NOT b
+    *   and     := not ( AND not )*
+    *   not     := juxta ( NOT juxta )*        // binary: a NOT b
+    *   juxta   := primary+                    // implicit AND (tightest)
     *   primary := [colspec ':'] operand | '(' query ')'
     *   colspec := col | '{' col+ '}'          // optionally '-'-negated
     *   operand := NEAR '(' p+ [, N] ')'       // k-phrase, N=10
     *            | ['^'] chain                 // optionally ^-anchored
     *   chain   := unit ( '+' unit )*          // '+' concatenates into ONE
-    *   unit    := '"'…'"' ['*'] | term ['*']  //   phrase (adjacency)
+    *   unit    := ('"'…'"' | term) ['*']      //   phrase (adjacency)
     * }}}
-    * Embedded punctuation in a bare query word (`quick-brown`, `3.5`)
-    * is a LOUD syntax error, as real FTS5 — never a silent implicit
-    * AND ([[matches]] keeps the lenient split semantics for direct
-    * programmatic use).
+    * Faithful quirks, each pinned against sqlite3: `*` is a POSTFIX
+    * prefix operator attaching across whitespace (`quick *` ≡
+    * `quick*`; doubled star errors; query-leading star errors); an
+    * empty phrase `""` is match-nothing under explicit operators but
+    * DROPPED from juxtaposition lists; embedded punctuation in a bare
+    * query word (`quick-brown`, `3.5`) is a LOUD syntax error — never
+    * a silent implicit AND ([[matches]] keeps the lenient split
+    * semantics for direct programmatic use); upper-case operator
+    * keywords in operand position error; a parenthesized group
+    * juxtaposed without an explicit operator errors.
     * Column filters need [[matchQueryNamed]] (this entry point has no
     * column names and rejects `col:term` loudly — matching FTS5, where
     * an unknown column name before ':' is an error, never a term).
@@ -257,23 +269,32 @@ object Fts {
     var i = 0
     while (i < query.length) query.charAt(i) match {
       case c if c.isWhitespace => i += 1
-      case '(' | ')' | ':' | '{' | '}' | '+' => lexemes += query.charAt(i).toString; i += 1
+      // '*' is FTS5's postfix prefix operator: it attaches to the
+      // PRECEDING term or phrase even across whitespace ('quick *' ≡
+      // 'quick*', '"a b" *' ≡ '"a b"*', 'qui*ck' ≡ 'qui* ck' — all
+      // pinned against sqlite3), so it lexes standalone and the parser
+      // attaches it
+      case '(' | ')' | ':' | '{' | '}' | '+' | '*' =>
+        lexemes += query.charAt(i).toString; i += 1
       case '"' =>
         val end = query.indexOf('"', i + 1)
         require(end > i, s"unterminated phrase in FTS query: $query")
-        val starred = end + 1 < query.length && query.charAt(end + 1) == '*'
-        lexemes += query.substring(i, end + 1) + (if (starred) "*" else "")
-        i = end + (if (starred) 2 else 1)
+        lexemes += query.substring(i, end + 1)
+        i = end + 1
       case _ =>
         val end = query.indexWhere(
           c => c.isWhitespace || c == '(' || c == ')' || c == '"' || c == ':'
-            || c == '{' || c == '}' || c == '+', i)
+            || c == '{' || c == '}' || c == '+' || c == '*', i)
         val stop = if (end < 0) query.length else end
         lexemes += query.substring(i, stop); i = stop
     }
     var pos = 0
     def peek: Option[String] = if (pos < lexemes.length) Some(lexemes(pos)) else None
-    def next(): String = { val l = lexemes(pos); pos += 1; l }
+    def next(): String = {
+      require(pos < lexemes.length,
+        s"syntax error: unexpected end of FTS query (as FTS5): $query")
+      val l = lexemes(pos); pos += 1; l
+    }
     // quoted-phrase lexeme -> operand string (keeps a trailing
     // phrase-prefix star for parseNearPhrase to read)
     def unqLexeme(p: String): String =
@@ -287,120 +308,176 @@ object Fts {
     // text — an in-quote trailing star ('"a b*"') is inert in FTS5
     // (tokenizer-stripped), only the outside-the-quotes form ('"a b"*')
     // reads as a phrase prefix.
-    def unit(lx: String): (String, Boolean, Boolean) = lx match {
+    // one phrase unit: (text, phraseLike). A postfix '*' is NOT part of
+    // a unit — the parser attaches it afterwards (FTS5 postfix rule).
+    def unit(lx: String): (String, Boolean) = lx match {
       case p if p.startsWith("\"") =>
-        val outerStar = p.endsWith("\"*")
-        val inner = (if (outerStar) p.substring(1, p.length - 2)
-          else p.substring(1, p.length - 1)).replaceAll("\\*+$", "")
-        (inner, outerStar, true)
+        // an EMPTY phrase ('""') is no error in FTS5 — it is a
+        // match-nothing operand (false under every composition; pinned
+        // against sqlite3); callers read the empty text as lit(false).
+        // EVERY star inside the quotes is tokenizer-inert in FTS5 —
+        // strip them so piece-wise star parsing downstream cannot
+        // misread one as a prefix flag; only a '*' AFTER the closing
+        // quote carries a real (last-term) prefix.
+        (p.substring(1, p.length - 1).replace("*", ""), true)
       case w =>
         require(w != "(" && w != ")" && w != ":" && w != "{" && w != "}"
-          && w != "+" && !w.startsWith("^") && !w.startsWith("-"),
+          && w != "+" && w != "*" && !w.startsWith("^") && !w.startsWith("-"),
           s"unexpected '$w' in FTS query: $query")
-        val star = w.endsWith("*") && w.length > 1
-        val body = if (star) w.dropRight(1) else w
-        val toks = body.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        // the UPPER-CASE operator keywords in operand position are
+        // syntax errors in real FTS5 ('AND quick', 'a AND AND b',
+        // 'NOT x' all error); lower-case spellings stay plain terms
+        require(w != "AND" && w != "OR" && w != "NOT",
+          s"syntax error near '$w' (operator in operand position, as FTS5): $query")
+        val toks = w.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
         require(toks.length == 1,
           s"syntax error near '$w' (punctuation inside a bare query word, as FTS5): $query")
-        (body, star, false)
+        (w, false)
     }
-    // a '+'-chain of units: FTS5 concatenates phrases with '+'
-    // ("quick+brown" ≡ "quick brown" adjacency; works with quoted
-    // units, trailing prefixes, anchors — pinned against sqlite3).
-    // Returns (merged text, star, phraseLike): phraseLike when quoted
-    // or merged, i.e. adjacency semantics apply.
-    def parseChain(firstLexeme: String): (String, Boolean, Boolean) = {
-      var (text, star, phraseLike) = unit(firstLexeme)
+    // a '+'-chain of units with postfix stars: FTS5 concatenates
+    // phrases with '+' ("quick+brown" ≡ "quick brown" adjacency; works
+    // with quoted units and anchors), and a '*' attaches as a prefix
+    // flag to the unit before it, whitespace-insensitive, ON ANY UNIT
+    // ("qui*+brown" = first token starts qui, second = brown) — all
+    // pinned against sqlite3. A doubled star is a loud syntax error,
+    // as FTS5. Returns (operand string with per-piece stars,
+    // phraseLike): phraseLike when quoted or merged.
+    def parseChain(firstLexeme: String): (String, Boolean) = {
+      var (text, phraseLike) = unit(firstLexeme)
+      var lastStarred = false
+      def absorbStars(): Unit =
+        while (peek.contains("*")) {
+          next()
+          // doubled star is a syntax error even on an empty ('""')
+          // unit, where the single star itself is inert — both FTS5
+          require(!lastStarred, s"syntax error near '*' (as FTS5): $query")
+          lastStarred = true
+          if (text.nonEmpty) text = text + "*"
+        }
+      absorbStars()
       while (peek.contains("+")) {
         next()
-        require(!star, s"prefix star must end the phrase in FTS query: $query")
         require(peek.isDefined, s"dangling '+' in FTS query: $query")
-        val (t2, s2, _) = unit(next())
+        val (t2, _) = unit(next())
         text = text + " " + t2
-        star = s2
         phraseLike = true
+        lastStarred = false
+        absorbStars()
       }
-      (text, star, phraseLike)
+      (text, phraseLike)
     }
-    // NEAR(p1 … pk, N) — k-phrase span proximity, FTS5 default N = 10.
-    def nearGroup(colsIn: Seq[Column]): Column = {
+    // NEAR(p1 … pk [, N]) — k-phrase span proximity, FTS5 default
+    // N = 10. The FTS5 nearset grammar allows exactly ONE comma, and
+    // only the integer N may follow it — 'NEAR(a, b)', 'NEAR(a,, 2)',
+    // 'NEAR(a b,)' are all syntax errors (pinned against sqlite3),
+    // while "NEAR(a b 5)" is THREE phrases (one of them the token "5")
+    // and "NEAR(a b,5)" ≡ "NEAR(a b, 5)" reads N=5. '+' glues adjacent
+    // units into one phrase; EMPTY phrases ('""') are dropped from the
+    // arg list (FTS5: 'NEAR("" quick)' ≡ 'NEAR(quick)'), and a NEAR
+    // whose every phrase is empty matches nothing without error.
+    def nearGroup(colsIn: Seq[Column]): (Column, Boolean) = {
       next() // "("
-      // args carry whether a COMMA preceded them: FTS5 only reads a
-      // trailing integer as N when the comma is present — "NEAR(a b
-      // 5)" is THREE phrases (one of them the token "5"), "NEAR(a b,
-      // 5)" is two phrases with N=5. Bare-word lexemes are split on
-      // EMBEDDED commas too ("b,5" ≡ "b, 5" — real FTS5 reads N=5 in
-      // both spellings); '+' glues adjacent units into one phrase.
-      // args: (text, hadComma, quotedOrMerged)
-      val args = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean, Boolean)]
-      var pendingComma = false
+      val args = scala.collection.mutable.ArrayBuffer.empty[String]
+      var n = 10
+      var sawComma = false
+      var nRead = false
       var gluePlus = false
-      def push(text: String, quoted: Boolean): Unit = {
+      def pushPhrase(text: String): Unit = {
+        require(!sawComma,
+          s"syntax error: only the N integer may follow ',' in NEAR (as FTS5): $query")
         if (gluePlus) {
           require(args.nonEmpty, s"dangling '+' in NEAR: $query")
-          val (t, c, _) = args.last
-          require(!t.endsWith("*"),
-            s"prefix star must end the phrase in NEAR: $query")
-          args(args.length - 1) = (t + " " + text, c, true)
+          args(args.length - 1) = args.last + " " + text
           gluePlus = false
-        } else { args += ((text, pendingComma, quoted)); pendingComma = false }
+        } else args += text
       }
       while (!peek.contains(")")) {
-        require(peek.isDefined, s"missing ')' in NEAR: $query")
         val raw = next()
         // real FTS5 rejects '^' inside a NEAR group ("syntax error near
         // '^'") — match that rather than silently dropping the anchor
         require(!raw.startsWith("^"), s"'^' is not allowed inside NEAR (as FTS5): $query")
-        if (raw == "+") gluePlus = true
-        else if (raw.startsWith("\"")) {
-          val (t, s, _) = unit(raw)
-          push(t + (if (s) "*" else ""), quoted = true)
+        if (raw == "+") {
+          require(!sawComma, s"syntax error near '+' after ',' in NEAR: $query")
+          gluePlus = true
+        } else if (raw == "*") {
+          // postfix star attaches to the last phrase's last piece
+          require(!sawComma && !gluePlus && args.nonEmpty && !args.last.endsWith("*"),
+            s"syntax error near '*' in NEAR (as FTS5): $query")
+          if (args.last.nonEmpty) args(args.length - 1) = args.last + "*"
+        } else if (raw.startsWith("\"")) {
+          pushPhrase(unit(raw)._1)
         } else {
           var first = true
           for (seg <- raw.split(",", -1)) {
-            if (!first) pendingComma = true
+            if (!first) {
+              require(!sawComma, s"syntax error near ',' in NEAR (as FTS5): $query")
+              sawComma = true
+            }
             first = false
-            if (seg.trim.nonEmpty) {
-              val s = seg.trim
-              val body = if (s.endsWith("*")) s.dropRight(1) else s
-              require(body.toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty) == 1,
-                s"syntax error near '$s' in NEAR (as FTS5): $query")
-              push(s, quoted = false)
+            val s = seg.trim
+            if (s.nonEmpty) {
+              if (sawComma) {
+                require(!nRead && s.forall(_.isDigit),
+                  s"syntax error: N must be one integer after ',' in NEAR (as FTS5): $query")
+                n = s.toInt; nRead = true
+              } else {
+                val body = if (s.endsWith("*")) s.dropRight(1) else s
+                require(body.toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty) == 1,
+                  s"syntax error near '$s' in NEAR (as FTS5): $query")
+                pushPhrase(s)
+              }
             }
           }
         }
       }
       require(!gluePlus, s"dangling '+' in NEAR: $query")
+      require(!sawComma || nRead, s"missing N after ',' in NEAR (as FTS5): $query")
       next() // ")"
-      val (phrases, n) = args.toSeq match {
-        case init :+ ((last, true, false)) if init.nonEmpty && last.forall(_.isDigit) =>
-          (init.map(_._1), last.toInt)
-        case all => (all.map(_._1), 10) // FTS5 default
-      }
-      require(phrases.nonEmpty, s"empty NEAR group: $query")
+      val phrases = args.toSeq
+        .filter(_.toLowerCase.split("[^a-z0-9]+").exists(_.nonEmpty))
       // coalesce: an absent phrase makes the gap NULL, and a NULL must
       // read as NO-MATCH (false) — under the grammar's NOT, a bare
       // NULL would otherwise eat the row in three-valued logic
+      // all predicates carry an EMPTINESS flag: FTS5 DROPS an operand
+      // whose phrase content is entirely empty ('""', '^""', 'col:""',
+      // NEAR("")) from an implicit-AND juxtaposition list, while the
+      // same operand under an explicit AND/OR/NOT reads as
+      // match-nothing (all pinned against sqlite3: 'quick ""' ≡ quick,
+      // 'quick AND ""' ≡ nothing)
       phrases match {
+        case Seq() => (lit(false), true) // all-empty NEAR: droppable
         // one phrase: the proximity constraint is vacuous — plain
         // phrase presence (pinned against sqlite3: NEAR(a, 0) ≡ a)
-        case Seq(only) => size(spanStarts(tokens(colsIn), parseNearPhrase(only))._1) > 0
-        case Seq(a, b) => coalesce(nearMinGap(colsIn, a, b) <= n, lit(false))
-        case many => coalesce(nearMinGapK(colsIn, many) <= n, lit(false))
+        case Seq(only) =>
+          (size(spanStarts(tokens(colsIn), parseNearPhrase(only))._1) > 0, false)
+        // coalesce: an absent phrase makes the gap NULL, and a NULL
+        // must read as NO-MATCH (false) — under the grammar's NOT, a
+        // bare NULL would otherwise eat the row in three-valued logic
+        case Seq(a, b) => (coalesce(nearMinGap(colsIn, a, b) <= n, lit(false)), false)
+        case many => (coalesce(nearMinGapK(colsIn, many) <= n, lit(false)), false)
       }
     }
-    def chainPredicate(colsIn: Seq[Column], chain: (String, Boolean, Boolean)): Column = {
-      val (text, star, phraseLike) = chain
-      if (phraseLike) {
-        if (star) phrasePrefix(colsIn, text) else phrase(colsIn, text)
-      } else if (star) matchesPrefix(colsIn, text + "*")
-      else matches(colsIn, text)
+    def chainPredicate(colsIn: Seq[Column], chain: (String, Boolean)): (Column, Boolean) = {
+      val (text, phraseLike) = chain
+      parsePieces(text) match {
+        case Seq() => (lit(false), true) // '""': match-nothing, droppable
+        case Seq((t, false)) => (matches(colsIn, t), false)
+        case Seq((t, true)) => (matchesPrefix(colsIn, t + "*"), false)
+        case pieces if pieces.forall(!_._2) && phraseLike =>
+          // starless multi-token phrase: the codegen'd substring-on-
+          // joined-stream fast path
+          (phrase(colsIn, pieces.map(_._1).mkString(" ")), false)
+        case pieces =>
+          // prefix flags inside the phrase: positional span scan
+          (size(spanStarts(tokens(colsIn), NearPhrase(pieces))._1) > 0, false)
+      }
     }
-    def anchoredChain(colsIn: Seq[Column], chain: (String, Boolean, Boolean)): Column = {
-      val (text, star, _) = chain
-      matchesAnchored(colsIn, text + (if (star) "*" else ""))
+    def anchoredChain(colsIn: Seq[Column], chain: (String, Boolean)): (Column, Boolean) = {
+      val (text, _) = chain
+      if (parsePieces(text).isEmpty) (lit(false), true) // '^""': droppable
+      else (matchesAnchored(colsIn, text), false)
     }
-    def operandFrom(lx: String, colsIn: Seq[Column]): Column = lx match {
+    def operandFrom(lx: String, colsIn: Seq[Column]): (Column, Boolean) = lx match {
       case "NEAR" if peek.contains("(") => nearGroup(colsIn)
       case "^" if peek.isDefined =>
         anchoredChain(colsIn, parseChain(next()))
@@ -411,7 +488,7 @@ object Fts {
     // operand of a column filter: FTS5 allows a phrase, prefix, term,
     // anchored form, '+'-chain, or NEAR group after `col:` — not a
     // parenthesized sub-query or a nested column filter
-    def colOperand(colsIn: Seq[Column]): Column = {
+    def colOperand(colsIn: Seq[Column]): (Column, Boolean) = {
       require(peek.exists(l => l != "(" && l != ")" && l != ":" && l != "{" && l != "}"),
         s"missing operand after column filter in FTS query: $query")
       operandFrom(next(), colsIn)
@@ -431,15 +508,19 @@ object Fts {
       require(names.nonEmpty, s"empty column set in FTS query: $query")
       names.toSeq
     }
-    def afterColon(colsIn: Seq[Column]): Column = {
+    def afterColon(colsIn: Seq[Column]): (Column, Boolean) = {
       require(peek.contains(":"), s"expected ':' after column set in FTS query: $query")
       next()
       colOperand(colsIn)
     }
-    def primary(): Column = next() match {
+    // (predicate, droppableEmpty): the empty flag marks operands whose
+    // whole phrase content is empty — FTS5 drops them from implicit-AND
+    // lists (see nearGroup's note); a paren group is never droppable
+    def primary(): (Column, Boolean) = next() match {
       case "(" =>
         val inner = orExpr()
-        require(peek.contains(")"), s"missing ')' in FTS query: $query"); next(); inner
+        require(peek.contains(")"), s"missing ')' in FTS query: $query"); next()
+        (inner, false)
       case "{" => afterColon(resolveSet(readColSetNames(), negate = false))
       case "-" if peek.contains("{") =>
         next(); afterColon(resolveSet(readColSetNames(), negate = true))
@@ -449,32 +530,37 @@ object Fts {
         next(); colOperand(resolve(w))
       case lx => operandFrom(lx, allCols)
     }
-    // returns (predicate, lastPrimaryWasParenthesized) — the flag feeds
-    // andExpr's juxtaposition rule below
-    def notExpr(): (Column, Boolean) = {
+    // one juxtaposition (implicit-AND) list — the TIGHTEST binding
+    // level in real FTS5 ('a NOT b c' ≡ 'a NOT (b c)', pinned against
+    // sqlite3; the fuzz caught the atoms-first reading as a divergence).
+    // Empty operands drop out; a list of ONLY empties is match-nothing.
+    // Juxtaposition is legal between phrase-ish atoms only — FTS5
+    // raises a syntax error when either neighbor is a parenthesized
+    // group ('(a) b', 'a (b)', '(a) (b)' all error)
+    def juxtaList(): Column = {
+      val kept = scala.collection.mutable.ArrayBuffer.empty[Column]
       var lastParen = peek.contains("(")
-      var acc = primary()
-      while (peek.contains("NOT")) {
-        next(); lastParen = peek.contains("("); acc = acc && !primary()
-      }
-      (acc, lastParen)
-    }
-    // juxtaposition (implicit AND) is legal between phrase-ish atoms
-    // only — real FTS5 raises a syntax error when either neighbor is a
-    // parenthesized group ('(a) b', 'a (b)', '(a) (b)' all error;
-    // pinned against the sqlite3 binary) — reproduce that loudly
-    def andExpr(): Column = {
-      var (acc, lastParen) = notExpr()
-      while (peek.exists(l => l != ")" && l != "OR" && l != "NOT")) {
-        val explicit = peek.contains("AND")
-        if (explicit) next()
+      val (c0, drop0) = primary()
+      if (!drop0) kept += c0
+      while (peek.exists(l => l != ")" && l != "OR" && l != "NOT" && l != "AND")) {
         val nextParen = peek.contains("(")
-        require(explicit || (!lastParen && !nextParen),
+        require(!lastParen && !nextParen,
           s"syntax error: a parenthesized group needs an explicit AND/OR/NOT (as FTS5): $query")
-        val (c2, p2) = notExpr()
-        acc = acc && c2
-        lastParen = p2
+        lastParen = nextParen
+        val (c2, drop2) = primary()
+        if (!drop2) kept += c2
       }
+      if (kept.isEmpty) lit(false) else kept.reduce(_ && _)
+    }
+    // binding loosest→tightest: OR < AND < NOT < juxtaposition
+    def notExpr(): Column = {
+      var acc = juxtaList()
+      while (peek.contains("NOT")) { next(); acc = acc && !juxtaList() }
+      acc
+    }
+    def andExpr(): Column = {
+      var acc = notExpr()
+      while (peek.contains("AND")) { next(); acc = acc && notExpr() }
       acc
     }
     def orExpr(): Column = {
@@ -660,17 +746,32 @@ object Fts {
     array_join(marked, " ")
   }
 
-  /** One NEAR operand: tokenized phrase terms plus whether the LAST
-    * term is a prefix (`tok*` / `"a b"*` forms).
+  /** One phrase operand: terms with PER-TERM prefix flags — FTS5
+    * phrases carry a prefix star on any position (`qui* + brown` is
+    * "token1 starts with qui, token2 = brown, adjacent"; pinned
+    * against the sqlite3 binary), not just the last (`tok*`, `"a b"*`).
     */
-  private[graft] case class NearPhrase(terms: Seq[String], lastPrefix: Boolean)
+  private[graft] case class NearPhrase(terms: Seq[(String, Boolean)])
+
+  /** Whitespace-separated pieces, each with an optional trailing `*`;
+    * a piece body that tokenizes to several terms (punctuation inside
+    * a quoted phrase) contributes them all, star on its last. Empty
+    * pieces vanish — callers decide whether an all-empty operand is an
+    * error (NEAR phrase) or FTS5's silent match-nothing (`""`).
+    */
+  private[graft] def parsePieces(p: String): Seq[(String, Boolean)] =
+    p.split("\\s+").filter(_.nonEmpty).toSeq.flatMap { piece =>
+      val star = piece.endsWith("*")
+      val body = if (star) piece.dropRight(1) else piece
+      val toks = body.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      if (toks.isEmpty) Seq.empty
+      else toks.init.map(t => (t, false)) :+ ((toks.last, star))
+    }
 
   private[graft] def parseNearPhrase(p: String): NearPhrase = {
-    val pfx = p.endsWith("*")
-    val body = if (pfx) p.dropRight(1) else p
-    val terms = body.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val terms = parsePieces(p)
     require(terms.nonEmpty, s"empty NEAR phrase: '$p'")
-    NearPhrase(terms, pfx)
+    NearPhrase(terms)
   }
 
   /** 1-based start positions of each occurrence of `p` in the token
@@ -687,8 +788,10 @@ object Fts {
     */
   private[graft] def spanStarts(toks: Column, p: NearPhrase): (Column, Int) = {
     val l = p.terms.length
-    def eq(tok: Column, k: Int): Column =
-      if (p.lastPrefix && k == l - 1) tok.startsWith(p.terms(k)) else tok === lit(p.terms(k))
+    def eq(tok: Column, k: Int): Column = p.terms(k) match {
+      case (t, true) => tok.startsWith(t)
+      case (t, false) => tok === lit(t)
+    }
     val starts =
       if (l == 1)
         filter(transform(toks, (tok, i) => when(eq(tok, 0), i + 1)), x => x.isNotNull)

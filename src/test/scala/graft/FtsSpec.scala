@@ -115,8 +115,14 @@ class FtsSpec extends SparkSpec {
     assert(ids("fox NOT jumps") === Set(2L, 3L, 4L))
     assert(ids("quick brown") === Set(1L, 2L, 3L, 4L))            // implicit AND
     assert(ids("quick AND brown") === ids("quick brown"))          // explicit AND
-    // NOT binds tighter than AND: fox NOT jumps brown = (fox NOT jumps) AND brown
+    // juxtaposition binds TIGHTER than NOT (real FTS5, fuzz-caught):
+    // fox NOT jumps brown = fox NOT (jumps brown); doc 1 is the only
+    // jumps-doc and has brown, so it is excluded either way here...
     assert(ids("fox NOT jumps brown") === Set(2L, 3L, 4L))
+    // ...and this case discriminates: jumps+runs co-occur nowhere, so
+    // NOT (jumps runs) excludes nothing — atoms-first reading would
+    // instead give (fox NOT jumps) AND runs = {3}
+    assert(ids("fox NOT jumps runs") === Set(1L, 2L, 3L, 4L))
     // parens override: fox NOT (jumps brown) still excludes only doc 1
     assert(ids("fox NOT (jumps brown)") === Set(2L, 3L, 4L))
     assert(ids("(dog OR jumps) AND runs") === Set.empty)

@@ -425,6 +425,84 @@ class SqliteCliSpec extends SparkSpec {
     }
   }
 
+  test("property: error parity — random lexeme soups error or match exactly as FTS5") {
+    assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val (f, docs) = ftsCorpusDb()
+    val tokenArrays = docs
+      .select(operators.Fts.tokens(Seq(col("text"))))
+      .collect().map(_.getSeq[String](0)).filter(_.nonEmpty)
+    // seed overridable for local sweeps (FTS_FUZZ_SEED=k sbt test);
+    // the checked-in default keeps CI deterministic
+    val rnd = new scala.util.Random(sys.env.get("FTS_FUZZ_SEED").map(_.toLong).getOrElse(8146082L))
+    def term(): String = {
+      val d = tokenArrays(rnd.nextInt(tokenArrays.length)); d(rnd.nextInt(d.length))
+    }
+    // the soup alphabet: valid atoms, operators, stray punctuation —
+    // sequences are mostly malformed; the contract is VERDICT parity
+    // (FTS5 error <=> our loud error; FTS5 row set = our row set)
+    def piece(): String = rnd.nextInt(16) match {
+      case 0 => "AND"
+      case 1 => "OR"
+      case 2 => "NOT"
+      case 3 => "NEAR"
+      case 4 => "("
+      case 5 => ")"
+      case 6 => "\"" + term() + " " + term() + "\""
+      case 7 => "\"\""
+      case 8 => "*"
+      case 9 => "^" + term()
+      case 10 => term() + "*"
+      case 11 => "+"
+      case 12 => ","
+      case 13 => "body:" + term()
+      case 14 => rnd.nextInt(20).toString
+      case _ => term()
+    }
+    val soups = Seq.fill(250)(Seq.fill(1 + rnd.nextInt(5))(piece()).mkString(" "))
+    val named = Seq("body" -> col("text"))
+    // per-soup verdicts
+    case class Verdict(error: Boolean, rows: Set[Long])
+    def realVerdict(q: String): Verdict =
+      try Verdict(error = false, SqliteCli.query(f,
+        s"SELECT rowid FROM d WHERE d MATCH '${q.replace("'", "''")}' ORDER BY rowid;")
+        .map(_.head.get.toLong).toSet)
+      catch { case _: Exception => Verdict(error = true, Set.empty) }
+    val mine: Seq[(String, Either[Throwable, org.apache.spark.sql.Column])] = soups.map { q =>
+      (q, try Right(operators.Fts.matchQueryNamed(named, q))
+        catch { case e: Throwable => Left(e) })
+    }
+    // evaluate the parse-successes in batches of one Spark pass each
+    val evaluated = scala.collection.mutable.Map.empty[String, Set[Long]]
+    mine.collect { case (q, Right(p)) => (q, p) }.zipWithIndex
+      .grouped(32).foreach { batch =>
+        val cols0 = batch.map { case ((_, p), i) => p.as(s"q$i") }
+        val rows = docs.select(col("doc_id").cast("long").as("id") +: cols0: _*).collect()
+        batch.foreach { case ((q, _), i) =>
+          evaluated(q) = rows.filter { r =>
+            val idx = r.fieldIndex(s"q$i"); !r.isNullAt(idx) && r.getBoolean(idx)
+          }.map(_.getLong(0)).toSet
+        }
+      }
+    var errParity = 0
+    mine.foreach { case (q, parsed) =>
+      val real = realVerdict(q)
+      parsed match {
+        case Left(e) =>
+          assert(real.error,
+            s"engine rejected <$q> (${e.getMessage}) but real FTS5 accepts it with rows ${real.rows}")
+          errParity += 1
+        case Right(_) =>
+          assert(!real.error, s"engine accepted <$q> but real FTS5 raises a syntax error")
+          assert(evaluated(q) === real.rows, s"row set diverges from real FTS5 for <$q>")
+      }
+    }
+    // the soup generator must actually exercise BOTH sides of the contract
+    assert(errParity > 50 && errParity < soups.length,
+      s"generator degenerate: $errParity/${soups.length} error-verdicts")
+  }
+
   test("real FTS5: snippet() agrees on short docs, where the window choice degenerates") {
     assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
     import org.apache.spark.sql.functions._
