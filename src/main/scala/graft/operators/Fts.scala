@@ -119,17 +119,22 @@ object Fts {
   }
 
   /** FTS5 phrase match: the quoted-`"a b c"` form — tokens adjacent and
-    * in order. Re-expressed as a substring test on the space-joined
+    * in order WITHIN ONE COLUMN (FTS5 positions are per column; a
+    * phrase never spans a column boundary — pinned against sqlite3:
+    * `"tables spark"` does NOT match a row with title `… tables` and
+    * body `spark …`). Per column, a substring test on the space-joined
     * token stream (tokens never contain spaces, so ` a b c ` in
     * ` tok1 tok2 ... ` is exactly token-adjacency): plain codegen'd
     * string ops, no HOF fallback, no shuffle — the predicate rides the
-    * scan like [[matches]].
+    * scan like [[matches]]; multi-column = OR of the per-column tests.
     */
   def phrase(cols: Seq[Column], phraseText: String): Column = {
     val terms = phraseText.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
     require(terms.nonEmpty, "empty FTS phrase")
-    val stream = concat(lit(" "), array_join(tokens(cols), " "), lit(" "))
-    stream.contains(" " + terms.mkString(" ") + " ")
+    cols.map { c =>
+      val stream = concat(lit(" "), array_join(tokens(Seq(c)), " "), lit(" "))
+      coalesce(stream.contains(" " + terms.mkString(" ") + " "), lit(false))
+    }.reduce(_ || _)
   }
 
   /** FTS5 prefix match: the bare `tok*` form — any token starting with
@@ -148,15 +153,39 @@ object Fts {
     (terms.init.map(t => array_contains(tok, t)) :+ pfx).reduce(_ && _)
   }
 
+  /** Apply FTS5's postfix `*` to an operand string: the prefix flag
+    * lands on the last TOKEN-BEARING piece (`"one tw "*` reads tw* —
+    * trailing separator pieces are tokenizer noise; pinned against
+    * sqlite3). A wholly token-free operand leaves the star inert.
+    */
+  private[graft] def attachStar(text: String): String = {
+    val pieces = text.split("\\s+").filter(_.nonEmpty)
+    val lastTok = pieces.lastIndexWhere(
+      p => p.toLowerCase.split("[^a-z0-9]+").exists(_.nonEmpty))
+    if (lastTok < 0) text
+    else pieces.toIndexedSeq.updated(lastTok, pieces(lastTok) + "*").mkString(" ")
+  }
+
   /** FTS5 phrase-prefix match: the `"a b"*` form — the phrase with its
-    * LAST token read as a prefix (the star INSIDE the quotes is inert
-    * in FTS5: the tokenizer strips it, so `"a b*"` is the plain phrase
-    * — pinned against the sqlite3 binary). Span machinery shared with
-    * NEAR.
+    * LAST TOKEN read as a prefix (a star INSIDE the quotes is a plain
+    * token separator in FTS5, never a prefix — pinned against the
+    * sqlite3 binary). Per column, like [[phrase]]; span machinery
+    * shared with NEAR.
     */
   def phrasePrefix(cols: Seq[Column], phraseText: String): Column = {
-    val np = parseNearPhrase(phraseText + "*")
-    size(spanStarts(tokens(cols), np)._1) > 0
+    val np = parseNearPhrase(attachStar(phraseText))
+    cols.map(c => coalesce(size(spanStarts(tokens(Seq(c)), np)._1) > 0, lit(false)))
+      .reduce(_ || _)
+  }
+
+  /** Phrase presence via the span scan (per column, as FTS5): the
+    * generic path when per-term prefix flags make the substring fast
+    * path inapplicable, and NEAR's single-phrase degenerate case.
+    */
+  private[graft] def spanPresence(cols: Seq[Column], phraseText: String): Column = {
+    val np = parseNearPhrase(phraseText)
+    cols.map(c => coalesce(size(spanStarts(tokens(Seq(c)), np)._1) > 0, lit(false)))
+      .reduce(_ || _)
   }
 
   /** FTS5 initial-token queries (`^term`, `^"a b"`, `^pfx*` —
@@ -295,31 +324,23 @@ object Fts {
         s"syntax error: unexpected end of FTS query (as FTS5): $query")
       val l = lexemes(pos); pos += 1; l
     }
-    // quoted-phrase lexeme -> operand string (keeps a trailing
-    // phrase-prefix star for parseNearPhrase to read)
-    def unqLexeme(p: String): String =
-      if (p.endsWith("\"*")) p.substring(1, p.length - 2) + "*"
-      else p.substring(1, p.length - 1)
-    // one phrase unit: a quoted lexeme, or a bare word that tokenizes
-    // to EXACTLY one term — embedded punctuation in a bare query word
-    // ("quick-brown", "3.5") is a loud syntax error in real FTS5, never
-    // a silent AND (pinned against the sqlite3 binary). Returns
-    // (text, star, quoted); the prefix star is a FLAG, never part of
-    // text — an in-quote trailing star ('"a b*"') is inert in FTS5
-    // (tokenizer-stripped), only the outside-the-quotes form ('"a b"*')
-    // reads as a phrase prefix.
-    // one phrase unit: (text, phraseLike). A postfix '*' is NOT part of
-    // a unit — the parser attaches it afterwards (FTS5 postfix rule).
+    // one phrase unit — a quoted lexeme, or a bare word that tokenizes
+    // to EXACTLY one term (embedded punctuation in a bare query word
+    // like "quick-brown" or "3.5" is a loud syntax error in real FTS5,
+    // never a silent AND; pinned against the sqlite3 binary). Returns
+    // (text, phraseLike). A postfix '*' is NOT part of a unit — the
+    // parser attaches it afterwards (FTS5 postfix rule).
     def unit(lx: String): (String, Boolean) = lx match {
       case p if p.startsWith("\"") =>
         // an EMPTY phrase ('""') is no error in FTS5 — it is a
         // match-nothing operand (false under every composition; pinned
         // against sqlite3); callers read the empty text as lit(false).
-        // EVERY star inside the quotes is tokenizer-inert in FTS5 —
-        // strip them so piece-wise star parsing downstream cannot
-        // misread one as a prefix flag; only a '*' AFTER the closing
-        // quote carries a real (last-term) prefix.
-        (p.substring(1, p.length - 1).replace("*", ""), true)
+        // A star INSIDE the quotes is a TOKEN SEPARATOR in FTS5
+        // ('"vec*tor"' is the two-token phrase 'vec tor', pinned
+        // against sqlite3) — rewrite to a space so piece-wise star
+        // parsing downstream cannot misread one as a prefix flag;
+        // only a '*' AFTER the closing quote is a real prefix.
+        (p.substring(1, p.length - 1).replace("*", " "), true)
       case w =>
         require(w != "(" && w != ")" && w != ":" && w != "{" && w != "}"
           && w != "+" && w != "*" && !w.startsWith("^") && !w.startsWith("-"),
@@ -352,7 +373,7 @@ object Fts {
           // unit, where the single star itself is inert — both FTS5
           require(!lastStarred, s"syntax error near '*' (as FTS5): $query")
           lastStarred = true
-          if (text.nonEmpty) text = text + "*"
+          text = attachStar(text)
         }
       absorbStars()
       while (peek.contains("+")) {
@@ -382,6 +403,7 @@ object Fts {
       var sawComma = false
       var nRead = false
       var gluePlus = false
+      var lastStarred = false
       def pushPhrase(text: String): Unit = {
         require(!sawComma,
           s"syntax error: only the N integer may follow ',' in NEAR (as FTS5): $query")
@@ -390,6 +412,7 @@ object Fts {
           args(args.length - 1) = args.last + " " + text
           gluePlus = false
         } else args += text
+        lastStarred = false
       }
       while (!peek.contains(")")) {
         val raw = next()
@@ -400,10 +423,12 @@ object Fts {
           require(!sawComma, s"syntax error near '+' after ',' in NEAR: $query")
           gluePlus = true
         } else if (raw == "*") {
-          // postfix star attaches to the last phrase's last piece
-          require(!sawComma && !gluePlus && args.nonEmpty && !args.last.endsWith("*"),
+          // postfix star attaches to the last phrase's last token;
+          // doubled stars error even when inert on an empty phrase
+          require(!sawComma && !gluePlus && args.nonEmpty && !lastStarred,
             s"syntax error near '*' in NEAR (as FTS5): $query")
-          if (args.last.nonEmpty) args(args.length - 1) = args.last + "*"
+          lastStarred = true
+          args(args.length - 1) = attachStar(args.last)
         } else if (raw.startsWith("\"")) {
           pushPhrase(unit(raw)._1)
         } else {
@@ -421,8 +446,7 @@ object Fts {
                   s"syntax error: N must be one integer after ',' in NEAR (as FTS5): $query")
                 n = s.toInt; nRead = true
               } else {
-                val body = if (s.endsWith("*")) s.dropRight(1) else s
-                require(body.toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty) == 1,
+                require(s.toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty) == 1,
                   s"syntax error near '$s' in NEAR (as FTS5): $query")
                 pushPhrase(s)
               }
@@ -432,6 +456,10 @@ object Fts {
       }
       require(!gluePlus, s"dangling '+' in NEAR: $query")
       require(!sawComma || nRead, s"missing N after ',' in NEAR (as FTS5): $query")
+      // zero ARGUMENTS ('NEAR()') is a syntax error in real FTS5 —
+      // distinct from all-empty PHRASES ('NEAR("")'), which it accepts
+      // as match-nothing (both pinned against sqlite3)
+      require(args.nonEmpty, s"syntax error: empty NEAR() (as FTS5): $query")
       next() // ")"
       val phrases = args.toSeq
         .filter(_.toLowerCase.split("[^a-z0-9]+").exists(_.nonEmpty))
@@ -448,8 +476,7 @@ object Fts {
         case Seq() => (lit(false), true) // all-empty NEAR: droppable
         // one phrase: the proximity constraint is vacuous — plain
         // phrase presence (pinned against sqlite3: NEAR(a, 0) ≡ a)
-        case Seq(only) =>
-          (size(spanStarts(tokens(colsIn), parseNearPhrase(only))._1) > 0, false)
+        case Seq(only) => (spanPresence(colsIn, only), false)
         // coalesce: an absent phrase makes the gap NULL, and a NULL
         // must read as NO-MATCH (false) — under the grammar's NOT, a
         // bare NULL would otherwise eat the row in three-valued logic
@@ -465,11 +492,14 @@ object Fts {
         case Seq((t, true)) => (matchesPrefix(colsIn, t + "*"), false)
         case pieces if pieces.forall(!_._2) && phraseLike =>
           // starless multi-token phrase: the codegen'd substring-on-
-          // joined-stream fast path
+          // joined-stream fast path (per column, as phrase())
           (phrase(colsIn, pieces.map(_._1).mkString(" ")), false)
         case pieces =>
-          // prefix flags inside the phrase: positional span scan
-          (size(spanStarts(tokens(colsIn), NearPhrase(pieces))._1) > 0, false)
+          // prefix flags inside the phrase: per-column positional span
+          // scan (a phrase never crosses a column boundary — FTS5)
+          (colsIn.map(c =>
+            coalesce(size(spanStarts(tokens(Seq(c)), NearPhrase(pieces))._1) > 0,
+              lit(false))).reduce(_ || _), false)
       }
     }
     def anchoredChain(colsIn: Seq[Column], chain: (String, Boolean)): (Column, Boolean) = {
@@ -819,14 +849,23 @@ object Fts {
     * lists are tiny and the pair expansion is |A|·|B| within one row.
     */
   def nearMinGap(cols: Seq[Column], phraseA: String, phraseB: String): Column = {
-    val toks = tokens(cols)
-    val (sa, la) = spanStarts(toks, parseNearPhrase(phraseA))
-    val (sb, lb) = spanStarts(toks, parseNearPhrase(phraseB))
-    when(size(sa) > 0 && size(sb) > 0,
-      array_min(flatten(transform(sa, x =>
-        transform(sb, y =>
-          greatest(x, y) - least(x + (la - 1), y + (lb - 1)) - 1)))))
-      .cast("long")
+    // per column, as FTS5: positions are column-local, so a NEAR pair
+    // never spans a column boundary (pinned against sqlite3); the
+    // multi-column gap is the least per-column gap (least() skips the
+    // NULLs of columns missing a phrase)
+    val npA = parseNearPhrase(phraseA)
+    val npB = parseNearPhrase(phraseB)
+    val perCol = cols.map { c =>
+      val toks = tokens(Seq(c))
+      val (sa, la) = spanStarts(toks, npA)
+      val (sb, lb) = spanStarts(toks, npB)
+      when(size(sa) > 0 && size(sb) > 0,
+        array_min(flatten(transform(sa, x =>
+          transform(sb, y =>
+            greatest(x, y) - least(x + (la - 1), y + (lb - 1)) - 1)))))
+        .cast("long")
+    }
+    if (perCol.length == 1) perCol.head else least(perCol: _*)
   }
 
   /** k-phrase NEAR gap (FTS5's `NEAR(p1 p2 … pk, N)`): minimize
@@ -844,18 +883,23 @@ object Fts {
     */
   def nearMinGapK(cols: Seq[Column], phrases: Seq[String]): Column = {
     require(phrases.length >= 2, s"nearMinGapK needs >= 2 phrases, got ${phrases.length}")
-    val toks = tokens(cols)
-    val spans = phrases.map(p => spanStarts(toks, parseNearPhrase(p)))
-    val (s0, l0) = spans.head
-    val init = transform(s0, s => struct(s.as("ms"), (s + (l0 - 1)).as("me")))
-    val folded = spans.tail.foldLeft(init) { case (acc, (st, l)) =>
-      flatten(transform(acc, c => transform(st, s => struct(
-        greatest(c.getField("ms"), s).as("ms"),
-        least(c.getField("me"), s + (l - 1)).as("me")))))
+    val nps = phrases.map(parseNearPhrase)
+    // per column, as FTS5 (column-local positions; see nearMinGap)
+    val perCol = cols.map { c =>
+      val toks = tokens(Seq(c))
+      val spans = nps.map(np => spanStarts(toks, np))
+      val (s0, l0) = spans.head
+      val init = transform(s0, s => struct(s.as("ms"), (s + (l0 - 1)).as("me")))
+      val folded = spans.tail.foldLeft(init) { case (acc, (st, l)) =>
+        flatten(transform(acc, c0 => transform(st, s => struct(
+          greatest(c0.getField("ms"), s).as("ms"),
+          least(c0.getField("me"), s + (l - 1)).as("me")))))
+      }
+      when(spans.map { case (s, _) => size(s) > 0 }.reduce(_ && _),
+        array_min(transform(folded, c0 => c0.getField("ms") - c0.getField("me") - lit(1))))
+        .cast("long")
     }
-    when(spans.map { case (s, _) => size(s) > 0 }.reduce(_ && _),
-      array_min(transform(folded, c => c.getField("ms") - c.getField("me") - lit(1))))
-      .cast("long")
+    if (perCol.length == 1) perCol.head else least(perCol: _*)
   }
 
   /** FTS5 `highlight()` — the whole-document companion of [[snippet]]:

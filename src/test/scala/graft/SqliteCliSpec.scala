@@ -272,10 +272,47 @@ class SqliteCliSpec extends SparkSpec {
     // embedded punctuation in a bare query word is a syntax error in
     // real FTS5 ("quick-brown" reads as a column filter, "3.5" as a
     // syntax error) — reproduced loudly, never a silent implicit AND
-    for (bad <- Seq("spark-hash", "3.5", "a..b", "NEAR(a-b c, 2)")) {
+    for (bad <- Seq("spark-hash", "3.5", "a..b", "NEAR(a-b c, 2)", "NEAR()")) {
       intercept[IllegalArgumentException] {
         operators.Fts.matchQuery(Seq(col("text")), bad)
       }
+    }
+  }
+
+  test("real FTS5: phrases and NEAR are column-local; in-quote stars separate tokens") {
+    assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, "hash tables", "spark stream"),
+      (2L, "x tables spark y", "z"),
+      (3L, "vec tor", "q"),
+      (4L, "vector", "q"),
+      (5L, "one two", "three four"))
+    val docs = rows.toDF("id", "a", "b")
+    val f = dbFile()
+    val script = new StringBuilder("CREATE VIRTUAL TABLE d USING fts5(a, b);\nBEGIN;\n")
+    rows.foreach { case (id, a, b) =>
+      script ++= s"INSERT INTO d(rowid, a, b) VALUES ($id, '$a', '$b');\n"
+    }
+    script ++= "COMMIT;\n"
+    SqliteCli.query(f, script.toString)
+    val named = Seq("a" -> col("a"), "b" -> col("b"))
+    val qs = Seq(
+      "\"tables spark\"",       // phrase never spans a column boundary
+      "NEAR(tables spark, 1)",  // ...nor does NEAR proximity
+      "NEAR(two three, 1)",
+      "\"vec*tor\"",            // in-quote star = token separator
+      "\"one tw \"*",           // postfix star lands on the last TOKEN
+      "NEAR(one tw* , 2)",      // prefix flag inside NEAR args
+      "tables + spark")         // '+' adjacency is column-local too
+    for (q <- qs) {
+      val real = SqliteCli.query(f,
+        s"SELECT rowid FROM d WHERE d MATCH '${q.replace("'", "''")}' ORDER BY rowid;")
+        .map(_.head.get.toLong)
+      val mine = docs.filter(operators.Fts.matchQueryNamed(named, q))
+        .select("id").orderBy("id").as[Long].collect().toSeq
+      assert(mine === real, s"column-locality diverges from real FTS5 for <$q>")
     }
   }
 
