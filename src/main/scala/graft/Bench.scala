@@ -111,11 +111,23 @@ object Bench {
     val total =
       if (anyFailed) "null" else results.map(_._2).sum.toString
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
-    println(line)
-    // Persist the full JSON to disk too: the driver's stdout capture
-    // truncates long lines, which has been destroying per-query history
-    // (every BENCH_r*.json so far has parsed:null with a clipped tail).
-    // bench.json = latest run; BENCH_HISTORY.jsonl = append-only log.
+    // The driver captures only the LAST 2000 chars of stdout and parses
+    // the bench JSON out of that tail; the full 210-query line is ~6.4KB,
+    // so every recorded BENCH_r*.json through r10 came back parsed:null.
+    // Print a compact line (slowest 50 queries, 3-decimal rounding,
+    // ~1.6KB — fits the tail even with sbt's trailing "[success]" line)
+    // to stdout; the full-fidelity record goes to bench.json +
+    // BENCH_HISTORY.jsonl below, which are committed with the round.
+    val topQs = results.filter(_._3).sortBy(-_._2).take(50)
+      .map { case (k, v, _) => "\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP) }
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},""" +
+      s""""queries":$topQs,"queries_note":"slowest 50 of ${results.size}; full set in bench.json",""" +
+      s""""failed":$failed,"sf":"$sfDir"}"""
+    println(compact)
+    // Persist the full JSON to disk too: bench.json = latest run;
+    // BENCH_HISTORY.jsonl = append-only log.
     try {
       import java.nio.file.{Files, Paths, StandardOpenOption => O}
       import java.nio.charset.StandardCharsets.UTF_8

@@ -82,8 +82,15 @@ object GraftExtensions {
     ("fts_match", "fts_match(str..., 'query') - FTS5 MATCH grammar predicate over the columns",
       (args: Seq[Expression]) => {
         require(args.length >= 2, "fts_match needs at least (column, 'query')")
-        val q = args.last.eval(null) match {
-          case s: UTF8String => s.toString
+        // Builder-time arguments are UNRESOLVED: eval() on anything but
+        // a Literal throws an opaque UnsupportedOperationException, so
+        // match the node shape instead of evaluating. Foldable non-
+        // literals (concat('a','b')) are rejected too — the grammar is
+        // compiled at plan time and needs the text here, before any
+        // ConstantFolding pass runs.
+        val q = args.last match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(s: UTF8String, _)
+              if s != null => s.toString
           case other => throw new IllegalArgumentException(
             s"FTS query must be a string literal, got $other")
         }

@@ -18,6 +18,14 @@ import graft.functions.PortableHash
   */
 object Sampling {
 
+  /** raise_error message that survives NULL interpolants: concat()
+    * nulls out the whole message if any piece is NULL (raise_error
+    * then fires with a null message, losing the diagnostic), so every
+    * dynamic piece gets a "NULL" sentinel before concatenation.
+    */
+  private def errMsg(parts: Column*): Column =
+    concat(parts.map(p => coalesce(p, lit("NULL"))): _*)
+
   /** Stable bucket in [0, nBuckets) from any string key. */
   def hashBucket(key: Column, nBuckets: Int): Column = {
     require(nBuckets > 0, "nBuckets must be positive")
@@ -120,7 +128,7 @@ object Sampling {
       .withColumnRenamed(stratumCol, "__stratum_key")
     val ranked = Shuffle.groupedRank(
       df.withColumn("__neg_score",
-        when(col(scoreCol).isNull, raise_error(concat(
+        when(col(scoreCol).isNull, raise_error(errMsg(
           lit(s"stratifiedTopPct: NULL $scoreCol for "),
           col(idCol).cast("string"),
           lit(" — coalesce a sentinel before calling"))))
@@ -162,7 +170,7 @@ object Sampling {
     df.withColumn("__ph",
         PortableHash.hash60Seeded(lit(seed), col(tieBreak).cast("string")))
       .withColumn("priority",
-        when(col(weightCol) <= 0, raise_error(concat(
+        when(col(weightCol) <= 0, raise_error(errMsg(
           lit(s"prioritySample: non-positive weight in $weightCol for "),
           col(tieBreak).cast("string"))))
           .otherwise(expr(s"__ph div `$weightCol`")).cast(LongType))
@@ -246,7 +254,7 @@ object Sampling {
       .withColumn("vtime",
         when(col("__vt_raw") >= 0 && col("__vt_raw") < lit(1L << domainBits),
           col("__vt_raw"))
-          .otherwise(raise_error(concat(
+          .otherwise(raise_error(errMsg(
             lit(s"wfqInterleave: vtime out of [0, 2^$domainBits) for "),
             col(sourceCol).cast("string"),
             lit(" rank "), col("src_rank").cast("string"),

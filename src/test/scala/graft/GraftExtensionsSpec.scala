@@ -65,10 +65,20 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT id FROM fts_docs WHERE fts_match(txt, src, 'quick web') ORDER BY id")
       .as[Long].collect().toSeq
     assert(multi === Seq(2L))
-    // a non-literal query is rejected at plan time, loudly
-    intercept[Exception] {
+    // a non-literal query is rejected at plan time with the DESIGNED
+    // message, not an opaque eval-on-unresolved crash (column and
+    // foldable-expression arguments both take this path)
+    val nonLit = intercept[Exception] {
       spark.sql("SELECT fts_match(txt, txt) FROM fts_docs").collect()
     }
+    assert(exceptionChain(nonLit).exists(_.getMessage != null) &&
+      exceptionChain(nonLit).exists(e =>
+        Option(e.getMessage).exists(_.contains("FTS query must be a string literal"))))
+    val foldable = intercept[Exception] {
+      spark.sql("SELECT fts_match(txt, concat('qui', 'ck')) FROM fts_docs").collect()
+    }
+    assert(exceptionChain(foldable).exists(e =>
+      Option(e.getMessage).exists(_.contains("FTS query must be a string literal"))))
     // column filters need names - loud from SQL
     intercept[Exception] {
       spark.sql("SELECT fts_match(txt, 'txt:quick') FROM fts_docs").collect()

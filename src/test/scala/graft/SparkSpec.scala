@@ -24,6 +24,12 @@ object TestSpark {
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
 
+  /** The throwable plus its cause chain (Spark wraps builder-time
+    * errors in analysis/extended-analysis exceptions).
+    */
+  def exceptionChain(e: Throwable): Seq[Throwable] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+
   /** Write fixture content to a temp file, return its path. */
   def tempCsv(name: String, content: String): String = {
     val dir: Path = Files.createTempDirectory("graft-fixture")

@@ -134,6 +134,18 @@ class TextStatsSpec extends SparkSpec {
       Sampling.stratifiedTopPct(nullScore, "lang", "id", "score", 40).collect()
     }
     assert(e.getMessage != null)
+    // ... and the diagnostic survives even when the offending row's ID
+    // is ALSO NULL (plain concat would null the whole message and
+    // raise_error would fire with a null text)
+    val nullBoth = Seq(
+      (Some(1L), "en", Some(0.9)),
+      (None: Option[Long], "en", None: Option[Double])
+    ).toDF("id", "lang", "score")
+    val e2 = intercept[Exception] {
+      Sampling.stratifiedTopPct(nullBoth, "lang", "id", "score", 40).collect()
+    }
+    assert(exceptionChain(e2).exists(t => Option(t.getMessage)
+      .exists(m => m.contains("stratifiedTopPct") && m.contains("NULL"))))
   }
 
   test("chunking: strided windows, short tail, single chunk for short/empty docs") {
