@@ -59,6 +59,7 @@ object SparkEntry {
     "x_fts_near" -> (ParityQueries.ftsNear _),
     "x_fts_prefix" -> (ParityQueries.ftsPrefix _),
     "x_fts_colfilter" -> (ParityQueries.ftsColFilter _),
+    "x_fts_colset_expr" -> (ParityQueries.ftsColSetExpr _),
     "x_fts_near3" -> (ParityQueries.ftsNear3 _),
     "x_fts_anchor" -> (ParityQueries.ftsAnchor _),
     "x_span_corrupt" -> (CorpusQueries.spanCorrupt _),
@@ -363,6 +364,7 @@ object SparkEntry {
     "x_fts_near" -> ParityQueries.ftsNearOracle,
     "x_fts_prefix" -> ParityQueries.ftsPrefixOracle,
     "x_fts_colfilter" -> ParityQueries.ftsColFilterOracle,
+    "x_fts_colset_expr" -> ParityQueries.ftsColSetExprOracle,
     "x_fts_near3" -> ParityQueries.ftsNear3Oracle,
     "x_fts_anchor" -> ParityQueries.ftsAnchorOracle,
     "x_span_corrupt" -> CorpusQueries.spanCorruptOracle,

@@ -228,7 +228,7 @@ object Fts {
     *   and     := not ( AND not )*
     *   not     := juxta ( NOT juxta )*        // binary: a NOT b
     *   juxta   := primary+                    // implicit AND (tightest)
-    *   primary := [colspec ':'] operand | '(' query ')'
+    *   primary := [colspec ':'] ( operand | '(' query ')' )
     *   colspec := col | '{' col+ '}'          // optionally '-'-negated
     *   operand := NEAR '(' p+ [, N] ')'       // k-phrase, N=10
     *            | ['^'] chain                 // optionally ^-anchored
@@ -256,10 +256,14 @@ object Fts {
 
   /** [[matchQuery]] over NAMED columns, enabling FTS5 column-filter
     * syntax: `title:spark`, `body:"hash join"`, `title:sp*`,
-    * `body:NEAR(a b, 3)`, column sets `{title body}:term`, and negated
+    * `body:NEAR(a b, 3)`, column sets `{title body}:term`, negated
     * sets `-title:term` / `-{title body}:term` (all columns EXCEPT the
-    * named ones) — whitespace allowed around ':' as in real FTS5
-    * (pinned against the sqlite3 binary). Names are matched
+    * named ones), and filtered sub-queries `title:(a OR b)` — the
+    * filter scopes EVERYTHING inside the parentheses, and nested
+    * filters INTERSECT: `title:(body:x)` restricts to {title} ∩ {body}
+    * = ∅ and matches nothing (no error), same for a negation that
+    * excludes every column — all pinned against the sqlite3 binary.
+    * Whitespace is allowed around ':'; names are matched
     * case-insensitively; an unknown column is a loud error, as FTS5.
     */
   def matchQueryNamed(cols: Seq[(String, Column)], query: String): Column =
@@ -267,26 +271,27 @@ object Fts {
 
   private def matchQueryImpl(
       allCols: Seq[Column], named: Option[Seq[(String, Column)]], query: String): Column = {
-    def resolve(name: String): Seq[Column] = {
+    // The active column CONTEXT a (possibly nested) filter scope allows.
+    // FTS5 semantics (pinned against sqlite3 3.51): a filter RESTRICTS
+    // the context — `col:` / `{a b}:` intersects it with the named
+    // columns, `-col:` / `-{a b}:` removes them. Nested filters
+    // therefore intersect (`title:(body:x)` → {title} ∩ {body} = ∅),
+    // and a context emptied this way — including a top-level negation
+    // that excludes every column (`-{title body}:x`) — matches NOTHING
+    // without error.
+    type Ctx = Seq[(String, Column)]
+    val universe: Ctx = named.getOrElse(allCols.map(c => "" -> c))
+    def resolveSet(names: Seq[String], negate: Boolean, ctx: Ctx): Ctx = {
       val ns = named.getOrElse(throw new IllegalArgumentException(
-        s"column filter '$name:' needs named columns — use Fts.matchQueryNamed: $query"))
-      val hit = ns.collect { case (n, c) if n.equalsIgnoreCase(name) => c }
-      if (hit.isEmpty) throw new IllegalArgumentException(
-        s"no such FTS column '$name' in query: $query")
-      hit
-    }
-    def resolveSet(names: Seq[String], negate: Boolean): Seq[Column] = {
+        s"column filter needs named columns — use Fts.matchQueryNamed: $query"))
       val uniq = names.map(_.toLowerCase).distinct
-      if (!negate) uniq.flatMap(resolve)
-      else {
-        val ns = named.getOrElse(throw new IllegalArgumentException(
-          s"column filter needs named columns — use Fts.matchQueryNamed: $query"))
-        uniq.foreach(resolve) // unknown names are loud even under '-'
-        val rest = ns.collect { case (n, c) if !uniq.contains(n.toLowerCase) => c }
-        if (rest.isEmpty) throw new IllegalArgumentException(
-          s"negated column set excludes every column: $query")
-        rest
+      uniq.foreach { n => // unknown names are loud even under '-'
+        if (!ns.exists(_._1.equalsIgnoreCase(n)))
+          throw new IllegalArgumentException(
+            s"no such FTS column '$n' in query: $query")
       }
+      if (negate) ctx.filterNot { case (n, _) => uniq.contains(n.toLowerCase) }
+      else ctx.filter { case (n, _) => uniq.contains(n.toLowerCase) }
     }
     // lexer: parens, colon (the column-filter operator), braces (column
     // sets), quoted phrases (a '*' glued right after the closing quote
@@ -474,6 +479,9 @@ object Fts {
       // 'quick AND ""' ≡ nothing)
       phrases match {
         case Seq() => (lit(false), true) // all-empty NEAR: droppable
+        // an emptied filter context matches nothing (parse already ran
+        // in full, so syntax errors inside the group stay loud)
+        case _ if colsIn.isEmpty => (lit(false), false)
         // one phrase: the proximity constraint is vacuous — plain
         // phrase presence (pinned against sqlite3: NEAR(a, 0) ≡ a)
         case Seq(only) => (spanPresence(colsIn, only), false)
@@ -488,6 +496,7 @@ object Fts {
       val (text, phraseLike) = chain
       parsePieces(text) match {
         case Seq() => (lit(false), true) // '""': match-nothing, droppable
+        case _ if colsIn.isEmpty => (lit(false), false) // emptied filter ctx
         case Seq((t, false)) => (matches(colsIn, t), false)
         case Seq((t, true)) => (matchesPrefix(colsIn, t + "*"), false)
         case pieces if pieces.forall(!_._2) && phraseLike =>
@@ -505,6 +514,7 @@ object Fts {
     def anchoredChain(colsIn: Seq[Column], chain: (String, Boolean)): (Column, Boolean) = {
       val (text, _) = chain
       if (parsePieces(text).isEmpty) (lit(false), true) // '^""': droppable
+      else if (colsIn.isEmpty) (lit(false), false) // emptied filter ctx
       else (matchesAnchored(colsIn, text), false)
     }
     def operandFrom(lx: String, colsIn: Seq[Column]): (Column, Boolean) = lx match {
@@ -515,13 +525,15 @@ object Fts {
         anchoredChain(colsIn, parseChain(w.drop(1)))
       case other => chainPredicate(colsIn, parseChain(other))
     }
-    // operand of a column filter: FTS5 allows a phrase, prefix, term,
-    // anchored form, '+'-chain, or NEAR group after `col:` — not a
-    // parenthesized sub-query or a nested column filter
-    def colOperand(colsIn: Seq[Column]): (Column, Boolean) = {
-      require(peek.exists(l => l != "(" && l != ")" && l != ":" && l != "{" && l != "}"),
+    // operand of a column filter when NOT parenthesized: a phrase,
+    // prefix, term, anchored form, '+'-chain, or NEAR group after
+    // `col:` (the parenthesized-sub-query form is handled by
+    // filterBody, which re-enters the full grammar under the
+    // restricted context)
+    def colOperand(ctx: Ctx): (Column, Boolean) = {
+      require(peek.exists(l => l != ")" && l != ":" && l != "{" && l != "}"),
         s"missing operand after column filter in FTS query: $query")
-      operandFrom(next(), colsIn)
+      operandFrom(next(), ctx.map(_._2))
     }
     // column-set names between '{' and '}' (whitespace-separated;
     // commas are a syntax error in real FTS5 and lex as bare words
@@ -538,27 +550,42 @@ object Fts {
       require(names.nonEmpty, s"empty column set in FTS query: $query")
       names.toSeq
     }
-    def afterColon(colsIn: Seq[Column]): (Column, Boolean) = {
+    // what follows a resolved `col:` / `{set}:` — either one plain
+    // operand, or a parenthesized SUB-QUERY evaluated under the
+    // restricted context (`title:(a OR body:b)`; pinned against
+    // sqlite3). The filtered group counts as parenthesized for the
+    // juxtaposition rule ('x title:(a)' errors, like 'x (a)').
+    def filterBody(ctx: Ctx): (Column, Boolean, Boolean) =
+      if (peek.contains("(")) {
+        next()
+        val inner = orExpr(ctx)
+        require(peek.contains(")"), s"missing ')' in FTS query: $query"); next()
+        (inner, false, true)
+      } else {
+        val (c, drop) = colOperand(ctx); (c, drop, false)
+      }
+    def afterColon(ctx: Ctx): (Column, Boolean, Boolean) = {
       require(peek.contains(":"), s"expected ':' after column set in FTS query: $query")
       next()
-      colOperand(colsIn)
+      filterBody(ctx)
     }
-    // (predicate, droppableEmpty): the empty flag marks operands whose
-    // whole phrase content is empty — FTS5 drops them from implicit-AND
-    // lists (see nearGroup's note); a paren group is never droppable
-    def primary(): (Column, Boolean) = next() match {
+    // (predicate, droppableEmpty, parenGroup): the empty flag marks
+    // operands whose whole phrase content is empty — FTS5 drops them
+    // from implicit-AND lists (see nearGroup's note); a paren group is
+    // never droppable, and the paren flag feeds the juxtaposition rule
+    def primary(ctx: Ctx): (Column, Boolean, Boolean) = next() match {
       case "(" =>
-        val inner = orExpr()
+        val inner = orExpr(ctx)
         require(peek.contains(")"), s"missing ')' in FTS query: $query"); next()
-        (inner, false)
-      case "{" => afterColon(resolveSet(readColSetNames(), negate = false))
+        (inner, false, true)
+      case "{" => afterColon(resolveSet(readColSetNames(), negate = false, ctx))
       case "-" if peek.contains("{") =>
-        next(); afterColon(resolveSet(readColSetNames(), negate = true))
+        next(); afterColon(resolveSet(readColSetNames(), negate = true, ctx))
       case w if w.startsWith("-") && w.length > 1 && peek.contains(":") =>
-        next(); colOperand(resolveSet(Seq(w.drop(1)), negate = true))
+        next(); filterBody(resolveSet(Seq(w.drop(1)), negate = true, ctx))
       case w if !w.startsWith("\"") && !w.startsWith("^") && w != "NEAR" && peek.contains(":") =>
-        next(); colOperand(resolve(w))
-      case lx => operandFrom(lx, allCols)
+        next(); filterBody(resolveSet(Seq(w), negate = false, ctx))
+      case lx => val (c, d) = operandFrom(lx, ctx.map(_._2)); (c, d, false)
     }
     // one juxtaposition (implicit-AND) list — the TIGHTEST binding
     // level in real FTS5 ('a NOT b c' ≡ 'a NOT (b c)', pinned against
@@ -566,40 +593,39 @@ object Fts {
     // Empty operands drop out; a list of ONLY empties is match-nothing.
     // Juxtaposition is legal between phrase-ish atoms only — FTS5
     // raises a syntax error when either neighbor is a parenthesized
-    // group ('(a) b', 'a (b)', '(a) (b)' all error)
-    def juxtaList(): Column = {
+    // group ('(a) b', 'a (b)', '(a) (b)', 'a title:(b)' all error)
+    def juxtaList(ctx: Ctx): Column = {
       val kept = scala.collection.mutable.ArrayBuffer.empty[Column]
-      var lastParen = peek.contains("(")
-      val (c0, drop0) = primary()
+      val (c0, drop0, paren0) = primary(ctx)
+      var lastParen = paren0
       if (!drop0) kept += c0
       while (peek.exists(l => l != ")" && l != "OR" && l != "NOT" && l != "AND")) {
-        val nextParen = peek.contains("(")
-        require(!lastParen && !nextParen,
+        val (c2, drop2, paren2) = primary(ctx)
+        require(!lastParen && !paren2,
           s"syntax error: a parenthesized group needs an explicit AND/OR/NOT (as FTS5): $query")
-        lastParen = nextParen
-        val (c2, drop2) = primary()
+        lastParen = paren2
         if (!drop2) kept += c2
       }
       if (kept.isEmpty) lit(false) else kept.reduce(_ && _)
     }
     // binding loosest→tightest: OR < AND < NOT < juxtaposition
-    def notExpr(): Column = {
-      var acc = juxtaList()
-      while (peek.contains("NOT")) { next(); acc = acc && !juxtaList() }
+    def notExpr(ctx: Ctx): Column = {
+      var acc = juxtaList(ctx)
+      while (peek.contains("NOT")) { next(); acc = acc && !juxtaList(ctx) }
       acc
     }
-    def andExpr(): Column = {
-      var acc = notExpr()
-      while (peek.contains("AND")) { next(); acc = acc && notExpr() }
+    def andExpr(ctx: Ctx): Column = {
+      var acc = notExpr(ctx)
+      while (peek.contains("AND")) { next(); acc = acc && notExpr(ctx) }
       acc
     }
-    def orExpr(): Column = {
-      var acc = andExpr()
-      while (peek.contains("OR")) { next(); acc = acc || andExpr() }
+    def orExpr(ctx: Ctx): Column = {
+      var acc = andExpr(ctx)
+      while (peek.contains("OR")) { next(); acc = acc || andExpr(ctx) }
       acc
     }
     require(lexemes.nonEmpty, "empty FTS query")
-    val result = orExpr()
+    val result = orExpr(universe)
     require(pos == lexemes.length, s"trailing tokens in FTS query: $query")
     result
   }

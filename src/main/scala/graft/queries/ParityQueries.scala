@@ -360,6 +360,36 @@ object ParityQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** S13 extension — filtered SUB-QUERIES (`col:(expr)`): the column
+    * filter scopes a whole parenthesized boolean expression, and nested
+    * filters intersect the context — `text:(lang:de OR hash)` reduces
+    * to `text:hash` because {text} ∩ {lang} = ∅ matches nothing (pinned
+    * against the sqlite3 binary; fuzz-verified over two-column corpora
+    * in SqliteCliSpec).
+    */
+  def ftsColSetExpr(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val named = Seq("text" -> col("text"), "lang" -> col("lang"), "source" -> col("source"))
+    docs.filter(Fts.matchQueryNamed(named,
+        """text:(spark AND vector NOT "spark vector") OR {lang source}:(en src3) OR text:(lang:de OR hash)"""))
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  val ftsColSetExprOracle: String = {
+    val toks = DuckSql.tokens("text")
+    val stream = s"' ' || array_to_string($toks, ' ') || ' '"
+    def inCol(c: String, t: String) = s"list_contains(${DuckSql.tokens(c)}, '$t')"
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source
+       |FROM documents
+       |WHERE (list_contains($toks, 'spark') AND list_contains($toks, 'vector')
+       |        AND NOT position(' spark vector ' IN $stream) > 0)
+       |   OR ((${inCol("lang", "en")} OR ${inCol("source", "en")})
+       |        AND (${inCol("lang", "src3")} OR ${inCol("source", "src3")}))
+       |   OR list_contains($toks, 'hash')
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** S13 extension — k-phrase NEAR (`NEAR(p1 p2 p3, N)`): FTS5's clump
     * rule, min over one-occurrence-per-phrase assignments of
     * `max(start) − min(end) − 1` ([[Fts.nearMinGapK]]) — pinned against

@@ -352,7 +352,31 @@ class SqliteCliSpec extends SparkSpec {
       "title:^spark",                      // anchored inside a column filter
       "^\"hash tables\"",                  // anchored phrase
       "^ha*",                              // anchored prefix
-      "-title:^spark")                     // anchored in a negated filter
+      "-title:^spark",                     // anchored in a negated filter
+      "-{title body}:spark",               // negation emptying the context: match-nothing, NOT an error
+      // ---- filtered sub-queries: `col:(expr)` scopes the whole group
+      "title:(spark OR hash)",
+      "title:(spark hash)",                // juxtaposition inside the group
+      "{title body}:(spark AND vector)",
+      "-title:(spark OR hash)",
+      "title:(spark NOT hash)",
+      "title : (spark OR hash)",           // whitespace around ':'
+      "title:((spark))",
+      "title:(^spark engine)",             // anchor + juxta inside
+      "title:(NEAR(spark engine, 2))",
+      "title:(spark*)",
+      "title:(spark+engine)",
+      "title:(\"\" OR spark)",             // empty phrase inside the group
+      "title:(\"\")",                      // whole group match-nothing
+      // nested filters INTERSECT the context
+      "title:(body:spark)",                // {title} ∩ {body} = ∅: empty, no error
+      "{title body}:(title:spark)",
+      "title:(body:spark OR spark)",
+      "title:(-body:spark)",               // inner negation removes from ctx
+      "title:(-title:spark)",              // ...to empty: match-nothing
+      "-title:(body:spark)",
+      "{title}:(body:\"\")",
+      "body:(title:(spark))")              // doubly nested
     for (q <- colQueries) {
       val real = SqliteCli.query(f,
         s"SELECT rowid FROM d WHERE d MATCH '$q' ORDER BY rowid;")
@@ -372,13 +396,16 @@ class SqliteCliSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       operators.Fts.matchQueryNamed(named, "{title nosuch}:spark")
     }
-    // a negation that excludes every column cannot match anything — loud
-    intercept[IllegalArgumentException] {
-      operators.Fts.matchQueryNamed(named, "-{title body}:spark")
-    }
     // '^' inside NEAR is a syntax error in real FTS5 — reproduced loudly
     intercept[IllegalArgumentException] {
       operators.Fts.matchQueryNamed(named, "NEAR(^spark engine, 3)")
+    }
+    // error parity on the filtered-group edges (each probed against
+    // sqlite3 3.51): empty group, juxtaposed group, postfix star on a
+    // group, column filter inside NEAR
+    for (bad <- Seq("title:()", "title:(spark OR)", "spark title:(hash)",
+        "title:(hash) spark", "title:(spark)*", "NEAR(title:(spark) engine, 2)")) {
+      intercept[Exception] { operators.Fts.matchQueryNamed(named, bad) }
     }
     // the unnamed entry point rejects column filters loudly
     intercept[IllegalArgumentException] {
@@ -460,6 +487,145 @@ class SqliteCliSpec extends SparkSpec {
         assert(mine === real(i), s"row set diverges from real FTS5 for <$q>")
       }
     }
+  }
+
+  test("property: 200 random MULTI-COLUMN grammar queries — verdict parity with real FTS5") {
+    // The single-column fuzz above cannot stress column filters, sets,
+    // negation, or filtered sub-queries (`title:(a OR b)`) — this one
+    // runs the same methodology over a two-column corpus with a
+    // generator that emits every colspec shape, including nested
+    // filters whose contexts intersect to empty. Verdict parity (not
+    // just row parity): juxtaposed filtered groups and similar combos
+    // are syntax errors in real FTS5, and must be loud here too.
+    assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // split each doc's token stream: first third -> title, rest -> body
+    // (overlapping vocabulary, so cross-column hits are non-trivial)
+    val raw = Tables.loadSpread(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id").cast("long"), operators.Fts.tokens(Seq(col("text"))))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+      .filter(_._2.length >= 3).sortBy(_._1)
+    val rows = raw.map { case (id, toks) =>
+      val cut = math.max(1, toks.length / 3)
+      (id, toks.take(cut).mkString(" "), toks.drop(cut).mkString(" "))
+    }
+    val docs = rows.toSeq.toDF("id", "title", "body")
+    val f = dbFile()
+    val script = new StringBuilder("CREATE VIRTUAL TABLE d USING fts5(title, body);\nBEGIN;\n")
+    rows.foreach { case (id, t, b) =>
+      script ++= s"INSERT INTO d(rowid, title, body) VALUES ($id, '${t.replace("'", "''")}', '${b.replace("'", "''")}');\n"
+    }
+    script ++= "COMMIT;\n"
+    SqliteCli.query(f, script.toString)
+    val named = Seq("title" -> col("title"), "body" -> col("body"))
+    val vocab = rows.flatMap { case (_, t, b) => t.split(" ") ++ b.split(" ") }.filter(_.nonEmpty)
+    val rnd = new scala.util.Random(sys.env.get("FTS_FUZZ_SEED").map(_.toLong).getOrElse(20260815L))
+    def term(): String =
+      if (rnd.nextInt(6) == 0) "zzzq" + rnd.nextInt(3) else vocab(rnd.nextInt(vocab.length))
+    def window(len: Int): Seq[String] = {
+      val (_, t, b) = rows(rnd.nextInt(rows.length))
+      val d = (if (rnd.nextBoolean()) t else b).split(" ").filter(_.nonEmpty)
+      if (d.length <= len) d.toSeq
+      else { val s = rnd.nextInt(d.length - len); d.slice(s, s + len).toSeq }
+    }
+    def phraseAtom(): String = "\"" + window(2 + rnd.nextInt(2)).mkString(" ") + "\""
+    def prefixAtom(): String = {
+      val t = term(); t.substring(0, math.min(t.length, 1 + rnd.nextInt(3))) + "*"
+    }
+    def near(): String = {
+      val args = Seq.fill(2 + rnd.nextInt(2))(
+        if (rnd.nextInt(4) == 0) "\"" + window(2).mkString(" ") + "\"" else term()).mkString(" ")
+      if (rnd.nextBoolean()) s"NEAR($args, ${rnd.nextInt(9)})" else s"NEAR($args)"
+    }
+    def colspec(): String = rnd.nextInt(6) match {
+      case 0 => "-title"
+      case 1 => "-body"
+      case 2 => "{title body}"
+      case 3 => "-{" + (if (rnd.nextBoolean()) "title" else "body") + "}"
+      case 4 => "title"
+      case _ => "body"
+    }
+    def colOperand(): String = rnd.nextInt(6) match {
+      case 0 => phraseAtom()
+      case 1 => prefixAtom()
+      case 2 => near()
+      case 3 => "^" + term()
+      case 4 => "\"\""
+      case _ => term()
+    }
+    def atom(depth: Int): String = rnd.nextInt(12) match {
+      case 0 => phraseAtom()
+      case 1 => prefixAtom()
+      case 2 => "^" + term()
+      case 3 => near()
+      case 4 | 5 | 6 => colspec() + ":" + colOperand()
+      case 7 | 8 if depth > 0 => colspec() + ":(" + expr(depth - 1) + ")"
+      case 9 if depth > 0 => // nested filter: contexts intersect
+        colspec() + ":(" + colspec() + ":" + colOperand() + ")"
+      case _ => term()
+    }
+    def expr(depth: Int): String =
+      if (depth == 0) atom(0)
+      else rnd.nextInt(7) match {
+        case 0 => s"(${expr(depth - 1)}) OR (${expr(depth - 1)})"
+        case 1 => s"(${expr(depth - 1)}) AND (${expr(depth - 1)})"
+        case 2 => s"(${expr(depth - 1)}) NOT (${expr(depth - 1)})"
+        case 3 => s"${atom(depth - 1)} ${atom(depth - 1)}" // juxtaposition (may error)
+        case 4 => s"${atom(depth - 1)} OR ${atom(depth - 1)} NOT ${atom(depth - 1)}"
+        case 5 => s"${atom(depth - 1)} AND ${atom(depth - 1)}"
+        case _ => atom(depth - 1)
+      }
+    // 200 random queries + deterministic error shapes (a seed may
+    // randomly produce few syntax errors; the contract's error side
+    // must be exercised every run)
+    val queries = Seq.fill(200)(expr(1 + rnd.nextInt(2))) ++ Seq(
+      s"${term()} title:(${term()})",       // juxtaposed filtered group
+      s"title:(${term()}) ${term()}",
+      "title:()",
+      s"title:(${term()} OR)",
+      s"title:(${term()})*",
+      s"NEAR(title:(${term()}) ${term()}, 2)",
+      s"nosuch:(${term()})")                // unknown column before group
+    case class Verdict(error: Boolean, rows: Set[Long])
+    def realVerdict(q: String): Verdict =
+      try Verdict(error = false, SqliteCli.query(f,
+        s"SELECT rowid FROM d WHERE d MATCH '${q.replace("'", "''")}' ORDER BY rowid;")
+        .map(_.head.get.toLong).toSet)
+      catch { case _: Exception => Verdict(error = true, Set.empty) }
+    val mine: Seq[(String, Either[Throwable, org.apache.spark.sql.Column])] = queries.map { q =>
+      (q, try Right(operators.Fts.matchQueryNamed(named, q))
+        catch { case e: Throwable => Left(e) })
+    }
+    val evaluated = scala.collection.mutable.Map.empty[String, Set[Long]]
+    mine.collect { case (q, Right(p)) => (q, p) }.zipWithIndex
+      .grouped(32).foreach { batch =>
+        val cols0 = batch.map { case ((_, p), i) => p.as(s"q$i") }
+        val res = docs.select(col("id") +: cols0: _*).collect()
+        batch.foreach { case ((q, _), i) =>
+          evaluated(q) = res.filter { r =>
+            val idx = r.fieldIndex(s"q$i"); !r.isNullAt(idx) && r.getBoolean(idx)
+          }.map(_.getLong(0)).toSet
+        }
+      }
+    var nErr = 0
+    var nHit = 0
+    mine.foreach { case (q, parsed) =>
+      val real = realVerdict(q)
+      parsed match {
+        case Left(e) =>
+          assert(real.error,
+            s"engine rejected <$q> (${e.getMessage}) but real FTS5 accepts it with rows ${real.rows}")
+          nErr += 1
+        case Right(_) =>
+          assert(!real.error, s"engine accepted <$q> but real FTS5 raises a syntax error")
+          assert(evaluated(q) === real.rows, s"row set diverges from real FTS5 for <$q>")
+          if (real.rows.nonEmpty) nHit += 1
+      }
+    }
+    // the generator must exercise both verdicts and produce real hits
+    assert(nErr >= 7 && nErr < queries.length / 2, s"generator degenerate: $nErr errors")
+    assert(nHit > 50, s"generator degenerate: only $nHit non-empty row sets")
   }
 
   test("property: error parity — random lexeme soups error or match exactly as FTS5") {
