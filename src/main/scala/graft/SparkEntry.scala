@@ -237,6 +237,7 @@ object SparkEntry {
     "x_ann_ivf_trained" -> (SimilarityQueries.annIvfTrained _),
     // extensions: event-time windows + multimodal plumbing
     "x_events_asof" -> (EventQueries.asofJoin _),
+    "x_events_asof_exec" -> (EventQueries.asofJoinExec _),
     "x_events_asof_nearest" -> (EventQueries.asofNearest _),
     "x_events_range_join" -> (EventQueries.rangeJoin _),
     "x_events_interval_overlap" -> (EventQueries.intervalOverlap _),
@@ -534,6 +535,7 @@ object SparkEntry {
     "x_cluster_topics" -> SimilarityQueries.clusterTopicsOracle,
     "x_ann_ivf_trained" -> SimilarityQueries.annIvfTrainedOracle,
     "x_events_asof" -> EventQueries.asofJoinOracle,
+    "x_events_asof_exec" -> EventQueries.asofJoinExecOracle,
     "x_events_asof_nearest" -> EventQueries.asofNearestOracle,
     "x_events_range_join" -> EventQueries.rangeJoinOracle,
     "x_events_interval_overlap" -> EventQueries.intervalOverlapOracle,

@@ -49,6 +49,56 @@ object AsOf {
       .select(col("__l.*"), col("__match").as(asofCol))
   }
 
+  /** [[joinPrior]] through the CUSTOM PHYSICAL OPERATOR
+    * ([[graft.plans.AsofJoinExec]]) instead of the union+window
+    * composition — same output contract (left columns + nullable
+    * `asofCol` struct; AsofExecSpec pins row-for-row equivalence).
+    * Each side shuffles its OWN rows once on the key, sorts
+    * (key, time), and a streaming per-partition merge holds ONE
+    * candidate payload. EnsureRequirements places the exchanges, so an
+    * already-partitioned side (bucketed table, prior aggregation)
+    * shuffles zero times, and AQE coalesces both sides together.
+    *
+    * When to prefer which (measured, AsofSkewProbe): on small BALANCED
+    * inputs the composed form's single exchange is slightly cheaper
+    * (two stages of fixed overhead vs one); on HOT KEYS the exec is
+    * ~1.6x faster (2M and 8M rows/side on one key) and — the part that
+    * matters at 100 TB — O(1) memory per key, where the window form
+    * buffers every row of the hot key in the WindowExec frame array
+    * (ExternalAppendOnlyUnsafeRowArray: allocate, then spill). The exec
+    * cannot OOM or spill on skew; the window form degrades with the
+    * biggest key.
+    *
+    * Registers [[graft.plans.AsofJoinStrategy]] on the session
+    * idempotently — no `withExtensions` wiring needed.
+    */
+  def joinPriorMerge(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String,
+      payloadCols: Seq[String], asofCol: String = "asof",
+      strict: Boolean = true): DataFrame = {
+    val spark = left.sparkSession
+    val shim = org.apache.spark.sql.graftshim.GraftShim
+    shim.addStrategy(spark, graft.plans.AsofJoinStrategy)
+    // re-alias the right side: fresh exprIds (safe under self-join) and
+    // reserved names for key/time so payload columns keep their own
+    val r = right.select(
+      (col(keyCol).as("__asof_k") +: col(tsCol).as("__asof_t") +:
+        payloadCols.map(c => col(c).as(c))): _*)
+    val lp = shim.analyzed(left)
+    val rp = shim.analyzed(r)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column '$name' in ${p.output.map(_.name)}"))
+    val payload = payloadCols.map(c => attr(rp, c))
+    shim.ofRows(spark, graft.plans.AsofJoin(
+      lp, rp,
+      attr(lp, keyCol), attr(rp, "__asof_k"),
+      attr(lp, tsCol), attr(rp, "__asof_t"),
+      payload, strict,
+      graft.plans.AsofJoin.outAttrFor(asofCol, payload)))
+  }
+
   /** NEAREST-event join: for each left row, the right row with the same
     * key whose time is CLOSEST in either direction, within `tolerance`
     * time units — the sensor/log alignment variant of [[joinPrior]]

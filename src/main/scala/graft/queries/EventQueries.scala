@@ -212,6 +212,34 @@ object EventQueries {
       |FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND p.ts > e.ts
       |ORDER BY purchase_id""".stripMargin
 
+  /** The SAME as-of semantics through the custom physical operator
+    * ([[AsOf.joinPriorMerge]] → [[graft.plans.AsofJoinExec]]): each
+    * side shuffles its own rows once on user_id, sorts (user_id, ts),
+    * and a per-partition streaming merge attaches the latest
+    * strictly-prior error. Graded against DuckDB's native ASOF LEFT
+    * JOIN — the operator's third independent implementation (composed
+    * window, custom exec, DuckDB).
+    */
+  def asofJoinExec(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    AsOf.joinPriorMerge(purchases, errors, "user_id", "ts",
+        payloadCols = Seq("event_id", "ts", "value"))
+      .select(col("event_id").cast(LongType).as("purchase_id"),
+        col("user_id").cast(LongType).as("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("purchase_ts"),
+        coalesce(col("asof.event_id").cast(LongType), lit(-1L)).as("error_id"),
+        coalesce(date_format(col("asof.ts"), "yyyy-MM-dd'T'HH:mm:ss"),
+          lit("none")).as("error_ts"),
+        coalesce(col("asof.value"), lit(0.0d)).as("error_value"))
+      .orderBy("purchase_id")
+  }
+
+  val asofJoinExecOracle: String = asofJoinOracle
+
   /** NEAREST-event as-of variant ([[AsOf.joinNearest]]): every purchase
     * annotated with the closest error event of the same user in EITHER
     * direction, within a 1-hour tolerance; |delta| ties prefer the

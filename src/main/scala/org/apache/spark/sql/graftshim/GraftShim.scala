@@ -28,6 +28,35 @@ object GraftShim {
   def expressionEager(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** `Dataset.ofRows` for custom logical plans (private[sql] in Spark):
+    * the entry point graft's custom operators use to hand a hand-built
+    * [[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] node
+    * back to the planner.
+    */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The ANALYZED logical plan of a DataFrame — resolved attributes
+    * with stable exprIds, ready to embed as a child of a custom node.
+    */
+  def analyzed(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
+
+  /** Idempotently add a planner strategy to a LIVE session
+    * (`experimental.extraStrategies` — the runtime analogue of
+    * `SparkSessionExtensions.injectPlannerStrategy`).
+    */
+  def addStrategy(
+      spark: org.apache.spark.sql.SparkSession,
+      strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!cs.experimental.extraStrategies.contains(strategy))
+      cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ strategy
+  }
+
   /** Register a function builder on a LIVE session (the
     * `withExtensions` path only applies at session construction —
     * `getOrCreate` silently ignores it when a session already exists).
