@@ -139,6 +139,7 @@ object SparkEntry {
     "x_priority_sample" -> (CorpusQueries.prioritySample _),
     "x_top_terms" -> (CorpusQueries.topTerms _),
     "x_cms_freq" -> (CorpusQueries.cmsFreq _),
+    "x_hist_quantiles" -> (CorpusQueries.histQuantiles _),
     "x_zorder_layout" -> (CorpusQueries.zorderLayout _),
     "x_oov_rate" -> (CorpusQueries.oovRate _),
     "x_vocab_growth" -> (CorpusQueries.vocabGrowth _),
@@ -445,6 +446,7 @@ object SparkEntry {
     "x_priority_sample" -> CorpusQueries.prioritySampleOracle,
     "x_top_terms" -> CorpusQueries.topTermsOracle,
     "x_cms_freq" -> CorpusQueries.cmsFreqOracle,
+    "x_hist_quantiles" -> CorpusQueries.histQuantilesOracle,
     "x_zorder_layout" -> CorpusQueries.zorderLayoutOracle,
     "x_oov_rate" -> CorpusQueries.oovRateOracle,
     "x_vocab_growth" -> CorpusQueries.vocabGrowthOracle,

@@ -1079,6 +1079,34 @@ object CorpusQueries {
        |FROM est ORDER BY term""".stripMargin
   }
 
+  /** Exact per-source token-count quantiles via the mergeable
+    * bounded-domain histogram sketch
+    * ([[graft.operators.HistSketch]]): one map-side-combined pass, no
+    * sort — the quantile member of the sketch family (KMV = distinct,
+    * CMS = frequency, MG = heavy hitters, Bloom = membership). The
+    * oracle is DuckDB's native `quantile_disc` over the same clamped
+    * values — two independent implementations of the discrete-quantile
+    * rule `idx = max(0, ceil(n*p) - 1)`.
+    */
+  def histQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val ws = DedupQueries.docs(spark, dir)
+      .select(col("source"),
+        graft.operators.TextStats.wsTokenCount(col("text")).as("ws"))
+    graft.operators.HistSketch.groupedQuantiles(ws, "source", "ws",
+        domain = 4096, probs = Seq(0.5, 0.9, 0.99))
+      .orderBy("source")
+  }
+
+  val histQuantilesOracle: String = {
+    val ws = """CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT)"""
+    s"""WITH w AS (SELECT source, least(greatest($ws, 0), 4095) AS ws FROM documents)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(quantile_disc(ws, 0.5) AS BIGINT) AS q_5,
+       |  CAST(quantile_disc(ws, 0.9) AS BIGINT) AS q_9,
+       |  CAST(quantile_disc(ws, 0.99) AS BIGINT) AS q_99
+       |FROM w GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val epochShardsOracle: String = {
     val h = DuckSql.hash60Seeded("7", "CAST(doc_id AS VARCHAR)")
     s"""WITH pos AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
