@@ -110,6 +110,8 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.PlanGuardRule]))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ rule
+    org.apache.spark.sql.graftshim.GraftShim.addStrategy(
+      spark, graft.plans.AsofJoinStrategy)
   }
 }
 
@@ -125,5 +127,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // plan guardrails: scale-killer shapes warn (or throw under
     // spark.graft.guard=strict) at optimization time
     ext.injectOptimizerRule(graft.plans.PlanGuardRule)
+    // the custom as-of join physical operator (AsOf.joinPriorMerge
+    // also self-registers per session, so plain sessions work too)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }
