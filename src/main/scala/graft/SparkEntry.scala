@@ -236,6 +236,7 @@ object SparkEntry {
     "x_kmeans_clusters" -> (SimilarityQueries.kmeansClusters _),
     "x_cluster_topics" -> (SimilarityQueries.clusterTopics _),
     "x_ann_ivf_trained" -> (SimilarityQueries.annIvfTrained _),
+    "x_ann_ivfpq" -> (SimilarityQueries.annIvfPq _),
     // extensions: event-time windows + multimodal plumbing
     "x_events_asof" -> (EventQueries.asofJoin _),
     "x_events_asof_exec" -> (EventQueries.asofJoinExec _),
@@ -536,6 +537,7 @@ object SparkEntry {
     "x_kmeans_clusters" -> SimilarityQueries.kmeansClustersOracle,
     "x_cluster_topics" -> SimilarityQueries.clusterTopicsOracle,
     "x_ann_ivf_trained" -> SimilarityQueries.annIvfTrainedOracle,
+    "x_ann_ivfpq" -> SimilarityQueries.annIvfPqOracle,
     "x_events_asof" -> EventQueries.asofJoinOracle,
     "x_events_asof_exec" -> EventQueries.asofJoinExecOracle,
     "x_events_asof_nearest" -> EventQueries.asofNearestOracle,

@@ -42,11 +42,13 @@ object ProductQuantize {
     * their squared norms, computed once per row.
     */
   private def sliced(df: DataFrame, idCol: String, embCol: String,
-      m: Int, sub: Int): DataFrame = {
-    val base = df.select(col(idCol).cast(LongType).as("id"),
-      QuantizeVec.quantize_vec(col(embCol)).as("q"))
-    val cols = col("id") +:
-      (0 until m).map(i => slice(col("q"), i * sub + 1, sub).as(s"sv$i"))
+      m: Int, sub: Int, keep: Seq[String] = Nil): DataFrame = {
+    val base = df.select(col(idCol).cast(LongType).as("id") +:
+      QuantizeVec.quantize_vec(col(embCol)).as("q") +:
+      keep.map(col): _*)
+    val cols = (col("id") +:
+      (0 until m).map(i => slice(col("q"), i * sub + 1, sub).as(s"sv$i"))) ++
+      keep.map(col)
     val withSlices = base.select(cols: _*)
     (0 until m).foldLeft(withSlices)((d, i) =>
       d.withColumn(s"sn$i", Similarity.inorm2(col(s"sv$i"))))
@@ -137,16 +139,17 @@ object ProductQuantize {
     * Σ_i dot(c_i, q_i)`. Pure per-row compute.
     */
   def decode(df: DataFrame, idCol: String, embCol: String,
-      model: DataFrame, dim: Int = 64): DataFrame = {
+      model: DataFrame, dim: Int = 64, keep: Seq[String] = Nil): DataFrame = {
     val cents = collectModel(model)
     val m = cents.map(_.sub).distinct.size
-    val c = sliced(df, idCol, embCol, m, dim / m)
+    val c = sliced(df, idCol, embCol, m, dim / m, keep)
     val coded = (0 until m).foldLeft(c)((d, i) =>
       d.withColumn(s"cl$i", codeCol(i, cents)))
     val lookup = (0 until m).map { i =>
       val entries = cents.filter(_.sub == i).map(ct => ct.cluster -> ct.cent).toMap
       element_at(typedLit(entries), col(s"cl$i"))
     }
-    coded.select(col("id").as("vec_id"), flatten(array(lookup: _*)).as("rv"))
+    coded.select(col("id").as("vec_id") +: flatten(array(lookup: _*)).as("rv") +:
+      keep.map(col): _*)
   }
 }

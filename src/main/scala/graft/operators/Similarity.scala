@@ -180,22 +180,31 @@ object Similarity {
       k: Int, nProbe: Int): DataFrame = {
     val centroids = sumCentroids(
       c.select(col("cluster"), col("c_q").as("q")))
+    val probed = probeQueries(queries, idCol, embCol, centroids, nProbe)
+    scanProbed(c, probed, k)
+  }
 
+  /** Probe: nProbe nearest centroids per query — narrow (sort a
+    * k-element literal array of (cos, -cluster) scores, slice nProbe).
+    * Output: (q_id, q_q, q_n2, cluster), one row per probed cluster.
+    */
+  private def probeQueries(
+      queries: DataFrame, idCol: String, embCol: String,
+      centroids: Seq[Centroid], nProbe: Int): DataFrame = {
     val q = queries.select(col(idCol).cast(LongType).as("q_id"),
       quantize(col(embCol)).as("q_q"))
       .withColumn("q_n2", inorm2(col("q_q")))
-
-    // probe: nProbe nearest centroids per query — narrow (sort a
-    // k-element literal array of (cos, -cluster) scores, slice nProbe)
     val scoreArr = array(centroids.map(ct =>
       centroidScore(col("q_q"), col("q_n2"), ct)): _*)
-    val probed = q
-      .withColumn("__probe",
+    q.withColumn("__probe",
         explode(slice(sort_array(scoreArr, asc = false), 1, nProbe)))
       .select(col("q_id"), col("q_q"), col("q_n2"),
         col("__probe.cluster").as("cluster"))
+  }
 
-    // scan only the probed clusters
+  /** Scan only the probed clusters of a prepared corpus
+    * `(c_id, cluster, c_q, c_n2)` and rank per query. */
+  private def scanProbed(c: DataFrame, probed: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
     c.join(broadcast(probed), Seq("cluster"))
       .filter(col("c_id") =!= col("q_id"))
@@ -203,6 +212,40 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"), col("cosine"))
+  }
+
+  /** IVF-PQ with asymmetric distance (Jégou et al., TPAMI 2011 — the
+    * billion-scale index layout): candidate generation by the COARSE
+    * partition (nProbe nearest label-clusters per query, centroids =
+    * integer sums of the raw member vectors, exactly [[ivfTopK]]'s
+    * probe), scoring by the PQ-RECONSTRUCTED vectors (concatenated
+    * codebook entries), so the scan reads `m` codes per candidate
+    * instead of the full vector. At 100 TB the decoded/reconstructed
+    * corpus is the m·log2(k)-bit code table plus a k·(d/m)-entry
+    * codebook literal — the memory shape that makes the scan fit.
+    *
+    * Exact-integer throughout (quantized grid, integer code
+    * assignment, integer reconstruction), so the DuckDB oracle replays
+    * it hash-exactly. Output: (q_id, rank, neighbor_id, cosine) with
+    * cosine the ADC approximation.
+    */
+  def ivfAdcTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, embCol: String, clusterCol: String,
+      model: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
+    // coarse centroids from the RAW vectors (the probe must not depend
+    // on code quality)
+    val raw = corpus.select(col(clusterCol).cast(LongType).as("cluster"),
+      quantize(col(embCol)).as("q"))
+    val centroids = sumCentroids(raw)
+    val probed = probeQueries(queries, idCol, embCol, centroids, nProbe)
+    // ADC side: reconstructed integer vectors, cluster carried through
+    val c = graft.operators.ProductQuantize
+      .decode(corpus, idCol, embCol, model, keep = Seq(clusterCol))
+      .select(col("vec_id").as("c_id"),
+        col(clusterCol).cast(LongType).as("cluster"), col("rv").as("c_q"))
+      .withColumn("c_n2", inorm2(col("c_q")))
+    scanProbed(c, probed, k)
   }
 
   /** Deterministic k-means (Lloyd) for IVF training — exact across

@@ -660,6 +660,55 @@ object SimilarityQueries {
        |FROM qi LEFT JOIN o ON o.q_id = qi.q_id ORDER BY qi.q_id""".stripMargin
   }
 
+  /** IVF-PQ asymmetric-distance top-5 ([[Similarity.ivfAdcTopK]]): the
+    * billion-scale index layout — coarse label-cluster probing for
+    * candidates, PQ-reconstructed vectors for scoring. The oracle
+    * composes the IVF probe CTEs (raw integer-sum centroids) with the
+    * PQ training/reconstruction CTEs — every step exact integer, so
+    * the ADC cosines hash-match.
+    */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val qs = embSmall(spark, dir).filter(col("vec_id") >= 10 && col("vec_id") < 20)
+    val model = graft.operators.ProductQuantize
+      .train(e, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+    Similarity.ivfAdcTopK(e, qs, "vec_id", "embedding", "label", model,
+        k = 5, nProbe = 2)
+      .orderBy("q_id", "rank")
+  }
+
+  val annIvfPqOracle: String = {
+    val rdot = "CAST(list_sum(list_transform(range(1, 65), i -> c.rv[i] * p.qq[i])) AS BIGINT)"
+    s"""WITH $quantCte,
+       |$pqCte,
+       |rv0 AS (SELECT a.id, flatten(list(c.cent ORDER BY c.sub)) AS rv
+       |  FROM paf a JOIN pc2 c ON c.sub = a.sub AND c.cluster = a.cluster
+       |  GROUP BY a.id),
+       |rvn AS (SELECT r.id, r.rv, n.cluster,
+       |  CAST(list_sum(list_transform(range(1, 65), i -> r.rv[i] * r.rv[i])) AS BIGINT) AS rn2
+       |  FROM rv0 r JOIN n ON n.id = r.id),
+       |comp AS (SELECT cluster, i.i AS pos, sum(qv[i.i]) AS s
+       |  FROM q CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+       |  GROUP BY cluster, i.i),
+       |cent AS (SELECT cluster, array_agg(CAST(s AS BIGINT) ORDER BY pos) AS cv FROM comp GROUP BY cluster),
+       |centn AS (SELECT cluster, cv,
+       |  CAST(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])) AS BIGINT) AS cn2 FROM cent),
+       |qry AS (SELECT id AS q_id, qv AS qq, n2 AS qn2 FROM n WHERE id >= 10 AND id < 20),
+       |probe AS (SELECT q_id, qq, qn2, cluster,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY
+       |      ${duckCos(duckDot("qq", "cv"), "qn2", "cn2")} DESC, cluster) AS pr
+       |  FROM qry CROSS JOIN centn),
+       |probed AS (SELECT q_id, qq, qn2, cluster FROM probe WHERE pr <= 2),
+       |scored AS (SELECT p.q_id, c.id AS c_id,
+       |    ${duckCos(rdot, "c.rn2", "p.qn2")} AS cosine
+       |  FROM rvn c JOIN probed p ON c.cluster = p.cluster AND c.id <> p.q_id),
+       |ranked AS (SELECT q_id, c_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, c_id AS neighbor_id, cosine
+       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
   // ---- cluster topic labeling (c-TF-IDF) ---------------------------
 
   /** Topic labels for the trained k-means clusters — BERTopic-style
