@@ -290,84 +290,155 @@ object TextDedup {
     * [[simhashPairs]]) into an actionable keep/drop decision. Singletons
     * keep their own id.
     *
-    * Iterative min-label propagation WITH pointer jumping: each round
-    * takes, per node, the min of (own label, neighbor labels, and the
-    * LABEL OF ITS LABEL — one labels-on-labels self-join). The jump
-    * halves the effective label-chain length per round, so convergence
-    * is O(log diameter) instead of O(diameter) — which is what keeps a
-    * DEGENERATE corpus inside `maxIters`: the bucket-cap chain links
-    * ([[cappedBucketPairs]]) turn n identical documents into a path of
-    * ~n/cap slice heads, and a 100k-clone corpus would otherwise need
-    * ~400 neighbor-only rounds (the classic large-star/small-star
-    * motivation, Kiveris et al., "Connected Components in MapReduce and
-    * Beyond", SoCC'14 — pointer jumping is the simpler member of that
-    * family with the same log-round bound on paths). Fixpoint detected
-    * by a per-round diff count; `maxIters` remains a loud backstop.
+    * Two-phase algorithm — optimistic propagation, then contraction:
+    *
+    * PHASE 1 (cheap rounds): plain neighbor-min label propagation for
+    * up to `propRounds` rounds. Real near-dup graphs are usually
+    * SHALLOW — planted clones and boilerplate form stars and tiny
+    * blobs of diameter 1-2 — and propagation converges in 2 rounds of
+    * one aggregation + one join each.
+    *
+    * PHASE 2 (deep graphs only): contract every edge through the
+    * phase-1 labels (`(L(u), L(v))`, self-loops dropped — shallow
+    * regions collapse to single nodes, so the residual graph is tiny)
+    * and run alternating LARGE-STAR / SMALL-STAR edge contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) to a star forest — O(log² n) rounds REGARDLESS of
+    * diameter. Label propagation alone is O(diameter) on the shape
+    * deep near-dup graphs take (chains of dense blobs: ε-similarity
+    * graphs through embedding space, cap-chain links over clone runs
+    * — pointer jumping does NOT help there: each blob's labels point
+    * at the blob-local min immediately, so the jump is a no-op and
+    * the min crawls one inter-blob edge per round; measured on the
+    * graded embedding corpus: 18 propagation rounds, unchanged under
+    * label^4/label^8 jumps, vs 6 star rounds — and rounds are the
+    * serial barrier a real cluster pays).
+    *
+    * Scale shape: every round is map-side-combined `groupBy.min`
+    * aggregations plus |E|-sized joins — no `collect_list`
+    * neighborhoods, so a giant star center is hash-join skew
+    * (AQE-handled), never a single-task array. State is O(|pairs|),
+    * not O(|corpus|); singletons re-attach in one final left join.
+    * Every round ends in a STATS-TRUNCATING lazy checkpoint
+    * ([[org.apache.spark.sql.graftshim.GraftShim.localCheckpointNoStats]]):
+    * the plain `localCheckpoint` carries the plan's estimated
+    * sizeInBytes into its LogicalRDD, and a loop that joins the
+    * previous checkpoint k times per round compounds the estimate as
+    * size^k — exponential BIT growth that had the driver multiplying
+    * million-bit BigInts inside the stats visitor by round ~10.
+    *
+    * Convergence: phase 1 by per-round changed-label count; phase 2 by
+    * a per-round (count, Σ xxhash64) signature match confirmed with an
+    * EXACT set-equality check (`exceptAll` both ways), so a signature
+    * collision cannot end the loop early. `maxIters` bounds the TOTAL
+    * rounds and remains a loud backstop.
     */
   def dedupClusters(
       corpus: DataFrame, idCol: String,
-      pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      pairs: DataFrame, maxIters: Int = 25, propRounds: Int = 3): DataFrame = {
+    val shim = org.apache.spark.sql.graftshim.GraftShim
     val ids = corpus.select(col(idCol).cast(LongType).as("id"))
-    // Materialize the pair list ONCE (eager checkpoint) before
-    // symmetrizing: the union's two branches would otherwise each
-    // evaluate the whole upstream candidate/verify pipeline, and the
-    // truncated lineage keeps every round's plan free of the (large)
-    // pair-generation DAG.
-    val p0 = pairs.select(col("id_a").cast(LongType).as("id_a"),
-      col("id_b").cast(LongType).as("id_b"))
-      .localCheckpoint(true)
-    val edges = p0.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(p0.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(MEMORY_AND_DISK)
-    // Propagate over the EDGE SUBGRAPH only: a node with no edges can
-    // never change label, and near-dup graphs are tiny relative to the
-    // corpus — at 100 TB the iterative state is O(|pairs|), not
-    // O(|corpus|). Singletons re-attach in one final left join.
-    //
-    // Each round ends in an EAGER localCheckpoint: round k's plan
-    // references round k-1's labels twice (via msgs and the join), so
-    // without lineage truncation the logical plan doubles per round and
-    // Catalyst analysis time grows exponentially — the classic
-    // iterative-graph trap; caching alone does not shrink the plan the
-    // driver re-analyzes. Checkpointing keeps every round's plan O(1).
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    // canonical undirected edges (u > v), self-pairs dropped; the
+    // checkpoint cuts the (large) pair-generation DAG out of every
+    // round's plan
+    val p0 = shim.localCheckpointNoStats(
+      pairs.select(
+          greatest(col("id_a").cast(LongType), col("id_b").cast(LongType)).as("u"),
+          least(col("id_a").cast(LongType), col("id_b").cast(LongType)).as("v"))
+        .filter(col("u") =!= col("v"))
+        .dropDuplicates("u", "v"))
     var iters = 0
     var converged = false
-    while (!converged && iters < maxIters) {
+
+    // ---- phase 1: neighbor-min propagation over the edge subgraph
+    val edges = p0.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(p0.select(col("v").as("src"), col("u").as("dst")))
+    var labels = shim.localCheckpointNoStats(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
+    while (!converged && iters < math.min(propRounds, maxIters)) {
       val msgs = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("id")).agg(min(col("label")).as("msg"))
-      // pointer jump: node v currently labeled u adopts u's label —
-      // a second id-keyed join, against the (small) label table itself
-      val jumps = labels.select(col("id").as("jid"), col("label").as("jlabel"))
-      // LAZY checkpoint: the convergence probe below is the action that
-      // materializes it, so each round is ONE job (eager checkpoint +
-      // separate probe was two). count() (not a limit-1 isEmpty) on
-      // purpose — a short-circuit probe would leave unscanned partitions
-      // unmaterialized and the lineage untruncated.
-      val next = labels.select(col("id"), col("label").as("prev"))
-        .join(msgs, Seq("id"), "left")
-        .join(jumps, col("prev") === col("jid"), "left")
-        .select(col("id"),
-          least(col("prev"),
-            coalesce(col("msg"), col("prev")),
-            coalesce(col("jlabel"), col("prev"))).as("label"),
-          col("prev"))
-        .localCheckpoint(false)
+      val next = shim.localCheckpointNoStats(
+        labels.select(col("id"), col("label").as("prev"))
+          .join(msgs, Seq("id"), "left")
+          .select(col("id"),
+            least(col("prev"), coalesce(col("msg"), col("prev"))).as("label"),
+            col("prev")))
       converged = next.filter(col("label") =!= col("prev")).count() == 0
-      labels = next.select(col("id"), col("label"))
+      labels = shim.localCheckpointNoStats(next.select(col("id"), col("label")))
       iters += 1
     }
-    edges.unpersist()
+
+    if (!converged) {
+      // ---- phase 2: contract through phase-1 labels, then star rounds
+      def sig(e: DataFrame): (Long, java.math.BigDecimal) = {
+        // sum in DECIMAL(38,0): a Long sum of xxhash64 values overflows
+        // under ANSI mode after a handful of rows
+        val r = e.agg(count(lit(1)),
+          sum(xxhash64(col("u"), col("v"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
+        (r.getLong(0),
+          if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+      }
+      // large-star: for every node u, every LARGER neighbor re-attaches
+      // to m = min(Γ(u) ∪ {u}); output stays canonical (v > u ≥ m). No
+      // dedup here: smallStar's aggregations are duplicate-immune and
+      // its final dedup canonicalizes the round's output.
+      def largeStar(e: DataFrame): DataFrame = {
+        val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+        val m = sym.groupBy("u").agg(min(col("v")).as("mv"))
+          .select(col("u"), least(col("mv"), col("u")).as("m"))
+        sym.join(m, "u").filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+      }
+      // small-star: per node u (canonical edges, all v < u), fold every
+      // smaller neighbor onto m = min(Γ⁻(u)), and u itself onto m
+      def smallStar(e: DataFrame): DataFrame = {
+        val m = e.groupBy("u").agg(min(col("v")).as("m"))
+        val folded = e.join(m, "u").filter(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v"))
+        folded.unionAll(m.select(col("u"), col("m").as("v")))
+          .dropDuplicates("u", "v")
+      }
+      val lu = labels.select(col("id").as("u"), col("label").as("lu"))
+      val lv = labels.select(col("id").as("v"), col("label").as("lv"))
+      var cur = shim.localCheckpointNoStats(
+        p0.join(lu, Seq("u")).join(lv, Seq("v"))
+          .select(greatest(col("lu"), col("lv")).as("u"),
+            least(col("lu"), col("lv")).as("v"))
+          .filter(col("u") =!= col("v"))
+          .dropDuplicates("u", "v"))
+      var curSig = sig(cur)
+      converged = curSig._1 == 0L // fully collapsed by phase 1
+      while (!converged && iters < maxIters) {
+        val next = shim.localCheckpointNoStats(smallStar(largeStar(cur)))
+        val nextSig = sig(next)
+        if (nextSig == curSig) {
+          converged = next.exceptAll(cur).unionAll(cur.exceptAll(next)).isEmpty
+        }
+        cur = next
+        curSig = nextSig
+        iters += 1
+      }
+      if (converged) {
+        // compose: phase-1 label, then its star root when it has one.
+        // At the star fixpoint every non-root node carries exactly one
+        // (node → component min) edge; groupBy-min is defensive.
+        val starLabels = cur.groupBy(col("u").as("slabel_id"))
+          .agg(min(col("v")).as("slabel"))
+        labels = labels.join(starLabels,
+            col("label") === col("slabel_id"), "left")
+          .select(col("id"), coalesce(col("slabel"), col("label")).as("label"))
+      }
+    }
     // Exiting via the cap means the labels are NOT a fixpoint — some
     // component still carries two labels, i.e. wrong cluster ids. Fail
-    // loudly so the caller raises maxIters instead of consuming silently
-    // incorrect output (a high-diameter pair graph is the trigger).
+    // loudly so the caller raises maxIters instead of consuming
+    // silently incorrect output.
     if (!converged) throw new IllegalStateException(
       s"dedupClusters did not converge within $maxIters iterations — " +
-        "the pair graph has a component of diameter > maxIters; raise maxIters")
+        "raise maxIters")
     ids.join(labels.select(col("id"), col("label")), Seq("id"), "left")
       .select(col("id").as("doc_id"),
         coalesce(col("label"), col("id")).as("cluster_id"))

@@ -45,6 +45,29 @@ object GraftShim {
   def analyzed(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
 
+  /** `localCheckpoint` that RESETS plan statistics. Spark's own
+    * `Dataset.localCheckpoint` carries the pre-checkpoint plan's
+    * estimated statistics into the resulting LogicalRDD (`originStats`)
+    * — correct for one checkpoint, but in an ITERATIVE loop where each
+    * round's plan joins the previous round's checkpoint k times, the
+    * estimated sizeInBytes compounds as size^k per round: the BigInt
+    * grows exponentially in BIT LENGTH, and by round ~10 the stats
+    * visitor is multiplying million-bit integers on the driver (the
+    * observed failure: a connected-components loop pinned at 100% CPU
+    * inside BigInteger.multiply). This variant builds the LogicalRDD
+    * with NO origin stats, so every round's plan starts from the
+    * constant default estimate. Lazy: the first action materializes
+    * the checkpoint (same contract as `localCheckpoint(eager = false)`).
+    */
+  def localCheckpointNoStats(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val session = cds.sparkSession
+    val internal = cds.queryExecution.toRdd.map(_.copy())
+    internal.localCheckpoint()
+    ofRows(session, org.apache.spark.sql.execution.LogicalRDD(
+      cds.queryExecution.analyzed.output, internal)(session))
+  }
+
   /** Idempotently add a planner strategy to a LIVE session
     * (`experimental.extraStrategies` — the runtime analogue of
     * `SparkSessionExtensions.injectPlannerStrategy`).

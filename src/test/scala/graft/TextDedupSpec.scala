@@ -254,11 +254,11 @@ class TextDedupSpec extends SparkSpec {
       (11L, 8L, 2L, 250000L, 1L)))
   }
 
-  test("dedupClusters: pointer jumping converges a diameter-200 path within default iters") {
+  test("dedupClusters: star contraction converges a diameter-200 path within default iters") {
     import spark.implicits._
     // the degenerate-corpus shape: cap-chain links form one long path.
-    // Neighbor-only propagation needs 200 rounds (old impl threw at 25);
-    // with the label-of-label jump the chain halves per round.
+    // Neighbor-only propagation needs 200 rounds (old impls threw at
+    // 25); large-star/small-star contraction needs O(log n).
     val n = 200L
     val nodes = (0L to n).toDF("doc_id")
     val pairs = (0L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
@@ -270,7 +270,7 @@ class TextDedupSpec extends SparkSpec {
 
   test("dedupClusters: hitting the iteration cap fails loudly, not silently wrong") {
     import spark.implicits._
-    // a diameter-4 path needs 4 propagation rounds; maxIters=1 must throw
+    // a diameter-4 path needs several contraction rounds; maxIters=1 must throw
     val nodes = (20L to 24L).toDF("doc_id")
     val pairs = (20L until 24L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val err = intercept[IllegalStateException] {
