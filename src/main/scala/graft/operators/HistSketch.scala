@@ -44,7 +44,7 @@ object HistSketch {
   case class HistSummary(n: Long, qs: Seq[Long])
 
   class HistAgg(domain: Int, probs: Seq[Double])
-      extends Aggregator[Long, HistState, HistSummary] {
+      extends Aggregator[java.lang.Long, HistState, HistSummary] {
     require(domain >= 2, "histogram domain must be >= 2")
     require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
       s"probabilities must be in [0, 1]: $probs")
@@ -54,10 +54,15 @@ object HistSketch {
 
     override def zero: HistState = HistState(Map.empty)
 
-    override def reduce(s: HistState, v: Long): HistState = {
-      val b = clamp(v)
-      HistState(s.counts.updated(b, s.counts.getOrElse(b, 0L) + 1L))
-    }
+    override def reduce(s: HistState, v: java.lang.Long): HistState =
+      // SQL aggregate semantics: NULL values are ignored (DuckDB's
+      // count/quantile_disc skip them; a silent null->0 bucket would
+      // diverge from any SQL oracle)
+      if (v == null) s
+      else {
+        val b = clamp(v.longValue)
+        HistState(s.counts.updated(b, s.counts.getOrElse(b, 0L) + 1L))
+      }
 
     override def merge(a: HistState, b: HistState): HistState =
       HistState(b.counts.foldLeft(a.counts) { case (m, (k, c)) =>
@@ -96,7 +101,7 @@ object HistSketch {
     * `hist_quantiles(value)` → struct(n, qs array).
     */
   def quantileAgg(value: Column, domain: Int, probs: Seq[Double]): Column =
-    udaf(new HistAgg(domain, probs)).apply(value.cast(LongType))
+    udaf(new HistAgg(domain, probs), Encoders.LONG).apply(value.cast(LongType))
 
   /** Per-group exact quantiles, flattened to one column per requested
     * probability (`q_5` for 0.5, `q_99` for 0.99, `q_999` for 0.999).

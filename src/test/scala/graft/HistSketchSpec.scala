@@ -52,7 +52,7 @@ class HistSketchSpec extends SparkSpec {
     val agg = new HistSketch.HistAgg(256, probs)
     val rnd = new scala.util.Random(7L)
     val vals = Seq.fill(500)(rnd.nextInt(400).toLong) // some clamp to 255
-    def fold(vs: Seq[Long]) = vs.foldLeft(agg.zero)(agg.reduce)
+    def fold(vs: Seq[Long]) = vs.foldLeft(agg.zero)((s, v) => agg.reduce(s, v))
     val whole = agg.finish(fold(vals))
     // 3 partials merged left-to-right vs right-to-left vs interleaved
     val parts = vals.grouped(170).map(fold).toSeq
@@ -69,6 +69,16 @@ class HistSketchSpec extends SparkSpec {
     assert(one === HistSketch.HistSummary(1L, Seq(7L, 7L, 7L)))
     val same = agg.finish((1 to 100).foldLeft(agg.zero)((s, _) => agg.reduce(s, 9L)))
     assert(same === HistSketch.HistSummary(100L, Seq(9L, 9L, 9L)))
+  }
+
+  test("null values are ignored, as in any SQL aggregate") {
+    val df = Seq(Some(5L), None, Some(7L), None).toDF("v")
+      .withColumn("g", lit("a"))
+    val out = HistSketch.groupedQuantiles(df, "g", "v", 64, Seq(0.5))
+      .collect().head
+    // n counts non-null rows only; median of {5, 7} is 5 (not of {0,0,5,7})
+    assert(out.getLong(1) === 2L)
+    assert(out.getLong(2) === 5L)
   }
 
   test("qName: probability to column suffix") {
