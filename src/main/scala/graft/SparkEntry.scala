@@ -62,6 +62,8 @@ object SparkEntry {
     "x_fts_colset_expr" -> (ParityQueries.ftsColSetExpr _),
     "x_fts_near3" -> (ParityQueries.ftsNear3 _),
     "x_fts_anchor" -> (ParityQueries.ftsAnchor _),
+    "x_fts_unicode" -> (ParityQueries.ftsUnicode _),
+    "x_u61_term_stats" -> (ParityQueries.u61TermStats _),
     "x_span_corrupt" -> (CorpusQueries.spanCorrupt _),
     "x_token_dropout" -> (CorpusQueries.tokenDropout _),
     "x_semantic_chunks" -> (CorpusQueries.semanticChunks _),
@@ -370,6 +372,8 @@ object SparkEntry {
     "x_fts_colset_expr" -> ParityQueries.ftsColSetExprOracle,
     "x_fts_near3" -> ParityQueries.ftsNear3Oracle,
     "x_fts_anchor" -> ParityQueries.ftsAnchorOracle,
+    "x_fts_unicode" -> ParityQueries.ftsUnicodeOracle,
+    "x_u61_term_stats" -> ParityQueries.u61TermStatsOracle,
     "x_span_corrupt" -> CorpusQueries.spanCorruptOracle,
     "x_token_dropout" -> CorpusQueries.tokenDropoutOracle,
     "x_semantic_chunks" -> CorpusQueries.semanticChunksOracle,

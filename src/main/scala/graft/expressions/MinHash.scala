@@ -41,8 +41,13 @@ object MinHashKernel {
 
   private val splitter = Pattern.compile("[^a-z0-9]+")
 
-  /** Same tokens as [[graft.operators.Fts.tokens]]: UTF8String lowercase
-    * (byte-parity with Spark's `lower`), split keeping empties, drop "".
+  /** The DEDUP tokenizer — `lower` + split on `[^a-z0-9]+` (UTF8String
+    * lowercase for byte-parity with Spark's `lower`), the shingling
+    * contract every dedup oracle replicates in DuckDB SQL. Deliberately
+    * NOT [[graft.operators.Fts.tokens]]: FTS carries SQLite's unicode61
+    * fidelity ([[graft.functions.Unicode61]]), while shingle identity
+    * is an engine design choice that only needs to be deterministic and
+    * oracle-replicable.
     */
   def tokens(text: UTF8String): Array[String] = {
     val parts = splitter.split(text.toLowerCase.toString, -1)

@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQLite FTS5 `unicode61` tokenizer (default options:
+  * `remove_diacritics 1`), the tokenizer the reference gets by
+  * delegating FTS to SQLite (`/root/reference/csvs_to_sqlite/utils.py:374-438`).
+  *
+  * Semantics, probed per-codepoint from the real implementation
+  * ([[Unicode61Data]], scripts/probe_unicode61.py):
+  *
+  *   - token characters are Unicode 6.x alphanumerics (categories L*
+  *     and N*) — "Привет", "日本語", "café" all carry token chars the
+  *     engine's former ASCII tokenizer silently dropped
+  *   - each token char FOLDS per-codepoint: simple case folding
+  *     ('É'→'e', 'Я'→'я') plus diacritic removal ('é'→'e', 'ü'→'u';
+  *     'ß', 'ø', 'æ' fold to themselves — unicode61 does NOT
+  *     decompose them)
+  *   - a small set of combining marks (U+0300… — the
+  *     remove_diacritics table) is ELIDED without breaking the token:
+  *     "éf" is the single token "ef"
+  *   - every other codepoint is a separator
+  *
+  * The tokenizer is strictly per-codepoint (no context), so one
+  * BMP lookup table + binary search for astral planes reproduces it
+  * exactly; Unicode61Spec fuzzes parity against the sqlite3 binary.
+  *
+  * On pure-ASCII text this tokenizer is identical to
+  * `lower(s) split [^a-z0-9]+` — which is why switching [[graft.operators.Fts]]
+  * to it left every ASCII-corpus oracle byte-stable.
+  */
+object Unicode61 {
+
+  /** BMP table sentinels — 0x00/0x01 are control chars (always
+    * separators), so they are free as markers.
+    */
+  private final val Sep: Char = 0
+  private final val Join: Char = 1
+
+  private def parseInts(s: String): Array[Int] = {
+    val parts = s.split(',')
+    val out = new Array[Int](parts.length)
+    var i = 0
+    while (i < parts.length) { out(i) = parts(i).toInt; i += 1 }
+    out
+  }
+
+  /** bmp(c) = folded char, or Sep / Join. */
+  private val bmp: Array[Char] = {
+    val t = new Array[Char](0x10000) // zero-filled = Sep
+    // no range crosses the BMP boundary (probe-verified), so a plain
+    // start<=0xFFFF split between this table and the astral arrays is
+    // exhaustive
+    val ar = parseInts(Unicode61Data.alnumRanges)
+    var i = 0
+    while (i < ar.length) {
+      var c = ar(i)
+      while (c <= ar(i + 1) && c <= 0xFFFF) { t(c) = c.toChar; c += 1 }
+      i += 2
+    }
+    val fp = parseInts(Unicode61Data.foldPairs)
+    i = 0
+    while (i < fp.length) {
+      if (fp(i) <= 0xFFFF) t(fp(i)) = fp(i + 1).toChar // no BMP cp folds astral (probe-verified)
+      i += 2
+    }
+    val jr = parseInts(Unicode61Data.joinRanges)
+    i = 0
+    while (i < jr.length) {
+      var c = jr(i)
+      while (c <= jr(i + 1)) { t(c) = Join; c += 1 }
+      i += 2
+    }
+    t
+  }
+
+  // astral tables: sorted range starts/ends and fold keys/values
+  private val (astralStart, astralEnd) = {
+    val ar = parseInts(Unicode61Data.alnumRanges).grouped(2)
+      .filter(_.head > 0xFFFF).toArray
+    (ar.map(_(0)), ar.map(_(1)))
+  }
+  private val (astralFoldCp, astralFoldTo) = {
+    val fp = parseInts(Unicode61Data.foldPairs).grouped(2)
+      .filter(_.head > 0xFFFF).toArray
+    (fp.map(_(0)), fp.map(_(1)))
+  }
+
+  /** Fold one codepoint: the folded codepoint, or -1 (separator) or
+    * -2 (elided diacritic). O(1) for the BMP, binary search above it.
+    */
+  def foldCp(cp: Int): Int = {
+    if (cp < 0x10000) {
+      val f = bmp(cp)
+      if (f == Sep) -1 else if (f == Join) -2 else f.toInt
+    } else {
+      val fi = java.util.Arrays.binarySearch(astralFoldCp, cp)
+      if (fi >= 0) astralFoldTo(fi)
+      else {
+        var lo = 0
+        var hi = astralStart.length - 1
+        var res = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (astralStart(mid) > cp) hi = mid - 1
+          else { res = mid; lo = mid + 1 }
+        }
+        if (res >= 0 && cp <= astralEnd(res)) cp else -1
+      }
+    }
+  }
+
+  /** Tokenize as unicode61 does: fold token chars, elide join chars,
+    * split on separators, drop empties. Single pass over codepoints.
+    */
+  def tokenize(s: String): Array[String] = {
+    val out = new java.util.ArrayList[String](8)
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      val f = foldCp(cp)
+      if (f >= 0) sb.appendCodePoint(f)
+      else if (f == -1 && sb.length > 0) { out.add(sb.toString); sb.setLength(0) }
+      i += Character.charCount(cp)
+    }
+    if (sb.length > 0) out.add(sb.toString)
+    out.toArray(new Array[String](out.size))
+  }
+
+  /** True when `s` contains at least one token character. */
+  def hasToken(s: String): Boolean = {
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      if (foldCp(cp) >= 0) return true
+      i += Character.charCount(cp)
+    }
+    false
+  }
+
+  /** Codegen entry point for [[graft.expressions.Unicode61Tokens]]:
+    * the token array as catalyst ArrayData of UTF8String.
+    */
+  def tokensArray(s: UTF8String): ArrayData = {
+    val toks = tokenize(s.toString)
+    val out = new Array[Any](toks.length)
+    var i = 0
+    while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+}

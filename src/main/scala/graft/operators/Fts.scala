@@ -3,6 +3,9 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.expressions.Unicode61Tokens
+import graft.functions.Unicode61
+
 /** Full-text-search operators (reference S9–S13, `utils.py:362-438`).
   *
   * The reference creates SQLite FTS3/4/5 external-content virtual tables
@@ -10,8 +13,12 @@ import org.apache.spark.sql.functions._
   * case-insensitive, terms may hit different columns of the same row
   * (`tests/test_csvs_to_sqlite.py:167-188`). Spark-first re-expression:
   *
-  *   - tokenizer: `lower` + split on non-alphanumerics (SQLite's default
-  *     unicode61-ish behavior pinned to the tested corpora)
+  *   - tokenizer: SQLite's default `unicode61` (remove_diacritics 1),
+  *     reproduced exactly — Unicode alphanumerics are token chars,
+  *     per-codepoint case folding + diacritic removal ('É'→'e',
+  *     'Müller'→'muller', Cyrillic/CJK preserved) — via the probed
+  *     tables in [[graft.functions.Unicode61]]; on ASCII text this is
+  *     identical to `lower` + split on `[^a-z0-9]+`
   *   - the index: an inverted-index DataFrame `(term, rowid)` built by
   *     exploding distinct tokens — partitioned by term, this scales out
   *     like any shuffle; or
@@ -26,21 +33,25 @@ import org.apache.spark.sql.functions._
   */
 object Fts {
 
-  /** Tokenize one or more columns into a single token array. Empty
-    * strings dropped (split yields boundary empties) via `array_remove`
-    * — a plain codegen'd expression; the `filter` higher-order-function
-    * spelling is CodegenFallback and measurably slower in hot paths.
+  /** Tokenize one or more columns into a single token array with exact
+    * unicode61 semantics — a single-pass native codegen expression
+    * ([[graft.expressions.Unicode61Tokens]]): fold + diacritic elision
+    * + split in one loop, no intermediate lowercased string, no regex.
+    * Space-joining multiple columns is safe: ' ' is a separator, and
+    * tokens never contain separators.
     */
-  def tokens(cols: Seq[Column]): Column = {
-    val joined = concat_ws(" ", cols: _*)
-    array_remove(split(lower(joined), "[^a-z0-9]+"), "")
-  }
+  def tokens(cols: Seq[Column]): Column =
+    Unicode61Tokens.u61_tokens(concat_ws(" ", cols: _*))
+
+  /** Plan-time twin of [[tokens]] for query strings. */
+  private[graft] def qtokens(s: String): Seq[String] =
+    Unicode61.tokenize(s).toIndexedSeq
 
   /** MATCH predicate: every term present (implicit AND, case-insensitive,
     * cross-column). `query` is split with the same tokenizer at plan time.
     */
   def matches(cols: Seq[Column], query: String): Column = {
-    val terms = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val terms = qtokens(query)
     require(terms.nonEmpty, "empty FTS query")
     val tok = tokens(cols)
     terms.map(t => array_contains(tok, t)).reduce(_ && _)
@@ -60,7 +71,7 @@ object Fts {
     * self-join explosion for multi-term queries.
     */
   def matchRowids(index: DataFrame, query: String, rowidCol: String = Rowid.ColName): DataFrame = {
-    val terms = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val terms = qtokens(query)
     require(terms.nonEmpty, "empty FTS query")
     index
       .filter(col("term").isin(terms: _*))
@@ -89,7 +100,7 @@ object Fts {
   def rankedMatch(
       df: DataFrame, cols: Seq[String], query: String,
       rowidCol: String = Rowid.ColName): DataFrame = {
-    val terms = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val terms = qtokens(query)
     require(terms.nonEmpty, "empty FTS query")
     // Materialized once (eager local checkpoint): tf feeds BOTH the idf
     // build (broadcast side, its own job) and the scoring join — without
@@ -129,7 +140,7 @@ object Fts {
     * scan like [[matches]]; multi-column = OR of the per-column tests.
     */
   def phrase(cols: Seq[Column], phraseText: String): Column = {
-    val terms = phraseText.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val terms = qtokens(phraseText)
     require(terms.nonEmpty, "empty FTS phrase")
     cols.map { c =>
       val stream = concat(lit(" "), array_join(tokens(Seq(c)), " "), lit(" "))
@@ -146,12 +157,21 @@ object Fts {
     */
   def matchesPrefix(cols: Seq[Column], termWithStar: String): Column = {
     val body = termWithStar.stripSuffix("*")
-    val terms = body.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val terms = qtokens(body)
     require(terms.nonEmpty, s"empty FTS prefix query: $termWithStar")
     val tok = tokens(cols)
     val pfx = exists(tok, t => t.startsWith(terms.last))
     (terms.init.map(t => array_contains(tok, t)) :+ pfx).reduce(_ && _)
   }
+
+  /** FTS5 bareword characters (`sqlite.org/fts5.html#fts5_strings`):
+    * ASCII alphanumerics, '_', the substitute char 0x1A, and every
+    * codepoint above 0x7F (pinned against the sqlite3 binary — "a_b"
+    * and "a·b" parse as phrases, "a-b" and "3.5" are syntax errors).
+    */
+  private[graft] def isBarewordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_' || c == '\u001A' || c >= 0x80
 
   /** Apply FTS5's postfix `*` to an operand string: the prefix flag
     * lands on the last TOKEN-BEARING piece (`"one tw "*` reads tw* —
@@ -160,8 +180,7 @@ object Fts {
     */
   private[graft] def attachStar(text: String): String = {
     val pieces = text.split("\\s+").filter(_.nonEmpty)
-    val lastTok = pieces.lastIndexWhere(
-      p => p.toLowerCase.split("[^a-z0-9]+").exists(_.nonEmpty))
+    val lastTok = pieces.lastIndexWhere(Unicode61.hasToken)
     if (lastTok < 0) text
     else pieces.toIndexedSeq.updated(lastTok, pieces(lastTok) + "*").mkString(" ")
   }
@@ -329,12 +348,19 @@ object Fts {
         s"syntax error: unexpected end of FTS query (as FTS5): $query")
       val l = lexemes(pos); pos += 1; l
     }
-    // one phrase unit — a quoted lexeme, or a bare word that tokenizes
-    // to EXACTLY one term (embedded punctuation in a bare query word
-    // like "quick-brown" or "3.5" is a loud syntax error in real FTS5,
-    // never a silent AND; pinned against the sqlite3 binary). Returns
-    // (text, phraseLike). A postfix '*' is NOT part of a unit — the
-    // parser attaches it afterwards (FTS5 postfix rule).
+    // one phrase unit — a quoted lexeme, or a bare word made entirely
+    // of FTS5 BAREWORD characters: ASCII alphanumerics, '_', the
+    // substitute char 0x1A, and EVERY codepoint >= 0x80
+    // (sqlite.org/fts5.html#fts5_strings). Other ASCII punctuation in
+    // a bare query word ("quick-brown", "3.5") is a loud syntax error
+    // in real FTS5, never a silent AND — while a bareword whose chars
+    // are legal but include SEPARATORS ("a_b", "a·b", "café+x" after
+    // '+'-lexing) tokenizes into a multi-token adjacency PHRASE, and
+    // one that tokenizes to NOTHING ("_") behaves exactly like the
+    // empty phrase '""' (droppable from juxtaposition) — all pinned
+    // against the sqlite3 binary. Returns (text, phraseLike). A
+    // postfix '*' is NOT part of a unit — the parser attaches it
+    // afterwards (FTS5 postfix rule).
     def unit(lx: String): (String, Boolean) = lx match {
       case p if p.startsWith("\"") =>
         // an EMPTY phrase ('""') is no error in FTS5 — it is a
@@ -355,10 +381,10 @@ object Fts {
         // 'NOT x' all error); lower-case spellings stay plain terms
         require(w != "AND" && w != "OR" && w != "NOT",
           s"syntax error near '$w' (operator in operand position, as FTS5): $query")
-        val toks = w.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
-        require(toks.length == 1,
+        require(w.forall(isBarewordChar),
           s"syntax error near '$w' (punctuation inside a bare query word, as FTS5): $query")
-        (w, false)
+        // multi-token barewords ("a_b") are adjacency phrases in FTS5
+        (w, Unicode61.tokenize(w).length > 1)
     }
     // a '+'-chain of units with postfix stars: FTS5 concatenates
     // phrases with '+' ("quick+brown" ≡ "quick brown" adjacency; works
@@ -451,7 +477,10 @@ object Fts {
                   s"syntax error: N must be one integer after ',' in NEAR (as FTS5): $query")
                 n = s.toInt; nRead = true
               } else {
-                require(s.toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty) == 1,
+                // NEAR args are barewords/phrases like everywhere else:
+                // "NEAR(a_b yy)" is the phrase (a b) near yy, while
+                // "NEAR(a-b)" is a loud syntax error (pinned)
+                require(s.forall(isBarewordChar),
                   s"syntax error near '$s' in NEAR (as FTS5): $query")
                 pushPhrase(s)
               }
@@ -466,8 +495,7 @@ object Fts {
       // as match-nothing (both pinned against sqlite3)
       require(args.nonEmpty, s"syntax error: empty NEAR() (as FTS5): $query")
       next() // ")"
-      val phrases = args.toSeq
-        .filter(_.toLowerCase.split("[^a-z0-9]+").exists(_.nonEmpty))
+      val phrases = args.toSeq.filter(Unicode61.hasToken)
       // coalesce: an absent phrase makes the gap NULL, and a NULL must
       // read as NO-MATCH (false) — under the grammar's NOT, a bare
       // NULL would otherwise eat the row in three-valued logic
@@ -723,7 +751,7 @@ object Fts {
   def bm25Match(
       df: DataFrame, cols: Seq[String], query: String,
       rowidCol: String = Rowid.ColName): DataFrame = {
-    val terms = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val terms = qtokens(query)
     require(terms.nonEmpty, "empty FTS query")
     require(terms.size <= 32, "bm25Match: more than 32 query terms overflows the score domain")
     val spark = df.sparkSession
@@ -784,7 +812,7 @@ object Fts {
     * Documents shorter than `window` use one whole-document window.
     */
   def snippet(cols: Seq[Column], query: String, window: Int = 8): Column = {
-    val terms = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val terms = qtokens(query)
     require(terms.nonEmpty, "empty FTS query")
     require(window >= 1 && window < 100000, "snippet window out of range")
     val qlit = array(terms.map(lit): _*)
@@ -819,7 +847,7 @@ object Fts {
     p.split("\\s+").filter(_.nonEmpty).toSeq.flatMap { piece =>
       val star = piece.endsWith("*")
       val body = if (star) piece.dropRight(1) else piece
-      val toks = body.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      val toks = qtokens(body)
       if (toks.isEmpty) Seq.empty
       else toks.init.map(t => (t, false)) :+ ((toks.last, star))
     }
@@ -933,7 +961,7 @@ object Fts {
     * token stream returned. Per-row transform, no selection step.
     */
   def highlight(cols: Seq[Column], query: String): Column = {
-    val terms = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val terms = qtokens(query)
     require(terms.nonEmpty, "empty FTS query")
     val qlit = array(terms.map(lit): _*)
     array_join(transform(tokens(cols), t =>

@@ -25,10 +25,16 @@ import graft.functions.PortableHash
   */
 object TextDedup {
 
-  /** Tokenize with the engine-wide tokenizer (lower + non-alphanumeric
-    * split, no empties).
+  /** The DEDUP tokenizer: `lower` + split on `[^a-z0-9]+`, no empties —
+    * the shingling contract every dedup oracle replicates in DuckDB SQL
+    * and [[graft.expressions.MinHashKernel.tokens]] mirrors natively.
+    * Deliberately NOT [[Fts.tokens]]: FTS carries SQLite's unicode61
+    * fidelity ([[graft.functions.Unicode61]]); shingle identity is an
+    * engine design choice that only needs to be deterministic and
+    * oracle-replicable.
     */
-  def tokensCol(text: Column): Column = Fts.tokens(Seq(text))
+  def tokensCol(text: Column): Column =
+    array_remove(split(lower(text), "[^a-z0-9]+"), "")
 
   /** w-word shingles as space-joined strings. Documents with fewer than
     * `w` tokens produce one shingle = the whole token list.

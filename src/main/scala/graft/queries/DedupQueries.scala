@@ -43,7 +43,7 @@ object DedupQueries {
     */
   private[graft] def corpusNear(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id").cast(LongType), col("text"))
-    val toks = Fts.tokens(Seq(col("text")))
+    val toks = TextDedup.tokensCol(col("text"))
     val perturbed = d.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat_ws(" ", slice(toks, lit(3), greatest(size(toks) - 2, lit(1)))).as("text"))
@@ -168,7 +168,7 @@ object DedupQueries {
     */
   def dedupIncrementalNear(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id").cast(LongType).as("doc_id"), col("text"))
-    val toks = Fts.tokens(Seq(col("text")))
+    val toks = TextDedup.tokensCol(col("text"))
     val batch = d.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat_ws(" ", slice(toks, lit(3), greatest(size(toks) - 2, lit(1)))).as("text"))

@@ -6,9 +6,34 @@ package graft.queries
   */
 object DuckSql {
 
-  /** Twin of [[graft.operators.Fts.tokens]]. */
+  /** ASCII-corpus twin of [[graft.operators.Fts.tokens]]. The Spark
+    * side now implements SQLite's full unicode61 tokenizer
+    * ([[graft.functions.Unicode61]]); on pure-ASCII text — which every
+    * testdata corpus is (probe-verified over all string columns at
+    * sf0.1) — unicode61 is exactly `lower` + split on `[^a-z0-9]+`, so
+    * this fragment stays the exact oracle twin for corpus-fed queries.
+    * Queries that PLANT non-ASCII text in-query must use
+    * [[tokensUnicode]] instead.
+    */
   def tokens(expr: String): String =
     s"list_filter(string_split_regex(lower($expr), '[^a-z0-9]+'), t -> t <> '')"
+
+  /** Unicode twin of [[graft.operators.Fts.tokens]] for queries that
+    * plant non-ASCII text in-query: `strip_accents(lower(x))` then
+    * split on RE2 `[^\p{L}\p{N}]+`. This is NOT a universal unicode61
+    * replica — probed divergences: utf8proc strips the breve/diaeresis
+    * off accented CYRILLIC letters (й→и, ё→е) where unicode61 keeps
+    * them as distinct letters, and folds µ→µ, ſ→ſ where unicode61 maps
+    * µ→μ, ſ→s. It IS exact on the planted-alphabet contract the
+    * queries using it commit to (unaccented Latin-1 vowels-with-
+    * diacritics, base Cyrillic а-я minus й/ё, CJK, ASCII) —
+    * Unicode61Spec pins that agreement char-by-char, so a new planted
+    * char outside the safe alphabet fails the spec, not the oracle
+    * hash.
+    */
+  def tokensUnicode(expr: String): String =
+    s"list_filter(string_split_regex(strip_accents(lower($expr)), " +
+      s"'[^\\p{L}\\p{N}]+'), t -> t <> '')"
 
   /** Twin of [[graft.functions.PortableHash.hash60]]. */
   def hash60(expr: String): String =

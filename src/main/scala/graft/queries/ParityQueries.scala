@@ -445,6 +445,83 @@ object ParityQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** The multilingual corpus for the unicode61 graded queries:
+    * `documents.text` with a deterministic multilingual suffix planted
+    * per row. Every non-ASCII char is from the SAFE ALPHABET pinned by
+    * Unicode61Spec — the set where DuckDB's
+    * `strip_accents(lower())` + `[^\p{L}\p{N}]+` split provably equals
+    * SQLite's unicode61 (accented Latin-1, base Cyrillic minus й/ё,
+    * CJK) — so the oracle can replicate the tokenizer exactly.
+    */
+  private def multilingualDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.loadSpread(spark, dir, "documents")
+      .withColumn("text", concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(" Привет мир — café au lait"))
+          .when(col("doc_id") % 4 === 1, lit(" Müller naïve 你好世界"))
+          .when(col("doc_id") % 4 === 2, lit(" crème brûlée Ж"))
+          .otherwise(lit(" plain ascii tail"))))
+
+  private val multilingualDocsSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+      |    text || CASE WHEN doc_id % 4 = 0 THEN ' Привет мир — café au lait'
+      |                 WHEN doc_id % 4 = 1 THEN ' Müller naïve 你好世界'
+      |                 WHEN doc_id % 4 = 2 THEN ' crème brûlée Ж'
+      |                 ELSE ' plain ascii tail' END AS raw
+      |  FROM documents""".stripMargin
+
+  /** S13 extension — unicode61 tokenization inside MATCH over RAW
+    * multilingual text (the round-11 fidelity gap: the old tokenizer
+    * silently dropped every non-ASCII token). The query mixes an
+    * accented bareword (`café` folds to the corpus's `cafe`... and vice
+    * versa), a Cyrillic phrase, and a NOT over a folded umlaut —
+    * verdict parity with the real FTS5 binary is fuzzed in
+    * SqliteCliSpec; this entry grades the same semantics against the
+    * DuckDB replica at sf0.01. Predicate form: whole-stage codegen,
+    * no shuffle.
+    */
+  def ftsUnicode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = multilingualDocs(spark, dir)
+    docs.filter(Fts.matchQuery(Seq(col("text")), """("привет мир" OR café) NOT müller"""))
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val ftsUnicodeOracle: String = {
+    val toks = DuckSql.tokensUnicode("raw")
+    val stream = s"' ' || array_to_string($toks, ' ') || ' '"
+    s"""WITH p AS ($multilingualDocsSql)
+       |SELECT doc_id, lang
+       |FROM p
+       |WHERE (position(' привет мир ' IN $stream) > 0
+       |       OR list_contains($toks, 'cafe'))
+       |  AND NOT list_contains($toks, 'muller')
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** S12 extension — full term statistics of the multilingual corpus:
+    * the entire unicode61 token vocabulary (folded accents, Cyrillic,
+    * CJK, plus all ASCII corpus terms) with document frequencies. This
+    * hashes every token the tokenizer emits over every row — the
+    * strongest oracle check of tokenizer fidelity. Distinct-explode +
+    * one map-side-combined count shuffle keyed by term; scales like any
+    * inverted-index build.
+    */
+  def u61TermStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = multilingualDocs(spark, dir).withColumnRenamed("doc_id", "rowid")
+    Fts.invertedIndex(docs, Seq("text"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).cast(LongType).as("df"))
+      .orderBy(col("term"))
+  }
+
+  val u61TermStatsOracle: String = {
+    val toks = DuckSql.tokensUnicode("raw")
+    s"""WITH p AS ($multilingualDocsSql),
+       |t AS (SELECT doc_id, unnest(list_distinct($toks)) AS term FROM p)
+       |SELECT term, CAST(count(*) AS BIGINT) AS df
+       |FROM t GROUP BY term ORDER BY term""".stripMargin
+  }
+
   /** Extension — BM25-ranked FTS (FTS5's `bm25()` rank function,
     * k1=1.2 b=0.75) in deterministic integer fixed point with a
     * square-and-shift log2 idf ([[Fts.bm25Match]]) — ranking

@@ -757,4 +757,146 @@ class SqliteCliSpec extends SparkSpec {
       assert(mine === real, s"highlight diverges from real FTS5 for '$q'")
     }
   }
+
+  // ---- non-ASCII verdict parity -------------------------------------
+  //
+  // Every corpus above was either raw ASCII or the token-joined stream;
+  // these two run RAW multilingual text — accents, combining marks,
+  // Cyrillic, CJK — through both engines, exercising the unicode61
+  // tokenizer (graft.functions.Unicode61) inside real MATCH evaluation.
+
+  /** documents.text with a deterministic multilingual suffix planted on
+    * each row (raw, NOT pre-tokenized — round 11 ducked this), inserted
+    * verbatim into a real FTS5 table.
+    */
+  private def multilingualCorpusDb(): (String, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.loadSpread(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("text", concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(" Привет мир — café au lait"))
+          .when(col("doc_id") % 4 === 1, lit(" Müller naïve 你好世界"))
+          .when(col("doc_id") % 4 === 2, lit(" crème brûlée éf Ж"))
+          .otherwise(lit(" plain ascii tail"))))
+      .select(col("doc_id").cast("long"), col("text"), col("lang"))
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val f = dbFile()
+    val script = new StringBuilder("CREATE VIRTUAL TABLE d USING fts5(body);\nBEGIN;\n")
+    rows.foreach { case (id, body) =>
+      script ++= s"INSERT INTO d(rowid, body) VALUES ($id, '${body.replace("'", "''")}');\n"
+    }
+    script ++= "COMMIT;\n"
+    SqliteCli.query(f, script.toString)
+    (f, docs)
+  }
+
+  test("real FTS5: non-ASCII MATCH queries over RAW multilingual text — row-set parity") {
+    assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val (f, docs) = multilingualCorpusDb()
+    // each shape the grammar supports, with non-ASCII operands: bareword
+    // (accented both sides, fold on one side only), phrase, prefix,
+    // anchor, NEAR, boolean mix with corpus ASCII terms
+    val queries = Seq(
+      "привет",                    // lowercase query vs planted 'Привет'
+      "ПРИВЕТ",                    // fold on the query side
+      "cafe",                      // unaccented query hits planted 'café'
+      "café",                      // accented query folds to the same term
+      "müller OR muller",
+      "你好世界",                   // CJK: one token, kept verbatim
+      "\"привет мир\"",            // non-ASCII phrase adjacency
+      "\"crème brûlée\"",
+      "при*",                      // prefix over folded Cyrillic
+      "caf* AND lait",
+      "NEAR(привет café, 6)",
+      "мир NOT 你好世界",
+      "(müller OR crème) NOT spark",
+      "éf",                        // combining-mark text: 'éf' ≡ 'ef'
+      "ef")                        // and its folded spelling
+    val script = queries.zipWithIndex.map { case (q, i) =>
+      s"SELECT 'q$i', rowid FROM d WHERE d MATCH '${q.replace("'", "''")}' ORDER BY rowid;"
+    }.mkString("\n")
+    val real: Map[Int, Set[Long]] = SqliteCli.query(f, script)
+      .collect { case Seq(Some(tag), Some(rid)) => (tag.drop(1).toInt, rid.toLong) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      .withDefaultValue(Set.empty)
+    queries.zipWithIndex.foreach { case (q, i) =>
+      val mine = docs
+        .filter(operators.Fts.matchQuery(Seq(col("text")), q))
+        .select(col("doc_id")).as[Long].collect().toSet
+      assert(mine === real(i), s"row set diverges from real FTS5 for <$q>")
+      assert(real.values.exists(_.nonEmpty), "corpus degenerate: no query hit anything")
+    }
+    // the planted suffixes must make non-ASCII queries actually selective
+    assert(real(0).nonEmpty && real(5).nonEmpty && real(0) != real(5))
+  }
+
+  test("property: 120 random grammar queries over RAW multilingual text — verdict parity with real FTS5") {
+    assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
+    import org.apache.spark.sql.functions._
+    val (f, docs) = multilingualCorpusDb()
+    // terms drawn from the REAL unicode61 token stream of the planted
+    // corpus — so Cyrillic/CJK/folded-accent terms appear organically
+    val tokenArrays = docs
+      .select(operators.Fts.tokens(Seq(col("text"))))
+      .collect().map(_.getSeq[String](0)).filter(_.nonEmpty)
+    val rnd = new scala.util.Random(20260815L)
+    def anyDoc() = tokenArrays(rnd.nextInt(tokenArrays.length))
+    def term(): String = {
+      val t =
+        if (rnd.nextInt(6) == 0) "zzzq" + rnd.nextInt(3) // absent
+        else { val d = anyDoc(); d(rnd.nextInt(d.length)) }
+      // sometimes re-accent a folded Latin vowel: the QUERY side must
+      // fold exactly as the corpus side did
+      if (rnd.nextInt(4) == 0)
+        t.replace('e', 'é').replace('a', 'à').replace('u', 'ü')
+      else t
+    }
+    def window(len: Int): Seq[String] = {
+      val d = anyDoc()
+      if (d.length <= len) d.toSeq
+      else { val s = rnd.nextInt(d.length - len); d.slice(s, s + len).toSeq }
+    }
+    def atom(): String = rnd.nextInt(8) match {
+      case 0 => "\"" + window(2 + rnd.nextInt(2)).mkString(" ") + "\""
+      case 1 =>
+        val t = term()
+        t.substring(0, math.min(t.length, 1 + rnd.nextInt(3))) + "*"
+      case 2 => "^" + term()
+      case 3 => s"NEAR(${term()} ${term()}, ${rnd.nextInt(9)})"
+      case _ => term()
+    }
+    def expr(depth: Int): String =
+      if (depth == 0) atom()
+      else rnd.nextInt(5) match {
+        case 0 => s"(${expr(depth - 1)}) OR (${expr(depth - 1)})"
+        case 1 => s"(${expr(depth - 1)}) AND (${expr(depth - 1)})"
+        case 2 => s"(${expr(depth - 1)}) NOT (${expr(depth - 1)})"
+        case 3 => s"${atom()} ${atom()}"
+        case _ => atom()
+      }
+    val queries = Seq.fill(120)(expr(1 + rnd.nextInt(2)))
+    val script = queries.zipWithIndex.map { case (q, i) =>
+      s"SELECT 'q$i', rowid FROM d WHERE d MATCH '${q.replace("'", "''")}' ORDER BY rowid;"
+    }.mkString("\n")
+    val real: Map[Int, Set[Long]] = SqliteCli.query(f, script)
+      .collect { case Seq(Some(tag), Some(rid)) => (tag.drop(1).toInt, rid.toLong) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      .withDefaultValue(Set.empty)
+    queries.zipWithIndex.grouped(32).foreach { batch =>
+      val preds = batch.map { case (q, i) =>
+        operators.Fts.matchQuery(Seq(col("text")), q).as(s"q$i")
+      }
+      val rows = docs.select(col("doc_id").as("id") +: preds: _*).collect()
+      batch.foreach { case (q, i) =>
+        val mine = rows.filter { r =>
+          val idx = r.fieldIndex(s"q$i"); !r.isNullAt(idx) && r.getBoolean(idx)
+        }.map(_.getLong(0)).toSet
+        assert(mine === real(i), s"row set diverges from real FTS5 for <$q>")
+      }
+    }
+    // the generator must produce non-ASCII operands, not just ASCII soup
+    assert(queries.count(_.exists(_ > 0x7F)) > 30,
+      "generator degenerate: almost no non-ASCII queries")
+  }
 }
