@@ -98,19 +98,28 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      val best = if (times.contains(-1.0)) -1.0 else times.min
-      (name, best, best >= 0)
+      val failedAny = times.contains(-1.0)
+      val best = if (failedAny) -1.0 else times.min
+      val median = if (failedAny) -1.0 else times.sorted.apply((times.size - 1) / 2)
+      (name, best, median, best >= 0)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    // medians expose load spikes a min hides; with reps=1 median == min
+    val medians = results.map { case (k, _, m, _) => "\"" + k + "\":" + m }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     // Totals from a round with any failure are not comparable across
     // rounds (a fail-fast query contributes ~0s) — emit null instead.
-    val anyFailed = results.exists(!_._3)
+    val anyFailed = results.exists(!_._4)
     val total =
       if (anyFailed) "null" else results.map(_._2).sum.toString
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    // "reps" makes every record self-identifying: a single-rep driver
+    // run can no longer be misread as a regression against a min-of-3
+    // record (round-11's 169s-vs-91.3s confusion)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
+      s""""queries":$qs,"queries_median":$medians,"failed":$failed,"sf":"$sfDir"}"""
     // The driver captures only the LAST 2000 chars of stdout and parses
     // the bench JSON out of that tail; the full 210-query line is ~6.4KB,
     // so every recorded BENCH_r*.json through r10 came back parsed:null.
@@ -118,12 +127,14 @@ object Bench {
     // ~1.6KB — fits the tail even with sbt's trailing "[success]" line)
     // to stdout; the full-fidelity record goes to bench.json +
     // BENCH_HISTORY.jsonl below, which are committed with the round.
-    val topQs = results.filter(_._3).sortBy(-_._2).take(50)
-      .map { case (k, v, _) => "\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP) }
+    // The truncated map is keyed "top_queries" — NOT "queries" — so a
+    // consumer parsing stdout cannot mistake it for the full set.
+    val topQs = results.filter(_._4).sortBy(-_._2).take(50)
+      .map { case (k, v, _, _) => "\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},""" +
-      s""""queries":$topQs,"queries_note":"slowest 50 of ${results.size}; full set in bench.json",""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"nq":${results.size},""" +
+      s""""top_queries":$topQs,"queries_note":"slowest 50 of ${results.size}; full set in bench.json",""" +
       s""""failed":$failed,"sf":"$sfDir"}"""
     println(compact)
     // Persist the full JSON to disk too: bench.json = latest run;

@@ -19,6 +19,56 @@ import graft.sources.CsvLoader.QuoteMode
   */
 object Cli {
 
+  /** Feature-compatibility version: the reference release whose flag
+    * surface this CLI mirrors (`setup.py:5`), with a graft suffix.
+    * `--version` prints it in click's `@click.version_option()` shape
+    * (`cli.py:148`).
+    */
+  val Version = "1.3.1-graft"
+
+  val VersionLine = s"graft.Cli, version $Version (csvs-to-sqlite-compatible)"
+
+  /** `--help` output; the README embeds this block verbatim and CliSpec
+    * asserts they match — the analogue of the reference's cog
+    * help-freshness test (`tests/test_csvs_to_sqlite.py:769-778`).
+    */
+  val HelpText: String =
+    """Usage: graft.Cli PATHS... DBNAME [OPTIONS]
+      |
+      |  PATHS: paths to individual .csv files or to directories containing .csvs
+      |
+      |  DBNAME: name of the SQLite database file to create
+      |
+      |Options:
+      |  -s, --separator TEXT       Field separator in input .csv
+      |  -q, --quoting INTEGER      Field quoting per csv.QUOTE_* (0-3)
+      |  --skip-errors              Skip lines with too many fields instead of failing
+      |  --replace-tables           Replace tables if they already exist
+      |  -t, --table TEXT           Table to use (instead of using CSV filename)
+      |  -c, --extract-column TEXT  Extract this column into a lookup table
+      |                             (supports "colname:table:valuecolumn")
+      |  -d, --date TEXT            Parse this column as a date, store ISO formatted
+      |  -dt, --datetime TEXT       Parse this column as a datetime, store ISO formatted
+      |  -df, --datetime-format TEXT  Datetime format to attempt first
+      |  -pk, --primary-key TEXT    Column to use as the primary key
+      |  -f, --fts TEXT             Column to include in the full-text index
+      |  -i, --index TEXT           Add an index on this column
+      |  --shape TEXT               Custom column order and types
+      |                             ("colname:newname(TYPE),...")
+      |  --filename-column TEXT     Add a column with this name, containing the
+      |                             source filename
+      |  --fixed-column NAME VALUE        Add a TEXT column with a fixed value
+      |  --fixed-column-int NAME VALUE    Add an INTEGER column with a fixed value
+      |  --fixed-column-float NAME VALUE  Add a FLOAT column with a fixed value
+      |  --no-index-fks             Skip adding an index to foreign key columns
+      |                             (on by default)
+      |  --no-fulltext-fks          Skip using the lookup-table value in the
+      |                             full-text index (on by default)
+      |  --just-strings             Import every column as TEXT
+      |  --output-dir TEXT          Engine-side parquet + schema.sql sink directory
+      |  --version                  Show the version and exit
+      |  --help                     Show this message and exit""".stripMargin
+
   def parse(args: Seq[String]): Pipeline.Config = {
     val positional = scala.collection.mutable.ArrayBuffer.empty[String]
     var c = Pipeline.Config(paths = Nil, dbName = "")
@@ -67,6 +117,9 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
+    // click's eager options: handled before any parsing or Spark startup
+    if (args.contains("--version")) { println(VersionLine); return }
+    if (args.contains("--help")) { println(HelpText); return }
     val config = parse(args.toIndexedSeq)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))

@@ -239,10 +239,12 @@ object SparkEntry {
     "x_cluster_topics" -> (SimilarityQueries.clusterTopics _),
     "x_ann_ivf_trained" -> (SimilarityQueries.annIvfTrained _),
     "x_ann_ivfpq" -> (SimilarityQueries.annIvfPq _),
+    "x_ann_ivfpq_recall" -> (SimilarityQueries.ivfPqRecall _),
     // extensions: event-time windows + multimodal plumbing
     "x_events_asof" -> (EventQueries.asofJoin _),
     "x_events_asof_exec" -> (EventQueries.asofJoinExec _),
     "x_events_asof_nearest" -> (EventQueries.asofNearest _),
+    "x_events_asof_nearest_exec" -> (EventQueries.asofNearestExec _),
     "x_events_range_join" -> (EventQueries.rangeJoin _),
     "x_events_interval_overlap" -> (EventQueries.intervalOverlap _),
     "x_events_retention" -> (EventQueries.retention _),
@@ -542,9 +544,11 @@ object SparkEntry {
     "x_cluster_topics" -> SimilarityQueries.clusterTopicsOracle,
     "x_ann_ivf_trained" -> SimilarityQueries.annIvfTrainedOracle,
     "x_ann_ivfpq" -> SimilarityQueries.annIvfPqOracle,
+    "x_ann_ivfpq_recall" -> SimilarityQueries.ivfPqRecallOracle,
     "x_events_asof" -> EventQueries.asofJoinOracle,
     "x_events_asof_exec" -> EventQueries.asofJoinExecOracle,
     "x_events_asof_nearest" -> EventQueries.asofNearestOracle,
+    "x_events_asof_nearest_exec" -> EventQueries.asofNearestExecOracle,
     "x_events_range_join" -> EventQueries.rangeJoinOracle,
     "x_events_interval_overlap" -> EventQueries.intervalOverlapOracle,
     "x_events_retention" -> EventQueries.retentionOracle,

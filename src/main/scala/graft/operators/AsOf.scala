@@ -80,6 +80,12 @@ object AsOf {
     val spark = left.sparkSession
     val shim = org.apache.spark.sql.graftshim.GraftShim
     shim.addStrategy(spark, graft.plans.AsofJoinStrategy)
+    // the right side is re-aliased with reserved names for key/time; a
+    // payload column with one of those names would silently shadow the
+    // alias — reject loudly instead
+    val reserved = Set("__asof_k", "__asof_t")
+    require(!payloadCols.exists(reserved), s"payload columns may not use the " +
+      s"reserved as-of aliases ${reserved.mkString(", ")}: $payloadCols")
     // re-alias the right side: fresh exprIds (safe under self-join) and
     // reserved names for key/time so payload columns keep their own
     val r = right.select(
@@ -87,16 +93,72 @@ object AsOf {
         payloadCols.map(c => col(c).as(c))): _*)
     val lp = shim.analyzed(left)
     val rp = shim.analyzed(r)
-    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
-      p.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(s"no column '$name' in ${p.output.map(_.name)}"))
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) = {
+      val matches = p.output.filter(_.name == name)
+      require(matches.size == 1, s"column '$name' must resolve to exactly one " +
+        s"attribute, found ${matches.size} in ${p.output.map(_.name)} — " +
+        "disambiguate duplicate-named columns before the as-of join")
+      matches.head
+    }
     val payload = payloadCols.map(c => attr(rp, c))
     shim.ofRows(spark, graft.plans.AsofJoin(
       lp, rp,
       attr(lp, keyCol), attr(rp, "__asof_k"),
       attr(lp, tsCol), attr(rp, "__asof_t"),
-      payload, strict,
+      payload, graft.plans.AsofJoinMode.Prior(strict),
       graft.plans.AsofJoin.outAttrFor(asofCol, payload)))
+  }
+
+  /** NEAREST-event join through the custom physical operator — the
+    * [[joinNearest]] semantics (closest |delta| within tolerance,
+    * backward-preferred ties, LongType times, right unique per
+    * (key, t)) with [[joinPriorMerge]]'s execution shape: one shuffle +
+    * sort per side, then a per-partition streaming merge holding ONE
+    * backward candidate while the unconsumed right head doubles as the
+    * forward candidate — O(1) memory per key where the composed form's
+    * two windows buffer each key's full history twice. Output matches
+    * [[joinNearest]]: left columns + `nearestCol` struct
+    * `(t: long, p: struct(payload))`, NULL when nothing lands within
+    * tolerance. AsofExecSpec pins row-for-row equivalence.
+    */
+  def joinNearestMerge(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tCol: String,
+      payloadCols: Seq[String], tolerance: Long,
+      nearestCol: String = "nearest"): DataFrame = {
+    val spark = left.sparkSession
+    val shim = org.apache.spark.sql.graftshim.GraftShim
+    shim.addStrategy(spark, graft.plans.AsofJoinStrategy)
+    val reserved = Set("__asof_k", "__asof_t", "__asof_lt", "t", "p")
+    require(!payloadCols.exists(reserved), s"payload columns may not use the " +
+      s"reserved nearest-as-of aliases ${reserved.mkString(", ")}: $payloadCols")
+    require(!left.columns.contains("__asof_lt"),
+      "left may not already contain the reserved column __asof_lt")
+    // right carries its (long) time twice: once as the merge key, once
+    // as the payload struct's `t` field (the delta the caller reads)
+    val r = right.select(
+      col(keyCol).as("__asof_k"),
+      col(tCol).cast("long").as("__asof_t"),
+      col(tCol).cast("long").as("t"),
+      struct(payloadCols.map(col): _*).as("p"))
+    val l = left.withColumn("__asof_lt", col(tCol).cast("long"))
+    val lp = shim.analyzed(l)
+    val rp = shim.analyzed(r)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) = {
+      val matches = p.output.filter(_.name == name)
+      require(matches.size == 1, s"column '$name' must resolve to exactly one " +
+        s"attribute, found ${matches.size} in ${p.output.map(_.name)} — " +
+        "disambiguate duplicate-named columns before the as-of join")
+      matches.head
+    }
+    val payload = Seq(attr(rp, "t"), attr(rp, "p"))
+    shim.ofRows(spark, graft.plans.AsofJoin(
+        lp, rp,
+        attr(lp, keyCol), attr(rp, "__asof_k"),
+        attr(lp, "__asof_lt"), attr(rp, "__asof_t"),
+        payload, graft.plans.AsofJoinMode.Nearest(tolerance),
+        graft.plans.AsofJoin.outAttrFor(nearestCol, payload)))
+      .drop("__asof_lt")
   }
 
   /** NEAREST-event join: for each left row, the right row with the same

@@ -38,15 +38,26 @@ object Bloom {
       }
       .fold(BloomFilter.create(expectedItems, fpp))((a, b) => a.mergeInPlace(b))
 
-  /** `mightContain` as a Column predicate over a broadcast filter.
-    * A Scala UDF, deliberately: this sits OUTSIDE the hot aggregation
-    * path (it is the prefilter before a semi-join) and the bloom probe
-    * itself is a few hashes — the alternative (Catalyst's
-    * BloomFilterMightContain) is private[sql].
+  /** `mightContain` as a Column predicate: Catalyst's own
+    * [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * (SQL `might_contain`, the expression Spark's runtime row-level
+    * filtering injects) over the serialized filter as a literal — the
+    * exact mechanism Spark uses for its own injected bloom filters, so
+    * the probe stays inside whole-stage codegen with zero UDF serde.
+    * The wire format matches: [[BloomFilter.writeTo]] is what
+    * `BloomFilterAggregate` serializes and `might_contain`
+    * deserializes. NULL values read as false (a NULL key is never a
+    * member), matching the prior UDF's contract.
     */
   def mightContainLong(df: DataFrame, bf: BloomFilter, c: Column): Column = {
-    val bcast = df.sparkSession.sparkContext.broadcast(bf)
-    udf((v: java.lang.Long) => v != null && bcast.value.mightContainLong(v)).apply(c)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val shim = org.apache.spark.sql.graftshim.GraftShim
+    val probe = shim.column(
+      new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        shim.expression(lit(bos.toByteArray)),
+        shim.expression(c.cast("long"))))
+    coalesce(probe, lit(false))
   }
 
   /** Persist a built filter (the cross-run artifact: a pipeline builds

@@ -40,8 +40,12 @@ object HistSketch {
 
   case class HistState(counts: Map[Int, Long])
 
-  /** `n` plus one exact quantile per requested probability. */
-  case class HistSummary(n: Long, qs: Seq[Long])
+  /** `n` plus one exact quantile per requested probability. `qs` are
+    * None when n == 0 (an all-NULL or empty group) — exactly SQL's
+    * `quantile_disc` over no non-NULL values, so a NULL-bearing column
+    * can never hash-diverge from the oracle.
+    */
+  case class HistSummary(n: Long, qs: Seq[Option[Long]])
 
   class HistAgg(domain: Int, probs: Seq[Double])
       extends Aggregator[java.lang.Long, HistState, HistSummary] {
@@ -71,7 +75,7 @@ object HistSketch {
 
     override def finish(s: HistState): HistSummary = {
       val n = s.counts.valuesIterator.sum
-      if (n == 0L) HistSummary(0L, probs.map(_ => 0L))
+      if (n == 0L) HistSummary(0L, probs.map(_ => None))
       else {
         val sorted = s.counts.toArray.sortBy(_._1)
         val qs = probs.map { p =>
@@ -87,7 +91,7 @@ object HistSketch {
             if (cum > idx) { out = sorted(i)._1.toLong; found = true }
             i += 1
           }
-          out
+          Some(out)
         }
         HistSummary(n, qs)
       }

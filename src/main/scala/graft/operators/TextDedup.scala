@@ -356,12 +356,18 @@ object TextDedup {
     var iters = 0
     var converged = false
 
-    // ---- phase 1: neighbor-min propagation over the edge subgraph
+    // ---- phase 1: neighbor-min propagation over the edge subgraph.
+    // One checkpoint per round; `labels` is a narrow select over it.
+    // The PREVIOUS round's checkpoint blocks are dropped as soon as the
+    // new round has materialized (the convergence count) — live
+    // checkpoint state stays O(1) rounds, not O(rounds) (round-11
+    // ADVICE: deep graphs accumulated unbounded executor blocks).
     val edges = p0.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(p0.select(col("v").as("src"), col("u").as("dst")))
-    var labels = shim.localCheckpointNoStats(
+    var labelsCp = shim.localCheckpointNoStats(
       edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id")))
+    var labels = labelsCp
     while (!converged && iters < math.min(propRounds, maxIters)) {
       val msgs = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("id")).agg(min(col("label")).as("msg"))
@@ -372,7 +378,9 @@ object TextDedup {
             least(col("prev"), coalesce(col("msg"), col("prev"))).as("label"),
             col("prev")))
       converged = next.filter(col("label") =!= col("prev")).count() == 0
-      labels = shim.localCheckpointNoStats(next.select(col("id"), col("label")))
+      shim.unpersistCheckpoint(labelsCp)
+      labelsCp = next
+      labels = next.select(col("id"), col("label"))
       iters += 1
     }
 
@@ -423,6 +431,9 @@ object TextDedup {
         if (nextSig == curSig) {
           converged = next.exceptAll(cur).unionAll(cur.exceptAll(next)).isEmpty
         }
+        // `cur` had its last use this round (the star maps + the exact
+        // equality check); release its checkpoint blocks now
+        shim.unpersistCheckpoint(cur)
         cur = next
         curSig = nextSig
         iters += 1

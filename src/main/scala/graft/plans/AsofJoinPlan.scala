@@ -10,12 +10,28 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Which temporal match the as-of exec computes. */
+sealed trait AsofJoinMode extends Serializable
+object AsofJoinMode {
+  /** Latest right row at-or-before (strict: strictly before) the left
+    * row's time — the classic backward as-of.
+    */
+  case class Prior(strict: Boolean) extends AsofJoinMode
+  /** Right row minimizing |t_right - t_left| within `tolerance` time
+    * units, either direction; |delta| ties prefer the backward match
+    * (state already known beats state from the future). Times must be
+    * LongType (e.g. epoch micros) so every delta is exact.
+    */
+  case class Nearest(tolerance: Long) extends AsofJoinMode
+}
+
 /** Whole-operator as-of join: the custom
   * LogicalPlan → SparkStrategy → SparkPlan stack for the one temporal
-  * operator Spark lacks natively (the composed union+window form in
-  * [[graft.operators.AsOf.joinPrior]] is brief-preference (a); this
-  * node is preference (c), carried because the direct physical shape
-  * is skew-proof where the window form is not):
+  * operator Spark lacks natively (the composed union+window forms in
+  * [[graft.operators.AsOf.joinPrior]]/[[graft.operators.AsOf.joinNearest]]
+  * are brief-preference (a); this node is preference (c), carried
+  * because the direct physical shape is skew-proof where the window
+  * form is not):
   *
   *   - each side shuffles ONCE on its key and sorts (key, time) —
   *     `requiredChildDistribution` / `requiredChildOrdering` let
@@ -30,15 +46,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - the right side never widens to the left schema and vice versa:
   *     exchange bytes are each side's own rows, nothing more.
   *
-  * Semantics (same contract as [[graft.operators.AsOf.joinPrior]],
-  * pinned by AsofExecSpec's equivalence property): for each left row,
-  * the payload of the LAST right row with an equal key and time
-  * strictly before (`strict = true`) or at-or-before (`strict = false`)
-  * the left row's; NULL struct when none. NULL keys and NULL times
-  * never match (SQL equi-join semantics); right rows with NULL key or
-  * time are ignored. Ties between right rows at the same (key, time)
+  * Semantics (same contracts as [[graft.operators.AsOf.joinPrior]] /
+  * [[graft.operators.AsOf.joinNearest]], pinned by AsofExecSpec's
+  * equivalence properties), per [[AsofJoinMode]]: for each left row,
+  * the payload of the matching right row with an equal key — the last
+  * at-or-before (Prior) or the |delta|-closest within tolerance
+  * (Nearest) — NULL struct when none. NULL keys and NULL times never
+  * match (SQL equi-join semantics); right rows with NULL key or time
+  * are ignored. Ties between right rows at the same (key, time)
   * resolve to the last row in sort order — pass a unique time (or
-  * pre-dedup) for full determinism, as with the composed form.
+  * pre-dedup) for full determinism, as with the composed forms.
   */
 case class AsofJoin(
     left: LogicalPlan,
@@ -48,13 +65,20 @@ case class AsofJoin(
     leftTime: Attribute,
     rightTime: Attribute,
     payload: Seq[Attribute],
-    strict: Boolean,
+    mode: AsofJoinMode,
     outAttr: AttributeReference) extends BinaryNode {
 
   require(leftKey.dataType == rightKey.dataType,
     s"as-of key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
   require(leftTime.dataType == rightTime.dataType,
     s"as-of time types differ: ${leftTime.dataType} vs ${rightTime.dataType}")
+  mode match {
+    case AsofJoinMode.Nearest(tol) =>
+      require(leftTime.dataType == org.apache.spark.sql.types.LongType,
+        s"nearest as-of requires LongType times (exact deltas), got ${leftTime.dataType}")
+      require(tol >= 0L, s"nearest as-of tolerance must be >= 0: $tol")
+    case _ =>
+  }
 
   override def output: Seq[Attribute] = left.output :+ outAttr
 
@@ -87,7 +111,7 @@ object AsofJoinStrategy extends SparkStrategy {
     case j: AsofJoin =>
       AsofJoinExec(planLater(j.left), planLater(j.right),
         j.leftKey, j.rightKey, j.leftTime, j.rightTime,
-        j.payload, j.strict, j.outAttr) :: Nil
+        j.payload, j.mode, j.outAttr) :: Nil
     case _ => Nil
   }
 }
@@ -100,7 +124,7 @@ case class AsofJoinExec(
     leftTime: Attribute,
     rightTime: Attribute,
     payload: Seq[Attribute],
-    strict: Boolean,
+    mode: AsofJoinMode,
     outAttr: AttributeReference) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output :+ outAttr
@@ -139,7 +163,7 @@ case class AsofJoinExec(
     val lTimeU: Expression = leftTime
     val rTimeU: Expression = rightTime
     val payloadL = payload
-    val strictL = strict
+    val modeL = mode
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
 
@@ -184,8 +208,10 @@ case class AsofJoinExec(
         fetch()
 
         // the running candidate: last usable right payload for curKey
+        // (for Nearest, also its time — the backward delta's operand)
         private var hasCur = false
         private var curKey: Any = _
+        private var curTime: Any = _
         private var curMatch: UnsafeRow = _
 
         override def hasNext: Boolean = lIter.hasNext
@@ -202,7 +228,9 @@ case class AsofJoinExec(
             }
             // consume right rows that are at-or-before this left row:
             // smaller keys are dead (left is ascending), equal-key rows
-            // inside the time bound become the new candidate
+            // inside the time bound become the new candidate. For
+            // Nearest the bound is always at-or-before — a delta-0
+            // forward row is the same as a delta-0 backward row.
             var advance = hasHead
             while (advance) {
               val kc = keyOrd.compare(hKey, lk)
@@ -210,13 +238,33 @@ case class AsofJoinExec(
                 fetch(); advance = hasHead
               } else if (kc == 0 && {
                   val tc = timeOrd.compare(hTime, lt)
-                  if (strictL) tc < 0 else tc <= 0
+                  modeL match {
+                    case AsofJoinMode.Prior(strict) => if (strict) tc < 0 else tc <= 0
+                    case AsofJoinMode.Nearest(_) => tc <= 0
+                  }
                 }) {
-                hasCur = true; curKey = hKey; curMatch = hPay
+                hasCur = true; curKey = hKey; curTime = hTime; curMatch = hPay
                 fetch(); advance = hasHead
               } else advance = false
             }
-            wrap.update(0, if (hasCur) curMatch else null)
+            modeL match {
+              case AsofJoinMode.Prior(_) =>
+                wrap.update(0, if (hasCur) curMatch else null)
+              case AsofJoinMode.Nearest(tol) =>
+                // backward candidate vs the head (the FIRST same-key row
+                // strictly after lt — exactly the forward candidate,
+                // still unconsumed so it can serve later left rows)
+                val ltL = lt.asInstanceOf[Long]
+                val db = if (hasCur) ltL - curTime.asInstanceOf[Long] else Long.MaxValue
+                val df =
+                  if (hasHead && keyOrd.compare(hKey, lk) == 0)
+                    hTime.asInstanceOf[Long] - ltL
+                  else Long.MaxValue
+                val chosen =
+                  if (db <= df) { if (db <= tol) curMatch else null }
+                  else { if (df <= tol) hPay else null }
+                wrap.update(0, chosen)
+            }
           }
           resultProj(joined(l, wrap))
         }

@@ -1100,7 +1100,7 @@ object CorpusQueries {
   val histQuantilesOracle: String = {
     val ws = """CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT)"""
     s"""WITH w AS (SELECT source, least(greatest($ws, 0), 4095) AS ws FROM documents)
-       |SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |SELECT source, CAST(count(ws) AS BIGINT) AS n,
        |  CAST(quantile_disc(ws, 0.5) AS BIGINT) AS q_5,
        |  CAST(quantile_disc(ws, 0.9) AS BIGINT) AS q_9,
        |  CAST(quantile_disc(ws, 0.99) AS BIGINT) AS q_99

@@ -302,6 +302,37 @@ object EventQueries {
       |    THEN cv ELSE 0.0 END AS error_value
       |FROM c ORDER BY purchase_id""".stripMargin
 
+  /** The SAME nearest semantics through the custom physical operator
+    * ([[AsOf.joinNearestMerge]] → [[graft.plans.AsofJoinExec]] in
+    * Nearest mode): one shuffle + sort per side, then a streaming merge
+    * holding ONE backward candidate while the unconsumed right head
+    * doubles as the forward candidate — O(1) memory per key vs the
+    * composed form's two full-history windows. Graded against the same
+    * twice-composed DuckDB ASOF oracle, making three independent
+    * implementations of nearest-within-tolerance.
+    */
+  def asofNearestExec(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus"))
+    val w = Window.partitionBy("user_id", "tus").orderBy(col("event_id").desc)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    AsOf.joinNearestMerge(purchases, errors, "user_id", "tus",
+        payloadCols = Seq("event_id", "value"), tolerance = 3600000000L)
+      .select(col("event_id").cast(LongType).as("purchase_id"),
+        col("user_id").cast(LongType).as("user_id"),
+        coalesce(col("nearest.p.event_id").cast(LongType), lit(-1L)).as("error_id"),
+        coalesce(col("nearest.t") - col("tus"), lit(0L)).cast(LongType).as("delta_us"),
+        coalesce(col("nearest.p.value"), lit(0.0d)).as("error_value"))
+      .orderBy("purchase_id")
+  }
+
+  val asofNearestExecOracle: String = asofNearestOracle
+
   /** Point-in-interval (range) join: activity windows = [first event,
     * +2h) of the 20 busiest users; every event (any user) landing in a
     * window is aggregated per window. [[graft.operators.RangeJoin]] for

@@ -709,6 +709,76 @@ object SimilarityQueries {
        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Measured IVF-PQ recall@5 against brute-force ground truth — the
+    * missing member of the recall-metrology family (x_ann_recall pins
+    * the IVF half, x_pq_recall the PQ half; this pins the COMPOSED ADC
+    * path): the ivfAdcTopK answer joined against the exact top-5 per
+    * query, recall in exact ppm. The number that says whether nProbe or
+    * m/k needs raising before the billion-scale index layout ships.
+    */
+  def ivfPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val qs = embSmall(spark, dir).filter(col("vec_id") >= 10 && col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", k = 5)
+      .select(col("q_id"), col("neighbor_id"))
+    val model = graft.operators.ProductQuantize
+      .train(e, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+    val adc = Similarity.ivfAdcTopK(e, qs, "vec_id", "embedding", "label", model,
+        k = 5, nProbe = 2)
+      .select(col("q_id"), col("neighbor_id"))
+    val common = exact.join(adc, Seq("q_id", "neighbor_id"))
+      .groupBy("q_id").agg(count(lit(1)).cast(LongType).as("n_common"))
+    qs.select(col("vec_id").cast(LongType).as("q_id"))
+      .join(common, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .withColumn("recall_ppm", expr("(1000000 * n_common) div 5"))
+      .orderBy("q_id")
+  }
+
+  val ivfPqRecallOracle: String = {
+    val rdot = "CAST(list_sum(list_transform(range(1, 65), i -> c.rv[i] * p.qq[i])) AS BIGINT)"
+    s"""WITH $quantCte,
+       |ex_scored AS (SELECT qq.id AS q_id, c.id AS c_id,
+       |    ${duckCos(duckDot("c.qv", "qq.qv"), "c.n2", "qq.n2")} AS cosine
+       |  FROM n c JOIN n qq ON qq.id >= 10 AND qq.id < 20 AND c.id <> qq.id),
+       |ex AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+       |  FROM ex_scored) WHERE rank <= 5),
+       |$pqCte,
+       |rv0 AS (SELECT a.id, flatten(list(c.cent ORDER BY c.sub)) AS rv
+       |  FROM paf a JOIN pc2 c ON c.sub = a.sub AND c.cluster = a.cluster
+       |  GROUP BY a.id),
+       |rvn AS (SELECT r.id, r.rv, n.cluster,
+       |  CAST(list_sum(list_transform(range(1, 65), i -> r.rv[i] * r.rv[i])) AS BIGINT) AS rn2
+       |  FROM rv0 r JOIN n ON n.id = r.id),
+       |comp AS (SELECT cluster, i.i AS pos, sum(qv[i.i]) AS s
+       |  FROM q CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+       |  GROUP BY cluster, i.i),
+       |cent AS (SELECT cluster, array_agg(CAST(s AS BIGINT) ORDER BY pos) AS cv FROM comp GROUP BY cluster),
+       |centn AS (SELECT cluster, cv,
+       |  CAST(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])) AS BIGINT) AS cn2 FROM cent),
+       |qry AS (SELECT id AS q_id, qv AS qq, n2 AS qn2 FROM n WHERE id >= 10 AND id < 20),
+       |probe AS (SELECT q_id, qq, qn2, cluster,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY
+       |      ${duckCos(duckDot("qq", "cv"), "qn2", "cn2")} DESC, cluster) AS pr
+       |  FROM qry CROSS JOIN centn),
+       |probed AS (SELECT q_id, qq, qn2, cluster FROM probe WHERE pr <= 2),
+       |adc_scored AS (SELECT p.q_id, c.id AS c_id,
+       |    ${duckCos(rdot, "c.rn2", "p.qn2")} AS cosine
+       |  FROM rvn c JOIN probed p ON c.cluster = p.cluster AND c.id <> p.q_id),
+       |adc AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+       |  FROM adc_scored) WHERE rank <= 5),
+       |common AS (SELECT ex.q_id, CAST(count(*) AS BIGINT) AS n_common
+       |  FROM ex JOIN adc ON adc.q_id = ex.q_id AND adc.c_id = ex.c_id
+       |  GROUP BY ex.q_id),
+       |qlist AS (SELECT id AS q_id FROM n WHERE id >= 10 AND id < 20)
+       |SELECT qlist.q_id AS q_id, coalesce(n_common, 0) AS n_common,
+       |  coalesce(n_common, 0) * 1000000 // 5 AS recall_ppm
+       |FROM qlist LEFT JOIN common ON common.q_id = qlist.q_id
+       |ORDER BY q_id""".stripMargin
+  }
+
   // ---- cluster topic labeling (c-TF-IDF) ---------------------------
 
   /** Topic labels for the trained k-means clusters — BERTopic-style

@@ -68,6 +68,25 @@ object GraftShim {
       cds.queryExecution.analyzed.output, internal)(session))
   }
 
+  /** Drop the checkpoint blocks behind a DataFrame produced by
+    * [[localCheckpointNoStats]] (its analyzed plan is exactly one
+    * LogicalRDD). Iterative loops MUST call this on the previous
+    * round's checkpoint once the next round has materialized —
+    * otherwise every round's blocks pile up on the executors until the
+    * ContextCleaner happens to run (unbounded for deep graphs). The
+    * DataFrame is dead after this call: a locally-checkpointed RDD has
+    * no lineage to recompute from.
+    */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case other => throw new IllegalArgumentException(
+          "unpersistCheckpoint expects a localCheckpointNoStats result " +
+            s"(a bare LogicalRDD), got: ${other.nodeName}")
+      }
+
   /** Idempotently add a planner strategy to a LIVE session
     * (`experimental.extraStrategies` — the runtime analogue of
     * `SparkSessionExtensions.injectPlannerStrategy`).

@@ -126,4 +126,65 @@ class AsofExecSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq ===
       Seq((1L, -1L), (2L, 1L), (3L, 2L)))
   }
+
+  // ---- NEAREST mode -------------------------------------------------
+
+  test("equivalence with joinNearest: randomized corpora across tolerances") {
+    for ((seed, tol) <- Seq((1L, 0L), (7L, 15L), (20260815L, 60L), (42L, 100000L))) {
+      val rnd = new scala.util.Random(seed)
+      val left = (1 to (300 + rnd.nextInt(300))).map { i =>
+        (i.toLong, rnd.nextInt(20).toLong, rnd.nextInt(500).toLong)
+      }.toDF("id", "k", "tus")
+      // unique (k, tus): the determinism contract of BOTH forms
+      val right = (1 to (200 + rnd.nextInt(400))).map { j =>
+        (rnd.nextInt(25).toLong, rnd.nextInt(500).toLong, j.toLong, j * 1.5)
+      }.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+        .toDF("k", "tus", "rid", "v")
+      val composed = AsOf.joinNearest(left, right, "k", "tus", Seq("rid", "v"), tol)
+      val merged = AsOf.joinNearestMerge(left, right, "k", "tus", Seq("rid", "v"), tol)
+      assert(merged.columns.toSeq === composed.columns.toSeq)
+      // same shape up to nullability (the composed form's union path
+      // marks the payload struct nullable; the exec knows it is not)
+      assert(merged.schema("nearest").dataType.simpleString ===
+        composed.schema("nearest").dataType.simpleString,
+        s"seed $seed: nearest struct shape diverged")
+      assert(sortedRows(merged) === sortedRows(composed), s"seed $seed tol $tol diverged")
+    }
+  }
+
+  test("nearest: backward preferred on |delta| ties; tolerance excludes both sides") {
+    val left = Seq((1L, 7L, 100L)).toDF("id", "k", "tus")
+    val right = Seq((7L, 90L, "back"), (7L, 110L, "fwd")).toDF("k", "tus", "tag")
+    def pick(tol: Long) =
+      AsOf.joinNearestMerge(left, right, "k", "tus", Seq("tag"), tol)
+        .select($"nearest.p.tag").collect().head
+    assert(pick(10L).getString(0) === "back")   // tie: backward wins
+    assert(pick(1000L).getString(0) === "back")
+    val miss = AsOf.joinNearestMerge(left, right, "k", "tus", Seq("tag"), 5L)
+      .select($"nearest".isNull).collect().head.getBoolean(0)
+    assert(miss, "nothing within tolerance must be a NULL struct")
+    // forward-only match
+    val fwdOnly = AsOf.joinNearestMerge(left,
+        right.filter($"tag" === "fwd"), "k", "tus", Seq("tag"), 10L)
+      .select($"nearest.p.tag", $"nearest.t").collect().head
+    assert(fwdOnly.getString(0) === "fwd" && fwdOnly.getLong(1) === 110L)
+    // a delta-0 instant matches even at tolerance 0
+    val at = AsOf.joinNearestMerge(left,
+        Seq((7L, 100L, "at")).toDF("k", "tus", "tag"), "k", "tus", Seq("tag"), 0L)
+      .select($"nearest.p.tag").collect().head
+    assert(at.getString(0) === "at")
+  }
+
+  test("nearest: plan shape is the custom exec, no union/window; negative tolerance rejected") {
+    val left = Seq((1L, 1L, 10L)).toDF("id", "k", "tus")
+    val right = Seq((1L, 5L, "x")).toDF("k", "tus", "tag")
+    val df = AsOf.joinNearestMerge(left, right, "k", "tus", Seq("tag"), 100L)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), plan)
+    assert(!plan.contains("Window") && !plan.contains("Union"), plan)
+    intercept[IllegalArgumentException] {
+      AsOf.joinNearestMerge(left, right, "k", "tus", Seq("tag"), -1L)
+    }
+  }
 }

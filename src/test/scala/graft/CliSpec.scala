@@ -43,4 +43,25 @@ class CliSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Cli.parse(Seq("a.csv", "db", "--bogus")) }
     intercept[IllegalArgumentException] { Cli.parse(Seq("onlyone")) }
   }
+
+  test("--version: click version_option shape, pinned to the mirrored reference release") {
+    // cli.py:148 @click.version_option(); setup.py:5 VERSION = "1.3.1"
+    assert(Cli.VersionLine === "graft.Cli, version 1.3.1-graft (csvs-to-sqlite-compatible)")
+    assert(Cli.Version.startsWith("1.3.1"))
+  }
+
+  test("README help block matches Cli.HelpText (the reference's cog freshness test)") {
+    // tests/test_csvs_to_sqlite.py:769-778 asserts README's embedded
+    // --help output is current; same gate here, byte-for-byte
+    val readme = java.nio.file.Files.readString(java.nio.file.Paths.get("README.md"))
+    assert(readme.contains("```\n" + Cli.HelpText + "\n```"),
+      "README's graft.Cli --help block is stale — paste Cli.HelpText into README.md")
+    // every parsed option must appear in the help text, so a new flag
+    // cannot land without documentation
+    val src = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("src/main/scala/graft/Cli.scala"))
+    val flags = "\"(--[a-z-]+)\"".r.findAllMatchIn(src).map(_.group(1)).toSet
+    val undocumented = flags.filterNot(f => Cli.HelpText.contains(f))
+    assert(undocumented.isEmpty, s"flags missing from HelpText: $undocumented")
+  }
 }

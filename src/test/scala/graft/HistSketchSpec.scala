@@ -64,21 +64,27 @@ class HistSketchSpec extends SparkSpec {
 
   test("degenerate shapes: single value, all-equal, empty state") {
     val agg = new HistSketch.HistAgg(64, probs)
-    assert(agg.finish(agg.zero) === HistSketch.HistSummary(0L, Seq(0L, 0L, 0L)))
+    // empty (or all-NULL) group: quantiles are NULL, exactly as SQL's
+    // quantile_disc over zero non-NULL values — never a silent 0
+    assert(agg.finish(agg.zero) === HistSketch.HistSummary(0L, Seq(None, None, None)))
     val one = agg.finish(agg.reduce(agg.zero, 7L))
-    assert(one === HistSketch.HistSummary(1L, Seq(7L, 7L, 7L)))
+    assert(one === HistSketch.HistSummary(1L, Seq(Some(7L), Some(7L), Some(7L))))
     val same = agg.finish((1 to 100).foldLeft(agg.zero)((s, _) => agg.reduce(s, 9L)))
-    assert(same === HistSketch.HistSummary(100L, Seq(9L, 9L, 9L)))
+    assert(same === HistSketch.HistSummary(100L, Seq(Some(9L), Some(9L), Some(9L))))
   }
 
   test("null values are ignored, as in any SQL aggregate") {
-    val df = Seq(Some(5L), None, Some(7L), None).toDF("v")
-      .withColumn("g", lit("a"))
+    val df = Seq(("a", Some(5L)), ("a", None), ("a", Some(7L)), ("a", None),
+      ("b", None), ("b", None)).toDF("g", "v")
     val out = HistSketch.groupedQuantiles(df, "g", "v", 64, Seq(0.5))
-      .collect().head
+      .orderBy("g").collect()
     // n counts non-null rows only; median of {5, 7} is 5 (not of {0,0,5,7})
-    assert(out.getLong(1) === 2L)
-    assert(out.getLong(2) === 5L)
+    assert(out(0).getLong(1) === 2L)
+    assert(out(0).getLong(2) === 5L)
+    // an ALL-null group yields n=0 and a NULL quantile (quantile_disc
+    // over no values), not a fabricated 0
+    assert(out(1).getLong(1) === 0L)
+    assert(out(1).isNullAt(2))
   }
 
   test("qName: probability to column suffix") {

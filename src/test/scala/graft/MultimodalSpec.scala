@@ -32,6 +32,50 @@ class MultimodalSpec extends SparkSpec {
       metas.map(m => (m.width, m.height, m.channels)).toSeq)
   }
 
+  test("ImageIoDecoder: REAL PNG and JPEG fixtures decode to exact pixel geometry through the Spark path") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    // render real images in-test (the container ships no image files):
+    // an RGB 37x23 PNG, a grayscale 64x48 PNG, an RGB 120x80 JPEG
+    def bytesOf(w: Int, h: Int, imgType: Int, fmt: String): Array[Byte] = {
+      val img = new BufferedImage(w, h, imgType)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, (x * 31 + y * 17) & 0xFFFFFF)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos), s"no $fmt writer on this JVM")
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, "image/png", bytesOf(37, 23, BufferedImage.TYPE_INT_RGB, "png"), 37L, 23L, 3L),
+      (2L, "image/png", bytesOf(64, 48, BufferedImage.TYPE_BYTE_GRAY, "png"), 64L, 48L, 1L),
+      (3L, "image/jpeg", bytesOf(120, 80, BufferedImage.TYPE_INT_RGB, "jpg"), 120L, 80L, 3L))
+    val blobs = spark.createDataset(
+      rows.map { case (id, t, b, _, _, _) => Multimodal.MediaBlob(id, t, b) })(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaBlob])
+    val metas = Multimodal.decodeAll(blobs, Multimodal.ImageIoDecoder)
+      .collect().sortBy(_.media_id)
+    rows.zip(metas).foreach { case ((id, t, b, w, h, c), m) =>
+      assert(m.media_id === id)
+      assert((m.width, m.height, m.channels) === ((w, h, c)),
+        s"real decode geometry wrong for media_id=$id ($t)")
+      assert(m.byte_len === b.length.toLong)
+    }
+    // the dispatcher routes image types to the real decoder and
+    // everything else to the stub
+    val mixed = spark.createDataset(Seq(
+      Multimodal.MediaBlob(10L, "image/png", rows.head._3),
+      Multimodal.MediaBlob(11L, "video/mp4", "not really video".getBytes("UTF-8"))))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaBlob])
+    val dm = Multimodal.decodeAll(mixed, Multimodal.dispatchDecoder())
+      .collect().sortBy(_.media_id)
+    assert((dm(0).width, dm(0).height) === ((37L, 23L)))
+    assert(dm(1).width === Multimodal.StubDecoder.decode(
+      Multimodal.MediaBlob(11L, "video/mp4", "not really video".getBytes("UTF-8"))).width)
+    // corrupt image bytes fail LOUDLY, never silently as fake geometry
+    val bad = Multimodal.MediaBlob(12L, "image/png", Array[Byte](1, 2, 3))
+    intercept[IllegalArgumentException] { Multimodal.ImageIoDecoder.decode(bad) }
+  }
+
   test("stub embedding: deterministic, dim-length, bounded, feeds integer cosine") {
     val blobs = Multimodal.asBlobs(media, "media_id", "payload", "image")
     val embs = Multimodal.embedAll(blobs, dim = 16).collect().sortBy(_.media_id)

@@ -306,6 +306,14 @@ class PlanSpec extends SparkSpec {
     assert(exchanges === 1, s"expected exactly 1 key shuffle, got $exchanges:\n$p")
   }
 
+  test("bloom membership probe is native might_contain — no ScalaUDF anywhere in the plan") {
+    val df = graft.queries.CorpusQueries.bloomMembership(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("ScalaUDF"),
+      "the bloom probe must be Catalyst's BloomFilterMightContain, not a UDF:\n" + p)
+    assert(p.contains("might_contain"), "expected the native probe in the plan:\n" + p)
+  }
+
   test("URL canonicalization stays in whole-stage codegen — no UDF, no fallback") {
     val df = graft.queries.CorpusQueries.urlDedup(spark, dir)
     val p = plan(df)
