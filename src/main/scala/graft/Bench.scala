@@ -21,6 +21,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Silence WindowExec's "No Partition Defined" warning for this run:
+    // every unpartitioned window a graded query executes is a BOUNDED
+    // whitelisted one (dictionary-rank / tiny-offsets prefix sums,
+    // SURVEY §4), and ~200 queries × reps of the same warning train
+    // readers to ignore the one that will someday be real. The actual
+    // guard is PlanGuard (injected optimizer rule): it flags
+    // unpartitioned corpus-grain windows loudly and is asserted QUIET
+    // on every graded query — detection stays, the noise goes.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     // Warmup: session + codegen + parquet footer caches. The extension
     // pipelines compile large generated classes on first use — run them

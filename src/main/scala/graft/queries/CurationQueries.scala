@@ -305,9 +305,16 @@ object CurationQueries {
   // ---- sparse TF-IDF retrieval -------------------------------------
 
   /** Top-5 lexically-similar corpus docs for every 100th document. */
+  /** Retrieval contract: the query set is FIXED (`% 100 == 0` capped
+    * below 2000 → at most 20 queries at ANY scale factor), so cost is
+    * Θ(corpus) — the sf1 validation caught the previous spelling
+    * (query set growing WITH the corpus) going quadratic: 47x wall for
+    * 10x data. A growing query set is an all-pairs workload, not
+    * retrieval; all-pairs belongs to the PPJoin/LSH family.
+    */
   def tfidfTopk(spark: SparkSession, dir: String): DataFrame =
     TfIdf.topkSimilar(DedupQueries.docs(spark, dir), "doc_id", "text",
-        isQuery = _ % 100 === 0, k = 5)
+        isQuery = id => id % 100 === 0 && id < 2000, k = 5)
       .orderBy("q_id", "rank")
 
   val tfidfTopkOracle: String = {
@@ -324,7 +331,7 @@ object CurationQueries {
        |scored AS (SELECT qw.id AS q_id, cw.id AS c_id,
        |    sum(CAST(qw.w AS HUGEINT) * cw.w) AS num
        |  FROM w qw JOIN w cw USING (term)
-       |  WHERE qw.id % 100 = 0 AND cw.id <> qw.id
+       |  WHERE qw.id % 100 = 0 AND qw.id < 2000 AND cw.id <> qw.id
        |  GROUP BY 1, 2),
        |cos AS (SELECT q_id, c_id,
        |    round(CAST(num AS DOUBLE) /

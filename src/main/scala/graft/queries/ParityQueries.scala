@@ -537,6 +537,86 @@ object ParityQueries {
       .limit(20)
   }
 
+  /** Extension — trigram-indexed SUBSTRING search
+    * ([[graft.operators.Trigram]]): `LIKE '%vector hash%'` through the
+    * (trigram, rowid) inverted index with exact contains-verify — the
+    * pg_trgm / FTS5-trigram-tokenizer capability token FTS cannot
+    * express (the needle crosses a token boundary mid-phrase). The
+    * oracle is the plain scan predicate: two spellings, identical
+    * rows, and the index may only PRUNE, never drop a match.
+    */
+  def trigramSearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents").withColumnRenamed("doc_id", "rowid")
+    val idx = graft.operators.Trigram.index(docs)
+    graft.operators.Trigram.search(docs, idx, "vector hash")
+      .select(col("rowid").cast(LongType).as("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val trigramSearchOracle: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+      |FROM documents
+      |WHERE contains(lower(text), 'vector hash')
+      |ORDER BY doc_id""".stripMargin
+
+  /** Extension — FTS5's column-WEIGHTED `bm25(t, w1, w2)`
+    * ([[Fts.bm25MatchWeighted]]): the corpus splits each document's
+    * token stream into a title (first third) and body, and the ranking
+    * weights title hits 3x. Weighted-tf / raw-dl semantics probed off
+    * the real FTS5 implementation and ordering cross-validated against
+    * the binary in SqliteCliSpec; the oracle replays the identical
+    * integer arithmetic with the weighted tf.
+    */
+  def ftsBm25Weighted(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val toks = Fts.tokens(Seq(col("text")))
+    val cut = greatest(floor(size(toks) / 3), lit(1)).cast("int")
+    val two = docs.select(
+      col("doc_id").cast(LongType).as("rowid"),
+      array_join(slice(toks, lit(1), cut), " ").as("title"),
+      array_join(slice(toks, cut + 1, greatest(size(toks) - cut, lit(0))), " ").as("body"))
+    Fts.bm25MatchWeighted(two, Seq("title" -> 3L, "body" -> 1L), "spark vector hash", "rowid")
+      .select(col("rowid").as("doc_id"), col("score"), col("terms_hit"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val ftsBm25WeightedOracle: String = {
+    val toks = DuckSql.tokens("text")
+    s"""WITH base AS (
+       |  SELECT doc_id, $toks AS toks FROM documents),
+       |split AS (
+       |  SELECT doc_id, toks, greatest(len(toks) // 3, 1) AS cut FROM base),
+       |stats AS (
+       |  SELECT count(*) AS n,
+       |    CAST((sum(len(toks)) // count(*)) * 1000000
+       |      + ((sum(len(toks)) % count(*)) * 1000000) // count(*) AS BIGINT) AS avgdl_s
+       |  FROM base),
+       |tf AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, term,
+       |    CAST(3 * len(list_filter(toks[1:cut], t -> t = term))
+       |       + len(list_filter(toks[cut+1:], t -> t = term)) AS BIGINT) AS tfw
+       |  FROM (SELECT doc_id, toks, cut, unnest(list_distinct(toks)) AS term FROM split)
+       |  WHERE term IN ('spark', 'vector', 'hash')),
+       |dfx AS (
+       |  SELECT term,
+       |    CAST(2 * (s.n - count(DISTINCT doc_id)) + 1 AS BIGINT) AS p,
+       |    CAST(2 * count(DISTINCT doc_id) + 1 AS BIGINT) AS q
+       |  FROM tf CROSS JOIN stats s GROUP BY term, s.n),
+       |${DuckSql.ilog2Cte("dfx", "idf", Seq("term"))},
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    idf.idf2 * ((least(tf.tfw, 100000) * 44000000000000)
+       |      // (least(tf.tfw, 100000) * 10000000 + 3000000
+       |         + 9 * ((tf.dl * 1000000000000) // s.avgdl_s))) AS ts
+       |  FROM tf JOIN idf USING (term) CROSS JOIN stats s)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(sum(ts) AS BIGINT) AS score,
+       |  CAST(count(DISTINCT term) AS BIGINT) AS terms_hit
+       |FROM scored GROUP BY doc_id
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   val ftsBm25Oracle: String = {
     val toks = DuckSql.tokens("text")
     s"""WITH base AS (

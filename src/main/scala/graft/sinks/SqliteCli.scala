@@ -121,6 +121,14 @@ object SqliteCli {
   def query(dbPath: String, sql: String): Seq[Seq[Option[String]]] = {
     val bin = binary.getOrElse(
       throw new IllegalStateException("no sqlite3 binary found"))
+    queryWith(bin, dbPath, sql)
+  }
+
+  /** [[query]] with an explicit binary — the FTS version probe passes
+    * `:memory:` here, exactly the reference's probe target
+    * (`utils.py:362-371`).
+    */
+  def queryWith(bin: String, dbPath: String, sql: String): Seq[Seq[Option[String]]] = {
     val nullTag = "__NULL__"
     val out = runScript(bin, dbPath,
       s".mode tabs\n.nullvalue $nullTag\n$sql\n")

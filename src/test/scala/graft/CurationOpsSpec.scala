@@ -121,6 +121,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(!out.map(_.getAs[Long]("neighbor_id")).contains(3L))
   }
 
+  test("tfidf topkSimilar: maxDfPpm prunes boilerplate terms from scoring AND norms") {
+    // 'the' is in all 4 docs (df = 100%); rare terms tie docs 1/2 to
+    // the query. With the cap at 900000 ppm, 'the' is dropped from the
+    // whole geometry: doc 2 (query's rare terms + boilerplate) becomes
+    // cosine 1.0, and doc 3 (ONLY boilerplate shared) drops out
+    // entirely instead of scoring a spurious boilerplate similarity.
+    val df = Seq(
+      (100L, "the alpha beta"),
+      (2L, "the the alpha beta"),  // extra 'the' must not matter once pruned
+      (3L, "the zeta eta"),
+      (4L, "alpha beta the")
+    ).toDF("doc_id", "text")
+    val pruned = TfIdf.topkSimilar(df, "doc_id", "text",
+        isQuery = _ === 100L, k = 3, maxDfPpm = 900000L)
+      .orderBy("rank").collect()
+    assert(pruned.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(2L, 4L))
+    assert(pruned.forall(_.getAs[Double]("cosine") === 1.0))
+    // unpruned: doc 3 scores through 'the' alone
+    val full = TfIdf.topkSimilar(df, "doc_id", "text",
+        isQuery = _ === 100L, k = 3)
+      .collect().map(_.getAs[Long]("neighbor_id"))
+    assert(full.contains(3L))
+  }
+
   test("semDedup: epsilon-groups collapse to min-id keeper, singletons keep themselves") {
     // cluster 0: v1 ~ v2 (identical direction), v3 orthogonal;
     // cluster 1: v4 alone

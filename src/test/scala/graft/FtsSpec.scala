@@ -72,7 +72,43 @@ class FtsSpec extends SparkSpec {
     Fts.validateFtsColumns(Map("test" -> election), Seq("office")) // no throw
   }
 
-  test("fts version probe is constant FTS5 (utils.py:362-371)") {
+  test("trigram search: index+verify rows equal the brute contains() scan on fuzzed needles") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.loadSpread(spark, "/root/testdata/sf0.001", "documents")
+      .withColumnRenamed("doc_id", "rowid")
+    val idx = graft.operators.Trigram.index(docs).localCheckpoint(true)
+    val texts = docs.select("text").as[String].collect()
+    val rnd = new scala.util.Random(20260815L)
+    // corpus-drawn substrings (often spanning token boundaries, mixed
+    // case via the raw slice) + absent needles + punctuation-bearing
+    val needles = (1 to 25).map { _ =>
+      val t = texts(rnd.nextInt(texts.length))
+      val start = rnd.nextInt(math.max(1, t.length - 12))
+      t.substring(start, math.min(t.length, start + 3 + rnd.nextInt(9)))
+    }.filter(_.trim.length >= 3) ++ Seq("ZZQX-not-there", "Vector HASH", "r ha")
+    for (n <- needles) {
+      val viaIndex = graft.operators.Trigram.search(docs, idx, n)
+        .select("rowid").as[Long].collect().toSet
+      val brute = docs.filter(contains(lower(col("text")), lit(n.toLowerCase)))
+        .select("rowid").as[Long].collect().toSet
+      assert(viaIndex === brute, s"trigram search diverges from contains() for needle <$n>")
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Trigram.search(docs, idx, "ab")
+    }
+  }
+
+  test("fts version probe: FTS5->FTS4->FTS3 cascade, real-binary probe, loud no-FTS error (utils.py:362-371)") {
+    // the cascade itself, with every support profile the reference
+    // distinguishes
+    assert(Fts.probeFtsVersion(_ => true) === "FTS5")
+    assert(Fts.probeFtsVersion(v => v != "FTS5") === "FTS4")
+    assert(Fts.probeFtsVersion(v => v == "FTS3") === "FTS3")
+    val e = intercept[IllegalStateException] { Fts.probeFtsVersion(_ => false) }
+    assert(e.getMessage.contains("does not support any variant of FTS"))
+    // against the real binary on this box (miniconda sqlite ships
+    // FTS5); with no binary the probe degrades to the same constant
     assert(Fts.bestFtsVersion === "FTS5")
   }
 

@@ -181,6 +181,7 @@ class PlanSpec extends SparkSpec {
       "x_matryoshka_recall",                   //     truncated-dim reuse of (a)
       "x_rp_recall",                           //     projected-space reuse of (a)
       "x_pq_recall",                           //     PQ asymmetric-distance reuse of (a)
+      "x_ann_ivfpq_recall",                    //     ground-truth side reuses (a)
       "x_ngram_lm_score",                      // (b) 1-row V scalar into smoothing
       "x_curriculum_order",                    //     reuses the LM scorer's V scalar
       "x_token_budget_plan",                   // (b) 1-row budget-total scalar

@@ -189,6 +189,43 @@ class SqliteCliSpec extends SparkSpec {
     }
   }
 
+  test("real FTS5: WEIGHTED bm25(d, w1, w2) ordering matches bm25MatchWeighted across weight profiles") {
+    assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two-column corpus: first third of each doc's token stream -> title
+    val raw = Tables.loadSpread(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id").cast("long"), operators.Fts.tokens(Seq(col("text"))))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+      .filter(_._2.length >= 3).sortBy(_._1)
+    val rows = raw.map { case (id, toks) =>
+      val cut = math.max(1, toks.length / 3)
+      (id, toks.take(cut).mkString(" "), toks.drop(cut).mkString(" "))
+    }
+    val docs = rows.toSeq.toDF("rowid", "title", "body")
+    val f = dbFile()
+    val script = new StringBuilder("CREATE VIRTUAL TABLE d USING fts5(title, body);\nBEGIN;\n")
+    rows.foreach { case (id, t, b) =>
+      script ++= s"INSERT INTO d(rowid, title, body) VALUES ($id, '${t.replace("'", "''")}', '${b.replace("'", "''")}');\n"
+    }
+    script ++= "COMMIT;\n"
+    SqliteCli.query(f, script.toString)
+    // weight profiles incl. a zero weight (column matches, scores 0)
+    for ((wt, wb) <- Seq((1L, 1L), (3L, 1L), (1L, 4L), (10L, 0L));
+         q <- Seq("spark hash", "vector", "the spark")) {
+      val nTerms = q.split(" ").distinct.length
+      val real = SqliteCli.query(f,
+        s"SELECT rowid FROM d WHERE d MATCH '$q' ORDER BY bm25(d, $wt.0, $wb.0), rowid LIMIT 20;")
+        .map(_.head.get.toLong)
+      val mine = operators.Fts.bm25MatchWeighted(
+          docs, Seq("title" -> wt, "body" -> wb), q, "rowid")
+        .filter(col("terms_hit") === nTerms)
+        .orderBy(col("score").desc, col("rowid"))
+        .limit(20).select("rowid").as[Long].collect().toSeq
+      assert(mine === real, s"weighted bm25 ordering diverges for '$q' weights ($wt,$wb)")
+    }
+  }
+
   test("real FTS5: NEAR(a b, N) row sets equal the nearMinGap <= N predicate") {
     assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
     import spark.implicits._
@@ -756,6 +793,27 @@ class SqliteCliSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getString(1))).toMap
       assert(mine === real, s"highlight diverges from real FTS5 for '$q'")
     }
+  }
+
+  test("real .db: FTS4-fallback DDL works end-to-end in real SQLite (utils.py:362-383)") {
+    // A downstream SQLite without FTS5 gets FTS4 DDL from the reference
+    // — the emitted statements differ ONLY in the USING token. Prove
+    // the fallback DDL is real: build the FTS4 shadow with our
+    // generator against the actual binary and MATCH through it.
+    assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
+    val f = dbFile()
+    val ddl4 = graft.sinks.SqliteDdl.ftsCreateSql("t", Seq("body"), "FTS4")
+    assert(ddl4 === """CREATE VIRTUAL TABLE "t_fts" USING FTS4 ("body", content="t");""")
+    assert(graft.sinks.SqliteDdl.ftsCreateSql("t", Seq("body"), "FTS5") ===
+      ddl4.replace("FTS4", "FTS5"), "versions must differ only in the USING token")
+    SqliteCli.query(f,
+      s"""CREATE TABLE t (body TEXT);
+         |INSERT INTO t (rowid, body) VALUES (1, 'president gloria'), (2, 'other text');
+         |$ddl4
+         |INSERT INTO "t_fts" (rowid, "body") SELECT rowid, "body" FROM [t];""".stripMargin)
+    val hits = SqliteCli.query(f,
+      "SELECT rowid FROM t WHERE rowid IN (SELECT rowid FROM t_fts WHERE t_fts MATCH 'gloria');")
+    assert(hits === Seq(Seq(Some("1"))))
   }
 
   // ---- non-ASCII verdict parity -------------------------------------
