@@ -14,6 +14,8 @@ THRESH = float(sys.argv[1]) if len(sys.argv) > 1 else 15.0
 base = sf1 = None
 for line in open("BENCH_HISTORY.jsonl"):
     r = json.loads(line)
+    if len(r.get("queries", {})) < 10:
+        continue  # single-query profiling runs are not comparison baselines
     sf = r.get("sf", "")
     if sf.endswith("sf0.1"):
         base = r

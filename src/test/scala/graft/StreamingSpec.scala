@@ -41,6 +41,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming FTS5-grammar match screen (unicode61 + full boolean grammar), batch-equal") {
+    // the MATCH predicate family is one stateless codegen expression, so
+    // it drops into readStream unchanged: an at-ingest relevance screen.
+    // The query exercises the round-12 unicode61 path (accented/Cyrillic
+    // operands over RAW multilingual text) plus phrases/NOT.
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, sfDir, "documents")
+      .withColumn("text", concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" Привет мир café"))
+          .otherwise(lit(" plain tail"))))
+      .select(col("doc_id"), col("text"))
+    val dir = Files.createTempDirectory("graft-fts-stream").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val query = """("привет мир" OR café) NOT zzabsent"""
+    val screen = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(graft.operators.Fts.matchQuery(Seq(col("text")), query))
+        .select(col("doc_id"))
+    val q = screen(spark.readStream.schema(docs.schema).parquet(dir))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("fts_screen_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("fts_screen_out").orderBy("doc_id").collect()
+      val batch = screen(docs).orderBy("doc_id").collect()
+      assert(streamed.nonEmpty, "screen degenerate: nothing matched")
+      assert(streamed.toSeq === batch.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming KMV sketch (complete mode) equals the batch sketch") {
     val sfDir = "/root/testdata/sf0.001"
     val docs = Tables.load(spark, sfDir, "documents").select(col("lang"), col("text"))
