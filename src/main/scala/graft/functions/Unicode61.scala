@@ -152,4 +152,50 @@ object Unicode61 {
     while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
     new GenericArrayData(out)
   }
+
+  /** FTS5 `highlight()` semantics on the RAW text: every token whose
+    * unicode61 fold is in `terms` gets its ORIGINAL span (case,
+    * diacritics, exact bytes) wrapped in open/close markers; all other
+    * characters pass through untouched. Single pass; spans are token
+    * boundaries as the tokenizer sees them, so "CAFÉ," highlights as
+    * "<b>CAFÉ</b>," for the term 'cafe'. SqliteCliSpec pins
+    * byte-parity against the real FTS5 `highlight(d, 0, …)` on raw
+    * multilingual punctuated text.
+    */
+  def highlightRaw(s: String, terms: java.util.Set[String],
+      open: String, close: String): String = {
+    val out = new java.lang.StringBuilder(s.length + 16)
+    val tok = new java.lang.StringBuilder(16)
+    var tokStart = -1 // raw index where the current token began
+    var i = 0
+    val n = s.length
+    def flush(endExclusive: Int): Unit = {
+      if (tokStart >= 0) {
+        val raw = s.substring(tokStart, endExclusive)
+        if (terms.contains(tok.toString)) {
+          out.append(open).append(raw).append(close)
+        } else out.append(raw)
+        tok.setLength(0)
+        tokStart = -1
+      }
+    }
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      val w = Character.charCount(cp)
+      val f = foldCp(cp)
+      if (f >= 0) {
+        if (tokStart < 0) tokStart = i
+        tok.appendCodePoint(f)
+      } else if (f == -1) {
+        flush(i)
+        out.appendCodePoint(cp)
+      }
+      // f == -2 (elided diacritic): stays inside the token span,
+      // contributes nothing to the folded key
+      else if (tokStart < 0) out.appendCodePoint(cp) // mark outside any token
+      i += w
+    }
+    flush(n)
+    out.toString
+  }
 }

@@ -1049,6 +1049,21 @@ object Fts {
         .otherwise(t)), " ")
   }
 
+  /** FTS5 `highlight()` on the RAW column text — original bytes (case,
+    * diacritics, punctuation, spacing) preserved, matched token spans
+    * wrapped ([[graft.expressions.HighlightRaw]]). This is the
+    * byte-exact FTS5 behavior on arbitrary text; [[highlight]] remains
+    * the token-stream rendering (identical output when the text IS a
+    * space-joined token stream). Bareword term queries; the span unit
+    * is the token, as FTS5 wraps per-phrase-hit and every bareword is
+    * a 1-token phrase.
+    */
+  def highlightRaw(textCol: Column, query: String): Column = {
+    val terms = qtokens(query)
+    require(terms.nonEmpty, "empty FTS query")
+    graft.expressions.HighlightRaw.highlight_raw(textCol, terms)
+  }
+
   /** S9: FTS version probe, exactly as the reference
     * (`utils.py:362-371`): try `CREATE VIRTUAL TABLE … USING FTS5/4/3`
     * in a :memory: SQLite, first success wins, none supported → error.

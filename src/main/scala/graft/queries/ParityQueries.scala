@@ -498,6 +498,32 @@ object ParityQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** S13 extension — FTS5 `highlight()` on the RAW text
+    * ([[Fts.highlightRaw]], byte-parity with the binary pinned in
+    * SqliteCliSpec): the original multilingual text comes back intact
+    * with only the markers inserted around folded-match token spans
+    * ('Müller' highlighted for the query term müller). The oracle
+    * reconstructs via literal replacement of the planted surfaces —
+    * exact because the planted forms appear nowhere else (the base
+    * corpus is ASCII with a fixed 31-word vocabulary).
+    */
+  def ftsHighlightRaw(spark: SparkSession, dir: String): DataFrame = {
+    val docs = multilingualDocs(spark, dir)
+    docs.filter(Fts.matchQuery(Seq(col("text")), "café OR müller"))
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        Fts.highlightRaw(col("text"), "café OR müller").as("highlighted"))
+      .orderBy("doc_id")
+  }
+
+  val ftsHighlightRawOracle: String =
+    s"""WITH p AS ($multilingualDocsSql)
+       |SELECT doc_id,
+       |  replace(replace(raw, 'café', '<b>café</b>'),
+       |          'Müller', '<b>Müller</b>') AS highlighted
+       |FROM p
+       |WHERE doc_id % 4 = 0 OR doc_id % 4 = 1
+       |ORDER BY doc_id""".stripMargin
+
   /** S12 extension — full term statistics of the multilingual corpus:
     * the entire unicode61 token vocabulary (folded accents, Cyrillic,
     * CJK, plus all ASCII corpus terms) with document frequencies. This
@@ -535,6 +561,53 @@ object ParityQueries {
       .select(col("rowid").cast(LongType).as("doc_id"), col("score"), col("terms_hit"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(20)
+  }
+
+  /** Extension — FTS5's `tokenize='porter'` (classic Porter stemming
+    * over unicode61, [[graft.functions.Porter]], fuzzed token-for-token
+    * against the binary in PorterSpec): stemmed term statistics over
+    * planted inflection families. The engine stems EVERY corpus token
+    * natively ([[graft.expressions.PorterTokens]] codegen); the oracle
+    * reconstructs the four audited stems from their enumerated surface
+    * forms — so an over- or under-stemming regression anywhere in the
+    * pipeline (a base-corpus word suddenly stemming into an audited
+    * family, a planted form missing its stem) breaks the hash.
+    */
+  def porterStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+      .withColumn("text", concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(" running runs"))
+          .when(col("doc_id") % 4 === 1, lit(" connection connected connecting"))
+          .when(col("doc_id") % 4 === 2, lit(" hopefulness hopeful hoped"))
+          .otherwise(lit(" formality formalize formal"))))
+    docs.select(col("doc_id"),
+        explode(graft.expressions.PorterTokens.porter_tokens(col("text"))).as("stem"))
+      .filter(col("stem").isin("run", "connect", "hope", "formal"))
+      .groupBy(col("stem"))
+      .agg(countDistinct(col("doc_id")).cast(LongType).as("df"),
+        count(lit(1)).cast(LongType).as("occurrences"))
+      .orderBy("stem")
+  }
+
+  val porterStatsOracle: String = {
+    val toks = DuckSql.tokens(
+      """text || CASE WHEN doc_id % 4 = 0 THEN ' running runs'
+        |             WHEN doc_id % 4 = 1 THEN ' connection connected connecting'
+        |             WHEN doc_id % 4 = 2 THEN ' hopefulness hopeful hoped'
+        |             ELSE ' formality formalize formal' END""".stripMargin)
+    s"""WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest($toks) AS term
+       |  FROM documents),
+       |m AS (SELECT doc_id,
+       |    CASE WHEN term IN ('running', 'runs', 'run') THEN 'run'
+       |         WHEN term IN ('connection', 'connected', 'connecting', 'connect') THEN 'connect'
+       |         WHEN term IN ('hopefulness', 'hopeful', 'hoped', 'hope') THEN 'hope'
+       |         WHEN term IN ('formality', 'formalize', 'formal') THEN 'formal'
+       |    END AS stem
+       |  FROM t)
+       |SELECT stem, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       |  CAST(count(*) AS BIGINT) AS occurrences
+       |FROM m WHERE stem IS NOT NULL
+       |GROUP BY stem ORDER BY stem""".stripMargin
   }
 
   /** Extension — trigram-indexed SUBSTRING search

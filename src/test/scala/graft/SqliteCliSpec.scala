@@ -889,6 +889,68 @@ class SqliteCliSpec extends SparkSpec {
     assert(real(0).nonEmpty && real(5).nonEmpty && real(0) != real(5))
   }
 
+  test("real FTS5: bm25 ordering over RAW multilingual text with non-ASCII query terms") {
+    // ranking and unicode61 COMPOSED: the corpus is raw multilingual
+    // text (not the token-joined ASCII stream ftsCorpusDb isolates
+    // ranking with), and the queries carry accented/Cyrillic terms that
+    // must fold identically on both sides before tf/df/dl even exist.
+    assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val (f, docs) = multilingualCorpusDb()
+    for (q <- Seq("привет café", "мир", "müller 你好世界", "crème brûlée")) {
+      val nTerms = graft.functions.Unicode61.tokenize(q).distinct.length
+      val real = SqliteCli.query(f,
+        s"SELECT rowid FROM d WHERE d MATCH '$q' ORDER BY bm25(d), rowid LIMIT 20;")
+        .map(_.head.get.toLong)
+      val mine = operators.Fts.bm25Match(
+          docs.withColumnRenamed("doc_id", "rowid"), Seq("text"), q, "rowid")
+        .filter(col("terms_hit") === nTerms)
+        .orderBy(col("score").desc, col("rowid"))
+        .limit(20).select("rowid").as[Long].collect().toSeq
+      assert(mine === real, s"multilingual bm25 ordering diverges for '$q'")
+      assert(real.nonEmpty, s"corpus degenerate: '$q' matched nothing")
+    }
+  }
+
+  test("real FTS5: highlight() on RAW punctuated multilingual text — byte parity") {
+    // the ORIGINAL text comes back with only the markers inserted:
+    // case, diacritics, punctuation, irregular spacing all preserved.
+    // Token-folded matches highlight their raw spans ('CAFÉ,' for the
+    // query term cafe).
+    assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, "Drinking CAFÉ, obviously — café au lait!"),
+      (2L, "Привет, мир... привет?"),
+      (3L, "no hits here; just (parentheses) & symbols #42"),
+      (4L, "mixed:café/ПРИВЕТ end"),
+      (5L, "  leading space, trailing  "))
+    val f = dbFile()
+    val script = new StringBuilder("CREATE VIRTUAL TABLE d USING fts5(body);\nBEGIN;\n")
+    rows.foreach { case (id, t) =>
+      script ++= s"INSERT INTO d(rowid, body) VALUES ($id, '${t.replace("'", "''")}');\n"
+    }
+    script ++= "COMMIT;\n"
+    SqliteCli.query(f, script.toString)
+    import spark.implicits._
+    val docs = rows.toDF("rowid", "body")
+    for (q <- Seq("café", "привет", "cafe OR привет", "symbols")) {
+      val real = SqliteCli.query(f,
+        s"SELECT rowid, highlight(d, 0, '<b>', '</b>') FROM d WHERE d MATCH '${q.replace("'", "''")}' ORDER BY rowid;")
+        .map(r => (r(0).get.toLong, r(1).get)).toMap
+      val terms = q.split(" OR | ").toSeq.flatMap(t =>
+        graft.functions.Unicode61.tokenize(t))
+      val mine = docs
+        .filter(operators.Fts.matchQuery(Seq(col("body")), q))
+        .select(col("rowid"),
+          graft.expressions.HighlightRaw.highlight_raw(col("body"), terms))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(mine === real, s"raw highlight diverges from real FTS5 for '$q'")
+      assert(real.nonEmpty, s"fixture degenerate: '$q' matched nothing")
+    }
+  }
+
   test("property: 120 random grammar queries over RAW multilingual text — verdict parity with real FTS5") {
     assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
     import org.apache.spark.sql.functions._
