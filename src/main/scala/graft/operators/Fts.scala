@@ -57,6 +57,22 @@ object Fts {
     terms.map(t => array_contains(tok, t)).reduce(_ && _)
   }
 
+  /** STEMMED MATCH — [[matches]] under FTS5's `tokenize='porter'`:
+    * both the document and the query stem through
+    * [[graft.functions.Porter]] (unicode61 fold + classic Porter), so
+    * 'running' finds documents containing "runs" and vice versa —
+    * exactly a MATCH against an FTS5 porter table (row-set parity vs
+    * the binary in SqliteCliSpec). Same codegen-predicate shape as
+    * [[matches]]: no shuffle, pushes into the scan stage.
+    */
+  def matchesStemmed(cols: Seq[Column], query: String): Column = {
+    val terms = graft.functions.Porter.tokenize(query).toIndexedSeq
+    require(terms.nonEmpty, "empty FTS query")
+    val joined = concat_ws(" ", cols: _*)
+    val tok = graft.expressions.PorterTokens.porter_tokens(joined)
+    terms.map(t => array_contains(tok, t)).reduce(_ && _)
+  }
+
   /** Build the inverted index `(term, rowid)` — one row per distinct term
     * per source row. This is the scale path for repeated queries: the
     * index shuffles once keyed by term; a MATCH becomes a semi-join

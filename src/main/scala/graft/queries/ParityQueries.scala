@@ -498,6 +498,33 @@ object ParityQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** S13 extension — STEMMED MATCH ([[Fts.matchesStemmed]], FTS5
+    * `tokenize='porter'` semantics; row-set parity vs a real porter
+    * table pinned in SqliteCliSpec): the query surface form
+    * ('hopefulness') differs from every planted document surface
+    * ('hopeful', 'hoped', …) — only correct stemming on BOTH sides
+    * unifies them. The oracle is the answer by construction
+    * (`doc_id % 4 = 2` rows carry the hope-family plants and nothing
+    * else in the fixed 31-word base vocabulary stems into it), so any
+    * stemming defect anywhere changes the row set and breaks the hash.
+    */
+  def porterSearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+      .withColumn("text", concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(" running runs"))
+          .when(col("doc_id") % 4 === 1, lit(" connection connected connecting"))
+          .when(col("doc_id") % 4 === 2, lit(" hopefulness hopeful hoped"))
+          .otherwise(lit(" formality formalize formal"))))
+    docs.filter(Fts.matchesStemmed(Seq(col("text")), "hopefulness"))
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val porterSearchOracle: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+      |FROM documents WHERE doc_id % 4 = 2
+      |ORDER BY doc_id""".stripMargin
+
   /** S13 extension — FTS5 `highlight()` on the RAW text
     * ([[Fts.highlightRaw]], byte-parity with the binary pinned in
     * SqliteCliSpec): the original multilingual text comes back intact

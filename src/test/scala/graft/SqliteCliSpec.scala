@@ -816,6 +816,41 @@ class SqliteCliSpec extends SparkSpec {
     assert(hits === Seq(Seq(Some("1"))))
   }
 
+  test("real FTS5: stemmed MATCH against a tokenize='porter' table — row-set parity") {
+    assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // raw corpus + planted inflection families so stems actually unify
+    // surface forms across documents
+    val docs = Tables.loadSpread(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("text", concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" running quickly"))
+          .when(col("doc_id") % 3 === 1, lit(" she runs connections"))
+          .otherwise(lit(" connected cables"))))
+      .select(col("doc_id").cast("long"), col("text"))
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val f = dbFile()
+    val script = new StringBuilder(
+      "CREATE VIRTUAL TABLE d USING fts5(body, tokenize='porter');\nBEGIN;\n")
+    rows.foreach { case (id, body) =>
+      script ++= s"INSERT INTO d(rowid, body) VALUES ($id, '${body.replace("'", "''")}');\n"
+    }
+    script ++= "COMMIT;\n"
+    SqliteCli.query(f, script.toString)
+    // each query names a DIFFERENT surface form than (some) documents
+    for (q <- Seq("run", "running", "connection", "connects", "quickly runs",
+        "spark runs")) {
+      val real = SqliteCli.query(f,
+        s"SELECT rowid FROM d WHERE d MATCH '$q' ORDER BY rowid;")
+        .map(_.head.get.toLong).toSet
+      val mine = docs
+        .filter(operators.Fts.matchesStemmed(Seq(col("text")), q))
+        .select("doc_id").as[Long].collect().toSet
+      assert(mine === real, s"stemmed MATCH diverges from real FTS5 porter for <$q>")
+      assert(real.nonEmpty, s"fixture degenerate: '$q' matched nothing")
+    }
+  }
+
   // ---- non-ASCII verdict parity -------------------------------------
   //
   // Every corpus above was either raw ASCII or the token-joined stream;
