@@ -49,7 +49,7 @@ object Bloom {
     * deserializes. NULL values read as false (a NULL key is never a
     * member), matching the prior UDF's contract.
     */
-  def mightContainLong(df: DataFrame, bf: BloomFilter, c: Column): Column = {
+  def mightContainLong(bf: BloomFilter, c: Column): Column = {
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     val shim = org.apache.spark.sql.graftshim.GraftShim
@@ -84,7 +84,7 @@ object Bloom {
       set: DataFrame, setKeyCol: String,
       expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     val bf = buildLong(set, setKeyCol, expectedItems, fpp)
-    val pre = corpus.filter(mightContainLong(corpus, bf, col(keyCol)))
+    val pre = corpus.filter(mightContainLong(bf, col(keyCol)))
     pre.join(set.select(col(setKeyCol).as(keyCol)).distinct(), Seq(keyCol), "left_semi")
   }
 }

@@ -851,13 +851,18 @@ object Fts {
     val spark = df.sparkSession
     import spark.implicits._
     val allCols = colsWeights.map(c => col(c._1))
-    // one pass per row: raw dl (FTS5 never weights it) + every
-    // column's matching terms tagged with that column's weight
-    val streams = colsWeights.map { case (c, w) =>
-      df.select(col(rowidCol), size(tokens(allCols)).cast("long").as("dl"),
-        explode(tokens(Seq(col(c)))).as("term"), lit(w).as("__w"))
+    // ONE corpus pass: raw dl (FTS5 never weights it) computed once per
+    // row, each column's tokens tagged with that column's weight and
+    // flattened into a single exploded stream — the union-of-C-streams
+    // spelling re-tokenized the full row C extra times for dl
+    val weighted = colsWeights.map { case (c, w) =>
+      transform(tokens(Seq(col(c))), t => struct(t.as("term"), lit(w).as("__w")))
     }
-    val tf = streams.reduce(_ unionAll _)
+    val tf = df
+      .select(col(rowidCol), size(tokens(allCols)).cast("long").as("dl"),
+        explode(concat(weighted: _*)).as("__tw"))
+      .select(col(rowidCol), col("dl"),
+        col("__tw.term").as("term"), col("__tw.__w").as("__w"))
       .filter(col("term").isin(terms: _*))
       .groupBy(col(rowidCol), col("dl"), col("term"))
       .agg(sum(col("__w")).cast("long").as("tfw"))
@@ -1099,9 +1104,22 @@ object Fts {
           graft.sinks.SqliteCli.queryWith(bin, ":memory:",
             s"CREATE VIRTUAL TABLE v USING $v (t);")
           true
-        } catch { case _: IllegalStateException => false })
+        } catch {
+          // Only "no such module: ftsN" means this FTS variant is
+          // genuinely absent and the cascade should continue. Any other
+          // sqlite3 failure (broken binary, exec error, resource limit)
+          // must SURFACE, not silently degrade FTS5 DDL to FTS4/FTS3 or
+          // masquerade as "does not support any variant of FTS".
+          case e: IllegalStateException if moduleMissing(e) => false
+        })
       case None => "FTS5"
     }
+
+  /** True iff a probe failure is SQLite's "no such module" — the one
+    * error class that legitimately drives the FTS5→FTS4→FTS3 cascade.
+    */
+  private[graft] def moduleMissing(e: IllegalStateException): Boolean =
+    e.getMessage != null && e.getMessage.toLowerCase.contains("no such module")
 
   /** The FTS5→FTS4→FTS3 cascade with a pluggable tester — unit-testable
     * without controlling which FTS modules a real binary ships.

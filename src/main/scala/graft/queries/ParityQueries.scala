@@ -590,15 +590,29 @@ object ParityQueries {
       .limit(20)
   }
 
+  /** Surface forms of the four audited Porter inflection families —
+    * BOTH sides of the parity check enumerate exactly this list, so the
+    * hash is corpus-vocabulary independent: a base-corpus word that
+    * happens to stem into run/connect/hope/formal ("hoping",
+    * "formally", "connects") is excluded on both sides instead of
+    * breaking the oracle at a new scale factor.
+    */
+  private val porterSurfaceForms = Seq(
+    "running", "runs", "run",
+    "connection", "connected", "connecting", "connect",
+    "hopefulness", "hopeful", "hoped", "hope",
+    "formality", "formalize", "formal")
+
   /** Extension — FTS5's `tokenize='porter'` (classic Porter stemming
     * over unicode61, [[graft.functions.Porter]], fuzzed token-for-token
     * against the binary in PorterSpec): stemmed term statistics over
-    * planted inflection families. The engine stems EVERY corpus token
-    * natively ([[graft.expressions.PorterTokens]] codegen); the oracle
-    * reconstructs the four audited stems from their enumerated surface
-    * forms — so an over- or under-stemming regression anywhere in the
-    * pipeline (a base-corpus word suddenly stemming into an audited
-    * family, a planted form missing its stem) breaks the hash.
+    * planted inflection families. The engine tokenizes with unicode61,
+    * restricts to the enumerated surface forms, then stems each
+    * survivor through the NATIVE Porter expression
+    * ([[graft.expressions.PorterTokens]] codegen) — the oracle replays
+    * the same surface-form→stem map in SQL, so a stemming regression on
+    * any audited form breaks the hash, while out-of-list corpus
+    * vocabulary can never perturb the counts.
     */
   def porterStats(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.loadSpread(spark, dir, "documents")
@@ -608,8 +622,10 @@ object ParityQueries {
           .when(col("doc_id") % 4 === 2, lit(" hopefulness hopeful hoped"))
           .otherwise(lit(" formality formalize formal"))))
     docs.select(col("doc_id"),
-        explode(graft.expressions.PorterTokens.porter_tokens(col("text"))).as("stem"))
-      .filter(col("stem").isin("run", "connect", "hope", "formal"))
+        explode(Fts.tokens(Seq(col("text")))).as("term"))
+      .filter(col("term").isin(porterSurfaceForms: _*))
+      .select(col("doc_id"),
+        element_at(graft.expressions.PorterTokens.porter_tokens(col("term")), 1).as("stem"))
       .groupBy(col("stem"))
       .agg(countDistinct(col("doc_id")).cast(LongType).as("df"),
         count(lit(1)).cast(LongType).as("occurrences"))

@@ -419,7 +419,7 @@ class CorpusOpsSpec extends SparkSpec {
     assert(Seq(11L, 22L, 33L).forall(back.mightContainLong))
     assert(back.bitSize() === bf.bitSize())
     val corpus = (1L to 50L).map(i => (i, i)).toDF("id", "key")
-    val kept = corpus.filter(Bloom.mightContainLong(corpus, back, col("key")))
+    val kept = corpus.filter(Bloom.mightContainLong(back, col("key")))
       .join(Seq(11L, 22L, 33L).toDF("key"), Seq("key"), "left_semi")
       .select("id").as[Long].collect().toSet
     assert(kept === Set(11L, 22L, 33L))

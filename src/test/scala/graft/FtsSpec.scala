@@ -110,6 +110,13 @@ class FtsSpec extends SparkSpec {
     // against the real binary on this box (miniconda sqlite ships
     // FTS5); with no binary the probe degrades to the same constant
     assert(Fts.bestFtsVersion === "FTS5")
+    // error classification: ONLY "no such module" drives the cascade;
+    // an unrelated sqlite3 failure must surface, not degrade the DDL
+    assert(Fts.moduleMissing(new IllegalStateException(
+      "sqlite3 failed (rc=1): Error: no such module: fts5")))
+    assert(!Fts.moduleMissing(new IllegalStateException(
+      "sqlite3 failed (rc=137): killed")))
+    assert(!Fts.moduleMissing(new IllegalStateException()))
   }
 
   // --- FTS5 phrase / boolean query syntax (sqlite.org/fts5.html) ---
