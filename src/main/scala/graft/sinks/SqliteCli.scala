@@ -55,9 +55,12 @@ object SqliteCli {
       else if (df.columns.contains("id")) df.orderBy("id")
       else df
     val cols = ordered.columns.map(c => s""""$c"""").mkString(", ")
-    // CLI-parity path: tables are driver-RAM-sized by construction
-    // (the reference's pandas load is too); collect is the contract.
-    ordered.collect().iterator.map { row =>
+    // Sorted frame ⇒ partition order = row order, so toLocalIterator
+    // streams rows in rowid order at O(one partition) driver memory —
+    // byte-identical output to a full collect, without materializing
+    // the table on the driver (matters when a fact table is huge).
+    import scala.jdk.CollectionConverters._
+    ordered.toLocalIterator().asScala.map { row =>
       val vals = row.toSeq.map(sqlLiteral).mkString(", ")
       s"""INSERT INTO [$table] ($cols) VALUES ($vals);"""
     }
@@ -83,14 +86,17 @@ object SqliteCli {
       throw new IllegalStateException("no sqlite3 binary found"))
     val existingDb = Files.exists(Paths.get(dbPath))
     val (populates, schema) = result.ddl.partition(_.trim.startsWith("INSERT INTO"))
-    val script = new StringBuilder
+    // Stream statements straight to the temp .sql file: INSERTs come
+    // from toLocalIterator, so peak driver memory is one partition of
+    // one table, never the whole database image.
+    runScriptStreamed(bin, dbPath) { w =>
     def stmt(s0: String): Unit = {
       val s = s0.trim
-      script ++= s
-      if (!s.endsWith(";")) script ++= ";"
-      script ++= "\n"
+      w.write(s)
+      if (!s.endsWith(";")) w.write(";")
+      w.write("\n")
     }
-    script ++= "PRAGMA journal_mode=OFF;\nBEGIN;\n"
+    w.write("PRAGMA journal_mode=OFF;\nBEGIN;\n")
     schema.foreach(stmt)
     result.tables.toSeq.sortBy(_._1).foreach { case (name, df) =>
       val isExtendedLookup = existingDb && result.lookupTables.contains(name) &&
@@ -111,8 +117,8 @@ object SqliteCli {
       } else insertsFor(name, df).foreach(stmt)
     }
     populates.foreach(stmt)
-    script ++= "COMMIT;\n"
-    runScript(bin, dbPath, script.toString)
+    w.write("COMMIT;\n")
+    }
   }
 
   /** Run SQL against a db via the CLI; rows come back tab-separated
@@ -137,10 +143,20 @@ object SqliteCli {
     }.toSeq
   }
 
-  private def runScript(bin: String, dbPath: String, script: String): String = {
+  private def runScript(bin: String, dbPath: String, script: String): String =
+    runScriptStreamed(bin, dbPath)(_.write(script))
+
+  /** Run a script whose statements are produced incrementally by
+    * `body` into a buffered writer over the temp .sql file — the
+    * streaming half of the `.db` sink's bounded-driver-memory
+    * contract (statements never accumulate in a driver buffer).
+    */
+  private def runScriptStreamed(bin: String, dbPath: String)(
+      body: java.io.Writer => Unit): String = {
     val tmp = Files.createTempFile("graft-sqlite-", ".sql")
     try {
-      Files.writeString(tmp, script)
+      val w = Files.newBufferedWriter(tmp)
+      try body(w) finally w.close()
       val pb = new ProcessBuilder(bin, "-batch", dbPath)
       pb.redirectInput(tmp.toFile)
       val proc = pb.start()
