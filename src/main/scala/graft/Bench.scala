@@ -32,6 +32,14 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+    // Likewise the localCheckpoint lineage-truncation WARN: the
+    // stats-truncating checkpoints in Shuffle.scala are deliberate
+    // (see the originStats note there), and at ~200 queries × reps the
+    // repeated warning floods the bench tail and buries anything real.
+    // Bench-scoped only — Verify and user sessions keep the warning.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
 
     // Warmup: session + codegen + parquet footer caches. The extension
     // pipelines compile large generated classes on first use — run them

@@ -1115,11 +1115,18 @@ object Fts {
       case None => "FTS5"
     }
 
-  /** True iff a probe failure is SQLite's "no such module" — the one
-    * error class that legitimately drives the FTS5→FTS4→FTS3 cascade.
+  /** True iff a probe failure is SQLite's "no such module: ftsN" — the
+    * one error class that legitimately drives the FTS5→FTS4→FTS3
+    * cascade. Anchored to the module name so an unrelated "no such
+    * module" (a broken extension, say) cannot drive the cascade.
+    * Message wording verified against sqlite3 3.37–3.45 (`vtab.c`
+    * emits `no such module: %s` unchanged since 2006); this is a
+    * documented strictness deviation from the reference, which
+    * cascades on ANY OperationalError (`utils.py:374-383`).
     */
   private[graft] def moduleMissing(e: IllegalStateException): Boolean =
-    e.getMessage != null && e.getMessage.toLowerCase.contains("no such module")
+    e.getMessage != null &&
+      e.getMessage.toLowerCase.contains("no such module: fts")
 
   /** The FTS5→FTS4→FTS3 cascade with a pluggable tester — unit-testable
     * without controlling which FTS modules a real binary ships.
