@@ -449,12 +449,8 @@ object Similarity {
       quantize(col(embCol)).as("q"))
       .withColumn("n2", inorm2(col("q")))
       .localCheckpoint(true)
-    val pairs = c.groupBy(col("cluster"))
-      .agg(collect_list(col("id")).as("members"))
-      .filter(size(col("members")) > 1)
-      .select(explode(
-        TextDedup.cappedBucketPairsLong(array_sort(col("members")), maxBucket)).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    val pairs = TextDedup.bucketedPairs(
+      c.select(col("id"), col("cluster")), Seq("cluster"), maxBucket)
     pairs
       .join(c.select(col("id").as("id_a"), col("q").as("q_a"), col("n2").as("n2_a")), Seq("id_a"))
       .join(c.select(col("id").as("id_b"), col("q").as("q_b"), col("n2").as("n2_b")), Seq("id_b"))

@@ -162,6 +162,73 @@ object TextDedup {
   private[graft] def cappedBucketPairsLong(sortedMembers: Column, cap: Int): Column =
     graft.expressions.CappedLongPairs.capped_pairs(sortedMembers, cap)
 
+  /** Bucket membership as BOUNDED member arrays: rows `(keys..., id)`
+    * become `(keys..., __grp, members)` where each `members` array
+    * holds a contiguous run (in ascending-id order) of at most
+    * `groupSize` bucket members. The giant-cluster guard for the
+    * `collect_list` build step: without it, one degenerate bucket
+    * (millions of identical documents in one LSH band) puts an
+    * O(|bucket|) array in a SINGLE unspillable row — at 100 TB that is
+    * a multi-GB row and an executor OOM. The window rank spills to
+    * disk per partition instead, so no single row ever exceeds
+    * `groupSize` longs.
+    */
+  private[graft] def boundedMembers(
+      rows: DataFrame, keyCols: Seq[String], groupSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col("id"))
+    rows
+      .withColumn("__grp",
+        floor((row_number().over(w) - 1) / lit(groupSize)).cast(LongType))
+      .groupBy(keys :+ col("__grp"): _*)
+      // rows reach the agg already id-sorted (window sort; the groupBy
+      // reuses the window's hash partitioning, keys ⊆ keys+grp, so no
+      // reshuffle) — but collect_list order is not contractual, so
+      // sort explicitly: O(groupSize log groupSize) on a bounded array.
+      .agg(array_sort(collect_list(col("id"))).as("members"))
+  }
+
+  /** Candidate pairs from bucket membership with bounded rows: the
+    * shared build step behind minhash / simhash / embedding-cluster
+    * blocking. Emits EXACTLY the pair multiset of the reference
+    * spelling `groupBy(keys).agg(collect_list(id))` →
+    * [[cappedBucketPairsLong]]`(array_sort(members), cap)`, but no row
+    * ever holds more than `cap * slicesPerGroup` member ids:
+    * [[boundedMembers]] splits each bucket's sorted id run into groups
+    * of that size (a multiple of `cap`, so the global cap-slice
+    * boundaries are preserved inside every group), within-group pairs
+    * come from the same capped kernel, and the missing chain links
+    * between the last slice head of one group and the head of the next
+    * are re-added from a per-bucket lead() over the (tiny, one row per
+    * group) group-heads table — so slice-chain connectivity holds
+    * across group boundaries and dedup clustering is unaffected.
+    */
+  private[graft] def bucketedPairs(
+      rows: DataFrame, keyCols: Seq[String], cap: Int,
+      slicesPerGroup: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = keyCols.map(col)
+    val groups = boundedMembers(rows, keyCols, cap * slicesPerGroup)
+    val within = groups
+      .filter(size(col("members")) > 1)
+      .select(explode(cappedBucketPairsLong(col("members"), cap)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    // Head of a group's LAST cap-slice (1-based): slice index
+    // floor((n-1)/cap), head at local rank slice*cap.
+    val lastSliceHead = element_at(col("members"),
+      (floor((size(col("members")) - 1) / lit(cap)) * cap + 1).cast(IntegerType))
+    val wg = Window.partitionBy(keys: _*).orderBy(col("__grp"))
+    val links = groups
+      .select(keys :+ col("__grp") :+
+        element_at(col("members"), 1).as("__head") :+
+        lastSliceHead.as("__last"): _*)
+      .withColumn("__next", lead(col("__head"), 1).over(wg))
+      .filter(col("__next").isNotNull)
+      .select(col("__last").as("id_a"), col("__next").as("id_b"))
+    within.unionByName(links)
+  }
+
   private[graft] def cappedBucketPairs(sortedMembers: Column, cap: Int): Column = {
     val nSlices = ceil(size(sortedMembers).cast(DoubleType) / cap).cast(IntegerType)
     val within = flatten(transform(sequence(lit(0), nSlices - 1),
@@ -197,12 +264,7 @@ object TextDedup {
     val bands = withSig.select(col("id"),
       explode(lshBands(col("sig"), numPerms, r)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.sig").as("bsig"))
-    val cand = bands
-      .groupBy(col("band"), col("bsig"))
-      .agg(collect_list(col("id")).as("members"))
-      .filter(size(col("members")) > 1)
-      .select(explode(cappedBucketPairsLong(array_sort(col("members")), maxBucket)).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    val cand = bucketedPairs(bands, Seq("band", "bsig"), maxBucket)
       .dropDuplicates("id_a", "id_b")
     cand
       .join(sets.select(col("id").as("id_a"), col("sset").as("sh_a")), Seq("id_a"))
@@ -627,14 +689,11 @@ object TextDedup {
       struct(lit(i).as("chunk"),
         shiftright(col("sim"), 15 * i).bitwiseAND(lit(0x7FFFL)).as("ckey"))
     }
-    val pairs = withSim
-      .select(col("id"), explode(array(chunkKeys: _*)).as("c"))
-      .select(col("id"), col("c.chunk").as("chunk"), col("c.ckey").as("ckey"))
-      .groupBy(col("chunk"), col("ckey"))
-      .agg(collect_list(col("id")).as("members"))
-      .filter(size(col("members")) > 1)
-      .select(explode(cappedBucketPairsLong(array_sort(col("members")), maxBucket)).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    val pairs = bucketedPairs(
+      withSim
+        .select(col("id"), explode(array(chunkKeys: _*)).as("c"))
+        .select(col("id"), col("c.chunk").as("chunk"), col("c.ckey").as("ckey")),
+      Seq("chunk", "ckey"), maxBucket)
       // pairs sharing several chunks duplicate — dedup BEFORE the sim
       // joins so each pair is scored once
       .dropDuplicates("id_a", "id_b")

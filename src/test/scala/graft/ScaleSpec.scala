@@ -31,6 +31,63 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("bucketedPairs: bounded member rows, identical pair set to the unbounded spelling") {
+    import graft.operators.TextDedup
+    // Three buckets: one degenerate (n=100, forces a group split at
+    // groupSize=cap*slicesPerGroup=16), one normal (n=5), one singleton.
+    val rows = ((1L to 100L).map(i => ("hot", i * 3)) ++
+        (1L to 5L).map(i => ("warm", i * 11)) ++
+        Seq(("lone", 999L)))
+      .toDF("bkey", "id")
+    val cap = 8
+    val slicesPerGroup = 2
+
+    // the giant-cluster guard: no collect_list row past the bound
+    val maxMembers = TextDedup.boundedMembers(rows, Seq("bkey"), cap * slicesPerGroup)
+      .select(max(size($"members"))).as[Int].head()
+    assert(maxMembers <= cap * slicesPerGroup,
+      s"member array of $maxMembers exceeds bound ${cap * slicesPerGroup}")
+
+    // byte-identical pair multiset vs the reference one-row-per-bucket
+    // spelling (which the oracle SQL replicates)
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bounded = pairSet(
+      TextDedup.bucketedPairs(rows, Seq("bkey"), cap, slicesPerGroup))
+    val reference = pairSet(rows.groupBy($"bkey")
+      .agg(collect_list($"id").as("members"))
+      .filter(size($"members") > 1)
+      .select(explode(
+        TextDedup.cappedBucketPairsLong(array_sort($"members"), cap)).as("p"))
+      .select($"p.id_a", $"p.id_b"))
+    assert(bounded === reference)
+    assert(bounded.forall { case (a, b) => a < b })
+
+    // connectivity inside the degenerate bucket survives the split:
+    // every hot-bucket member reaches the bucket head through pairs
+    val hotIds = (1L to 100L).map(_ * 3)
+    val parent = scala.collection.mutable.Map(hotIds.map(i => i -> i): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); parent(x) = r; r }
+    bounded.foreach { case (a, b) =>
+      if (parent.contains(a) && parent.contains(b)) parent(find(a)) = find(b) }
+    assert(hotIds.map(find).toSet.size === 1, "group split broke bucket connectivity")
+  }
+
+  test("bucketedPairs adds no second shuffle: group agg reuses the window partitioning") {
+    import graft.operators.TextDedup
+    val rows = (1L to 200L).map(i => (i % 4, i)).toDF("bkey", "id")
+    val df = TextDedup.bucketedPairs(rows.select($"bkey", $"id"), Seq("bkey"), 8)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // one exchange for the window/groupBy lineage (hashpartitioning on
+    // bkey) — an exchange mentioning __grp would mean the group agg
+    // re-shuffled what the window already clustered
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("__grp")),
+      "group agg introduced its own exchange on (keys, __grp):\n" + plan)
+  }
+
   test("salted join equals the plain join and spreads the hot key across salts") {
     // extreme skew: 90% of left rows share key 7
     val left = (1L to 1000L)
