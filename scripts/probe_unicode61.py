@@ -26,12 +26,17 @@ Output (stdout): three sections, one line each, space-separated ints:
 import sqlite3, sys
 
 BATCH = 40000
+# Tokenizer spec as argv[1] (default: the unicode61 rd=1 this script was
+# born probing). Same methodology for every FTS5 tokenizer option set:
+#   python3 scripts/probe_unicode61.py "unicode61 remove_diacritics 2"
+#   python3 scripts/probe_unicode61.py "ascii"
+TOKENIZER = sys.argv[1] if len(sys.argv) > 1 else "unicode61"
 
 def probe(lo, hi):
-    """Return dict cp -> ('sep'|'join'|token_string) for cp in [lo,hi)."""
+    """Return dict cp -> ('sep'|'join'|'keep'|token_string) for cp in [lo,hi)."""
     out = {}
     db = sqlite3.connect(":memory:")
-    db.execute("CREATE VIRTUAL TABLE t USING fts5(x)")
+    db.execute("CREATE VIRTUAL TABLE t USING fts5(x, tokenize='%s')" % TOKENIZER)
     db.execute("CREATE VIRTUAL TABLE v USING fts5vocab(t,'instance')")
     cps = [cp for cp in range(lo, hi) if not (0xD800 <= cp <= 0xDFFF)]
     with db:
@@ -56,6 +61,9 @@ def probe(lo, hi):
             out[cp] = "join"
         elif ts == ["a", "b"]:
             out[cp] = "sep"
+        elif ts == ["a" + chr(cp) + "b"]:
+            # kept verbatim inside a token (rd=0's combining-mark class)
+            out[cp] = "keep"
         else:
             # e.g. a char that folds to a letter was already caught above;
             # anything else is unexpected — fail loudly.
@@ -66,7 +74,7 @@ def probe(lo, hi):
     return out
 
 def main():
-    alnum_self, fold, join = [], [], []
+    alnum_self, fold, join, keep = [], [], [], []
     for lo in range(0x20, 0x110000, BATCH):
         hi = min(lo + BATCH, 0x110000)
         res = probe(lo, hi)
@@ -76,6 +84,8 @@ def main():
                 continue
             elif k == "join":
                 join.append(cp)
+            elif k == "keep":
+                keep.append(cp)
             else:
                 f = [ord(c) for c in k]
                 assert len(f) == 1, f"U+{cp:04X} folds to {len(f)} cps"
@@ -97,6 +107,7 @@ def main():
     print("ALNUM", " ".join(f"{a} {b}" for a, b in ranges(alnum_self)))
     print("FOLD", " ".join(f"{a} {b}" for a, b in fold))
     print("JOIN", " ".join(f"{a} {b}" for a, b in ranges(join)))
+    print("KEEP", " ".join(f"{a} {b}" for a, b in ranges(keep)))
 
 if __name__ == "__main__":
     main()

@@ -1,0 +1,51 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftshim.GraftShim
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** FTS5 tokenizer-option variants as native codegen expressions —
+  * same contract as [[Unicode61Tokens]] (`string -> array<string>` of
+  * folded tokens, one pass per row, whole-stage codegen).
+  */
+case class Unicode61Rd2Tokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.Unicode61Rd2.tokensArray(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Unicode61Rd2.tokensArray($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Unicode61Rd2Tokens =
+    copy(child = newChild)
+}
+
+object Unicode61Rd2Tokens {
+  def u61_rd2_tokens(c: Column): Column =
+    GraftShim.column(Unicode61Rd2Tokens(GraftShim.expression(c)))
+}
+
+/** FTS5 `ascii` tokenizer ([[graft.functions.AsciiTok]]). */
+case class AsciiTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.AsciiTok.tokensArray(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.AsciiTok.tokensArray($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): AsciiTokens =
+    copy(child = newChild)
+}
+
+object AsciiTokens {
+  def ascii_tokens(c: Column): Column =
+    GraftShim.column(AsciiTokens(GraftShim.expression(c)))
+}

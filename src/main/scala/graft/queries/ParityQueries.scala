@@ -575,6 +575,80 @@ object ParityQueries {
        |FROM t GROUP BY term ORDER BY term""".stripMargin
   }
 
+  /** S13 extension — `unicode61 remove_diacritics 2` term statistics
+    * ([[graft.expressions.Unicode61Rd2Tokens]], tables probed per
+    * codepoint, binary-parity fuzzed in Unicode61Rd2Spec). The plants
+    * are exactly the rd=2 DELTA class — multi-diacritic codepoints
+    * ('Ǖ' u+diaeresis+macron, 'ǟ', 'ḉ', 'ḕ', 'ȱ') that rd=1 folds to
+    * an accent-BEARING char but rd=2 fully unaccents — so a regression
+    * to the rd=1 table changes the vocabulary and breaks the hash. The
+    * oracle appends each plant's probed fold as a literal (the base
+    * corpus is ASCII, where rd=2 ≡ lower+split). Distinct-explode +
+    * one map-side-combined count shuffle; scales like any
+    * inverted-index build.
+    */
+  def rd2TermStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+      .withColumn("text", concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(" Ǖbung für GRÜN"))
+          .when(col("doc_id") % 4 === 1, lit(" ǟrger ǖber ǭr"))
+          .when(col("doc_id") % 4 === 2, lit(" ḉa ḕve ȱzone"))
+          .otherwise(lit(" plain ascii tail"))))
+    docs.select(explode(array_distinct(
+        graft.expressions.Unicode61Rd2Tokens.u61_rd2_tokens(col("text")))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).cast(LongType).as("df"))
+      .orderBy(col("term"))
+  }
+
+  val rd2TermStatsOracle: String = {
+    val toks = DuckSql.tokensUnicode("text")
+    s"""WITH t AS (SELECT doc_id, unnest(list_distinct(list_concat($toks,
+       |      CASE WHEN doc_id % 4 = 0 THEN ['ubung','fur','grun']
+       |           WHEN doc_id % 4 = 1 THEN ['arger','uber','or']
+       |           WHEN doc_id % 4 = 2 THEN ['ca','eve','ozone']
+       |           ELSE ['plain','ascii','tail'] END))) AS term
+       |  FROM documents)
+       |SELECT term, CAST(count(*) AS BIGINT) AS df
+       |FROM t GROUP BY term ORDER BY term""".stripMargin
+  }
+
+  /** S13 extension — FTS5 `ascii` tokenizer term statistics
+    * ([[graft.expressions.AsciiTokens]], closed-form rule set probed
+    * per codepoint and binary-parity fuzzed in AsciiTokSpec). The
+    * plants pin the two behaviors that distinguish `ascii` from every
+    * unicode61 option: non-ASCII codepoints are token chars kept
+    * VERBATIM (no fold — 'ёж' and 'Ёж' are distinct terms, 'MÜller'
+    * keeps its Ü as 'mÜller'), and only ASCII A-Z case-folds. The
+    * oracle appends each plant's rule-applied form as a literal (the
+    * base corpus is ASCII, where `ascii` ≡ lower+split).
+    */
+  def asciiTermStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+      .withColumn("text", concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(" MÜller STRASSE"))
+          .when(col("doc_id") % 4 === 1, lit(" ёж Ёж"))
+          .when(col("doc_id") % 4 === 2, lit(" naïve-NAÏVE"))
+          .otherwise(lit(" plain TAIL"))))
+    docs.select(explode(array_distinct(
+        graft.expressions.AsciiTokens.ascii_tokens(col("text")))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).cast(LongType).as("df"))
+      .orderBy(col("term"))
+  }
+
+  val asciiTermStatsOracle: String = {
+    val toks = DuckSql.tokensUnicode("text")
+    s"""WITH t AS (SELECT doc_id, unnest(list_distinct(list_concat($toks,
+       |      CASE WHEN doc_id % 4 = 0 THEN ['mÜller','strasse']
+       |           WHEN doc_id % 4 = 1 THEN ['ёж','Ёж']
+       |           WHEN doc_id % 4 = 2 THEN ['naïve','naÏve']
+       |           ELSE ['plain','tail'] END))) AS term
+       |  FROM documents)
+       |SELECT term, CAST(count(*) AS BIGINT) AS df
+       |FROM t GROUP BY term ORDER BY term""".stripMargin
+  }
+
   /** Extension — BM25-ranked FTS (FTS5's `bm25()` rank function,
     * k1=1.2 b=0.75) in deterministic integer fixed point with a
     * square-and-shift log2 idf ([[Fts.bm25Match]]) — ranking
