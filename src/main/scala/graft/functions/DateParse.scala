@@ -116,6 +116,105 @@ object DateParse {
     for (l <- locales; p <- shapes) yield fmtIn(p, l)
   }
 
+  /** Month-name lookup across dateparser's top languages, built from
+    * JDK CLDR data (no hand-copied tables): for each locale, the FULL /
+    * SHORT month names in both FORMAT context (inflected — Russian
+    * genitive "января", Polish "stycznia": the form that appears inside
+    * a date string) and STANDALONE context, keyed lowercase with
+    * diacritics stripped and any trailing '.' dropped, so "août",
+    * "aout", "AOUT" and "ene." all resolve. First-locale-wins on the
+    * rare cross-language key collision (collisions observed in CLDR all
+    * agree on the month number anyway — "mar" is March in es/it/pt).
+    * English is deliberately absent: every English shape already parses
+    * via [[fallbackFormats]], and keeping this table non-English means
+    * it can never shadow the US chain's semantics.
+    */
+  private lazy val monthTable: Map[String, Int] = {
+    import java.util.Locale
+    import java.time.Month
+    import java.time.format.TextStyle
+    val locales = Seq(Locale.GERMAN, Locale.FRENCH, new Locale("es"),
+      new Locale("pt"), Locale.ITALIAN, new Locale("nl"), new Locale("ru"),
+      new Locale("pl"), new Locale("tr"), new Locale("sv"), new Locale("da"),
+      new Locale("cs"), new Locale("ro"), new Locale("fi"), new Locale("uk"),
+      new Locale("hu"))
+    val styles = Seq(TextStyle.FULL, TextStyle.FULL_STANDALONE,
+      TextStyle.SHORT, TextStyle.SHORT_STANDALONE)
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    for (l <- locales; m <- Month.values(); st <- styles) {
+      val k = normalizeToken(m.getDisplayName(st, l))
+      if (k.nonEmpty && k.exists(_.isLetter) && !out.contains(k))
+        out(k) = m.getValue
+    }
+    out.toMap
+  }
+
+  /** lowercase + NFD diacritic strip + trailing-'.' drop — the lookup
+    * normalization shared by table keys and input tokens.
+    */
+  private def normalizeToken(s: String): String = {
+    val lower = s.toLowerCase(java.util.Locale.ROOT).stripSuffix(".")
+    val nfd = java.text.Normalizer.normalize(lower, java.text.Normalizer.Form.NFD)
+    nfd.filterNot(c => Character.getType(c) == Character.NON_SPACING_MARK)
+  }
+
+  // connector words dateparser skips inside date phrases: "3 de mayo de
+  // 2017" (es/pt), "2017 r." (pl, roku), "2017 г." / "2017 года" (ru,
+  // Cyrillic ge) — minimal: just the ones in the supported languages'
+  // standard date shapes
+  private val connectorTokens =
+    Set("de", "del", "of", "den", "el", "r", "roku", "г", "года", "год")
+
+  private val timeTokenRe = "^(\\d{1,2}):(\\d{2})(?::(\\d{2}))?$".r
+  // CJK dates are marker-delimited, not month-named: 2017年5月3日 [5時30分]
+  private val cjkDateRe =
+    "^\\s*(\\d{4})年(\\d{1,2})月(\\d{1,2})日\\s*(?:(\\d{1,2})[時时](\\d{1,2})分?)?\\s*$".r
+
+  /** Language-table fuzzy parse: locate one month-name token, read the
+    * 4-digit token as year and the remaining small numeric as day, with
+    * an optional hh:mm[:ss] token anywhere. Token order is free — this
+    * one rule covers "3 de mayo de 2017", "3. Mai 2017", "2017. május
+    * 3.", "3 января 2017 14:30" alike, which is how dateparser's
+    * order-free token scanner behaves.
+    */
+  private def parseViaMonthTable(v: String): Option[LocalDateTime] = {
+    v match {
+      case cjkDateRe(y, m, d, h, min) =>
+        return Try(LocalDate.of(y.toInt, m.toInt, d.toInt).atTime(
+          Option(h).map(_.toInt).getOrElse(0),
+          Option(min).map(_.toInt).getOrElse(0))).toOption
+      case _ =>
+    }
+    val rawTokens = v.split("[\\s,]+").filter(_.nonEmpty).toSeq
+    if (rawTokens.size < 3 || rawTokens.size > 7) return None
+    var month = 0; var year = -1; var day = -1
+    var time: Option[LocalTime] = None
+    for (t <- rawTokens) {
+      val norm = normalizeToken(t)
+      if (connectorTokens.contains(norm)) ()
+      else if (monthTable.contains(norm)) {
+        if (month != 0) return None // two month names: not a date
+        month = monthTable(norm)
+      } else t match {
+        case timeTokenRe(h, m, s) if time.isEmpty && h.toInt <= 23 =>
+          time = Try(LocalTime.of(h.toInt, m.toInt,
+            Option(s).map(_.toInt).getOrElse(0))).toOption
+          if (time.isEmpty) return None
+        case _ =>
+          val digits = norm.stripSuffix(".") // "2017." / "3." (hu/de day dot)
+          if (digits.nonEmpty && digits.forall(_.isDigit)) {
+            val n = Try(digits.toInt).getOrElse(return None)
+            if (digits.length == 4 && year < 0) year = n
+            else if (n >= 1 && n <= 31 && day < 0) day = n
+            else return None
+          } else return None // an unknown word: refuse to guess
+      }
+    }
+    if (month == 0 || year < 0 || day < 0) return None
+    Try(LocalDate.of(year, month, day)
+      .atTime(time.getOrElse(LocalTime.MIDNIGHT))).toOption
+  }
+
   /** Timezone-bearing shapes: ISO offset datetimes plus space-separated
     * and RFC-822 (+0200) variants; trailing " UTC"/" GMT" pre-rewrites
     * to +00:00.
@@ -283,6 +382,9 @@ object DateParse {
     val deOrdinal = ordinalRe.replaceAllIn(v, mm => mm.group(1))
     val hit = (fallbackFormats.view ++ localizedFormats.view)
       .flatMap(f => tryFormatter(f, deOrdinal)).headOption
+      // last: the order-free multilingual month-name scan (diacritic-
+      // and case-insensitive, CLDR-backed) + CJK marker dates
+      .orElse(parseViaMonthTable(deOrdinal))
     hit match {
       case Some(d) => Some((d, None))
       case None =>

@@ -164,4 +164,63 @@ class DateParseSpec extends AnyFunSuite {
       .as[String].collect().toSeq
     assert(out === Seq("2026-07-30", "2017-05-03", "2026-08-12"))
   }
+  // ---- round-14: multilingual month-name breadth (dateparser's top
+  // languages; `/root/reference/csvs_to_sqlite/utils.py:505-518`
+  // delegates to the language-aware dateparser library) -------------
+
+  test("multilingual goldens: full month names across 15 languages") {
+    val goldens = Seq(
+      "3 de mayo de 2017" -> "2017-05-03",      // es
+      "mayo 3 2017" -> "2017-05-03",            // es month-first
+      "3 août 2017" -> "2017-08-03",            // fr
+      "3. Oktober 1990" -> "1990-10-03",        // de
+      "7. März 2021" -> "2021-03-07",           // de diacritic
+      "25 de março de 2019" -> "2019-03-25",    // pt
+      "3 maggio 2017" -> "2017-05-03",          // it
+      "3 mei 2017" -> "2017-05-03",             // nl
+      "3 января 2017" -> "2017-01-03",          // ru genitive
+      "3 января 2017 г." -> "2017-01-03",       // ru + year marker
+      "17 września 2014 r." -> "2014-09-17",    // pl genitive + roku
+      "12 Aralık 2020" -> "2020-12-12",         // tr
+      "3 maj 2017" -> "2017-05-03",             // sv
+      "15. ledna 2016" -> "2016-01-15",         // cs genitive
+      "3 martie 2017" -> "2017-03-03",          // ro
+      "3. tammikuuta 2017" -> "2017-01-03",     // fi partitive
+      "3 січня 2017" -> "2017-01-03",           // uk genitive
+      "2017. május 3." -> "2017-05-03",         // hu year-first
+      "2017年5月3日" -> "2017-05-03"            // ja/zh CJK markers
+    )
+    for ((in, want) <- goldens)
+      assert(DateParse.parseDateIso(in) === want, s"input: '$in'")
+  }
+
+  test("multilingual: diacritic- and case-insensitive lookup") {
+    assert(DateParse.parseDateIso("3 aout 2017") === "2017-08-03")   // fr sans ^
+    assert(DateParse.parseDateIso("7. Marz 2021") === "2021-03-07")  // de sans umlaut
+    assert(DateParse.parseDateIso("25 de marco de 2019") === "2019-03-25") // pt sans cedilla
+    assert(DateParse.parseDateIso("3 ENERO 2017") === "2017-01-03")  // es uppercase
+  }
+
+  test("multilingual: abbreviated month names, optional trailing dot") {
+    assert(DateParse.parseDateIso("3 ene. 2018") === "2018-01-03")   // es short
+    assert(DateParse.parseDateIso("3 ene 2018") === "2018-01-03")
+    assert(DateParse.parseDateIso("3 janv. 2018") === "2018-01-03")  // fr short
+    assert(DateParse.parseDateIso("3 okt 1990") === "1990-10-03")    // de/nl/sv short
+  }
+
+  test("multilingual datetimes keep the time component") {
+    assert(DateParse.parseDatetimeIso("3 января 2017 14:30") === "2017-01-03T14:30:00")
+    assert(DateParse.parseDatetimeIso("3 de mayo de 2017 23:59:58") === "2017-05-03T23:59:58")
+    assert(DateParse.parseDatetimeIso("2017年5月3日 14時30分") === "2017-05-03T14:30:00")
+  }
+
+  test("multilingual scan refuses ambiguity instead of guessing") {
+    // two month names, an unknown word, two years: all throw rather
+    // than silently producing a wrong date
+    intercept[IllegalArgumentException] { DateParse.parseDateIso("mayo junio 2017") }
+    intercept[IllegalArgumentException] { DateParse.parseDateIso("3 zzz mayo 2017") }
+    intercept[IllegalArgumentException] { DateParse.parseDateIso("2016 mayo 2017") }
+    // English stays on the US chain: a bad English date still throws
+    intercept[IllegalArgumentException] { DateParse.parseDateIso("32nd May 2017") }
+  }
 }
