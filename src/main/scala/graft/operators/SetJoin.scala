@@ -141,7 +141,7 @@ object SetJoin {
     *   - p = n - ceil(t*n) + 1, exact integer ceil (`div`, never
     *     Column./ whose double division drifts past 2^53).
     */
-  private def collapsedPrefixBuild(
+  private[graft] def collapsedPrefixBuild(
       df: DataFrame, idCol: String, textCol: String,
       w: Int, tNum: Long, tDen: Long): (DataFrame, DataFrame, DataFrame) = {
     val raw = df.select(col(idCol).cast(LongType).as("id"),

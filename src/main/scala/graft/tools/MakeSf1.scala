@@ -11,18 +11,101 @@ import org.apache.spark.sql.functions._
   * FOREIGN key shifted by the same per-table stride so joins stay
   * exactly as selective as at sf0.1 (each copy joins only its own
   * copy's dimension rows). Dimension tables with a fixed natural
-  * domain (region, nation) are copied verbatim. `documents.text` gets
-  * a per-copy suffix — without it every doc would gain 9 exact clones
-  * and the dedup family would measure a pathological all-duplicates
-  * corpus instead of a 10x-bigger one (the suffix keeps near-dup
-  * structure the same SHAPE as sf0.1: planted dup rates carry over
-  * within each copy).
+  * domain (region, nation) are copied verbatim.
+  *
+  * The two content-similarity tables get a per-copy MUTATION so the
+  * sf1 corpus is 10x MORE documents, not 10 near-copies of the same
+  * documents (round-12's suffix-only variant left every base doc with
+  * 9 cross-copy near-duplicates, inflating true near-dup pair counts
+  * 401x and making pair-emitting queries look super-linear when they
+  * were output-bound):
+  *
+  *  - `documents.text`, copy i>0: a per-copy vocabulary RENAME — the
+  *    suffix `q{i}z` is appended to every word. A bijection of the
+  *    token vocabulary, so token counts, shingle diversity, and every
+  *    within-copy Jaccard are EXACTLY sf0.1's (planted dup density
+  *    carries over verbatim), while copies share zero vocabulary:
+  *    cross-copy Jaccard is exactly 0 and the true near-dup pair
+  *    count at sf1 is exactly 10x sf0.1's. See [[mutateText]] for why
+  *    marker INSERTION (the first attempt) was rejected. Whitespace is
+  *    preserved byte-for-byte; `n_chars` is re-derived by delta.
+  *
+  *  - `embeddings.embedding`, copy i>0: a seeded signed permutation
+  *    of the 64 dimensions (Fisher-Yates on a per-copy PRNG + per-dim
+  *    sign flips). An isometry: every within-copy cosine/L2 is
+  *    EXACTLY the sf0.1 value, so cluster and near-dup geometry per
+  *    copy is the real corpus geometry — but a vector and its
+  *    signed-permuted image correlate like random draws (|cos| ~
+  *    1/sqrt(64) ≈ 0.125 expected magnitude), so copies contribute
+  *    10x genuinely distinct vectors instead of 10 exact clones.
   *
   * Usage: `sbt "runMain graft.tools.MakeSf1 [outDir]"`
   * (default target/sf1 — inside the repo, gitignored).
   */
 object MakeSf1 {
   val Copies = 10
+
+  /** Per-copy VOCABULARY RENAME: every whitespace word gets the copy's
+    * suffix appended ("spark" → "sparkq3z" in copy 3). On this corpus
+    * ([a-z0-9 ] words) that is a bijection of the token vocabulary —
+    * the text-space analogue of the embeddings' signed permutation:
+    * token counts, shingle counts, and every within-copy Jaccard are
+    * EXACTLY the sf0.1 values (an injective word map carries shingle
+    * sets bijectively), while copies share ZERO vocabulary, so
+    * cross-copy similarity is exactly 0 and true pair counts at sf1
+    * are exactly 10x sf0.1's.
+    *
+    * A marker-INSERTION variant was tried first and rejected by
+    * measurement: inserted tokens collapse shingle diversity (a
+    * shingle spanning a marker carries only 2 base words of entropy),
+    * densifying posting lists ~30x and blowing the PPJoin prefix-join
+    * candidates up 487x (160k → 78M) — an artifact of the synthesizer,
+    * not the engine.
+    */
+  private[graft] def mutateText(text: String, copy: Int): String = {
+    if (text == null || copy == 0) return text
+    val marker = "q" + copy + "z"
+    // java.lang.StringBuilder for the (CharSequence, start, end) overload
+    // — the Scala one would box the triple via append(Any)
+    val sb = new java.lang.StringBuilder(text.length + text.length / 2)
+    val m = java.util.regex.Pattern.compile("\\S+").matcher(text)
+    var last = 0
+    while (m.find()) {
+      sb.append(text, last, m.end())
+      sb.append(marker)
+      last = m.end()
+    }
+    sb.append(text, last, text.length)
+    sb.toString
+  }
+
+  /** Signed permutation of dimension indices for one copy: an exact
+    * isometry (preserves all inner products up to the shared basis
+    * change), seeded so reruns are byte-identical. Copy 0 = identity.
+    */
+  private[graft] def signedPerm(dim: Int, copy: Int): (Array[Int], Array[Float]) = {
+    val idx = Array.tabulate(dim)(identity)
+    val sgn = Array.fill(dim)(1.0f)
+    if (copy == 0) return (idx, sgn)
+    val rng = new java.util.Random(0x5DEECE66DL * copy + 11L)
+    var i = dim - 1
+    while (i > 0) {
+      val j = rng.nextInt(i + 1)
+      val t = idx(i); idx(i) = idx(j); idx(j) = t
+      i -= 1
+    }
+    var d = 0
+    while (d < dim) { if (rng.nextBoolean()) sgn(d) = -1.0f; d += 1 }
+    (idx, sgn)
+  }
+
+  private[graft] def applySignedPerm(
+      v: Seq[Float], idx: Array[Int], sgn: Array[Float]): Array[Float] = {
+    val out = new Array[Float](v.length)
+    var d = 0
+    while (d < v.length) { out(d) = sgn(d) * v(idx(d)); d += 1 }
+    out
+  }
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("target/sf1")
@@ -73,13 +156,29 @@ object MakeSf1 {
     blow("orders", "o_orderkey" -> orderS, "o_custkey" -> custS)()
     blow("lineitem", "l_orderkey" -> orderS, "l_partkey" -> partS, "l_suppkey" -> suppS)()
     blow("events", "event_id" -> eventS, "user_id" -> userS)()
+
+    val mutateUdf = udf((text: String, i: Int) => mutateText(text, i))
     blow("documents", "doc_id" -> docS) { (d, i) =>
       if (i == 0) d
-      else d.withColumn("text", concat(col("text"), lit(s" copyseg$i")))
-        .withColumn("n_chars", (col("n_chars") + lit(8L + s"$i".length))
-          .cast(d.schema("n_chars").dataType))
+      else {
+        val nCharsType = d.schema("n_chars").dataType
+        d.withColumn("__new", mutateUdf(col("text"), lit(i)))
+          .withColumn("n_chars",
+            (col("n_chars") + (length(col("__new")) - length(col("text")))
+              .cast("long")).cast(nCharsType))
+          .withColumn("text", col("__new")).drop("__new")
+      }
     }
-    blow("embeddings", "vec_id" -> vecS)()
+
+    val dim = load("embeddings").selectExpr("size(embedding)").head().getInt(0)
+    val permUdf = udf((v: Seq[Float], i: Int) => {
+      val (idx, sgn) = signedPerm(dim, i)
+      applySignedPerm(v, idx, sgn)
+    })
+    blow("embeddings", "vec_id" -> vecS) { (d, i) =>
+      if (i == 0) d
+      else d.withColumn("embedding", permUdf(col("embedding"), lit(i)))
+    }
     println(s"[sf1] all tables written to $out")
     spark.stop()
   }
