@@ -95,6 +95,38 @@ object Multimodal {
     }
   }
 
+  /** Deterministic REAL PNG bytes (executor-side, JDK-only): geometry
+    * and band count are pure functions of `id`, pixels are a fixed
+    * pattern, so the [[ImageIoDecoder]] path can be graded against a
+    * DuckDB oracle that replays the geometry arithmetic — no fixture
+    * files needed. Width 8–23, height 8–23; id%3 picks RGB (3 bands) /
+    * grayscale (1) / RGBA (4), which PNG encodes losslessly as color
+    * types 2/0/6 and ImageIO reads back with the same raster bands.
+    */
+  def syntheticPng(id: Long): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val w = 8 + (id % 16).toInt
+    val h = 8 + ((id / 16) % 16).toInt
+    val imgType = (id % 3) match {
+      case 0 => BufferedImage.TYPE_3BYTE_BGR
+      case 1 => BufferedImage.TYPE_BYTE_GRAY
+      case _ => BufferedImage.TYPE_4BYTE_ABGR
+    }
+    val img = new BufferedImage(w, h, imgType)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (((x * 31 + y * 17 + id) & 0xFFFFFF) | 0xFF000000L).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream(256)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Production dispatch: JDK-decodable image types go to the real
     * decoder, everything else to `fallback` (the stub here; an FFI
     * audio/video codec in a full deployment).

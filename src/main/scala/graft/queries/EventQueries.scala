@@ -676,6 +676,39 @@ object EventQueries {
        |FROM documents ORDER BY media_id""".stripMargin
   }
 
+  /** Multimodal: the REAL decode path graded end-to-end — every 20th
+    * doc_id becomes a genuine PNG ([[Multimodal.syntheticPng]]:
+    * deterministic geometry, RGB/gray/RGBA by id%3) generated
+    * executor-side, routed through [[Multimodal.dispatchDecoder]] to
+    * the `javax.imageio` decoder ([[Multimodal.ImageIoDecoder]], NOT
+    * the stub), and the decoded width/height/band-count must replay
+    * the generator's arithmetic in the oracle. Pins the real codec
+    * path that every other multimodal query abstracts behind the
+    * decoder trait. mapPartitions encode+decode, no shuffle.
+    */
+  def multimodalDecodeReal(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val ids = Tables.loadSpread(spark, dir, "documents")
+      .filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").cast(LongType)).as[java.lang.Long](Encoders.LONG)
+    val blobs = ids.mapPartitions(_.map(id =>
+      Multimodal.MediaBlob(id, "image/png", Multimodal.syntheticPng(id))))(
+      Encoders.product[Multimodal.MediaBlob])
+    Multimodal.decodeAll(blobs, Multimodal.dispatchDecoder()).toDF()
+      .select(col("media_id"), col("media_type"),
+        col("width"), col("height"), col("channels"))
+      .orderBy("media_id")
+  }
+
+  val multimodalDecodeRealOracle: String =
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |  'image/png' AS media_type,
+      |  CAST(8 + doc_id % 16 AS BIGINT) AS width,
+      |  CAST(8 + (doc_id // 16) % 16 AS BIGINT) AS height,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 1 ELSE 4 END AS BIGINT) AS channels
+      |FROM documents WHERE doc_id % 20 = 0
+      |ORDER BY media_id""".stripMargin
+
   /** Multimodal: aspect-preserving thumbnail resize to a 256 box —
     * decode feeds the (stub) resizer; geometry/scale arithmetic is
     * exact integer, the pixel work is the clearly-marked stub.

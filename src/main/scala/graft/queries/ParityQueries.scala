@@ -727,6 +727,53 @@ object ParityQueries {
        |GROUP BY stem ORDER BY stem""".stripMargin
   }
 
+  /** Extension — the complementary GUARD for [[porterStats]]'s
+    * enumerated-surface-form restriction: stem EVERY distinct corpus
+    * token (base vocabulary AND plants) through the native
+    * [[graft.expressions.PorterTokens]] codegen path and keep the
+    * (surface, stem) pairs landing in the four audited stem families.
+    * The oracle enumerates exactly the 11 planted surfaces with their
+    * per-branch document frequencies — so an OVER-stemming regression
+    * (some base-corpus word newly stemming into run/connect/hope/
+    * formal) adds a row and breaks the hash, and an UNDER-stemming
+    * regression (a planted inflection no longer unifying) drops one.
+    * This closes the coverage hole the vocabulary-independent
+    * porterStats fix opened: whole-corpus stemming is hash-pinned
+    * again, without being corpus-vocabulary-fragile (a new scale
+    * factor reusing the fixed 31-word vocabulary cannot change the
+    * row set — and if the vocabulary itself ever changes, the loud
+    * hash break is the correct outcome).
+    */
+  def porterGuard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+      .withColumn("text", concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(" running runs"))
+          .when(col("doc_id") % 4 === 1, lit(" connection connected connecting"))
+          .when(col("doc_id") % 4 === 2, lit(" hopefulness hopeful hoped"))
+          .otherwise(lit(" formality formalize formal"))))
+    docs.select(col("doc_id"),
+        explode(array_distinct(Fts.tokens(Seq(col("text"))))).as("term"))
+      .select(col("doc_id"), col("term"),
+        element_at(graft.expressions.PorterTokens.porter_tokens(col("term")), 1).as("stem"))
+      .filter(col("stem").isin("run", "connect", "hope", "formal"))
+      .groupBy(col("term"), col("stem"))
+      .agg(countDistinct(col("doc_id")).cast(LongType).as("df"))
+      .orderBy("term")
+  }
+
+  val porterGuardOracle: String =
+    """WITH b AS (SELECT doc_id % 4 AS br, CAST(count(*) AS BIGINT) AS n
+      |    FROM documents GROUP BY 1),
+      |v(term, stem, br) AS (VALUES
+      |  ('running', 'run', 0), ('runs', 'run', 0),
+      |  ('connection', 'connect', 1), ('connected', 'connect', 1),
+      |  ('connecting', 'connect', 1),
+      |  ('hopefulness', 'hope', 2), ('hopeful', 'hope', 2), ('hoped', 'hope', 2),
+      |  ('formality', 'formal', 3), ('formalize', 'formal', 3), ('formal', 'formal', 3))
+      |SELECT v.term, v.stem, b.n AS df
+      |FROM v JOIN b ON v.br = b.br
+      |ORDER BY v.term""".stripMargin
+
   /** Extension — trigram-indexed SUBSTRING search
     * ([[graft.operators.Trigram]]): `LIKE '%vector hash%'` through the
     * (trigram, rowid) inverted index with exact contains-verify — the

@@ -140,4 +140,24 @@ class MultimodalSpec extends SparkSpec {
     val covered = w1.flatMap(w => w._3 until (w._3 + w._4)).toSet
     assert(covered === (0L until 250L).toSet)
   }
+
+  test("syntheticPng: real javax.imageio decode reproduces generator geometry") {
+    for (id <- 0L to 60L) {
+      val bytes = Multimodal.syntheticPng(id)
+      // a real PNG, not a stub: magic bytes present
+      assert((bytes.take(8).map(_ & 0xFF).toSeq) ===
+        Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A), s"id=$id not a PNG")
+      assert(bytes.toSeq === Multimodal.syntheticPng(id).toSeq) // deterministic
+      val meta = Multimodal.ImageIoDecoder.decode(
+        Multimodal.MediaBlob(id, "image/png", bytes))
+      assert(meta.width === 8 + id % 16, s"id=$id width")
+      assert(meta.height === 8 + (id / 16) % 16, s"id=$id height")
+      val wantBands = (id % 3) match { case 0 => 3L; case 1 => 1L; case _ => 4L }
+      assert(meta.channels === wantBands, s"id=$id channels")
+    }
+    // dispatch routes image/png to the REAL decoder: stub geometry differs
+    val b = Multimodal.MediaBlob(7L, "image/png", Multimodal.syntheticPng(7L))
+    assert(Multimodal.dispatchDecoder().decode(b) ===
+      Multimodal.ImageIoDecoder.decode(b))
+  }
 }
