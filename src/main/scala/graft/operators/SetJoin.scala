@@ -369,12 +369,10 @@ object SetJoin {
     val sets = df.select(col(idCol).cast(LongType).as("id"),
       TextDedup.shingleHashes(col(textCol), w).as("sset"))
       .localCheckpoint(true) // feeds bucket build + both verification joins
-    val cand = sets.select(col("id"), explode(col("sset")).as("h"))
-      .groupBy(col("h"))
-      .agg(sort_array(collect_list(col("id"))).as("members"))
-      .filter(size(col("members")) >= 2)
-      .select(explode(TextDedup.cappedBucketPairsLong(col("members"), maxBucket)).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    // bounded member rows (TextDedup.bucketedPairs): same pair set as
+    // the one-row-per-bucket spelling, but no O(|bucket|) array row
+    val cand = TextDedup.bucketedPairs(
+        sets.select(col("id"), explode(col("sset")).as("h")), Seq("h"), maxBucket)
       .dropDuplicates("id_a", "id_b")
     cand
       .join(sets.select(col("id").as("id_a"), col("sset").as("sa")), Seq("id_a"))

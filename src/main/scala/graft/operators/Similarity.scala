@@ -427,12 +427,12 @@ object Similarity {
     * cluster equality (the LSH-style bucket: only intra-bucket pairs are
     * scored, so the join cost is bucket-bounded, never n²).
     *
-    * Same shape as [[TextDedup.minhashPairs]]: buckets are built with ONE
-    * aggregation (groupBy + collect_list), so the quantize/norm pipeline
-    * evaluates once — the earlier self-join spelling evaluated it once
-    * per join side — and pair expansion reuses the shared per-bucket skew
-    * cap ([[TextDedup.cappedBucketPairs]]): a degenerate cluster emits
-    * O(n·cap) pairs with slice-chain connectivity instead of n².
+    * Same shape as [[TextDedup.minhashPairs]]: candidates come from the
+    * bounded bucket build ([[TextDedup.bucketedPairs]] — no row ever
+    * holds more than a capped slice-run of member ids, and a degenerate
+    * cluster emits O(n·cap) pairs with slice-chain connectivity instead
+    * of n²), and the quantize/norm pipeline is materialized once and
+    * joined by id, not re-evaluated per join side.
     */
   def nearDupPairs(
       corpus: DataFrame, idCol: String, embCol: String, clusterCol: String,

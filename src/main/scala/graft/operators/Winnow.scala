@@ -67,12 +67,10 @@ object Winnow {
     val fps = fingerprints(df, idCol, textCol, k, w)
       .select(col("doc_id"), col("fp"))
       .distinct() // a fp selected at several positions counts once
-    fps
-      .groupBy(col("fp"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("members"))
-      .filter(size(col("members")) >= 2)
-      .select(explode(TextDedup.cappedBucketPairsLong(col("members"), maxBucket)).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    // bounded member rows (TextDedup.bucketedPairs): identical pair
+    // multiset per fp-bucket, so the shared-fp counts are unchanged
+    TextDedup.bucketedPairs(
+        fps.select(col("doc_id").as("id"), col("fp")), Seq("fp"), maxBucket)
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).cast(LongType).as("shared"))
       .filter(col("shared") >= minShared)
