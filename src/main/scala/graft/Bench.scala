@@ -161,7 +161,11 @@ object Bench {
     try {
       import java.nio.file.{Files, Paths, StandardOpenOption => O}
       import java.nio.charset.StandardCharsets.UTF_8
-      Files.write(Paths.get("bench.json"), (line + "\n").getBytes(UTF_8))
+      // bench.json is THE round record (the full board); a targeted
+      // SPARK_GRAFT_ONLY profiling run must not clobber it with a
+      // subset — history still logs every run
+      if (only.isEmpty)
+        Files.write(Paths.get("bench.json"), (line + "\n").getBytes(UTF_8))
       val stamped = s"""{"ts_ms":${System.currentTimeMillis()},""" + line.drop(1) + "\n"
       Files.write(Paths.get("BENCH_HISTORY.jsonl"), stamped.getBytes(UTF_8),
         O.CREATE, O.APPEND)
