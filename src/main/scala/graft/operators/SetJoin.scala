@@ -70,9 +70,20 @@ object SetJoin {
     * inflating prefix selectivity.
     */
   def ppjoinPairs(df: DataFrame, idCol: String, textCol: String,
-      w: Int = 3, tNum: Long = 1, tDen: Long = 2): DataFrame = {
+      w: Int = 3, tNum: Long = 1, tDen: Long = 2): DataFrame =
+    ppjoinPairsFromSets(df.select(col(idCol).cast(LongType).as("id"),
+      TextDedup.shingleHashes(col(textCol), w).as("sset")), tNum, tDen)
+
+  /** [[ppjoinPairs]] over a pre-built `(id LONG, sset ARRAY<LONG>)`
+    * shingle-set frame — the shared-materialization twin of
+    * [[graft.operators.TextDedup.minhashPairsFromSets]], so a recall
+    * audit runs the shingle pipeline once for both the exact and
+    * approximate sides.
+    */
+  def ppjoinPairsFromSets(raw: DataFrame,
+      tNum: Long = 1, tDen: Long = 2): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold in (0, 1]")
-    val (groups, mat, prefix) = collapsedPrefixBuild(df, idCol, textCol, w, tNum, tDen)
+    val (groups, mat, prefix) = collapsedPrefixBuildFromSets(raw, tNum, tDen)
     val members = groups.select(col("rid"), explode(col("ids")).as("id"))
     // within-group: identical non-empty sets, all C(g,2) pairs at J=1 —
     // candidate generation is O(1) per group, the pair fan-out is
@@ -143,9 +154,13 @@ object SetJoin {
     */
   private[graft] def collapsedPrefixBuild(
       df: DataFrame, idCol: String, textCol: String,
-      w: Int, tNum: Long, tDen: Long): (DataFrame, DataFrame, DataFrame) = {
-    val raw = df.select(col(idCol).cast(LongType).as("id"),
-      TextDedup.shingleHashes(col(textCol), w).as("sset0"))
+      w: Int, tNum: Long, tDen: Long): (DataFrame, DataFrame, DataFrame) =
+    collapsedPrefixBuildFromSets(df.select(col(idCol).cast(LongType).as("id"),
+      TextDedup.shingleHashes(col(textCol), w).as("sset")), tNum, tDen)
+
+  private[graft] def collapsedPrefixBuildFromSets(
+      raw0: DataFrame, tNum: Long, tDen: Long): (DataFrame, DataFrame, DataFrame) = {
+    val raw = raw0.select(col("id"), col("sset").as("sset0"))
     val groups = raw.groupBy(array_sort(col("sset0")).as("sset0"))
       .agg(array_sort(collect_list(col("id"))).as("ids"))
       .withColumn("rid", element_at(col("ids"), 1))

@@ -260,6 +260,21 @@ object TextDedup {
       col(idCol).cast(LongType).as("id"),
       shingleHashes(col(textCol), w).as("sset"))
       .localCheckpoint(true)
+    minhashPairsFromSets(sets, numPerms, r, jaccardThreshold, maxBucket)
+  }
+
+  /** [[minhashPairs]] over a PRE-MATERIALIZED `(id LONG, sset
+    * ARRAY<LONG>)` shingle-set frame — lets recall-audit callers share
+    * ONE shingle materialization between the exact
+    * ([[SetJoin.ppjoinPairsFromSets]]) and approximate pipelines
+    * instead of tokenizing + hashing the corpus once per pipeline.
+    * `sets` must already be materialized (localCheckpoint / cache):
+    * it feeds the band build and both verification joins.
+    */
+  def minhashPairsFromSets(
+      sets: DataFrame, numPerms: Int = 16, r: Int = 2,
+      jaccardThreshold: Double = 0.5,
+      maxBucket: Int = 256): DataFrame = {
     val withSig = sets.withColumn("sig", minhashSignatureFromHashes(col("sset"), numPerms))
     val bands = withSig.select(col("id"),
       explode(lshBands(col("sig"), numPerms, r)).as("b"))

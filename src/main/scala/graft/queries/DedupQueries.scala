@@ -618,9 +618,15 @@ object DedupQueries {
     */
   def lshRecall(spark: SparkSession, dir: String): DataFrame = {
     val corpus = corpusNear(spark, dir)
-    val exact = graft.operators.SetJoin.ppjoinPairs(corpus, "doc_id", "text")
+    // ONE shingle materialization feeds both pipelines — the exact
+    // (ppjoin) and approximate (minhash) sides previously each
+    // re-tokenized and re-hashed the whole corpus
+    val sets = corpus.select(col("doc_id").cast(LongType).as("id"),
+        TextDedup.shingleHashes(col("text"), 3).as("sset"))
+      .localCheckpoint(true)
+    val exact = graft.operators.SetJoin.ppjoinPairsFromSets(sets)
       .select(col("id_a"), col("id_b"), lit(1L).as("in_exact"))
-    val lsh = TextDedup.minhashPairs(corpus, "doc_id", "text",
+    val lsh = TextDedup.minhashPairsFromSets(sets,
         numPerms = 16, r = 2, jaccardThreshold = 0.5)
       .select(col("id_a"), col("id_b"), lit(1L).as("in_lsh"))
     exact.join(lsh, Seq("id_a", "id_b"), "full_outer")
