@@ -29,7 +29,12 @@ if "--skip-spark" not in sys.argv:
 
 con = duckdb.connect()
 for t in TABLES:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    # driver testdata ships single files; builder-synthesized SFs
+    # (MakeSf1) are Spark-written directories -> glob the part files
+    src = f"{SF_DIR}/{t}.parquet"
+    if Path(src).is_dir():
+        src = f"{src}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
 oracles = json.loads((OUT / "oracle_sql.json").read_text())
 failures = []

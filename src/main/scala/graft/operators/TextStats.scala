@@ -90,12 +90,28 @@ object TextStats {
     val stopRatio = when(nTokens > 0,
       stopHits.cast(DoubleType) / nTokens.cast(DoubleType)).otherwise(lit(0.0))
     // Heuristic score in [0,1]: reward mid-length tokens + stopword
-    // presence, penalize punctuation soup.
-    val score = greatest(lit(0.0), least(lit(1.0),
-      lit(0.5) * stopRatio + lit(0.1) * meanTokLen - punctRatio))
+    // presence, penalize punctuation soup. Computed EXACTLY:
+    // score = (sh/nt)/2 + (ac/nt)/10 - pc/nc over the common
+    // denominator 10·nt·nc, clamped, rounded half-up at 6 dp as
+    // integer ppm, then ONE exact division to double. A float spelling
+    // rounded with round(x, 6) is engine-divergent at 6-dp midpoints
+    // (Spark rounds the shortest-decimal repr, DuckDB the binary
+    // value — found by the sf1 gate); integer ppm is deterministic on
+    // both. Overflow-safe while n_tokens·n_chars < ~9e11 per document
+    // (a 1 MB doc is ~2.5e11) — far past any sane training document.
+    val num = lit(5L) * stopHits * nChars + alnumChars * nChars -
+      lit(10L) * punctChars * nTokens
+    val den = lit(10L) * nTokens * nChars
+    // integral `div`, not `/`: Column./ on longs is DOUBLE division,
+    // which loses exactness past 2^53 — num*1e6 reaches ~1e18 here
+    val ppm = when(nTokens <= 0 || nChars <= 0 || num <= 0, lit(0L))
+      .when(num >= den, lit(1000000L))
+      .otherwise(call_function("div",
+        num * lit(1000000L) + call_function("div", den, lit(2L)), den))
+    val score = ppm.cast(DoubleType) / lit(1000000.0)
     struct(nChars.as("n_chars"), nTokens.as("n_tokens"),
       meanTokLen.as("mean_token_len"), punctRatio.as("punct_ratio"),
-      stopRatio.as("stopword_ratio"), round(score, 6).as("quality_score"))
+      stopRatio.as("stopword_ratio"), score.as("quality_score"))
   }
 
   /** Within-document repetition signals (the Gopher-style filters a

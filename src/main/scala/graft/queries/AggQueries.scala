@@ -28,21 +28,26 @@ object AggQueries {
     val taxFactor = lit(1).cast(dec(3, 2)) + col("l_tax").cast(dec(4, 2))
     li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
+      // sums stay EXACT DECIMAL end-to-end (matching scales on the
+      // oracle side): the former trailing cast-to-DOUBLE diverged by
+      // one ulp at sf1 — Spark converts decimal→double with one
+      // correctly-rounded step, DuckDB via int128→double then /10^s,
+      // two roundings. No float anywhere means no such seam.
       .agg(
-        sum(col("l_quantity").cast(dec(18, 2))).cast(DoubleType).as("sum_qty"),
-        sum(col("l_extendedprice").cast(dec(18, 2))).cast(DoubleType).as("sum_base_price"),
-        sum(col("l_extendedprice").cast(dec(18, 2)) * discFactor).cast(DoubleType).as("sum_disc_price"),
-        sum(col("l_extendedprice").cast(dec(18, 2)) * (discFactor * taxFactor)).cast(DoubleType).as("sum_charge"),
+        sum(col("l_quantity").cast(dec(18, 2))).cast(dec(38, 2)).as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec(18, 2))).cast(dec(38, 2)).as("sum_base_price"),
+        sum(col("l_extendedprice").cast(dec(18, 2)) * discFactor).cast(dec(38, 4)).as("sum_disc_price"),
+        sum(col("l_extendedprice").cast(dec(18, 2)) * (discFactor * taxFactor)).cast(dec(38, 6)).as("sum_charge"),
         count(lit(1)).cast(LongType).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   def pricingSummaryOracle: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * ((CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2))))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * ((CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2))))) AS DECIMAL(38,6)) AS sum_charge,
       |  CAST(COUNT(*) AS BIGINT) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

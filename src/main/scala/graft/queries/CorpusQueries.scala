@@ -1259,8 +1259,13 @@ object CorpusQueries {
     val t = DuckSql.tokens("text")
     val h = DuckSql.hash60("term")
     val dom = graft.operators.Kmv.HashDomain
+    // 63 * HashDomain must multiply as BIGINT: DuckDB integer literals
+    // are INT32 and the product overflows — invisible at small SF where
+    // vocab < 64 keeps the CASE on its first (lazy) branch, found by
+    // the sf1 gate
     def est(seen: String, kth: String): String =
-      s"CASE WHEN $seen < 64 THEN $seen ELSE (63 * ${dom}) // greatest($kth, 1) END"
+      s"CASE WHEN $seen < 64 THEN $seen " +
+        s"ELSE (CAST(63 AS BIGINT) * ${dom}) // greatest($kth, 1) END"
     s"""WITH ta AS (SELECT DISTINCT ($h) // ${dom} AS h FROM (
        |    SELECT unnest($t) AS term FROM documents WHERE source = 'src0')),
        |tb AS (SELECT DISTINCT ($h) // ${dom} AS h FROM (

@@ -147,9 +147,8 @@ object DedupQueries {
        |  FROM (SELECT unnest(range(0, 8)) AS b) bb
        |  JOIN sig lo ON lo.seed = bb.b * 2
        |  JOIN sig hi ON hi.id = lo.id AND hi.seed = bb.b * 2 + 1),
-       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id),
+       |${DuckSql.cappedPairsCtes("candraw", "bands", Seq("band", "bsig"))},
+       |cand AS (SELECT DISTINCT id_a, id_b FROM candraw),
        |scored AS (SELECT id_a, id_b,
        |    round(CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) /
        |      (CAST(len(sa.sset) + len(sb.sset) AS DOUBLE) - len(list_intersect(sa.sset, sb.sset))), 6) AS jaccard
@@ -775,9 +774,9 @@ object DedupQueries {
        |sims AS (SELECT id, CAST(sum(bit) AS BIGINT) AS sim FROM bits GROUP BY id),
        |chunked AS (SELECT id, sim, cc.c AS chunk, (sim >> (15 * cc.c)) & 32767 AS ckey
        |  FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS c) cc),
-       |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sim AS sim_a, b.sim AS sim_b
-       |  FROM chunked a JOIN chunked b
-       |    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.id < b.id)
+       |${DuckSql.cappedPairsCtes("cand", "chunked", Seq("chunk", "ckey"))},
+       |pairs AS (SELECT DISTINCT c.id_a, c.id_b, a.sim AS sim_a, b.sim AS sim_b
+       |  FROM cand c JOIN sims a ON a.id = c.id_a JOIN sims b ON b.id = c.id_b)
        |SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
        |FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 20
        |ORDER BY id_a, id_b""".stripMargin
@@ -862,10 +861,7 @@ object DedupQueries {
        |    CAST(${DuckSql.hitCount(t, allStop)} AS BIGINT) AS stop_hits
        |  FROM documents),
        |q AS (SELECT doc_id, text,
-       |    round(greatest(0.0, least(1.0,
-       |      0.5 * (CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens ELSE 0.0 END) +
-       |      0.1 * (CASE WHEN n_tokens > 0 THEN CAST(alnum AS DOUBLE) / n_tokens ELSE 0.0 END) -
-       |      (CASE WHEN n_chars > 0 THEN CAST(n_chars - alnum - spaces AS DOUBLE) / n_chars ELSE 0.0 END))), 6) AS quality_score
+       |    ${DuckSql.qualityScoreFromCounts("n_chars", "n_tokens", "alnum", "spaces", "stop_hits")} AS quality_score
        |  FROM t)
        |SELECT CAST(doc_id AS BIGINT) AS doc_id, quality_score,
        |  quality_score >= 0.5 AS kept_by_quality
@@ -1179,14 +1175,14 @@ object DedupQueries {
        |    CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS spaces,
        |    CAST(${DuckSql.hitCount(t, allStop)} AS BIGINT) AS stop_hits
        |  FROM documents),
-       |m AS (SELECT doc_id, n_chars, n_tokens,
+       |m AS (SELECT doc_id, n_chars, n_tokens, alnum, spaces, stop_hits,
        |    CASE WHEN n_tokens > 0 THEN CAST(alnum AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS mean_token_len,
        |    CASE WHEN n_chars > 0 THEN CAST(n_chars - alnum - spaces AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct_ratio,
        |    CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stopword_ratio
        |  FROM t)
        |SELECT CAST(doc_id AS BIGINT) AS doc_id, n_chars, n_tokens, mean_token_len,
        |  punct_ratio, stopword_ratio,
-       |  round(greatest(0.0, least(1.0, 0.5 * stopword_ratio + 0.1 * mean_token_len - punct_ratio)), 6) AS quality_score
+       |  ${DuckSql.qualityScoreFromCounts("n_chars", "n_tokens", "alnum", "spaces", "stop_hits")} AS quality_score
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
@@ -1255,10 +1251,7 @@ object DedupQueries {
        |    CAST(${DuckSql.hitCount("toks", allStop)} AS BIGINT) AS stop_hits
        |  FROM lang),
        |q AS (SELECT lang_pred, split, ws, nc,
-       |    round(greatest(0.0, least(1.0,
-       |      0.5 * (CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens ELSE 0.0 END) +
-       |      0.1 * (CASE WHEN n_tokens > 0 THEN CAST(alnum AS DOUBLE) / n_tokens ELSE 0.0 END) -
-       |      (CASE WHEN nc > 0 THEN CAST(nc - alnum - spaces AS DOUBLE) / nc ELSE 0.0 END))), 6) AS qs
+       |    ${DuckSql.qualityScoreFromCounts("nc", "n_tokens", "alnum", "spaces", "stop_hits")} AS qs
        |  FROM m)
        |SELECT lang_pred, split, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(ws) AS BIGINT) AS total_tokens,
@@ -1304,10 +1297,7 @@ object DedupQueries {
        |    CAST(${DuckSql.hitCount(t, allStop)} AS BIGINT) AS stop_hits
        |  FROM documents),
        |q AS (SELECT doc_id, lang,
-       |    round(greatest(0.0, least(1.0,
-       |      0.5 * (CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens ELSE 0.0 END) +
-       |      0.1 * (CASE WHEN n_tokens > 0 THEN CAST(alnum AS DOUBLE) / n_tokens ELSE 0.0 END) -
-       |      (CASE WHEN n_chars > 0 THEN CAST(n_chars - alnum - spaces AS DOUBLE) / n_chars ELSE 0.0 END))), 6) AS quality_score
+       |    ${DuckSql.qualityScoreFromCounts("n_chars", "n_tokens", "alnum", "spaces", "stop_hits")} AS quality_score
        |  FROM t),
        |r AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, quality_score,
        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY quality_score DESC, doc_id) AS BIGINT) AS stratum_rank,
@@ -1361,10 +1351,7 @@ object DedupQueries {
        |    CAST(${DuckSql.hitCount(t, allStop)} AS BIGINT) AS stop_hits
        |  FROM documents),
        |q AS (SELECT doc_id, lang,
-       |    round(greatest(0.0, least(1.0,
-       |      0.5 * (CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens ELSE 0.0 END) +
-       |      0.1 * (CASE WHEN n_tokens > 0 THEN CAST(alnum AS DOUBLE) / n_tokens ELSE 0.0 END) -
-       |      (CASE WHEN n_chars > 0 THEN CAST(n_chars - alnum - spaces AS DOUBLE) / n_chars ELSE 0.0 END))), 6) AS quality_score
+       |    ${DuckSql.qualityScoreFromCounts("n_chars", "n_tokens", "alnum", "spaces", "stop_hits")} AS quality_score
        |  FROM t),
        |r AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, quality_score,
        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY quality_score, doc_id) AS BIGINT) AS rk,

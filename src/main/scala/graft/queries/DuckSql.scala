@@ -47,6 +47,34 @@ object DuckSql {
   def affine(hExpr: String, kExpr: String): String =
     s"((($hExpr) % 1000000007) * (2 * ($kExpr) + 1) + (12345 * ($kExpr) + 677)) % 1000000007"
 
+  /** Twin of [[graft.operators.TextDedup.cappedBucketPairsLong]] (the
+    * per-bucket skew cap) as a CTE fragment over a source CTE
+    * `src(keys..., id)`: members rank by id within each bucket, every
+    * pair within a cap-sized slice is a candidate, plus the chain
+    * links (head of slice i, head of slice i+1) that preserve
+    * connectivity. Emits CTEs `<pfx>_rk` and `<pfx>(id_a, id_b)`;
+    * splice into a WITH list. The cap is INVISIBLE while every bucket
+    * stays under `cap` members (all shipped SFs) — the sf1 gate found
+    * three oracles replaying uncapped all-pairs where the engine
+    * correctly capped 2000-member buckets.
+    */
+  def cappedPairsCtes(pfx: String, srcCte: String, keyCols: Seq[String],
+      cap: Int = 256): String = {
+    val keys = keyCols.mkString(", ")
+    val eq = keyCols.map(k => s"a.$k = b.$k").mkString(" AND ")
+    s"""${pfx}_rk AS (SELECT $keys, id,
+       |    row_number() OVER (PARTITION BY $keys ORDER BY id) - 1 AS r
+       |  FROM $srcCte),
+       |$pfx AS (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM ${pfx}_rk a JOIN ${pfx}_rk b
+       |    ON $eq AND a.id < b.id AND a.r // $cap = b.r // $cap
+       |  UNION ALL
+       |  SELECT a.id, b.id
+       |  FROM ${pfx}_rk a JOIN ${pfx}_rk b
+       |    ON $eq AND a.r % $cap = 0 AND b.r = a.r + $cap)""".stripMargin
+  }
+
   /** Twin of [[graft.operators.TextDedup.shingles]] given a token-list
     * expression.
     */
@@ -61,22 +89,40 @@ object DuckSql {
     s"len(list_filter($toksExpr, t -> t IN ($inList)))"
   }
 
-  /** Twin of [[graft.operators.TextStats.quality]]'s `quality_score` as
-    * ONE scalar expression (same component arithmetic and order as the
-    * per-component oracles in DedupQueries — keep all three in
-    * lockstep).
+  /** Twin of [[graft.operators.TextStats.quality]]'s `quality_score`
+    * over pre-computed BIGINT counts: the EXACT-INTEGER spelling.
+    * score = (sh/nt)/2 + (ac/nt)/10 - pc/nc over the common
+    * denominator 10·nt·nc, clamped to [0,1], rounded half-up at 6 dp
+    * as integer ppm, then ONE exact division to double. Both engines
+    * compute identical BIGINTs and the final ppm/1e6 is a single
+    * correctly-rounded IEEE op — no 6-dp rounding of an arbitrary
+    * double anywhere (Spark's round() rounds the SHORTEST-DECIMAL-REPR
+    * of a double, DuckDB rounds its binary value; they disagree on
+    * midpoint-repr scores — found by the sf1 gate on a doc whose exact
+    * score is 119833/237440 = 0.5046875, a 6-dp midpoint).
+    */
+  def qualityScoreFromCounts(nc: String, nt: String, alnum: String,
+      spaces: String, stopHits: String): String = {
+    val num = s"(5 * ($stopHits) * ($nc) + ($alnum) * ($nc) " +
+      s"- 10 * (($nc) - ($alnum) - ($spaces)) * ($nt))"
+    val den = s"(10 * ($nt) * ($nc))"
+    s"""(CAST(CASE WHEN ($nt) <= 0 OR ($nc) <= 0 OR $num <= 0 THEN 0
+       |  WHEN $num >= $den THEN 1000000
+       |  ELSE ($num * 1000000 + $den // 2) // $den END AS DOUBLE) / 1000000.0)"""
+      .stripMargin.replace("\n", " ")
+  }
+
+  /** [[qualityScoreFromCounts]] derived from raw text, as ONE scalar
+    * expression (keep in lockstep with the count-CTE oracles in
+    * DedupQueries).
     */
   def qualityScore(textExpr: String): String = {
     val t = tokens(textExpr)
     val allStop = graft.operators.TextStats.stopwords.values.flatten.toSeq.distinct.sorted
-    val nToks = s"len($t)"
     val alnum = s"length(regexp_replace(lower($textExpr), '[^a-z0-9]', '', 'g'))"
     val spaces = s"length(regexp_replace($textExpr, '[^ ]', '', 'g'))"
-    s"""round(greatest(0.0, least(1.0,
-       |  0.5 * (CASE WHEN $nToks > 0 THEN CAST(${hitCount(t, allStop)} AS DOUBLE) / CAST($nToks AS BIGINT) ELSE 0.0 END) +
-       |  0.1 * (CASE WHEN $nToks > 0 THEN CAST($alnum AS DOUBLE) / CAST($nToks AS BIGINT) ELSE 0.0 END) -
-       |  (CASE WHEN length($textExpr) > 0 THEN CAST(length($textExpr) - $alnum - $spaces AS DOUBLE) / CAST(length($textExpr) AS BIGINT) ELSE 0.0 END))), 6)"""
-      .stripMargin.replace("\n", " ")
+    qualityScoreFromCounts(s"length($textExpr)", s"len($t)", alnum, spaces,
+      hitCount(t, allStop))
   }
 
   /** Twin of [[graft.operators.Fts.ilog2Fixed]] plus the

@@ -307,9 +307,10 @@ object SimilarityQueries {
 
   val embedNearDupsOracle: String =
     s"""WITH $quantCte,
-       |pairs AS (SELECT a.id AS id_a, b.id AS id_b,
+       |${DuckSql.cappedPairsCtes("cand", "n", Seq("cluster"))},
+       |pairs AS (SELECT c.id_a, c.id_b,
        |    ${duckCos(duckDot("a.qv", "b.qv"), "a.n2", "b.n2")} AS cosine
-       |  FROM n a JOIN n b ON a.cluster = b.cluster AND a.id < b.id)
+       |  FROM cand c JOIN n a ON a.id = c.id_a JOIN n b ON b.id = c.id_b)
        |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.4
        |ORDER BY id_a, id_b""".stripMargin
 
@@ -324,8 +325,9 @@ object SimilarityQueries {
 
   val semDedupOracle: String =
     s"""WITH RECURSIVE $quantCte,
-       |pairs AS (SELECT a.id AS id_a, b.id AS id_b
-       |  FROM n a JOIN n b ON a.cluster = b.cluster AND a.id < b.id
+       |${DuckSql.cappedPairsCtes("cand", "n", Seq("cluster"))},
+       |pairs AS (SELECT c.id_a, c.id_b
+       |  FROM cand c JOIN n a ON a.id = c.id_a JOIN n b ON b.id = c.id_b
        |  WHERE ${duckCos(duckDot("a.qv", "b.qv"), "a.n2", "b.n2")} >= 0.3),
        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
        |  UNION ALL SELECT id_b, id_a FROM pairs),
