@@ -17,11 +17,15 @@ codepoint-driven state machine), so per-char probes fully determine its
 behavior; Unicode61Spec re-verifies on multi-script strings against the
 sqlite3 *binary* as a second, independent implementation.
 
-Output (stdout): three sections, one line each, space-separated ints:
+Output (stdout): four sections, one line each, space-separated ints:
   ALNUM  r0start r0end r1start r1end ...   (inclusive ranges of TOKEN chars
                                             whose fold == themselves)
   FOLD   cp folded cp folded ...           (TOKEN chars with fold != self)
   JOIN   r0start r0end ...                 (inclusive ranges of REMOVED chars)
+  KEEP   r0start r0end ...                 (inclusive ranges of chars kept
+                                            verbatim inside a token, skipped
+                                            outside one — rd=0's combining
+                                            marks; empty for rd=1/2)
 """
 import sqlite3, sys
 
@@ -31,6 +35,10 @@ BATCH = 40000
 #   python3 scripts/probe_unicode61.py "unicode61 remove_diacritics 2"
 #   python3 scripts/probe_unicode61.py "ascii"
 TOKENIZER = sys.argv[1] if len(sys.argv) > 1 else "unicode61"
+# the spec is spliced into CREATE VIRTUAL TABLE inside single quotes —
+# escape any embedded quote so a spec like "unicode61 tokenchars '-'"
+# cannot break the statement
+TOKENIZER = TOKENIZER.replace("'", "''")
 
 def probe(lo, hi):
     """Return dict cp -> ('sep'|'join'|'keep'|token_string) for cp in [lo,hi)."""

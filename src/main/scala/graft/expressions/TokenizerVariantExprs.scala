@@ -49,3 +49,50 @@ object AsciiTokens {
   def ascii_tokens(c: Column): Column =
     GraftShim.column(AsciiTokens(GraftShim.expression(c)))
 }
+
+/** FTS5 `trigram` tokenizer ([[graft.functions.TrigramTok]]): the
+  * positional token stream — every 3-codepoint window of the folded
+  * text, duplicates kept (positions ARE stream offsets, which is what
+  * the phrase/NEAR span machinery consumes).
+  */
+case class TrigramTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.TrigramTok.tokensArray(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TrigramTok.tokensArray($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TrigramTokens =
+    copy(child = newChild)
+}
+
+object TrigramTokens {
+  def trigram_tokens(c: Column): Column =
+    GraftShim.column(TrigramTokens(GraftShim.expression(c)))
+}
+
+/** The trigram tokenizer's case fold as a string→string expression —
+  * the fast path for single-phrase trigram MATCH (`contains` /
+  * `startsWith` on the folded text instead of a token-array span scan).
+  */
+case class TrigramFold(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.TrigramTok.foldUtf8(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TrigramTok.foldUtf8($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TrigramFold =
+    copy(child = newChild)
+}
+
+object TrigramFold {
+  def trigram_fold(c: Column): Column =
+    GraftShim.column(TrigramFold(GraftShim.expression(c)))
+}

@@ -143,8 +143,18 @@ object DateParse {
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     for (l <- locales; m <- Month.values(); st <- styles) {
       val k = normalizeToken(m.getDisplayName(st, l))
-      if (k.nonEmpty && k.exists(_.isLetter) && !out.contains(k))
-        out(k) = m.getValue
+      if (k.nonEmpty && k.exists(_.isLetter)) out.get(k) match {
+        case None => out(k) = m.getValue
+        // cross-language key collisions all agree on the month number
+        // on the current JDK (verified: 332 keys, 0 disagreements) —
+        // but that is CLDR-version-dependent data, so the build loop
+        // asserts it rather than trusting the comment: a future JDK
+        // introducing a disagreeing collision must fail loudly here,
+        // not silently map a month name to the wrong month.
+        case Some(v) => require(v == m.getValue,
+          s"month-name collision disagrees: '$k' = $v vs ${m.getValue} " +
+            s"($l $st) — the first-wins rule is no longer sound on this JDK")
+      }
     }
     out.toMap
   }

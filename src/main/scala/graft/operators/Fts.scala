@@ -304,6 +304,40 @@ object Fts {
   def matchQueryNamed(cols: Seq[(String, Column)], query: String): Column =
     matchQueryImpl(cols.map(_._2), Some(cols), query)
 
+  /** The FTS5 query LEXER, shared by every tokenizer's MATCH grammar
+    * (query syntax is tokenizer-independent in FTS5 — only what a
+    * phrase's text tokenizes TO differs): parens, colon (the
+    * column-filter operator), braces (column sets), quoted phrases
+    * (content kept verbatim between the quotes — the downstream
+    * tokenizer decides what a '*' inside means), bare words (operators
+    * are the upper-case bare words AND/OR/NOT, as in FTS5). '*' is
+    * FTS5's postfix prefix operator: it attaches to the PRECEDING term
+    * or phrase even across whitespace ('quick *' ≡ 'quick*', '"a b" *'
+    * ≡ '"a b"*', 'qui*ck' ≡ 'qui* ck' — all pinned against sqlite3),
+    * so it lexes standalone and the parsers attach it.
+    */
+  private[graft] def lexQuery(query: String): IndexedSeq[String] = {
+    val lexemes = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < query.length) query.charAt(i) match {
+      case c if c.isWhitespace => i += 1
+      case '(' | ')' | ':' | '{' | '}' | '+' | '*' =>
+        lexemes += query.charAt(i).toString; i += 1
+      case '"' =>
+        val end = query.indexOf('"', i + 1)
+        require(end > i, s"unterminated phrase in FTS query: $query")
+        lexemes += query.substring(i, end + 1)
+        i = end + 1
+      case _ =>
+        val end = query.indexWhere(
+          c => c.isWhitespace || c == '(' || c == ')' || c == '"' || c == ':'
+            || c == '{' || c == '}' || c == '+' || c == '*', i)
+        val stop = if (end < 0) query.length else end
+        lexemes += query.substring(i, stop); i = stop
+    }
+    lexemes.toIndexedSeq
+  }
+
   private def matchQueryImpl(
       allCols: Seq[Column], named: Option[Seq[(String, Column)]], query: String): Column = {
     // The active column CONTEXT a (possibly nested) filter scope allows.
@@ -328,35 +362,7 @@ object Fts {
       if (negate) ctx.filterNot { case (n, _) => uniq.contains(n.toLowerCase) }
       else ctx.filter { case (n, _) => uniq.contains(n.toLowerCase) }
     }
-    // lexer: parens, colon (the column-filter operator), braces (column
-    // sets), quoted phrases (a '*' glued right after the closing quote
-    // stays attached — the FTS5 phrase-prefix form; a '*' INSIDE the
-    // quotes is stripped by the tokenizer downstream, as FTS5 does),
-    // bare words (operators are the upper-case bare words AND/OR/NOT,
-    // as in FTS5)
-    val lexemes = scala.collection.mutable.ArrayBuffer.empty[String]
-    var i = 0
-    while (i < query.length) query.charAt(i) match {
-      case c if c.isWhitespace => i += 1
-      // '*' is FTS5's postfix prefix operator: it attaches to the
-      // PRECEDING term or phrase even across whitespace ('quick *' ≡
-      // 'quick*', '"a b" *' ≡ '"a b"*', 'qui*ck' ≡ 'qui* ck' — all
-      // pinned against sqlite3), so it lexes standalone and the parser
-      // attaches it
-      case '(' | ')' | ':' | '{' | '}' | '+' | '*' =>
-        lexemes += query.charAt(i).toString; i += 1
-      case '"' =>
-        val end = query.indexOf('"', i + 1)
-        require(end > i, s"unterminated phrase in FTS query: $query")
-        lexemes += query.substring(i, end + 1)
-        i = end + 1
-      case _ =>
-        val end = query.indexWhere(
-          c => c.isWhitespace || c == '(' || c == ')' || c == '"' || c == ':'
-            || c == '{' || c == '}' || c == '+' || c == '*', i)
-        val stop = if (end < 0) query.length else end
-        lexemes += query.substring(i, stop); i = stop
-    }
+    val lexemes = lexQuery(query)
     var pos = 0
     def peek: Option[String] = if (pos < lexemes.length) Some(lexemes(pos)) else None
     def next(): String = {
@@ -1038,10 +1044,20 @@ object Fts {
     */
   def nearMinGapK(cols: Seq[Column], phrases: Seq[String]): Column = {
     require(phrases.length >= 2, s"nearMinGapK needs >= 2 phrases, got ${phrases.length}")
-    val nps = phrases.map(parseNearPhrase)
+    nearMinGapOver(cols.map(c => tokens(Seq(c))), phrases.map(parseNearPhrase))
+  }
+
+  /** [[nearMinGapK]] over PRE-BUILT per-column token streams — the
+    * tokenizer-generic core (the trigram MATCH grammar passes trigram
+    * streams; positions there are codepoint offsets, and the same
+    * span-clump rule applies because FTS5 NEAR is defined over token
+    * positions whatever the tokenizer emits).
+    */
+  private[graft] def nearMinGapOver(
+      toksPerCol: Seq[Column], nps: Seq[NearPhrase]): Column = {
+    require(nps.length >= 2, s"nearMinGapOver needs >= 2 phrases, got ${nps.length}")
     // per column, as FTS5 (column-local positions; see nearMinGap)
-    val perCol = cols.map { c =>
-      val toks = tokens(Seq(c))
+    val perCol = toksPerCol.map { toks =>
       val spans = nps.map(np => spanStarts(toks, np))
       val (s0, l0) = spans.head
       val init = transform(s0, s => struct(s.as("ms"), (s + (l0 - 1)).as("me")))

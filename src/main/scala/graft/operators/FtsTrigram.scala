@@ -1,0 +1,373 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.expressions.{TrigramFold, TrigramTokens}
+import graft.functions.TrigramTok
+import graft.operators.Fts.{NearPhrase, isBarewordChar, lexQuery, nearMinGapOver, spanStarts}
+
+/** FTS5 MATCH over a `tokenize='trigram'` table — the substring-search
+  * MATCH surface (`sqlite.org/fts5.html#the_trigram_tokenizer`),
+  * completing the probed tokenizer matrix (unicode61 rd0/rd1/rd2,
+  * ascii, porter, trigram). The reference delegates MATCH semantics to
+  * the SQLite binary (`/root/reference/csvs_to_sqlite/utils.py:379-383`
+  * emits the DDL); the binary defines them, so every rule here is
+  * probed against it (sqlite3 3.51.2) and fuzz-pinned in
+  * FtsTrigramSpec.
+  *
+  * The QUERY grammar is FTS5's, tokenizer-independent — same lexer
+  * ([[Fts.lexQuery]]), same operator binding (OR < AND < NOT <
+  * juxtaposition), same pinned quirks (postfix '*' attaching across
+  * whitespace, parenthesized groups needing explicit operators,
+  * column filters/sets with '-' negation, '^' anchors, NEAR groups,
+  * '+' phrase concatenation, empty operands dropped from juxtaposition
+  * but match-nothing under explicit operators). What differs is what a
+  * phrase's text TOKENIZES to, and trigram's answers (each probed):
+  *
+  *   - a unit's token list = every 3-codepoint window of its
+  *     case-folded text ([[graft.functions.TrigramTok]]); whitespace
+  *     and punctuation are literal stream characters ('"quick-brown"'
+  *     matches that exact substring);
+  *   - a '*' INSIDE a quoted phrase is a LITERAL character ('"y*z"'
+  *     matches the text `xy*zw`) — unicode61 reads it as a separator;
+  *   - the postfix '*' prefix flag lands on the unit's last gram —
+  *     INERT, because a 3-cp prefix of a 3-cp token is equality
+  *     ('abcd*' ≡ 'abcd', probed), but the syntax rules still apply
+  *     (doubled star errors);
+  *   - a unit of fewer than 3 codepoints has NO tokens and behaves
+  *     exactly like the empty phrase '""': dropped from juxtaposition
+  *     and NEAR argument lists, match-nothing under explicit
+  *     operators ('hello ab' ≡ hello; 'hello AND ab' ≡ nothing;
+  *     'NEAR(ab cd, 1)' ≡ nothing — all probed);
+  *   - '+' concatenates TOKEN LISTS with positional adjacency, not
+  *     strings: '"hell" + "llo"' matches "hello" (grams hel,ell,llo at
+  *     consecutive stream offsets) while 'hel + llo' matches nothing
+  *     (hel@p forces folded[p+1]='e', llo@p+1 forces 'l') — probed;
+  *   - phrase adjacency over one unit's grams IS substring occurrence
+  *     of the folded unit in the folded text, so single-unit leaves
+  *     compile to a codegen'd `contains` on [[TrigramFold]] (and '^'
+  *     anchors to `startsWith`) — no token array materializes on the
+  *     hot path;
+  *   - NEAR positions are stream offsets (codepoint offsets): the gap
+  *     between 'qui'@4 and 'fox'@16 is 11 ('NEAR(qui fox, 11)' matches,
+  *     10 does not — probed); [[Fts.nearMinGapOver]] applies the same
+  *     span-clump rule over trigram streams.
+  *
+  * Scale shape: identical to [[Fts.matchQuery]] — one Column predicate,
+  * whole-stage codegen, rides the scan, no shuffle. For repeated
+  * substring queries over a static corpus, [[Trigram.index]] /
+  * [[Trigram.search]] are the index-accelerated path (posting-list
+  * intersection + exact verify) — this entry point is the
+  * predicate/boolean-grammar path over the same probed semantics.
+  */
+object FtsTrigram {
+
+  /** Trigram MATCH predicate over unnamed columns (column filters in
+    * the query need [[matchQueryNamed]] and error loudly here, as
+    * [[Fts.matchQuery]]).
+    */
+  def matchQuery(cols: Seq[Column], query: String): Column =
+    matchQueryImpl(cols, None, query)
+
+  /** [[matchQuery]] over NAMED columns, enabling FTS5 column-filter
+    * syntax (`a:term`, `{a b}:term`, `-a:term`, `a:(x OR y)` — the
+    * filter machinery is tokenizer-independent and probed to behave
+    * identically on trigram tables).
+    */
+  def matchQueryNamed(cols: Seq[(String, Column)], query: String): Column =
+    matchQueryImpl(cols.map(_._2), Some(cols), query)
+
+  private def docToks(c: Column): Column = TrigramTokens.trigram_tokens(c)
+  private def docFold(c: Column): Column = TrigramFold.trigram_fold(c)
+
+  /** One chain unit: raw text (quoted content verbatim, bareword as
+    * written) + the postfix prefix-star flag.
+    */
+  private case class QUnit(text: String, starred: Boolean)
+
+  private def gramsOf(u: QUnit): Seq[(String, Boolean)] = {
+    val g = TrigramTok.tokenize(u.text)
+    if (g.isEmpty) Seq.empty
+    else g.init.map((_, false)).toSeq :+ ((g.last, u.starred))
+  }
+
+  private def chainTerms(units: Seq[QUnit]): Seq[(String, Boolean)] =
+    units.flatMap(gramsOf)
+
+  /** Phrase presence for a '+'-chain. Single-token-bearing-unit chains
+    * take the folded-substring fast path; genuine multi-unit chains go
+    * through the generic span scan over the trigram stream.
+    */
+  private def presence(colsIn: Seq[Column], units: Seq[QUnit]): Column =
+    units.filter(u => TrigramTok.tokenize(u.text).nonEmpty) match {
+      case Seq(only) =>
+        val needle = TrigramTok.fold(only.text)
+        colsIn.map(c => coalesce(docFold(c).contains(needle), lit(false)))
+          .reduce(_ || _)
+      case nonEmpty =>
+        val np = NearPhrase(chainTerms(nonEmpty))
+        colsIn.map(c =>
+            coalesce(size(spanStarts(docToks(c), np)._1) > 0, lit(false)))
+          .reduce(_ || _)
+    }
+
+  /** '^'-anchored chain: the phrase must start at stream offset 0 —
+    * for a single unit, `startsWith` on the folded text; for a
+    * multi-unit chain, a positional conjunction at positions 1..l.
+    */
+  private def anchored(colsIn: Seq[Column], units: Seq[QUnit]): Column =
+    units.filter(u => TrigramTok.tokenize(u.text).nonEmpty) match {
+      case Seq(only) =>
+        val needle = TrigramTok.fold(only.text)
+        colsIn.map(c => coalesce(docFold(c).startsWith(needle), lit(false)))
+          .reduce(_ || _)
+      case nonEmpty =>
+        val terms = chainTerms(nonEmpty)
+        colsIn.map { c =>
+          val toks = docToks(c)
+          val conj = terms.zipWithIndex.map { case ((t, pfx), k) =>
+            val tok = try_element_at(toks, lit(k + 1))
+            if (pfx) tok.startsWith(t) else tok === lit(t)
+          }.reduce(_ && _)
+          coalesce(conj, lit(false))
+        }.reduce(_ || _)
+    }
+
+  private def matchQueryImpl(
+      allCols: Seq[Column], named: Option[Seq[(String, Column)]], query: String): Column = {
+    // column CONTEXT machinery — identical to Fts.matchQueryImpl
+    // (tokenizer-independent, probed to behave the same on trigram
+    // tables): filters RESTRICT the context, nested filters intersect,
+    // an emptied context matches nothing without error
+    type Ctx = Seq[(String, Column)]
+    val universe: Ctx = named.getOrElse(allCols.map(c => "" -> c))
+    def resolveSet(names: Seq[String], negate: Boolean, ctx: Ctx): Ctx = {
+      val ns = named.getOrElse(throw new IllegalArgumentException(
+        s"column filter needs named columns — use FtsTrigram.matchQueryNamed: $query"))
+      val uniq = names.map(_.toLowerCase).distinct
+      uniq.foreach { n =>
+        if (!ns.exists(_._1.equalsIgnoreCase(n)))
+          throw new IllegalArgumentException(
+            s"no such FTS column '$n' in query: $query")
+      }
+      if (negate) ctx.filterNot { case (n, _) => uniq.contains(n.toLowerCase) }
+      else ctx.filter { case (n, _) => uniq.contains(n.toLowerCase) }
+    }
+    val lexemes = lexQuery(query)
+    var pos = 0
+    def peek: Option[String] = if (pos < lexemes.length) Some(lexemes(pos)) else None
+    def next(): String = {
+      require(pos < lexemes.length,
+        s"syntax error: unexpected end of FTS query (as FTS5): $query")
+      val l = lexemes(pos); pos += 1; l
+    }
+    // one unit: quoted content VERBATIM (for trigram a '*' inside the
+    // quotes is a literal stream character — probed), or a bareword of
+    // FTS5 bareword characters (punctuation in a bare query word is a
+    // loud syntax error, operator keywords in operand position error —
+    // the query SYNTAX rules are tokenizer-independent)
+    def unit(lx: String): QUnit = lx match {
+      case p if p.startsWith("\"") =>
+        QUnit(p.substring(1, p.length - 1), starred = false)
+      case w =>
+        require(w != "(" && w != ")" && w != ":" && w != "{" && w != "}"
+          && w != "+" && w != "*" && !w.startsWith("^") && !w.startsWith("-"),
+          s"unexpected '$w' in FTS query: $query")
+        require(w != "AND" && w != "OR" && w != "NOT",
+          s"syntax error near '$w' (operator in operand position, as FTS5): $query")
+        require(w.forall(isBarewordChar),
+          s"syntax error near '$w' (punctuation inside a bare query word, as FTS5): $query")
+        QUnit(w, starred = false)
+    }
+    // a '+'-chain of units with postfix stars (same attach rules as the
+    // unicode61 grammar: star binds across whitespace to the preceding
+    // unit, doubled star errors — probed on trigram tables too)
+    def parseChain(firstLexeme: String): Vector[QUnit] = {
+      var units = Vector(unit(firstLexeme))
+      var lastStarred = false
+      def absorbStars(): Unit =
+        while (peek.contains("*")) {
+          next()
+          require(!lastStarred, s"syntax error near '*' (as FTS5): $query")
+          lastStarred = true
+          units = units.init :+ units.last.copy(starred = true)
+        }
+      absorbStars()
+      while (peek.contains("+")) {
+        next()
+        require(peek.isDefined, s"dangling '+' in FTS query: $query")
+        units = units :+ unit(next())
+        lastStarred = false
+        absorbStars()
+      }
+      units
+    }
+    // NEAR(p1 … pk [, N]) — same arg grammar as the unicode61 parser
+    // (one comma, only the integer N after it, '^' rejected inside,
+    // '+' glues, empty-token units DROP from the argument list — all
+    // probed on trigram: 'NEAR(abc ef, 1)' ≡ 'NEAR(abc)')
+    def nearGroup(colsIn: Seq[Column]): (Column, Boolean) = {
+      next() // "("
+      val args = scala.collection.mutable.ArrayBuffer.empty[Vector[QUnit]]
+      var n = 10
+      var sawComma = false
+      var nRead = false
+      var gluePlus = false
+      var lastStarred = false
+      def pushUnit(u: QUnit): Unit = {
+        require(!sawComma,
+          s"syntax error: only the N integer may follow ',' in NEAR (as FTS5): $query")
+        if (gluePlus) {
+          require(args.nonEmpty, s"dangling '+' in NEAR: $query")
+          args(args.length - 1) = args.last :+ u
+          gluePlus = false
+        } else args += Vector(u)
+        lastStarred = false
+      }
+      while (!peek.contains(")")) {
+        val raw = next()
+        require(!raw.startsWith("^"), s"'^' is not allowed inside NEAR (as FTS5): $query")
+        if (raw == "+") {
+          require(!sawComma, s"syntax error near '+' after ',' in NEAR: $query")
+          gluePlus = true
+        } else if (raw == "*") {
+          require(!sawComma && !gluePlus && args.nonEmpty && !lastStarred,
+            s"syntax error near '*' in NEAR (as FTS5): $query")
+          lastStarred = true
+          args(args.length - 1) =
+            args.last.init :+ args.last.last.copy(starred = true)
+        } else if (raw.startsWith("\"")) {
+          pushUnit(unit(raw))
+        } else {
+          var first = true
+          for (seg <- raw.split(",", -1)) {
+            if (!first) {
+              require(!sawComma, s"syntax error near ',' in NEAR (as FTS5): $query")
+              sawComma = true
+            }
+            first = false
+            val s = seg.trim
+            if (s.nonEmpty) {
+              if (sawComma) {
+                require(!nRead && s.forall(_.isDigit),
+                  s"syntax error: N must be one integer after ',' in NEAR (as FTS5): $query")
+                n = s.toInt; nRead = true
+              } else {
+                require(s.forall(isBarewordChar),
+                  s"syntax error near '$s' in NEAR (as FTS5): $query")
+                pushUnit(QUnit(s, starred = false))
+              }
+            }
+          }
+        }
+      }
+      require(!gluePlus, s"dangling '+' in NEAR: $query")
+      require(!sawComma || nRead, s"missing N after ',' in NEAR (as FTS5): $query")
+      require(args.nonEmpty, s"syntax error: empty NEAR() (as FTS5): $query")
+      next() // ")"
+      val phrases = args.toSeq.filter(u => chainTerms(u).nonEmpty)
+      phrases match {
+        case Seq() => (lit(false), true) // all-empty NEAR: droppable
+        case _ if colsIn.isEmpty => (lit(false), false)
+        case Seq(only) => (presence(colsIn, only), false)
+        case many =>
+          val nps = many.map(u => NearPhrase(chainTerms(u)))
+          (coalesce(nearMinGapOver(colsIn.map(docToks), nps) <= n, lit(false)), false)
+      }
+    }
+    def chainPredicate(colsIn: Seq[Column], units: Vector[QUnit]): (Column, Boolean) =
+      if (chainTerms(units).isEmpty) (lit(false), true) // no tokens: droppable
+      else if (colsIn.isEmpty) (lit(false), false) // emptied filter ctx
+      else (presence(colsIn, units), false)
+    def anchoredChain(colsIn: Seq[Column], units: Vector[QUnit]): (Column, Boolean) =
+      if (chainTerms(units).isEmpty) (lit(false), true) // '^""'/'^ab': droppable
+      else if (colsIn.isEmpty) (lit(false), false)
+      else (anchored(colsIn, units), false)
+    def operandFrom(lx: String, colsIn: Seq[Column]): (Column, Boolean) = lx match {
+      case "NEAR" if peek.contains("(") => nearGroup(colsIn)
+      case "^" if peek.isDefined => anchoredChain(colsIn, parseChain(next()))
+      case w if w.startsWith("^") && w.length > 1 =>
+        anchoredChain(colsIn, parseChain(w.drop(1)))
+      case other => chainPredicate(colsIn, parseChain(other))
+    }
+    def colOperand(ctx: Ctx): (Column, Boolean) = {
+      require(peek.exists(l => l != ")" && l != ":" && l != "{" && l != "}"),
+        s"missing operand after column filter in FTS query: $query")
+      operandFrom(next(), ctx.map(_._2))
+    }
+    def readColSetNames(): Seq[String] = {
+      val names = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (!peek.contains("}")) {
+        require(peek.exists(l =>
+          l != "(" && l != ")" && l != ":" && l != "{" && !l.startsWith("\"")),
+          s"bad column set in FTS query: $query")
+        names += next()
+      }
+      next() // "}"
+      require(names.nonEmpty, s"empty column set in FTS query: $query")
+      names.toSeq
+    }
+    def filterBody(ctx: Ctx): (Column, Boolean, Boolean) =
+      if (peek.contains("(")) {
+        next()
+        val inner = orExpr(ctx)
+        require(peek.contains(")"), s"missing ')' in FTS query: $query"); next()
+        (inner, false, true)
+      } else {
+        val (c, drop) = colOperand(ctx); (c, drop, false)
+      }
+    def afterColon(ctx: Ctx): (Column, Boolean, Boolean) = {
+      require(peek.contains(":"), s"expected ':' after column set in FTS query: $query")
+      next()
+      filterBody(ctx)
+    }
+    def primary(ctx: Ctx): (Column, Boolean, Boolean) = next() match {
+      case "(" =>
+        val inner = orExpr(ctx)
+        require(peek.contains(")"), s"missing ')' in FTS query: $query"); next()
+        (inner, false, true)
+      case "{" => afterColon(resolveSet(readColSetNames(), negate = false, ctx))
+      case "-" if peek.contains("{") =>
+        next(); afterColon(resolveSet(readColSetNames(), negate = true, ctx))
+      case w if w.startsWith("-") && w.length > 1 && peek.contains(":") =>
+        next(); filterBody(resolveSet(Seq(w.drop(1)), negate = true, ctx))
+      case w if !w.startsWith("\"") && !w.startsWith("^") && w != "NEAR" && peek.contains(":") =>
+        next(); filterBody(resolveSet(Seq(w), negate = false, ctx))
+      case lx => val (c, d) = operandFrom(lx, ctx.map(_._2)); (c, d, false)
+    }
+    def juxtaList(ctx: Ctx): Column = {
+      val kept = scala.collection.mutable.ArrayBuffer.empty[Column]
+      val (c0, drop0, paren0) = primary(ctx)
+      var lastParen = paren0
+      if (!drop0) kept += c0
+      while (peek.exists(l => l != ")" && l != "OR" && l != "NOT" && l != "AND")) {
+        val (c2, drop2, paren2) = primary(ctx)
+        require(!lastParen && !paren2,
+          s"syntax error: a parenthesized group needs an explicit AND/OR/NOT (as FTS5): $query")
+        lastParen = paren2
+        if (!drop2) kept += c2
+      }
+      if (kept.isEmpty) lit(false) else kept.reduce(_ && _)
+    }
+    def notExpr(ctx: Ctx): Column = {
+      var acc = juxtaList(ctx)
+      while (peek.contains("NOT")) { next(); acc = acc && !juxtaList(ctx) }
+      acc
+    }
+    def andExpr(ctx: Ctx): Column = {
+      var acc = notExpr(ctx)
+      while (peek.contains("AND")) { next(); acc = acc && notExpr(ctx) }
+      acc
+    }
+    def orExpr(ctx: Ctx): Column = {
+      var acc = andExpr(ctx)
+      while (peek.contains("OR")) { next(); acc = acc || andExpr(ctx) }
+      acc
+    }
+    require(lexemes.nonEmpty, "empty FTS query")
+    val result = orExpr(universe)
+    require(pos == lexemes.length, s"trailing tokens in FTS query: $query")
+    result
+  }
+}

@@ -83,13 +83,14 @@ object SetJoin {
   def ppjoinPairsFromSets(raw: DataFrame,
       tNum: Long = 1, tDen: Long = 2): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold in (0, 1]")
-    val (groups, mat, prefix) = collapsedPrefixBuildFromSets(raw, tNum, tDen)
-    val members = groups.select(col("rid"), explode(col("ids")).as("id"))
+    val (memb, mat, prefix) = collapsedPrefixBuildFromSets(raw, tNum, tDen)
+    val members = memb.select(col("rid"), col("id"))
     // within-group: identical non-empty sets, all C(g,2) pairs at J=1 —
-    // candidate generation is O(1) per group, the pair fan-out is
-    // legitimate output (it IS the answer for a duplicated corpus)
-    val m = groups.filter(size(col("sset0")) > 0)
-      .select(col("rid"), explode(col("ids")).as("id"))
+    // the pair fan-out is legitimate output (it IS the answer for a
+    // duplicated corpus). Spelled as a flat rid-keyed self-join: a
+    // sort-merge join STREAMS the g² output rows of a degenerate group
+    // instead of materializing any O(g) array row.
+    val m = memb.filter(col("n0") > 0).select(col("rid"), col("id"))
     val within = m.as("x").join(m.as("y"),
         col("x.rid") === col("y.rid") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
@@ -132,9 +133,10 @@ object SetJoin {
 
   /** The shared front of [[ppjoinPairs]] and [[prefixSkewReport]]:
     * identical-set pre-collapse + the (df, hash)-ordered prefix index
-    * over representatives. Returns `(groups, mat, prefix)` where
-    * `groups(sset0, ids, rid)` is the collapse (one row per DISTINCT
-    * shingle set, members sorted, representative = min id),
+    * over representatives. Returns `(members, mat, prefix)` where
+    * `members(rid, id, n0)` is the FLAT collapse (one row per input
+    * doc, `rid` = its group representative = min id of the identical
+    * shingle set, `n0` = set size — no per-group array anywhere),
     * `mat(id, sset, n, p)` the rare-first-sorted representative sets
     * with prefix length, `prefix(id, n, tk)` the exploded prefix
     * inverted index.
@@ -142,8 +144,9 @@ object SetJoin {
     *   - exact-dedup pre-collapse: one hash-keyed shuffle on the SORTED
     *     shingle-hash array (shingleHashes output is distinct but
     *     insertion-ordered — sorting canonicalizes, so equal sets are
-    *     equal group keys); materialized once, it feeds the
-    *     representative pipeline and the callers' expansion joins.
+    *     equal window keys); a spilling window min, never a
+    *     collect_list; materialized once, it feeds the representative
+    *     pipeline and the callers' expansion joins.
     *   - global (df, hash) token order over REPRESENTATIVES: explode
     *     once, count distinct sets per token (map-side combined),
     *     regroup each set sorted rare-first. Struct array_sort is
@@ -160,12 +163,24 @@ object SetJoin {
 
   private[graft] def collapsedPrefixBuildFromSets(
       raw0: DataFrame, tNum: Long, tDen: Long): (DataFrame, DataFrame, DataFrame) = {
-    val raw = raw0.select(col("id"), col("sset").as("sset0"))
-    val groups = raw.groupBy(array_sort(col("sset0")).as("sset0"))
-      .agg(array_sort(collect_list(col("id"))).as("ids"))
-      .withColumn("rid", element_at(col("ids"), 1))
+    import org.apache.spark.sql.expressions.Window
+    // Array-free collapse: rather than `groupBy(sset).agg(collect_list
+    // (id))` — whose per-group ids array is the last unbounded row in
+    // the dedup family (a 100 TB corpus with millions of byte-identical
+    // boilerplate docs puts ALL their ids in ONE unspillable row) — tag
+    // every row with its group representative `rid = min(id) over
+    // (partition by sset0)`. WindowExec sorts and SPILLS per partition;
+    // no row ever holds more than its own shingle set. Membership,
+    // within-group pairs, representative sets and group sizes are all
+    // derivable from the flat (rid, id, n0) rows.
+    val raw = raw0.select(col("id"), array_sort(col("sset")).as("sset0"))
+    val tagged = raw
+      .withColumn("rid", min(col("id")).over(Window.partitionBy(col("sset0"))))
       .localCheckpoint(true)
-    val reps = groups.select(col("rid").as("id"), col("sset0").as("sset"))
+    val members = tagged.select(col("rid"), col("id"),
+      size(col("sset0")).cast(LongType).as("n0"))
+    val reps = tagged.filter(col("id") === col("rid"))
+      .select(col("rid").as("id"), col("sset0").as("sset"))
     val ex = reps.select(col("id"), explode(col("sset")).as("h"))
     val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
     val sets = ex.join(dfreq, "h")
@@ -183,7 +198,7 @@ object SetJoin {
         posexplode(slice(col("sset"), lit(1), col("p").cast("int"))))
       .select(col("id"), col("n"), (col("pos") + 1).cast(LongType).as("pos"),
         col("col").as("tk"))
-    (groups, mat, prefix)
+    (members, mat, prefix)
   }
 
   /** PPJoin candidate-volume observability (defense-in-depth next to
@@ -206,7 +221,7 @@ object SetJoin {
   def prefixSkewReport(df: DataFrame, idCol: String, textCol: String,
       w: Int = 3, tNum: Long = 1, tDen: Long = 2): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold in (0, 1]")
-    val (groups, _, prefix) = collapsedPrefixBuild(df, idCol, textCol, w, tNum, tDen)
+    val (memb, _, prefix) = collapsedPrefixBuild(df, idCol, textCol, w, tNum, tDen)
     val tokdf = prefix.groupBy(col("tk"))
       .agg(count(lit(1)).cast(LongType).as("dfp"))
       // dfp*(dfp-1) wraps Long past dfp ~ 3.04e9 — precisely the
@@ -226,12 +241,15 @@ object SetJoin {
       coalesce(max(col("dfp")), lit(0L)).cast(LongType).as("max_token_df"),
       coalesce(max(col("__cpairs")), lit(0L))
         .cast(LongType).as("max_token_pairs"))
-    val counts = groups.agg(
-      sum(size(col("ids"))).cast(LongType).as("n_docs"),
-      count(lit(1)).cast(LongType).as("n_reps"))
-    val within = groups.filter(size(col("sset0")) > 0)
-      .agg(coalesce(sum(expr(
-          "(cast(size(ids) as bigint) * (size(ids) - 1)) div 2")), lit(0L))
+    val counts = memb.agg(
+      count(lit(1)).cast(LongType).as("n_docs"),
+      sum(when(col("id") === col("rid"), 1L).otherwise(0L))
+        .cast(LongType).as("n_reps"))
+    // group sizes from the flat membership (one long per group — the
+    // former sum over size(ids) without ever building an ids array)
+    val within = memb.filter(col("n0") > 0)
+      .groupBy(col("rid")).agg(count(lit(1)).as("g"))
+      .agg(coalesce(sum(expr("(g * (g - 1)) div 2")), lit(0L))
         .cast(LongType).as("within_pairs"))
     // three 1-row scalars — constant-size broadcast cross joins
     counts.crossJoin(tok).crossJoin(within)

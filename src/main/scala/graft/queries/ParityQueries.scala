@@ -796,6 +796,33 @@ object ParityQueries {
       |WHERE contains(lower(text), 'vector hash')
       |ORDER BY doc_id""".stripMargin
 
+  /** S13 extension — FTS5 MATCH over a `tokenize='trigram'` table
+    * ([[graft.operators.FtsTrigram]]): the full boolean grammar where
+    * every leaf is SUBSTRING search (phrases cross token boundaries,
+    * '^' anchors the folded text) — the MATCH surface FTS5's trigram
+    * tokenizer enables, probe-first pinned and fuzz-verified against
+    * the sqlite3 binary in FtsTrigramSpec. One codegen'd predicate on
+    * the scan (single-unit leaves compile to `contains`/`startsWith`
+    * on the folded text — no token array on the hot path), no shuffle.
+    * The oracle replays the substring semantics directly; the corpus
+    * is lowercase ASCII, where the probed fold is the identity.
+    */
+  def ftsTrigramMatch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    docs.filter(graft.operators.FtsTrigram.matchQuery(Seq(col("text")),
+        """^the OR ("ctor ha" NOT "stream merge")"""))
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val ftsTrigramMatchOracle: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+      |FROM documents
+      |WHERE starts_with(lower(text), 'the')
+      |   OR (contains(lower(text), 'ctor ha')
+      |       AND NOT contains(lower(text), 'stream merge'))
+      |ORDER BY doc_id""".stripMargin
+
   /** Extension — FTS5's column-WEIGHTED `bm25(t, w1, w2)`
     * ([[Fts.bm25MatchWeighted]]): the corpus splits each document's
     * token stream into a title (first third) and body, and the ranking

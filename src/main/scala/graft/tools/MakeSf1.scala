@@ -64,6 +64,22 @@ object MakeSf1 {
     */
   private[graft] def mutateText(text: String, copy: Int): String = {
     if (text == null || copy == 0) return text
+    // The bijection argument above silently depends on the corpus being
+    // pure [a-z0-9 \s]: punctuation glued to a word ('word.' + 'q3z' →
+    // tokens 'word','q3z') would turn the rename into token INSERTION —
+    // the exact shingle-collapsing artifact the marker variant was
+    // rejected for. Assert the charset so a future corpus change breaks
+    // LOUDLY instead of silently corrupting the 10x-pair-count invariant.
+    var ci = 0
+    while (ci < text.length) {
+      val ch = text.charAt(ci)
+      require((ch >= 'a' && ch <= 'z') || (ch >= '0' && ch <= '9') ||
+          ch == ' ' || ch == '\t' || ch == '\n' || ch == '\r',
+        s"MakeSf1.mutateText: corpus char '$ch' (0x${ch.toInt.toHexString}) outside " +
+          "[a-z0-9 \\t\\n\\r] — the vocabulary-rename bijection no longer holds; " +
+          "revisit the mutation before synthesizing sf1")
+      ci += 1
+    }
     val marker = "q" + copy + "z"
     // java.lang.StringBuilder for the (CharSequence, start, end) overload
     // — the Scala one would box the triple via append(Any)

@@ -29,13 +29,16 @@ class AsciiTokSpec extends AnyFunSuite {
     assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
     // probe a<c>b for every printable ASCII cp: separator iff tokens
     // are {a,b}; token char iff single token a<fold(c)>b
-    val cps = (0x20 to 0x7E).filterNot(_ == '\'')
+    val cps = (0x20 to 0x7E)
     val db = Files.createTempDirectory("graft-ascii").resolve("a.db").toString
     val script = new StringBuilder(
       "CREATE VIRTUAL TABLE t USING fts5(x, tokenize='ascii');\n" +
         "CREATE VIRTUAL TABLE v USING fts5vocab(t,'instance');\nBEGIN;\n")
     cps.foreach { cp =>
-      script ++= s"INSERT INTO t(rowid, x) VALUES ($cp, 'a${cp.toChar}b');\n"
+      // apostrophe included via SQL quote-doubling ('a''b') — the full
+      // printable block is binary-verified, no codepoint skipped
+      val litC = if (cp == '\'') "''" else cp.toChar.toString
+      script ++= s"INSERT INTO t(rowid, x) VALUES ($cp, 'a${litC}b');\n"
     }
     script ++= "COMMIT;\nSELECT doc, \"offset\", term FROM v ORDER BY doc, \"offset\";\n"
     val real: Map[Int, Seq[String]] = SqliteCli.query(db, script.toString)

@@ -88,6 +88,32 @@ class ScaleSpec extends SparkSpec {
       "group agg introduced its own exchange on (keys, __grp):\n" + plan)
   }
 
+  test("ppjoin identical-set collapse is array-free: flat membership, same groups") {
+    import org.apache.spark.sql.types.ArrayType
+    // degenerate corpus: 500 byte-identical sets + a handful of others —
+    // the shape whose former `collect_list(id)` put 500 ids in one row
+    val sets = ((1L to 500L).map(i => (i, Seq(10L, 20L, 30L))) ++
+        Seq((900L, Seq(10L, 20L)), (901L, Seq(40L, 50L, 60L)), (902L, Seq.empty[Long])))
+      .toDF("id", "sset")
+    val (members, mat, _) = graft.operators.SetJoin
+      .collapsedPrefixBuildFromSets(sets, 1L, 2L)
+    // the giant-cluster guard: no member row carries an array — the
+    // collapse is a spilling window min over flat rows
+    assert(!members.schema.fields.exists(_.dataType.isInstanceOf[ArrayType]),
+      s"membership rows must be flat, got ${members.schema.simpleString}")
+    val rows = members.collect()
+    assert(rows.length === 503)
+    // representative = min id of each identical group
+    assert(rows.filter(_.getAs[Long]("id") <= 500L)
+      .forall(_.getAs[Long]("rid") === 1L))
+    assert(rows.count(r => r.getAs[Long]("id") === r.getAs[Long]("rid")) === 4)
+    // empty set keeps n0 = 0 (the within-pair J=1 emission must skip it)
+    assert(rows.find(_.getAs[Long]("id") === 902L).get.getAs[Long]("n0") === 0L)
+    // one representative row per distinct NON-EMPTY set feeds the
+    // prefix index (an empty set shares no prefix token, never pairs)
+    assert(mat.count() === 3)
+  }
+
   test("salted join equals the plain join and spreads the hot key across salts") {
     // extreme skew: 90% of left rows share key 7
     val left = (1L to 1000L)
