@@ -15,14 +15,18 @@ Output (stdout): two sections consumed by TrigramFoldData.scala:
   SKIP  comma-separated cps that emitted no token
 
 Run against the SAME binary SqliteCli discovers (the FTS parity target).
+
+Tokenizer spec as argv[2] (default 'trigram'); same methodology per
+option set: `probe_trigram.py sqlite3 "trigram remove_diacritics 1"`.
 """
 import subprocess, sys, tempfile, os
 
 SQLITE = sys.argv[1] if len(sys.argv) > 1 else "sqlite3"
+SPEC = (sys.argv[2] if len(sys.argv) > 2 else "trigram").replace("'", "''")
 
 def probe(lo, hi):
     """Return {cp: (folded_cp_or_None, token_len)} for cps in [lo, hi)."""
-    sql = ["CREATE VIRTUAL TABLE t USING fts5(x, tokenize='trigram');",
+    sql = [f"CREATE VIRTUAL TABLE t USING fts5(x, tokenize='{SPEC}');",
            "CREATE VIRTUAL TABLE v USING fts5vocab(t, 'instance');",
            "BEGIN;"]
     cps = [c for c in range(lo, hi) if not (0xD800 <= c <= 0xDFFF)]

@@ -55,15 +55,15 @@ object AsciiTokens {
   * text, duplicates kept (positions ARE stream offsets, which is what
   * the phrase/NEAR span machinery consumes).
   */
-case class TrigramTokens(child: Expression) extends UnaryExpression {
+case class TrigramTokens(child: Expression, mode: Int = 0) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
-    graft.functions.TrigramTok.tokensArray(input.asInstanceOf[UTF8String])
+    graft.functions.TrigramTok.tokensArray(input.asInstanceOf[UTF8String], mode)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.TrigramTok.tokensArray($c);")
+      s"${ev.value} = graft.functions.TrigramTok.tokensArray($c, $mode);")
 
   override protected def withNewChildInternal(newChild: Expression): TrigramTokens =
     copy(child = newChild)
@@ -72,21 +72,23 @@ case class TrigramTokens(child: Expression) extends UnaryExpression {
 object TrigramTokens {
   def trigram_tokens(c: Column): Column =
     GraftShim.column(TrigramTokens(GraftShim.expression(c)))
+  def trigram_tokens(c: Column, mode: Int): Column =
+    GraftShim.column(TrigramTokens(GraftShim.expression(c), mode))
 }
 
 /** The trigram tokenizer's case fold as a string→string expression —
   * the fast path for single-phrase trigram MATCH (`contains` /
   * `startsWith` on the folded text instead of a token-array span scan).
   */
-case class TrigramFold(child: Expression) extends UnaryExpression {
+case class TrigramFold(child: Expression, mode: Int = 0) extends UnaryExpression {
   override def dataType: DataType = StringType
 
   override def nullSafeEval(input: Any): Any =
-    graft.functions.TrigramTok.foldUtf8(input.asInstanceOf[UTF8String])
+    graft.functions.TrigramTok.foldUtf8(input.asInstanceOf[UTF8String], mode)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.TrigramTok.foldUtf8($c);")
+      s"${ev.value} = graft.functions.TrigramTok.foldUtf8($c, $mode);")
 
   override protected def withNewChildInternal(newChild: Expression): TrigramFold =
     copy(child = newChild)
@@ -95,4 +97,6 @@ case class TrigramFold(child: Expression) extends UnaryExpression {
 object TrigramFold {
   def trigram_fold(c: Column): Column =
     GraftShim.column(TrigramFold(GraftShim.expression(c)))
+  def trigram_fold(c: Column, mode: Int): Column =
+    GraftShim.column(TrigramFold(GraftShim.expression(c), mode))
 }

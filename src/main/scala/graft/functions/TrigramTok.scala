@@ -22,6 +22,18 @@ package graft.functions
   */
 object TrigramTok {
 
+  /** Tokenizer option modes, matching the binary's constructor matrix
+    * (probed): default fold (case_sensitive 0 remove_diacritics 0),
+    * case-sensitive (identity fold — no diacritic removal either), and
+    * remove_diacritics 1 (case fold + diacritic strip + 25 combining
+    * marks REMOVED from the stream). `case_sensitive 1` combined with
+    * `remove_diacritics 1` is a constructor ERROR in the binary —
+    * callers enforce that.
+    */
+  final val ModeFold0 = 0
+  final val ModeCaseSensitive = 1
+  final val ModeRd1 = 2
+
   private val bmp: Array[Char] = {
     val t = new Array[Char](0x10000)
     var c = 0
@@ -50,13 +62,55 @@ object TrigramTok {
       if (i >= 0) astralTo(i) else cp
     }
 
-  /** Case-fold a string (codepoint-wise, length-preserving in cps). */
-  def fold(s: String): String = {
+  private val rd1Bmp: Array[Char] = {
+    val t = new Array[Char](0x10000)
+    var c = 0
+    while (c < 0x10000) { t(c) = c.toChar; c += 1 }
+    val fp = TrigramRd1FoldData.foldPairs.split(',')
+    var i = 0
+    while (i < fp.length) {
+      val cp = fp(i).toInt
+      if (cp <= 0xFFFF) t(cp) = fp(i + 1).toInt.toChar
+      i += 2
+    }
+    // skipped combining marks: sentinel 0 (cp 0 itself never folds to 0
+    // elsewhere; the probe covers 1..0x10FFFF)
+    TrigramRd1FoldData.skipped.split(',').foreach(s => t(s.toInt) = 0)
+    t
+  }
+
+  private val (rd1AstralCp, rd1AstralTo) = {
+    val fp = TrigramRd1FoldData.foldPairs.split(',').map(_.toInt)
+    val pairs = fp.grouped(2).filter(_.head > 0xFFFF).toArray
+    (pairs.map(_(0)), pairs.map(_(1)))
+  }
+
+  /** Mode-aware fold: folded cp, or -1 = removed from the stream
+    * (rd1's combining marks). [[ModeCaseSensitive]] is the identity.
+    */
+  def foldCpMode(cp: Int, mode: Int): Int = mode match {
+    case ModeCaseSensitive => cp
+    case ModeRd1 =>
+      if (cp < 0x10000) {
+        val f = rd1Bmp(cp)
+        if (f == 0 && cp != 0) -1 else f.toInt
+      } else {
+        val i = java.util.Arrays.binarySearch(rd1AstralCp, cp)
+        if (i >= 0) rd1AstralTo(i) else cp
+      }
+    case _ => foldCp(cp)
+  }
+
+  /** Case-fold a string (codepoint-wise; rd1 DROPS its removed marks,
+    * so the folded string can be shorter in that mode).
+    */
+  def fold(s: String, mode: Int = ModeFold0): String = {
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
       val cp = s.codePointAt(i)
-      sb.appendCodePoint(foldCp(cp))
+      val f = foldCpMode(cp, mode)
+      if (f >= 0) sb.appendCodePoint(f)
       i += Character.charCount(cp)
     }
     sb.toString
@@ -64,27 +118,28 @@ object TrigramTok {
 
   /** The folded text as a codepoint array (the trigram stream's
     * character axis; token at position p covers cps p, p+1, p+2 —
-    * 0-based here, the engine's positions are the same axis).
+    * 0-based here, the engine's positions are the same axis). Removed
+    * marks (rd1) occupy no position.
     */
-  def foldedCps(s: String): Array[Int] = {
+  def foldedCps(s: String, mode: Int = ModeFold0): Array[Int] = {
     val n = s.codePointCount(0, s.length)
     val out = new Array[Int](n)
     var i = 0
     var k = 0
     while (i < s.length) {
       val cp = s.codePointAt(i)
-      out(k) = foldCp(cp)
-      k += 1
+      val f = foldCpMode(cp, mode)
+      if (f >= 0) { out(k) = f; k += 1 }
       i += Character.charCount(cp)
     }
-    out
+    if (k == n) out else java.util.Arrays.copyOf(out, k)
   }
 
   /** All trigram tokens of `s` in stream order (WITH duplicates — the
     * positional token stream, one token per window).
     */
-  def tokenize(s: String): Array[String] = {
-    val cps = foldedCps(s)
+  def tokenize(s: String, mode: Int = ModeFold0): Array[String] = {
+    val cps = foldedCps(s, mode)
     if (cps.length < 3) return Array.empty
     val out = new Array[String](cps.length - 2)
     var p = 0
@@ -98,9 +153,9 @@ object TrigramTok {
   }
 
   /** Catalyst-facing twin (same contract as Unicode61.tokensArray). */
-  def tokensArray(s: org.apache.spark.unsafe.types.UTF8String)
+  def tokensArray(s: org.apache.spark.unsafe.types.UTF8String, mode: Int)
       : org.apache.spark.sql.catalyst.util.ArrayData = {
-    val toks = tokenize(s.toString)
+    val toks = tokenize(s.toString, mode)
     val out = new Array[Any](toks.length)
     var i = 0
     while (i < toks.length) {
@@ -110,8 +165,14 @@ object TrigramTok {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  def tokensArray(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = tokensArray(s, ModeFold0)
+
   /** Catalyst-facing fold (string → folded string). */
-  def foldUtf8(s: org.apache.spark.unsafe.types.UTF8String)
+  def foldUtf8(s: org.apache.spark.unsafe.types.UTF8String, mode: Int)
       : org.apache.spark.unsafe.types.UTF8String =
-    org.apache.spark.unsafe.types.UTF8String.fromString(fold(s.toString))
+    org.apache.spark.unsafe.types.UTF8String.fromString(fold(s.toString, mode))
+
+  def foldUtf8(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = foldUtf8(s, ModeFold0)
 }

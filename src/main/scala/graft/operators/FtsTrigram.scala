@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.expressions.{TrigramFold, TrigramTokens}
@@ -47,19 +47,24 @@ import graft.operators.Fts.{NearPhrase, isBarewordChar, lexQuery, nearMinGapOver
   *   - phrase adjacency over one unit's grams IS substring occurrence
   *     of the folded unit in the folded text, so single-unit leaves
   *     compile to a codegen'd `contains` on [[TrigramFold]] (and '^'
-  *     anchors to `startsWith`) — no token array materializes on the
-  *     hot path;
+  *     anchors to `startsWith`) — no token array on the hot path;
   *   - NEAR positions are stream offsets (codepoint offsets): the gap
   *     between 'qui'@4 and 'fox'@16 is 11 ('NEAR(qui fox, 11)' matches,
   *     10 does not — probed); [[Fts.nearMinGapOver]] applies the same
   *     span-clump rule over trigram streams.
   *
-  * Scale shape: identical to [[Fts.matchQuery]] — one Column predicate,
-  * whole-stage codegen, rides the scan, no shuffle. For repeated
-  * substring queries over a static corpus, [[Trigram.index]] /
-  * [[Trigram.search]] are the index-accelerated path (posting-list
-  * intersection + exact verify) — this entry point is the
-  * predicate/boolean-grammar path over the same probed semantics.
+  * Architecture: the parser builds one AST; two interpreters consume
+  * it. [[matchQuery]] compiles the predicate (one Column, whole-stage
+  * codegen, rides the scan, no shuffle — the right shape for one-shot
+  * queries). [[matchRowidsViaIndex]] compiles a CANDIDATE superset
+  * from the persisted [[index]] (posting-list intersections per
+  * required phrase, set algebra over the boolean structure) and
+  * exact-verifies only the candidates with the same predicate — the
+  * scale path when one corpus serves MANY substring queries: a query
+  * touches only its own grams' postings, never the corpus bytes,
+  * exactly how an FTS5 trigram table answers MATCH/LIKE from the
+  * index. Both paths are the same probed semantics; IndexSpec-style
+  * equality is fuzz-pinned in FtsTrigramSpec.
   */
 object FtsTrigram {
 
@@ -67,48 +72,127 @@ object FtsTrigram {
     * the query need [[matchQueryNamed]] and error loudly here, as
     * [[Fts.matchQuery]]).
     */
-  def matchQuery(cols: Seq[Column], query: String): Column =
-    matchQueryImpl(cols, None, query)
+  def matchQuery(cols: Seq[Column], query: String): Column = {
+    val (node, _) = parse(cols.map("" -> _), None, query, TrigramTok.ModeFold0)
+    predicate(node, TrigramTok.ModeFold0)
+  }
+
+  /** [[matchQuery]] under the tokenizer OPTION matrix — `case_sensitive
+    * 1` (identity fold) or `remove_diacritics 1` (case fold + accent
+    * strip + the 25 combining marks removed from the stream), both
+    * folds probed per codepoint from the binary. Requesting BOTH is a
+    * loud error, exactly the binary's tokenizer-constructor error
+    * (probed). Semantics fuzz-pinned per mode in FtsTrigramSpec.
+    */
+  def matchQueryOpts(cols: Seq[Column], query: String,
+      caseSensitive: Boolean = false, removeDiacritics: Boolean = false): Column = {
+    require(!(caseSensitive && removeDiacritics),
+      "error in tokenizer constructor (as FTS5): trigram case_sensitive 1 " +
+        "cannot combine with remove_diacritics 1")
+    val mode =
+      if (caseSensitive) TrigramTok.ModeCaseSensitive
+      else if (removeDiacritics) TrigramTok.ModeRd1
+      else TrigramTok.ModeFold0
+    val (node, _) = parse(cols.map("" -> _), None, query, mode)
+    predicate(node, mode)
+  }
 
   /** [[matchQuery]] over NAMED columns, enabling FTS5 column-filter
     * syntax (`a:term`, `{a b}:term`, `-a:term`, `a:(x OR y)` — the
     * filter machinery is tokenizer-independent and probed to behave
     * identically on trigram tables).
     */
-  def matchQueryNamed(cols: Seq[(String, Column)], query: String): Column =
-    matchQueryImpl(cols.map(_._2), Some(cols), query)
+  def matchQueryNamed(cols: Seq[(String, Column)], query: String): Column = {
+    val (node, _) = parse(cols, Some(cols), query, TrigramTok.ModeFold0)
+    predicate(node, TrigramTok.ModeFold0)
+  }
 
-  private def docToks(c: Column): Column = TrigramTokens.trigram_tokens(c)
-  private def docFold(c: Column): Column = TrigramFold.trigram_fold(c)
+  /** Distinct `(trigram, rowid)` inverted index under the PROBED fts5
+    * fold — the MATCH-grade twin of [[Trigram.index]] (which folds
+    * with SQL `lower()` for the LIKE accelerator; the two folds agree
+    * on ASCII but diverge on codepoints like 'İ' where `lower()`
+    * expands to two chars, so the MATCH path builds its own). One
+    * explode + distinct, map-side combined, shuffled by trigram like
+    * any inverted index.
+    */
+  def index(df: DataFrame, rowidCol: String = Rowid.ColName,
+      textCol: String = "text"): DataFrame =
+    df.select(col(rowidCol),
+        explode(array_distinct(TrigramTokens.trigram_tokens(col(textCol)))).as("trigram"))
+
+  /** Rowids matching a full boolean trigram MATCH query, answered
+    * through the index: every REQUIRED phrase's grams prune via
+    * posting-list intersection, the boolean structure combines the
+    * per-leaf candidate sets (AND → rowid semi-join, OR → union, the
+    * positive side of NOT prunes alone), and the surviving candidates
+    * — usually orders of magnitude under the corpus — are
+    * exact-verified with the compiled predicate. `corpus` must be the
+    * SAME rows the index was built from. The result is EXACT; only
+    * the pruning is approximate (grams-present does not imply
+    * adjacency), the same stance as [[Trigram.search]] and [[Bloom]].
+    *
+    * When the boolean structure admits no index pruning (e.g. the
+    * query is one big negation), the verify runs over the full corpus
+    * — still correct, same cost as [[matchQuery]].
+    */
+  def matchRowidsViaIndex(corpus: DataFrame, idx: DataFrame, query: String,
+      rowidCol: String = Rowid.ColName, textCol: String = "text"): DataFrame = {
+    val (node, _) = parse(Seq("" -> col(textCol)), None, query, TrigramTok.ModeFold0)
+    val verified = candidates(node, idx, rowidCol, TrigramTok.ModeFold0) match {
+      case None => corpus
+      case Some(cand) => corpus.join(cand, Seq(rowidCol), "left_semi")
+    }
+    verified.filter(predicate(node, TrigramTok.ModeFold0)).select(col(rowidCol))
+  }
+
+  // ---- AST ------------------------------------------------------------
 
   /** One chain unit: raw text (quoted content verbatim, bareword as
     * written) + the postfix prefix-star flag.
     */
   private case class QUnit(text: String, starred: Boolean)
 
-  private def gramsOf(u: QUnit): Seq[(String, Boolean)] = {
-    val g = TrigramTok.tokenize(u.text)
+  private sealed trait Node
+  /** Match-nothing (empty phrase / emptied filter context). */
+  private case object NothingN extends Node
+  /** A '+'-chain of units evaluated against resolved columns. */
+  private case class LeafN(units: Vector[QUnit], cols: Seq[Column],
+      anchored: Boolean) extends Node
+  private case class NearN(args: Seq[Vector[QUnit]], n: Int,
+      cols: Seq[Column]) extends Node
+  private case class AndN(l: Node, r: Node) extends Node
+  private case class OrN(l: Node, r: Node) extends Node
+  /** `l NOT r` — binary, as FTS5. */
+  private case class NotN(l: Node, r: Node) extends Node
+
+  private def gramsOf(u: QUnit, mode: Int): Seq[(String, Boolean)] = {
+    val g = TrigramTok.tokenize(u.text, mode)
     if (g.isEmpty) Seq.empty
     else g.init.map((_, false)).toSeq :+ ((g.last, u.starred))
   }
 
-  private def chainTerms(units: Seq[QUnit]): Seq[(String, Boolean)] =
-    units.flatMap(gramsOf)
+  private def chainTerms(units: Seq[QUnit], mode: Int): Seq[(String, Boolean)] =
+    units.flatMap(gramsOf(_, mode))
+
+  // ---- interpreter 1: the codegen predicate ---------------------------
+
+  private def docToks(c: Column, mode: Int): Column = TrigramTokens.trigram_tokens(c, mode)
+  private def docFold(c: Column, mode: Int): Column = TrigramFold.trigram_fold(c, mode)
 
   /** Phrase presence for a '+'-chain. Single-token-bearing-unit chains
     * take the folded-substring fast path; genuine multi-unit chains go
     * through the generic span scan over the trigram stream.
     */
-  private def presence(colsIn: Seq[Column], units: Seq[QUnit]): Column =
-    units.filter(u => TrigramTok.tokenize(u.text).nonEmpty) match {
+  private def presence(colsIn: Seq[Column], units: Seq[QUnit], mode: Int): Column =
+    units.filter(u => TrigramTok.tokenize(u.text, mode).nonEmpty) match {
       case Seq(only) =>
-        val needle = TrigramTok.fold(only.text)
-        colsIn.map(c => coalesce(docFold(c).contains(needle), lit(false)))
+        val needle = TrigramTok.fold(only.text, mode)
+        colsIn.map(c => coalesce(docFold(c, mode).contains(needle), lit(false)))
           .reduce(_ || _)
       case nonEmpty =>
-        val np = NearPhrase(chainTerms(nonEmpty))
+        val np = NearPhrase(chainTerms(nonEmpty, mode))
         colsIn.map(c =>
-            coalesce(size(spanStarts(docToks(c), np)._1) > 0, lit(false)))
+            coalesce(size(spanStarts(docToks(c, mode), np)._1) > 0, lit(false)))
           .reduce(_ || _)
     }
 
@@ -116,16 +200,16 @@ object FtsTrigram {
     * for a single unit, `startsWith` on the folded text; for a
     * multi-unit chain, a positional conjunction at positions 1..l.
     */
-  private def anchored(colsIn: Seq[Column], units: Seq[QUnit]): Column =
-    units.filter(u => TrigramTok.tokenize(u.text).nonEmpty) match {
+  private def anchoredPresence(colsIn: Seq[Column], units: Seq[QUnit], mode: Int): Column =
+    units.filter(u => TrigramTok.tokenize(u.text, mode).nonEmpty) match {
       case Seq(only) =>
-        val needle = TrigramTok.fold(only.text)
-        colsIn.map(c => coalesce(docFold(c).startsWith(needle), lit(false)))
+        val needle = TrigramTok.fold(only.text, mode)
+        colsIn.map(c => coalesce(docFold(c, mode).startsWith(needle), lit(false)))
           .reduce(_ || _)
       case nonEmpty =>
-        val terms = chainTerms(nonEmpty)
+        val terms = chainTerms(nonEmpty, mode)
         colsIn.map { c =>
-          val toks = docToks(c)
+          val toks = docToks(c, mode)
           val conj = terms.zipWithIndex.map { case ((t, pfx), k) =>
             val tok = try_element_at(toks, lit(k + 1))
             if (pfx) tok.startsWith(t) else tok === lit(t)
@@ -134,14 +218,71 @@ object FtsTrigram {
         }.reduce(_ || _)
     }
 
-  private def matchQueryImpl(
-      allCols: Seq[Column], named: Option[Seq[(String, Column)]], query: String): Column = {
+  private def predicate(node: Node, mode: Int): Column = node match {
+    case NothingN => lit(false)
+    case LeafN(units, cols, false) => presence(cols, units, mode)
+    case LeafN(units, cols, true) => anchoredPresence(cols, units, mode)
+    case NearN(args, n, cols) => args match {
+      case Seq(only) => presence(cols, only, mode)
+      case many =>
+        val nps = many.map(u => NearPhrase(chainTerms(u, mode)))
+        coalesce(nearMinGapOver(cols.map(docToks(_, mode)), nps) <= n, lit(false))
+    }
+    case AndN(l, r) => predicate(l, mode) && predicate(r, mode)
+    case OrN(l, r) => predicate(l, mode) || predicate(r, mode)
+    case NotN(l, r) => predicate(l, mode) && !predicate(r, mode)
+  }
+
+  // ---- interpreter 2: index candidate sets ----------------------------
+
+  /** Required-gram sets per node, combined over the boolean structure.
+    * `None` = "no pruning possible from here" (the index cannot bound
+    * the match set — only negations produce it); `Some(df)` = a SAFE
+    * SUPERSET of the node's matching rowids. Adjacency and anchoring
+    * are ignored at prune stage (verify restores exactness).
+    */
+  private def candidates(node: Node, idx: DataFrame,
+      rowidCol: String, mode: Int): Option[DataFrame] = {
+    def allGrams(unitss: Seq[Vector[QUnit]]): Seq[String] =
+      unitss.flatMap(us => chainTerms(us, mode).map(_._1)).distinct
+    def rowsWithAll(grams: Seq[String]): DataFrame = {
+      // rows whose posting lists contain EVERY gram: one aggregation
+      // over the gram-filtered index (tiny — selectivity ~ product of
+      // gram frequencies), no self-join
+      idx.filter(col("trigram").isin(grams: _*))
+        .groupBy(col(rowidCol))
+        .agg(countDistinct(col("trigram")).as("__ng"))
+        .filter(col("__ng") === lit(grams.size.toLong))
+        .select(col(rowidCol))
+    }
+    node match {
+      case NothingN => Some(idx.filter(lit(false)).select(col(rowidCol)))
+      case LeafN(units, _, _) => Some(rowsWithAll(allGrams(Seq(units))))
+      case NearN(args, _, _) => Some(rowsWithAll(allGrams(args)))
+      case AndN(l, r) =>
+        (candidates(l, idx, rowidCol, mode), candidates(r, idx, rowidCol, mode)) match {
+          case (Some(a), Some(b)) => Some(a.join(b, Seq(rowidCol), "left_semi"))
+          case (a, b) => a.orElse(b)
+        }
+      case OrN(l, r) =>
+        for {
+          a <- candidates(l, idx, rowidCol, mode)
+          b <- candidates(r, idx, rowidCol, mode)
+        } yield a.unionByName(b).distinct()
+      case NotN(l, _) => candidates(l, idx, rowidCol, mode)
+    }
+  }
+
+  // ---- the parser (shared by both interpreters) -----------------------
+
+  private def parse(universeCols: Seq[(String, Column)],
+      named: Option[Seq[(String, Column)]], query: String, mode: Int): (Node, Boolean) = {
     // column CONTEXT machinery — identical to Fts.matchQueryImpl
     // (tokenizer-independent, probed to behave the same on trigram
     // tables): filters RESTRICT the context, nested filters intersect,
     // an emptied context matches nothing without error
     type Ctx = Seq[(String, Column)]
-    val universe: Ctx = named.getOrElse(allCols.map(c => "" -> c))
+    val universe: Ctx = universeCols
     def resolveSet(names: Seq[String], negate: Boolean, ctx: Ctx): Ctx = {
       val ns = named.getOrElse(throw new IllegalArgumentException(
         s"column filter needs named columns — use FtsTrigram.matchQueryNamed: $query"))
@@ -207,7 +348,7 @@ object FtsTrigram {
     // (one comma, only the integer N after it, '^' rejected inside,
     // '+' glues, empty-token units DROP from the argument list — all
     // probed on trigram: 'NEAR(abc ef, 1)' ≡ 'NEAR(abc)')
-    def nearGroup(colsIn: Seq[Column]): (Column, Boolean) = {
+    def nearGroup(ctx: Ctx): (Node, Boolean) = {
       next() // "("
       val args = scala.collection.mutable.ArrayBuffer.empty[Vector[QUnit]]
       var n = 10
@@ -266,35 +407,28 @@ object FtsTrigram {
       require(!sawComma || nRead, s"missing N after ',' in NEAR (as FTS5): $query")
       require(args.nonEmpty, s"syntax error: empty NEAR() (as FTS5): $query")
       next() // ")"
-      val phrases = args.toSeq.filter(u => chainTerms(u).nonEmpty)
+      val phrases = args.toSeq.filter(u => chainTerms(u, mode).nonEmpty)
       phrases match {
-        case Seq() => (lit(false), true) // all-empty NEAR: droppable
-        case _ if colsIn.isEmpty => (lit(false), false)
-        case Seq(only) => (presence(colsIn, only), false)
-        case many =>
-          val nps = many.map(u => NearPhrase(chainTerms(u)))
-          (coalesce(nearMinGapOver(colsIn.map(docToks), nps) <= n, lit(false)), false)
+        case Seq() => (NothingN, true) // all-empty NEAR: droppable
+        case _ if ctx.isEmpty => (NothingN, false)
+        case some => (NearN(some, n, ctx.map(_._2)), false)
       }
     }
-    def chainPredicate(colsIn: Seq[Column], units: Vector[QUnit]): (Column, Boolean) =
-      if (chainTerms(units).isEmpty) (lit(false), true) // no tokens: droppable
-      else if (colsIn.isEmpty) (lit(false), false) // emptied filter ctx
-      else (presence(colsIn, units), false)
-    def anchoredChain(colsIn: Seq[Column], units: Vector[QUnit]): (Column, Boolean) =
-      if (chainTerms(units).isEmpty) (lit(false), true) // '^""'/'^ab': droppable
-      else if (colsIn.isEmpty) (lit(false), false)
-      else (anchored(colsIn, units), false)
-    def operandFrom(lx: String, colsIn: Seq[Column]): (Column, Boolean) = lx match {
-      case "NEAR" if peek.contains("(") => nearGroup(colsIn)
-      case "^" if peek.isDefined => anchoredChain(colsIn, parseChain(next()))
+    def chainNode(ctx: Ctx, units: Vector[QUnit], anchor: Boolean): (Node, Boolean) =
+      if (chainTerms(units, mode).isEmpty) (NothingN, true) // no tokens: droppable
+      else if (ctx.isEmpty) (NothingN, false) // emptied filter ctx
+      else (LeafN(units, ctx.map(_._2), anchor), false)
+    def operandFrom(lx: String, ctx: Ctx): (Node, Boolean) = lx match {
+      case "NEAR" if peek.contains("(") => nearGroup(ctx)
+      case "^" if peek.isDefined => chainNode(ctx, parseChain(next()), anchor = true)
       case w if w.startsWith("^") && w.length > 1 =>
-        anchoredChain(colsIn, parseChain(w.drop(1)))
-      case other => chainPredicate(colsIn, parseChain(other))
+        chainNode(ctx, parseChain(w.drop(1)), anchor = true)
+      case other => chainNode(ctx, parseChain(other), anchor = false)
     }
-    def colOperand(ctx: Ctx): (Column, Boolean) = {
+    def colOperand(ctx: Ctx): (Node, Boolean) = {
       require(peek.exists(l => l != ")" && l != ":" && l != "{" && l != "}"),
         s"missing operand after column filter in FTS query: $query")
-      operandFrom(next(), ctx.map(_._2))
+      operandFrom(next(), ctx)
     }
     def readColSetNames(): Seq[String] = {
       val names = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -308,7 +442,7 @@ object FtsTrigram {
       require(names.nonEmpty, s"empty column set in FTS query: $query")
       names.toSeq
     }
-    def filterBody(ctx: Ctx): (Column, Boolean, Boolean) =
+    def filterBody(ctx: Ctx): (Node, Boolean, Boolean) =
       if (peek.contains("(")) {
         next()
         val inner = orExpr(ctx)
@@ -317,12 +451,12 @@ object FtsTrigram {
       } else {
         val (c, drop) = colOperand(ctx); (c, drop, false)
       }
-    def afterColon(ctx: Ctx): (Column, Boolean, Boolean) = {
+    def afterColon(ctx: Ctx): (Node, Boolean, Boolean) = {
       require(peek.contains(":"), s"expected ':' after column set in FTS query: $query")
       next()
       filterBody(ctx)
     }
-    def primary(ctx: Ctx): (Column, Boolean, Boolean) = next() match {
+    def primary(ctx: Ctx): (Node, Boolean, Boolean) = next() match {
       case "(" =>
         val inner = orExpr(ctx)
         require(peek.contains(")"), s"missing ')' in FTS query: $query"); next()
@@ -334,10 +468,10 @@ object FtsTrigram {
         next(); filterBody(resolveSet(Seq(w.drop(1)), negate = true, ctx))
       case w if !w.startsWith("\"") && !w.startsWith("^") && w != "NEAR" && peek.contains(":") =>
         next(); filterBody(resolveSet(Seq(w), negate = false, ctx))
-      case lx => val (c, d) = operandFrom(lx, ctx.map(_._2)); (c, d, false)
+      case lx => val (c, d) = operandFrom(lx, ctx); (c, d, false)
     }
-    def juxtaList(ctx: Ctx): Column = {
-      val kept = scala.collection.mutable.ArrayBuffer.empty[Column]
+    def juxtaList(ctx: Ctx): Node = {
+      val kept = scala.collection.mutable.ArrayBuffer.empty[Node]
       val (c0, drop0, paren0) = primary(ctx)
       var lastParen = paren0
       if (!drop0) kept += c0
@@ -348,26 +482,26 @@ object FtsTrigram {
         lastParen = paren2
         if (!drop2) kept += c2
       }
-      if (kept.isEmpty) lit(false) else kept.reduce(_ && _)
+      if (kept.isEmpty) NothingN else kept.reduce(AndN(_, _))
     }
-    def notExpr(ctx: Ctx): Column = {
+    def notExpr(ctx: Ctx): Node = {
       var acc = juxtaList(ctx)
-      while (peek.contains("NOT")) { next(); acc = acc && !juxtaList(ctx) }
+      while (peek.contains("NOT")) { next(); acc = NotN(acc, juxtaList(ctx)) }
       acc
     }
-    def andExpr(ctx: Ctx): Column = {
+    def andExpr(ctx: Ctx): Node = {
       var acc = notExpr(ctx)
-      while (peek.contains("AND")) { next(); acc = acc && notExpr(ctx) }
+      while (peek.contains("AND")) { next(); acc = AndN(acc, notExpr(ctx)) }
       acc
     }
-    def orExpr(ctx: Ctx): Column = {
+    def orExpr(ctx: Ctx): Node = {
       var acc = andExpr(ctx)
-      while (peek.contains("OR")) { next(); acc = acc || andExpr(ctx) }
+      while (peek.contains("OR")) { next(); acc = OrN(acc, andExpr(ctx)) }
       acc
     }
     require(lexemes.nonEmpty, "empty FTS query")
     val result = orExpr(universe)
     require(pos == lexemes.length, s"trailing tokens in FTS query: $query")
-    result
+    (result, false)
   }
 }

@@ -69,4 +69,103 @@ object Trigram {
     corpus.join(candidates, Seq(rowidCol), "left_semi")
       .filter(contains(lower(col(textCol)), lit(folded)))
   }
+
+  /** GLOB search through the trigram index — the other pattern surface
+    * an FTS5 trigram table accelerates (`sqlite.org/fts5.html#the_trigram_tokenizer`:
+    * "LIKE and GLOB patterns"). SQLite GLOB semantics, probed against
+    * the binary: case-SENSITIVE whole-string match, `*` any sequence,
+    * `?` one char, `[...]` classes with `[^...]` negation and `[[]`
+    * literal-bracket escape.
+    *
+    * Pruning: every literal run of >= 3 chars in the pattern must
+    * appear contiguously in any match, and a case-sensitive match
+    * implies case-insensitive containment of the folded run — so the
+    * runs' trigrams intersect posting lists exactly as [[search]]
+    * (safe superset). A pattern with no 3-char literal run (e.g.
+    * `*a?b*`) cannot prune and verifies over the full corpus — still
+    * exact, the caller's signal to reshape the pattern. Verification
+    * translates the GLOB to an anchored regex ([[globToRegex]]) on the
+    * RAW text (case kept).
+    */
+  def globSearch(corpus: DataFrame, idx: DataFrame, pattern: String,
+      rowidCol: String = Rowid.ColName, textCol: String = "text"): DataFrame = {
+    val grams = literalRuns(pattern).filter(_.length >= 3)
+      .flatMap { run =>
+        val f = run.toLowerCase
+        (0 to f.length - 3).map(i => f.substring(i, i + 3))
+      }.distinct
+    val base =
+      if (grams.isEmpty) corpus
+      else {
+        val candidates = idx
+          .filter(col("trigram").isin(grams: _*))
+          .groupBy(col(rowidCol))
+          .agg(countDistinct(col("trigram")).as("__ng"))
+          .filter(col("__ng") === lit(grams.size.toLong))
+          .select(col(rowidCol))
+        corpus.join(candidates, Seq(rowidCol), "left_semi")
+      }
+    base.filter(regexp_like(col(textCol), lit("(?s)^" + globToRegex(pattern) + "$")))
+  }
+
+  /** Literal runs of a GLOB pattern: maximal substrings containing no
+    * `*`, `?` or `[...]` class (a class matches ONE variable char and
+    * breaks the run, like `?`).
+    */
+  private[graft] def literalRuns(pattern: String): Seq[String] = {
+    val runs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var i = 0
+    def flush(): Unit = { if (cur.nonEmpty) { runs += cur.toString; cur.clear() } }
+    while (i < pattern.length) pattern.charAt(i) match {
+      case '*' | '?' => flush(); i += 1
+      case '[' =>
+        flush()
+        var j = i + 1
+        if (j < pattern.length && pattern.charAt(j) == '^') j += 1
+        if (j < pattern.length && pattern.charAt(j) == ']') j += 1
+        while (j < pattern.length && pattern.charAt(j) != ']') j += 1
+        require(j < pattern.length, s"unterminated '[' class in GLOB pattern: $pattern")
+        i = j + 1
+      case c => cur.append(c); i += 1
+    }
+    flush()
+    runs.toSeq
+  }
+
+  /** SQLite GLOB → Java regex body (caller anchors). Classes keep `-`
+    * ranges and `^` negation; the first `]` after `[` or `[^` is a
+    * literal member (SQLite rule, probed: `a[[]b]c` matches `a[b]c`).
+    */
+  private[graft] def globToRegex(glob: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < glob.length) glob.charAt(i) match {
+      case '*' => sb.append(".*"); i += 1
+      case '?' => sb.append('.'); i += 1
+      case '[' =>
+        val cls = new StringBuilder("[")
+        var j = i + 1
+        if (j < glob.length && glob.charAt(j) == '^') { cls.append('^'); j += 1 }
+        if (j < glob.length && glob.charAt(j) == ']') { cls.append("\\]"); j += 1 }
+        var closed = false
+        while (j < glob.length && !closed) {
+          val c = glob.charAt(j)
+          if (c == ']') closed = true
+          else {
+            if (c == '\\' || c == '[' || c == '&') cls.append('\\')
+            cls.append(c)
+          }
+          j += 1
+        }
+        require(closed, s"unterminated '[' class in GLOB pattern: $glob")
+        sb.append(cls).append(']')
+        i = j
+      case c =>
+        if ("\\.[]{}()*+?^$|".indexOf(c) >= 0) sb.append('\\')
+        sb.append(c)
+        i += 1
+    }
+    sb.toString
+  }
 }

@@ -823,6 +823,55 @@ object ParityQueries {
       |       AND NOT contains(lower(text), 'stream merge'))
       |ORDER BY doc_id""".stripMargin
 
+  /** The index-accelerated twin of [[ftsTrigramMatch]]
+    * ([[graft.operators.FtsTrigram.matchRowidsViaIndex]]): the same
+    * boolean substring MATCH answered through the persisted trigram
+    * posting lists — per-leaf gram intersections, set algebra over the
+    * boolean structure, exact verify on the surviving candidates only.
+    * The scale path when one corpus serves many substring queries (a
+    * query reads its own grams' postings, never the corpus bytes).
+    * Same oracle semantics as the predicate path.
+    */
+  def ftsTrigramIndexMatch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents").withColumnRenamed("doc_id", "rowid")
+    val idx = graft.operators.FtsTrigram.index(docs)
+    graft.operators.FtsTrigram
+      .matchRowidsViaIndex(docs, idx, """"ctor ha" OR ("window me" NOT "stream")""")
+      .select(col("rowid").cast(LongType).as("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  val ftsTrigramIndexMatchOracle: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id
+      |FROM documents
+      |WHERE contains(lower(text), 'ctor ha')
+      |   OR (contains(lower(text), 'window me')
+      |       AND NOT contains(lower(text), 'stream'))
+      |ORDER BY doc_id""".stripMargin
+
+  /** Extension — GLOB pattern search through the trigram index
+    * ([[graft.operators.Trigram.globSearch]]): SQLite GLOB semantics
+    * (case-sensitive whole-string, `*`/`?`/`[class]`, probed against
+    * the binary), pruned by the literal runs' trigram postings and
+    * verified with the anchored regex translation. The `[mw]erge`
+    * class exercises run-breaking; DuckDB's GLOB agrees with SQLite on
+    * every construct used here (negated classes diverge and are
+    * spec-pinned against sqlite3 instead).
+    */
+  def trigramGlob(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents").withColumnRenamed("doc_id", "rowid")
+    val idx = graft.operators.Trigram.index(docs)
+    graft.operators.Trigram.globSearch(docs, idx, "*spark*[mw]erge*")
+      .select(col("rowid").cast(LongType).as("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val trigramGlobOracle: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+      |FROM documents
+      |WHERE text GLOB '*spark*[mw]erge*'
+      |ORDER BY doc_id""".stripMargin
+
   /** Extension — FTS5's column-WEIGHTED `bm25(t, w1, w2)`
     * ([[Fts.bm25MatchWeighted]]): the corpus splits each document's
     * token stream into a title (first third) and body, and the ranking

@@ -259,6 +259,135 @@ class FtsTrigramSpec extends SparkSpec {
       "generator degenerate: almost no non-ASCII queries")
   }
 
+  test("matchRowidsViaIndex ≡ matchQuery on every directed probe query") {
+    val docs = corpus.toDF("doc_id", "text")
+      .withColumn(operators.Rowid.ColName, col("doc_id"))
+    val idx = FtsTrigram.index(docs).localCheckpoint(true)
+    // every shape: leaves, booleans, anchors, NEAR, chains, negation-
+    // only (no pruning possible), empties
+    val queries = Seq(
+      "hello", "\"ello wor\"", "abc AND hello", "abcd OR hello",
+      "abcd NOT xxab", "llo AND (wor OR fox)", "^hel", "NEAR(qui fox, 11)",
+      "\"hell\" + \"llo\"", "hello ab", "\"\" AND hello", "ab",
+      "(abcd OR hello) NOT \"ello wor\"", "привет OR 你好")
+    queries.foreach { q =>
+      val viaIdx = FtsTrigram.matchRowidsViaIndex(docs, idx, q)
+        .select(col(operators.Rowid.ColName)).as[Long].collect().toSet
+      val viaPred = docs.filter(FtsTrigram.matchQuery(Seq($"text"), q))
+        .select($"doc_id").as[Long].collect().toSet
+      assert(viaIdx === viaPred, s"index path diverges from predicate for <$q>")
+    }
+  }
+
+  test("index path prunes: candidate semi-join present, no corpus-wide verify for positive queries") {
+    val docs = corpus.toDF("doc_id", "text")
+      .withColumn(operators.Rowid.ColName, col("doc_id"))
+    val idx = FtsTrigram.index(docs)
+    val plan = FtsTrigram.matchRowidsViaIndex(docs, idx, "hello AND wor")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      "positive boolean query must prune through the posting-list semi-join:\n" + plan)
+  }
+
+  test("tokenizer options: case_sensitive 1 and remove_diacritics 1 — row-set parity; the illegal combo errors") {
+    assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
+    val docs = corpus.toDF("doc_id", "text")
+    val queries = Seq(
+      "Hello", "hello", "\"Hello W\"", "WORLD", "café", "cafe", "CAFE",
+      "Müller", "muller", "naïve", "naive", "^Hel", "^hel",
+      "NEAR(qui FOX, 12)", "ⓐirc", "Ⓐirc", "привет", "Привет")
+    for ((opt, cs, rd) <- Seq(("case_sensitive 1", true, false),
+        ("remove_diacritics 1", false, true))) {
+      val f = dbFile()
+      val script = new StringBuilder(
+        s"CREATE VIRTUAL TABLE d USING fts5(body, tokenize='trigram $opt');\nBEGIN;\n")
+      corpus.foreach { case (id, body) =>
+        script ++= s"INSERT INTO d(rowid, body) VALUES ($id, '${body.replace("'", "''")}');\n"
+      }
+      script ++= "COMMIT;\n"
+      script ++= queries.zipWithIndex.map { case (q, i) =>
+        s"SELECT 'q$i', rowid FROM d WHERE d MATCH '${q.replace("'", "''")}' ORDER BY rowid;"
+      }.mkString("\n")
+      val real: Map[Int, Set[Long]] = SqliteCli.query(f, script.toString)
+        .collect { case Seq(Some(tag), Some(rid)) => (tag.drop(1).toInt, rid.toLong) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+        .withDefaultValue(Set.empty)
+      queries.zipWithIndex.foreach { case (q, i) =>
+        val mine = docs.filter(FtsTrigram.matchQueryOpts(Seq($"text"), q,
+            caseSensitive = cs, removeDiacritics = rd))
+          .select($"doc_id").as[Long].collect().toSet
+        assert(mine === real(i), s"row set diverges under '$opt' for <$q>")
+      }
+    }
+    // the binary rejects the combined options in its tokenizer
+    // constructor (probed) — so does the API, loudly
+    intercept[IllegalArgumentException] {
+      FtsTrigram.matchQueryOpts(Seq($"text"), "hello",
+        caseSensitive = true, removeDiacritics = true)
+    }
+  }
+
+  test("rd1 mode: removed combining marks shift stream positions, as the binary") {
+    assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
+    // 'e' + U+0301 combining acute: rd1 REMOVES the mark — "abécd"
+    // folds to "abecd" (5 cps) and '"becd"' is a substring; under the
+    // default fold the mark occupies a position and '"becd"' is NOT
+    val markedText = "abe\u0301cd"
+    val marked = Seq((1L, markedText), (2L, "xbecdy")).toDF("doc_id", "text")
+    def hits(q: String, rd: Boolean): Set[Long] =
+      marked.filter(FtsTrigram.matchQueryOpts(Seq($"text"), q, removeDiacritics = rd))
+        .select($"doc_id").as[Long].collect().toSet
+    assert(hits("\"becd\"", rd = true) === Set(1L, 2L))
+    assert(hits("\"becd\"", rd = false) === Set(2L))
+    // binary agrees on both
+    val f = dbFile()
+    SqliteCli.query(f,
+      "CREATE VIRTUAL TABLE d0 USING fts5(b, tokenize='trigram');\n" +
+      "CREATE VIRTUAL TABLE d1 USING fts5(b, tokenize='trigram remove_diacritics 1');\n" +
+      s"INSERT INTO d0(rowid,b) VALUES (1,'$markedText'),(2,'xbecdy');\n" +
+      s"INSERT INTO d1(rowid,b) VALUES (1,'$markedText'),(2,'xbecdy');\n")
+    def binHits(t: String): Set[Long] = SqliteCli.query(f,
+        s"SELECT rowid FROM $t WHERE $t MATCH '\"becd\"';")
+      .collect { case Seq(Some(r)) => r.toLong }.toSet
+    assert(binHits("d1") === Set(1L, 2L))
+    assert(binHits("d0") === Set(2L))
+  }
+
+  test("globSearch: row-set parity with the binary's GLOB, index prunes only") {
+    assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
+    val f = trigramDb()
+    val docs = corpus.toDF("doc_id", "text")
+      .withColumn(operators.Rowid.ColName, col("doc_id"))
+    val idx = operators.Trigram.index(docs).localCheckpoint(true)
+    val patterns = Seq(
+      "Hello*",              // case-sensitive prefix
+      "hello*",              // lowercase misses 'Hello World'
+      "*World", "*world",
+      "*quick?brown*",       // ? one char
+      "the*fox*",
+      "*ab*",                // no 3-char literal run: full-scan verify
+      "*[Hh]ello*",          // class breaks the run
+      "xy[*]zw*",            // literal '*' via class
+      "*llo*w*",
+      "hellobc",             // exact whole-string
+      "*naïve*",             // non-ASCII literal
+      "*line*two*",          // '*' must cross the newline (dotall)
+      "*[0-9]*")
+    val script = patterns.zipWithIndex.map { case (p, i) =>
+      s"SELECT 'q$i', rowid FROM d WHERE body GLOB '${p.replace("'", "''")}' ORDER BY rowid;"
+    }.mkString("\n")
+    val real: Map[Int, Set[Long]] = SqliteCli.query(f, script)
+      .collect { case Seq(Some(tag), Some(rid)) => (tag.drop(1).toInt, rid.toLong) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      .withDefaultValue(Set.empty)
+    patterns.zipWithIndex.foreach { case (p, i) =>
+      val mine = operators.Trigram.globSearch(docs, idx, p)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(mine === real(i), s"GLOB row set diverges from sqlite3 for <$p>")
+    }
+    assert(real.values.count(_.nonEmpty) >= 8, "corpus degenerate for GLOB probes")
+  }
+
   test("MATCH substring ≡ Trigram.search index path on shared needles") {
     // the index-accelerated LIKE path and the MATCH predicate answer
     // the same substring question — equal row sets on every needle
