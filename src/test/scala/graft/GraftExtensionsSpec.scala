@@ -83,6 +83,15 @@ class GraftExtensionsSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("SELECT fts_match(txt, 'txt:quick') FROM fts_docs").collect()
     }
+    // the trigram twin: same grammar, SUBSTRING leaves ('row' crosses
+    // the token boundary in 'brown', which token FTS cannot hit)
+    def tids(q: String): Seq[Long] =
+      spark.sql(s"SELECT id FROM fts_docs WHERE fts_trigram_match(txt, '$q') ORDER BY id")
+        .as[Long].collect().toSeq
+    assert(tids("row") === Seq(1L, 3L))
+    assert(tids("\"ck bro\"") === Seq(1L))
+    assert(tids("row NOT bears") === Seq(1L))
+    assert(tids("^bro") === Seq(3L))
   }
 
   test("SQL function: nfc_normalize composes decomposed accents") {
