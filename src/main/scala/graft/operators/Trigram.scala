@@ -108,6 +108,78 @@ object Trigram {
     base.filter(regexp_like(col(textCol), lit("(?s)^" + globToRegex(pattern) + "$")))
   }
 
+  /** SQL LIKE search through the trigram index — the third pattern
+    * surface an FTS5 trigram table accelerates. SQLite LIKE semantics,
+    * probed against the binary: whole-string match, `%` any sequence,
+    * `_` one char, optional ESCAPE char, and case folding for ASCII
+    * ONLY (`'%café%'` does NOT match `CAFÉ` there — É is non-ASCII, so
+    * it stays unfolded; probed). Pruning is the same literal-run gram
+    * intersection as [[globSearch]] (an ASCII-case-insensitive match
+    * implies containment of the lower-folded run); verification
+    * translates the pattern to an anchored regex where each ASCII
+    * letter becomes its two-case class — NOT `(?i)`, which would
+    * wrongly fold non-ASCII too.
+    */
+  def likeSearch(corpus: DataFrame, idx: DataFrame, pattern: String,
+      escape: Option[Char] = None,
+      rowidCol: String = Rowid.ColName, textCol: String = "text"): DataFrame = {
+    val parsed = parseLike(pattern, escape)
+    val grams = parsed.collect { case LikeLit(run) if run.length >= 3 =>
+        val f = run.toLowerCase
+        (0 to f.length - 3).map(i => f.substring(i, i + 3))
+      }.flatten.distinct
+    val base =
+      if (grams.isEmpty) corpus
+      else {
+        val candidates = idx
+          .filter(col("trigram").isin(grams: _*))
+          .groupBy(col(rowidCol))
+          .agg(countDistinct(col("trigram")).as("__ng"))
+          .filter(col("__ng") === lit(grams.size.toLong))
+          .select(col(rowidCol))
+        corpus.join(candidates, Seq(rowidCol), "left_semi")
+      }
+    val rx = parsed.map {
+      case LikeAny => ".*"
+      case LikeOne => "."
+      case LikeLit(run) => run.map {
+        case c if c >= 'a' && c <= 'z' => s"[$c${c.toUpper}]"
+        case c if c >= 'A' && c <= 'Z' => s"[${c.toLower}$c]"
+        case c if "\\.[]{}()*+?^$|".indexOf(c) >= 0 => "\\" + c
+        case c => c.toString
+      }.mkString
+    }.mkString
+    base.filter(regexp_like(col(textCol), lit("(?s)^" + rx + "$")))
+  }
+
+  private sealed trait LikePart
+  private case object LikeAny extends LikePart
+  private case object LikeOne extends LikePart
+  private case class LikeLit(run: String) extends LikePart
+
+  /** LIKE pattern → parts, honoring the optional ESCAPE char (an
+    * escaped `%`/`_`/escape-char is a literal; a trailing escape or an
+    * escape before any other char is an error, as SQLite).
+    */
+  private def parseLike(pattern: String, escape: Option[Char]): Seq[LikePart] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[LikePart]
+    val cur = new StringBuilder
+    def flush(): Unit = { if (cur.nonEmpty) { out += LikeLit(cur.toString); cur.clear() } }
+    var i = 0
+    while (i < pattern.length) {
+      val c = pattern.charAt(i)
+      if (escape.contains(c)) {
+        require(i + 1 < pattern.length,
+          s"LIKE pattern ends in the escape character: $pattern")
+        cur.append(pattern.charAt(i + 1)); i += 2
+      } else if (c == '%') { flush(); out += LikeAny; i += 1 }
+      else if (c == '_') { flush(); out += LikeOne; i += 1 }
+      else { cur.append(c); i += 1 }
+    }
+    flush()
+    out.toSeq
+  }
+
   /** Literal runs of a GLOB pattern: maximal substrings containing no
     * `*`, `?` or `[...]` class (a class matches ONE variable char and
     * breaks the run, like `?`).

@@ -872,6 +872,26 @@ object ParityQueries {
       |WHERE text GLOB '*spark*[mw]erge*'
       |ORDER BY doc_id""".stripMargin
 
+  /** Extension — SQL LIKE through the trigram index
+    * ([[graft.operators.Trigram.likeSearch]]): `%`/`_` wildcards with
+    * SQLite's ASCII-only case folding (probed; the regex verify folds
+    * per ASCII letter, never `(?i)`). On this lowercase-ASCII corpus
+    * DuckDB's case-sensitive LIKE is the exact oracle.
+    */
+  def trigramLike(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents").withColumnRenamed("doc_id", "rowid")
+    val idx = graft.operators.Trigram.index(docs)
+    graft.operators.Trigram.likeSearch(docs, idx, "%ve_tor%hash%")
+      .select(col("rowid").cast(LongType).as("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val trigramLikeOracle: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+      |FROM documents
+      |WHERE text LIKE '%ve_tor%hash%'
+      |ORDER BY doc_id""".stripMargin
+
   /** Extension — FTS5's column-WEIGHTED `bm25(t, w1, w2)`
     * ([[Fts.bm25MatchWeighted]]): the corpus splits each document's
     * token stream into a title (first third) and body, and the ranking

@@ -388,6 +388,53 @@ class FtsTrigramSpec extends SparkSpec {
     assert(real.values.count(_.nonEmpty) >= 8, "corpus degenerate for GLOB probes")
   }
 
+  test("likeSearch: row-set parity with the binary's LIKE incl. ASCII-only folding") {
+    assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
+    val likeRows = corpus ++ Seq(14L -> "CAFÉ SHOUTY", 15L -> "abc_def", 16L -> "100% sure")
+    val f = dbFile()
+    val script = new StringBuilder("CREATE TABLE p(body);\nBEGIN;\n")
+    likeRows.foreach { case (id, body) =>
+      script ++= s"INSERT INTO p(rowid, body) VALUES ($id, '${body.replace("'", "''")}');\n"
+    }
+    script ++= "COMMIT;\n"
+    SqliteCli.query(f, script.toString)
+    val docs = likeRows.toDF("doc_id", "text")
+      .withColumn(operators.Rowid.ColName, col("doc_id"))
+    val idx = operators.Trigram.index(docs).localCheckpoint(true)
+    val patterns = Seq(
+      "hello%",               // ASCII case folds: hits 'Hello World' too
+      "%WORLD",
+      "%café%",               // É/é non-ASCII: CAFÉ must NOT match (probed)
+      "%quick_brown%",        // _ one char
+      "%ello%w%",
+      "hellobc",
+      "%naïve%",              // exact non-ASCII literal
+      "%ab%")                 // no 3-char run: full-scan verify
+    val script2 = patterns.zipWithIndex.map { case (p, i) =>
+      s"SELECT 'q$i', rowid FROM p WHERE body LIKE '${p.replace("'", "''")}' ORDER BY rowid;"
+    }.mkString("\n")
+    val real: Map[Int, Set[Long]] = SqliteCli.query(f, script2)
+      .collect { case Seq(Some(tag), Some(rid)) => (tag.drop(1).toInt, rid.toLong) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      .withDefaultValue(Set.empty)
+    patterns.zipWithIndex.foreach { case (p, i) =>
+      val mine = operators.Trigram.likeSearch(docs, idx, p)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(mine === real(i), s"LIKE row set diverges from sqlite3 for <$p>")
+    }
+    // ESCAPE: literal underscore / percent
+    val escCases = Seq("abc\\_def" -> Set(15L), "100\\% s%" -> Set(16L))
+    escCases.foreach { case (p, want) =>
+      val bin = SqliteCli.query(f,
+          s"SELECT rowid FROM p WHERE body LIKE '${p.replace("'", "''")}' ESCAPE '\\';")
+        .collect { case Seq(Some(r)) => r.toLong }.toSet
+      assert(bin === want, s"probe assumption broken for <$p>")
+      val mine = operators.Trigram.likeSearch(docs, idx, p, escape = Some('\\'))
+        .select($"doc_id").as[Long].collect().toSet
+      assert(mine === want, s"ESCAPE LIKE diverges for <$p>")
+    }
+  }
+
   test("MATCH substring ≡ Trigram.search index path on shared needles") {
     // the index-accelerated LIKE path and the MATCH predicate answer
     // the same substring question — equal row sets on every needle
