@@ -241,36 +241,51 @@ object FtsTrigram {
     * SUPERSET of the node's matching rowids. Adjacency and anchoring
     * are ignored at prune stage (verify restores exactness).
     */
-  private def candidates(node: Node, idx: DataFrame,
+  private def candidates(node: Node, idx0: DataFrame,
       rowidCol: String, mode: Int): Option[DataFrame] = {
     def allGrams(unitss: Seq[Vector[QUnit]]): Seq[String] =
       unitss.flatMap(us => chainTerms(us, mode).map(_._1)).distinct
+    // ONE pass over the full index: pre-filter to the union of every
+    // leaf's grams and materialize (eager checkpoint) — per-leaf
+    // intersections then read the tiny filtered postings instead of
+    // re-scanning the index once per leaf. A query with no grams at
+    // all (pure negation / all-empty) never touches the index.
+    def collectGrams(n: Node): Seq[String] = n match {
+      case NothingN => Seq.empty
+      case LeafN(units, _, _) => allGrams(Seq(units))
+      case NearN(args, _, _) => allGrams(args)
+      case AndN(l, r) => collectGrams(l) ++ collectGrams(r)
+      case OrN(l, r) => collectGrams(l) ++ collectGrams(r)
+      case NotN(l, _) => collectGrams(l)
+    }
+    val union = collectGrams(node).distinct
+    lazy val idx =
+      if (union.isEmpty) idx0
+      else idx0.filter(col("trigram").isin(union: _*)).localCheckpoint(true)
     def rowsWithAll(grams: Seq[String]): DataFrame = {
       // rows whose posting lists contain EVERY gram: one aggregation
-      // over the gram-filtered index (tiny — selectivity ~ product of
-      // gram frequencies), no self-join
+      // over the shared gram-filtered postings (tiny — selectivity ~
+      // product of gram frequencies), no self-join
       idx.filter(col("trigram").isin(grams: _*))
         .groupBy(col(rowidCol))
         .agg(countDistinct(col("trigram")).as("__ng"))
         .filter(col("__ng") === lit(grams.size.toLong))
         .select(col(rowidCol))
     }
-    node match {
-      case NothingN => Some(idx.filter(lit(false)).select(col(rowidCol)))
+    def walk(node: Node): Option[DataFrame] = node match {
+      case NothingN => Some(idx0.filter(lit(false)).select(col(rowidCol)))
       case LeafN(units, _, _) => Some(rowsWithAll(allGrams(Seq(units))))
       case NearN(args, _, _) => Some(rowsWithAll(allGrams(args)))
       case AndN(l, r) =>
-        (candidates(l, idx, rowidCol, mode), candidates(r, idx, rowidCol, mode)) match {
+        (walk(l), walk(r)) match {
           case (Some(a), Some(b)) => Some(a.join(b, Seq(rowidCol), "left_semi"))
           case (a, b) => a.orElse(b)
         }
       case OrN(l, r) =>
-        for {
-          a <- candidates(l, idx, rowidCol, mode)
-          b <- candidates(r, idx, rowidCol, mode)
-        } yield a.unionByName(b).distinct()
-      case NotN(l, _) => candidates(l, idx, rowidCol, mode)
+        for { a <- walk(l); b <- walk(r) } yield a.unionByName(b).distinct()
+      case NotN(l, _) => walk(l)
     }
+    walk(node)
   }
 
   // ---- the parser (shared by both interpreters) -----------------------
