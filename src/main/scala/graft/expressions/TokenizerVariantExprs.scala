@@ -100,3 +100,41 @@ object TrigramFold {
   def trigram_fold(c: Column, mode: Int): Column =
     GraftShim.column(TrigramFold(GraftShim.expression(c), mode))
 }
+
+/** FTS5 `highlight()` over a trigram table on the RAW text
+  * ([[graft.functions.TrigramTok.highlightRaw]]): folded-substring
+  * occurrence ranges wrapped in the markers, overlapping/touching
+  * spans coalesced, anchored needles at offset 0 only — probed
+  * against the binary. Needles are plan-time constants (pre-folded),
+  * carried as a reference object into codegen.
+  */
+case class TrigramHighlightRaw(child: Expression,
+    needles: Seq[(String, Boolean)], open: String, close: String)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+
+  @transient private lazy val needleArr: Array[(String, Boolean)] = needles.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(graft.functions.TrigramTok.highlightRaw(
+      input.asInstanceOf[UTF8String].toString, needleArr, open, close))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val nRef = ctx.addReferenceObj("needles", needleArr, "scala.Tuple2[]")
+    val openRef = ctx.addReferenceObj("open", open, "String")
+    val closeRef = ctx.addReferenceObj("close", close, "String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  graft.functions.TrigramTok.highlightRaw(
+         |    $c.toString(), (scala.Tuple2[]) $nRef, $openRef, $closeRef));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TrigramHighlightRaw =
+    copy(child = newChild)
+}
+
+object TrigramHighlightRaw {
+  def trigram_highlight_raw(c: Column, needles: Seq[(String, Boolean)],
+      open: String, close: String): Column =
+    GraftShim.column(TrigramHighlightRaw(GraftShim.expression(c), needles, open, close))
+}

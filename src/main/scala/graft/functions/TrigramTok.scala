@@ -175,4 +175,72 @@ object TrigramTok {
 
   def foldUtf8(s: org.apache.spark.unsafe.types.UTF8String)
       : org.apache.spark.unsafe.types.UTF8String = foldUtf8(s, ModeFold0)
+
+  /** FTS5 `highlight()` over a trigram table, on the RAW text: every
+    * occurrence of every (folded) needle in the folded text wraps its
+    * ORIGINAL character range in `open`/`close`; overlapping AND
+    * touching ranges coalesce into one span, and an anchored needle
+    * (`^pfx`) marks only an occurrence at offset 0 — all probed
+    * against the binary ('ell OR llo' on "Hello" → "H[ello]",
+    * 'abc OR def' on "abcdef" → "[abcdef]", 'aaa' on "aaaa" →
+    * "[aaaa]", '^hel' marks only the head). Needles arrive ALREADY
+    * folded (plan-time constants); matching is over the default-mode
+    * folded codepoint stream, positions mapped back to raw char
+    * offsets (folding is 1:1 per codepoint in mode 0).
+    */
+  def highlightRaw(raw: String, needles: Array[(String, Boolean)],
+      open: String, close: String): String = {
+    if (needles.isEmpty) return raw
+    val n = raw.codePointCount(0, raw.length)
+    val cps = new Array[Int](n)      // folded stream
+    val charAt = new Array[Int](n + 1) // cp index -> raw char offset
+    var i = 0
+    var k = 0
+    while (i < raw.length) {
+      val cp = raw.codePointAt(i)
+      cps(k) = foldCp(cp)
+      charAt(k) = i
+      k += 1
+      i += Character.charCount(cp)
+    }
+    charAt(n) = raw.length
+    // occurrences per needle (cp ranges); anchored: offset 0 only
+    val ranges = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    needles.foreach { case (needle, anchored) =>
+      val ncps = new Array[Int](needle.codePointCount(0, needle.length))
+      var j = 0; var m = 0
+      while (j < needle.length) {
+        val cp = needle.codePointAt(j); ncps(m) = cp; m += 1
+        j += Character.charCount(cp)
+      }
+      if (ncps.nonEmpty && ncps.length <= n) {
+        val last = if (anchored) 0 else n - ncps.length
+        var p = 0
+        while (p <= last) {
+          var q = 0
+          while (q < ncps.length && cps(p + q) == ncps(q)) q += 1
+          if (q == ncps.length) ranges += ((p, p + ncps.length))
+          p += 1
+        }
+      }
+    }
+    if (ranges.isEmpty) return raw
+    // merge overlapping AND touching (probed: 'abc OR def' coalesces)
+    val sorted = ranges.sortBy(r => (r._1, r._2))
+    val merged = scala.collection.mutable.ArrayBuffer[(Int, Int)](sorted.head)
+    sorted.tail.foreach { case (s, e) =>
+      val (cs, ce) = merged.last
+      if (s <= ce) merged(merged.length - 1) = (cs, math.max(ce, e))
+      else merged += ((s, e))
+    }
+    val sb = new java.lang.StringBuilder(raw.length + merged.length * (open.length + close.length))
+    var prev = 0
+    merged.foreach { case (s, e) =>
+      sb.append(raw, prev, charAt(s)).append(open)
+        .append(raw, charAt(s), charAt(e)).append(close)
+      prev = charAt(e)
+    }
+    sb.append(raw, prev, raw.length)
+    sb.toString
+  }
 }

@@ -145,6 +145,40 @@ object FtsTrigram {
     verified.filter(predicate(node, TrigramTok.ModeFold0)).select(col(rowidCol))
   }
 
+  /** FTS5 `highlight()` over a trigram table, on the RAW text: every
+    * positive phrase occurrence's character range wraps in
+    * `open`/`close`, overlapping AND touching spans coalesce, case
+    * folding on both sides, anchored (`^`) phrases mark only an
+    * occurrence at offset 0, a NOT operand's phrases never mark — all
+    * probed against the binary. Supported queries: the boolean grammar
+    * over single-unit phrases (bareword/quoted, which for trigram IS
+    * substring semantics); NEAR groups and multi-unit '+'-chains are a
+    * loud unsupported error rather than a silently wrong rendering.
+    * One codegen'd expression per row, no shuffle.
+    */
+  def highlightRaw(textCol: Column, query: String,
+      open: String = "<b>", close: String = "</b>"): Column = {
+    val (node, _) = parse(Seq("" -> textCol), None, query, TrigramTok.ModeFold0)
+    def needles(n: Node): Seq[(String, Boolean)] = n match {
+      case NothingN => Seq.empty
+      case LeafN(units, _, anchored) =>
+        units.filter(u => TrigramTok.tokenize(u.text).nonEmpty) match {
+          case Seq(only) => Seq((TrigramTok.fold(only.text), anchored))
+          case _ => throw new IllegalArgumentException(
+            s"trigram highlight does not support multi-unit '+'-chains: $query")
+        }
+      case NearN(_, _, _) => throw new IllegalArgumentException(
+        s"trigram highlight does not support NEAR groups: $query")
+      case AndN(l, r) => needles(l) ++ needles(r)
+      case OrN(l, r) => needles(l) ++ needles(r)
+      case NotN(l, _) => needles(l) // excluded operands never mark
+    }
+    val ns = needles(node).distinct
+    if (ns.isEmpty) textCol
+    else graft.expressions.TrigramHighlightRaw
+      .trigram_highlight_raw(textCol, ns, open, close)
+  }
+
   // ---- AST ------------------------------------------------------------
 
   /** One chain unit: raw text (quoted content verbatim, bareword as

@@ -388,6 +388,60 @@ class FtsTrigramSpec extends SparkSpec {
     assert(real.values.count(_.nonEmpty) >= 8, "corpus degenerate for GLOB probes")
   }
 
+  test("highlightRaw: rendered text parity with the binary's highlight()") {
+    assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
+    val hlRows = corpus ++ Seq(
+      20L -> "Hello",      // overlap coalescing probes
+      21L -> "aaaa",
+      22L -> "abcdef",
+      23L -> "overlap lapover")
+    val f = dbFile()
+    val script = new StringBuilder(
+      "CREATE VIRTUAL TABLE d USING fts5(body, tokenize='trigram');\nBEGIN;\n")
+    hlRows.foreach { case (id, body) =>
+      script ++= s"INSERT INTO d(rowid, body) VALUES ($id, '${body.replace("'", "''")}');\n"
+    }
+    script ++= "COMMIT;\n"
+    SqliteCli.query(f, script.toString)
+    val docs = hlRows.toDF("doc_id", "text")
+    val queries = Seq(
+      "ello",              // two instances, case-folded
+      "ell OR llo",        // overlapping ranges merge
+      "abc OR def",        // TOUCHING ranges merge
+      "aaa",               // self-overlapping occurrences merge
+      "ello OR worl",
+      "\"lo wo\"",         // phrase with space
+      "^hel",              // anchored: offset 0 only
+      "hello NOT zebra",   // NOT side never marks
+      "lap",               // adjacent instances in one doc
+      "CAFÉ OR naïve")     // non-ASCII fold both sides
+    // hex() the rendered text — corpus rows contain tabs/newlines
+    val script2 = queries.zipWithIndex.map { case (q, i) =>
+      s"SELECT 'q$i', rowid, hex(cast(highlight(d, 0, '[', ']') AS BLOB)) " +
+        s"FROM d WHERE d MATCH '${q.replace("'", "''")}' ORDER BY rowid;"
+    }.mkString("\n")
+    val real: Map[(Int, Long), String] = SqliteCli.query(f, script2)
+      .collect { case Seq(Some(tag), Some(rid), Some(hex)) =>
+        (tag.drop(1).toInt, rid.toLong) -> new String(
+          hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray, "UTF-8") }
+      .toMap
+    queries.zipWithIndex.foreach { case (q, i) =>
+      val mine = docs
+        .filter(FtsTrigram.matchQuery(Seq($"text"), q))
+        .select($"doc_id", FtsTrigram.highlightRaw($"text", q, "[", "]").as("h"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      val want = real.collect { case ((qi, rid), h) if qi == i => rid -> h }
+      assert(mine === want, s"highlight rendering diverges for <$q>")
+    }
+    // unsupported shapes are loud, never silently wrong
+    intercept[IllegalArgumentException] {
+      FtsTrigram.highlightRaw($"text", "NEAR(abc def)")
+    }
+    intercept[IllegalArgumentException] {
+      FtsTrigram.highlightRaw($"text", "\"hell\" + \"llo\"")
+    }
+  }
+
   test("likeSearch: row-set parity with the binary's LIKE incl. ASCII-only folding") {
     assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
     val likeRows = corpus ++ Seq(14L -> "CAFÉ SHOUTY", 15L -> "abc_def", 16L -> "100% sure")
