@@ -138,11 +138,15 @@ object DateParse {
     // Balkan/Baltic Slavic, Greek, Arabic/Hebrew (Gregorian month names;
     // the token scanner is order-free so RTL display order is moot),
     // Indonesian/Malay, Norwegian/Icelandic, Catalan/Galician, Azeri.
-    // Deliberately NOT included: vi ("tháng N" is two tokens — the key
-    // would never match a single scanned token), th (Thai CSVs usually
-    // carry Buddhist-era years, which this scanner would misread as
-    // CE), fa (Jalali calendar), ja/ko/zh (marker-delimited, no month
-    // names — the CJK regex covers the zh/ja forms). The build loop's
+    // Tier 3 (r15): 28 more — the Indic scripts (Gregorian month names
+    // transliterated), Caucasus/Central Asia, the European tail
+    // (Celtic/Basque/Maltese/Belarusian/Bosnian), Swahili/Filipino/
+    // Amharic/Urdu, and Thai (Thai-script month names; Buddhist-era
+    // years are converted by the scanner — see the thaiMonth branch in
+    // parseViaMonthTable). Deliberately NOT included: vi ("tháng N" is
+    // two tokens — handled by the dedicated viDateRe instead), fa
+    // (Jalali calendar), ja/ko/zh (marker-delimited, no month names —
+    // the CJK regex covers the zh/ja forms). The build loop's
     // collision assert keeps every addition sound on future JDKs.
     val locales = Seq(Locale.GERMAN, Locale.FRENCH, new Locale("es"),
       new Locale("pt"), Locale.ITALIAN, new Locale("nl"), new Locale("ru"),
@@ -154,7 +158,11 @@ object DateParse {
       new Locale("et"), new Locale("ar"), new Locale("he"), new Locale("id"),
       new Locale("ms"), new Locale("ca"), new Locale("gl"), new Locale("nb"),
       new Locale("no"), new Locale("is"), new Locale("sq"), new Locale("mk"),
-      new Locale("az"))
+      new Locale("az")) ++
+      Seq("hi", "bn", "ta", "te", "ml", "kn", "mr", "gu", "pa", "ne",
+        "si", "ur", "ka", "hy", "be", "bs", "kk", "ky", "uz", "af",
+        "sw", "fil", "eu", "cy", "ga", "mt", "am", "th")
+        .map(Locale.forLanguageTag)
     val styles = Seq(TextStyle.FULL, TextStyle.FULL_STANDALONE,
       TextStyle.SHORT, TextStyle.SHORT_STANDALONE)
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Int]
@@ -209,12 +217,23 @@ object DateParse {
     Set("de", "del", "of", "den", "el", "r", "roku", "г", "года", "год",
       // tier-2 (r15): lt "2017 m. sausio 3 d." (metai/diena markers),
       // lv "2017. gada 3. janvāris"
-      "m", "d", "gada")
+      "m", "d", "gada",
+      // tier-3 (r15): ka "2017 წლის 3 იანვარი" (year genitive marker),
+      // hy "3 հունվարի, 2017 թ." (տարի abbreviation), kk/ky "2017 ж."
+      // (жыл), uz "2017-yil 3-yanvar" → tokens keep "yil"
+      "წლის", "թ", "ж", "жыл", "жылы", "yil")
 
   private val timeTokenRe = "^(\\d{1,2}):(\\d{2})(?::(\\d{2}))?$".r
   // CJK dates are marker-delimited, not month-named: 2017年5月3日 [5時30分]
   private val cjkDateRe =
     "^\\s*(\\d{4})年(\\d{1,2})月(\\d{1,2})日\\s*(?:(\\d{1,2})[時时](\\d{1,2})分?)?\\s*$".r
+  // vi: "ngày 3 tháng 5 năm 2017" / "3 tháng 5, 2017" / "3 thg 5 2017",
+  // optional hh:mm[:ss] — matched AFTER normalizeToken strips diacritics,
+  // so the pattern is written accent-free (tháng→thang, năm→nam, ngày→ngay)
+  private val viDateRe =
+    ("^\\s*(?:ngay\\s+)?(\\d{1,2}),?\\s+(?:thang|thg)\\s+(\\d{1,2})" +
+     "(?:\\s+nam)?,?\\s+(\\d{4})" +
+     "(?:\\s+(\\d{1,2}):(\\d{2})(?::(\\d{2}))?)?\\s*$").r
 
   /** Language-table fuzzy parse: locate one month-name token, read the
     * 4-digit token as year and the remaining small numeric as day, with
@@ -231,9 +250,22 @@ object DateParse {
           Option(min).map(_.toInt).getOrElse(0))).toOption
       case _ =>
     }
+    // vi: month is the two-token phrase "tháng N" (thg N), never a
+    // single scannable token — a dedicated marker regex, like CJK.
+    // Matched against the diacritic-stripped lowercase of the WHOLE
+    // string so "tháng"/"thang", "năm"/"nam", "ngày"/"ngay" all hit.
+    normalizeToken(v) match {
+      case viDateRe(d, m, y, h, min, s) =>
+        return Try(LocalDate.of(y.toInt, m.toInt, d.toInt).atTime(
+          Option(h).map(_.toInt).getOrElse(0),
+          Option(min).map(_.toInt).getOrElse(0),
+          Option(s).map(_.toInt).getOrElse(0))).toOption
+      case _ =>
+    }
     val rawTokens = v.split("[\\s,]+").filter(_.nonEmpty).toSeq
     if (rawTokens.size < 3 || rawTokens.size > 7) return None
     var month = 0; var year = -1; var day = -1
+    var thaiMonth = false
     var time: Option[LocalTime] = None
     for (t <- rawTokens) {
       val norm = normalizeToken(t)
@@ -241,6 +273,11 @@ object DateParse {
       else if (monthTable.contains(norm)) {
         if (month != 0) return None // two month names: not a date
         month = monthTable(norm)
+        // Thai-script month name: the year is (almost always) Buddhist
+        // era — dateparser converts BE→CE when the language is th. The
+        // scanner mirrors that, gated on the year actually being in BE
+        // range (≥2400) so a Thai month with a CE year stays CE.
+        thaiMonth = norm.exists(c => c >= '\u0E00' && c <= '\u0E7F')
       } else t match {
         case timeTokenRe(h, m, s) if time.isEmpty && h.toInt <= 23 =>
           time = Try(LocalTime.of(h.toInt, m.toInt,
@@ -257,6 +294,7 @@ object DateParse {
       }
     }
     if (month == 0 || year < 0 || day < 0) return None
+    if (thaiMonth && year >= 2400) year -= 543 // Buddhist era → CE
     Try(LocalDate.of(year, month, day)
       .atTime(time.getOrElse(LocalTime.MIDNIGHT))).toOption
   }

@@ -219,6 +219,65 @@ class DateParseSpec extends AnyFunSuite {
       assert(DateParse.parseDateIso(in) === want, s"input: '$in'")
   }
 
+  test("multilingual goldens: round-15 tier-3 languages") {
+    // Exact JDK-CLDR FULL (format-context) month names, probed from
+    // java.time.Month.getDisplayName on this JDK (the build's
+    // collision-drop keeps additions sound if a future JDK shifts a name)
+    val goldens = Seq(
+      "3 जनवरी 2017" -> "2017-01-03",           // hi January
+      "3 জানুয়ারী 2017" -> "2017-01-03", // bn
+      "3 ஜனவரி 2017" -> "2017-01-03",           // ta
+      "3 జనవరి 2017" -> "2017-01-03",           // te
+      "3 ജനുവരി 2017" -> "2017-01-03",     // ml
+      "3 ಜನವರಿ 2017" -> "2017-01-03",           // kn
+      "3 जानेवारी 2017" -> "2017-01-03", // mr
+      "3 જાન્યુઆરી 2017" -> "2017-01-03", // gu
+      "3 ਜਨਵਰੀ 2017" -> "2017-01-03",           // pa
+      "3 ජනවාරි 2017" -> "2017-01-03",     // si
+      "3 جنوری 2017" -> "2017-01-03",           // ur
+      "2017 წლის 3 იანვარი" -> "2017-01-03", // ka + year marker
+      "3 հունվարի, 2017 թ." -> "2017-01-03", // hy genitive + marker
+      "3 студзеня 2017" -> "2017-01-03", // be genitive
+      "3. januar 2017" -> "2017-01-03",                                   // bs (agrees sl/nb/da)
+      "3 қаңтар 2017 ж." -> "2017-01-03", // kk + жыл marker
+      "3 январь 2017" -> "2017-01-03",      // ky (≡ ru nominative)
+      "3 yanvar 2017 yil" -> "2017-01-03",                                // uz
+      "3 Januarie 2017" -> "2017-01-03",                                  // af
+      "3 Januari 2017" -> "2017-01-03",                                   // sw (≡ id/ms)
+      "3 Enero 2017" -> "2017-01-03",                                     // fil (≡ es)
+      "urtarrilak 3 2017" -> "2017-01-03",                                // eu format-context
+      "3 Ionawr 2017" -> "2017-01-03",                                    // cy
+      "3 Eanáir 2017" -> "2017-01-03",                               // ga
+      "3 Jannar 2017" -> "2017-01-03",                                    // mt
+      "3 ጃንዩወሪ 2017" -> "2017-01-03"             // am
+    )
+    for ((in, want) <- goldens)
+      assert(DateParse.parseDateIso(in) === want, s"input: '$in'")
+  }
+
+  test("thai dates: Buddhist-era year converts, CE year passes through") {
+    // มกราคม = January; 2560 BE = 2017 CE (dateparser converts BE for th)
+    assert(DateParse.parseDateIso(
+      "3 มกราคม 2560") === "2017-01-03")
+    // a Thai month with an already-CE year stays CE (gate is year>=2400)
+    assert(DateParse.parseDateIso(
+      "3 มกราคม 2017") === "2017-01-03")
+    // พฤษภาคม = May, with a time component
+    assert(DateParse.parseDatetimeIso(
+      "3 พฤษภาคม 2560 14:30") === "2017-05-03T14:30:00")
+  }
+
+  test("vietnamese marker dates: thang-N two-token month via regex") {
+    assert(DateParse.parseDateIso("ngày 3 tháng 5 năm 2017") === "2017-05-03")
+    assert(DateParse.parseDateIso("3 tháng 5, 2017") === "2017-05-03")
+    assert(DateParse.parseDateIso("3 thg 5 2017") === "2017-05-03")
+    // accent-stripped typing parses identically
+    assert(DateParse.parseDateIso("ngay 3 thang 5 nam 2017") === "2017-05-03")
+    assert(DateParse.parseDatetimeIso("3 tháng 5 năm 2017 14:30:05") === "2017-05-03T14:30:05")
+    // month out of range refuses
+    intercept[IllegalArgumentException] { DateParse.parseDateIso("3 tháng 13 2017") }
+  }
+
   test("ambiguous month tokens are excluded, not guessed (Slavic false friends)") {
     // Croatian lipanj=6 / Polish lipiec=7 share the short 'lip';
     // srpanj=7 / sierpień=8 share 'srp' — a language-free scanner must
