@@ -53,6 +53,15 @@ object Similarity {
     round(dot.cast(DoubleType) /
       (sqrt(n2a.cast(DoubleType)) * sqrt(n2b.cast(DoubleType))), 6)
 
+  /** Micro-cosine: round(1e6·cos) as an exact BIGINT — ONE double
+    * rounding at the source, after which every downstream combination
+    * (sums, averages, the margin ratio) stays in integer arithmetic and
+    * can never hit a float-repr seam.
+    */
+  def cosineMicro(dot: Column, n2a: Column, n2b: Column): Column =
+    round(dot.cast(DoubleType) * 1e6 /
+      (sqrt(n2a.cast(DoubleType)) * sqrt(n2b.cast(DoubleType)))).cast(LongType)
+
   /** Brute-force cosine top-k: for each query vector (`queries` must be
     * small — it is broadcast), the k nearest corpus vectors excluding
     * itself. Deterministic: ties broken by corpus id.
@@ -93,6 +102,78 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"), col("cosine"))
+  }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings",
+    * ACL 2019 — the CCMatrix/LASER miner): a raw cosine threshold
+    * cannot separate true translation pairs from hubs (vectors near
+    * everything), so each pair is scored by its cosine RELATIVE to the
+    * two endpoints' neighborhoods:
+    *
+    *   margin(x,y) = cos(x,y) / ((avgₖ cos(x,NNₖ(y-side)) +
+    *                              avgₖ cos(y,NNₖ(x-side))) / 2)
+    *
+    * the "ratio" variant, >1 iff the pair is closer than its
+    * neighborhoods' average. Per source vector the best target by
+    * margin is emitted.
+    *
+    * Exactness: all scores are micro-cosines ([[cosineMicro]]), so the
+    * margin is a pure BIGINT division — `(2e6·k·cm) div (a_sum+b_sum)`
+    * with a_sum/b_sum the top-k micro-cosine SUMS (avg×k cancels) —
+    * bit-identical across engines. Only positive-cosine candidates are
+    * mined (the criterion presumes similarity; it also keeps the
+    * integer division in truncation-=-floor territory).
+    *
+    * Shape: `srcBatch` is the handful being mined — it broadcasts and
+    * the target corpus streams past it once (the same all-pairs scorer
+    * shape as [[bruteForceTopK]]); the reverse-direction penalty
+    * re-scores ONLY the ≤|batch|·nCand candidate vectors (broadcast
+    * semi-join on ids, then candidates × batch — bounded by the batch,
+    * never |corpus|²). At 100 TB the forward pass plugs [[ivfTopK]] in
+    * as the candidate generator; the margin algebra is unchanged.
+    */
+  def marginMine(tgtCorpus: DataFrame, srcBatch: DataFrame, idCol: String,
+      embCol: String, k: Int = 4, nCand: Int = 8): DataFrame = {
+    require(k >= 1 && nCand >= k, "marginMine: need nCand >= k >= 1")
+    val t = tgtCorpus.select(col(idCol).cast(LongType).as("t_id"),
+      quantize(col(embCol)).as("t_q"))
+      .withColumn("t_n2", inorm2(col("t_q")))
+    val s = broadcast(srcBatch.select(col(idCol).cast(LongType).as("q_id"),
+      quantize(col(embCol)).as("q_q"))
+      .withColumn("q_n2", inorm2(col("q_q"))))
+    def scoreAgainstBatch(side: DataFrame): DataFrame = side
+      .join(s, col("t_id") =!= col("q_id"))
+      .select(col("q_id"), col("t_id"),
+        cosineMicro(idot(col("t_q"), col("q_q")), col("t_n2"), col("q_n2")).as("cm"))
+      .filter(col("cm") > 0)
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("cm").desc, col("t_id"))
+    // |batch|·nCand rows — the only materialized state
+    val cand = scoreAgainstBatch(t)
+      .withColumn("r", row_number().over(wq).cast(LongType))
+      .filter(col("r") <= nCand)
+      .localCheckpoint(true)
+    val aSum = cand.filter(col("r") <= k)
+      .groupBy(col("q_id")).agg(sum(col("cm")).as("a_sum"))
+    val candVecs = t.join(broadcast(cand.select(col("t_id")).distinct()),
+      Seq("t_id"), "left_semi")
+    val wt = Window.partitionBy(col("t_id")).orderBy(col("cm").desc, col("q_id"))
+    val bSum = scoreAgainstBatch(candVecs)
+      .withColumn("r", row_number().over(wt))
+      .filter(col("r") <= k)
+      .groupBy(col("t_id")).agg(sum(col("cm")).as("b_sum"))
+    val wBest = Window.partitionBy(col("q_id"))
+      .orderBy(col("margin_ppm").desc, col("t_id"))
+    cand
+      .join(broadcast(aSum), Seq("q_id"))
+      .join(broadcast(bSum), Seq("t_id"))
+      .filter(col("a_sum") + col("b_sum") > 0)
+      .withColumn("margin_ppm",
+        expr(s"(${2000000L * k} * cm) div (a_sum + b_sum)"))
+      .withColumn("best", row_number().over(wBest))
+      .filter(col("best") === 1)
+      .select(col("q_id"), col("t_id").as("tgt_id"),
+        col("cm").as("cos_micro"), col("margin_ppm"))
   }
 
   /** A driver-resident centroid: cluster id, integer component sums,

@@ -177,6 +177,50 @@ object SimilarityQueries {
        |FROM qlist LEFT JOIN common ON common.q_id = qlist.q_id
        |ORDER BY qlist.q_id""".stripMargin
 
+  /** Margin-based bitext mining ([[Similarity.marginMine]]): even
+    * vec_ids < 40 are the source batch, odd vec_ids the target corpus;
+    * per source the best target by ratio margin (k=4 neighborhood,
+    * 8 candidates), all scores exact micro-cosine BIGINTs.
+    */
+  def bitextMargin(spark: SparkSession, dir: String): DataFrame = {
+    val src = embSmall(spark, dir)
+      .filter(col("vec_id") < 40 && col("vec_id") % 2 === 0)
+    val tgt = emb(spark, dir).filter(col("vec_id") % 2 === 1)
+    Similarity.marginMine(tgt, src, "vec_id", "embedding", k = 4, nCand = 8)
+      .orderBy("q_id")
+  }
+
+  val bitextMarginOracle: String = {
+    val cm = "CAST(round(CAST(" + duckDot("t_qv", "s_qv") +
+      " AS DOUBLE) * 1000000 / (sqrt(CAST(t_n2 AS DOUBLE)) * " +
+      "sqrt(CAST(s_n2 AS DOUBLE)))) AS BIGINT)"
+    s"""WITH $quantCte,
+       |src AS (SELECT id AS q_id, qv AS s_qv, n2 AS s_n2 FROM n
+       |  WHERE id < 40 AND id % 2 = 0),
+       |tgt AS (SELECT id AS t_id, qv AS t_qv, n2 AS t_n2 FROM n
+       |  WHERE id % 2 = 1),
+       |pos AS (SELECT * FROM (SELECT q_id, t_id, $cm AS cm
+       |    FROM tgt CROSS JOIN src WHERE t_id <> q_id) WHERE cm > 0),
+       |cand AS (SELECT q_id, t_id, cm, r FROM (SELECT q_id, t_id, cm,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cm DESC, t_id) AS BIGINT) AS r
+       |  FROM pos) WHERE r <= 8),
+       |a AS (SELECT q_id, CAST(sum(cm) AS BIGINT) AS a_sum FROM cand
+       |  WHERE r <= 4 GROUP BY q_id),
+       |b AS (SELECT t_id, CAST(sum(cm) AS BIGINT) AS b_sum FROM (SELECT t_id, q_id, cm,
+       |    row_number() OVER (PARTITION BY t_id ORDER BY cm DESC, q_id) AS r
+       |  FROM pos WHERE t_id IN (SELECT DISTINCT t_id FROM cand)) WHERE r <= 4
+       |  GROUP BY t_id),
+       |m AS (SELECT c.q_id, c.t_id, c.cm,
+       |    (8000000 * c.cm) // (a_sum + b_sum) AS margin_ppm
+       |  FROM cand c JOIN a USING (q_id) JOIN b USING (t_id)
+       |  WHERE a_sum + b_sum > 0)
+       |SELECT q_id, t_id AS tgt_id, cm AS cos_micro, margin_ppm
+       |FROM (SELECT q_id, t_id, cm, margin_ppm,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY margin_ppm DESC, t_id) AS rr
+       |  FROM m)
+       |WHERE rr = 1 ORDER BY q_id""".stripMargin
+  }
+
   /** IVF training: deterministic k-means (k=8, 2 Lloyd iterations,
     * integer-sum centroids — see [[Similarity.kmeansAssign]]).
     */

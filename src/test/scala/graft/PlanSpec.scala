@@ -178,6 +178,7 @@ class PlanSpec extends SparkSpec {
       "x_ann_topk", "x_multimodal_embed_topk", // (a) all-pairs scoring
       "x_hard_negatives",                      //     rank-window reuse of (a)
       "x_ann_recall",                          //     ground-truth side reuses (a)
+      "x_bitext_margin",                       //     margin miner reuses (a) both directions
       "x_matryoshka_recall",                   //     truncated-dim reuse of (a)
       "x_rp_recall",                           //     projected-space reuse of (a)
       "x_pq_recall",                           //     PQ asymmetric-distance reuse of (a)

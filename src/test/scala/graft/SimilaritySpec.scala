@@ -255,4 +255,34 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     for (id <- 0L to 5L) assert(dec(id) === qv(id), s"vec $id not lossless")
   }
+
+  test("margin mining: one best target per source, true pairs beat their neighborhood") {
+    // two sources on orthogonal axes, each with one aligned target; two
+    // off-axis distractors shared by both neighborhoods
+    val src = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (10L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (1L, Array(0.99f, 0.1f, 0.0f)),  // pair of 0
+      (3L, Array(0.1f, 0.99f, 0.0f)),  // pair of 10
+      (5L, Array(0.5f, 0.5f, 0.0f)),   // equidistant distractor
+      (7L, Array(0.4f, 0.45f, 0.8f))   // weaker distractor
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.marginMine(tgt, src, "vec_id", "embedding",
+        k = 2, nCand = 3)
+      .collect().map(r => r.getAs[Long]("q_id") ->
+        (r.getAs[Long]("tgt_id"), r.getAs[Long]("cos_micro"),
+         r.getAs[Long]("margin_ppm"))).toMap
+    assert(out.keySet === Set(0L, 10L), "one row per source")
+    assert(out(0L)._1 === 1L, "source 0 mines its aligned target")
+    assert(out(10L)._1 === 3L, "source 10 mines its aligned target")
+    // a true pair's cosine exceeds its neighborhood average -> margin > 1
+    assert(out(0L)._3 > 1000000L, s"margin(0,1) = ${out(0L)._3}")
+    assert(out(10L)._3 > 1000000L, s"margin(10,3) = ${out(10L)._3}")
+    // micro-cosine of the 0-1 pair: dot/(|a||b|) ~ 0.99499 in ppm
+    assert(out(0L)._2 > 990000L && out(0L)._2 < 1000000L)
+    intercept[IllegalArgumentException] {
+      Similarity.marginMine(tgt, src, "vec_id", "embedding", k = 4, nCand = 2)
+    }
+  }
 }
