@@ -110,6 +110,58 @@ object NgramLm {
       .orderBy("doc_id")
   }
 
+  /** Score pre-computed `(doc_id, w1, w2, tf)` bigrams against a count
+    * model — the shared kernel behind [[score]]'s single-model path and
+    * [[contrastScore]]'s two-model path.
+    */
+  private def applyCounts(bg: DataFrame, model: DataFrame,
+      outCol: String): DataFrame = {
+    val m = model.localCheckpoint(true)
+    val ctx = m.groupBy(col("w1")).agg(sum(col("c2")).cast(LongType).as("c1"))
+    val v = m.agg(greatest(countDistinct(col("w2")), lit(1L)).cast(LongType).as("v"))
+    bg.join(m, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("p_ppm",
+        expr("1000000 * (coalesce(c2, 0) + 1) div (coalesce(c1, 0) + v)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast(LongType).as("n_bigrams"),
+        sum(col("tf") * col("p_ppm")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("s div n_bigrams").cast(LongType).as(outCol))
+  }
+
+  /** Moore–Lewis cross-entropy-difference selection (Moore & Lewis
+    * 2010, "Intelligent Selection of Language Model Training Data",
+    * ACL): a document is worth keeping for a domain when the IN-DOMAIN
+    * LM likes it MORE than a general LM trained on the whole pool —
+    * the difference cancels generic fluency and leaves domain fit,
+    * which a single-model score ([[score]]) conflates. Classic
+    * data-selection for adapting a corpus to a target domain.
+    *
+    * Integer-exact rendering: both models are the same add-one-smoothed
+    * bigram families as [[score]]; per document the mean likelihoods
+    * `lm_in_ppm` / `lm_gen_ppm` and their difference `ml_delta_ppm`
+    * (positive = select). ONE tokenize+bigram pass is materialized and
+    * feeds both model builds and both scoring joins; everything
+    * downstream is model-bounded keyed shuffles, nothing corpus-sized
+    * broadcasts.
+    */
+  def contrastScore(docs: DataFrame, isInDomain: Column): DataFrame = {
+    val bg = bigramTf(docs, isInDomain).localCheckpoint(true)
+    val inModel = bg.filter(col("is_target"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(sum(col("tf")).cast(LongType).as("c2"))
+    val genModel = bg.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("tf")).cast(LongType).as("c2"))
+    val body = bg.drop("is_target")
+    applyCounts(body, inModel, "lm_in_ppm")
+      .join(applyCounts(body, genModel, "lm_gen_ppm").drop("n_bigrams"),
+        Seq("doc_id"))
+      .withColumn("ml_delta_ppm", col("lm_in_ppm") - col("lm_gen_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** Train on the target slice and score the whole corpus in one call
     * (one materialized bigram pass feeds both).
     */

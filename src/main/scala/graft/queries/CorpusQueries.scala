@@ -1424,6 +1424,46 @@ object CorpusQueries {
        |FROM ($ngramLmBase) s
        |ORDER BY curriculum_pos""".stripMargin
 
+  /** Moore–Lewis cross-entropy-difference selection
+    * ([[graft.operators.NgramLm.contrastScore]]): in-domain model from
+    * `source = 'src0'`, general model from the whole pool; per doc both
+    * mean likelihoods and their difference (positive = select).
+    */
+  def mooreLewis(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.NgramLm.contrastScore(
+      DedupQueries.docs(spark, dir), col("source") === "src0")
+
+  val mooreLewisOracle: String = {
+    val t = DuckSql.tokens("text")
+    s"""WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    source = 'src0' AS is_target, $t AS t FROM documents
+       |  WHERE len($t) >= 2),
+       |bg AS (SELECT doc_id, is_target, t[i] AS w1, t[i + 1] AS w2,
+       |    CAST(count(*) AS BIGINT) AS tf
+       |  FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+       |  GROUP BY 1, 2, 3, 4),
+       |c2i AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c2 FROM bg
+       |  WHERE is_target GROUP BY 1, 2),
+       |c1i AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2i GROUP BY 1),
+       |vi AS (SELECT CAST(greatest(count(DISTINCT w2), 1) AS BIGINT) AS v FROM c2i),
+       |c2g AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+       |c1g AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2g GROUP BY 1),
+       |vg AS (SELECT CAST(greatest(count(DISTINCT w2), 1) AS BIGINT) AS v FROM c2g),
+       |si AS (SELECT bg.doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(tf * (1000000 * (coalesce(c2i.c2, 0) + 1)
+       |        // (coalesce(c1i.c1, 0) + vi.v))) // sum(tf) AS BIGINT) AS lm_in_ppm
+       |  FROM bg LEFT JOIN c2i USING (w1, w2) LEFT JOIN c1i USING (w1) CROSS JOIN vi
+       |  GROUP BY bg.doc_id),
+       |sg AS (SELECT bg.doc_id,
+       |    CAST(sum(tf * (1000000 * (coalesce(c2g.c2, 0) + 1)
+       |        // (coalesce(c1g.c1, 0) + vg.v))) // sum(tf) AS BIGINT) AS lm_gen_ppm
+       |  FROM bg LEFT JOIN c2g USING (w1, w2) LEFT JOIN c1g USING (w1) CROSS JOIN vg
+       |  GROUP BY bg.doc_id)
+       |SELECT si.doc_id, n_bigrams, lm_in_ppm, lm_gen_ppm,
+       |  lm_in_ppm - lm_gen_ppm AS ml_delta_ppm
+       |FROM si JOIN sg ON sg.doc_id = si.doc_id ORDER BY si.doc_id""".stripMargin
+  }
+
   /** Domain classification ([[graft.operators.NaiveBayes]]): train the
     * multinomial NB model on the 80% of documents with `doc_id % 5 != 0`
     * (labels = `source`), predict a source for the held-out 20%, and

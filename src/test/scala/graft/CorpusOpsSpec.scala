@@ -556,6 +556,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(4L)._2 > out(3L)._2)
   }
 
+  test("NgramLm.contrastScore: Moore-Lewis delta separates domain fit from fluency") {
+    val docs = Seq(
+      (1L, "the star shines the star glows", "wiki"),
+      (2L, "the star fades", "wiki"),
+      (3L, "purple monkey dishwasher", "web"),
+      (4L, "the star shines", "web"),
+      (5L, "purple monkey dishwasher purple monkey dishwasher", "web")
+    ).toDF("doc_id", "text", "source")
+    val out = graft.operators.NgramLm
+      .contrastScore(docs, col("source") === "wiki")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("lm_in_ppm"), r.getAs[Long]("lm_gen_ppm"),
+         r.getAs[Long]("ml_delta_ppm"))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    for ((id, (in, gen, d)) <- out) assert(d === in - gen, s"doc $id")
+    // in-domain phrasing: the in-LM should like doc 4 at least as much
+    // relative to the general LM than the off-domain docs 3/5
+    assert(out(4L)._3 > out(3L)._3, s"4=${out(4L)} 3=${out(3L)}")
+    assert(out(4L)._3 > out(5L)._3, s"4=${out(4L)} 5=${out(5L)}")
+    // off-domain text repeated in the pool: general LM likes it, the
+    // in-domain LM does not -> strictly negative delta
+    assert(out(5L)._3 < 0L, s"5=${out(5L)}")
+  }
+
   test("NgramLm: model parquet round-trip; applyModel reproduces score; empty model neutral") {
     val docs = Seq(
       (1L, "the star shines the star glows", "wiki"),
