@@ -350,6 +350,50 @@ object Similarity {
     kmeansPrepared(corpus, idCol, embCol, k, iters)
       .select(col("c_id").as("vec_id"), col("cluster"))
 
+  /** Self-supervised prototype pruning (Sorscher et al., "Beyond neural
+    * scaling laws: beating power law scaling via data pruning",
+    * NeurIPS 2022): cluster the embeddings, score every example by
+    * cosine to ITS OWN cluster's centroid ("prototypicality"), and mark
+    * the most prototypical fraction for pruning — at large data scale
+    * the EASY (prototypical) examples are the ones worth dropping,
+    * which is the opposite of what a quality filter keeps and why this
+    * is its own operator.
+    *
+    * Output: `(vec_id, cluster, proto_cos, proto_rank, pruned)` —
+    * micro-cosine to the final-assignment centroid, 1-based rank within
+    * the cluster (most prototypical first, ties by id), and
+    * `pruned = 1` iff `denom·rank <= cluster size` (the top 1/denom
+    * slice; denom=4 prunes 25%). Integer-exact throughout.
+    *
+    * Shape: k-means corpus never shuffles (see [[kmeansPrepared]]);
+    * final centroids are ONE k×dim driver collect; prototypicality is a
+    * narrow CASE over literal centroids; rank/size are windows
+    * partitioned by cluster — bounded by the largest cluster, never a
+    * global sort.
+    */
+  def protoPrune(corpus: DataFrame, idCol: String, embCol: String,
+      k: Int, iters: Int, denom: Int = 4): DataFrame = {
+    require(denom >= 1, "protoPrune: denom must be >= 1")
+    val prepared = kmeansPrepared(corpus, idCol, embCol, k, iters)
+      .localCheckpoint(true)
+    val cents = sumCentroids(prepared.select(col("cluster"), col("c_q").as("q")))
+    val protoCos = coalesce(cents.map { ct =>
+      when(col("cluster") === ct.cluster,
+        cosineMicro(idot(col("c_q"), typedLit(ct.cent)), col("c_n2"), lit(ct.n2)))
+    }: _*)
+    val wr = Window.partitionBy(col("cluster"))
+      .orderBy(col("proto_cos").desc, col("c_id"))
+    val ws = Window.partitionBy(col("cluster"))
+    prepared
+      .withColumn("proto_cos", protoCos)
+      .withColumn("proto_rank", row_number().over(wr).cast(LongType))
+      .withColumn("csize", count(lit(1)).over(ws).cast(LongType))
+      .select(col("c_id").as("vec_id"), col("cluster"), col("proto_cos"),
+        col("proto_rank"),
+        when(col("proto_rank") * denom <= col("csize"), lit(1L))
+          .otherwise(lit(0L)).as("pruned"))
+  }
+
   /** k-means core: the persisted quantized corpus with final cluster
     * assignments attached, as `(c_id, cluster, c_q, c_n2)` — directly
     * consumable by [[ivfTopKPrepared]] with no join/re-quantize.

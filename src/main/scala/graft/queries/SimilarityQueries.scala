@@ -258,6 +258,42 @@ object SimilarityQueries {
        |FROM afinal ORDER BY vec_id""".stripMargin
   }
 
+  /** Prototype pruning ([[Similarity.protoPrune]]): k-means (k=8, 2
+    * Lloyd iterations), micro-cosine to the final-assignment centroid,
+    * rank within cluster, top-25% most prototypical marked pruned.
+    */
+  def protoPrune(spark: SparkSession, dir: String): DataFrame =
+    Similarity.protoPrune(emb(spark, dir), "vec_id", "embedding",
+        k = 8, iters = 2, denom = 4)
+      .orderBy("vec_id")
+
+  val protoPruneOracle: String = {
+    val marker = "SELECT CAST(id AS BIGINT) AS vec_id"
+    val kmeansPart =
+      kmeansClustersOracle.substring(0, kmeansClustersOracle.indexOf(marker)).trim
+    val cm = "CAST(round(CAST(" + duckDot("nc.qv", "cv") +
+      " AS DOUBLE) * 1000000 / (sqrt(CAST(nc.n2 AS DOUBLE)) * " +
+      "sqrt(CAST(cn2 AS DOUBLE)))) AS BIGINT)"
+    s"""$kmeansPart,
+       |nc AS (SELECT n.id, a.cluster, n.qv, n.n2 FROM n JOIN afinal a ON n.id = a.id),
+       |comp AS (SELECT cluster, i.i AS pos, sum(qv[i.i]) AS s
+       |  FROM nc CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+       |  GROUP BY cluster, i.i),
+       |cent AS (SELECT cluster, array_agg(CAST(s AS BIGINT) ORDER BY pos) AS cv FROM comp GROUP BY cluster),
+       |centn AS (SELECT cluster, cv,
+       |  CAST(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])) AS BIGINT) AS cn2 FROM cent),
+       |scored AS (SELECT nc.id, nc.cluster, $cm AS proto_cos
+       |  FROM nc JOIN centn USING (cluster)),
+       |ranked AS (SELECT id, cluster, proto_cos,
+       |    CAST(row_number() OVER (PARTITION BY cluster ORDER BY proto_cos DESC, id) AS BIGINT) AS proto_rank,
+       |    CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS csize
+       |  FROM scored)
+       |SELECT CAST(id AS BIGINT) AS vec_id, CAST(cluster AS BIGINT) AS cluster,
+       |  proto_cos, proto_rank,
+       |  CAST(CASE WHEN proto_rank * 4 <= csize THEN 1 ELSE 0 END AS BIGINT) AS pruned
+       |FROM ranked ORDER BY vec_id""".stripMargin
+  }
+
   /** Full self-trained IVF: cluster with k-means, then probe-and-scan
     * over the trained clusters — no reliance on the given labels.
     */

@@ -256,6 +256,37 @@ class SimilaritySpec extends SparkSpec {
     for (id <- 0L to 5L) assert(dec(id) === qv(id), s"vec $id not lossless")
   }
 
+  test("prototype pruning: most-central examples rank first and are pruned") {
+    // two tight clusters seeded by ids 0/1 (k=2 init takes id<k);
+    // ids 2,3 sit ON the axes, 4,5 off-axis — after one Lloyd round the
+    // centroids are the member means, so the on-axis points are most
+    // prototypical
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.05f, 0.0f)),
+      (1L, Array(0.05f, 1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.9f, 0.3f, 0.3f)),
+      (5L, Array(0.3f, 0.9f, 0.3f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.protoPrune(vecs, "vec_id", "embedding",
+        k = 2, iters = 1, denom = 3)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Long]("proto_rank"),
+         r.getAs[Long]("pruned"))).toMap
+    assert(out.size === 6, "every vector scored")
+    // each cluster has 3 members; denom=3 prunes exactly rank 1
+    val byCluster = out.values.groupBy(_._1)
+    assert(byCluster.size === 2)
+    for ((cl, rows) <- byCluster) {
+      assert(rows.map(_._2).toSeq.sorted === Seq(1L, 2L, 3L), s"cluster $cl ranks")
+      assert(rows.count(_._3 == 1L) === 1, s"cluster $cl prunes exactly one")
+    }
+    // the off-axis members are never the pruned prototypes
+    assert(out(4L)._3 === 0L)
+    assert(out(5L)._3 === 0L)
+  }
+
   test("margin mining: one best target per source, true pairs beat their neighborhood") {
     // two sources on orthogonal axes, each with one aligned target; two
     // off-axis distractors shared by both neighborhoods
