@@ -88,6 +88,81 @@ object Sampling {
       .filter(hashBucket(col(keyCol), buckets) < col("keep_buckets"))
   }
 
+  /** UniMax budget allocation (Chung et al., "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining", ICLR 2023): split a token budget across languages as
+    * EVENLY as possible subject to a per-language epoch cap — water
+    * filling. Small languages get capped at `epochCap` epochs of their
+    * data (repeating more overfits them); the freed budget spreads
+    * equally over the rest. Temperature sampling
+    * ([[graft.queries.CorpusQueries.tokenBudgetPlan]]) reweights
+    * proportionally and can still starve tail languages or
+    * over-repeat them; the cap is the point of UniMax.
+    *
+    * Integer-exact closed form (the iterative UniMax loop has this
+    * water-level solution): sort groups ascending by cap
+    * `c_j = epochCap·tok_j` (ties by name); group j is CAPPED iff
+    * `c_j·(n−j+1) + P_{j−1} <= B` (even an equal split of what remains
+    * at its turn meets its cap; the condition is monotone in j so the
+    * capped set is a prefix). Uncapped groups share the remaining
+    * budget `B − P*` by integer division, the first `R = (B−P*) mod m`
+    * of them (in sort order) taking one extra token — allocations sum
+    * to exactly B whenever B <= Σcap.
+    *
+    * `perGroup` must have (`groupCol`, n_docs, n_tokens) — a
+    * model-sized frame (|languages|), so the prefix sums run as a
+    * bounded self-join grid (|groups|² rows), NOT a single-partition
+    * window, and the totals ride 1-row broadcast scalars. Budget
+    * `B = (tok_tot·budgetNum) div budgetDen`.
+    *
+    * Output: `(groupCol, n_docs, n_tokens, cap_tok, alloc_tok, capped,
+    * epochs_ppm)` — `epochs_ppm = (1e6·alloc) div n_tokens`.
+    */
+  def unimaxAlloc(perGroup: DataFrame, groupCol: String, epochCap: Int,
+      budgetNum: Long, budgetDen: Long): DataFrame = {
+    require(epochCap >= 1, "epochCap must be >= 1")
+    require(budgetNum > 0 && budgetDen > 0, "budget fraction must be positive")
+    val base = perGroup.select(col(groupCol).as("g"),
+        col("n_docs").cast(LongType).as("n_docs"),
+        col("n_tokens").cast(LongType).as("n_tokens"))
+      .withColumn("cap_tok", col("n_tokens") * epochCap)
+      .localCheckpoint(true)
+    val tot = base.agg(sum(col("n_tokens")).cast(LongType).as("tok_tot"),
+      count(lit(1)).cast(LongType).as("nlangs"))
+    // prefix sums over the ascending (cap, name) order via the bounded
+    // |groups|^2 grid
+    val other = base.select(col("g").as("g2"), col("cap_tok").as("cap2"))
+    val pref = base.join(broadcast(other),
+        col("cap2") < col("cap_tok") ||
+          (col("cap2") === col("cap_tok") && col("g2") < col("g")), "left")
+      .groupBy(col("g"), col("n_docs"), col("n_tokens"), col("cap_tok"))
+      .agg(coalesce(sum(col("cap2")), lit(0L)).cast(LongType).as("p_prev"),
+        count(col("g2")).cast(LongType).as("j_prev"))
+      .crossJoin(broadcast(tot))
+      .withColumn("budget", expr(s"(tok_tot * $budgetNum) div $budgetDen"))
+      .withColumn("capped",
+        (col("cap_tok") * (col("nlangs") - col("j_prev")) + col("p_prev"))
+          <= col("budget"))
+      .localCheckpoint(true)
+    val star = pref.agg(
+      coalesce(sum(when(col("capped"), col("cap_tok"))), lit(0L))
+        .cast(LongType).as("p_star"),
+      coalesce(sum(when(col("capped"), lit(1L))), lit(0L))
+        .cast(LongType).as("n_capped"))
+    pref.crossJoin(broadcast(star))
+      .withColumn("m", greatest(col("nlangs") - col("n_capped"), lit(1L)))
+      .withColumn("share", expr("(budget - p_star) div m"))
+      .withColumn("extra_r", expr("(budget - p_star) % m"))
+      .withColumn("u", col("j_prev") + 1 - col("n_capped"))
+      .withColumn("alloc_tok", when(col("capped"), col("cap_tok"))
+        .otherwise(col("share") +
+          when(col("u") <= col("extra_r"), lit(1L)).otherwise(lit(0L))))
+      .select(col("g").as(groupCol), col("n_docs"), col("n_tokens"),
+        col("cap_tok"), col("alloc_tok"),
+        when(col("capped"), lit(1L)).otherwise(lit(0L)).as("capped"),
+        expr("(1000000 * alloc_tok) div n_tokens").as("epochs_ppm"))
+  }
+
   /** Stratified deterministic downsampling: keep the best
     * ceil(|stratum| * pct / 100) rows of EACH stratum by
     * (score desc, id asc) — proportional representation per stratum

@@ -1337,6 +1337,56 @@ object CorpusQueries {
        |FROM c CROSS JOIN z ORDER BY source""".stripMargin
   }
 
+  /** UniMax language-balanced budget allocation
+    * ([[graft.operators.Sampling.unimaxAlloc]]): per-language token
+    * counts, epoch cap 2, budget = 1.5× the corpus — the four tail
+    * languages cap at 2 epochs and English absorbs the remainder
+    * under-sampled, the fairness profile temperature sampling
+    * ([[tokenBudgetPlan]]) cannot produce.
+    */
+  def unimaxAlloc(spark: SparkSession, dir: String): DataFrame = {
+    val perLang = DedupQueries.docs(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(graft.operators.TextStats.wsTokenCount(col("text")))
+          .cast(LongType).as("n_tokens"))
+    graft.operators.Sampling.unimaxAlloc(perLang, "lang",
+        epochCap = 2, budgetNum = 3L, budgetDen = 2L)
+      .orderBy("lang")
+  }
+
+  val unimaxAllocOracle: String = {
+    val ws = """CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT)"""
+    s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum($ws) AS BIGINT) AS n_tokens FROM documents GROUP BY lang),
+       |base AS (SELECT lang, n_docs, n_tokens, n_tokens * 2 AS cap_tok FROM c),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tok_tot,
+       |    CAST(count(*) AS BIGINT) AS nlangs FROM base),
+       |ord AS (SELECT base.*, nlangs, (tok_tot * 3) // 2 AS budget,
+       |    CAST(row_number() OVER (ORDER BY cap_tok, lang) AS BIGINT) AS j,
+       |    CAST(coalesce(sum(cap_tok) OVER (ORDER BY cap_tok, lang
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS p_prev
+       |  FROM base CROSS JOIN tot),
+       |flg AS (SELECT *, cap_tok * (nlangs - j + 1) + p_prev <= budget AS capped
+       |  FROM ord),
+       |star AS (SELECT
+       |    CAST(coalesce(sum(CASE WHEN capped THEN cap_tok END), 0) AS BIGINT) AS p_star,
+       |    CAST(coalesce(sum(CASE WHEN capped THEN 1 END), 0) AS BIGINT) AS n_capped
+       |  FROM flg)
+       |SELECT lang, n_docs, n_tokens, cap_tok, alloc_tok, capped,
+       |  (1000000 * alloc_tok) // n_tokens AS epochs_ppm
+       |FROM (SELECT lang, n_docs, n_tokens, cap_tok,
+       |    CASE WHEN capped THEN cap_tok
+       |      ELSE (budget - p_star) // greatest(nlangs - n_capped, 1)
+       |        + (CASE WHEN j - n_capped <=
+       |            (budget - p_star) % greatest(nlangs - n_capped, 1)
+       |          THEN 1 ELSE 0 END)
+       |    END AS alloc_tok,
+       |    CAST(capped AS BIGINT) AS capped
+       |  FROM flg CROSS JOIN star)
+       |ORDER BY lang""".stripMargin
+  }
+
   /** DSIR-style importance-weighted selection ([[graft.operators.Dsir]]):
     * `src0` plays the curated target domain; every document gets an
     * integer target-affinity score and a keep verdict.

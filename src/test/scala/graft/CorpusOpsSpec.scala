@@ -255,6 +255,37 @@ class CorpusOpsSpec extends SparkSpec {
       s"source A should keep ~96 docs, kept ${kept("A")}")
   }
 
+  test("unimaxAlloc: capped prefix, exact budget conservation, remainder to first uncapped") {
+    import graft.operators.Sampling
+    // caps (x2): a=20, b=40, c=200; budget = (130*3) div 2 = 195
+    // j=1 (a): 20*3 + 0 = 60 <= 195  -> capped
+    // j=2 (b): 40*2 + 20 = 100 <= 195 -> capped
+    // j=3 (c): 200*1 + 60 = 260 > 195 -> uncapped, gets 195-60 = 135
+    val perGroup = Seq(("a", 5L, 10L), ("b", 9L, 20L), ("c", 50L, 100L))
+      .toDF("lang", "n_docs", "n_tokens")
+    val out = Sampling.unimaxAlloc(perGroup, "lang", epochCap = 2,
+        budgetNum = 3L, budgetDen = 2L)
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("alloc_tok"), r.getAs[Long]("capped"),
+         r.getAs[Long]("epochs_ppm"))).toMap
+    assert(out("a") === ((20L, 1L, 2000000L)))
+    assert(out("b") === ((40L, 1L, 2000000L)))
+    assert(out("c") === ((135L, 0L, 1350000L)))
+    assert(out.values.map(_._1).sum === 195L, "allocations sum to the budget")
+    // remainder distribution: two uncapped groups with equal caps split
+    // an odd remainder deterministically (first in sort order gets +1)
+    val perG2 = Seq(("x", 1L, 100L), ("y", 1L, 100L), ("z", 1L, 1L))
+      .toDF("lang", "n_docs", "n_tokens")
+    // budget = (201*3) div 2 = 301; z capped at 2; remaining 299 over
+    // x,y -> 149 each, remainder 1 -> x gets 150
+    val out2 = Sampling.unimaxAlloc(perG2, "lang", epochCap = 2,
+        budgetNum = 3L, budgetDen = 2L)
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("alloc_tok")).toMap
+    assert(out2("z") === 2L)
+    assert(out2("x") === 150L && out2("y") === 149L, s"got $out2")
+    assert(out2.values.sum === 301L)
+  }
+
   test("Normalize.clean: NFC composes, whitespace collapses, case folds") {
     import graft.operators.Normalize
     val decomposed = "Cafe\u0301  \t X "  // e + combining acute (2 codepoints)
