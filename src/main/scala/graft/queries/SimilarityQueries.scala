@@ -420,6 +420,117 @@ object SimilarityQueries {
        |  CAST(CASE WHEN id <> min(label) THEN 1 ELSE 0 END AS BIGINT) AS is_dup
        |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin
 
+  /** D4 selection (Tirumala et al., "D4: Improving LLM Pretraining via
+    * Document De-Duplication and Diversification", 2023): SemDeDup
+    * first (drop semantic ε-duplicates), then SSL prototype pruning
+    * over the SURVIVORS (drop the most prototypical slice of what
+    * remains) — dedup removes redundancy, pruning removes the easy
+    * core, and the paper's point is that the two compose. Verdict per
+    * vector: `dropped_semdedup` / `dropped_proto` / `kept`.
+    *
+    * Composes [[Similarity.semDedup]] (threshold 0.3 within label
+    * clusters) and [[Similarity.protoPrune]] (k=8, 2 Lloyd rounds,
+    * top-25% pruned) — k-means re-runs on the survivor set, so its
+    * init is the surviving ids < k (id 0 always survives: min-id
+    * keepers). Scale shape is its parts': bucket-bounded pairs, O(log)
+    * CC rounds, narrow centroid scoring, one semi-join, one left join.
+    */
+  def d4Select(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    // feeds the survivor semi-join AND the final verdict join
+    val sd = Similarity.semDedup(e, "vec_id", "embedding", "label",
+        threshold = 0.3)
+      .localCheckpoint(true)
+    val survivors = e.join(
+      sd.filter(col("is_dup") === 0).select(col("vec_id")),
+      Seq("vec_id"), "left_semi")
+    val pp = Similarity.protoPrune(survivors, "vec_id", "embedding",
+      k = 8, iters = 2, denom = 4)
+    sd.join(pp.select(col("vec_id"), col("pruned")), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("keeper_id"),
+        when(col("is_dup") === 1, lit("dropped_semdedup"))
+          .when(col("pruned") === 1, lit("dropped_proto"))
+          .otherwise(lit("kept")).as("verdict"))
+      .orderBy("vec_id")
+  }
+
+  /** k-means CTE chain over an arbitrary source CTE (id, qv, n2 — and
+    * the chain re-derives clusters), for oracles that cluster a FILTERED
+    * vector set; kmeansClustersOracle keeps its standalone text (other
+    * oracles substring it).
+    */
+  private def kmeansCtesOver(src: String): String = {
+    def assign(name: String, cents: String): String =
+      s"""$name AS (
+         |  SELECT id, qv, n2, cluster FROM (
+         |    SELECT s.id, s.qv, s.n2, c.cluster,
+         |      row_number() OVER (PARTITION BY s.id ORDER BY
+         |        ${duckCos(duckDot("s.qv", "c.cent"), "s.n2", "c.cn2")} DESC, c.cluster) AS rk
+         |    FROM $src s CROSS JOIN $cents c)
+         |  WHERE rk = 1)""".stripMargin
+    def cent(name: String, assignName: String): String =
+      s"""$name AS (
+         |  SELECT cluster, cent,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> cent[i] * cent[i])) AS BIGINT) AS cn2
+         |  FROM (
+         |    SELECT cluster, array_agg(CAST(s AS BIGINT) ORDER BY pos) AS cent FROM (
+         |      SELECT cluster, i.i AS pos, sum(qv[i.i]) AS s
+         |      FROM $assignName CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+         |      GROUP BY cluster, i.i)
+         |    GROUP BY cluster))""".stripMargin
+    s"""km_cent0 AS (SELECT id AS cluster, qv AS cent, n2 AS cn2 FROM $src WHERE id < 8),
+       |${assign("km_a1", "km_cent0")},
+       |${cent("km_c1", "km_a1")},
+       |${assign("km_a2", "km_c1")},
+       |${cent("km_c2", "km_a2")},
+       |${assign("km_afinal", "km_c2")}""".stripMargin
+  }
+
+  val d4SelectOracle: String = {
+    val protoCm = "CAST(round(CAST(" + duckDot("a.qv", "cv") +
+      " AS DOUBLE) * 1000000 / (sqrt(CAST(a.n2 AS DOUBLE)) * " +
+      "sqrt(CAST(cn2 AS DOUBLE)))) AS BIGINT)"
+    s"""WITH RECURSIVE $quantCte,
+       |${DuckSql.cappedPairsCtes("cand", "n", Seq("cluster"))},
+       |pairs AS (SELECT c.id_a, c.id_b
+       |  FROM cand c JOIN n a ON a.id = c.id_a JOIN n b ON b.id = c.id_b
+       |  WHERE ${duckCos(duckDot("a.qv", "b.qv"), "a.n2", "b.n2")} >= 0.3),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, label) AS (
+       |  SELECT id, id FROM n
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+       |sd AS (SELECT id, CAST(min(label) AS BIGINT) AS keeper
+       |  FROM reach GROUP BY id),
+       |ns AS (SELECT n.id, n.qv, n.n2 FROM n
+       |  JOIN sd ON sd.id = n.id AND sd.keeper = n.id),
+       |${kmeansCtesOver("ns")},
+       |km_comp AS (SELECT cluster, i.i AS pos, sum(qv[i.i]) AS s
+       |  FROM km_afinal CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+       |  GROUP BY cluster, i.i),
+       |km_cent AS (SELECT cluster, array_agg(CAST(s AS BIGINT) ORDER BY pos) AS cv
+       |  FROM km_comp GROUP BY cluster),
+       |km_centn AS (SELECT cluster, cv,
+       |  CAST(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])) AS BIGINT) AS cn2
+       |  FROM km_cent),
+       |scored AS (SELECT a.id, a.cluster, $protoCm AS proto_cos
+       |  FROM km_afinal a JOIN km_centn USING (cluster)),
+       |ranked AS (SELECT id, proto_cos,
+       |    CAST(row_number() OVER (PARTITION BY cluster ORDER BY proto_cos DESC, id) AS BIGINT) AS proto_rank,
+       |    CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS csize
+       |  FROM scored),
+       |proto AS (SELECT id,
+       |    CASE WHEN proto_rank * 4 <= csize THEN 1 ELSE 0 END AS pruned
+       |  FROM ranked)
+       |SELECT CAST(sd.id AS BIGINT) AS vec_id, sd.keeper AS keeper_id,
+       |  CASE WHEN sd.id <> sd.keeper THEN 'dropped_semdedup'
+       |    WHEN proto.pruned = 1 THEN 'dropped_proto'
+       |    ELSE 'kept' END AS verdict
+       |FROM sd LEFT JOIN proto ON proto.id = sd.id
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** Per-label centroid components: element-wise count/sum/mean of the
     * quantized vectors — the mergeable array aggregation behind cluster
     * summaries and mean-pooling. One posexplode + a single keyed
