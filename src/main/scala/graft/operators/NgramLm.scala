@@ -162,6 +162,23 @@ object NgramLm {
       .orderBy("doc_id")
   }
 
+  /** Apply two FROZEN models — in-domain and general — to a batch: the
+    * Moore–Lewis delta from persisted artifacts. [[contrastScore]]
+    * trains both in-line from the pool being scored; this is the
+    * incremental form (train once, persist both count tables, score
+    * every future drop without re-reading the reference corpora).
+    * ONE tokenize+bigram pass feeds both scoring joins.
+    */
+  def applyContrast(batch: DataFrame, inModel: DataFrame,
+      genModel: DataFrame): DataFrame = {
+    val bg = bigramTf(batch, lit(false)).drop("is_target").localCheckpoint(true)
+    applyCounts(bg, inModel, "lm_in_ppm")
+      .join(applyCounts(bg, genModel, "lm_gen_ppm").drop("n_bigrams"),
+        Seq("doc_id"))
+      .withColumn("ml_delta_ppm", col("lm_in_ppm") - col("lm_gen_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** Train on the target slice and score the whole corpus in one call
     * (one materialized bigram pass feeds both).
     */

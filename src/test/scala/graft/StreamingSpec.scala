@@ -347,6 +347,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Moore-Lewis contrast scoring is integer-identical to the batch scorer") {
+    import spark.implicits._
+    import graft.streaming.StreamScore
+    val pool = Seq(
+      (1L, "the star shines the star glows", "wiki"),
+      (2L, "the star fades", "wiki"),
+      (3L, "purple monkey dishwasher", "web"),
+      (4L, "the star shines", "web"))
+      .toDF("doc_id", "text", "source")
+    val inModel = graft.operators.NgramLm.train(pool, col("source") === "wiki")
+    val genModel = graft.operators.NgramLm.train(pool, lit(true))
+    // the in-line trainer and the frozen-model apply agree on the pool
+    val inline = graft.operators.NgramLm
+      .contrastScore(pool, col("source") === "wiki")
+      .collect().map(_.toSeq).toSet
+    val frozen = graft.operators.NgramLm
+      .applyContrast(pool, inModel, genModel)
+      .collect().map(_.toSeq).toSet
+    assert(inline === frozen)
+    // stream a new batch against the frozen models
+    val dir = Files.createTempDirectory("graft-mlscore").toString
+    Seq((10L, "the star shines"), (11L, "purple monkey dishwasher"),
+        (12L, "star the glows"), (13L, "one"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val il = StreamScore.collectBigramLm(inModel)
+    val gl = StreamScore.collectBigramLm(genModel)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamScore.lmContrastScore(stream, "text", il, gl)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("mlscore_out").start()
+    try {
+      q.processAllAvailable()
+      val cols = Seq("doc_id", "n_bigrams", "lm_in_ppm", "lm_gen_ppm", "ml_delta_ppm")
+      val streamed = spark.table("mlscore_out")
+        .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+      // the 1-token doc 13 must be dropped
+      assert(!streamed.exists(_.head == 13L))
+      val batch = graft.operators.NgramLm
+        .applyContrast(spark.read.parquet(dir), inModel, genModel)
+        .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      // and the narrow spelling agrees with itself on a batch DataFrame
+      val narrowBatch = StreamScore
+        .lmContrastScore(spark.read.parquet(dir), "text", il, gl)
+        .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+      assert(narrowBatch === batch)
+    } finally q.stop()
+  }
+
   test("streaming per-source quota admits until exhausted, across batches") {
     import spark.implicits._
     import graft.streaming.StreamQuota
