@@ -1474,6 +1474,60 @@ object CorpusQueries {
        |FROM ($ngramLmBase) s
        |ORDER BY curriculum_pos""".stripMargin
 
+  /** CCNet perplexity buckets (Wenzek et al. 2020 §4.3: documents are
+    * split into head/middle/tail by target-LM perplexity TERCILES
+    * WITHIN EACH LANGUAGE, and training keeps head+middle): per doc the
+    * likelihood score, its language tercile, and the keep verdict.
+    * Per-language thirds are the point — a global cut would assign
+    * whole low-resource languages to the tail.
+    *
+    * Bucket = `((rank−1)·3) div n_lang + 1` over the (likelihood desc,
+    * doc_id) order — exact thirds, integer-deterministic. The
+    * per-language rank is [[Shuffle.groupedRank]]'s range-decomposed
+    * rank, NOT a per-language window (a dominant language would
+    * serialize onto one task at 100 TB — see [[stratifiedTopPct]]'s
+    * note); the per-language sizes ride a broadcast count table.
+    */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir)
+    val scored = graft.operators.NgramLm
+      .score(d, col("source") === "src0")
+      .select(col("doc_id"), col("lm_ppm"))
+    val withLang = d.select(col("doc_id").cast(LongType).as("doc_id"),
+        col("lang"))
+      .join(scored, Seq("doc_id"))
+      // head = LOWEST perplexity = HIGHEST likelihood; rank ascending
+      // over the inverted 20-bit key like curriculumOrder
+      .withColumn("__k", expr("1000000 - lm_ppm"))
+    val ranked = Shuffle.groupedRank(withLang, Seq("lang"),
+      Seq("__k", "doc_id"), "r")
+    val counts = withLang.groupBy(col("lang"))
+      .agg(count(lit(1)).cast(LongType).as("n_lang"))
+    ranked.join(broadcast(counts), Seq("lang"))
+      .withColumn("bucket3", expr("((r - 1) * 3) div n_lang + 1"))
+      .select(col("doc_id"), col("lang"), col("lm_ppm"),
+        when(col("bucket3") === 1, lit("head"))
+          .when(col("bucket3") === 2, lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"),
+        when(col("bucket3") <= 2, lit(1L)).otherwise(lit(0L)).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val ccnetBucketsOracle: String =
+    s"""WITH s AS ($ngramLmBase),
+       |wl AS (SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, s.lm_ppm
+       |  FROM documents d JOIN s ON s.doc_id = d.doc_id),
+       |cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM wl GROUP BY lang),
+       |rk AS (SELECT doc_id, lang, lm_ppm,
+       |    CAST(row_number() OVER (PARTITION BY lang
+       |      ORDER BY 1000000 - lm_ppm, doc_id) AS BIGINT) AS r
+       |  FROM wl)
+       |SELECT doc_id, lang, lm_ppm,
+       |  CASE ((r - 1) * 3) // n_lang + 1
+       |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket,
+       |  CAST(((r - 1) * 3) // n_lang + 1 <= 2 AS BIGINT) AS keep
+       |FROM rk JOIN cnt USING (lang) ORDER BY doc_id""".stripMargin
+
   /** Moore–Lewis cross-entropy-difference selection
     * ([[graft.operators.NgramLm.contrastScore]]): in-domain model from
     * `source = 'src0'`, general model from the whole pool; per doc both

@@ -186,6 +186,7 @@ class PlanSpec extends SparkSpec {
       "x_ngram_lm_score",                      // (b) 1-row V scalar into smoothing
       "x_moore_lewis",                         //     two 1-row V scalars (both LMs)
       "x_curriculum_order",                    //     reuses the LM scorer's V scalar
+      "x_ccnet_buckets",                       //     reuses the LM scorer's V scalar
       "x_token_budget_plan",                   // (b) 1-row budget-total scalar
       "x_kmv_set_ops",                         // (b) four 1-row sketch scalars
       "x_negative_samples",                    // (b) 1-row corpus-N scalar into offsets
