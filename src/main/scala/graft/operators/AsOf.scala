@@ -36,7 +36,7 @@ object AsOf {
     val r = right.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
       struct(payloadCols.map(col): _*).as("__p"))
     val l = left.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
-      struct(left.columns.map(col): _*).as("__l"))
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__l"))
     val u = l.select(col("__k"), col("__ts"), lit(0).as("__side"),
         col("__l"), lit(null).cast(r.schema("__p").dataType).as("__p"))
       .unionByName(r.select(col("__k"), col("__ts"), lit(1).as("__side"),
@@ -185,7 +185,7 @@ object AsOf {
     val r = right.select(col(keyCol).as("__k"), col(tCol).cast("long").as("__ts"),
       struct(payloadCols.map(col): _*).as("__p"))
     val l = left.select(col(keyCol).as("__k"), col(tCol).cast("long").as("__ts"),
-      struct(left.columns.map(col): _*).as("__l"))
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__l"))
     // right rows tag 0 so they sort BEFORE left at equal t in BOTH
     // passes: a same-instant right row is a valid delta-0 match
     val u = l.select(col("__k"), col("__ts"), lit(1).as("__side"),

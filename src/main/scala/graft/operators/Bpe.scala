@@ -119,6 +119,7 @@ object Bpe {
       .select(col("merge_round"), col("lsym"), col("rsym"), col("pair_cnt"))
       .collect()
       .map(r => Merge(r.getLong(0).toInt, r.getString(1), r.getString(2), r.getLong(3)))
+      .toIndexedSeq
       .sortBy(_.round)
 
   /** Apply a trained merge table to a (word) table: each word's BPE

@@ -81,7 +81,7 @@ object Extract {
       case None    => firstSeen
     }
     val offset: Long = existing match {
-      case Some(e) => e.agg(coalesce(max(col("id")), lit(0L)).cast(LongType)).head.getLong(0)
+      case Some(e) => e.agg(coalesce(max(col("id")), lit(0L)).cast(LongType)).head().getLong(0)
       case None    => 0L
     }
     // Global first-seen ranking WITHOUT a single-partition stage:
@@ -94,7 +94,7 @@ object Extract {
     // and deterministic.
     val spark = fresh.sparkSession
     val sorted = fresh.orderBy(col("first_seen")).select(col("value"))
-    val withIds = sorted.rdd.zipWithIndex.map { case (row, idx) =>
+    val withIds = sorted.rdd.zipWithIndex().map { case (row, idx) =>
       org.apache.spark.sql.Row(idx + 1L + offset, row.getString(0))
     }
     val freshIds = spark.createDataFrame(withIds,

@@ -117,6 +117,7 @@ object ProductQuantize {
       .collect()
       .map(r => SubCentroid(r.getLong(0).toInt, r.getLong(1),
         r.getSeq[Long](2), r.getLong(3)))
+      .toIndexedSeq
       .sortBy(ct => (ct.sub, ct.cluster))
 
   /** Encode: (vec_id, sub, code) — m rows per vector, no shuffle. */

@@ -102,7 +102,7 @@ object Rowid {
       s"Rowid.attachZip: column '$colName' already exists in the input schema")
     val spark = df.sparkSession
     val schema = df.schema.add(StructField(colName, LongType, nullable = false))
-    val rdd = df.rdd.zipWithIndex.map { case (row, i) => Row.fromSeq(row.toSeq :+ (i + 1L)) }
+    val rdd = df.rdd.zipWithIndex().map { case (row, i) => Row.fromSeq(row.toSeq :+ (i + 1L)) }
     spark.createDataFrame(rdd, schema)
   }
 }

@@ -40,7 +40,7 @@ object Probe {
       Similarity.quantize(col("embedding")).as("c_q"))
       .withColumn("c_n2", Similarity.inorm2(col("c_q")))
     t("quantize+norm")(c.count())
-    t("dim head")({ c.select(size(col("c_q"))).head.getInt(0); 1L })
+    t("dim head")({ c.select(size(col("c_q"))).head().getInt(0); 1L })
     val dim = 64
     val sums = (0 until dim).map(i =>
       sum(element_at(col("c_q"), i + 1)).cast(LongType).as(s"s$i"))
