@@ -286,6 +286,39 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out2.values.sum === 301L)
   }
 
+  test("unimaxAlloc invariants hold across a deterministic fixture sweep") {
+    import graft.operators.Sampling
+    // 6 fixtures from a fixed LCG: group counts 2..7, sizes 1..1000
+    var seed = 42L
+    def next(bound: Long): Long = { seed = (seed * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue; seed % bound }
+    for (caseIdx <- 1 to 6) {
+      val nGroups = (2 + next(6)).toInt
+      val rows = (0 until nGroups).map(i => (s"g$i", 1L + next(50), 1L + next(1000)))
+      val perGroup = rows.toDF("lang", "n_docs", "n_tokens")
+      val epochCap = (1 + next(3)).toInt
+      val out = Sampling.unimaxAlloc(perGroup, "lang", epochCap,
+          budgetNum = 3L, budgetDen = 2L)
+        .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("cap_tok"), r.getAs[Long]("alloc_tok"), r.getAs[Long]("capped")))
+      val total = rows.map(_._3).sum
+      val budget = total * 3 / 2
+      val capSum = out.map(_._3).sum
+      // conservation: allocations sum to min(B, sum of caps)
+      assert(out.map(_._4).sum === math.min(budget, capSum),
+        s"case $caseIdx: $out budget=$budget")
+      // never exceed the cap; capped groups get exactly their cap
+      for ((g, _, cap, alloc, capped) <- out) {
+        assert(alloc <= cap, s"case $caseIdx $g: alloc $alloc > cap $cap")
+        if (capped == 1L) assert(alloc === cap, s"case $caseIdx $g")
+      }
+      // the capped set is a prefix of the cap-ascending order
+      val sorted = out.sortBy(r => (r._3, r._1))
+      val flags = sorted.map(_._5)
+      assert(!flags.sliding(2).exists(p => p.length == 2 && p(0) == 0L && p(1) == 1L),
+        s"case $caseIdx: capped set not a prefix: $sorted")
+    }
+  }
+
   test("Normalize.clean: NFC composes, whitespace collapses, case folds") {
     import graft.operators.Normalize
     val decomposed = "Cafe\u0301  \t X "  // e + combining acute (2 codepoints)
