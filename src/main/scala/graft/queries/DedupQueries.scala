@@ -160,6 +160,40 @@ object DedupQueries {
        |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** b-bit minhash estimate vs exact Jaccard per LSH candidate pair
+    * ([[TextDedup.bbitJaccardPairs]], b=1, 60 bit-perms over the
+    * standard 16-perm band candidates).
+    */
+  def bbitJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sets = corpusNear(spark, dir)
+      .select(col("doc_id").cast(LongType).as("id"),
+        TextDedup.shingleHashes(col("text"), 3).as("sset"))
+    TextDedup.bbitJaccardPairs(sets).orderBy("id_a", "id_b")
+  }
+
+  val bbitJaccardOracle: String =
+    s"""$minhashPairsCtes,
+       |sigb AS (SELECT id, s.seed AS seed, min(${DuckSql.affine("h", "s.seed")}) AS mh
+       |  FROM shingled CROSS JOIN (SELECT unnest(range(0, 60)) AS seed) s
+       |  GROUP BY id, s.seed),
+       |bits AS (SELECT id, CAST(sum((mh & 1) << seed) AS BIGINT) AS sigbits
+       |  FROM sigb GROUP BY id),
+       |pairx AS (SELECT cand.id_a, cand.id_b,
+       |    CAST(len(list_intersect(sa.sset, sb.sset)) AS BIGINT) AS inter,
+       |    CAST(len(sa.sset) AS BIGINT) + CAST(len(sb.sset) AS BIGINT)
+       |      - CAST(len(list_intersect(sa.sset, sb.sset)) AS BIGINT) AS uni,
+       |    CAST(60 - bit_count(xor(ba.sigbits, bb2.sigbits)) AS BIGINT) AS match_bits
+       |  FROM cand JOIN sets sa ON sa.id = cand.id_a
+       |    JOIN sets sb ON sb.id = cand.id_b
+       |    JOIN bits ba ON ba.id = cand.id_a
+       |    JOIN bits bb2 ON bb2.id = cand.id_b)
+       |SELECT id_a, id_b, match_bits,
+       |  greatest((2000000 * match_bits) // 60 - 1000000, 0) AS j_bbit_ppm,
+       |  (1000000 * inter) // uni AS j_exact_ppm,
+       |  abs(greatest((2000000 * match_bits) // 60 - 1000000, 0)
+       |    - (1000000 * inter) // uni) AS err_ppm
+       |FROM pairx ORDER BY id_a, id_b""".stripMargin
+
   /** Incremental near-dup scan: the near-dup planted batch (first two
     * tokens dropped, ids +1000000) checked against the ORIGINAL
     * documents as the existing corpus — each batch doc should

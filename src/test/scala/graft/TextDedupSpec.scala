@@ -52,6 +52,28 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairSet.exists { case (a, b) => Set(a, b).contains(4L) })
   }
 
+  test("b-bit jaccard: exact dups read 1.0 with zero error; estimates stay in range") {
+    val sets = docs.select($"doc_id".cast("long").as("id"),
+      TextDedup.shingleHashes($"text", 3).as("sset"))
+    val out = TextDedup.bbitJaccardPairs(sets).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        (r.getAs[Long]("match_bits"), r.getAs[Long]("j_bbit_ppm"),
+         r.getAs[Long]("j_exact_ppm"), r.getAs[Long]("err_ppm"))).toMap
+    // the exact-dup pair: all 60 bits agree, estimate exactly 1.0, no error
+    assert(out.contains((1L, 2L)))
+    assert(out((1L, 2L)) === ((60L, 1000000L, 1000000L, 0L)))
+    for (((a, b), (mb, est, ex, err)) <- out) {
+      assert(mb >= 0L && mb <= 60L, s"($a,$b) match_bits $mb")
+      assert(est >= 0L && est <= 1000000L, s"($a,$b) estimate $est")
+      assert(err === math.abs(est - ex), s"($a,$b)")
+    }
+    // a 1-bit estimate over 60 perms has ~6.5% sd at J~0.5: the near-dup
+    // pair's error must stay well inside the distinguishable band
+    val (_, est13, ex13, err13) = out((1L, 3L))
+    assert(ex13 > 400000L && ex13 < 900000L, s"exact $ex13")
+    assert(err13 < 350000L, s"estimate $est13 vs exact $ex13")
+  }
+
   test("native shingle/minhash/token-hash expressions match the HOF spellings") {
     // the native kernels replace the CodegenFallback HOF trees — pin
     // byte-exact parity on awkward inputs: punctuation runs, unicode,
