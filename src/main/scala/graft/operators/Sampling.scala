@@ -160,7 +160,11 @@ object Sampling {
       .select(col("g").as(groupCol), col("n_docs"), col("n_tokens"),
         col("cap_tok"), col("alloc_tok"),
         when(col("capped"), lit(1L)).otherwise(lit(0L)).as("capped"),
-        expr("(1000000 * alloc_tok) div n_tokens").as("epochs_ppm"))
+        // greatest(·,1): a group whose docs are ALL empty has
+        // n_tokens=0 (cap 0, alloc 0) — 0 div 0 is NULL in Spark but
+        // an error in DuckDB; pin epochs_ppm to 0 on both engines
+        expr("(1000000 * alloc_tok) div greatest(n_tokens, 1)")
+          .as("epochs_ppm"))
   }
 
   /** Stratified deterministic downsampling: keep the best

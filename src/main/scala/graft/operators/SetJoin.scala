@@ -163,24 +163,26 @@ object SetJoin {
 
   private[graft] def collapsedPrefixBuildFromSets(
       raw0: DataFrame, tNum: Long, tDen: Long): (DataFrame, DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
     // Array-free collapse: rather than `groupBy(sset).agg(collect_list
     // (id))` — whose per-group ids array is the last unbounded row in
     // the dedup family (a 100 TB corpus with millions of byte-identical
-    // boilerplate docs puts ALL their ids in ONE unspillable row) — tag
-    // every row with its group representative `rid = min(id) over
-    // (partition by sset0)`. WindowExec sorts and SPILLS per partition;
-    // no row ever holds more than its own shingle set. Membership,
+    // boilerplate docs puts ALL their ids in ONE unspillable row) —
+    // compute the group representative `rid = min(id)` as a MAP-SIDE-
+    // COMBINED aggregate and join it back: a million-copy boilerplate
+    // set combines to one row per input partition BEFORE the shuffle,
+    // where the previous `min(id) OVER (PARTITION BY sset0)` spelling
+    // still landed the whole group on one (spillable) task. The rid
+    // table doubles as the representative-set table. Membership,
     // within-group pairs, representative sets and group sizes are all
     // derivable from the flat (rid, id, n0) rows.
     val raw = raw0.select(col("id"), array_sort(col("sset")).as("sset0"))
-    val tagged = raw
-      .withColumn("rid", min(col("id")).over(Window.partitionBy(col("sset0"))))
-      .localCheckpoint(true)
-    val members = tagged.select(col("rid"), col("id"),
-      size(col("sset0")).cast(LongType).as("n0"))
-    val reps = tagged.filter(col("id") === col("rid"))
-      .select(col("rid").as("id"), col("sset0").as("sset"))
+      .localCheckpoint(true) // feeds the rid aggregate AND the join-back
+    val rids = raw.groupBy(col("sset0")).agg(min(col("id")).as("rid"))
+      .localCheckpoint(true) // feeds the members join AND the rep index
+    val members = raw.join(rids, Seq("sset0"))
+      .select(col("rid"), col("id"),
+        size(col("sset0")).cast(LongType).as("n0"))
+    val reps = rids.select(col("rid").as("id"), col("sset0").as("sset"))
     val ex = reps.select(col("id"), explode(col("sset")).as("h"))
     val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
     val sets = ex.join(dfreq, "h")

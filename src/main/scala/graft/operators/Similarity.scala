@@ -119,11 +119,17 @@ object Similarity {
     * margin is emitted.
     *
     * Exactness: all scores are micro-cosines ([[cosineMicro]]), so the
-    * margin is a pure BIGINT division — `(2e6·k·cm) div (a_sum+b_sum)`
-    * with a_sum/b_sum the top-k micro-cosine SUMS (avg×k cancels) —
-    * bit-identical across engines. Only positive-cosine candidates are
-    * mined (the criterion presumes similarity; it also keeps the
-    * integer division in truncation-=-floor territory).
+    * margin is a pure BIGINT division —
+    * `(2e6·cm·cnt_a·cnt_b) div (a_sum·cnt_b + b_sum·cnt_a)` with
+    * a_sum/b_sum the top-k micro-cosine SUMS and cnt_a/cnt_b the
+    * ACTUAL neighbor counts (a vector can have fewer than k
+    * positive-cosine candidates; dividing by k there would inflate
+    * sparse neighborhoods' margins). With full neighborhoods
+    * (cnt=k both sides) this reduces to `(2e6·k·cm) div
+    * (a_sum+b_sum)`. Bit-identical across engines. Only
+    * positive-cosine candidates are mined (the criterion presumes
+    * similarity; it also keeps the integer division in
+    * truncation-=-floor territory).
     *
     * Shape: `srcBatch` is the handful being mined — it broadcasts and
     * the target corpus streams past it once (the same all-pairs scorer
@@ -154,14 +160,16 @@ object Similarity {
       .filter(col("r") <= nCand)
       .localCheckpoint(true)
     val aSum = cand.filter(col("r") <= k)
-      .groupBy(col("q_id")).agg(sum(col("cm")).as("a_sum"))
+      .groupBy(col("q_id")).agg(sum(col("cm")).as("a_sum"),
+        count(lit(1)).as("cnt_a"))
     val candVecs = t.join(broadcast(cand.select(col("t_id")).distinct()),
       Seq("t_id"), "left_semi")
     val wt = Window.partitionBy(col("t_id")).orderBy(col("cm").desc, col("q_id"))
     val bSum = scoreAgainstBatch(candVecs)
       .withColumn("r", row_number().over(wt))
       .filter(col("r") <= k)
-      .groupBy(col("t_id")).agg(sum(col("cm")).as("b_sum"))
+      .groupBy(col("t_id")).agg(sum(col("cm")).as("b_sum"),
+        count(lit(1)).as("cnt_b"))
     val wBest = Window.partitionBy(col("q_id"))
       .orderBy(col("margin_ppm").desc, col("t_id"))
     cand
@@ -169,7 +177,7 @@ object Similarity {
       .join(broadcast(bSum), Seq("t_id"))
       .filter(col("a_sum") + col("b_sum") > 0)
       .withColumn("margin_ppm",
-        expr(s"(${2000000L * k} * cm) div (a_sum + b_sum)"))
+        expr("(2000000 * cm * cnt_a * cnt_b) div (a_sum * cnt_b + b_sum * cnt_a)"))
       .withColumn("best", row_number().over(wBest))
       .filter(col("best") === 1)
       .select(col("q_id"), col("t_id").as("tgt_id"),
@@ -367,27 +375,45 @@ object Similarity {
     *
     * Shape: k-means corpus never shuffles (see [[kmeansPrepared]]);
     * final centroids are ONE k×dim driver collect; prototypicality is a
-    * narrow CASE over literal centroids; rank/size are windows
-    * partitioned by cluster — bounded by the largest cluster, never a
-    * global sort.
+    * narrow CASE over literal centroids. The per-cluster rank is
+    * [[Shuffle.groupedRank]]'s RANGE-DECOMPOSED rank, NOT a
+    * cluster-partitioned window — with k=8 clusters a window would put
+    * ~N/k corpus rows into ONE task's sort (the low-cardinality-key
+    * scale killer [[graft.plans.PlanGuard]] flags); groupedRank never
+    * sorts more than one range partition per task. Cluster sizes ride
+    * a k-row broadcast count table instead of a second window.
     */
   def protoPrune(corpus: DataFrame, idCol: String, embCol: String,
-      k: Int, iters: Int, denom: Int = 4): DataFrame = {
+      k: Int, iters: Int, denom: Int = 4): DataFrame =
+    protoPruneFromQuantized(
+      quantizedCorpus(corpus, idCol, embCol), k, iters, denom)
+
+  /** [[protoPrune]] over an already-quantized, MATERIALIZED
+    * `(id, q, n2)` frame — the shared-checkpoint entry point
+    * [[graft.queries.SimilarityQueries.d4Select]] uses so SemDeDup and
+    * prototype pruning quantize the corpus once, not twice.
+    */
+  private[graft] def protoPruneFromQuantized(c: DataFrame,
+      k: Int, iters: Int, denom: Int): DataFrame = {
     require(denom >= 1, "protoPrune: denom must be >= 1")
-    val prepared = kmeansPrepared(corpus, idCol, embCol, k, iters)
+    val prepared = kmeansFromQuantized(c, k, iters)
       .localCheckpoint(true)
     val cents = sumCentroids(prepared.select(col("cluster"), col("c_q").as("q")))
     val protoCos = coalesce(cents.map { ct =>
       when(col("cluster") === ct.cluster,
         cosineMicro(idot(col("c_q"), typedLit(ct.cent)), col("c_n2"), lit(ct.n2)))
     }: _*)
-    val wr = Window.partitionBy(col("cluster"))
-      .orderBy(col("proto_cos").desc, col("c_id"))
-    val ws = Window.partitionBy(col("cluster"))
-    prepared
+    // rank ascending over the NEGATED micro-cosine = descending
+    // prototypicality; (__nk, c_id) is a total order within a cluster
+    val scored = prepared
       .withColumn("proto_cos", protoCos)
-      .withColumn("proto_rank", row_number().over(wr).cast(LongType))
-      .withColumn("csize", count(lit(1)).over(ws).cast(LongType))
+      .select(col("c_id"), col("cluster"), col("proto_cos"))
+      .withColumn("__nk", -col("proto_cos"))
+    val ranked = Shuffle.groupedRank(scored, Seq("cluster"),
+      Seq("__nk", "c_id"), "proto_rank")
+    val counts = scored.groupBy("cluster")
+      .agg(count(lit(1)).cast(LongType).as("csize"))
+    ranked.join(broadcast(counts), Seq("cluster"))
       .select(col("c_id").as("vec_id"), col("cluster"), col("proto_cos"),
         col("proto_rank"),
         when(col("proto_rank") * denom <= col("csize"), lit(1L))
@@ -400,19 +426,31 @@ object Similarity {
     */
   private[graft] def kmeansPrepared(
       corpus: DataFrame, idCol: String, embCol: String,
-      k: Int, iters: Int): DataFrame = {
-    // Eager local checkpoint, not persist: the quantized corpus feeds
-    // every Lloyd iteration, and checkpoint blocks are freed by the
-    // ContextCleaner when the returned plan is dropped (a persist here
-    // leaked its cache entry across calls — nothing ever unpersisted it).
-    val c = corpus.select(col(idCol).cast(LongType).as("id"),
+      k: Int, iters: Int): DataFrame =
+    kmeansFromQuantized(quantizedCorpus(corpus, idCol, embCol), k, iters)
+
+  /** The quantize/norm front shared by every k-means entry point:
+    * `(id, q, n2)`, eagerly local-checkpointed. Checkpoint, not
+    * persist: the frame feeds every Lloyd iteration, and checkpoint
+    * blocks are freed by the ContextCleaner when the returned plan is
+    * dropped (a persist here leaked its cache entry across calls —
+    * nothing ever unpersisted it).
+    */
+  private[graft] def quantizedCorpus(
+      corpus: DataFrame, idCol: String, embCol: String): DataFrame =
+    corpus.select(col(idCol).cast(LongType).as("id"),
       quantize(col(embCol)).as("q"))
       .withColumn("n2", inorm2(col("q")))
       .localCheckpoint(true)
 
+  /** [[kmeansPrepared]] over an already-quantized MATERIALIZED
+    * `(id, q, n2)` frame (caller owns the checkpoint — the Lloyd loop
+    * reads it once per iteration).
+    */
+  private[graft] def kmeansFromQuantized(
+      c: DataFrame, k: Int, iters: Int): DataFrame =
     assignNearest(c, lloyd(c, k, iters)).select(col("id").as("c_id"), col("cluster"),
       col("q").as("c_q"), col("n2").as("c_n2"))
-  }
 
   /** The Lloyd loop over a prepared (id, q, n2) frame. Each iteration
     * is ONE job with ONE shuffle: narrow assignment against the literal
@@ -561,19 +599,33 @@ object Similarity {
     */
   def nearDupPairs(
       corpus: DataFrame, idCol: String, embCol: String, clusterCol: String,
-      threshold: Double, maxBucket: Int = 256): DataFrame = {
-    // Materialized once (eager local checkpoint — freed by the
-    // ContextCleaner, unlike a never-unpersisted persist): the
-    // quantize/norm pipeline feeds three consumers (bucket build + the
-    // two scoring joins) — same shape as TextDedup.minhashPairs. Buckets
-    // hold IDS ONLY (pair expansion over longs, never over vector-laden
-    // structs); vectors re-attach through the two joins against the
-    // materialized corpus.
-    val c = corpus.select(col(idCol).cast(LongType).as("id"),
+      threshold: Double, maxBucket: Int = 256): DataFrame =
+    nearDupPairsFromQuantized(
+      quantizedClusteredCorpus(corpus, idCol, embCol, clusterCol),
+      threshold, maxBucket)
+
+  /** The blocked quantize/norm front shared by [[nearDupPairs]] and
+    * [[semDedup]]: `(id, cluster, q, n2)`, eagerly local-checkpointed
+    * ONCE (freed by the ContextCleaner, unlike a never-unpersisted
+    * persist) because it feeds three consumers — the bucket build and
+    * the two scoring joins.
+    */
+  private[graft] def quantizedClusteredCorpus(
+      corpus: DataFrame, idCol: String, embCol: String,
+      clusterCol: String): DataFrame =
+    corpus.select(col(idCol).cast(LongType).as("id"),
       col(clusterCol).cast(LongType).as("cluster"),
       quantize(col(embCol)).as("q"))
       .withColumn("n2", inorm2(col("q")))
       .localCheckpoint(true)
+
+  /** [[nearDupPairs]] over an already-quantized MATERIALIZED
+    * `(id, cluster, q, n2)` frame. Buckets hold IDS ONLY (pair
+    * expansion over longs, never over vector-laden structs); vectors
+    * re-attach through the two joins against the materialized corpus.
+    */
+  private[graft] def nearDupPairsFromQuantized(
+      c: DataFrame, threshold: Double, maxBucket: Int): DataFrame = {
     val pairs = TextDedup.bucketedPairs(
       c.select(col("id"), col("cluster")), Seq("cluster"), maxBucket)
     pairs
@@ -600,9 +652,20 @@ object Similarity {
     */
   def semDedup(
       corpus: DataFrame, idCol: String, embCol: String, clusterCol: String,
-      threshold: Double, maxBucket: Int = 256): DataFrame = {
-    val pairs = nearDupPairs(corpus, idCol, embCol, clusterCol, threshold, maxBucket)
-    TextDedup.dedupClusters(corpus, idCol, pairs)
+      threshold: Double, maxBucket: Int = 256): DataFrame =
+    semDedupFromQuantized(
+      quantizedClusteredCorpus(corpus, idCol, embCol, clusterCol),
+      threshold, maxBucket)
+
+  /** [[semDedup]] over an already-quantized MATERIALIZED
+    * `(id, cluster, q, n2)` frame — lets
+    * [[graft.queries.SimilarityQueries.d4Select]] share one quantize
+    * pass between SemDeDup and prototype pruning.
+    */
+  private[graft] def semDedupFromQuantized(
+      c: DataFrame, threshold: Double, maxBucket: Int = 256): DataFrame = {
+    val pairs = nearDupPairsFromQuantized(c, threshold, maxBucket)
+    TextDedup.dedupClusters(c, "id", pairs)
       .select(col("doc_id").as("vec_id"),
         col("cluster_id").as("keeper_id"),
         (col("doc_id") =!= col("cluster_id")).cast(LongType).as("is_dup"))

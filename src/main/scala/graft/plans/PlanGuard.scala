@@ -45,11 +45,16 @@ object PlanGuard {
   private def bounded(p: LogicalPlan, cap: Long): Boolean =
     p.maxRows.exists(_ <= cap)
 
-  /** Column names that are LOW-CARDINALITY by this corpus's data model
-    * (a handful of languages / sources / split labels). Configurable
-    * per session via `spark.graft.guard.lowCardCols` (comma-separated).
+  /** Column names that are LOW-CARDINALITY by this corpus's data model:
+    * a handful of languages / sources / split labels, plus `cluster` —
+    * a k-means cluster id is ≤ k values by construction, so a window
+    * partitioned by it over corpus-grain rows puts ~N/k rows in ONE
+    * task (the shape that hid in `Similarity.protoPrune` until round
+    * 16; see its groupedRank spelling for the fix). Configurable per
+    * session via `spark.graft.guard.lowCardCols` (comma-separated).
     */
-  private[plans] val defaultLowCardCols = Set("lang", "source", "split")
+  private[plans] val defaultLowCardCols =
+    Set("lang", "source", "split", "cluster")
 
   /** True when `p` still carries document-grain row count: the plan
     * reaches a leaf relation through only narrow row-preserving nodes.

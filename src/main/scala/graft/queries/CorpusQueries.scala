@@ -1374,7 +1374,7 @@ object CorpusQueries {
        |    CAST(coalesce(sum(CASE WHEN capped THEN 1 END), 0) AS BIGINT) AS n_capped
        |  FROM flg)
        |SELECT lang, n_docs, n_tokens, cap_tok, alloc_tok, capped,
-       |  (1000000 * alloc_tok) // n_tokens AS epochs_ppm
+       |  (1000000 * alloc_tok) // greatest(n_tokens, 1) AS epochs_ppm
        |FROM (SELECT lang, n_docs, n_tokens, cap_tok,
        |    CASE WHEN capped THEN cap_tok
        |      ELSE (budget - p_star) // greatest(nlangs - n_capped, 1)

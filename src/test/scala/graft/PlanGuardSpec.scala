@@ -56,6 +56,57 @@ class PlanGuardSpec extends SparkSpec {
     assert(PlanGuard.findings(perDoc.queryExecution.optimizedPlan) === Nil)
   }
 
+  test("k-means cluster windows are caught: the old protoPrune spelling flags, the groupedRank spelling is quiet") {
+    import org.apache.spark.sql.SaveMode
+    // the round-15 bug shape: `cluster` is a k-means id (<= k values by
+    // construction), so ranking a corpus-grain frame inside a
+    // cluster-partitioned window puts ~N/k rows in ONE task's sort
+    val assigned = docs.select(col("doc_id"),
+      (col("doc_id") % 8).cast("long").as("cluster"), col("n_chars"))
+    val bad = assigned.withColumn("proto_rank", row_number().over(
+      Window.partitionBy(col("cluster"))
+        .orderBy(col("n_chars").desc, col("doc_id"))))
+    assert(PlanGuard.findings(bad.queryExecution.optimizedPlan)
+      .exists(_.contains("low-cardinality Window partition (cluster)")))
+    val badSize = assigned.withColumn("csize",
+      count(lit(1)).over(Window.partitionBy(col("cluster"))))
+    assert(PlanGuard.findings(badSize.queryExecution.optimizedPlan)
+      .exists(_.contains("low-cardinality Window partition (cluster)")))
+    // the fixed spelling: range-decomposed rank + broadcast counts
+    val good = graft.operators.Shuffle.groupedRank(
+      assigned.withColumn("__nk", -col("n_chars")),
+      Seq("cluster"), Seq("__nk", "doc_id"), "proto_rank")
+      .join(broadcast(assigned.groupBy("cluster")
+        .agg(count(lit(1)).as("csize"))), Seq("cluster"))
+    assert(PlanGuard.findings(good.queryExecution.optimizedPlan) === Nil)
+  }
+
+  test("protoPrune's plan carries no per-cluster corpus window (narrow proof)") {
+    import spark.implicits._
+    val vecs = (0L until 48L).map(i =>
+      (i, Array.tabulate(4)(d => ((i * 13 + d * 7) % 17).toFloat / 17f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.protoPrune(
+      vecs, "vec_id", "embedding", k = 4, iters = 1, denom = 4)
+    // guard-quiet on the optimized plan...
+    assert(PlanGuard.findings(out.queryExecution.optimizedPlan) === Nil)
+    // ...and structurally: any window partitioned by `cluster` alone
+    // must sit over GROUP-GRAIN rows (an aggregate beneath — the
+    // groupedRank offsets table, <= numParts + k rows), never over the
+    // corpus itself (the old spelling's per-cluster single-task sort)
+    val badClusterWindows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.nonEmpty &&
+            w.partitionSpec.flatMap(_.references.map(_.name)).distinct == Seq("cluster") &&
+            w.child.collectFirst {
+              case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+            }.isEmpty =>
+        w
+    }
+    assert(badClusterWindows.isEmpty,
+      s"protoPrune must not rank the corpus inside a cluster-partitioned window: $badClusterWindows")
+  }
+
   test("Shuffle.globalOrderIndex passes: its offsets window is provably bounded") {
     val out = graft.operators.Shuffle
       .globalOrderIndex(docs.select(col("doc_id")), "doc_id", 7L, "doc_id")

@@ -98,9 +98,22 @@ class ScaleSpec extends SparkSpec {
     val (members, mat, _) = graft.operators.SetJoin
       .collapsedPrefixBuildFromSets(sets, 1L, 2L)
     // the giant-cluster guard: no member row carries an array — the
-    // collapse is a spilling window min over flat rows
+    // collapse derives flat (rid, id, n0) rows
     assert(!members.schema.fields.exists(_.dataType.isInstanceOf[ArrayType]),
       s"membership rows must be flat, got ${members.schema.simpleString}")
+    // bound proof for the rid computation itself: Spark plans
+    // `groupBy(sset0).agg(min(id))` with a PARTIAL aggregate before the
+    // exchange even on an array-typed key — the 500 identical sets
+    // combine to one row per input partition BEFORE the shuffle, where
+    // the former `min(id) OVER (PARTITION BY sset0)` window shipped all
+    // 500 rows to one task
+    val ridPlan = sets.select($"id", array_sort($"sset").as("sset0"))
+      .groupBy("sset0").agg(min($"id").as("rid"))
+      .queryExecution.executedPlan.toString
+    assert(ridPlan.contains("partial_min"),
+      s"rid aggregate must map-side combine:\n$ridPlan")
+    assert(!ridPlan.contains("Window"),
+      s"rid must not be a window min:\n$ridPlan")
     val rows = members.collect()
     assert(rows.length === 503)
     // representative = min id of each identical group

@@ -316,4 +316,20 @@ class SimilaritySpec extends SparkSpec {
       Similarity.marginMine(tgt, src, "vec_id", "embedding", k = 4, nCand = 2)
     }
   }
+
+  test("margin mining scales by ACTUAL neighbor counts, not k (sparse neighborhoods)") {
+    // one source, one target, k=4 — each side's neighborhood holds ONE
+    // vector, so the denominator must divide by 1, not k: the margin of
+    // a pair that IS its whole neighborhood is exactly 1.0 (1e6 ppm).
+    // The old `(2e6·k·cm) div (a_sum+b_sum)` shape yielded k×1e6 here.
+    val src = Seq((0L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val tgt = Seq((1L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.marginMine(tgt, src, "vec_id", "embedding",
+        k = 4, nCand = 4)
+      .collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("cos_micro") === 1000000L)
+    assert(out(0).getAs[Long]("margin_ppm") === 1000000L,
+      s"cos == neighborhood avg must give margin exactly 1e6 ppm, got ${out(0)}")
+  }
 }
