@@ -19,14 +19,16 @@ float64 while Spark's parquet keeps decimal128):
 
 Usage: python3 scripts/verify_local.py [sfDir] [--skip-spark]
 """
-import json, math, subprocess, sys
+import json, math, os, subprocess, sys
 from pathlib import Path
 
 import duckdb
 import pyarrow.parquet as pq
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.001"
-OUT = Path("/tmp/graft_verify")
+# GRAFT_VERIFY_OUT lets two gates run concurrently (e.g. a long sf1
+# pass in the background while sf0.001 pre-commit checks keep working)
+OUT = Path(os.environ.get("GRAFT_VERIFY_OUT", "/tmp/graft_verify"))
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 if "--skip-spark" not in sys.argv:

@@ -626,8 +626,11 @@ object Similarity {
     */
   private[graft] def nearDupPairsFromQuantized(
       c: DataFrame, threshold: Double, maxBucket: Int): DataFrame = {
+    // lowCardKeys: label/k-means cluster blocking has ~k distinct keys
+    // — the bucket-membership rank must range-decompose, not window
     val pairs = TextDedup.bucketedPairs(
-      c.select(col("id"), col("cluster")), Seq("cluster"), maxBucket)
+      c.select(col("id"), col("cluster")), Seq("cluster"), maxBucket,
+      lowCardKeys = true)
     pairs
       .join(c.select(col("id").as("id_a"), col("q").as("q_a"), col("n2").as("n2_a")), Seq("id_a"))
       .join(c.select(col("id").as("id_b"), col("q").as("q_b"), col("n2").as("n2_b")), Seq("id_b"))

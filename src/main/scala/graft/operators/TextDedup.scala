@@ -174,18 +174,39 @@ object TextDedup {
     * `groupSize` longs.
     */
   private[graft] def boundedMembers(
-      rows: DataFrame, keyCols: Seq[String], groupSize: Int): DataFrame = {
+      rows: DataFrame, keyCols: Seq[String], groupSize: Int,
+      lowCardKeys: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keys = keyCols.map(col)
-    val w = Window.partitionBy(keys: _*).orderBy(col("id"))
-    rows
-      .withColumn("__grp",
-        floor((row_number().over(w) - 1) / lit(groupSize)).cast(LongType))
+    val ranked =
+      if (lowCardKeys)
+        // LOW-CARDINALITY keys (label / k-means cluster blocking): the
+        // per-key window below would serialize ~N/k corpus rows onto
+        // ONE task's sort — the protoPrune-class scale killer
+        // graft.plans.PlanGuard flags. Rank via the range-decomposed
+        // Shuffle.groupedRank instead; its broadcast-sized-key-set
+        // contract is exactly this case. materializeInput=false: every
+        // caller passes a narrow projection of an already-materialized
+        // frame.
+        Shuffle.groupedRank(rows, keyCols, Seq("id"), "__rk",
+          materializeInput = false)
+      else
+        // HIGH-cardinality keys (LSH bands, shingle hashes, winnow
+        // fingerprints): a partitioned window is already scale-safe —
+        // WindowExec sorts and spills per partition, and groupedRank's
+        // broadcast offsets table would be key-set-sized (unbounded).
+        rows.withColumn("__rk",
+          row_number().over(Window.partitionBy(keys: _*).orderBy(col("id")))
+            .cast(LongType))
+    ranked
+      .withColumn("__grp", expr(s"(__rk - 1) div $groupSize"))
+      .drop("__rk")
       .groupBy(keys :+ col("__grp"): _*)
-      // rows reach the agg already id-sorted (window sort; the groupBy
-      // reuses the window's hash partitioning, keys ⊆ keys+grp, so no
-      // reshuffle) — but collect_list order is not contractual, so
-      // sort explicitly: O(groupSize log groupSize) on a bounded array.
+      // rows reach the agg already id-sorted on the window path (the
+      // groupBy reuses the window's hash partitioning, keys ⊆ keys+grp,
+      // so no reshuffle) — but collect_list order is not contractual
+      // (and the groupedRank path arrives range-partitioned), so sort
+      // explicitly: O(groupSize log groupSize) on a bounded array.
       .agg(array_sort(collect_list(col("id"))).as("members"))
   }
 
@@ -206,10 +227,10 @@ object TextDedup {
     */
   private[graft] def bucketedPairs(
       rows: DataFrame, keyCols: Seq[String], cap: Int,
-      slicesPerGroup: Int = 256): DataFrame = {
+      slicesPerGroup: Int = 256, lowCardKeys: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keys = keyCols.map(col)
-    val groups = boundedMembers(rows, keyCols, cap * slicesPerGroup)
+    val groups = boundedMembers(rows, keyCols, cap * slicesPerGroup, lowCardKeys)
     val within = groups
       .filter(size(col("members")) > 1)
       .select(explode(cappedBucketPairsLong(col("members"), cap)).as("p"))

@@ -654,4 +654,84 @@ object AnalyticsQueries {
        |    AS BIGINT) AS corr_e6
        |FROM m ORDER BY lang""".stripMargin
   }
+
+  // ---- 1-D earth mover's distance between source length profiles ---
+
+  /** Exact 1-D earth mover's (Wasserstein-1) distance between two
+    * sources' token-length distributions, over a DENSE clamped bin
+    * axis: the drift metric a mixing pipeline watches when a source's
+    * length profile shifts between snapshots (EMD sees "how far mass
+    * moved", where a per-bin chi-square only sees "how much"). For
+    * sorted 1-D histograms EMD is exactly Σ_bins |cum(p) − cum(q)| —
+    * integer-exact in ppm of each source's mass; per-bin rows expose
+    * the cumulative transport profile and `emd_contrib_ppm` sums to
+    * the distance.
+    *
+    * The axis is the CLAMPED bin id `least(n_tokens div 8, 255)` — 256
+    * bins by construction, so the dense zero-filled axis, the global
+    * cumulative window, and the totals scalar are all bounded at plan
+    * time (the `limit(256)` never truncates; it makes the bound
+    * visible to Catalyst, the [[graft.operators.Shuffle]] offsets
+    * idiom). One corpus pass (a map-side-combined conditional count);
+    * everything after is 256-row arithmetic.
+    */
+  def histEmd(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = DedupQueries.docs(spark, dir)
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("source"),
+        graft.operators.TextStats.wsTokenCount(col("text"))
+          .cast(LongType).as("x"))
+      .withColumn("bin", expr("least(x div 8, 255)"))
+    val cnts = d.groupBy(col("bin")).agg(
+      sum(when(col("source") === "src0", lit(1L)).otherwise(lit(0L)))
+        .cast(LongType).as("cnt_a"),
+      sum(when(col("source") === "src1", lit(1L)).otherwise(lit(0L)))
+        .cast(LongType).as("cnt_b"))
+    val axis = spark.range(0L, 256L).select(col("id").as("bin"))
+    val dense = axis.join(cnts, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+      .limit(256)
+    val tot = dense.agg(sum(col("cnt_a")).cast(LongType).as("na"),
+      sum(col("cnt_b")).cast(LongType).as("nb"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense.crossJoin(broadcast(tot))
+      .withColumn("p_ppm", expr("(1000000 * cnt_a) div greatest(na, 1)"))
+      .withColumn("q_ppm", expr("(1000000 * cnt_b) div greatest(nb, 1)"))
+      .withColumn("cum_diff_ppm",
+        sum(col("p_ppm") - col("q_ppm")).over(w).cast(LongType))
+      .select(col("bin"), col("cnt_a"), col("cnt_b"),
+        col("p_ppm").cast(LongType), col("q_ppm").cast(LongType),
+        col("cum_diff_ppm"),
+        abs(col("cum_diff_ppm")).as("emd_contrib_ppm"))
+      .orderBy("bin")
+  }
+
+  val histEmdOracle: String = {
+    val ws = "CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT)"
+    s"""WITH d AS (SELECT source, least($ws // 8, 255) AS bin FROM documents
+       |  WHERE source IN ('src0', 'src1')),
+       |c AS (SELECT bin,
+       |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+       |    CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+       |  FROM d GROUP BY bin),
+       |axis AS (SELECT unnest(range(0, 256)) AS bin),
+       |f AS (SELECT axis.bin, coalesce(cnt_a, 0) AS cnt_a,
+       |    coalesce(cnt_b, 0) AS cnt_b
+       |  FROM axis LEFT JOIN c USING (bin)),
+       |t AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS na,
+       |    CAST(sum(cnt_b) AS BIGINT) AS nb FROM f),
+       |p AS (SELECT f.*, (1000000 * cnt_a) // greatest(na, 1) AS p_ppm,
+       |    (1000000 * cnt_b) // greatest(nb, 1) AS q_ppm
+       |  FROM f CROSS JOIN t),
+       |w AS (SELECT *, CAST(sum(p_ppm - q_ppm) OVER (ORDER BY bin
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_diff_ppm
+       |  FROM p)
+       |SELECT CAST(bin AS BIGINT) AS bin, cnt_a, cnt_b,
+       |  CAST(p_ppm AS BIGINT) AS p_ppm, CAST(q_ppm AS BIGINT) AS q_ppm,
+       |  cum_diff_ppm, abs(cum_diff_ppm) AS emd_contrib_ppm
+       |FROM w ORDER BY bin""".stripMargin
+  }
 }

@@ -450,6 +450,47 @@ object CorpusQueries {
       .orderBy("shard")
   }
 
+  /** Rendezvous (highest-random-weight) sharding, Thaler & Ravishankar
+    * 1998 — the STABLE shard assignment a growing corpus store needs:
+    * `shard(doc) = argmax_s hash(s:doc)`, so when the shard count grows
+    * k→k+1 only the documents whose new-shard hash wins move (≈1/(k+1)
+    * of the corpus), and they ALL move TO the new shard — never
+    * between old shards. Modulo sharding (`hash % k`) reshuffles
+    * (k−1)/k of every shard on the same change. Output per doc: the
+    * k=4 and k=5 assignments and the `moved` flag; the spec pins the
+    * only-to-new-shard invariant.
+    *
+    * Integer-exact argmax without structs: `max(h·8 + s) % 8` — h is a
+    * 60-bit hash so the pack tops out at 8·(2^60−1)+7 = 2^63−1,
+    * exactly the BIGINT ceiling; ties (h collision across seeds) break
+    * to the larger shard id identically on both engines. Narrow
+    * per-row compute, k codegen hashes per doc, no shuffle at any
+    * corpus size.
+    */
+  def rendezvousShards(spark: SparkSession, dir: String): DataFrame = {
+    def hrw(doc: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+      greatest((0 until k).map(s =>
+        graft.functions.PortableHash.hash60Seeded(lit(s), doc) * 8 + s): _*) % 8
+    DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"))
+      .withColumn("shard_old", hrw(col("doc_id"), 4).cast(LongType))
+      .withColumn("shard_new", hrw(col("doc_id"), 5).cast(LongType))
+      .withColumn("moved",
+        (col("shard_old") =!= col("shard_new")).cast(LongType))
+      .orderBy("doc_id")
+  }
+
+  val rendezvousShardsOracle: String = {
+    def hrwSql(k: Int): String = (0 until k)
+      .map(s => s"(${DuckSql.hash60Seeded(s.toString, "doc_id")}) * 8 + $s")
+      .mkString("greatest(", ", ", ") % 8")
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(${hrwSql(4)} AS BIGINT) AS shard_old,
+       |  CAST(${hrwSql(5)} AS BIGINT) AS shard_new,
+       |  CAST(${hrwSql(4)} <> ${hrwSql(5)} AS BIGINT) AS moved
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** Text normalization chain over a messy-planted corpus: every doc
     * gets a decomposed-accent suffix (e + U+0301), a tab, and doubled
     * spaces appended; [[graft.operators.Normalize.clean]] must compose
@@ -1537,9 +1578,13 @@ object CorpusQueries {
     graft.operators.NgramLm.contrastScore(
       DedupQueries.docs(spark, dir), col("source") === "src0")
 
-  val mooreLewisOracle: String = {
+  /** The Moore–Lewis contrast CTE chain (both bigram LMs + per-doc
+    * likelihoods), shared by [[mooreLewisOracle]] and
+    * [[doremiWeightsOracle]]; splice after WITH.
+    */
+  private val mlContrastCtes: String = {
     val t = DuckSql.tokens("text")
-    s"""WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    s"""toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
        |    source = 'src0' AS is_target, $t AS t FROM documents
        |  WHERE len($t) >= 2),
        |bg AS (SELECT doc_id, is_target, t[i] AS w1, t[i + 1] AS w2,
@@ -1562,10 +1607,149 @@ object CorpusQueries {
        |    CAST(sum(tf * (1000000 * (coalesce(c2g.c2, 0) + 1)
        |        // (coalesce(c1g.c1, 0) + vg.v))) // sum(tf) AS BIGINT) AS lm_gen_ppm
        |  FROM bg LEFT JOIN c2g USING (w1, w2) LEFT JOIN c1g USING (w1) CROSS JOIN vg
-       |  GROUP BY bg.doc_id)
+       |  GROUP BY bg.doc_id)""".stripMargin
+  }
+
+  val mooreLewisOracle: String =
+    s"""WITH $mlContrastCtes
        |SELECT si.doc_id, n_bigrams, lm_in_ppm, lm_gen_ppm,
        |  lm_in_ppm - lm_gen_ppm AS ml_delta_ppm
        |FROM si JOIN sg ON sg.doc_id = si.doc_id ORDER BY si.doc_id""".stripMargin
+
+  /** DoReMi-style domain reweighting (Xie et al., "DoReMi: Optimizing
+    * Data Mixtures Speeds Up Language Model Pretraining", NeurIPS
+    * 2023): domains whose documents the REFERENCE (in-domain) model
+    * likes more than the general proxy — positive EXCESS likelihood —
+    * get their sampling weight pushed UP from the token-share baseline;
+    * domains with nothing left to learn stay at (or fall below) their
+    * share. One linearized exponentiated-gradient step, integer-exact:
+    *
+    *   excess_d  = mean over d's docs of max(0, ml_delta_ppm)
+    *   w_raw_d   = share_ppm_d · (1e6 + excess_d)      (η = 1 step)
+    *   weight_ppm = largest-remainder normalize of w_raw to Σ = 1e6
+    *
+    * `share_ppm` (the domain's bigram-mass share, ≤ 1e6) rather than
+    * raw token counts keeps `1e6·w_raw` inside BIGINT at ANY corpus
+    * size (raw counts overflow past ~1e12 tokens). The exact
+    * largest-remainder rounding makes the weights a usable sampling
+    * plan (they sum to exactly one million ppm).
+    *
+    * Scale shape: the per-doc contrast is [[graft.operators.NgramLm
+    * .contrastScore]] (model-bounded keyed shuffles); everything after
+    * the per-domain aggregate is |domains|-sized — scalars ride 1-row
+    * broadcasts and the remainder rank is the same bounded
+    * |domains|² grid as [[graft.operators.Sampling.unimaxAlloc]],
+    * never a window over an unbounded child.
+    */
+  def doremiWeights(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir)
+    val scored = graft.operators.NgramLm
+      .contrastScore(d, col("source") === "src0")
+      .select(col("doc_id"), col("n_bigrams"),
+        greatest(col("ml_delta_ppm"), lit(0L)).as("excess"))
+    val per = d.select(col("doc_id").cast(LongType).as("doc_id"), col("source"))
+      .join(scored, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(col("n_bigrams")).cast(LongType).as("n_bigrams"),
+        expr("sum(excess) div count(1)").cast(LongType).as("excess_ppm"))
+    val tot = per.agg(sum(col("n_bigrams")).cast(LongType).as("tok_tot"))
+    val raw = per.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("(1000000 * n_bigrams) div tok_tot"))
+      .withColumn("w_raw", expr("share_ppm * (1000000 + excess_ppm)"))
+    val wTot = raw.agg(sum(col("w_raw")).cast(LongType).as("w_tot"))
+    val based = raw.crossJoin(broadcast(wTot))
+      .withColumn("base_ppm", expr("(1000000 * w_raw) div w_tot"))
+      .withColumn("rem", expr("(1000000 * w_raw) % w_tot"))
+      .localCheckpoint(true) // |domains| rows; feeds grid + two scalars
+    val baseSum = based.agg(sum(col("base_ppm")).cast(LongType).as("base_sum"))
+    // remainder rank via the bounded |domains|² grid (unimaxAlloc's
+    // idiom) — NOT row_number over an unpartitioned window
+    val other = based.select(col("source").as("s2"), col("rem").as("rem2"))
+    based.join(broadcast(other),
+        col("rem2") > col("rem") ||
+          (col("rem2") === col("rem") && col("s2") < col("source")), "left")
+      .groupBy(col("source"), col("n_docs"), col("n_bigrams"),
+        col("excess_ppm"), col("base_ppm"), col("rem"))
+      .agg(count(col("s2")).cast(LongType).as("rk_prev"))
+      .crossJoin(broadcast(baseSum))
+      .select(col("source"), col("n_docs"), col("n_bigrams"),
+        col("excess_ppm"),
+        (col("base_ppm") +
+          when(col("rk_prev") + 1 <= lit(1000000L) - col("base_sum"), lit(1L))
+            .otherwise(lit(0L))).cast(LongType).as("weight_ppm"))
+      .orderBy("source")
+  }
+
+  val doremiWeightsOracle: String =
+    s"""WITH $mlContrastCtes,
+       |ml AS (SELECT si.doc_id, si.n_bigrams,
+       |    greatest(lm_in_ppm - lm_gen_ppm, 0) AS excess
+       |  FROM si JOIN sg ON sg.doc_id = si.doc_id),
+       |per AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(ml.n_bigrams) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(ml.excess) // count(*) AS BIGINT) AS excess_ppm
+       |  FROM ml JOIN documents d ON CAST(d.doc_id AS BIGINT) = ml.doc_id
+       |  GROUP BY d.source),
+       |tot AS (SELECT CAST(sum(n_bigrams) AS BIGINT) AS tok_tot FROM per),
+       |raw AS (SELECT per.*,
+       |    ((1000000 * n_bigrams) // tok_tot) * (1000000 + excess_ppm) AS w_raw
+       |  FROM per CROSS JOIN tot),
+       |wt AS (SELECT CAST(sum(w_raw) AS BIGINT) AS w_tot FROM raw),
+       |based AS (SELECT raw.*, (1000000 * w_raw) // w_tot AS base_ppm,
+       |    (1000000 * w_raw) % w_tot AS rem FROM raw CROSS JOIN wt),
+       |bs AS (SELECT CAST(sum(base_ppm) AS BIGINT) AS base_sum FROM based),
+       |rk AS (SELECT based.*, CAST(row_number() OVER (ORDER BY rem DESC, source)
+       |    AS BIGINT) AS rk FROM based)
+       |SELECT source, n_docs, n_bigrams, excess_ppm,
+       |  CAST(base_ppm + CASE WHEN rk <= 1000000 - base_sum THEN 1 ELSE 0 END
+       |    AS BIGINT) AS weight_ppm
+       |FROM rk CROSS JOIN bs ORDER BY source""".stripMargin
+
+  /** Per-document n-gram NOVELTY against the whole corpus in doc_id
+    * ingestion order: the fraction of a document's distinct 3-shingles
+    * whose FIRST corpus appearance (min doc_id over every holder) is
+    * this document. The per-doc refinement of the decile-level Heaps
+    * readout ([[vocabGrowth]]) — a curation pipeline uses it to rank
+    * late-crawled documents by how much genuinely new n-gram surface
+    * they still contribute (near-zero novelty late in the crawl = the
+    * source has gone asymptotic).
+    *
+    * Scale shape: shingles travel as 60-bit hashes (never strings past
+    * the explode); first-appearance is ONE map-side-combined
+    * `min(doc_id)` per gram; the join back re-uses the same gram-key
+    * exchange (the [[DedupQueries.dupNgramMass]] ReusedExchange idiom —
+    * the corpus-wide shingle kernel runs once). No windows, no
+    * collects.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        explode(graft.operators.TextDedup.shingleHashes(col("text"), 3)).as("g"))
+    val first = grams.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), lit(1L))
+          .otherwise(lit(0L))).cast(LongType).as("n_novel"))
+      .withColumn("novelty_ppm",
+        expr("(1000000 * n_novel) div n_grams").cast(LongType))
+      .orderBy("doc_id")
+  }
+
+  val ngramNoveltyOracle: String = {
+    val sh = DuckSql.shinglesFromTokens(DuckSql.tokens("text"), 3)
+    s"""WITH gr AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    unnest(list_distinct(list_transform($sh, x -> ${DuckSql.hash60("x")}))) AS g
+       |  FROM documents),
+       |f AS (SELECT g, min(doc_id) AS first_doc FROM gr GROUP BY g)
+       |SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(sum(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_novel,
+       |  CAST((1000000 * sum(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END))
+       |    // count(*) AS BIGINT) AS novelty_ppm
+       |FROM gr JOIN f USING (g) GROUP BY gr.doc_id ORDER BY gr.doc_id""".stripMargin
   }
 
   /** Domain classification ([[graft.operators.NaiveBayes]]): train the

@@ -239,6 +239,25 @@ class AnalyticsSpec extends SparkSpec {
 
   // ---------------- corrStats / pivot ----------------
 
+  test("histEmd: dense 256-bin axis, ppm masses bounded, contributions are |cum diff| and the cumulative closes near zero") {
+    val rows = AnalyticsQueries.histEmd(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length === 256, "dense clamped axis: exactly 256 bins")
+    assert(rows.map(_.getAs[Long]("bin")).toSeq === (0L until 256L).toSeq)
+    // each side's ppm masses are sane: nonnegative, sum <= 1e6 (floor div)
+    val pSum = rows.map(_.getAs[Long]("p_ppm")).sum
+    val qSum = rows.map(_.getAs[Long]("q_ppm")).sum
+    assert(rows.forall(r => r.getAs[Long]("p_ppm") >= 0 && r.getAs[Long]("q_ppm") >= 0))
+    assert(pSum <= 1000000L && pSum > 900000L, s"p mass $pSum")
+    assert(qSum <= 1000000L && qSum > 900000L, s"q mass $qSum")
+    // emd contribution is |cum diff| per bin; the sources genuinely differ
+    assert(rows.forall(r =>
+      r.getAs[Long]("emd_contrib_ppm") === math.abs(r.getAs[Long]("cum_diff_ppm"))))
+    // last cumulative = total mass imbalance from floor division only
+    assert(math.abs(rows.last.getAs[Long]("cum_diff_ppm")) < 512,
+      "distributions both (nearly) sum to 1e6, so cum diff must return to ~0")
+  }
+
   test("corrStats: chars and token counts are strongly positively correlated") {
     val rows = AnalyticsQueries.corrStats(spark, "/root/testdata/sf0.001")
       .select("lang", "corr_e6").as[(String, Long)].collect()

@@ -286,6 +286,79 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out2.values.sum === 301L)
   }
 
+  test("unimaxAlloc: zero-token group allocates zero with epochs_ppm 0, never NULL") {
+    import graft.operators.Sampling
+    val perGroup = Seq(("a", 3L, 0L), ("b", 9L, 20L))
+      .toDF("lang", "n_docs", "n_tokens")
+    val out = Sampling.unimaxAlloc(perGroup, "lang", epochCap = 2,
+        budgetNum = 1L, budgetDen = 1L)
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("alloc_tok"), r.getAs[Any]("epochs_ppm"))).toMap
+    // cap = 0 -> capped at 0 tokens; the guarded division yields 0L,
+    // not NULL (DuckDB's // would error on the unguarded spelling)
+    assert(out("a") === ((0L, 0L)))
+    assert(out("b")._1 === 20L)
+  }
+
+  test("doremiWeights: weights sum to exactly 1e6 and lift the excess-likelihood domain above its share") {
+    val rows = graft.queries.CorpusQueries
+      .doremiWeights(spark, "/root/testdata/sf0.001").collect()
+    val bySrc = rows.map(r => r.getAs[String]("source") ->
+      (r.getAs[Long]("n_bigrams"), r.getAs[Long]("excess_ppm"),
+       r.getAs[Long]("weight_ppm"))).toMap
+    assert(rows.map(_.getAs[Long]("weight_ppm")).sum === 1000000L,
+      "largest-remainder normalization must conserve the ppm budget exactly")
+    assert(rows.forall(_.getAs[Long]("weight_ppm") >= 0L))
+    // src0 is the in-domain slice: its documents score highest under
+    // their own reference LM, so its excess (and weight vs token share)
+    // must dominate
+    val tokTot = rows.map(_.getAs[Long]("n_bigrams")).sum
+    val (nb0, ex0, w0) = bySrc("src0")
+    assert(ex0 === rows.map(_.getAs[Long]("excess_ppm")).max,
+      s"in-domain source must carry the max excess: $bySrc")
+    assert(w0 > (1000000L * nb0) / tokTot,
+      s"src0 weight $w0 must exceed its raw token share: $bySrc")
+  }
+
+  test("ngramNovelty: monotone first-seen semantics — doc 0 is all-novel, totals match distinct grams") {
+    val rows = graft.queries.CorpusQueries
+      .ngramNovelty(spark, "/root/testdata/sf0.001").collect()
+    val first = rows.minBy(_.getAs[Long]("doc_id"))
+    assert(first.getAs[Long]("novelty_ppm") === 1000000L,
+      "the first document's grams are all first appearances")
+    assert(rows.forall(r =>
+      r.getAs[Long]("n_novel") <= r.getAs[Long]("n_grams")))
+    // every distinct corpus gram is novel in exactly one doc
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val distinctGrams = docs.select(explode(graft.operators.TextDedup
+        .shingleHashes(col("text"), 3)).as("g"))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("n_novel")).sum === distinctGrams,
+      "sum of per-doc novel grams must equal the corpus distinct-gram count")
+  }
+
+  test("rendezvousShards: k->k+1 moves documents ONLY to the new shard, at roughly 1/(k+1) rate") {
+    val rows = graft.queries.CorpusQueries
+      .rendezvousShards(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("shard_old") >= 0 &&
+      r.getAs[Long]("shard_old") < 4))
+    assert(rows.forall(r => r.getAs[Long]("shard_new") >= 0 &&
+      r.getAs[Long]("shard_new") < 5))
+    // the HRW property that justifies the operator: a doc whose argmax
+    // changed can only have been beaten by the NEW shard's hash —
+    // old-shard relative order is untouched
+    val movers = rows.filter(_.getAs[Long]("moved") == 1L)
+    assert(movers.forall(_.getAs[Long]("shard_new") === 4L),
+      "growing k must move docs only to the new shard")
+    // move rate ~ 1/5 of the corpus (uniform hashes); generous bounds
+    val rate = movers.length.toDouble / rows.length
+    assert(rate > 0.10 && rate < 0.35, s"move rate $rate")
+    // unmoved docs keep their exact old assignment
+    assert(rows.filter(_.getAs[Long]("moved") == 0L)
+      .forall(r => r.getAs[Long]("shard_old") === r.getAs[Long]("shard_new")))
+  }
+
   test("unimaxAlloc invariants hold across a deterministic fixture sweep") {
     import graft.operators.Sampling
     // 6 fixtures from a fixed LCG: group counts 2..7, sizes 1..1000

@@ -203,6 +203,8 @@ class PlanSpec extends SparkSpec {
       "x_events_anomaly",                      // same bounded axis grid
       "x_nb_domain",                           // (b) |labels|-row smoothing grid
       "x_unimax_alloc",                        // (b) |langs|^2 prefix grid + scalars
+      "x_doremi_weights",                      //     LM V scalars + |domains|^2 remainder grid
+      "x_hist_emd",                            // (b) 1-row totals scalar into bounded 256-bin axis
       "x_shard_skew",                          // 1-row totals scalar
       "x_ppjoin_skew_report",                  // three 1-row summary scalars
       "x_mix_drift")                           // two 1-row snapshot-total scalars
