@@ -1752,6 +1752,54 @@ object CorpusQueries {
        |FROM gr JOIN f USING (g) GROUP BY gr.doc_id ORDER BY gr.doc_id""".stripMargin
   }
 
+  /** Incremental novelty: a NEW batch (doc_id >= 250) scored against
+    * the PERSISTED distinct-gram index of everything ingested before it
+    * (doc_id < 250) — the drop-by-drop form of [[ngramNovelty]], same
+    * contract as the incremental dedup family (`x_dedup_incremental`):
+    * the history never re-reads, only its gram index joins. `n_new`
+    * counts grams absent from the index (novel vs HISTORY — batch-
+    * internal repeats are not credited, matching what a daily crawl
+    * pipeline wants to know: "how much of today is genuinely new").
+    *
+    * Scale shape: the index is a map-side-combined distinct on the
+    * 60-bit gram key, persisted once per ingest; scoring is one keyed
+    * left join (gram) + one per-doc aggregate. The batch side is the
+    * small side at steady state — at 100 TB of history the index join
+    * shuffles the BATCH, and the index itself bucket-joins or Bloom-
+    * prefilters ([[graft.operators.Bloom]]) exactly like incremental
+    * dedup.
+    */
+  def ngramNoveltyIncr(spark: SparkSession, dir: String): DataFrame = {
+    val grams = DedupQueries.docs(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        explode(graft.operators.TextDedup.shingleHashes(col("text"), 3)).as("g"))
+    val index = grams.filter(col("doc_id") < 250).select(col("g")).distinct()
+      .withColumn("__seen", lit(1L))
+    grams.filter(col("doc_id") >= 250)
+      .join(index, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_grams"),
+        sum(when(col("__seen").isNull, lit(1L)).otherwise(lit(0L)))
+          .cast(LongType).as("n_new"))
+      .withColumn("new_ppm",
+        expr("(1000000 * n_new) div n_grams").cast(LongType))
+      .orderBy("doc_id")
+  }
+
+  val ngramNoveltyIncrOracle: String = {
+    val sh = DuckSql.shinglesFromTokens(DuckSql.tokens("text"), 3)
+    s"""WITH gr AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    unnest(list_distinct(list_transform($sh, x -> ${DuckSql.hash60("x")}))) AS g
+       |  FROM documents),
+       |idx AS (SELECT DISTINCT g FROM gr WHERE doc_id < 250)
+       |SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(sum(CASE WHEN idx.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       |  CAST((1000000 * sum(CASE WHEN idx.g IS NULL THEN 1 ELSE 0 END))
+       |    // count(*) AS BIGINT) AS new_ppm
+       |FROM gr LEFT JOIN idx ON idx.g = gr.g
+       |WHERE gr.doc_id >= 250 GROUP BY gr.doc_id ORDER BY gr.doc_id""".stripMargin
+  }
+
   /** Domain classification ([[graft.operators.NaiveBayes]]): train the
     * multinomial NB model on the 80% of documents with `doc_id % 5 != 0`
     * (labels = `source`), predict a source for the held-out 20%, and

@@ -337,6 +337,22 @@ class CorpusOpsSpec extends SparkSpec {
       "sum of per-doc novel grams must equal the corpus distinct-gram count")
   }
 
+  test("ngramNoveltyIncr: only the new batch is scored and new-gram ratios stay in range") {
+    val rows = graft.queries.CorpusQueries
+      .ngramNoveltyIncr(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("doc_id") >= 250L),
+      "only the new batch is scored")
+    assert(rows.forall(r => r.getAs[Long]("n_new") <= r.getAs[Long]("n_grams")))
+    // incremental vs full-history consistency: a batch doc's n_new can
+    // never EXCEED its full-corpus first-seen novel count restricted to
+    // history grams... the cheap invariant that holds by construction:
+    // new_ppm in [0, 1e6]
+    assert(rows.forall(r => {
+      val p = r.getAs[Long]("new_ppm"); p >= 0L && p <= 1000000L
+    }))
+  }
+
   test("rendezvousShards: k->k+1 moves documents ONLY to the new shard, at roughly 1/(k+1) rate") {
     val rows = graft.queries.CorpusQueries
       .rendezvousShards(spark, "/root/testdata/sf0.001").collect()
