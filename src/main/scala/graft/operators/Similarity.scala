@@ -409,8 +409,11 @@ object Similarity {
       .withColumn("proto_cos", protoCos)
       .select(col("c_id"), col("cluster"), col("proto_cos"))
       .withColumn("__nk", -col("proto_cos"))
+    // materializeInput=false: `scored` is a narrow CASE projection of
+    // the already-checkpointed k-means output — recomputing it for the
+    // range sampler is cheaper than a third corpus materialization
     val ranked = Shuffle.groupedRank(scored, Seq("cluster"),
-      Seq("__nk", "c_id"), "proto_rank")
+      Seq("__nk", "c_id"), "proto_rank", materializeInput = false)
     val counts = scored.groupBy("cluster")
       .agg(count(lit(1)).cast(LongType).as("csize"))
     ranked.join(broadcast(counts), Seq("cluster"))

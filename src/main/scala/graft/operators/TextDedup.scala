@@ -221,16 +221,24 @@ object TextDedup {
     * boundaries are preserved inside every group), within-group pairs
     * come from the same capped kernel, and the missing chain links
     * between the last slice head of one group and the head of the next
-    * are re-added from a per-bucket lead() over the (tiny, one row per
-    * group) group-heads table — so slice-chain connectivity holds
-    * across group boundaries and dedup clustering is unaffected.
+    * come from an equi-self-join of the (tiny, one row per group)
+    * group-heads table on `__grp = __grp + 1` — `__grp` is contiguous
+    * per key by construction (rank div groupSize), so the join IS the
+    * lead(); no window of any kind, hence scale-safe and guard-quiet
+    * at every key cardinality. Slice-chain connectivity holds across
+    * group boundaries and dedup clustering is unaffected.
     */
   private[graft] def bucketedPairs(
       rows: DataFrame, keyCols: Seq[String], cap: Int,
       slicesPerGroup: Int = 256, lowCardKeys: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val keys = keyCols.map(col)
-    val groups = boundedMembers(rows, keyCols, cap * slicesPerGroup, lowCardKeys)
+    val groups0 = boundedMembers(rows, keyCols, cap * slicesPerGroup, lowCardKeys)
+    // two consumers below (within-pairs + chain links); on the lowCard
+    // path the membership build is a multi-stage groupedRank subtree —
+    // materialize it once rather than run the decomposition twice. The
+    // window path stays lazy: its exchange is reused and a checkpoint
+    // would only add a copy.
+    val groups = if (lowCardKeys) groups0.localCheckpoint(true) else groups0
     val within = groups
       .filter(size(col("members")) > 1)
       .select(explode(cappedBucketPairsLong(col("members"), cap)).as("p"))
@@ -239,13 +247,14 @@ object TextDedup {
     // floor((n-1)/cap), head at local rank slice*cap.
     val lastSliceHead = element_at(col("members"),
       (floor((size(col("members")) - 1) / lit(cap)) * cap + 1).cast(IntegerType))
-    val wg = Window.partitionBy(keys: _*).orderBy(col("__grp"))
-    val links = groups
+    val heads = groups
       .select(keys :+ col("__grp") :+
         element_at(col("members"), 1).as("__head") :+
         lastSliceHead.as("__last"): _*)
-      .withColumn("__next", lead(col("__head"), 1).over(wg))
-      .filter(col("__next").isNotNull)
+    val nexts = heads
+      .select(keys :+ (col("__grp") - 1).as("__grp") :+
+        col("__head").as("__next"): _*)
+    val links = heads.join(nexts, keyCols :+ "__grp")
       .select(col("__last").as("id_a"), col("__next").as("id_b"))
     within.unionByName(links)
   }
