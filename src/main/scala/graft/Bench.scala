@@ -153,7 +153,18 @@ object Bench {
       import scala.sys.process._
       val cwd = new java.io.File(".")
       val h = Process(Seq("git", "rev-parse", "--short", "HEAD"), cwd).!!.trim
-      val dirty = Process(Seq("git", "status", "--porcelain"), cwd).!!.trim.nonEmpty
+      // "dirty" means dirty CODE. The bench records this protocol itself
+      // writes (bench.json, BENCH_HISTORY.jsonl) and Spark-session
+      // droppings must not count: board N's own record would otherwise
+      // mark board N+1 "-dirty" and no two boards could ever merge —
+      // exactly the r15 round-record failure (a lone -dirty board that
+      // happened to be the round's slowest run).
+      val dirty = Process(Seq("git", "status", "--porcelain"), cwd).!!
+        .linesIterator.map(_.trim).filter(_.nonEmpty)
+        .filterNot(l => l.endsWith("BENCH_HISTORY.jsonl") ||
+          l.endsWith("bench.json") || l.endsWith("derby.log") ||
+          l.contains("spark-warehouse"))
+        .nonEmpty
       if (dirty) h + "-dirty" else h
     } catch { case _: Throwable => "unknown" }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
