@@ -127,6 +127,24 @@ class ScaleSpec extends SparkSpec {
     assert(mat.count() === 3)
   }
 
+  test("bucketedPairs lowCardKeys path emits the identical pair multiset at any partitioning") {
+    // the cluster-blocked (groupedRank) membership build must be a pure
+    // physical rewrite of the window spelling — same groups, same slice
+    // boundaries, same chain links — including a skewed dominant
+    // cluster and a singleton cluster
+    val rows = ((1L to 400L).map(i => (i % 3, i)) ++ Seq((99L, 900L)))
+      .toDF("cluster", "id")
+    for (parts <- Seq(1, 7)) {
+      val r = rows.repartition(parts)
+      def pairs(lowCard: Boolean) = graft.operators.TextDedup
+        .bucketedPairs(r, Seq("cluster"), cap = 16, slicesPerGroup = 4,
+          lowCardKeys = lowCard)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      assert(pairs(lowCard = true) === pairs(lowCard = false),
+        s"parts=$parts: groupedRank membership must equal the window spelling")
+    }
+  }
+
   test("salted join equals the plain join and spreads the hot key across salts") {
     // extreme skew: 90% of left rows share key 7
     val left = (1L to 1000L)
