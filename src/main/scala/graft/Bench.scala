@@ -103,6 +103,30 @@ object Bench {
       .foreach(_.unpersist(blocking = true))
     System.gc()
 
+    // Load canary: three pinned queries (the lowest-spread medium-cost
+    // entries in 47 boards of history, covering PQ/quantize, TPC-H
+    // join+agg, and iterative BPE) run min-of-2 BEFORE the timed pass
+    // and are compared to their per-query history medians. The record
+    // is stamped with "canary_ratio"; a ratio > 1.5 marks the whole
+    // board "drifted":true so a box-loaded run (r16: a driver board
+    // 2.4x the same-code truth) self-identifies instead of posing as a
+    // regression. Drifted boards still append to history — the
+    // min-of-same-tree-boards merge below keeps them out of bench.json
+    // whenever any clean board of the same code exists.
+    val canaryNames = Seq("x_pq_recall", "q5_revenue_by_nation", "x_bpe_merges")
+    val canaryTimes: Map[String, Double] = canaryNames.flatMap { n =>
+      SparkEntry.queries.get(n).flatMap { fn =>
+        try {
+          val ts = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          Some(n -> ts.min)
+        } catch { case _: Throwable => None }
+      }
+    }.toMap
+
     // A failed query must never masquerade as a fast one (round-2
     // lesson: a fail-fast throw read as a 0.09s "speedup") — its time is
     // recorded as -1 and its name lands in "failed".
@@ -158,17 +182,97 @@ object Bench {
       // droppings must not count: board N's own record would otherwise
       // mark board N+1 "-dirty" and no two boards could ever merge —
       // exactly the r15 round-record failure (a lone -dirty board that
-      // happened to be the round's slowest run).
+      // happened to be the round's slowest run). The exemption parses
+      // the porcelain PATH field and compares against an EXACT
+      // repo-root allowlist (a suffix match would also exempt e.g. a
+      // future configbench.json, and a substring match any path that
+      // merely contains "spark-warehouse").
+      val exemptExact = Set("bench.json", "BENCH_HISTORY.jsonl", "derby.log")
       val dirty = Process(Seq("git", "status", "--porcelain"), cwd).!!
-        .linesIterator.map(_.trim).filter(_.nonEmpty)
-        .filterNot(l => l.endsWith("BENCH_HISTORY.jsonl") ||
-          l.endsWith("bench.json") || l.endsWith("derby.log") ||
-          l.contains("spark-warehouse"))
+        .linesIterator.filter(_.length > 3)
+        .map { l =>
+          // porcelain v1: "XY path" or "XY old -> new" (rename/copy);
+          // the post-arrow path is the one that exists in the tree
+          val p = l.drop(3)
+          val arrow = p.indexOf(" -> ")
+          val path = if (arrow >= 0) p.substring(arrow + 4) else p
+          path.stripPrefix("\"").stripSuffix("\"")
+        }
+        .filterNot(p => exemptExact.contains(p) ||
+          p == "spark-warehouse" || p.startsWith("spark-warehouse/"))
         .nonEmpty
       if (dirty) h + "-dirty" else h
     } catch { case _: Throwable => "unknown" }
+    // Source-tree content hash: boards merge on WHAT CODE RAN, not the
+    // commit label. r16's driver board ran at a docs-only commit two
+    // hashes after the clean boards and could not merge with them —
+    // the round record became a box-loaded 336s instead of the
+    // same-code 137.6s truth. Hashing src/main content (sorted paths +
+    // bytes) makes docs/test-only commits transparent to the merge.
+    val treeId = try {
+      import java.nio.file.{Files, Paths}
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      // build.sbt participates: a compiler-flag or dependency change is
+      // a different build even with identical sources
+      val bs = Paths.get("build.sbt")
+      if (Files.isRegularFile(bs)) {
+        md.update("build.sbt".getBytes("UTF-8")); md.update(0.toByte)
+        md.update(Files.readAllBytes(bs))
+      }
+      val root = Paths.get("src/main")
+      val files = Files.walk(root).filter(Files.isRegularFile(_))
+        .sorted().iterator()
+      while (files.hasNext) {
+        val f = files.next()
+        md.update(root.relativize(f).toString.getBytes("UTF-8"))
+        md.update(0.toByte)
+        md.update(Files.readAllBytes(f))
+      }
+      md.digest().take(6).map("%02x".format(_)).mkString
+    } catch { case _: Throwable => "unknown" }
+    // canary_ratio = median over canary queries of (this run / history
+    // median). History baseline prefers each record's "canary" map
+    // (min-of-2, measured cold right before its timed pass) and falls
+    // back to its "queries" entry (min-of-reps) for records predating
+    // the canary — comparable enough for a 1.5x load gate.
+    val canaryRatio: Double = try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      def num(v: JValue): Option[Double] = v match {
+        case JDouble(d) => Some(d); case JInt(i) => Some(i.toDouble)
+        case JLong(l) => Some(l.toDouble); case JDecimal(d) => Some(d.toDouble)
+        case _ => None
+      }
+      val p = java.nio.file.Paths.get("BENCH_HISTORY.jsonl")
+      val hist = if (java.nio.file.Files.exists(p))
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(p)).asScala.toSeq else Seq.empty
+      val baselines: Map[String, Double] = canaryNames.flatMap { n =>
+        val vals = hist.flatMap { raw =>
+          try {
+            val j = JsonMethods.parse(raw)
+            if ((j \ "sf") != JString(sfDir)) None
+            else num(j \ "canary" \ n).orElse(num(j \ "queries" \ n))
+              .filter(_ > 0)
+          } catch { case _: Throwable => None }
+        }.sorted
+        if (vals.isEmpty) None else Some(n -> vals((vals.size - 1) / 2))
+      }.toMap
+      val ratios = canaryTimes.toSeq.flatMap { case (n, t) =>
+        baselines.get(n).map(b => t / b)
+      }.sorted
+      if (ratios.isEmpty) 1.0 else ratios((ratios.size - 1) / 2)
+    } catch { case _: Throwable => 1.0 }
+    val drifted = canaryRatio > 1.5
+    if (drifted)
+      System.err.println(f"[bench] LOAD CANARY: ratio $canaryRatio%.2f > 1.5 — " +
+        "this board is marked drifted and will not displace a clean same-code board")
+    val canaryJson = canaryTimes.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
-      s""""code":"$codeId","queries":$qs,"queries_median":$medians,"failed":$failed,"sf":"$sfDir"}"""
+      s""""code":"$codeId","tree":"$treeId",""" +
+      s""""canary":$canaryJson,"canary_ratio":${"%.3f".format(canaryRatio)},"drifted":$drifted,""" +
+      s""""queries":$qs,"queries_median":$medians,"failed":$failed,"sf":"$sfDir"}"""
     // The driver captures only the LAST 2000 chars of stdout and parses
     // the bench JSON out of that tail; the full 210-query line is ~6.4KB,
     // so every recorded BENCH_r*.json through r10 came back parsed:null.
@@ -197,8 +301,13 @@ object Bench {
       System.err.println(s"[bench] could not append BENCH_HISTORY: ${e.getMessage}") }
 
     val qNames = results.map(_._1).toSet
-    val mergeable = only.isEmpty && !anyFailed &&
-      codeId != "unknown" && !codeId.endsWith("-dirty")
+    // Mergeability keys on the tree hash: it captures the src/main +
+    // build.sbt content that actually compiled and ran, so dirt in
+    // docs/tests/driver artifacts (which made r16's driver board
+    // "-dirty" and unmergeable) no longer orphans a board. A truly
+    // dirty src/main produces a tree hash no committed board shares,
+    // which is exactly the isolation the dirty flag was for.
+    val mergeable = only.isEmpty && !anyFailed && treeId != "unknown"
     // (ts, total, queriesMap, rawLine) for every same-code full board
     val boards: Seq[(Long, Double, Map[String, Double], String)] = {
       val current = (nowMs, results.map(_._2).sum,
@@ -219,8 +328,15 @@ object Bench {
         lines.dropRight(1).flatMap { raw =>
           try {
             val j = JsonMethods.parse(raw)
-            val sameShape =
-              (j \ "code") == JString(codeId) &&
+            // Same-code identity is the src/main CONTENT hash when the
+            // record carries one (docs/test-only commits then still
+            // merge — the r16 orphaned-board fix); records predating
+            // the tree field fall back to commit-hash equality.
+            val sameCode = (j \ "tree") match {
+              case JString(t) => treeId != "unknown" && t == treeId
+              case _ => (j \ "code") == JString(codeId)
+            }
+            val sameShape = sameCode &&
               (j \ "sf") == JString(sfDir) &&
               num(j \ "reps").contains(reps.toDouble) &&
               (j \ "failed") == JArray(Nil)
@@ -253,7 +369,8 @@ object Bench {
     // bench.json below.
     val compact =
       s"""{"metric":"total","value":$bestTotal,"unit":"sec","reps":$reps,"nq":${results.size},""" +
-      s""""code":"$codeId","boards":$boardsRef,""" +
+      s""""code":"$codeId","tree":"$treeId","canary_ratio":${"%.3f".format(canaryRatio)},""" +
+      s""""drifted":$drifted,"boards":$boardsRef,""" +
       s""""top_queries":$topQs,"queries_note":"slowest 50 of ${results.size}; full set in bench.json",""" +
       s""""failed":$failed,"sf":"$sfDir"}"""
     println(compact)

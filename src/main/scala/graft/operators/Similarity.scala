@@ -142,6 +142,11 @@ object Similarity {
   def marginMine(tgtCorpus: DataFrame, srcBatch: DataFrame, idCol: String,
       embCol: String, k: Int = 4, nCand: Int = 8): DataFrame = {
     require(k >= 1 && nCand >= k, "marginMine: need nCand >= k >= 1")
+    // margin_ppm's numerator is 2e6 * cm(<=1e6) * cnt_a(<=k) * cnt_b(<=k)
+    // ~= 2e12 * k^2, which exceeds Long.MaxValue (~9.2e18) near k ~ 2100.
+    // Bound well below the overflow point; mining margins over more than
+    // a thousand neighbors per vector is not a meaningful criterion anyway.
+    require(k <= 1000, "marginMine: k > 1000 would overflow the ppm margin")
     val t = tgtCorpus.select(col(idCol).cast(LongType).as("t_id"),
       quantize(col(embCol)).as("t_q"))
       .withColumn("t_n2", inorm2(col("t_q")))

@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.internal.Logging
-import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo}
+import org.apache.spark.sql.catalyst.expressions.{ElementAt, EqualNullSafe, EqualTo, Expression, Slice}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, CollectList, CollectSet}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LeafNode, LogicalPlan, SerializeFromObject, Window}
 import org.apache.spark.sql.catalyst.plans.Cross
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -56,6 +57,53 @@ object PlanGuard {
   private[plans] val defaultLowCardCols =
     Set("lang", "source", "split", "cluster")
 
+  /** Column names that carry PER-ROW IDENTITY in this corpus's data
+    * model: grouping by one bounds the group at per-row content size
+    * (the lines of one document, the chunks of one doc, the candidate
+    * set of one query vector), so a `collect_list` under such a
+    * grouping cannot grow with the corpus. `cluster_id`/`keep_id` (a
+    * dedup cluster representative) is included deliberately: a cluster
+    * IS its member list, the member list is the query's answer, and
+    * the pathological case (a million-copy boilerplate cluster) is a
+    * data-quality finding the skew suite measures rather than a plan
+    * bug. Configurable via `spark.graft.guard.rowIdCols`.
+    */
+  private[plans] val defaultRowIdCols =
+    Set("doc_id", "id", "id_a", "id_b", "q_id", "t_id", "vec_id",
+      "user_id", "order_id", "o_orderkey", "l_orderkey", "event_id",
+      "cluster_id", "keep_id", "__grp",
+      // a chunk id is a bounded row-slice by construction (rank div k,
+      // or doc_id div k — the Merkle-manifest and boundedMembers shapes)
+      "chunk", "chunk_no")
+
+  /** True when every [[CollectList]]/[[CollectSet]] occurrence in `e`
+    * sits beneath a [[Slice]] or [[ElementAt]] — the spelling that
+    * bounds the materialized array before it leaves the aggregate
+    * (`slice(collect_list(x), 1, k)`). A collect with no such wrapper
+    * anywhere above it returns false.
+    */
+  private def collectsBounded(e: Expression): Boolean = {
+    def walk(ex: Expression, bounded: Boolean): Boolean = ex match {
+      case _: Slice | _: ElementAt =>
+        ex.children.forall(walk(_, bounded = true))
+      case ae: AggregateExpression =>
+        ae.aggregateFunction match {
+          case _: CollectList | _: CollectSet => bounded
+          case _ => ae.children.forall(walk(_, bounded))
+        }
+      case other => other.children.forall(walk(_, bounded))
+    }
+    walk(e, bounded = false)
+  }
+
+  private def hasCollect(e: Expression): Boolean = e.exists {
+    case ae: AggregateExpression => ae.aggregateFunction match {
+      case _: CollectList | _: CollectSet => true
+      case _ => false
+    }
+    case _ => false
+  }
+
   /** True when `p` still carries document-grain row count: the plan
     * reaches a leaf relation through only narrow row-preserving nodes.
     * Traversal STOPS (returns false) at the nodes that change grain or
@@ -107,9 +155,29 @@ object PlanGuard {
   }
 
   def findings(plan: LogicalPlan, boundedCap: Long = 1 << 20,
-      lowCardCols: Set[String] = defaultLowCardCols): Seq[String] = {
+      lowCardCols: Set[String] = defaultLowCardCols,
+      rowIdCols: Set[String] = defaultRowIdCols): Seq[String] = {
     val out = Seq.newBuilder[String]
     plan.foreach {
+      // unbounded collect_list/collect_set: a per-key array that grows
+      // with the corpus is ONE unspillable row — a degenerate key (a
+      // million-copy boilerplate document in one LSH bucket) is a
+      // multi-GB row and an executor OOM (the r15 SetJoin finding
+      // class). Quiet when a grouping key carries per-row identity
+      // (group then bounded by per-row content) or when every collect
+      // is slice-bounded before leaving the aggregate.
+      case a: Aggregate if a.aggregateExpressions.exists(hasCollect) &&
+          !a.aggregateExpressions.forall(collectsBounded) &&
+          !a.groupingExpressions.exists(_.references.exists(r => rowIdCols(r.name))) &&
+          docGrain(a.child, boundedCap) =>
+        val keys = a.groupingExpressions.flatMap(_.references.map(_.name))
+          .distinct.mkString(", ")
+        out += s"unbounded collect_list/collect_set grouped by ($keys) over a " +
+          s"document-grain child: a hot key materializes its whole group in " +
+          s"ONE unspillable row (multi-GB at 100x scale). Bound the array " +
+          s"(graft.operators.TextDedup.boundedMembers splits each key's run " +
+          s"into capped slices via a rank) or wrap the collect in " +
+          s"slice(..., 1, k)."
       case w: Window if w.partitionSpec.isEmpty && !bounded(w.child, boundedCap) =>
         out += s"single-partition Window (no PARTITION BY) over an unbounded child: " +
           s"the whole input sorts on one task. Decompose the rank " +
@@ -154,7 +222,12 @@ case class PlanGuardRule(spark: org.apache.spark.sql.SparkSession)
         .get("spark.graft.guard.lowCardCols",
           PlanGuard.defaultLowCardCols.mkString(","))
         .split(",").map(_.trim).filter(_.nonEmpty).toSet
-      val found = PlanGuard.findings(plan, lowCardCols = lowCard)
+      val rowId = spark.conf
+        .get("spark.graft.guard.rowIdCols",
+          PlanGuard.defaultRowIdCols.mkString(","))
+        .split(",").map(_.trim).filter(_.nonEmpty).toSet
+      val found = PlanGuard.findings(plan, lowCardCols = lowCard,
+        rowIdCols = rowId)
       if (found.nonEmpty) {
         val msg = s"[graft.guard] scale-killer plan shape(s):\n - " + found.mkString("\n - ")
         if (mode == "strict") throw new PlanGuard.ScaleKillerException(msg)

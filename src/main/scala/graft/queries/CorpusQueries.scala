@@ -468,9 +468,13 @@ object CorpusQueries {
     * corpus size.
     */
   def rendezvousShards(spark: SparkSession, dir: String): DataFrame = {
-    def hrw(doc: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    def hrw(doc: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+      // the packed argmax reserves 3 bits for the shard id — k > 8 would
+      // silently alias shard ids instead of failing
+      require(k <= 8, s"hrw: packed argmax supports at most 8 shards, got $k")
       greatest((0 until k).map(s =>
         graft.functions.PortableHash.hash60Seeded(lit(s), doc) * 8 + s): _*) % 8
+    }
     DedupQueries.docs(spark, dir)
       .select(col("doc_id").cast(LongType).as("doc_id"))
       .withColumn("shard_old", hrw(col("doc_id"), 4).cast(LongType))
@@ -1926,30 +1930,50 @@ object CorpusQueries {
 
   // ---- Merkle corpus manifest --------------------------------------
 
-  /** Reproducibility manifest: per-shard content hash (md5 of per-doc
-    * md5 leaves concatenated in doc_id order) plus a root hash over the
-    * shard hashes (`shard = -1` row) — the artifact a training run pins
-    * so "same corpus" is checkable byte-for-byte later, and shard-level
-    * so a diff localizes to 1/S of the data. Shard count S=16 here;
-    * at 100 TB raise S (the per-shard ordered concat is the manifest's
-    * inherent sequential step — bound it by sharding finer, the same
-    * lever as [[Shuffle.globalOrderIndex]]'s buckets).
+  /** Reproducibility manifest as a TWO-LEVEL Merkle tree: per-shard
+    * content hash = md5 over the ordered md5s of bounded CHUNKS, each
+    * chunk = md5 over ≤1024 per-doc md5 leaves concatenated in doc_id
+    * order — plus a root hash over the shard hashes (`shard = -1`
+    * row). The artifact a training run pins so "same corpus" is
+    * checkable byte-for-byte later, shard-level so a diff localizes to
+    * 1/S of the data. The chunk level is the giant-row guard: a flat
+    * per-shard `collect_list` of leaves is one N/S-sized unspillable
+    * row (~20 GB per shard at 100 TB — the shape
+    * [[graft.plans.PlanGuard]] flags); chunking bounds level 1 at 1024
+    * leaves per row, and level 2 at N/(S·1024) 32-byte hashes per
+    * shard (~20 MB at 100 TB — add a third level or raise S/chunk
+    * size past that). `chunk = (doc_id div S) div 1024` is pure narrow
+    * compute: within a shard (`shard = doc_id % S`), `doc_id div S`
+    * order IS doc_id order, so chunks are deterministic, bounded, and
+    * order-preserving with no rank pass.
     */
   def corpusManifest(spark: SparkSession, dir: String): DataFrame = {
     val d = DedupQueries.docs(spark, dir)
       .select(col("doc_id").cast(LongType).as("doc_id"),
         (col("doc_id") % 16).cast(LongType).as("shard"),
+        expr("(CAST(doc_id AS BIGINT) div 16) div 1024").cast(LongType).as("chunk"),
         md5(col("text").cast("binary")).as("leaf"),
         octet_length(col("text")).cast(LongType).as("nb"))
-    // one shard-keyed shuffle; feeds the output AND the root aggregate
-    val shards = d.groupBy(col("shard")).agg(
+    // level 1: one (shard, chunk)-keyed shuffle, ≤1024 leaves per row
+    val chunks = d.groupBy(col("shard"), col("chunk")).agg(
         count(lit(1)).cast(LongType).as("n_docs"),
         sum(col("nb")).cast(LongType).as("n_bytes"),
         md5(array_join(transform(
           array_sort(collect_list(struct(col("doc_id"), col("leaf")))),
-          s => s("leaf")), "").cast("binary")).as("shard_hash"))
+          s => s("leaf")), "").cast("binary")).as("chunk_hash"))
+    // level 2: shard ⊂ (shard, chunk) so AQE coalesces without a new
+    // exchange; feeds the output AND the root aggregate
+    val shards = chunks.groupBy(col("shard")).agg(
+        sum(col("n_docs")).cast(LongType).as("n_docs"),
+        sum(col("n_bytes")).cast(LongType).as("n_bytes"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("chunk"), col("chunk_hash")))),
+          s => s("chunk_hash")), "").cast("binary")).as("shard_hash"))
       .localCheckpoint(true)
-    val root = shards.agg(
+    // limit(65536) is a no-op on S=16 rows; it gives the checkpointed
+    // frame (a LogicalRDD, no maxRows) a provable bound so the root
+    // collect_list is visibly shard-count-sized, to the plan guard too
+    val root = shards.limit(65536).agg(
         sum(col("n_docs")).cast(LongType).as("n_docs"),
         sum(col("n_bytes")).cast(LongType).as("n_bytes"),
         md5(array_join(transform(
@@ -1964,13 +1988,18 @@ object CorpusQueries {
   val corpusManifestOracle: String =
     """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
       |    CAST(doc_id % 16 AS BIGINT) AS shard,
+      |    (CAST(doc_id AS BIGINT) // 16) // 1024 AS chunk,
       |    md5(text) AS leaf,
       |    CAST(octet_length(encode(text)) AS BIGINT) AS nb
       |  FROM documents),
-      |shards AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |chunks AS (SELECT shard, chunk, CAST(count(*) AS BIGINT) AS n_docs,
       |    CAST(sum(nb) AS BIGINT) AS n_bytes,
-      |    md5(string_agg(leaf, '' ORDER BY doc_id)) AS shard_hash
-      |  FROM d GROUP BY shard)
+      |    md5(string_agg(leaf, '' ORDER BY doc_id)) AS chunk_hash
+      |  FROM d GROUP BY shard, chunk),
+      |shards AS (SELECT shard, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+      |    md5(string_agg(chunk_hash, '' ORDER BY chunk)) AS shard_hash
+      |  FROM chunks GROUP BY shard)
       |SELECT shard, n_docs, n_bytes, shard_hash FROM shards
       |UNION ALL
       |SELECT CAST(-1 AS BIGINT) AS shard,
@@ -2030,14 +2059,23 @@ object CorpusQueries {
   def manifestCheck(spark: SparkSession, dir: String): DataFrame = {
     val base = DedupQueries.docs(spark, dir)
       .select(col("doc_id").cast(LongType).as("doc_id"), col("text"))
+    // same two-level Merkle as [[corpusManifest]] (bounded chunk rows);
+    // dropped/edited docs keep their chunk assignment, so damage stays
+    // localized to the touched chunks' hashes
     def shardManifest(d: DataFrame): DataFrame =
       d.select(col("doc_id"), (col("doc_id") % 16).cast(LongType).as("shard"),
+          expr("(CAST(doc_id AS BIGINT) div 16) div 1024").cast(LongType).as("chunk"),
           md5(col("text").cast("binary")).as("leaf"))
-        .groupBy(col("shard"))
+        .groupBy(col("shard"), col("chunk"))
         .agg(count(lit(1)).cast(LongType).as("n_docs"),
           md5(array_join(transform(
             array_sort(collect_list(struct(col("doc_id"), col("leaf")))),
-            s => s("leaf")), "").cast("binary")).as("shard_hash"))
+            s => s("leaf")), "").cast("binary")).as("chunk_hash"))
+        .groupBy(col("shard"))
+        .agg(sum(col("n_docs")).cast(LongType).as("n_docs"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("chunk"), col("chunk_hash")))),
+            s => s("chunk_hash")), "").cast("binary")).as("shard_hash"))
     val stored = shardManifest(base)
       .select(col("shard"), col("n_docs").as("n_docs_stored"),
         col("shard_hash").as("hash_stored"))
@@ -2058,17 +2096,25 @@ object CorpusQueries {
 
   val manifestCheckOracle: String =
     """WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
-      |stored AS (SELECT CAST(doc_id % 16 AS BIGINT) AS shard,
-      |    CAST(count(*) AS BIGINT) AS n_docs_stored,
-      |    md5(string_agg(md5(text), '' ORDER BY doc_id)) AS hash_stored
-      |  FROM base GROUP BY 1),
+      |sc AS (SELECT (doc_id // 16) // 1024 AS chunk,
+      |    CAST(doc_id % 16 AS BIGINT) AS shard,
+      |    CAST(count(*) AS BIGINT) AS n_docs,
+      |    md5(string_agg(md5(text), '' ORDER BY doc_id)) AS chunk_hash
+      |  FROM base GROUP BY 1, 2),
+      |stored AS (SELECT shard, CAST(sum(n_docs) AS BIGINT) AS n_docs_stored,
+      |    md5(string_agg(chunk_hash, '' ORDER BY chunk)) AS hash_stored
+      |  FROM sc GROUP BY shard),
       |live0 AS (SELECT doc_id,
       |    CASE WHEN doc_id % 48 = 30 THEN text || ' updated' ELSE text END AS text
       |  FROM base WHERE doc_id % 144 <> 0),
-      |live AS (SELECT CAST(doc_id % 16 AS BIGINT) AS shard,
-      |    CAST(count(*) AS BIGINT) AS n_docs_live,
-      |    md5(string_agg(md5(text), '' ORDER BY doc_id)) AS hash_live
-      |  FROM live0 GROUP BY 1)
+      |lc AS (SELECT (doc_id // 16) // 1024 AS chunk,
+      |    CAST(doc_id % 16 AS BIGINT) AS shard,
+      |    CAST(count(*) AS BIGINT) AS n_docs,
+      |    md5(string_agg(md5(text), '' ORDER BY doc_id)) AS chunk_hash
+      |  FROM live0 GROUP BY 1, 2),
+      |live AS (SELECT shard, CAST(sum(n_docs) AS BIGINT) AS n_docs_live,
+      |    md5(string_agg(chunk_hash, '' ORDER BY chunk)) AS hash_live
+      |  FROM lc GROUP BY shard)
       |SELECT coalesce(stored.shard, live.shard) AS shard,
       |  CAST(coalesce(n_docs_stored, 0) AS BIGINT) AS n_docs_stored,
       |  CAST(coalesce(n_docs_live, 0) AS BIGINT) AS n_docs_live,

@@ -56,7 +56,56 @@ class PlanGuardSpec extends SparkSpec {
     assert(PlanGuard.findings(perDoc.queryExecution.optimizedPlan) === Nil)
   }
 
+  test("unbounded collect_list over doc-grain rows is flagged; bounded spellings stay silent") {
+    // the seeded bad shape (the r15 SetJoin finding class): bucket
+    // membership as one array per key — a hot bucket (a million-copy
+    // boilerplate doc in one LSH band) is a multi-GB unspillable row
+    val bad = docs
+      .select((col("doc_id") % 7).as("bucket"), col("doc_id"))
+      .groupBy(col("bucket"))
+      .agg(collect_list(col("doc_id")).as("members"))
+    assert(PlanGuard.findings(bad.queryExecution.optimizedPlan)
+      .exists(_.contains("unbounded collect_list")),
+      PlanGuard.findings(bad.queryExecution.optimizedPlan))
+    // collect_set is the same shape
+    val badSet = docs
+      .select(col("lang"), col("doc_id"))
+      .groupBy(col("lang"))
+      .agg(collect_set(col("doc_id")).as("members"))
+    assert(PlanGuard.findings(badSet.queryExecution.optimizedPlan)
+      .exists(_.contains("unbounded collect_list/collect_set")))
+    // quiet 1: grouping by a per-row identity column — the array is
+    // bounded by per-row content (the lines of one document)
+    val perDoc = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("t")).as("toks"))
+    assert(PlanGuard.findings(perDoc.queryExecution.optimizedPlan) === Nil)
+    // quiet 2: the slice-bounded spelling — the array is capped before
+    // it leaves the aggregate
+    val sliced = docs
+      .select((col("doc_id") % 7).as("bucket"), col("doc_id"))
+      .groupBy(col("bucket"))
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, 16).as("head"))
+    assert(PlanGuard.findings(sliced.queryExecution.optimizedPlan) === Nil)
+    // quiet 3: the engine's own giant-cluster guard — boundedMembers
+    // splits each key's run into capped slices via a rank, so its
+    // collect sits under a Window (prior structure, not doc-grain)
+    val safe = graft.operators.TextDedup.boundedMembers(
+      docs.select((col("doc_id") % 7).as("bucket"),
+        col("doc_id").cast("long").as("id")),
+      Seq("bucket"), groupSize = 64)
+    assert(PlanGuard.findings(safe.queryExecution.optimizedPlan) === Nil)
+    // quiet 4: group-grain child — a collect over an aggregate's output
+    // is group-count-sized, not corpus-sized
+    val overAgg = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .groupBy(lit(1).as("one"))
+      .agg(collect_list(struct(col("lang"), col("n"))).as("rows"))
+    assert(PlanGuard.findings(overAgg.queryExecution.optimizedPlan) === Nil)
+  }
+
   test("k-means cluster windows are caught: the old protoPrune spelling flags, the groupedRank spelling is quiet") {
+    import org.apache.spark.sql.SaveMode
     import org.apache.spark.sql.SaveMode
     // the round-15 bug shape: `cluster` is a k-means id (<= k values by
     // construction), so ranking a corpus-grain frame inside a
