@@ -139,10 +139,24 @@ object Bench {
     // so the RECORDED per-round bench measures code, not box load; set
     // 1 for quick local passes.
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3).max(1)
+    // Documented same-code oscillators (BASELINE.md "Oscillator root
+    // cause"): their min-of-3 lands wherever the JIT got to — the
+    // OscProbe series shows rep01 2-7x steady state with convergence
+    // over ~10 executions (C2 compilation of the generated whole-stage
+    // classes), so board-to-board spread on these is JIT order, not
+    // code. A raised rep floor reaches deep enough into the plateau
+    // that min-of-k is stable across boards. Override with
+    // SPARK_GRAFT_OSC_REPS (0 disables).
+    val oscReps = sys.env.get("SPARK_GRAFT_OSC_REPS").map(_.toInt).getOrElse(8)
+    val oscillators = Set("x_ngram_jaccard", "x_vocab_coverage",
+      "x_vocab_growth", "x_trigram_search", "x_trigram_glob",
+      "x_trigram_like", "x_fts_highlight", "x_quality_calibrated",
+      "x_cms_freq", "x_ann_topk")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      val qReps = if (oscillators(name)) reps.max(oscReps) else reps
+      val times = (1 to qReps).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>
