@@ -161,7 +161,20 @@ object DateParse {
       new Locale("az")) ++
       Seq("hi", "bn", "ta", "te", "ml", "kn", "mr", "gu", "pa", "ne",
         "si", "ur", "ka", "hy", "be", "bs", "kk", "ky", "uz", "af",
-        "sw", "fil", "eu", "cy", "ga", "mt", "am", "th")
+        "sw", "fil", "eu", "cy", "ga", "mt", "am", "th").map(Locale.forLanguageTag) ++
+      // Tier 4 (r17): the next ~22 by CSV frequency — SE Asia (Burmese/
+      // Khmer/Lao script month names), Mongolian, the African tail
+      // (Zulu/Yoruba/Igbo/Hausa/Somali/Kinyarwanda/Malagasy), the
+      // European microlanguages (Faroese/Luxembourgish/Frisian/Scottish
+      // Gaelic/Breton), Central Asia (Tajik/Turkmen/Tatar), Pashto, and
+      // Assamese/Odia. All verified present in the JDK's CLDR (no root
+      // fallback). Hausa's SHORT May is literally "May" — covered by
+      // the englishKeys exclusion below, which keeps the documented
+      // "English is deliberately absent" invariant true by construction
+      // as tiers grow.
+      Seq("my", "km", "lo", "mn", "zu", "yo", "ig", "ha", "so", "rw",
+        "mg", "fo", "lb", "fy", "gd", "br", "tg", "tk", "tt", "ps",
+        "as", "or")
         .map(Locale.forLanguageTag)
     val styles = Seq(TextStyle.FULL, TextStyle.FULL_STANDALONE,
       TextStyle.SHORT, TextStyle.SHORT_STANDALONE)
@@ -177,9 +190,14 @@ object DateParse {
     // and the ambiguous set is exposed for tests as
     // [[ambiguousMonthTokens]].
     val ambiguous = scala.collection.mutable.LinkedHashSet.empty[String]
+    // every English month form, excluded from the table no matter which
+    // locale produces it (Hausa's SHORT May IS "May") — the US chain's
+    // fallbackFormats own all English shapes
+    val englishKeys: Set[String] = (for (m <- Month.values(); st <- styles)
+      yield normalizeToken(m.getDisplayName(st, Locale.ENGLISH))).toSet
     for (l <- locales; m <- Month.values(); st <- styles) {
       val k = normalizeToken(m.getDisplayName(st, l))
-      if (k.nonEmpty && k.exists(_.isLetter)) out.get(k) match {
+      if (k.nonEmpty && k.exists(_.isLetter) && !englishKeys(k)) out.get(k) match {
         case None => if (!ambiguous.contains(k)) out(k) = m.getValue
         case Some(v) => if (v != m.getValue) { ambiguous += k; out.remove(k) }
       }

@@ -39,8 +39,16 @@ import org.apache.spark.sql.functions._
   *    1/sqrt(64) ≈ 0.125 expected magnitude), so copies contribute
   *    10x genuinely distinct vectors instead of 10 exact clones.
   *
-  * Usage: `sbt "runMain graft.tools.MakeSf1 [outDir]"`
-  * (default target/sf1 — inside the repo, gitignored).
+  * Usage: `sbt "runMain graft.tools.MakeSf1 [outDir] [copies] [tables]"`
+  * (default target/sf1, 10 copies, all tables — inside the repo,
+  * gitignored). `copies` up to 100 (sf10): the marker alphabet stays a
+  * bijection at any copy count — two markers `q{i}z`/`q{j}z` of equal
+  * length force i = j, and unequal lengths would align the shorter's
+  * 'q' against a digit of the longer, so no two copies' vocabularies
+  * can collide (the compositional extension of the r12 argument).
+  * `tables` (comma-separated) restricts synthesis to the named tables,
+  * e.g. `documents,embeddings` for a corpus-queries-only sf10 without
+  * writing 60M lineitem rows.
   */
 object MakeSf1 {
   val Copies = 10
@@ -125,6 +133,12 @@ object MakeSf1 {
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("target/sf1")
+    val copies = args.lift(1).map(_.toInt).getOrElse(Copies)
+    require(copies >= 1 && copies <= 100, s"copies in [1,100], got $copies")
+    val wanted: String => Boolean = args.lift(2) match {
+      case Some(ts) => ts.split(",").map(_.trim).toSet
+      case None => _ => true
+    }
     val src = "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -149,23 +163,28 @@ object MakeSf1 {
     val docS = strideOf(load("documents"), "doc_id")
     val vecS = strideOf(load("embeddings"), "vec_id")
 
-    /** 10 copies with the listed long columns shifted by i*stride each. */
+    /** `copies` copies with the listed long columns shifted by i*stride
+      * each; skipped when the table is not in the requested subset.
+      */
     def blow(t: String, shifts: (String, Long)*)(extra: (DataFrame, Int) => DataFrame = (d, _) => d): Unit = {
+      if (!wanted(t)) return
       val base = load(t)
-      val copies = (0 until Copies).map { i =>
+      val all = (0 until copies).map { i =>
         val shifted = shifts.foldLeft(base) { case (d, (c, s)) =>
           d.withColumn(c, (col(c).cast("long") + lit(i * s)).cast(base.schema(c).dataType))
         }
         extra(shifted, i)
       }
-      copies.reduce(_ unionAll _)
+      all.reduce(_ unionAll _)
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[sf1] $t done")
     }
 
     // fixed-domain dims: verbatim (their keys are referenced by value)
-    load("region").write.mode("overwrite").parquet(s"$out/region.parquet")
-    load("nation").write.mode("overwrite").parquet(s"$out/nation.parquet")
+    if (wanted("region"))
+      load("region").write.mode("overwrite").parquet(s"$out/region.parquet")
+    if (wanted("nation"))
+      load("nation").write.mode("overwrite").parquet(s"$out/nation.parquet")
     blow("customer", "c_custkey" -> custS)()
     blow("supplier", "s_suppkey" -> suppS)()
     blow("part", "p_partkey" -> partS)()

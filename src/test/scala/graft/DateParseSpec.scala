@@ -255,6 +255,44 @@ class DateParseSpec extends AnyFunSuite {
       assert(DateParse.parseDateIso(in) === want, s"input: '$in'")
   }
 
+  test("multilingual goldens: round-17 tier-4 languages") {
+    // Exact JDK-CLDR FULL (format-context) month names probed on this
+    // JDK. Mongolian ("нэгдүгээр сар"), Somali ("Bisha Koobaad"), and
+    // Yoruba emit MULTI-TOKEN month names — dead keys for a
+    // single-token scanner, deliberately not goldened; Scottish Gaelic
+    // goldens via its single-token SHORT form.
+    val goldens = Seq(
+      "3 ဇန်နဝါရီ 2017" -> "2017-01-03", // my
+      "3 មករា 2017" -> "2017-01-03",                 // km
+      "3 ມັງກອນ 2017" -> "2017-01-03",       // lo
+      "3 Januwari 2017" -> "2017-01-03",                             // zu
+      "3 Jenụwarị 2017" -> "2017-01-03",                         // ig
+      "3 Janairu 2017" -> "2017-01-03",                              // ha
+      "3 Mutarama 2017" -> "2017-01-03",                             // rw
+      "3 Janoary 2017" -> "2017-01-03",                              // mg
+      "3. januar 2017" -> "2017-01-03",                              // fo (= da/nb)
+      "3 Jannewaris 2017" -> "2017-01-03",                           // fy
+      "3 Faoi 2017" -> "2017-01-03",                                 // gd SHORT
+      "3 Genver 2017" -> "2017-01-03",                               // br
+      "3 Январ 2017" -> "2017-01-03",                    // tg
+      "3 ýanwar 2017" -> "2017-01-03",                               // tk
+      "3 гыйнвар 2017" -> "2017-01-03",               // tt
+      "3 جنوري 2017" -> "2017-01-03",                           // ps
+      "3 জানুৱাৰী 2017" -> "2017-01-03",   // as
+      "3 ଜାନୁଆରୀ 2017" -> "2017-01-03",       // or
+      // May forms that differ across the tier (agree where they collide)
+      "3 Mayu 2017" -> "2017-05-03",                                 // ha
+      "3 Mee 2017" -> "2017-05-03",                                  // ig/lb (agree)
+      "3 Maaie 2017" -> "2017-05-03"                                 // fy
+    )
+    for ((in, want) <- goldens)
+      assert(DateParse.parseDateIso(in) === want, s"input: '$in'")
+    // the English exclusion: Hausa's SHORT May is literally "May" — it
+    // must NOT enter the month table (fallbackFormats own English);
+    // "3 May 2017" still parses via the US chain
+    assert(DateParse.parseDateIso("3 May 2017") === "2017-05-03")
+  }
+
   test("thai dates: Buddhist-era year converts, CE year passes through") {
     // มกราคม = January; 2560 BE = 2017 CE (dateparser converts BE for th)
     assert(DateParse.parseDateIso(
