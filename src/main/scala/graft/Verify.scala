@@ -25,7 +25,11 @@ object Verify {
     // queries); the driver never sets it, so the gate stays complete.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     def keep(name: String): Boolean = only.forall(_.contains(name))
-    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
+    // SPARK_GRAFT_JSON_ONLY=1 skips the query dump and just (re)writes
+    // oracle_sql.json — for re-running a DuckDB compare against
+    // existing parquet outputs after an oracle-only change
+    val jsonOnly = sys.env.get("SPARK_GRAFT_JSON_ONLY").contains("1")
+    SparkEntry.queries.filter(kv => !jsonOnly && keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -257,19 +257,17 @@ object DedupQueries {
   }
 
   val dedupClustersOracle: String = {
-    // exact CC via recursive label reachability (UNION-deduped
-    // fixpoint), over the same scored pairs the Spark side propagates on
-    val ctes = minhashPairsCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")
-    s"""$ctes,
+    // exact CC via unrolled min-label propagation + pointer jumping
+    // (DuckSql.ccLabelCtes — the recursive-reach spelling is K² state
+    // on a hot cluster; see the helper's doc), over the same scored
+    // pairs the Spark side propagates on
+    s"""$minhashPairsCtes,
        |good AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
        |edges AS (SELECT id_a AS src, id_b AS dst FROM good
        |  UNION ALL SELECT id_b, id_a FROM good),
-       |reach(id, label) AS (
-       |  SELECT doc_id, doc_id FROM corpus
-       |  UNION
-       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
-       |SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
-       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+       |${DuckSql.ccLabelCtes("SELECT doc_id AS id FROM corpus")}
+       |SELECT CAST(id AS BIGINT) AS doc_id, CAST(cluster_id AS BIGINT) AS cluster_id
+       |FROM labels ORDER BY doc_id""".stripMargin
   }
 
   /** Dedup observability: the cluster-SIZE histogram of the near-dup
@@ -293,16 +291,11 @@ object DedupQueries {
   }
 
   val dedupClusterSizesOracle: String = {
-    val ctes = minhashPairsCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")
-    s"""$ctes,
+    s"""$minhashPairsCtes,
        |good AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
        |edges AS (SELECT id_a AS src, id_b AS dst FROM good
        |  UNION ALL SELECT id_b, id_a FROM good),
-       |reach(id, label) AS (
-       |  SELECT doc_id, doc_id FROM corpus
-       |  UNION
-       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
-       |labels AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+       |${DuckSql.ccLabelCtes("SELECT doc_id AS id FROM corpus")},
        |sizes AS (SELECT cluster_id, count(*) AS sz FROM labels GROUP BY cluster_id)
        |SELECT CAST(sz AS BIGINT) AS cluster_size,
        |  CAST(count(*) AS BIGINT) AS n_clusters,
@@ -327,17 +320,12 @@ object DedupQueries {
   }
 
   val dedupKeepBestOracle: String = {
-    val ctes = minhashPairsCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")
     val ws = """CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT)"""
-    s"""$ctes,
+    s"""$minhashPairsCtes,
        |good AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
        |edges AS (SELECT id_a AS src, id_b AS dst FROM good
        |  UNION ALL SELECT id_b, id_a FROM good),
-       |reach(id, label) AS (
-       |  SELECT doc_id, doc_id FROM corpus
-       |  UNION
-       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
-       |labels AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+       |${DuckSql.ccLabelCtes("SELECT doc_id AS id FROM corpus")},
        |q AS (SELECT doc_id, $ws AS quality FROM corpus)
        |SELECT CAST(labels.id AS BIGINT) AS doc_id,
        |  CAST(labels.cluster_id AS BIGINT) AS cluster_id,
@@ -576,17 +564,12 @@ object DedupQueries {
   }
 
   val dedupSavingsOracle: String = {
-    val ctes = minhashPairsCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")
     val ws = """CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT)"""
-    s"""$ctes,
+    s"""$minhashPairsCtes,
        |good AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
        |edges AS (SELECT id_a AS src, id_b AS dst FROM good
        |  UNION ALL SELECT id_b, id_a FROM good),
-       |reach(id, label) AS (
-       |  SELECT doc_id, doc_id FROM corpus
-       |  UNION
-       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
-       |labels AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+       |${DuckSql.ccLabelCtes("SELECT doc_id AS id FROM corpus")},
        |toks AS (SELECT doc_id, $ws AS ws FROM corpus),
        |j AS (SELECT labels.id, labels.cluster_id, toks.ws
        |  FROM labels JOIN toks ON toks.doc_id = labels.id)
@@ -753,16 +736,11 @@ object DedupQueries {
   }
 
   val dedupManifestOracle: String = {
-    val ctes = minhashPairsCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")
-    s"""$ctes,
+    s"""$minhashPairsCtes,
        |good AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
        |edges AS (SELECT id_a AS src, id_b AS dst FROM good
        |  UNION ALL SELECT id_b, id_a FROM good),
-       |reach(id, label) AS (
-       |  SELECT doc_id, doc_id FROM corpus
-       |  UNION
-       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
-       |labels AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
+       |${DuckSql.ccLabelCtes("SELECT doc_id AS id FROM corpus")}
        |SELECT CAST(cluster_id AS BIGINT) AS keep_id,
        |  CAST(count(*) AS BIGINT) AS n_removed,
        |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS removed_ids
@@ -1749,13 +1727,18 @@ object DedupQueries {
   val containmentPairsOracle: String = {
     val sh = DuckSql.shinglesFromTokens(DuckSql.tokens("text"), 8)
     val h = DuckSql.hash60("x")
+    // candidates replay the engine's capped posting buckets
+    // (TextDedup.bucketedPairs over the h key, cap 256) — the naive
+    // full posting self-join diverges exactly when a hot posting list
+    // engages the cap (found by the skew-torture gate: 4.5M naive pairs
+    // vs the engine's 431k capped ones on the boilerplate cluster)
     s"""WITH corpus AS ($corpusNearSql),
        |s AS (SELECT CAST(doc_id AS BIGINT) AS id,
        |    list_distinct(list_transform($sh, x -> $h)) AS ss
        |  FROM corpus),
        |ex AS (SELECT id, unnest(ss) AS h FROM s),
-       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-       |  FROM ex a JOIN ex b ON a.h = b.h AND a.id < b.id),
+       |${DuckSql.cappedPairsCtes("candraw", "ex", Seq("h"))},
+       |cand AS (SELECT DISTINCT id_a, id_b FROM candraw),
        |v AS (SELECT id_a, id_b,
        |    CAST(len(list_intersect(sa.ss, sb.ss)) AS BIGINT) AS n_shared,
        |    CAST(len(sa.ss) AS BIGINT) AS na, CAST(len(sb.ss) AS BIGINT) AS nb
@@ -1769,12 +1752,15 @@ object DedupQueries {
   }
 
   val winnowPairsOracle: String =
+    // per-fp buckets replay the engine's cap (Winnow.sharedPairs →
+    // TextDedup.bucketedPairs, cap 256); the shared count is over
+    // capped pair OCCURRENCES (one per fp bucket that emits the pair,
+    // chain links included), exactly the engine's groupBy-count
     s"""WITH ${winnowFpSql("SELECT doc_id, text FROM documents")},
-       |dfp AS (SELECT DISTINCT doc_id, fp FROM fps)
-       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |  CAST(count(*) AS BIGINT) AS shared
-       |FROM dfp a JOIN dfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
-       |GROUP BY 1, 2 HAVING count(*) >= 6
+       |dfp AS (SELECT DISTINCT doc_id AS id, fp FROM fps),
+       |${DuckSql.cappedPairsCtes("wp", "dfp", Seq("fp"))}
+       |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS shared
+       |FROM wp GROUP BY 1, 2 HAVING count(*) >= 6
        |ORDER BY id_a, id_b""".stripMargin
 
   // ---- soft dedup: repetition down-weighting -----------------------

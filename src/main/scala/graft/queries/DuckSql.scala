@@ -75,6 +75,59 @@ object DuckSql {
        |    ON $eq AND a.r % $cap = 0 AND b.r = a.r + $cap)""".stripMargin
   }
 
+  /** Exact connected-components labels as UNROLLED min-label
+    * propagation with pointer jumping — the skew-robust replacement for
+    * the `WITH RECURSIVE reach(id, label)` spelling, whose state is
+    * (node, label) for EVERY label in the component: on a K-node
+    * near-clique (the skew corpus's 3000-copy boilerplate cluster) that
+    * is K² rows joined against degree ~K edges per iteration — billions
+    * of intermediate rows, hours in DuckDB. This spelling carries ONE
+    * label per node; each round takes the min over (self, neighbors'
+    * labels, label-of-label). The jump step compresses label chains so
+    * convergence is far under `rounds` for any real diameter; a final
+    * delta check POISONS the labels (a VARCHAR→BIGINT cast error, loud
+    * in the harness) if the fixpoint was not reached, so a
+    * pathological corpus fails the gate instead of silently
+    * mislabeling.
+    *
+    * Expects an `edges(src, dst)` CTE (both directions) in scope;
+    * `nodesSql` must select one column `id`. Emits CTEs ending in
+    * `labels(id, cluster_id)` — `cluster_id` = min id in the component,
+    * the same contract as `graft.operators.TextDedup.dedupClusters`.
+    */
+  def ccLabelCtes(nodesSql: String, rounds: Int = 12): String = {
+    val sb = new StringBuilder
+    // AS MATERIALIZED is load-bearing: each round references the prior
+    // one three times, and DuckDB's default CTE inlining re-evaluates
+    // the whole chain per reference — exponential work and fd
+    // exhaustion by round 12
+    sb.append(s"cc0 AS MATERIALIZED (SELECT id, id AS lbl FROM ($nodesSql) ccn),")
+    // edges chains back into the caller's full candidate pipeline —
+    // materialize once, not once per round
+    sb.append("\nccedges AS MATERIALIZED (SELECT src, dst FROM edges)")
+    for (k <- 1 to rounds) {
+      val p = s"cc${k - 1}"
+      sb.append(s""",
+         |ccnb$k AS (SELECT e.dst AS id, min(c.lbl) AS nl
+         |  FROM ccedges e JOIN $p c ON c.id = e.src GROUP BY e.dst),
+         |ccjp$k AS (SELECT c.id, c2.lbl AS jl
+         |  FROM $p c JOIN $p c2 ON c2.id = c.lbl),
+         |cc$k AS MATERIALIZED (SELECT c.id,
+         |    least(c.lbl, coalesce(n.nl, c.lbl), coalesce(j.jl, c.lbl)) AS lbl
+         |  FROM $p c
+         |  LEFT JOIN ccnb$k n ON n.id = c.id
+         |  LEFT JOIN ccjp$k j ON j.id = c.id)""".stripMargin)
+    }
+    sb.append(s""",
+       |ccdelta AS (SELECT count(*) AS n FROM cc$rounds a
+       |  JOIN cc${rounds - 1} b ON b.id = a.id WHERE a.lbl <> b.lbl),
+       |labels AS (SELECT id,
+       |    CASE WHEN (SELECT n FROM ccdelta) = 0 THEN lbl
+       |         ELSE CAST('cc-not-converged' AS BIGINT) END AS cluster_id
+       |  FROM cc$rounds)""".stripMargin)
+    sb.toString
+  }
+
   /** Twin of [[graft.operators.TextDedup.shingles]] given a token-list
     * expression.
     */

@@ -407,21 +407,18 @@ object SimilarityQueries {
       .orderBy("vec_id")
 
   val semDedupOracle: String =
-    s"""WITH RECURSIVE $quantCte,
+    s"""WITH $quantCte,
        |${DuckSql.cappedPairsCtes("cand", "n", Seq("cluster"))},
        |pairs AS (SELECT c.id_a, c.id_b
        |  FROM cand c JOIN n a ON a.id = c.id_a JOIN n b ON b.id = c.id_b
        |  WHERE ${duckCos(duckDot("a.qv", "b.qv"), "a.n2", "b.n2")} >= 0.3),
        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
        |  UNION ALL SELECT id_b, id_a FROM pairs),
-       |reach(id, label) AS (
-       |  SELECT id, id FROM n
-       |  UNION
-       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
+       |${DuckSql.ccLabelCtes("SELECT id FROM n")}
        |SELECT CAST(id AS BIGINT) AS vec_id,
-       |  CAST(min(label) AS BIGINT) AS keeper_id,
-       |  CAST(CASE WHEN id <> min(label) THEN 1 ELSE 0 END AS BIGINT) AS is_dup
-       |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin
+       |  CAST(cluster_id AS BIGINT) AS keeper_id,
+       |  CAST(CASE WHEN id <> cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+       |FROM labels ORDER BY vec_id""".stripMargin
 
   /** D4 selection (Tirumala et al., "D4: Improving LLM Pretraining via
     * Document De-Duplication and Diversification", 2023): SemDeDup
@@ -501,19 +498,15 @@ object SimilarityQueries {
     val protoCm = "CAST(round(CAST(" + duckDot("a.qv", "cv") +
       " AS DOUBLE) * 1000000 / (sqrt(CAST(a.n2 AS DOUBLE)) * " +
       "sqrt(CAST(cn2 AS DOUBLE)))) AS BIGINT)"
-    s"""WITH RECURSIVE $quantCte,
+    s"""WITH $quantCte,
        |${DuckSql.cappedPairsCtes("cand", "n", Seq("cluster"))},
        |pairs AS (SELECT c.id_a, c.id_b
        |  FROM cand c JOIN n a ON a.id = c.id_a JOIN n b ON b.id = c.id_b
        |  WHERE ${duckCos(duckDot("a.qv", "b.qv"), "a.n2", "b.n2")} >= 0.3),
        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
        |  UNION ALL SELECT id_b, id_a FROM pairs),
-       |reach(id, label) AS (
-       |  SELECT id, id FROM n
-       |  UNION
-       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
-       |sd AS (SELECT id, CAST(min(label) AS BIGINT) AS keeper
-       |  FROM reach GROUP BY id),
+       |${DuckSql.ccLabelCtes("SELECT id FROM n")},
+       |sd AS (SELECT id, CAST(cluster_id AS BIGINT) AS keeper FROM labels),
        |ns AS (SELECT n.id, n.qv, n.n2 FROM n
        |  JOIN sd ON sd.id = n.id AND sd.keeper = n.id),
        |${kmeansCtesOver("ns")},
