@@ -403,15 +403,20 @@ object SetJoin {
     val thresholdPpm = tNum * 1000000L / tDen
     val sets = df.select(col(idCol).cast(LongType).as("id"),
       TextDedup.shingleHashes(col(textCol), w).as("sset"))
-      .localCheckpoint(true) // feeds bucket build + both verification joins
+      .localCheckpoint(true) // feeds the collapse + both verification joins
+    // identical-set pre-collapse (the skew-round contract shared with
+    // the minhash family): posting buckets and containment verification
+    // run over one REPRESENTATIVE per distinct set; same-content copies
+    // emit identity star pairs (containment 1.0/1.0 by definition)
+    val (members, reps) = TextDedup.collapseIdenticalSets(sets)
     // bounded member rows (TextDedup.bucketedPairs): same pair set as
     // the one-row-per-bucket spelling, but no O(|bucket|) array row
     val cand = TextDedup.bucketedPairs(
-        sets.select(col("id"), explode(col("sset")).as("h")), Seq("h"), maxBucket)
+        reps.select(col("id"), explode(col("sset")).as("h")), Seq("h"), maxBucket)
       .dropDuplicates("id_a", "id_b")
-    cand
-      .join(sets.select(col("id").as("id_a"), col("sset").as("sa")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("sset").as("sb")), Seq("id_b"))
+    val repPairs = cand
+      .join(reps.select(col("id").as("id_a"), col("sset").as("sa")), Seq("id_a"))
+      .join(reps.select(col("id").as("id_b"), col("sset").as("sb")), Seq("id_b"))
       .withColumn("n_shared", size(array_intersect(col("sa"), col("sb"))).cast(LongType))
       .withColumn("na", size(col("sa")).cast(LongType))
       .withColumn("nb", size(col("sb")).cast(LongType))
@@ -420,5 +425,13 @@ object SetJoin {
       .filter(greatest(col("cont_a_ppm"), col("cont_b_ppm")) >= lit(thresholdPpm))
       .select(col("id_a"), col("id_b"), col("n_shared"),
         col("cont_a_ppm"), col("cont_b_ppm"))
+    repPairs.unionByName(
+      TextDedup.identityStarPairs(members)
+        .join(reps.select(col("id").as("id_a"), size(col("sset")).cast(LongType).as("n_shared")),
+          Seq("id_a"))
+        .withColumn("cont_a_ppm", lit(1000000L))
+        .withColumn("cont_b_ppm", lit(1000000L))
+        .select(col("id_a"), col("id_b"), col("n_shared"),
+          col("cont_a_ppm"), col("cont_b_ppm")))
   }
 }

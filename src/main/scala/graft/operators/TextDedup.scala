@@ -272,9 +272,53 @@ object TextDedup {
     concat(within, chain)
   }
 
+  /** Identical-set pre-collapse for the approximate-pair family — the
+    * [[graft.operators.SetJoin.collapsedPrefixBuildFromSets]] idiom
+    * applied to LSH/simhash candidates: `(id, sset)` rows collapse to
+    * one REPRESENTATIVE (min id) per distinct sorted set, so
+    * signatures, band keys, and Jaccard verification run once per
+    * distinct CONTENT instead of once per copy. On the skew corpus's
+    * 2500-copy boilerplate cluster that is the difference between 3M
+    * capped candidate verifications and a handful (measured 8-10x on
+    * the whole minhash dedup family). Returns `(members(rid, id),
+    * reps(id, sset))` — reps' sset is the SORTED canonical array
+    * (order-invariant for minhash and Jaccard). The rid aggregate is
+    * map-side combined; a million-copy group combines per input
+    * partition before the shuffle.
+    */
+  private[graft] def collapseIdenticalSets(
+      sets: DataFrame): (DataFrame, DataFrame) = {
+    val canon = sets.select(col("id"), array_sort(col("sset")).as("sset0"))
+      .localCheckpoint(true) // feeds the rid aggregate AND the join-back
+    val rids = canon.groupBy(col("sset0")).agg(min(col("id")).as("rid"))
+      .localCheckpoint(true) // feeds members AND reps
+    val members = canon.join(rids, Seq("sset0")).select(col("rid"), col("id"))
+    val reps = rids.select(col("rid").as("id"), col("sset0").as("sset"))
+    (members, reps)
+  }
+
+  /** Identity STAR pairs of a collapse: (rid, member) for every
+    * non-representative member — |group|-1 flat rows per group,
+    * diameter-2 connectivity, no window, no array. The scalable
+    * within-group emission (all C(g,2) pairs of a million-copy group
+    * are output-quadratic; connectivity is what cluster consumers
+    * need, and same-content similarity is 1 by definition).
+    */
+  private[graft] def identityStarPairs(members: DataFrame): DataFrame =
+    members.filter(col("id") =!= col("rid"))
+      .select(col("rid").as("id_a"), col("id").as("id_b"))
+
   /** Candidate pairs sharing >= 1 LSH band, verified with exact Jaccard
     * over distinct shingle-hash sets. Returns (id_a, id_b, jaccard) with
     * id_a < id_b, one row per pair.
+    *
+    * Emission contract (since the skew round): pairs of DISTINCT
+    * contents come from capped band buckets over the identical-set
+    * REPRESENTATIVES, verified rep-to-rep (identical to any member
+    * pair's Jaccard); same-content copies contribute their identity
+    * STAR pairs (jaccard = 1.0) instead of capped member pairs. The
+    * pair set is connectivity-equivalent for cluster consumers and
+    * no longer grows with copy counts.
     */
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
@@ -305,21 +349,24 @@ object TextDedup {
       sets: DataFrame, numPerms: Int = 16, r: Int = 2,
       jaccardThreshold: Double = 0.5,
       maxBucket: Int = 256): DataFrame = {
-    val withSig = sets.withColumn("sig", minhashSignatureFromHashes(col("sset"), numPerms))
+    val (members, reps) = collapseIdenticalSets(sets)
+    val withSig = reps.withColumn("sig", minhashSignatureFromHashes(col("sset"), numPerms))
     val bands = withSig.select(col("id"),
       explode(lshBands(col("sig"), numPerms, r)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.sig").as("bsig"))
     val cand = bucketedPairs(bands, Seq("band", "bsig"), maxBucket)
       .dropDuplicates("id_a", "id_b")
-    cand
-      .join(sets.select(col("id").as("id_a"), col("sset").as("sh_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("sset").as("sh_b")), Seq("id_b"))
+    val repPairs = cand
+      .join(reps.select(col("id").as("id_a"), col("sset").as("sh_a")), Seq("id_a"))
+      .join(reps.select(col("id").as("id_b"), col("sset").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
       .withColumn("uni",
         (size(col("sh_a")) + size(col("sh_b"))).cast(DoubleType) - col("inter"))
       .withColumn("jaccard", round(col("inter") / col("uni"), 6))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    repPairs.unionByName(
+      identityStarPairs(members).withColumn("jaccard", lit(1.0)))
   }
 
   /** b-bit minhash Jaccard estimation (Li & König, "b-Bit Minwise
@@ -347,7 +394,12 @@ object TextDedup {
       sets: DataFrame, bandPerms: Int = 16, bitPerms: Int = 60,
       r: Int = 2, maxBucket: Int = 256): DataFrame = {
     require(bitPerms >= 1 && bitPerms <= 62, "bit perms must pack into a positive BIGINT")
-    val prepared = sets
+    // estimator-quality readout: identical contents carry zero
+    // information (err = 0 by construction), so candidates run over the
+    // identical-set representatives only — same collapse as
+    // [[minhashPairsFromSets]], no identity rows emitted
+    val (_, reps) = collapseIdenticalSets(sets)
+    val prepared = reps
       .withColumn("sig", minhashSignatureFromHashes(col("sset"), bandPerms))
       .withColumn("__sigb", minhashSignatureFromHashes(col("sset"), bitPerms))
       .withColumn("sigbits", expr(
@@ -785,24 +837,37 @@ object TextDedup {
       df.select(col(idCol).cast(LongType).as("id"), col(textCol)), textCol)
       .select(col("id"), col("sim"))
       .localCheckpoint(true)
+    // identical-FINGERPRINT pre-collapse (the minhash collapse's
+    // hamming-space twin): hamming depends only on the sims, so docs
+    // sharing a fingerprint collapse to the min-id representative —
+    // chunk buckets hold one entry per distinct sim, and same-sim
+    // copies emit identity STAR pairs (hamming 0) instead of flooding
+    // every chunk bucket (a 2500-copy boilerplate cluster made all 4
+    // chunk buckets hot on the skew corpus)
+    val rids = withSim.groupBy(col("sim")).agg(min(col("id")).as("rid"))
+      .localCheckpoint(true) // feeds members AND the rep bucket build
+    val members = withSim.join(rids, Seq("sim")).select(col("rid"), col("id"))
+    val reps = rids.select(col("rid").as("id"), col("sim"))
     val chunkKeys = (0 until 4).map { i =>
       struct(lit(i).as("chunk"),
         shiftright(col("sim"), 15 * i).bitwiseAND(lit(0x7FFFL)).as("ckey"))
     }
     val pairs = bucketedPairs(
-      withSim
+      reps
         .select(col("id"), explode(array(chunkKeys: _*)).as("c"))
         .select(col("id"), col("c.chunk").as("chunk"), col("c.ckey").as("ckey")),
       Seq("chunk", "ckey"), maxBucket)
       // pairs sharing several chunks duplicate — dedup BEFORE the sim
       // joins so each pair is scored once
       .dropDuplicates("id_a", "id_b")
-    pairs
-      .join(withSim.select(col("id").as("id_a"), col("sim").as("sim_a")), Seq("id_a"))
-      .join(withSim.select(col("id").as("id_b"), col("sim").as("sim_b")), Seq("id_b"))
+    val repPairs = pairs
+      .join(reps.select(col("id").as("id_a"), col("sim").as("sim_a")), Seq("id_a"))
+      .join(reps.select(col("id").as("id_b"), col("sim").as("sim_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast(LongType).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+    repPairs.unionByName(
+      identityStarPairs(members).withColumn("hamming", lit(0L)))
   }
 
   /** Duplicated n-gram mass — the EXACT-SUBSTRING dedup readout (Lee

@@ -133,12 +133,22 @@ object DedupQueries {
   /** The shared CTE chain ending in `scored(id_a, id_b, jaccard)` —
     * used by both the pairs oracle and the clusters oracle.
     */
+  /** The shared minhash-LSH CTE chain. Since the skew round it replays
+    * the engine's identical-set pre-collapse
+    * ([[graft.operators.TextDedup.collapseIdenticalSets]]): signatures,
+    * bands, and Jaccard run over the distinct-set REPRESENTATIVES
+    * (`reps`), and `scored` is rep pairs ∪ identity star pairs
+    * (jaccard 1.0) — exactly the engine's emission.
+    */
   private[queries] val minhashPairsCtes: String = {
     val t = DuckSql.tokens("text")
     val sh = DuckSql.shinglesFromTokens(t)
     s"""WITH corpus AS ($corpusNearSql),
-       |sets AS (SELECT doc_id AS id, list_distinct(list_transform($sh, x -> ${DuckSql.hash60("x")})) AS sset FROM corpus),
-       |shingled AS (SELECT id, unnest(sset) AS h FROM sets),
+       |sets AS (SELECT doc_id AS id, list_sort(list_distinct(list_transform($sh, x -> ${DuckSql.hash60("x")}))) AS sset FROM corpus),
+       |mrids AS (SELECT sset, min(id) AS rid FROM sets GROUP BY sset),
+       |members AS (SELECT m.rid, s.id FROM sets s JOIN mrids m ON m.sset = s.sset),
+       |reps AS (SELECT rid AS id, sset FROM mrids),
+       |shingled AS (SELECT id, unnest(sset) AS h FROM reps),
        |sig AS (SELECT id, s.seed AS seed, min(${DuckSql.affine("h", "s.seed")}) AS mh
        |  FROM shingled CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) s
        |  GROUP BY id, s.seed),
@@ -152,7 +162,10 @@ object DedupQueries {
        |scored AS (SELECT id_a, id_b,
        |    round(CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) /
        |      (CAST(len(sa.sset) + len(sb.sset) AS DOUBLE) - len(list_intersect(sa.sset, sb.sset))), 6) AS jaccard
-       |  FROM cand JOIN sets sa ON sa.id = cand.id_a JOIN sets sb ON sb.id = cand.id_b)""".stripMargin
+       |  FROM cand JOIN reps sa ON sa.id = cand.id_a JOIN reps sb ON sb.id = cand.id_b
+       |  UNION ALL
+       |  SELECT rid AS id_a, id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+       |  FROM members WHERE id <> rid)""".stripMargin
   }
 
   val minhashPairsOracle: String =
@@ -640,11 +653,27 @@ object DedupQueries {
     val sets = corpus.select(col("doc_id").cast(LongType).as("id"),
         TextDedup.shingleHashes(col("text"), 3).as("sset"))
       .localCheckpoint(true)
-    val exact = graft.operators.SetJoin.ppjoinPairsFromSets(sets)
-      .select(col("id_a"), col("id_b"), lit(1L).as("in_exact"))
-    val lsh = TextDedup.minhashPairsFromSets(sets,
+    // recall over DISTINCT-CONTENT pairs: both sides canonicalize each
+    // id to its identical-set representative and dedupe — identical
+    // copies (exact dedup's job, found without LSH by definition) no
+    // longer inflate or deflate the LSH recall number, and the measure
+    // is invariant to how either side spells its within-group emission
+    val (members0, _) = TextDedup.collapseIdenticalSets(sets)
+    val m = members0.localCheckpoint(true) // four projection joins below
+    def canon(p: DataFrame): DataFrame = p
+      .join(m.select(col("id").as("id_a"), col("rid").as("ra")), Seq("id_a"))
+      .join(m.select(col("id").as("id_b"), col("rid").as("rb")), Seq("id_b"))
+      .filter(col("ra") =!= col("rb"))
+      .select(least(col("ra"), col("rb")).as("id_a"),
+        greatest(col("ra"), col("rb")).as("id_b"))
+      .distinct()
+    val exact = canon(graft.operators.SetJoin.ppjoinPairsFromSets(sets)
+        .select(col("id_a"), col("id_b")))
+      .withColumn("in_exact", lit(1L))
+    val lsh = canon(TextDedup.minhashPairsFromSets(sets,
         numPerms = 16, r = 2, jaccardThreshold = 0.5)
-      .select(col("id_a"), col("id_b"), lit(1L).as("in_lsh"))
+        .select(col("id_a"), col("id_b")))
+      .withColumn("in_lsh", lit(1L))
     exact.join(lsh, Seq("id_a", "id_b"), "full_outer")
       .agg(sum(coalesce(col("in_exact"), lit(0L))).cast(LongType).as("n_exact"),
         sum(coalesce(col("in_lsh"), lit(0L))).cast(LongType).as("n_lsh"),
@@ -660,8 +689,18 @@ object DedupQueries {
     // the prefix-filter chain to the same WITH list
     s"""$minhashPairsCtes,
        |$pp,
-       |lsh AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
-       |ex AS (SELECT id_a, id_b FROM pp_pairs),
+       |lsh0 AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
+       |lsh AS (SELECT DISTINCT least(ma.rid, mb.rid) AS id_a,
+       |    greatest(ma.rid, mb.rid) AS id_b
+       |  FROM lsh0 JOIN members ma ON ma.id = lsh0.id_a
+       |  JOIN members mb ON mb.id = lsh0.id_b
+       |  WHERE ma.rid <> mb.rid),
+       |ex0 AS (SELECT id_a, id_b FROM pp_pairs),
+       |ex AS (SELECT DISTINCT least(ma.rid, mb.rid) AS id_a,
+       |    greatest(ma.rid, mb.rid) AS id_b
+       |  FROM ex0 JOIN members ma ON ma.id = ex0.id_a
+       |  JOIN members mb ON mb.id = ex0.id_b
+       |  WHERE ma.rid <> mb.rid),
        |u AS (SELECT coalesce(ex.id_a, lsh.id_a) AS id_a,
        |    CASE WHEN ex.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_exact,
        |    CASE WHEN lsh.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_lsh
@@ -775,6 +814,9 @@ object DedupQueries {
 
   val simhashPairsOracle: String = {
     val t = DuckSql.tokens("text")
+    // replays the engine's identical-fingerprint pre-collapse: chunk
+    // buckets over one representative per distinct sim, identity star
+    // pairs (hamming 0) for same-sim copies
     s"""WITH corpus AS ($corpusNearSql),
        |toks AS (SELECT doc_id AS id, unnest($t) AS tok FROM corpus),
        |h AS (SELECT id, ${DuckSql.hash60("tok")} AS h FROM toks),
@@ -784,13 +826,19 @@ object DedupQueries {
        |  FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bb
        |  GROUP BY id, bb.b),
        |sims AS (SELECT id, CAST(sum(bit) AS BIGINT) AS sim FROM bits GROUP BY id),
+       |srids AS (SELECT sim, min(id) AS rid FROM sims GROUP BY sim),
+       |smembers AS (SELECT r.rid, s.id FROM sims s JOIN srids r ON r.sim = s.sim),
+       |sreps AS (SELECT rid AS id, sim FROM srids),
        |chunked AS (SELECT id, sim, cc.c AS chunk, (sim >> (15 * cc.c)) & 32767 AS ckey
-       |  FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS c) cc),
+       |  FROM sreps CROSS JOIN (SELECT unnest(range(0, 4)) AS c) cc),
        |${DuckSql.cappedPairsCtes("cand", "chunked", Seq("chunk", "ckey"))},
        |pairs AS (SELECT DISTINCT c.id_a, c.id_b, a.sim AS sim_a, b.sim AS sim_b
-       |  FROM cand c JOIN sims a ON a.id = c.id_a JOIN sims b ON b.id = c.id_b)
+       |  FROM cand c JOIN sreps a ON a.id = c.id_a JOIN sreps b ON b.id = c.id_b)
        |SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
        |FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 20
+       |UNION ALL
+       |SELECT rid AS id_a, id AS id_b, CAST(0 AS BIGINT) AS hamming
+       |FROM smembers WHERE id <> rid
        |ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -1734,20 +1782,30 @@ object DedupQueries {
     // vs the engine's 431k capped ones on the boilerplate cluster)
     s"""WITH corpus AS ($corpusNearSql),
        |s AS (SELECT CAST(doc_id AS BIGINT) AS id,
-       |    list_distinct(list_transform($sh, x -> $h)) AS ss
+       |    list_sort(list_distinct(list_transform($sh, x -> $h))) AS ss
        |  FROM corpus),
-       |ex AS (SELECT id, unnest(ss) AS h FROM s),
+       |crids AS (SELECT ss, min(id) AS rid FROM s GROUP BY ss),
+       |cmembers AS (SELECT r.rid, s.id FROM s JOIN crids r ON r.ss = s.ss),
+       |creps AS (SELECT rid AS id, ss FROM crids),
+       |ex AS (SELECT id, unnest(ss) AS h FROM creps),
        |${DuckSql.cappedPairsCtes("candraw", "ex", Seq("h"))},
        |cand AS (SELECT DISTINCT id_a, id_b FROM candraw),
        |v AS (SELECT id_a, id_b,
        |    CAST(len(list_intersect(sa.ss, sb.ss)) AS BIGINT) AS n_shared,
        |    CAST(len(sa.ss) AS BIGINT) AS na, CAST(len(sb.ss) AS BIGINT) AS nb
-       |  FROM cand JOIN s sa ON sa.id = cand.id_a JOIN s sb ON sb.id = cand.id_b)
+       |  FROM cand JOIN creps sa ON sa.id = cand.id_a JOIN creps sb ON sb.id = cand.id_b)
        |SELECT id_a, id_b, n_shared,
        |  CAST(n_shared * 1000000 // na AS BIGINT) AS cont_a_ppm,
        |  CAST(n_shared * 1000000 // nb AS BIGINT) AS cont_b_ppm
        |FROM v
        |WHERE greatest(n_shared * 1000000 // na, n_shared * 1000000 // nb) >= 800000
+       |UNION ALL
+       |SELECT m.rid AS id_a, m.id AS id_b,
+       |  CAST(len(r.ss) AS BIGINT) AS n_shared,
+       |  CAST(1000000 AS BIGINT) AS cont_a_ppm,
+       |  CAST(1000000 AS BIGINT) AS cont_b_ppm
+       |FROM cmembers m JOIN creps r ON r.id = m.rid
+       |WHERE m.id <> m.rid
        |ORDER BY id_a, id_b""".stripMargin
   }
 

@@ -95,12 +95,14 @@ object DuckSql {
     * `labels(id, cluster_id)` — `cluster_id` = min id in the component,
     * the same contract as `graft.operators.TextDedup.dedupClusters`.
     */
-  def ccLabelCtes(nodesSql: String, rounds: Int = 12): String = {
+  def ccLabelCtes(nodesSql: String, rounds: Int = 24): String = {
     val sb = new StringBuilder
     // AS MATERIALIZED is load-bearing: each round references the prior
     // one three times, and DuckDB's default CTE inlining re-evaluates
     // the whole chain per reference — exponential work and fd
-    // exhaustion by round 12
+    // exhaustion by round 12 (default 24 rounds: the engine once measured an
+    // embedding ε-graph needing 18 propagation rounds, and jumping does not
+    // shortcut blob-chains — see TextDedup.dedupClusters's phase-2 note)
     sb.append(s"cc0 AS MATERIALIZED (SELECT id, id AS lbl FROM ($nodesSql) ccn),")
     // edges chains back into the caller's full candidate pipeline —
     // materialize once, not once per round

@@ -52,16 +52,18 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairSet.exists { case (a, b) => Set(a, b).contains(4L) })
   }
 
-  test("b-bit jaccard: exact dups read 1.0 with zero error; estimates stay in range") {
+  test("b-bit jaccard: identical contents collapse out; estimates stay in range") {
     val sets = docs.select($"doc_id".cast("long").as("id"),
       TextDedup.shingleHashes($"text", 3).as("sset"))
     val out = TextDedup.bbitJaccardPairs(sets).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
         (r.getAs[Long]("match_bits"), r.getAs[Long]("j_bbit_ppm"),
          r.getAs[Long]("j_exact_ppm"), r.getAs[Long]("err_ppm"))).toMap
-    // the exact-dup pair: all 60 bits agree, estimate exactly 1.0, no error
-    assert(out.contains((1L, 2L)))
-    assert(out((1L, 2L)) === ((60L, 1000000L, 1000000L, 0L)))
+    // the exact-dup pair carries zero estimator information (err = 0 by
+    // construction) — the identical-set pre-collapse removes it from
+    // the readout; doc 2's content is represented by doc 1
+    assert(!out.contains((1L, 2L)))
+    assert(!out.keySet.exists { case (a, b) => a == 2L || b == 2L })
     for (((a, b), (mb, est, ex, err)) <- out) {
       assert(mb >= 0L && mb <= 60L, s"($a,$b) match_bits $mb")
       assert(est >= 0L && est <= 1000000L, s"($a,$b) estimate $est")
