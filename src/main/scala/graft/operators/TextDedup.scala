@@ -482,25 +482,37 @@ object TextDedup {
     val nsets = newDocs.select(
       col(idCol).cast(LongType).as("id"),
       shingleHashes(col(textCol), w).as("sset"))
-      .localCheckpoint(true) // feeds band build + verification join
-    val nbands = nsets
+      .localCheckpoint(true) // feeds the collapse + the member expansion
+    // batch-side identical-set collapse: band keys, the index join, and
+    // Jaccard verification run once per distinct batch CONTENT; member
+    // rows re-expand at the very end. The OUTPUT is unchanged (every
+    // (new_id, old_id) pair, copies included — the jaccard of a copy is
+    // its representative's), but a 500-copy boilerplate batch against a
+    // hot index band costs 1 verification instead of 500 x bucket.
+    // The index side stays uncollapsed — it is the persisted artifact.
+    val (nmembers, nreps) = collapseIdenticalSets(nsets)
+    val nbands = nreps
       .withColumn("sig", minhashSignatureFromHashes(col("sset"), numPerms))
       .select(col("id"), explode(lshBands(col("sig"), numPerms, r)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.sig").as("bsig"))
-    val cand = nbands.select(col("id").as("new_id"), col("band"), col("bsig"))
+    val cand = nbands.select(col("id").as("new_rid"), col("band"), col("bsig"))
       .join(index.select(col("id").as("old_id"), col("band"), col("bsig")),
         Seq("band", "bsig"))
-      .select(col("new_id"), col("old_id"))
-      .dropDuplicates("new_id", "old_id")
+      .select(col("new_rid"), col("old_id"))
+      .dropDuplicates("new_rid", "old_id")
     val esets = index.select(col("id"), col("sset")).dropDuplicates("id")
-    cand
-      .join(nsets.select(col("id").as("new_id"), col("sset").as("sh_a")), Seq("new_id"))
+    val repPairs = cand
+      .join(nreps.select(col("id").as("new_rid"), col("sset").as("sh_a")), Seq("new_rid"))
       .join(esets.select(col("id").as("old_id"), col("sset").as("sh_b")), Seq("old_id"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
       .withColumn("uni",
         (size(col("sh_a")) + size(col("sh_b"))).cast(DoubleType) - col("inter"))
       .withColumn("jaccard", round(col("inter") / col("uni"), 6))
       .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("new_rid"), col("old_id"), col("jaccard"))
+    repPairs
+      .join(nmembers.select(col("rid").as("new_rid"), col("id").as("new_id")),
+        Seq("new_rid"))
       .select(col("new_id"), col("old_id"), col("jaccard"))
   }
 

@@ -67,12 +67,29 @@ object Winnow {
     val fps = fingerprints(df, idCol, textCol, k, w)
       .select(col("doc_id"), col("fp"))
       .distinct() // a fp selected at several positions counts once
+    // identical-FINGERPRINT-SET pre-collapse (the skew-round contract
+    // shared with the minhash family): fp buckets and shared counts run
+    // over one representative per distinct fp set — a 2500-copy
+    // boilerplate cluster otherwise makes every one of its fps a hot
+    // bucket. Same-content copies emit identity star pairs with
+    // shared = |fp set| (they share every fingerprint by definition).
+    // The per-doc fp array is bounded by the doc's token count.
+    val docSets = fps.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("fp"))).as("sset"))
+      .select(col("doc_id").as("id"), col("sset"))
+    val (members, reps) = TextDedup.collapseIdenticalSets(docSets)
     // bounded member rows (TextDedup.bucketedPairs): identical pair
     // multiset per fp-bucket, so the shared-fp counts are unchanged
-    TextDedup.bucketedPairs(
-        fps.select(col("doc_id").as("id"), col("fp")), Seq("fp"), maxBucket)
+    val repPairs = TextDedup.bucketedPairs(
+        reps.select(col("id"), explode(col("sset")).as("fp")), Seq("fp"), maxBucket)
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).cast(LongType).as("shared"))
       .filter(col("shared") >= minShared)
+    repPairs.unionByName(
+      TextDedup.identityStarPairs(members)
+        .join(reps.select(col("id").as("id_a"),
+          size(col("sset")).cast(LongType).as("shared")), Seq("id_a"))
+        .filter(col("shared") >= minShared)
+        .select(col("id_a"), col("id_b"), col("shared")))
   }
 }

@@ -1810,15 +1810,25 @@ object DedupQueries {
   }
 
   val winnowPairsOracle: String =
-    // per-fp buckets replay the engine's cap (Winnow.sharedPairs →
-    // TextDedup.bucketedPairs, cap 256); the shared count is over
-    // capped pair OCCURRENCES (one per fp bucket that emits the pair,
-    // chain links included), exactly the engine's groupBy-count
+    // replays the engine exactly: identical-fp-SET collapse, then
+    // per-fp capped buckets over the representatives (the shared count
+    // is capped pair OCCURRENCES — one per fp bucket emitting the pair,
+    // chain links included), plus identity star pairs with
+    // shared = |fp set|
     s"""WITH ${winnowFpSql("SELECT doc_id, text FROM documents")},
        |dfp AS (SELECT DISTINCT doc_id AS id, fp FROM fps),
-       |${DuckSql.cappedPairsCtes("wp", "dfp", Seq("fp"))}
+       |wsets AS (SELECT id, list_sort(list(fp)) AS fpset FROM dfp GROUP BY id),
+       |wrids AS (SELECT fpset, min(id) AS rid FROM wsets GROUP BY fpset),
+       |wmembers AS (SELECT r.rid, s.id FROM wsets s JOIN wrids r ON r.fpset = s.fpset),
+       |wreps AS (SELECT rid AS id, fpset FROM wrids),
+       |wrfp AS (SELECT id, unnest(fpset) AS fp FROM wreps),
+       |${DuckSql.cappedPairsCtes("wp", "wrfp", Seq("fp"))}
        |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS shared
        |FROM wp GROUP BY 1, 2 HAVING count(*) >= 6
+       |UNION ALL
+       |SELECT m.rid AS id_a, m.id AS id_b, CAST(len(r.fpset) AS BIGINT) AS shared
+       |FROM wmembers m JOIN wreps r ON r.id = m.rid
+       |WHERE m.id <> m.rid AND len(r.fpset) >= 6
        |ORDER BY id_a, id_b""".stripMargin
 
   // ---- soft dedup: repetition down-weighting -----------------------
