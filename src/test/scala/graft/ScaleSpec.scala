@@ -127,6 +127,51 @@ class ScaleSpec extends SparkSpec {
     assert(mat.count() === 3)
   }
 
+  test("identical-set collapse: minhash clusters equal the naive uncollapsed clustering") {
+    import graft.operators.TextDedup
+    // corpus with a planted identical GROUP (5 copies of one text),
+    // a near-dup pair, and distinct singletons
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog tonight",
+      3L -> "the quick brown fox jumps over the lazy dog tonight",
+      5L -> "the quick brown fox jumps over the lazy dog tonight",
+      7L -> "the quick brown fox jumps over the lazy dog tonight",
+      9L -> "the quick brown fox jumps over the lazy dog tonight",
+      2L -> "quick brown fox jumps over the lazy dog tonight",      // near-dup of the group
+      4L -> "completely different content about spark and parquet files",
+      6L -> "another unrelated document mentioning hash joins and shuffles")
+    val docs = texts.toDF("doc_id", "text")
+    val pairs = TextDedup.minhashPairs(docs, "doc_id", "text",
+      numPerms = 16, r = 2, jaccardThreshold = 0.5)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // star pairs: every copy hangs off the min-id representative at J=1
+    for (m <- Seq(3L, 5L, 7L, 9L))
+      assert(got.contains((1L, m, 1.0)), s"missing star pair (1,$m): ${got.toSeq}")
+    // the cross-content near-dup is found at REP level only
+    assert(got.exists { case (a, b, j) => a == 1L && b == 2L && j < 1.0 })
+    assert(!got.exists { case (a, b, _) => Set(a, b).intersect(Set(4L, 6L)).nonEmpty })
+    // connectivity equivalence: clusters over the collapsed pairs equal
+    // clusters over the NAIVE uncollapsed spelling (all member pairs)
+    val naive = {
+      val sets = docs.select($"doc_id".cast("long").as("id"),
+        TextDedup.shingleHashes($"text", 3).as("sset"))
+      val a = sets.select($"id".as("id_a"), $"sset".as("sa"))
+      val b = sets.select($"id".as("id_b"), $"sset".as("sb"))
+      a.join(b, $"id_a" < $"id_b")
+        .withColumn("inter", size(array_intersect($"sa", $"sb")).cast("double"))
+        .withColumn("uni", (size($"sa") + size($"sb")).cast("double") - $"inter")
+        .filter($"inter" / $"uni" >= 0.5)
+        .select($"id_a", $"id_b")
+    }
+    val cNew = TextDedup.dedupClusters(docs, "doc_id",
+        pairs.select($"id_a", $"id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cNaive = TextDedup.dedupClusters(docs, "doc_id", naive).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cNew === cNaive, "collapsed pairs must cluster identically to all-pairs")
+    assert(cNew(9L) === 1L && cNew(2L) === 1L && cNew(4L) === 4L)
+  }
+
   test("bucketedPairs lowCardKeys path emits the identical pair multiset at any partitioning") {
     // the cluster-blocked (groupedRank) membership build must be a pure
     // physical rewrite of the window spelling — same groups, same slice
