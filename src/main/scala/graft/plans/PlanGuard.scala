@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.internal.Logging
-import org.apache.spark.sql.catalyst.expressions.{ElementAt, EqualNullSafe, EqualTo, Expression, Slice}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, EqualNullSafe, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, CollectList, CollectSet}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LeafNode, LogicalPlan, SerializeFromObject, Window}
 import org.apache.spark.sql.catalyst.plans.Cross
@@ -76,25 +76,39 @@ object PlanGuard {
       // or doc_id div k — the Merkle-manifest and boundedMembers shapes)
       "chunk", "chunk_no")
 
-  /** True when every [[CollectList]]/[[CollectSet]] occurrence in `e`
-    * sits beneath a [[Slice]] or [[ElementAt]] — the spelling that
-    * bounds the materialized array before it leaves the aggregate
-    * (`slice(collect_list(x), 1, k)`). A collect with no such wrapper
-    * anywhere above it returns false.
+  /** True when grouping expression `e` IS a row-id key: a bare
+    * attribute whose name carries per-row identity, or an injective
+    * per-row wrapper of one (Alias / Cast — same value space, renamed
+    * or widened). Merely REFERENCING a row-id column does not qualify:
+    * `groupBy(doc_id % 16)` references `doc_id` but each of its 16
+    * groups is corpus-sized (N/16 rows) — exactly the manifest-style
+    * shard grouping the silencer must NOT quiet. (A surjective
+    * function of a row id is a bucketing, not an identity.)
     */
-  private def collectsBounded(e: Expression): Boolean = {
-    def walk(ex: Expression, bounded: Boolean): Boolean = ex match {
-      case _: Slice | _: ElementAt =>
-        ex.children.forall(walk(_, bounded = true))
-      case ae: AggregateExpression =>
-        ae.aggregateFunction match {
-          case _: CollectList | _: CollectSet => bounded
-          case _ => ae.children.forall(walk(_, bounded))
-        }
-      case other => other.children.forall(walk(_, bounded))
+  private def isRowIdKey(e: Expression, rowIdCols: Set[String],
+      defs: Map[Long, Expression]): Boolean = {
+    def rec(ex: Expression, depth: Int): Boolean = ex match {
+      case a: AttributeReference =>
+        rowIdCols(a.name) ||
+          // the optimizer pulls computed grouping keys into a Project
+          // beneath the Aggregate (`_groupingexpression#N`); resolve
+          // the attribute back to its defining alias and keep walking
+          (depth < 8 && defs.get(a.exprId.id).exists(rec(_, depth + 1)))
+      case al: Alias => rec(al.child, depth)
+      case c: Cast => rec(c.child, depth)
+      case _ => false
     }
-    walk(e, bounded = false)
+    rec(e, 0)
   }
+
+  /** exprId → defining expression for every Alias in Projects beneath
+    * `p` (exprIds are plan-unique, so a flat map is unambiguous).
+    */
+  private def aliasDefs(p: LogicalPlan): Map[Long, Expression] =
+    p.collect {
+      case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        pr.projectList.collect { case al: Alias => al.exprId.id -> al.child }
+    }.flatten.toMap
 
   private def hasCollect(e: Expression): Boolean = e.exists {
     case ae: AggregateExpression => ae.aggregateFunction match {
@@ -163,21 +177,25 @@ object PlanGuard {
       // with the corpus is ONE unspillable row — a degenerate key (a
       // million-copy boilerplate document in one LSH bucket) is a
       // multi-GB row and an executor OOM (the r15 SetJoin finding
-      // class). Quiet when a grouping key carries per-row identity
-      // (group then bounded by per-row content) or when every collect
-      // is slice-bounded before leaving the aggregate.
+      // class). Quiet only when a grouping key IS a per-row identity
+      // (group size then bounded by per-row content). Note a post-agg
+      // `slice(collect_list(x), 1, k)` does NOT bound anything: Spark
+      // evaluates the slice in the result projection AFTER the
+      // aggregate, so the agg buffer still materializes the entire
+      // per-key array — the hot-key OOM this rule exists to catch.
       case a: Aggregate if a.aggregateExpressions.exists(hasCollect) &&
-          !a.aggregateExpressions.forall(collectsBounded) &&
-          !a.groupingExpressions.exists(_.references.exists(r => rowIdCols(r.name))) &&
+          !a.groupingExpressions.exists(
+            isRowIdKey(_, rowIdCols, aliasDefs(a.child))) &&
           docGrain(a.child, boundedCap) =>
         val keys = a.groupingExpressions.flatMap(_.references.map(_.name))
           .distinct.mkString(", ")
         out += s"unbounded collect_list/collect_set grouped by ($keys) over a " +
           s"document-grain child: a hot key materializes its whole group in " +
-          s"ONE unspillable row (multi-GB at 100x scale). Bound the array " +
+          s"ONE unspillable row (multi-GB at 100x scale), and a post-agg " +
+          s"slice/element_at wrapper does not shrink the agg buffer. Bound " +
+          s"the BUFFER itself: rank then cap BEFORE collecting " +
           s"(graft.operators.TextDedup.boundedMembers splits each key's run " +
-          s"into capped slices via a rank) or wrap the collect in " +
-          s"slice(..., 1, k)."
+          s"into capped slices via a rank)."
       case w: Window if w.partitionSpec.isEmpty && !bounded(w.child, boundedCap) =>
         out += s"single-partition Window (no PARTITION BY) over an unbounded child: " +
           s"the whole input sorts on one task. Decompose the rank " +

@@ -19,6 +19,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (sorted within the group by the caller-provided tie-break id before
   * counting), which is what makes the op testable: feeding the same
   * batches yields the same admit/reject assignment.
+  *
+  * Cross-batch ordering CONTRACT: the doc_id tie-break applies only
+  * WITHIN a micro-batch. Across batches, admission order is arrival
+  * order — whichever batch a document lands in competes only against
+  * that batch's co-arrivals for the source's remaining slots. Two runs
+  * that split the same documents into different micro-batches (e.g. a
+  * multi-file drop the file source lists across two triggers) may
+  * admit different ids, and BOTH are correct: a quota is a property of
+  * the stream as experienced, not of a global id order the operator
+  * never sees. Callers needing a batch-invariant assignment must
+  * deliver each logical drop as one micro-batch (one file per drop).
   */
 object StreamQuota {
 

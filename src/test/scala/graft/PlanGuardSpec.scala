@@ -81,13 +81,35 @@ class PlanGuardSpec extends SparkSpec {
       .groupBy(col("doc_id"))
       .agg(collect_list(col("t")).as("toks"))
     assert(PlanGuard.findings(perDoc.queryExecution.optimizedPlan) === Nil)
-    // quiet 2: the slice-bounded spelling — the array is capped before
-    // it leaves the aggregate
+    // STILL flagged: the post-agg slice spelling. Spark evaluates the
+    // slice in the result projection AFTER the aggregate — the agg
+    // buffer materializes the full per-key array first, so
+    // slice(collect_list(x), 1, k) has the same hot-key OOM as the
+    // bare collect (the r17 ADVICE finding; the rule used to quiet it)
     val sliced = docs
       .select((col("doc_id") % 7).as("bucket"), col("doc_id"))
       .groupBy(col("bucket"))
       .agg(slice(sort_array(collect_list(col("doc_id"))), 1, 16).as("head"))
-    assert(PlanGuard.findings(sliced.queryExecution.optimizedPlan) === Nil)
+    assert(PlanGuard.findings(sliced.queryExecution.optimizedPlan)
+      .exists(_.contains("unbounded collect_list")),
+      PlanGuard.findings(sliced.queryExecution.optimizedPlan))
+    // STILL flagged: grouping by a FUNCTION of a row id. doc_id % 16 is
+    // a bucketing — each group is corpus-sized (N/16) — so referencing
+    // a row-id column must not silence (the r17 ADVICE false negative)
+    val sharded = docs
+      .select(col("doc_id"), col("text"))
+      .groupBy(pmod(col("doc_id"), lit(16)).as("shard"))
+      .agg(collect_list(col("doc_id")).as("members"))
+    assert(PlanGuard.findings(sharded.queryExecution.optimizedPlan)
+      .exists(_.contains("unbounded collect_list")),
+      PlanGuard.findings(sharded.queryExecution.optimizedPlan))
+    // quiet: an ALIAS/CAST of a bare row-id attribute is still the
+    // identity key (same value space, renamed)
+    val aliased = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("doc_id").cast("string").as("k"))
+      .agg(collect_list(col("t")).as("toks"))
+    assert(PlanGuard.findings(aliased.queryExecution.optimizedPlan) === Nil)
     // quiet 3: the engine's own giant-cluster guard — boundedMembers
     // splits each key's run into capped slices via a rank, so its
     // collect sits under a Window (prior structure, not doc-grain)

@@ -401,10 +401,18 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     import graft.streaming.StreamQuota
     val dir = Files.createTempDirectory("graft-squota").toString
+    // Each drop is written as ONE part-file (coalesce(1)). StreamQuota's
+    // contract is deterministic GIVEN arrival order: it sorts by doc_id
+    // only WITHIN a micro-batch. A multi-file drop can be split across
+    // triggers by the file source (r17 flake: doc 12's part-file listed
+    // first -> 12 admitted, 11 rejected — correct per contract, but not
+    // the assignment this test asserts). One file per drop = one
+    // micro-batch per drop = one deterministic intra-batch sort.
     // batch 1: srcA sends 3 (quota 2 -> one reject), srcB sends 1
     Seq(("srcA", 1L, "a1"), ("srcA", 2L, "a2"), ("srcA", 3L, "a3"),
         ("srcB", 10L, "b1"))
-      .toDF("source", "doc_id", "text").write.mode("overwrite").parquet(dir)
+      .toDF("source", "doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
     val schema = spark.read.parquet(dir).schema
     val stream = spark.readStream.schema(schema).parquet(dir)
     val q = StreamQuota.admit(stream, quota = 2)
@@ -414,7 +422,8 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       // batch 2: srcA is already exhausted; srcB has one slot left
       Seq(("srcA", 4L, "a4"), ("srcB", 11L, "b2"), ("srcB", 12L, "b3"))
-        .toDF("source", "doc_id", "text").write.mode("append").parquet(dir)
+        .toDF("source", "doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(dir)
       q.processAllAvailable()
       val got = spark.table("squota_out")
         .select("doc_id", "admitted").as[(Long, Boolean)].collect().toMap
