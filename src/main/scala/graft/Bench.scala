@@ -139,29 +139,49 @@ object Bench {
     // so the RECORDED per-round bench measures code, not box load; set
     // 1 for quick local passes.
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3).max(1)
-    // Documented same-code oscillators (BASELINE.md "Oscillator root
-    // cause"): their min-of-3 lands wherever the JIT got to — the
-    // OscProbe series shows rep01 2-7x steady state with convergence
-    // over ~10 executions (C2 compilation of the generated whole-stage
-    // classes), so board-to-board spread on these is JIT order, not
-    // code. A raised rep floor reaches deep enough into the plateau
-    // that min-of-k is stable across boards. Override with
-    // SPARK_GRAFT_OSC_REPS (0 disables).
-    val oscReps = sys.env.get("SPARK_GRAFT_OSC_REPS").map(_.toInt).getOrElse(8)
-    val oscillators = Set("x_ngram_jaccard", "x_vocab_coverage",
-      "x_vocab_growth", "x_trigram_search", "x_trigram_glob",
-      "x_trigram_like", "x_fts_highlight", "x_quality_calibrated",
-      "x_cms_freq", "x_ann_topk")
+    // In-board JIT warm-up detection (replaces r17's hardcoded 10-name
+    // oscillator set, which couldn't keep up: r17's board recorded
+    // 12.0s for a 1.0s x_fts_bm25w because the FTS family wasn't in the
+    // list). Root cause is measured (BASELINE.md "Oscillator root
+    // cause" / tools/OscProbe): C2 compilation of generated whole-stage
+    // classes makes rep01 2-7x steady state, converging over ~10
+    // executions — a property of WHICH query warms when, not of a fixed
+    // name set. Detection is per-query, in-board: after the standard
+    // reps, a max/min spread > SPREAD_TRIGGER means the min is still
+    // riding the warm-up slope — keep executing until the spread over
+    // the last PLATEAU_K reps falls under PLATEAU_SPREAD (the C2
+    // plateau), capped at MAX_REPS total. Disable the extension with
+    // SPARK_GRAFT_MAX_REPS=<reps> (cap == floor); detection needs >= 2
+    // samples, so reps=1 quick passes are never extended.
+    val maxReps = sys.env.get("SPARK_GRAFT_MAX_REPS").map(_.toInt)
+      .getOrElse(12).max(reps)
+    val SPREAD_TRIGGER = 2.0
+    val PLATEAU_SPREAD = 1.3
+    val PLATEAU_K = 3
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
-      val qReps = if (oscillators(name)) reps.max(oscReps) else reps
-      val times = (1 to qReps).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      (1 to reps).foreach(_ => times += once())
+      def plateaued: Boolean = {
+        val tail = times.takeRight(PLATEAU_K.min(times.size))
+        tail.max / tail.min.max(1e-9) < PLATEAU_SPREAD
+      }
+      if (!times.contains(-1.0) && times.size >= 2 &&
+          times.max / times.min.max(1e-9) > SPREAD_TRIGGER) {
+        while (times.size < maxReps && !(times.size >= reps + PLATEAU_K - 1 && plateaued)
+            && !times.contains(-1.0)) {
+          times += once()
+        }
+        System.err.println(f"[bench] $name warm-up spread ${times.take(reps).max / times.take(reps).min.max(1e-9)}%.1fx" +
+          f" -> extended to ${times.size} reps (min ${if (times.contains(-1.0)) -1.0 else times.min}%.3fs)")
       }
       val failedAny = times.contains(-1.0)
       val best = if (failedAny) -1.0 else times.min
@@ -245,10 +265,13 @@ object Bench {
       md.digest().take(6).map("%02x".format(_)).mkString
     } catch { case _: Throwable => "unknown" }
     // canary_ratio = median over canary queries of (this run / history
-    // median). History baseline prefers each record's "canary" map
-    // (min-of-2, measured cold right before its timed pass) and falls
-    // back to its "queries" entry (min-of-reps) for records predating
-    // the canary — comparable enough for a 1.5x load gate.
+    // median). Baseline bias fix (r17 ADVICE): the canary is a COLD
+    // min-of-2, so its baseline must be other cold canary measurements
+    // — mixing in warm min-of-reps "queries" medians biases the ratio
+    // high (r17's clean board read 1.32 against the 1.5 gate for
+    // exactly this reason). Per query: if ANY history record carries a
+    // "canary" map value, use only those (cold-vs-cold); fall back to
+    // "queries" values only while no canary-bearing history exists yet.
     val canaryRatio: Double = try {
       import org.json4s._
       import org.json4s.jackson.JsonMethods
@@ -262,14 +285,16 @@ object Bench {
         scala.jdk.CollectionConverters.ListHasAsScala(
           java.nio.file.Files.readAllLines(p)).asScala.toSeq else Seq.empty
       val baselines: Map[String, Double] = canaryNames.flatMap { n =>
-        val vals = hist.flatMap { raw =>
+        val (cold, warm) = hist.foldLeft(
+          (Vector.empty[Double], Vector.empty[Double])) { case ((c, w), raw) =>
           try {
             val j = JsonMethods.parse(raw)
-            if ((j \ "sf") != JString(sfDir)) None
-            else num(j \ "canary" \ n).orElse(num(j \ "queries" \ n))
-              .filter(_ > 0)
-          } catch { case _: Throwable => None }
-        }.sorted
+            if ((j \ "sf") != JString(sfDir)) (c, w)
+            else (num(j \ "canary" \ n).filter(_ > 0).fold(c)(c :+ _),
+                  num(j \ "queries" \ n).filter(_ > 0).fold(w)(w :+ _))
+          } catch { case _: Throwable => (c, w) }
+        }
+        val vals = (if (cold.nonEmpty) cold else warm).sorted
         if (vals.isEmpty) None else Some(n -> vals((vals.size - 1) / 2))
       }.toMap
       val ratios = canaryTimes.toSeq.flatMap { case (n, t) =>
