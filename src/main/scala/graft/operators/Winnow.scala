@@ -77,6 +77,8 @@ object Winnow {
     val docSets = fps.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("fp"))).as("sset"))
       .select(col("doc_id").as("id"), col("sset"))
+      .localCheckpoint(true) // collapseIdenticalSets requires a
+      // materialized input (it projects it once per consumer)
     val (members, reps) = TextDedup.collapseIdenticalSets(docSets)
     // bounded member rows (TextDedup.bucketedPairs): identical pair
     // multiset per fp-bucket, so the shared-fp counts are unchanged
