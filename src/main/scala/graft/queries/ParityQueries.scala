@@ -279,6 +279,64 @@ object ParityQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** S13 extension (r18) — PHRASE-level FTS5 `highlight()`
+    * ([[Fts.highlight]]): multi-token phrase hits wrap WHOLE
+    * (`<b>part line</b>`, never a lone `line`), overlapping hits
+    * coalesce (`"part part"` + `"part line"` over `part part line` →
+    * one region), and instances are OR-GATED exactly as FTS5 reports
+    * them — the `agg "part part"` branch's hits only highlight on rows
+    * where that whole branch matched (pinned against sqlite3 in
+    * SqliteCliSpec's phrase fuzz). The oracle replays spans, gates,
+    * and the pairwise-witness merge in DuckDB list HOFs.
+    */
+  def ftsHighlightPhrase(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val q = "agg \"part part\" OR \"part line\""
+    docs.filter(Fts.matchQuery(Seq(col("text")), q))
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        Fts.highlight(Seq(col("text")), q).as("highlighted"))
+      .orderBy("doc_id")
+  }
+
+  val ftsHighlightPhraseOracle: String = {
+    val toks = DuckSql.tokens("text")
+    s"""WITH t AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, $toks AS toks FROM documents
+       |), s AS (
+       |  SELECT doc_id, toks,
+       |    list_filter(list_transform(toks, (x, i) ->
+       |      CASE WHEN x = 'agg' THEN struct_pack(s := i, e := i) END),
+       |      h -> h IS NOT NULL) AS sa,
+       |    list_filter(list_transform(toks, (x, i) ->
+       |      CASE WHEN i < len(toks) AND x = 'part' AND toks[i+1] = 'part'
+       |        THEN struct_pack(s := i, e := i + 1) END),
+       |      h -> h IS NOT NULL) AS sp,
+       |    list_filter(list_transform(toks, (x, i) ->
+       |      CASE WHEN i < len(toks) AND x = 'part' AND toks[i+1] = 'line'
+       |        THEN struct_pack(s := i, e := i + 1) END),
+       |      h -> h IS NOT NULL) AS sl
+       |  FROM t
+       |), g AS (
+       |  SELECT doc_id, toks,
+       |    (len(sa) > 0 AND len(sp) > 0) AS b1, (len(sl) > 0) AS b2,
+       |    list_concat(
+       |      CASE WHEN len(sa) > 0 AND len(sp) > 0
+       |        THEN list_concat(sa, sp) ELSE list_filter(sa, h -> false) END,
+       |      CASE WHEN len(sl) > 0 THEN sl ELSE list_filter(sl, h -> false) END)
+       |      AS spans
+       |  FROM s
+       |)
+       |SELECT doc_id,
+       |  array_to_string(list_transform(toks, (x, i) ->
+       |    (CASE WHEN len(list_filter(spans, h -> h.s = i)) > 0
+       |           AND len(list_filter(spans, h -> h.s < i AND h.e >= i)) = 0
+       |      THEN '<b>' ELSE '' END) || x ||
+       |    (CASE WHEN len(list_filter(spans, h -> h.e = i)) > 0
+       |           AND len(list_filter(spans, h -> h.s <= i AND h.e > i)) = 0
+       |      THEN '</b>' ELSE '' END)), ' ') AS highlighted
+       |FROM g WHERE b1 OR b2 ORDER BY doc_id""".stripMargin
+  }
+
   /** S13 extension — FTS5 `NEAR(spark hash, 3)`: documents where the
     * terms occur within 3 intervening tokens, with the minimum gap
     * ([[Fts.nearMinGap]]).

@@ -960,7 +960,12 @@ class SqliteCliSpec extends SparkSpec {
       (2L, "Привет, мир... привет?"),
       (3L, "no hits here; just (parentheses) & symbols #42"),
       (4L, "mixed:café/ПРИВЕТ end"),
-      (5L, "  leading space, trailing  "))
+      (5L, "  leading space, trailing  "),
+      // phrase-hit surfaces (r18): separators INSIDE a phrase hit stay
+      // inside the markers; overlapping phrase hits coalesce
+      (6L, "Visit New-York City; new york again!"),
+      (7L, "spark Window FUNCTION end"),
+      (8L, "a b c d"))
     val f = dbFile()
     val script = new StringBuilder("CREATE VIRTUAL TABLE d USING fts5(body);\nBEGIN;\n")
     rows.foreach { case (id, t) =>
@@ -970,20 +975,114 @@ class SqliteCliSpec extends SparkSpec {
     SqliteCli.query(f, script.toString)
     import spark.implicits._
     val docs = rows.toDF("rowid", "body")
-    for (q <- Seq("café", "привет", "cafe OR привет", "symbols")) {
+    for (q <- Seq("café", "привет", "cafe OR привет", "symbols",
+        // multi-token phrases (r18): whole hits wrap, raw separators
+        // included ('New-York'); overlapping hits coalesce ('spark
+        // window' + 'window function'); adjacent hits stay separate
+        // ('a b' + 'c d'); prefix pieces match per piece
+        "\"new york\"", "\"new york\" OR city",
+        "\"spark window\" OR \"window function\"",
+        "\"a b\" OR \"c d\"", "ne* + york", "visit + new*")) {
       val real = SqliteCli.query(f,
         s"SELECT rowid, highlight(d, 0, '<b>', '</b>') FROM d WHERE d MATCH '${q.replace("'", "''")}' ORDER BY rowid;")
         .map(r => (r(0).get.toLong, r(1).get)).toMap
-      val terms = q.split(" OR | ").toSeq.flatMap(t =>
-        graft.functions.Unicode61.tokenize(t))
       val mine = docs
         .filter(operators.Fts.matchQuery(Seq(col("body")), q))
         .select(col("rowid"),
-          graft.expressions.HighlightRaw.highlight_raw(col("body"), terms))
+          operators.Fts.highlightRaw(col("body"), q))
         .collect().map(r => (r.getLong(0), r.getString(1))).toMap
       assert(mine === real, s"raw highlight diverges from real FTS5 for '$q'")
       assert(real.nonEmpty, s"fixture degenerate: '$q' matched nothing")
     }
+  }
+
+  test("property: highlight() byte parity on 80 random phrase-heavy grammar queries (raw + token-stream)") {
+    // The r18 phrase-hit surface under fuzz: multi-token quoted
+    // phrases, '+'-chains, prefix pieces, overlapping-window ORs (the
+    // coalesce rule), juxtaposition/AND/OR — byte-compared against the
+    // binary's highlight() on BOTH renderers (HighlightRaw on raw
+    // text; Fts.highlight on text that IS its own token stream).
+    // NEAR and ^anchor atoms are excluded BY DESIGN: FTS5 filters
+    // their instance lists to constraint-satisfying positions, the
+    // one documented highlight deviation (Fts.highlight scaladoc).
+    assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val (f, docs) = multilingualCorpusDb()
+    val tokenArrays = docs.select(col("doc_id"),
+        operators.Fts.tokens(Seq(col("text"))))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+      .filter(_._2.length >= 4)
+    val rnd = new scala.util.Random(20260816L)
+    def anyDoc(): Seq[String] = tokenArrays(rnd.nextInt(tokenArrays.length))._2
+    def term(): String = { val d = anyDoc(); d(rnd.nextInt(d.length)) }
+    def window(len: Int): Seq[String] = {
+      val d = anyDoc()
+      if (d.length <= len) d.toSeq
+      else { val s = rnd.nextInt(d.length - len); d.slice(s, s + len).toSeq }
+    }
+    def atom(): String = rnd.nextInt(6) match {
+      case 0 | 1 => "\"" + window(2 + rnd.nextInt(2)).mkString(" ") + "\""
+      case 2 =>
+        val t = term()
+        t.substring(0, math.min(t.length, 1 + rnd.nextInt(3))) + "*"
+      case 3 => window(2).mkString(" + ")
+      case 4 => // two overlapping windows of one doc: forces coalescing
+        val d = anyDoc(); val s = rnd.nextInt(d.length - 2)
+        "\"" + d.slice(s, s + 2).mkString(" ") + "\" OR \"" +
+          d.slice(s + 1, s + 3).mkString(" ") + "\""
+      case _ => term()
+    }
+    def expr(depth: Int): String =
+      if (depth == 0) atom()
+      else rnd.nextInt(4) match {
+        case 0 => s"(${expr(depth - 1)}) OR (${expr(depth - 1)})"
+        case 1 => s"(${expr(depth - 1)}) AND (${atom()})"
+        case 2 => s"${atom()} ${atom()}"
+        case _ => atom()
+      }
+    val queries = Seq.fill(80)(expr(1)).distinct
+    def realHighlights(db: String): Map[Int, Map[Long, String]] = {
+      val script = queries.zipWithIndex.map { case (q, i) =>
+        s"SELECT 'q$i', rowid, highlight(d, 0, '<b>', '</b>') FROM d " +
+          s"WHERE d MATCH '${q.replace("'", "''")}' ORDER BY rowid;"
+      }.mkString("\n")
+      SqliteCli.query(db, script)
+        .collect { case Seq(Some(tag), Some(rid), h) =>
+          (tag.drop(1).toInt, rid.toLong, h.getOrElse("")) }
+        .groupBy(_._1)
+        .map { case (k, v) => k -> v.map(t => t._2 -> t._3).toMap }
+        .withDefaultValue(Map.empty[Long, String])
+    }
+    // side 1: RAW text via HighlightRaw
+    val realRaw = realHighlights(f)
+    queries.zipWithIndex.foreach { case (q, i) =>
+      val mine = docs
+        .filter(operators.Fts.matchQuery(Seq(col("text")), q))
+        .select(col("doc_id"), operators.Fts.highlightRaw(col("text"), q))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(mine === realRaw(i), s"RAW highlight diverges for <$q>")
+    }
+    // side 2: token-stream rendering on text that IS its token stream
+    val streams = tokenArrays.map { case (id, toks) => (id, toks.mkString(" ")) }
+    val f2 = dbFile()
+    val script2 = new StringBuilder("CREATE VIRTUAL TABLE d USING fts5(body);\nBEGIN;\n")
+    streams.foreach { case (id, body) =>
+      script2 ++= s"INSERT INTO d(rowid, body) VALUES ($id, '${body.replace("'", "''")}');\n"
+    }
+    script2 ++= "COMMIT;\n"
+    SqliteCli.query(f2, script2.toString)
+    val realStream = realHighlights(f2)
+    val sdf = streams.toSeq.toDF("doc_id", "body")
+    queries.zipWithIndex.foreach { case (q, i) =>
+      val mine = sdf
+        .filter(operators.Fts.matchQuery(Seq(col("body")), q))
+        .select(col("doc_id"), operators.Fts.highlight(Seq(col("body")), q))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(mine === realStream(i), s"token-stream highlight diverges for <$q>")
+    }
+    assert(queries.count(_.contains("\"")) > 20,
+      "generator degenerate: almost no phrase queries")
   }
 
   test("property: 120 random grammar queries over RAW multilingual text — verdict parity with real FTS5") {
