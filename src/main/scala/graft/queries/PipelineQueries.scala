@@ -74,6 +74,30 @@ object PipelineQueries {
         array_sort(collect_list(struct(col("chunk"), col("chunk_hash")))),
         s => s("chunk_hash")), "").cast("binary")).as(outCol))
 
+  /** Stages 1+2 of the ingest replay as a reusable batch ledger:
+    * history gate against `histIndex`'s `content_hash` column, then
+    * in-batch min-id dedup. One row per arriving doc with `status` in
+    * {dup_history, accepted, dup_batch}. The history join is keyed on
+    * the content hash — NOT broadcast: at steady state the history
+    * side is the big one. [[graft.streaming.StreamIngest]] is the
+    * online twin (StreamingSpec pins disposition equality on the
+    * two-drop replay).
+    */
+  private[graft] def ingestLedger(b: DataFrame, histIndex: DataFrame): DataFrame = {
+    val gated = b.join(
+      histIndex.select(col("content_hash"), lit(1L).as("__hist")).distinct(),
+      Seq("content_hash"), "left")
+    val bMin = gated.filter(col("__hist").isNull)
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("__keep"))
+    gated.join(bMin, Seq("content_hash"), "left")
+      .withColumn("status",
+        when(col("__hist").isNotNull, lit("dup_history"))
+          .when(col("doc_id") === col("__keep"), lit("accepted"))
+          .otherwise(lit("dup_batch")))
+      .select(col("doc_id"), col("shard"), col("text"), col("status"))
+  }
+
   def pipelineIncremental(spark: SparkSession, dir: String): DataFrame = {
     val corpus = DedupQueries.corpusExact(spark, dir)
     val a = corpus.filter(col("doc_id") < 250)
@@ -88,21 +112,8 @@ object PipelineQueries {
       .groupBy(PortableHash.hash60(col("text")).as("content_hash"), col("text"))
       .agg(min(col("doc_id")).cast(LongType).as("keep_id"))
 
-    // stage 1+2: history gate, then in-batch min-id dedup. The history
-    // index join is keyed on the content hash — NOT broadcast: at
-    // steady state the history side is the big one.
-    val gated = b.join(
-      aKeep.select(col("content_hash"), lit(1L).as("__hist")).distinct(),
-      Seq("content_hash"), "left")
-    val bMin = gated.filter(col("__hist").isNull)
-      .groupBy(col("content_hash"))
-      .agg(min(col("doc_id")).as("__keep"))
-    val ledger = gated.join(bMin, Seq("content_hash"), "left")
-      .withColumn("status",
-        when(col("__hist").isNotNull, lit("dup_history"))
-          .when(col("doc_id") === col("__keep"), lit("accepted"))
-          .otherwise(lit("dup_batch")))
-      .select(col("doc_id"), col("shard"), col("text"), col("status"))
+    // stage 1+2: history gate, then in-batch min-id dedup
+    val ledger = ingestLedger(b, aKeep)
       // three consumers (counts, novelty, manifest-after) of a
       // two-join subtree — evaluate once
       .localCheckpoint(true)

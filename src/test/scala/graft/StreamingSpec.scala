@@ -433,6 +433,65 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental ingest twin: two-drop replay emits batch-identical per-doc dispositions") {
+    import spark.implicits._
+    import graft.streaming.StreamIngest
+    import graft.functions.PortableHash
+    val dir = "/root/testdata/sf0.001"
+    val S = 16
+    val corpus = graft.queries.DedupQueries.corpusExact(spark, dir)
+    val a = corpus.filter(col("doc_id") < 250)
+    val b = corpus.filter(col("doc_id") >= 250)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        (col("doc_id") % S).cast("long").as("shard"), col("text"),
+        PortableHash.hash60(col("text")).as("content_hash"))
+      .localCheckpoint(true)
+    val aKeep = a
+      .groupBy(PortableHash.hash60(col("text")).as("content_hash"), col("text"))
+      .agg(min(col("doc_id")).cast("long").as("keep_id"))
+    // the batch truth: PipelineQueries' own ledger (stages 1+2 of
+    // x_pipeline_incremental, the oracle-graded spelling)
+    val batchLedger = graft.queries.PipelineQueries.ingestLedger(b, aKeep)
+      .select($"doc_id", $"status").as[(Long, String)].collect().toMap
+    // streamed replay: drop B arrives as TWO ascending-id micro-batches
+    // (one part-file each — the StreamQuota determinism discipline), so
+    // arrival order respects doc_id order and first-arrival == min-id:
+    // the contract under which online must equal batch exactly
+    val bounds = b.agg(min("doc_id"), max("doc_id")).head()
+    val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    val sdir = Files.createTempDirectory("graft-singest").toString
+    b.filter(col("doc_id") < mid).select("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(sdir)
+    val schema = spark.read.parquet(sdir).schema
+    val stream = spark.readStream.schema(schema).parquet(sdir)
+    val q = StreamIngest.dispositions(stream, "doc_id", "text",
+        aKeep.select("content_hash"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("singest_out").start()
+    try {
+      q.processAllAvailable()
+      b.filter(col("doc_id") >= mid).select("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(sdir)
+      q.processAllAvailable()
+      val streamed = spark.table("singest_out")
+        .select("doc_id", "status").as[(Long, String)].collect().toMap
+      assert(streamed === batchLedger)
+      // the fixture must actually exercise all three dispositions and
+      // the cross-drop state (a clone in drop 2 of a drop-1 original)
+      val byStatus = batchLedger.groupBy(_._2).view.mapValues(_.size).toMap
+      assert(byStatus.keySet === Set("dup_history", "accepted", "dup_batch"),
+        s"fixture degenerate: $byStatus")
+      val hashes = b.select($"doc_id", $"content_hash")
+        .as[(Long, Long)].collect().toMap
+      val crossDrop = batchLedger.exists { case (id, st) =>
+        st == "dup_batch" && id >= mid &&
+          batchLedger.exists { case (id2, st2) =>
+            st2 == "accepted" && id2 < mid && hashes(id2) == hashes(id) }
+      }
+      assert(crossDrop, "fixture degenerate: no cross-drop duplicate")
+    } finally q.stop()
+  }
+
   test("watermarked streaming dedup drops duplicates within the horizon") {
     import spark.implicits._
     import graft.streaming.StreamDedup
