@@ -172,6 +172,86 @@ class ScaleSpec extends SparkSpec {
     assert(cNew(9L) === 1L && cNew(2L) === 1L && cNew(4L) === 4L)
   }
 
+  test("capped containment/winnow pair outputs equal the naive uncapped all-pairs ground truth") {
+    // Oracle-independence defense (r17 ADVICE): the graded oracles
+    // REPLAY the engine's capped-bucket + identical-set-collapse
+    // spelling, so a shared bug there would hash-match on both sides.
+    // This pins the capped spelling against the naive uncapped
+    // ALL-PAIRS specification computed with plain Scala set ops — no
+    // bucketing, no caps, no collapse — at PAIR level (after expanding
+    // the rep+star contract back to member pairs).
+    import graft.operators.{SetJoin, TextDedup, Winnow}
+    val T = "the quick brown fox jumps over the lazy dog tonight again " +
+      "and again while the patient cat watches from the warm windowsill nearby"
+    val L = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val Sq = "delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron"
+    val texts = Seq(
+      1L -> T, 4L -> T, 6L -> T, 9L -> T, // identical group
+      2L -> L, 3L -> Sq,                  // containment (Sq quoted in L)
+      5L -> "totally unrelated words about spark catalyst optimizer internals engine",
+      7L -> "another document holding completely different vocabulary items here")
+    val docs = texts.toDF("doc_id", "text")
+    val byText = texts.groupBy(_._2).values
+      .map(g => g.map(_._1).min -> g.map(_._1).sorted).toMap // rid -> members
+    val groupOf: Map[Long, Seq[Long]] =
+      byText.flatMap { case (rid, ms) => ms.map(_ -> ms) }
+    def orient(x: Long, y: Long, rest: Seq[Long]): (Long, Long, Seq[Long]) =
+      if (x < y) (x, y, rest)
+      else (y, x, rest match { case Seq(n, ca, cb) => Seq(n, cb, ca); case o => o })
+    // expand engine output (rep pairs + identity stars) to member pairs
+    def expand(rows: Seq[(Long, Long, Seq[Long])]): Set[(Long, Long, Seq[Long])] =
+      rows.flatMap { case (a, b, rest) =>
+        for (x <- groupOf(a); y <- groupOf(b) if x != y) yield orient(x, y, rest)
+      }.toSet
+    // — containment —
+    val sets: Map[Long, Set[Long]] = docs
+      .select($"doc_id", TextDedup.shingleHashes($"text", 8).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val naiveCont = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a < b
+      n = (sa & sb).size.toLong
+      ca = n * 1000000L / sa.size; cb = n * 1000000L / sb.size
+      if math.max(ca, cb) >= 800000L
+    } yield (a, b, Seq(n, ca, cb))).toSet
+    val engineCont = expand(SetJoin.containmentPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Seq(r.getLong(2), r.getLong(3), r.getLong(4)))).toSeq)
+    assert(engineCont === naiveCont,
+      "containment pairs diverge from the naive all-pairs spelling")
+    assert(naiveCont.exists { case (a, b, _) => Set(a, b) == Set(2L, 3L) },
+      "fixture degenerate: no cross-content containment pair")
+    // — winnow shared fingerprints —
+    val fps: Map[Long, Set[Long]] = Winnow
+      .fingerprints(docs, "doc_id", "text", 8, 4)
+      .select($"doc_id", $"fp").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val naiveWin = (for {
+      (a, fa) <- fps.toSeq; (b, fb) <- fps.toSeq if a < b
+      sh = (fa & fb).size.toLong if sh >= 2L
+    } yield (a, b, Seq(sh))).toSet
+    val engineWin = expand(Winnow
+      .sharedPairs(docs, "doc_id", "text", 8, 4, minShared = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), Seq(r.getLong(2)))).toSeq)
+    assert(engineWin === naiveWin,
+      "winnow shared pairs diverge from the naive all-pairs spelling")
+    assert(naiveWin.exists { case (a, b, _) => a == 1L && groupOf(1L).contains(b) },
+      "fixture degenerate: no identical-group winnow pair")
+    // — cap engaged: connectivity (clusters) still equals naive —
+    val cappedPairs = SetJoin.containmentPairs(docs, "doc_id", "text",
+        maxBucket = 2)
+      .select($"id_a", $"id_b")
+    val cCapped = TextDedup.dedupClusters(docs, "doc_id", cappedPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naivePairsDf = naiveCont.toSeq.map { case (a, b, _) => (a, b) }
+      .toDF("id_a", "id_b")
+    val cNaive = TextDedup.dedupClusters(docs, "doc_id", naivePairsDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cCapped === cNaive,
+      "capped containment pairs must cluster identically to all-pairs")
+  }
+
   test("bucketedPairs lowCardKeys path emits the identical pair multiset at any partitioning") {
     // the cluster-blocked (groupedRank) membership build must be a pure
     // physical rewrite of the window spelling — same groups, same slice
