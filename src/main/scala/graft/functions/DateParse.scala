@@ -175,6 +175,25 @@ object DateParse {
       Seq("my", "km", "lo", "mn", "zu", "yo", "ig", "ha", "so", "rw",
         "mg", "fo", "lb", "fy", "gd", "br", "tg", "tk", "tt", "ps",
         "as", "or")
+        .map(Locale.forLanguageTag) ++
+      // Tier 5 (r18, via tools/LocaleProbe — every tag verified to
+      // carry real CLDR month data in this JDK; root-fallback
+      // candidates ht/sm/ny/st/tn/cv/ba print English names and are
+      // excluded, as is tl, whose Spanish-derived names fil/es already
+      // cover): Indonesia's regional giants (Javanese/Sundanese),
+      // Uyghur, Tibetan/Dzongkha, the African tail (Tigrinya/Oromo/
+      // Lingala/Wolof/Shona/Xhosa/Ganda/Akan/Bambara/Ewe/Rundi),
+      // Yiddish, Esperanto, the European minority tail (Northern
+      // Sami/Romansh/Manx/Cornish/Friulian), Oceania (Maori/Hawaiian/
+      // Tongan), Quechua, Kurdish (kmr + ckb), Sindhi/Kashmiri, and
+      // the Russian-Federation Caucasus/Siberia tail (Chechen/Ossetic/
+      // Sakha). Multi-token names (ln, rm, kw, ckb, sah-May) are dead
+      // keys for the single-token scanner — included for their
+      // single-token months and SHORT forms.
+      Seq("jv", "su", "ug", "bo", "dz", "ti", "om", "ln", "wo", "sn",
+        "xh", "lg", "ak", "bm", "ee", "rn", "yi", "eo", "se", "rm",
+        "gv", "kw", "fur", "mi", "haw", "to", "qu", "ckb", "ku", "sd",
+        "ks", "ce", "os", "sah")
         .map(Locale.forLanguageTag)
     val styles = Seq(TextStyle.FULL, TextStyle.FULL_STANDALONE,
       TextStyle.SHORT, TextStyle.SHORT_STANDALONE)

@@ -32,8 +32,20 @@ import org.apache.spark.sql.functions._
   * graded joins are broadcast-dim shapes; the corpus families are
   * where skew kills).
   *
-  * Usage: `sbt "runMain graft.tools.MakeSkew [outDir]"`
-  * (default target/skew — inside the repo, gitignored).
+  * Usage: `sbt "runMain graft.tools.MakeSkew [outDir] [copies]"`
+  * (default target/skew, 1 copy — inside the repo, gitignored).
+  *
+  * `copies` (r18, the skew-x-scale knob): replicate the skewed
+  * DOCUMENTS table id-shifted `copies` times. Unlike MakeSf1's
+  * zero-shared-vocabulary copies, the boilerplate rows stay
+  * BYTE-IDENTICAL across copies — at copies=10 the giant exact-dup
+  * cluster (and its near-variant halo, and the hot LSH bucket, and
+  * the giant connected component) is 10x BIGGER, which is exactly the
+  * compounding the CC family must survive (log^2 n rounds, not
+  * output-quadratic). Non-boilerplate originals get a per-copy marker
+  * word so the long tail grows with volume instead of turning into
+  * 10-copy clusters. Other tables stay at sf0.1 cardinality — the
+  * skew-x-scale question is the documents dedup/CC family.
   */
 object MakeSkew {
 
@@ -51,6 +63,8 @@ object MakeSkew {
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("target/skew")
+    val copies = args.lift(1).map(_.toInt).getOrElse(1)
+    require(copies >= 1 && copies <= 100, s"copies in [1,100], got $copies")
     val src = "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -80,7 +94,7 @@ object MakeSkew {
         concat(lit(Boilerplate + " trailing variant w"),
           (col("doc_id") % 13).cast("string")))
       .otherwise(col("text"))
-    docs
+    val base = docs
       .withColumn("text", text)
       .withColumn("n_chars",
         when(bucket <= 4, length(col("text")).cast("long"))
@@ -89,8 +103,24 @@ object MakeSkew {
         when(bucket === 7, col("lang")).otherwise(lit("en")))
       .withColumn("source",
         when(bucket === 7, col("source")).otherwise(lit("src0")))
-      .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    println("[skew] documents done")
+    // copies > 1: id-shifted replicas; boilerplate/variant rows stay
+    // byte-identical (the giant cluster GROWS with volume), originals
+    // get a per-copy marker word (the long tail stays a long tail).
+    // bucket reads the PRE-SHIFT doc_id, so each replica's mix is
+    // identical to the base corpus's.
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+    val all = (0 until copies).map { c =>
+      if (c == 0) base
+      else base
+        .withColumn("text", when(bucket <= 4, col("text"))
+          .otherwise(concat(col("text"), lit(s" cpy$c"))))
+        .withColumn("n_chars",
+          when(bucket <= 4, col("n_chars"))
+            .otherwise(length(col("text")).cast("long")))
+        .withColumn("doc_id", col("doc_id") + lit(c * maxId))
+    }.reduce(_ unionAll _)
+    all.write.mode("overwrite").parquet(s"$out/documents.parquet")
+    println(s"[skew] documents done ($copies cop${if (copies == 1) "y" else "ies"})")
 
     // embeddings: 40% in one tight cluster on one label. Centroid and
     // jitter are integer-derived so the corpus is reproducible and the

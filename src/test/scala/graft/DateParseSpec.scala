@@ -293,6 +293,48 @@ class DateParseSpec extends AnyFunSuite {
     assert(DateParse.parseDateIso("3 May 2017") === "2017-05-03")
   }
 
+  test("multilingual goldens: round-18 tier-5 languages") {
+    // Exact JDK-CLDR FULL (format-context) month names probed via
+    // tools/LocaleProbe on this JDK. Lingala, Romansh, Cornish, ckb
+    // and Sakha-May emit MULTI-TOKEN names — dead keys for a
+    // single-token scanner, deliberately not goldened.
+    val goldens = Seq(
+      "3 يانۋار 2017" -> "2017-01-03", // ug
+      "3 ཟླ་བ་དང་པོ 2017" -> "2017-01-03", // bo
+      "3 ጥሪ 2017" -> "2017-01-03", // ti
+      "3 Amajjii 2017" -> "2017-01-03", // om
+      "3 Samwiyee 2017" -> "2017-01-03", // wo
+      "3 Ndira 2017" -> "2017-01-03", // sn
+      "3 Janyuwari 2017" -> "2017-01-03", // xh
+      "3 Janwaliyo 2017" -> "2017-01-03", // lg
+      "3 zanwuye 2017" -> "2017-01-03", // bm
+      "3 dzove 2017" -> "2017-01-03", // ee
+      "3 Nzero 2017" -> "2017-01-03", // rn
+      "3 יאַנואַר 2017" -> "2017-01-03", // yi
+      "3 januaro 2017" -> "2017-01-03", // eo
+      "3 ođđajagemánnu 2017" -> "2017-01-03", // se
+      "3 Zenâr 2017" -> "2017-01-03", // fur
+      "3 Kohitātea 2017" -> "2017-01-03", // mi
+      "3 Ianuali 2017" -> "2017-01-03", // haw
+      "3 Sānuali 2017" -> "2017-01-03", // to
+      "3 rêbendanê 2017" -> "2017-01-03", // ku (kmr)
+      "3 جنوري 2017" -> "2017-01-03", // sd
+      "3 Тохсунньу 2017" -> "2017-01-03", // sah
+      // May forms across the tier (collisions agree where they exist:
+      // haw Mei = id Mei, wo Mee = ig Mee, qu Mayo = es mayo)
+      "3 Méi 2017" -> "2017-05-03", // su
+      "3 Boaldyn 2017" -> "2017-05-03", // gv
+      "3 Haratua 2017" -> "2017-05-03", // mi
+      "3 Caamsa 2017" -> "2017-05-03", // om
+      "3 Chivabvu 2017" -> "2017-05-03", // sn
+      "3 gulanê 2017" -> "2017-05-03") // ku
+    for ((in, want) <- goldens)
+      assert(DateParse.parseDateIso(in) === want, s"input: '$in'")
+    // ce январь collides with ru's STANDALONE январь — both January,
+    // so the key survives the disagreement filter and parses
+    assert(DateParse.parseDateIso("3 январь 2017") === "2017-01-03")
+  }
+
   test("thai dates: Buddhist-era year converts, CE year passes through") {
     // มกราคม = January; 2560 BE = 2017 CE (dateparser converts BE for th)
     assert(DateParse.parseDateIso(
