@@ -171,26 +171,38 @@ object Unicode61 {
     */
   def highlightRawPhrasesGated(s: String, terms: Array[Array[String]],
       prefix: Array[Array[Boolean]], active: Array[Boolean],
-      open: String, close: String): String = {
-    var all = true
-    var i = 0
-    while (all && i < active.length) { all = active(i); i += 1 }
-    if (all) highlightRawPhrases(s, terms, prefix, open, close)
-    else {
-      val ts = new scala.collection.mutable.ArrayBuffer[Array[String]]()
-      val ps = new scala.collection.mutable.ArrayBuffer[Array[Boolean]]()
-      var p = 0
-      while (p < terms.length) {
-        if (active(p)) { ts += terms(p); ps += prefix(p) }
-        p += 1
-      }
-      if (ts.isEmpty) s
-      else highlightRawPhrases(s, ts.toArray, ps.toArray, open, close)
-    }
-  }
+      open: String, close: String): String =
+    highlightRawPhrasesConstrained(s, terms, prefix,
+      new Array[Boolean](terms.length),
+      Array.fill(terms.length)(-1), new Array[Int](terms.length),
+      active, open, close)
 
   def highlightRawPhrases(s: String, terms: Array[Array[String]],
-      prefix: Array[Array[Boolean]], open: String, close: String): String = {
+      prefix: Array[Array[Boolean]], open: String, close: String): String =
+    highlightRawPhrasesGated(s, terms, prefix,
+      Array.fill(terms.length)(true), open, close)
+
+  /** The constraint-complete core (r18b): [[highlightRawPhrases]] plus
+    * FTS5's INSTANCE-list narrowing, pinned against the sqlite3 binary:
+    *
+    *   - `anchored(p)`: an initial-token phrase (`^abc`) reports only
+    *     its position-0 instance (`^a` over `a b a` wraps the first
+    *     `a` alone);
+    *   - `groupId(p) >= 0`: phrase p belongs to a NEAR group; an
+    *     instance survives only if SOME one-instance-per-member
+    *     assignment containing it satisfies the clump rule
+    *     `max(start) − min(end) − 1 <= N` (`groupN(p)`) — the witness
+    *     formulation of fts5_expr.c's lookahead trim, which emits
+    *     exactly the union of valid-clump participants (probed:
+    *     `NEAR(a b, 2)` over `a q…q b a` wraps only the trailing
+    *     `b a`). Witness search uses the PRE-trim instance lists of
+    *     the other members, and (ms, me) tightens monotonically, so
+    *     a violated partial clump prunes the branch exactly.
+    */
+  def highlightRawPhrasesConstrained(s: String, terms: Array[Array[String]],
+      prefix: Array[Array[Boolean]], anchored: Array[Boolean],
+      groupId: Array[Int], groupN: Array[Int], active: Array[Boolean],
+      open: String, close: String): String = {
     // pass 1: folded tokens + their raw spans (same scan as the
     // tokenizer: fold >= 0 joins the token, -1 separates, -2 elides
     // inside a span)
@@ -215,10 +227,11 @@ object Unicode61 {
       i += w
     }
     flush(n)
-    // pass 2: phrase hits as (startTok, endTok) inclusive
-    val hits = new scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    // pass 2: per-phrase hits as (startTok, endTok) inclusive
+    val nP = terms.length
+    val byPhrase = Array.fill(nP)(Vector.empty[(Int, Int)])
     var p = 0
-    while (p < terms.length) {
+    while (p < nP) {
       val ts = terms(p); val ps = prefix(p)
       var a = 0
       while (a + ts.length <= tokText.length) {
@@ -229,9 +242,36 @@ object Unicode61 {
           ok = if (ps(k)) t.startsWith(ts(k)) else t == ts(k)
           k += 1
         }
-        if (ok) hits += ((a, a + ts.length - 1))
+        if (ok) byPhrase(p) = byPhrase(p) :+ ((a, a + ts.length - 1))
         a += 1
       }
+      if (anchored(p)) byPhrase(p) = byPhrase(p).filter(_._1 == 0)
+      p += 1
+    }
+    // pass 2b: NEAR instance narrowing (see scaladoc) — witnesses come
+    // from the pre-trim snapshot, trims land on the live lists
+    val snapshot: Array[Vector[(Int, Int)]] = byPhrase.clone()
+    groupId.toSet.filter(_ >= 0).foreach { g =>
+      val members = (0 until nP).filter(groupId(_) == g)
+      if (members.length >= 2) {
+        val n = groupN(members.head)
+        members.foreach { m =>
+          val others = members.filter(_ != m).map(snapshot)
+          byPhrase(m) = byPhrase(m).filter { case (hs, he) =>
+            def rec(j: Int, ms: Int, me: Int): Boolean =
+              if (ms - me - 1 > n) false
+              else if (j == others.length) true
+              else others(j).exists { case (s2, e2) =>
+                rec(j + 1, math.max(ms, s2), math.min(me, e2)) }
+            rec(0, hs, he)
+          }
+        }
+      }
+    }
+    val hits = new scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    p = 0
+    while (p < nP) {
+      if (active(p)) hits ++= byPhrase(p)
       p += 1
     }
     if (hits.isEmpty) return s

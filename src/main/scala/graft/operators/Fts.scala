@@ -350,7 +350,21 @@ object Fts {
   private[graft] final class PhraseEntry(val text: String) {
     var gate: Column = null
     def addGate(c: Column): Unit = gate = if (gate == null) c else gate && c
+    // instance constraints (r18b): FTS5 narrows a phrase's INSTANCE
+    // list, not just its row verdict — `^abc` reports only the
+    // position-0 instance, and a NEAR member reports only instances
+    // participating in some valid clump. near = (all group phrases,
+    // my index, window N); None outside any NEAR group.
+    var anchored: Boolean = false
+    var near: Option[(Seq[NearPhrase], Int, Int)] = None
   }
+
+  /** One highlightable phrase of a parsed query, constraints resolved:
+    * [[PhraseEntry]]'s plan-time surface for the highlight renderers.
+    */
+  private[graft] final case class GatedPhrase(np: NearPhrase,
+      gate: Option[Column], anchored: Boolean,
+      near: Option[(Seq[NearPhrase], Int, Int)])
 
   /** Highlightable phrases of a full FTS5-grammar query OVER the given
     * columns: every phrase unit the grammar would match (chain
@@ -363,12 +377,13 @@ object Fts {
     * scoping, which the single-column graded surface never exercises.)
     */
   private[graft] def queryPhrasesGated(
-      cols: Seq[Column], query: String): Seq[(NearPhrase, Option[Column])] = {
+      cols: Seq[Column], query: String): Seq[GatedPhrase] = {
     val sink = scala.collection.mutable.ArrayBuffer.empty[PhraseEntry]
     matchQueryImpl(cols, None, query, Some(sink))
     sink.toSeq.flatMap { e =>
       val ps = parsePieces(e.text)
-      if (ps.isEmpty) None else Some((NearPhrase(ps), Option(e.gate)))
+      if (ps.isEmpty) None
+      else Some(GatedPhrase(NearPhrase(ps), Option(e.gate), e.anchored, e.near))
     }
   }
 
@@ -553,7 +568,18 @@ object Fts {
       require(args.nonEmpty, s"syntax error: empty NEAR() (as FTS5): $query")
       next() // ")"
       val phrases = args.toSeq.filter(Unicode61.hasToken)
-      phraseSink.foreach(s => phrases.foreach(p => s += new PhraseEntry(p)))
+      phraseSink.foreach { s =>
+        val entries = phrases.map(p => new PhraseEntry(p))
+        // a >= 2-member group narrows each member's instance list to
+        // valid-clump participants (FTS5 poslist trim; single-member
+        // NEAR is a plain phrase — every instance reports)
+        if (entries.length >= 2) {
+          val grp = phrases.map(parseNearPhrase)
+          entries.zipWithIndex.foreach { case (e, i) =>
+            e.near = Some((grp, i, n)) }
+        }
+        entries.foreach(s += _)
+      }
       // coalesce: an absent phrase makes the gap NULL, and a NULL must
       // read as NO-MATCH (false) — under the grammar's NOT, a bare
       // NULL would otherwise eat the row in three-valued logic
@@ -600,7 +626,11 @@ object Fts {
     }
     def anchoredChain(colsIn: Seq[Column], chain: (String, Boolean)): (Column, Boolean) = {
       val (text, _) = chain
-      if (parsePieces(text).nonEmpty) phraseSink.foreach(_ += new PhraseEntry(text))
+      if (parsePieces(text).nonEmpty) phraseSink.foreach { s =>
+        val e = new PhraseEntry(text)
+        e.anchored = true // only the position-0 instance reports (FTS5)
+        s += e
+      }
       if (parsePieces(text).isEmpty) (lit(false), true) // '^""': droppable
       else if (colsIn.isEmpty) (lit(false), false) // emptied filter ctx
       else (matchesAnchored(colsIn, text), false)
@@ -1158,19 +1188,47 @@ object Fts {
     * bound ONCE per row via a 1-element transform so the per-phrase
     * scans don't re-run per token.
     *
-    * Known deviation (documented): FTS5 highlights only the instances
-    * that SATISFY a NEAR constraint; this wraps every occurrence of a
-    * NEAR operand phrase on matching rows.
+    * Instance narrowing (r18b — closes the last documented highlight
+    * deviation): `^abc` reports only its position-1 instance, and a
+    * NEAR member phrase reports only instances participating in some
+    * valid clump (`max(start) − min(end) − 1 <= N` over a
+    * one-instance-per-member assignment — the witness formulation of
+    * fts5_expr.c's lookahead poslist trim; probed + fuzzed against the
+    * sqlite3 binary in SqliteCliSpec). The witness check folds the
+    * OTHER members' occurrence lists into (ms, me) clump candidates
+    * and keeps an instance iff one candidate stays within the window —
+    * per-row array compute, Π|occ| candidates, occurrence lists of
+    * query terms in one document are tiny.
     */
   def highlight(cols: Seq[Column], query: String): Column = {
     val phrases = queryPhrasesGated(cols, query)
     require(phrases.nonEmpty, "empty FTS query")
     val toks = tokens(cols)
     val emptySpans = array().cast("array<struct<s:int,e:int>>")
-    val spans = concat(phrases.map { case (np, gate) =>
-      val (starts, l) = spanStarts(toks, np)
+    val spans = concat(phrases.map { gp =>
+      val (starts0, l) = spanStarts(toks, gp.np)
+      val anchoredStarts =
+        if (gp.anchored) filter(starts0, s => s === 1) else starts0
+      val starts = gp.near match {
+        case Some((group, idx, n)) =>
+          val otherSpans = group.zipWithIndex.collect {
+            case (np, j) if j != idx => spanStarts(toks, np) }
+          val (s0, l0) = otherSpans.head
+          val init = transform(s0, s =>
+            struct(s.as("ms"), (s + (l0 - 1)).as("me")))
+          val folded = otherSpans.tail.foldLeft(init) { case (acc, (st, ll)) =>
+            flatten(transform(acc, c0 => transform(st, s => struct(
+              greatest(c0.getField("ms"), s).as("ms"),
+              least(c0.getField("me"), s + (ll - 1)).as("me")))))
+          }
+          filter(anchoredStarts, x => exists(folded, c =>
+            greatest(x, c.getField("ms")) -
+              least(x + (l - 1), c.getField("me")) - lit(1) <= n))
+        case None => anchoredStarts
+      }
       val arr = transform(starts, s => struct(s.as("s"), (s + (l - 1)).as("e")))
-      gate.fold(arr)(g => when(coalesce(g, lit(false)), arr).otherwise(emptySpans))
+      gp.gate.fold(arr)(g =>
+        when(coalesce(g, lit(false)), arr).otherwise(emptySpans))
     }: _*)
     // bind the span list once (array(spans) has 1 element; transform's
     // lambda variable IS that binding), then render per token
@@ -1197,13 +1255,26 @@ object Fts {
     * phrases wrap whole hits in the raw bytes (`"new york"` wraps
     * `New-York` including the separator between its tokens), prefix
     * stars match per piece, and overlapping hits coalesce exactly as
-    * [[highlight]] documents.
+    * [[highlight]] documents. Instance narrowing (`^` anchors, NEAR
+    * clump participation) applies exactly as [[highlight]] documents —
+    * here via plan-time constraint arrays on the codegen'd expression
+    * (group identity keys on the parser's shared group instance).
     */
   def highlightRaw(textCol: Column, query: String): Column = {
     val phrases = queryPhrasesGated(Seq(textCol), query)
     require(phrases.nonEmpty, "empty FTS query")
+    val gid = new java.util.IdentityHashMap[AnyRef, Integer]()
     graft.expressions.HighlightRaw.highlight_raw(textCol,
-      phrases.map { case (np, g) => (np.terms, g.getOrElse(lit(true))) })
+      phrases.map { gp =>
+        val (g, n) = gp.near match {
+          case Some((group, _, nn)) =>
+            if (!gid.containsKey(group)) gid.put(group, gid.size())
+            (gid.get(group).intValue(), nn)
+          case None => (-1, 0)
+        }
+        graft.expressions.HighlightRaw.Phrase(gp.np.terms,
+          gp.gate.getOrElse(lit(true)), gp.anchored, g, n)
+      })
   }
 
   /** S9: FTS version probe, exactly as the reference

@@ -337,6 +337,47 @@ object ParityQueries {
        |FROM g WHERE b1 OR b2 ORDER BY doc_id""".stripMargin
   }
 
+  /** S13 extension (r18b) — NEAR INSTANCE narrowing in `highlight()`:
+    * FTS5 trims each NEAR member's instance list to valid-clump
+    * participants (`max(start) − min(end) − 1 <= N` over some
+    * one-instance-per-member assignment), so a `part` far from every
+    * `line` does NOT highlight even on matching rows — the poslist
+    * trim of fts5_expr.c, probed + fuzzed against the sqlite3 binary
+    * in SqliteCliSpec. The oracle replays the witness rule in DuckDB
+    * list HOFs (single-token members: survivor iff `abs(x − y) <= N +
+    * 1` for some partner); spans are width-1, so overlap-coalescing is
+    * vacuous and each surviving token wraps individually.
+    */
+  def ftsHighlightNear(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val q = "NEAR(part line, 3)"
+    docs.filter(Fts.matchQuery(Seq(col("text")), q))
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        Fts.highlight(Seq(col("text")), q).as("highlighted"))
+      .orderBy("doc_id")
+  }
+
+  val ftsHighlightNearOracle: String = {
+    val toks = DuckSql.tokens("text")
+    def pos(t: String) =
+      s"list_filter(list_transform(toks, (x, i) -> CASE WHEN x = '$t' THEN i END), p -> p IS NOT NULL)"
+    s"""WITH t AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, $toks AS toks FROM documents
+       |), s AS (
+       |  SELECT doc_id, toks, ${pos("part")} AS pa, ${pos("line")} AS pb FROM t
+       |), w AS (
+       |  SELECT doc_id, toks,
+       |    list_filter(pa, x -> len(list_filter(pb, y -> abs(x - y) <= 4)) > 0) AS ka,
+       |    list_filter(pb, y -> len(list_filter(pa, x -> abs(x - y) <= 4)) > 0) AS kb
+       |  FROM s
+       |)
+       |SELECT doc_id,
+       |  array_to_string(list_transform(toks, (x, i) ->
+       |    CASE WHEN list_contains(ka, i) OR list_contains(kb, i)
+       |      THEN '<b>' || x || '</b>' ELSE x END), ' ') AS highlighted
+       |FROM w WHERE len(ka) > 0 ORDER BY doc_id""".stripMargin
+  }
+
   /** S13 extension — FTS5 `NEAR(spark hash, 3)`: documents where the
     * terms occur within 3 intervening tokens, with the minimum gap
     * ([[Fts.nearMinGap]]).

@@ -1002,9 +1002,9 @@ class SqliteCliSpec extends SparkSpec {
     // coalesce rule), juxtaposition/AND/OR — byte-compared against the
     // binary's highlight() on BOTH renderers (HighlightRaw on raw
     // text; Fts.highlight on text that IS its own token stream).
-    // NEAR and ^anchor atoms are excluded BY DESIGN: FTS5 filters
-    // their instance lists to constraint-satisfying positions, the
-    // one documented highlight deviation (Fts.highlight scaladoc).
+    // NEAR and ^anchor atoms included since r18b: instance narrowing
+    // (valid-clump participants only, position-0 only) is implemented
+    // and must survive the fuzz, not just the crafted decoy docs.
     assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -1021,7 +1021,7 @@ class SqliteCliSpec extends SparkSpec {
       if (d.length <= len) d.toSeq
       else { val s = rnd.nextInt(d.length - len); d.slice(s, s + len).toSeq }
     }
-    def atom(): String = rnd.nextInt(6) match {
+    def atom(): String = rnd.nextInt(8) match {
       case 0 | 1 => "\"" + window(2 + rnd.nextInt(2)).mkString(" ") + "\""
       case 2 =>
         val t = term()
@@ -1031,6 +1031,16 @@ class SqliteCliSpec extends SparkSpec {
         val d = anyDoc(); val s = rnd.nextInt(d.length - 2)
         "\"" + d.slice(s, s + 2).mkString(" ") + "\" OR \"" +
           d.slice(s + 1, s + 3).mkString(" ") + "\""
+      case 5 => // NEAR: same-doc terms so valid clumps exist; tight
+        // windows so instance narrowing actually trims (r18b)
+        val d = anyDoc()
+        val a = d(rnd.nextInt(d.length)); val b = d(rnd.nextInt(d.length))
+        if (rnd.nextBoolean()) s"NEAR($a $b, ${rnd.nextInt(5)})"
+        else {
+          val w = window(2)
+          s"""NEAR("${w.mkString(" ")}" $a, ${1 + rnd.nextInt(4)})"""
+        }
+      case 6 => "^" + anyDoc().head // anchors: position-0 instance only
       case _ => term()
     }
     def expr(depth: Int): String =
@@ -1083,6 +1093,60 @@ class SqliteCliSpec extends SparkSpec {
     }
     assert(queries.count(_.contains("\"")) > 20,
       "generator degenerate: almost no phrase queries")
+  }
+
+  test("real FTS5: NEAR + ^anchor INSTANCE narrowing — highlight byte parity on adversarial docs") {
+    // FTS5 trims a phrase's instance list, not just its row verdict:
+    // a NEAR member reports only valid-clump participants, ^abc only
+    // its position-0 instance (r18b — closes the last documented
+    // highlight deviation). Docs are crafted decoy shapes: an
+    // occurrence far outside the window (rows 1, 5, 7), k=3 clumps
+    // where one phrase has an extra invalid instance (row 7),
+    // overlapping multi-token members (rows 2, 10), prefix members
+    // (row 9), NEAR under OR / NOT gating (rows 7, 8).
+    assume(SqliteCli.binary.isDefined, "no sqlite3 binary on this box")
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = Seq(
+      1L -> "a q q q q q q q q q q q b a",
+      2L -> "a b c",
+      3L -> "x a y b z a",
+      4L -> "a a a q q q q b",
+      5L -> "b q a q b q q q q q a",
+      6L -> "a b a",
+      7L -> "c q a b q q c",
+      8L -> "a p1 p2 b w w w w a",
+      9L -> "ax q q b axe",
+      10L -> "m n q q m n z q m",
+      11L -> "a c b")
+    val f = dbFile()
+    val script = new StringBuilder("CREATE VIRTUAL TABLE d USING fts5(t);\nBEGIN;\n")
+    rows.foreach { case (id, t) =>
+      script ++= s"INSERT INTO d(rowid, t) VALUES ($id, '$t');\n" }
+    script ++= "COMMIT;\n"
+    SqliteCli.query(f, script.toString)
+    val docs = rows.toDF("doc_id", "text")
+    val queries = Seq(
+      "NEAR(a b, 2)", "NEAR(\"a b\" \"b c\", 0)", "^a", "^a*",
+      "NEAR(a b c, 1)", "NEAR(a b c, 2)", "NEAR(\"m n\" m, 3)",
+      "NEAR(ax* b, 2)", "NEAR(a b, 4) OR c", "a NOT NEAR(a b, 0)",
+      "NEAR(a b, 1) AND c", "NEAR(a q* b, 1)")
+    queries.foreach { q =>
+      val real = SqliteCli.query(f,
+        s"SELECT rowid, highlight(d, 0, '<b>', '</b>') FROM d " +
+          s"WHERE d MATCH '${q.replace("'", "''")}' ORDER BY rowid;")
+        .map(r => (r(0).get.toLong, r(1).get)).toMap
+      val mineStream = docs
+        .filter(operators.Fts.matchQuery(Seq(col("text")), q))
+        .select(col("doc_id"), operators.Fts.highlight(Seq(col("text")), q))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(mineStream === real, s"token-stream NEAR/anchor highlight diverges for <$q>")
+      val mineRaw = docs
+        .filter(operators.Fts.matchQuery(Seq(col("text")), q))
+        .select(col("doc_id"), operators.Fts.highlightRaw(col("text"), q))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(mineRaw === real, s"raw NEAR/anchor highlight diverges for <$q>")
+    }
   }
 
   test("property: 120 random grammar queries over RAW multilingual text — verdict parity with real FTS5") {
