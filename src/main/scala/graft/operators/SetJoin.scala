@@ -408,7 +408,7 @@ object SetJoin {
     // the minhash family): posting buckets and containment verification
     // run over one REPRESENTATIVE per distinct set; same-content copies
     // emit identity star pairs (containment 1.0/1.0 by definition)
-    val (members, reps) = TextDedup.collapseIdenticalSets(sets)
+    val (members, reps, collapsed) = TextDedup.collapseIdenticalSetsTagged(sets)
     // bounded member rows (TextDedup.bucketedPairs): same pair set as
     // the one-row-per-bucket spelling, but no O(|bucket|) array row
     val cand = TextDedup.bucketedPairs(
@@ -425,7 +425,9 @@ object SetJoin {
       .filter(greatest(col("cont_a_ppm"), col("cont_b_ppm")) >= lit(thresholdPpm))
       .select(col("id_a"), col("id_b"), col("n_shared"),
         col("cont_a_ppm"), col("cont_b_ppm"))
-    repPairs.unionByName(
+    // identity star pairs are EMPTY when nothing collapsed — skip the union
+    if (!collapsed) repPairs
+    else repPairs.unionByName(
       TextDedup.identityStarPairs(members)
         .join(reps.select(col("id").as("id_a"), size(col("sset")).cast(LongType).as("n_shared")),
           Seq("id_a"))

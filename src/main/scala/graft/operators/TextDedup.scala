@@ -302,6 +302,20 @@ object TextDedup {
     */
   private[graft] def collapseIdenticalSets(
       sets: DataFrame): (DataFrame, DataFrame) = {
+    val (members, reps, _) = collapseIdenticalSetsTagged(sets)
+    (members, reps)
+  }
+
+  /** [[collapseIdenticalSets]] that also reports WHETHER anything
+    * collapsed. On the identity path `members` is the trivial
+    * (id, id) mapping and [[identityStarPairs]] over it is EMPTY —
+    * callers use the flag to skip the star-pair union / member
+    * re-expansion joins outright instead of executing stages that
+    * provably produce zero rows (r18: 2-8 exchanges per query on
+    * uniform corpora).
+    */
+  private[graft] def collapseIdenticalSetsTagged(
+      sets: DataFrame): (DataFrame, DataFrame, Boolean) = {
     // CONTRACT: `sets` must already be materialized (localCheckpoint /
     // cache / table scan) — every caller does; the canon projection
     // (sort + two hashes) is narrow per-row CPU over it, recomputed
@@ -311,24 +325,28 @@ object TextDedup {
     val canon = sets.select(col("id"), array_sort(col("sset")).as("sset0"))
       .withColumn("__h1", xxhash64(col("sset0")))
       .withColumn("__h2", xxhash64(lit("lane2"), col("sset0")))
-    val rids = canon.groupBy(col("__h1"), col("__h2"))
-      .agg(min(col("id")).as("rid"))
-      .localCheckpoint(true) // 24B/row; feeds the count + members + reps
     // Adaptive fast path: when every content is distinct (the uniform
     // corpus — the common case), the collapse is the identity, and the
-    // two join-backs below would be pure overhead. Two driver-side
-    // longs decide (bounded collect: counts only); the branches are
-    // semantically identical (rid = min(id) of a 1-element group = id).
-    if (rids.count() == sets.count()) {
+    // group + two join-backs below would be pure overhead. ONE
+    // aggregation job decides (bounded collect: two longs) — the r18.0
+    // spelling materialized the grouped rid table eagerly and ran two
+    // separate count jobs just to make this decision; the rid table is
+    // only needed on the slow path, so build it there.
+    val counts = canon.agg(count(lit(1)),
+      count_distinct(col("__h1"), col("__h2"))).head()
+    if (counts.getLong(0) == counts.getLong(1)) {
       (sets.select(col("id").as("rid"), col("id")),
-        sets.select(col("id"), array_sort(col("sset")).as("sset")))
+        sets.select(col("id"), array_sort(col("sset")).as("sset")), false)
     } else {
+      val rids = canon.groupBy(col("__h1"), col("__h2"))
+        .agg(min(col("id")).as("rid"))
+        .localCheckpoint(true) // 24B/row; feeds members + reps
       val members = canon.select(col("id"), col("__h1"), col("__h2"))
         .join(rids, Seq("__h1", "__h2")).select(col("rid"), col("id"))
       val reps = canon
         .join(rids.select(col("rid").as("id")), Seq("id"), "left_semi")
         .select(col("id"), col("sset0").as("sset"))
-      (members, reps)
+      (members, reps, true)
     }
   }
 
@@ -384,7 +402,7 @@ object TextDedup {
       sets: DataFrame, numPerms: Int = 16, r: Int = 2,
       jaccardThreshold: Double = 0.5,
       maxBucket: Int = 256): DataFrame = {
-    val (members, reps) = collapseIdenticalSets(sets)
+    val (members, reps, collapsed) = collapseIdenticalSetsTagged(sets)
     val withSig = reps.withColumn("sig", minhashSignatureFromHashes(col("sset"), numPerms))
     val bands = withSig.select(col("id"),
       explode(lshBands(col("sig"), numPerms, r)).as("b"))
@@ -400,7 +418,10 @@ object TextDedup {
       .withColumn("jaccard", round(col("inter") / col("uni"), 6))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    repPairs.unionByName(
+    // identity star pairs are EMPTY when nothing collapsed — skip the
+    // union (and its scan of the sets checkpoint) instead of executing it
+    if (!collapsed) repPairs
+    else repPairs.unionByName(
       identityStarPairs(members).withColumn("jaccard", lit(1.0)))
   }
 
@@ -525,7 +546,7 @@ object TextDedup {
     // its representative's), but a 500-copy boilerplate batch against a
     // hot index band costs 1 verification instead of 500 x bucket.
     // The index side stays uncollapsed — it is the persisted artifact.
-    val (nmembers, nreps) = collapseIdenticalSets(nsets)
+    val (nmembers, nreps, ncollapsed) = collapseIdenticalSetsTagged(nsets)
     val nbands = nreps
       .withColumn("sig", minhashSignatureFromHashes(col("sset"), numPerms))
       .select(col("id"), explode(lshBands(col("sig"), numPerms, r)).as("b"))
@@ -545,7 +566,11 @@ object TextDedup {
       .withColumn("jaccard", round(col("inter") / col("uni"), 6))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("new_rid"), col("old_id"), col("jaccard"))
-    repPairs
+    // nothing collapsed -> every rid IS its doc id; skip the member
+    // re-expansion join
+    if (!ncollapsed)
+      repPairs.select(col("new_rid").as("new_id"), col("old_id"), col("jaccard"))
+    else repPairs
       .join(nmembers.select(col("rid").as("new_rid"), col("id").as("new_id")),
         Seq("new_rid"))
       .select(col("new_id"), col("old_id"), col("jaccard"))
@@ -625,10 +650,21 @@ object TextDedup {
     // ADVICE: deep graphs accumulated unbounded executor blocks).
     val edges = p0.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(p0.select(col("v").as("src"), col("u").as("dst")))
+    // Round 1 fused: against the init labels (label(id) = id) the
+    // generic round's edges⋈labels join is the identity, so round 1 is
+    // directly label(v) = least(v, min over incoming src) — ONE
+    // aggregation over the symmetric edge table replaces the init
+    // distinct + init checkpoint + the first round's join (r18: 3
+    // stages saved per dedupClusters call; the node set is the dst
+    // side of the symmetric edges, identical to distinct(src)).
     var labelsCp = shim.localCheckpointNoStats(
-      edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id")))
-    var labels = labelsCp
+      edges.groupBy(col("dst").as("id")).agg(min(col("src")).as("msg"))
+        .select(col("id"),
+          least(col("id"), col("msg")).as("label"),
+          col("id").as("prev")))
+    converged = labelsCp.filter(col("label") =!= col("prev")).count() == 0
+    var labels = labelsCp.select(col("id"), col("label"))
+    iters = 1
     while (!converged && iters < math.min(propRounds, maxIters)) {
       val msgs = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("id")).agg(min(col("label")).as("msg"))

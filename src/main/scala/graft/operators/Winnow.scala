@@ -79,7 +79,7 @@ object Winnow {
       .select(col("doc_id").as("id"), col("sset"))
       .localCheckpoint(true) // collapseIdenticalSets requires a
       // materialized input (it projects it once per consumer)
-    val (members, reps) = TextDedup.collapseIdenticalSets(docSets)
+    val (members, reps, collapsed) = TextDedup.collapseIdenticalSetsTagged(docSets)
     // bounded member rows (TextDedup.bucketedPairs): identical pair
     // multiset per fp-bucket, so the shared-fp counts are unchanged
     val repPairs = TextDedup.bucketedPairs(
@@ -87,7 +87,9 @@ object Winnow {
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).cast(LongType).as("shared"))
       .filter(col("shared") >= minShared)
-    repPairs.unionByName(
+    // identity star pairs are EMPTY when nothing collapsed — skip the union
+    if (!collapsed) repPairs
+    else repPairs.unionByName(
       TextDedup.identityStarPairs(members)
         .join(reps.select(col("id").as("id_a"),
           size(col("sset")).cast(LongType).as("shared")), Seq("id_a"))

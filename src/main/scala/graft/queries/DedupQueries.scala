@@ -658,15 +658,25 @@ object DedupQueries {
     // copies (exact dedup's job, found without LSH by definition) no
     // longer inflate or deflate the LSH recall number, and the measure
     // is invariant to how either side spells its within-group emission
-    val (members0, _) = TextDedup.collapseIdenticalSets(sets)
-    val m = members0.localCheckpoint(true) // four projection joins below
-    def canon(p: DataFrame): DataFrame = p
-      .join(m.select(col("id").as("id_a"), col("rid").as("ra")), Seq("id_a"))
-      .join(m.select(col("id").as("id_b"), col("rid").as("rb")), Seq("id_b"))
-      .filter(col("ra") =!= col("rb"))
-      .select(least(col("ra"), col("rb")).as("id_a"),
-        greatest(col("ra"), col("rb")).as("id_b"))
-      .distinct()
+    val (members0, _, collapsed) = TextDedup.collapseIdenticalSetsTagged(sets)
+    // identity collapse (uniform corpus): rid == id for every doc, so the
+    // four member-mapping joins below are identity maps — skip them (r18:
+    // they cost 8 exchanges in this query's plan while provably re-keying
+    // every pair to itself)
+    val m = if (collapsed) members0.localCheckpoint(true) // four projection joins below
+      else members0
+    def canon(p: DataFrame): DataFrame = {
+      val mapped = if (!collapsed)
+        p.select(col("id_a").as("ra"), col("id_b").as("rb"))
+      else p
+        .join(m.select(col("id").as("id_a"), col("rid").as("ra")), Seq("id_a"))
+        .join(m.select(col("id").as("id_b"), col("rid").as("rb")), Seq("id_b"))
+      mapped
+        .filter(col("ra") =!= col("rb"))
+        .select(least(col("ra"), col("rb")).as("id_a"),
+          greatest(col("ra"), col("rb")).as("id_b"))
+        .distinct()
+    }
     val exact = canon(graft.operators.SetJoin.ppjoinPairsFromSets(sets)
         .select(col("id_a"), col("id_b")))
       .withColumn("in_exact", lit(1L))

@@ -52,6 +52,34 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairSet.exists { case (a, b) => Set(a, b).contains(4L) })
   }
 
+  test("collapseIdenticalSetsTagged: identity fast path flags false; duplicates flag true with same members/reps") {
+    // all-distinct corpus -> identity members, canonical sorted reps, flag false
+    val distinctSets = docs.filter($"doc_id" =!= 2L)
+      .select($"doc_id".cast("long").as("id"),
+        TextDedup.shingleHashes($"text", 3).as("sset"))
+      .localCheckpoint(true)
+    val (mI, rI, cI) = TextDedup.collapseIdenticalSetsTagged(distinctSets)
+    assert(!cI, "nothing collapses on an all-distinct corpus")
+    assert(mI.collect().forall(r => r.getLong(0) === r.getLong(1)),
+      "identity members map every id to itself")
+    assert(rI.count() === 4)
+    // duplicated corpus -> flag true, copies fold onto the min-id rep
+    val dupSets = docs
+      .select($"doc_id".cast("long").as("id"),
+        TextDedup.shingleHashes($"text", 3).as("sset"))
+      .localCheckpoint(true)
+    val (mD, rD, cD) = TextDedup.collapseIdenticalSetsTagged(dupSets)
+    assert(cD, "the exact dup pair (1,2) must collapse")
+    val members = mD.collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(members(1L) === 1L && members(2L) === 1L,
+      "both copies map to the min-id representative")
+    assert(rD.count() === 4, "one rep per distinct content")
+    assert(rD.filter($"id" === 2L).count() === 0, "the shadowed copy is not a rep")
+    // reps' sset is the sorted canonical array on BOTH paths
+    assert(rI.collect().forall(r => { val s = r.getSeq[Long](1); s === s.sorted }))
+    assert(rD.collect().forall(r => { val s = r.getSeq[Long](1); s === s.sorted }))
+  }
+
   test("b-bit jaccard: identical contents collapse out; estimates stay in range") {
     val sets = docs.select($"doc_id".cast("long").as("id"),
       TextDedup.shingleHashes($"text", 3).as("sset"))
