@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked program's stdout must reach the caller RAW: sbt's default
+// LoggedOutput prefixes every line with "[info] ", which defeats any
+// consumer that extracts the bench's one-line JSON from the process
+// stdout tail (every BENCH_r*.json since r10 recorded parsed:null for
+// exactly this). StdoutOutput passes the child's stdout through
+// unprefixed; sbt's own [success]/[error] lines are unaffected.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -36,7 +43,22 @@ javaOptions ++= jdk17AddOpens ++ {
   // this is ordinary executor memory sizing; locally it is
   // parameterized by SPARK_DRIVER_MEM with a default sized to the
   // sandbox (128 GiB box; 24g keeps well clear of other tenants).
-  val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
+  // Portable default (r18 ADVICE): derive from the box instead of
+  // assuming the 128 GiB sandbox — min(24g, half of physical RAM),
+  // floor 2g, so a laptop-sized host still forks. SPARK_DRIVER_MEM
+  // remains the explicit override in both directions.
+  val defaultMem: String = {
+    val halfRamGb = try {
+      val meminfo = scala.io.Source.fromFile("/proc/meminfo")
+      try meminfo.getLines().collectFirst {
+        case l if l.startsWith("MemTotal:") =>
+          l.split("\\s+")(1).toLong / (2L * 1024 * 1024) // kB -> half in GiB
+      }.getOrElse(24L)
+      finally meminfo.close()
+    } catch { case _: Throwable => 24L }
+    s"${math.max(2L, math.min(24L, halfRamGb))}g"
+  }
+  val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", defaultMem)
   Seq(
     "-Dspark.ui.enabled=false",
     "-Dspark.sql.session.timeZone=UTC",
@@ -55,9 +77,29 @@ javaOptions ++= jdk17AddOpens ++ {
     // halved measured task time (x_dedup_clusters 90s -> 45s summed).
     // A -D default only: SPARK_LOCAL_DIRS (Spark's own env knob)
     // overrides it on any box where RAM-backed scratch is wrong.
+    // SCALE NOTE: this default only ever applies to the local-mode JVM
+    // sbt forks here (a cluster deployment submits through
+    // spark-submit and never reads this file); tmpfs scratch is a
+    // local[$CPUS]-sandbox assumption — shuffles larger than ~50% of
+    // RAM need disk, so never carry this flag onto a real node.
     val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite)
-      Seq("-Dspark.local.dir=/dev/shm/graft-local") else Seq.empty
+    if (shm.isDirectory && shm.canWrite) {
+      // A killed JVM leaves RAM-resident shuffle debris behind; sweep
+      // stale contents before each fork so tmpfs can't silently fill
+      // (r18 ADVICE). Live runs keep their own subdirs open — only
+      // sweep entries older than an hour.
+      try {
+        val root = new java.io.File("/dev/shm/graft-local")
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        Option(root.listFiles()).getOrElse(Array.empty)
+          .filter(_.lastModified() < cutoff).foreach(rm)
+      } catch { case _: Throwable => }
+      Seq("-Dspark.local.dir=/dev/shm/graft-local")
+    } else Seq.empty
   } ++ Seq(
     // Align the local shuffle writer with the at-scale path: with
     // reduce counts <= 200 the bypass-merge writer opens one file PER

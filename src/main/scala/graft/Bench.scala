@@ -13,6 +13,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Numeric core count for the JSON stamp/merge key; a non-numeric
+    // master spec (e.g. "*") records as -1 and never merges.
+    val cpusNum: Double = try cpus.toDouble catch { case _: Throwable => -1.0 }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -221,7 +224,7 @@ object Bench {
       // repo-root allowlist (a suffix match would also exempt e.g. a
       // future configbench.json, and a substring match any path that
       // merely contains "spark-warehouse").
-      val exemptExact = Set("bench.json", "BENCH_HISTORY.jsonl", "derby.log")
+      val exemptExact = Set("bench.json", "bench_line.json", "BENCH_HISTORY.jsonl", "derby.log")
       val dirty = Process(Seq("git", "status", "--porcelain"), cwd).!!
         .linesIterator.filter(_.length > 3)
         .map { l =>
@@ -308,7 +311,10 @@ object Bench {
         "this board is marked drifted and will not displace a clean same-code board")
     val canaryJson = canaryTimes.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
+    // "cpus" makes the record self-identifying by core count: the
+    // driver's 8-core scaling probe must never merge with (or pose as)
+    // a 32-core board — r18's bench.json was exactly that mix-up.
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cpus":${cpusNum.toInt},""" +
       s""""code":"$codeId","tree":"$treeId",""" +
       s""""canary":$canaryJson,"canary_ratio":${"%.3f".format(canaryRatio)},"drifted":$drifted,""" +
       s""""queries":$qs,"queries_median":$medians,"failed":$failed,"sf":"$sfDir"}"""
@@ -378,6 +384,11 @@ object Bench {
             val sameShape = sameCode &&
               (j \ "sf") == JString(sfDir) &&
               num(j \ "reps").contains(reps.toDouble) &&
+              // Core count is part of the measurement config: an 8-core
+              // and a 32-core board of the same tree are different
+              // experiments and must not min-merge (records predating
+              // the cpus stamp carry no field and are excluded).
+              num(j \ "cpus").contains(cpusNum) && cpusNum > 0 &&
               (j \ "failed") == JArray(Nil)
             val qm = (j \ "queries") match {
               case JObject(fs) => fs.flatMap { case (k, v) => num(v).map(k -> _) }.toMap
@@ -407,7 +418,7 @@ object Bench {
     // compact line (slowest 50 queries, ~1.6KB); full fidelity goes to
     // bench.json below.
     val compact =
-      s"""{"metric":"total","value":$bestTotal,"unit":"sec","reps":$reps,"nq":${results.size},""" +
+      s"""{"metric":"total","value":$bestTotal,"unit":"sec","reps":$reps,"cpus":${cpusNum.toInt},"nq":${results.size},""" +
       s""""code":"$codeId","tree":"$treeId","canary_ratio":${"%.3f".format(canaryRatio)},""" +
       s""""drifted":$drifted,"boards":$boardsRef,""" +
       s""""top_queries":$topQs,"queries_note":"slowest 50 of ${results.size}; full set in bench.json",""" +
@@ -422,6 +433,10 @@ object Bench {
       if (only.isEmpty) {
         val full = best._4.stripSuffix("}") + s""","boards":$boardsRef}"""
         Files.write(Paths.get("bench.json"), (full + "\n").getBytes(UTF_8))
+        // Sidecar copy of the exact stdout line: a consumer whose
+        // stdout capture is tail-truncated (the driver keeps 2000
+        // chars) can read the same compact record from a fixed path.
+        Files.write(Paths.get("bench_line.json"), (compact + "\n").getBytes(UTF_8))
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not persist bench.json: ${e.getMessage}") }
