@@ -233,30 +233,54 @@ object TextDedup {
       slicesPerGroup: Int = 256, lowCardKeys: Boolean = false): DataFrame = {
     val keys = keyCols.map(col)
     val groups0 = boundedMembers(rows, keyCols, cap * slicesPerGroup, lowCardKeys)
-    // two consumers below (within-pairs + chain links); on the lowCard
-    // path the membership build is a multi-stage groupedRank subtree —
-    // materialize it once rather than run the decomposition twice. The
-    // window path stays lazy: its exchange is reused and a checkpoint
-    // would only add a copy.
-    val groups = if (lowCardKeys) groups0.localCheckpoint(true) else groups0
-    val within = groups
-      .filter(size(col("members")) > 1)
-      .select(explode(cappedBucketPairsLong(col("members"), cap)).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
     // Head of a group's LAST cap-slice (1-based): slice index
     // floor((n-1)/cap), head at local rank slice*cap.
     val lastSliceHead = element_at(col("members"),
       (floor((size(col("members")) - 1) / lit(cap)) * cap + 1).cast(IntegerType))
-    val heads = groups
-      .select(keys :+ col("__grp") :+
-        element_at(col("members"), 1).as("__head") :+
-        lastSliceHead.as("__last"): _*)
-    val nexts = heads
-      .select(keys :+ (col("__grp") - 1).as("__grp") :+
-        col("__head").as("__next"): _*)
-    val links = heads.join(nexts, keyCols :+ "__grp")
-      .select(col("__last").as("id_a"), col("__next").as("id_b"))
-    within.unionByName(links)
+    if (!lowCardKeys) {
+      // ONE consumer of the membership build (r19, guide §2.4): the
+      // cross-group chain link rides a lead() window on the SAME keys
+      // partitioning the membership groupBy just established (no new
+      // exchange — a handful of group rows per key), and within-pairs
+      // + links leave through one Generate. The former heads⋈nexts
+      // self-join spelling had THREE consumers of the lazy groups
+      // subtree; AQE reuses only the map-side shuffle stage, so the
+      // reduce-side sort + window + collect aggregation executed once
+      // per consumer at every call site (measured in the r19 plan
+      // dumps: the band window subtree appeared 3x per pair build).
+      // Group-grain, not corpus-grain: rows here are one per
+      // cap·slicesPerGroup members, so the window's sort is bounded.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys: _*).orderBy(col("__grp"))
+      groups0
+        .withColumn("__next", lead(element_at(col("members"), 1), 1).over(w))
+        .select(explode(concat(
+          cappedBucketPairsLong(col("members"), cap),
+          filter(array(struct(lastSliceHead.as("id_a"), col("__next").as("id_b"))),
+            _ => col("__next").isNotNull))).as("p"))
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    } else {
+      // lowCard path: the membership build is a multi-stage groupedRank
+      // subtree (checkpointed once), and a keys-partitioned window here
+      // would be the low-cardinality-key shape PlanGuard exists to flag
+      // — keep the flat heads⋈nexts join spelling over the materialized
+      // groups (cheap checkpoint scans, no window).
+      val groups = groups0.localCheckpoint(true)
+      val within = groups
+        .filter(size(col("members")) > 1)
+        .select(explode(cappedBucketPairsLong(col("members"), cap)).as("p"))
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      val heads = groups
+        .select(keys :+ col("__grp") :+
+          element_at(col("members"), 1).as("__head") :+
+          lastSliceHead.as("__last"): _*)
+      val nexts = heads
+        .select(keys :+ (col("__grp") - 1).as("__grp") :+
+          col("__head").as("__next"): _*)
+      val links = heads.join(nexts, keyCols :+ "__grp")
+        .select(col("__last").as("id_a"), col("__next").as("id_b"))
+      within.unionByName(links)
+    }
   }
 
   private[graft] def cappedBucketPairs(sortedMembers: Column, cap: Int): Column = {
@@ -576,6 +600,56 @@ object TextDedup {
       .select(col("new_id"), col("old_id"), col("jaccard"))
   }
 
+  /** Partition-local union-find contraction of a canonical edge set
+    * `(u LONG, v LONG)`: per partition, emit one `(member, local
+    * component min)` star edge for every non-min node the partition
+    * saw. Connectivity-equivalent to the input edge set globally (see
+    * [[dedupClusters]]), output canonical (u > v, since v is a
+    * component min), deduplicated within each partition by
+    * construction. A node split across partitions emits one star edge
+    * per partition — the global rounds reconcile those. Deterministic
+    * given the input partitioning (min per component does not depend
+    * on edge order), so task retries reproduce byte-identical output.
+    */
+  private[graft] def contractLocal(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("u"), col("v")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, java.lang.Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.get(x).longValue()
+          while (p != x) { // path halving
+            val gp = parent.get(p).longValue()
+            parent.put(x, gp)
+            x = gp
+            p = parent.get(x).longValue()
+          }
+          x
+        }
+        while (it.hasNext) {
+          val (u, v) = it.next()
+          if (parent.get(u) == null) parent.put(u, u)
+          if (parent.get(v) == null) parent.put(v, v)
+          val ru = find(u); val rv = find(v)
+          // always attach the larger root under the smaller, so every
+          // tree root IS its component's minimum
+          if (ru < rv) parent.put(rv, ru)
+          else if (rv < ru) parent.put(ru, rv)
+        }
+        val nodes = new Array[Long](parent.size())
+        val kit = parent.keySet().iterator()
+        var i = 0
+        while (kit.hasNext) { nodes(i) = kit.next().longValue(); i += 1 }
+        nodes.iterator.flatMap { x =>
+          val r = find(x)
+          if (r != x) Iterator.single((x, r)) else Iterator.empty
+        }
+      }
+      .toDF("u", "v")
+  }
+
   /** Connected components over an undirected near-dup pair graph: every
     * corpus id labeled with the MIN id of its component — the dedup
     * keeper assignment that turns pair output ([[minhashPairs]] /
@@ -630,15 +704,39 @@ object TextDedup {
       pairs: DataFrame, maxIters: Int = 25, propRounds: Int = 3): DataFrame = {
     val shim = org.apache.spark.sql.graftshim.GraftShim
     val ids = corpus.select(col(idCol).cast(LongType).as("id"))
-    // canonical undirected edges (u > v), self-pairs dropped; the
-    // checkpoint cuts the (large) pair-generation DAG out of every
-    // round's plan
+    // Canonical undirected edges (u > v), self-pairs dropped, then a
+    // PARTITION-LOCAL contraction (r19, guide §2.4/§1.2 — cut rounds,
+    // not round cost): each task runs union-find over its own edges
+    // and emits one (member → component-min) star edge per non-min
+    // node it saw. The union of the per-partition stars is
+    // connectivity-equivalent to the input (every input edge (u,v)
+    // has both ends mapped to the same local min, and star edges only
+    // link nodes the input linked), so the global rounds below see a
+    // graph whose intra-partition structure is already solved —
+    // components contained in one task collapse to stars that
+    // propagation finishes in two rounds, and only genuinely
+    // cross-partition structure pays iterative rounds. Replaces the
+    // former dropDuplicates (its shuffle bought nothing: union-find is
+    // duplicate-immune, and the contraction output is deduped within
+    // each partition by construction). Memory is O(nodes per
+    // partition) — the same order as a per-partition hash aggregation.
+    // The checkpoint cuts the (large) pair-generation DAG out of every
+    // round's plan, exactly as before.
+    val canonEdges = pairs.select(
+        greatest(col("id_a").cast(LongType), col("id_b").cast(LongType)).as("u"),
+        least(col("id_a").cast(LongType), col("id_b").cast(LongType)).as("v"))
+      .filter(col("u") =!= col("v"))
+    // One keyed shuffle before the contraction (same budget as the
+    // dropDuplicates it replaced) doing two jobs the raw pair-plan
+    // partitioning cannot: (a) co-locate edges by their LOW endpoint,
+    // so stars and chain runs land in one task and contract fully, and
+    // (b) let AQE size the partition count to the edge bytes (keyed
+    // repartition with no explicit count is AQE-coalescible) instead
+    // of inheriting the pair join's task count — measured: without it,
+    // every subsequent round scheduled ~2x the tasks over near-empty
+    // partitions and the minhash-family CC queries ran 30-50% slower.
     val p0 = shim.localCheckpointNoStats(
-      pairs.select(
-          greatest(col("id_a").cast(LongType), col("id_b").cast(LongType)).as("u"),
-          least(col("id_a").cast(LongType), col("id_b").cast(LongType)).as("v"))
-        .filter(col("u") =!= col("v"))
-        .dropDuplicates("u", "v"))
+      contractLocal(canonEdges.repartition(col("v"))))
     var iters = 0
     var converged = false
 

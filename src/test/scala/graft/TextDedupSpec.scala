@@ -80,6 +80,32 @@ class TextDedupSpec extends SparkSpec {
     assert(rD.collect().forall(r => { val s = r.getSeq[Long](1); s === s.sorted }))
   }
 
+  test("contractLocal preserves connectivity at any partitioning; dedupClusters labels unchanged") {
+    // a deep chain (0-1-2-...-9), a star (100 with 101..104), a 2-clique
+    // (200,201) and duplicate edges — contracted per partition, the
+    // global min-label components must come out identical at 1, 3 and
+    // 8 partitions (components split across partitions are the case
+    // the global rounds must still reconcile)
+    val edges = ((0L to 8L).map(i => (i + 1, i)) ++
+      (101L to 104L).map(m => (m, 100L)) ++
+      Seq((201L, 200L), (201L, 200L), (5L, 4L))).toDF("u", "v")
+    val nodes = ((0L to 9L) ++ (100L to 104L) ++ Seq(200L, 201L, 999L))
+      .toDF("doc_id") // 999 = singleton, no edges
+    val expected = ((0L to 9L).map(_ -> 0L) ++
+      (100L to 104L).map(_ -> 100L) ++
+      Seq(200L -> 200L, 201L -> 200L, 999L -> 999L)).toMap
+    for (parts <- Seq(1, 3, 8)) {
+      val e = edges.repartition(parts)
+      val contracted = TextDedup.contractLocal(e).collect()
+      // star edges are canonical (member > local min) and deduped per task
+      assert(contracted.forall(r => r.getLong(0) > r.getLong(1)))
+      val labels = TextDedup.dedupClusters(nodes,
+          "doc_id", e.select($"u".as("id_a"), $"v".as("id_b")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels === expected, s"parts=$parts")
+    }
+  }
+
   test("b-bit jaccard: identical contents collapse out; estimates stay in range") {
     val sets = docs.select($"doc_id".cast("long").as("id"),
       TextDedup.shingleHashes($"text", 3).as("sset"))
@@ -322,17 +348,29 @@ class TextDedupSpec extends SparkSpec {
 
   test("dedupClusters: hitting the iteration cap fails loudly, not silently wrong") {
     import spark.implicits._
-    // a diameter-4 path needs several contraction rounds; maxIters=1 must throw
-    val nodes = (20L to 24L).toDF("doc_id")
-    val pairs = (20L until 24L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val err = intercept[IllegalStateException] {
-      TextDedup.dedupClusters(nodes, "doc_id", pairs, maxIters = 1)
-    }
-    assert(err.getMessage.contains("did not converge"))
-    // the same graph converges once maxIters covers the diameter
-    val out = TextDedup.dedupClusters(nodes, "doc_id", pairs, maxIters = 10)
-      .collect().map(r => r.getLong(1)).toSet
-    assert(out === Set(20L))
+    // a long path SPLIT ACROSS PARTITIONS: the r19 local contraction
+    // solves whatever lands in one task, so the fixture must leave
+    // genuinely cross-partition structure for the global rounds — a
+    // 100-edge chain round-robined over 8 partitions still needs
+    // several star rounds, and maxIters=1 must throw
+    val nodes = (20L to 120L).toDF("doc_id")
+    val pairs = (20L until 120L).map(i => (i, i + 1))
+      .toDF("id_a", "id_b")
+    // AQE coalesces the contraction's tiny shuffle to ONE partition,
+    // where union-find solves any graph outright — disable coalescing
+    // so the chain genuinely spans tasks, as it would at scale
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val err = intercept[IllegalStateException] {
+        TextDedup.dedupClusters(nodes, "doc_id", pairs, maxIters = 1)
+      }
+      assert(err.getMessage.contains("did not converge"))
+      // the same graph converges under the default cap
+      val out = TextDedup.dedupClusters(nodes, "doc_id", pairs)
+        .collect().map(r => r.getLong(1)).toSet
+      assert(out === Set(20L))
+    } finally
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
   }
 
   test("ppjoin is exact: equals brute-force ground truth and covers every LSH pair") {
