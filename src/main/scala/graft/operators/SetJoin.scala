@@ -72,26 +72,32 @@ object SetJoin {
   def ppjoinPairs(df: DataFrame, idCol: String, textCol: String,
       w: Int = 3, tNum: Long = 1, tDen: Long = 2): DataFrame =
     ppjoinPairsFromSets(df.select(col(idCol).cast(LongType).as("id"),
-      TextDedup.shingleHashes(col(textCol), w).as("sset")), tNum, tDen)
+      TextDedup.shingleHashes(col(textCol), w).as("sset"))
+      .localCheckpoint(true), tNum, tDen)
 
-  /** [[ppjoinPairs]] over a pre-built `(id LONG, sset ARRAY<LONG>)`
-    * shingle-set frame — the shared-materialization twin of
+  /** [[ppjoinPairs]] over a pre-built, MATERIALIZED `(id LONG, sset
+    * ARRAY<LONG>)` shingle-set frame (localCheckpoint / cache / table
+    * scan — the collapse contract) — the shared-materialization twin of
     * [[graft.operators.TextDedup.minhashPairsFromSets]], so a recall
     * audit runs the shingle pipeline once for both the exact and
-    * approximate sides.
+    * approximate sides. `precomputed` additionally lets such a caller
+    * share ONE identical-set collapse decision between the pipelines
+    * ([[graft.queries.DedupQueries.lshRecall]]).
     */
   def ppjoinPairsFromSets(raw: DataFrame,
-      tNum: Long = 1, tDen: Long = 2): DataFrame = {
+      tNum: Long = 1, tDen: Long = 2,
+      precomputed: Option[(DataFrame, DataFrame, Boolean)] = None): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold in (0, 1]")
-    val (memb, mat, prefix) = collapsedPrefixBuildFromSets(raw, tNum, tDen)
+    val (memb, mat, prefix, collapsed) =
+      collapsedPrefixBuildFromSets(raw, tNum, tDen, precomputed)
     val members = memb.select(col("rid"), col("id"))
     // within-group: identical non-empty sets, all C(g,2) pairs at J=1 —
     // the pair fan-out is legitimate output (it IS the answer for a
     // duplicated corpus). Spelled as a flat rid-keyed self-join: a
     // sort-merge join STREAMS the g² output rows of a degenerate group
     // instead of materializing any O(g) array row.
-    val m = memb.filter(col("n0") > 0).select(col("rid"), col("id"))
-    val within = m.as("x").join(m.as("y"),
+    def m = memb.filter(col("n0") > 0).select(col("rid"), col("id"))
+    def within = m.as("x").join(m.as("y"),
         col("x.rid") === col("y.rid") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         lit(1.0).as("jaccard"))
@@ -120,15 +126,22 @@ object SetJoin {
       .filter(col("inter") * tDen >= col("uni") * tNum)
       .select(col("id_a"), col("id_b"),
         round(col("inter").cast("double") / col("uni").cast("double"), 6).as("jaccard"))
-    // cross-group expansion: every member pair inherits its
-    // representatives' Jaccard; re-orient so id_a < id_b holds even
-    // when group memberships interleave
-    val cross = repPairs
-      .join(members.select(col("rid").as("id_a"), col("id").as("ma")), Seq("id_a"))
-      .join(members.select(col("rid").as("id_b"), col("id").as("mb")), Seq("id_b"))
-      .select(least(col("ma"), col("mb")).as("id_a"),
-        greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
-    cross.unionAll(within)
+    // Identity collapse (all-distinct corpus): rid == id for every doc,
+    // so the within self-join is provably empty and the member
+    // expansion below re-keys every pair to itself — skip both (the
+    // r18 minhash-family elision, extended to the exact join in r19).
+    if (!collapsed) repPairs
+    else {
+      // cross-group expansion: every member pair inherits its
+      // representatives' Jaccard; re-orient so id_a < id_b holds even
+      // when group memberships interleave
+      val cross = repPairs
+        .join(members.select(col("rid").as("id_a"), col("id").as("ma")), Seq("id_a"))
+        .join(members.select(col("rid").as("id_b"), col("id").as("mb")), Seq("id_b"))
+        .select(least(col("ma"), col("mb")).as("id_a"),
+          greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
+      cross.unionAll(within)
+    }
   }
 
   /** The shared front of [[ppjoinPairs]] and [[prefixSkewReport]]:
@@ -157,32 +170,45 @@ object SetJoin {
     */
   private[graft] def collapsedPrefixBuild(
       df: DataFrame, idCol: String, textCol: String,
-      w: Int, tNum: Long, tDen: Long): (DataFrame, DataFrame, DataFrame) =
+      w: Int, tNum: Long, tDen: Long): (DataFrame, DataFrame, DataFrame, Boolean) =
     collapsedPrefixBuildFromSets(df.select(col(idCol).cast(LongType).as("id"),
-      TextDedup.shingleHashes(col(textCol), w).as("sset")), tNum, tDen)
+      TextDedup.shingleHashes(col(textCol), w).as("sset"))
+      .localCheckpoint(true), tNum, tDen)
 
+  /** `raw0` must be MATERIALIZED (the collapse contract). Returns
+    * `(members, mat, prefix, collapsed)`; when `collapsed` is false the
+    * members table is the identity map and callers skip their
+    * within-group/expansion plan branches outright.
+    */
   private[graft] def collapsedPrefixBuildFromSets(
-      raw0: DataFrame, tNum: Long, tDen: Long): (DataFrame, DataFrame, DataFrame) = {
-    // Array-free collapse: rather than `groupBy(sset).agg(collect_list
-    // (id))` — whose per-group ids array is the last unbounded row in
-    // the dedup family (a 100 TB corpus with millions of byte-identical
-    // boilerplate docs puts ALL their ids in ONE unspillable row) —
-    // compute the group representative `rid = min(id)` as a MAP-SIDE-
-    // COMBINED aggregate and join it back: a million-copy boilerplate
-    // set combines to one row per input partition BEFORE the shuffle,
-    // where the previous `min(id) OVER (PARTITION BY sset0)` spelling
-    // still landed the whole group on one (spillable) task. The rid
-    // table doubles as the representative-set table. Membership,
-    // within-group pairs, representative sets and group sizes are all
-    // derivable from the flat (rid, id, n0) rows.
-    val raw = raw0.select(col("id"), array_sort(col("sset")).as("sset0"))
-      .localCheckpoint(true) // feeds the rid aggregate AND the join-back
-    val rids = raw.groupBy(col("sset0")).agg(min(col("id")).as("rid"))
-      .localCheckpoint(true) // feeds the members join AND the rep index
-    val members = raw.join(rids, Seq("sset0"))
-      .select(col("rid"), col("id"),
-        size(col("sset0")).cast(LongType).as("n0"))
-    val reps = rids.select(col("rid").as("id"), col("sset0").as("sset"))
+      raw0: DataFrame, tNum: Long, tDen: Long,
+      precomputed: Option[(DataFrame, DataFrame, Boolean)] = None)
+      : (DataFrame, DataFrame, DataFrame, Boolean) = {
+    // Array-free collapse (since r19 the shared fingerprint collapse —
+    // [[TextDedup.collapseIdenticalSetsTagged]]): grouping and the
+    // members join-back ride the 128-bit canonical-array fingerprint
+    // (24 bytes/row on the wire) with a map-side-combined `min(id)`
+    // aggregate, so a million-copy boilerplate set combines per input
+    // partition BEFORE the shuffle and no row ever carries a per-group
+    // ids array. On the identity path (every set distinct — decided by
+    // ONE bounded aggregation) members is a narrow projection and the
+    // former full-array group + join-back disappear entirely. The
+    // false-merge bound (both 64-bit lanes colliding, p <= n²/2^129) is
+    // the same one the whole approximate family carries; any such event
+    // is oracle-visible since the DuckDB replay groups on the set.
+    val (members0, reps, collapsed) =
+      precomputed.getOrElse(TextDedup.collapseIdenticalSetsTagged(raw0))
+    val members =
+      if (!collapsed)
+        raw0.select(col("id").as("rid"), col("id"),
+          size(col("sset")).cast(LongType).as("n0"))
+      else
+        // identical sets share their size, so the rep's carries the
+        // member's — one broadcast-sized join on the unique rid
+        members0.join(
+          reps.select(col("id").as("rid"), size(col("sset")).cast(LongType).as("n0")),
+          Seq("rid"))
+          .select(col("rid"), col("id"), col("n0"))
     val ex = reps.select(col("id"), explode(col("sset")).as("h"))
     val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
     val sets = ex.join(dfreq, "h")
@@ -200,7 +226,7 @@ object SetJoin {
         posexplode(slice(col("sset"), lit(1), col("p").cast("int"))))
       .select(col("id"), col("n"), (col("pos") + 1).cast(LongType).as("pos"),
         col("col").as("tk"))
-    (members, mat, prefix)
+    (members, mat, prefix, collapsed)
   }
 
   /** PPJoin candidate-volume observability (defense-in-depth next to
@@ -223,7 +249,7 @@ object SetJoin {
   def prefixSkewReport(df: DataFrame, idCol: String, textCol: String,
       w: Int = 3, tNum: Long = 1, tDen: Long = 2): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold in (0, 1]")
-    val (memb, _, prefix) = collapsedPrefixBuild(df, idCol, textCol, w, tNum, tDen)
+    val (memb, _, prefix, _) = collapsedPrefixBuild(df, idCol, textCol, w, tNum, tDen)
     val tokdf = prefix.groupBy(col("tk"))
       .agg(count(lit(1)).cast(LongType).as("dfp"))
       // dfp*(dfp-1) wraps Long past dfp ~ 3.04e9 — precisely the

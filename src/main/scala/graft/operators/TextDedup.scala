@@ -346,9 +346,7 @@ object TextDedup {
     // per consumer instead of eagerly materializing a second copy of
     // every array (r18 polish: the collapse used to take two eager
     // checkpoints per call, pure overhead when nothing collapses).
-    val canon = sets.select(col("id"), array_sort(col("sset")).as("sset0"))
-      .withColumn("__h1", xxhash64(col("sset0")))
-      .withColumn("__h2", xxhash64(lit("lane2"), col("sset0")))
+    val canon = collapseCanon(sets)
     // Adaptive fast path: when every content is distinct (the uniform
     // corpus — the common case), the collapse is the identity, and the
     // group + two join-backs below would be pure overhead. ONE
@@ -362,17 +360,35 @@ object TextDedup {
       (sets.select(col("id").as("rid"), col("id")),
         sets.select(col("id"), array_sort(col("sset")).as("sset")), false)
     } else {
-      val rids = canon.groupBy(col("__h1"), col("__h2"))
+      // Slow path: materialize canon ONCE (r18 ADVICE — the previous
+      // spelling recomputed the sort + two hashes per consumer, and the
+      // rid group, members join and reps semi-join make three). The
+      // copy costs one materialization of the arrays, exactly what the
+      // pre-fingerprint spelling paid; the identity path stays
+      // materialization-free.
+      val canonCp = canon.localCheckpoint(true)
+      val rids = canonCp.groupBy(col("__h1"), col("__h2"))
         .agg(min(col("id")).as("rid"))
         .localCheckpoint(true) // 24B/row; feeds members + reps
-      val members = canon.select(col("id"), col("__h1"), col("__h2"))
+      val members = canonCp.select(col("id"), col("__h1"), col("__h2"))
         .join(rids, Seq("__h1", "__h2")).select(col("rid"), col("id"))
-      val reps = canon
+      val reps = canonCp
         .join(rids.select(col("rid").as("id")), Seq("id"), "left_semi")
         .select(col("id"), col("sset0").as("sset"))
       (members, reps, true)
     }
   }
+
+  /** The collapse's canonicalization: sorted array + the two 64-bit
+    * fingerprint lanes. ONE definition — the operator's decision
+    * aggregation and [[graft.tools.DedupChainProbe]]'s stage timing
+    * both call this, so the probe can never silently measure a
+    * different spelling (r18 ADVICE).
+    */
+  private[graft] def collapseCanon(sets: DataFrame): DataFrame =
+    sets.select(col("id"), array_sort(col("sset")).as("sset0"))
+      .withColumn("__h1", xxhash64(col("sset0")))
+      .withColumn("__h2", xxhash64(lit("lane2"), col("sset0")))
 
   /** Identity STAR pairs of a collapse: (rid, member) for every
     * non-representative member — |group|-1 flat rows per group,
@@ -425,8 +441,20 @@ object TextDedup {
   def minhashPairsFromSets(
       sets: DataFrame, numPerms: Int = 16, r: Int = 2,
       jaccardThreshold: Double = 0.5,
-      maxBucket: Int = 256): DataFrame = {
-    val (members, reps, collapsed) = collapseIdenticalSetsTagged(sets)
+      maxBucket: Int = 256): DataFrame =
+    minhashPairsFromCollapse(collapseIdenticalSetsTagged(sets),
+      numPerms, r, jaccardThreshold, maxBucket)
+
+  /** [[minhashPairsFromSets]] over an ALREADY-DECIDED identical-set
+    * collapse — lets a caller that also runs the exact pipeline
+    * ([[graft.queries.DedupQueries.lshRecall]]) pay the collapse
+    * decision once instead of once per pipeline.
+    */
+  private[graft] def minhashPairsFromCollapse(
+      collapse: (DataFrame, DataFrame, Boolean),
+      numPerms: Int, r: Int,
+      jaccardThreshold: Double, maxBucket: Int): DataFrame = {
+    val (members, reps, collapsed) = collapse
     val withSig = reps.withColumn("sig", minhashSignatureFromHashes(col("sset"), numPerms))
     val bands = withSig.select(col("id"),
       explode(lshBands(col("sig"), numPerms, r)).as("b"))

@@ -658,13 +658,19 @@ object DedupQueries {
     // copies (exact dedup's job, found without LSH by definition) no
     // longer inflate or deflate the LSH recall number, and the measure
     // is invariant to how either side spells its within-group emission
-    val (members0, _, collapsed) = TextDedup.collapseIdenticalSetsTagged(sets)
+    // ONE collapse decision for the whole audit (r19): the canon
+    // aggregation used to run three times — here, inside the minhash
+    // pipeline, and (as a full-array group) inside the ppjoin build
+    val (members0, reps0, collapsed) = TextDedup.collapseIdenticalSetsTagged(sets)
     // identity collapse (uniform corpus): rid == id for every doc, so the
     // four member-mapping joins below are identity maps — skip them (r18:
     // they cost 8 exchanges in this query's plan while provably re-keying
     // every pair to itself)
     val m = if (collapsed) members0.localCheckpoint(true) // four projection joins below
       else members0
+    // reps stay lazy: on the collapsed path they are a cheap semi-join
+    // over the collapse's own canon checkpoint
+    val sharedCollapse = (m, reps0, collapsed)
     def canon(p: DataFrame): DataFrame = {
       val mapped = if (!collapsed)
         p.select(col("id_a").as("ra"), col("id_b").as("rb"))
@@ -677,11 +683,12 @@ object DedupQueries {
           greatest(col("ra"), col("rb")).as("id_b"))
         .distinct()
     }
-    val exact = canon(graft.operators.SetJoin.ppjoinPairsFromSets(sets)
+    val exact = canon(graft.operators.SetJoin
+        .ppjoinPairsFromSets(sets, precomputed = Some(sharedCollapse))
         .select(col("id_a"), col("id_b")))
       .withColumn("in_exact", lit(1L))
-    val lsh = canon(TextDedup.minhashPairsFromSets(sets,
-        numPerms = 16, r = 2, jaccardThreshold = 0.5)
+    val lsh = canon(TextDedup.minhashPairsFromCollapse(sharedCollapse,
+        numPerms = 16, r = 2, jaccardThreshold = 0.5, maxBucket = 256)
         .select(col("id_a"), col("id_b")))
       .withColumn("in_lsh", lit(1L))
     exact.join(lsh, Seq("id_a", "id_b"), "full_outer")

@@ -39,9 +39,9 @@ object DedupChainProbe {
       t("sets checkpoint")({ val c = sets.localCheckpoint(true); c.count() })
       val setsCp = sets.localCheckpoint(true)
       t("collapse decision agg")({
-        val canon = setsCp.select(col("id"), array_sort(col("sset")).as("sset0"))
-          .withColumn("__h1", xxhash64(col("sset0")))
-          .withColumn("__h2", xxhash64(lit("lane2"), col("sset0")))
+        // the operator's own canon spelling (shared helper — r18 ADVICE:
+        // an inlined copy here silently drifts if the operator changes)
+        val canon = TextDedup.collapseCanon(setsCp)
         canon.agg(count(lit(1)), count_distinct(col("__h1"), col("__h2"))).head()
         1L
       })

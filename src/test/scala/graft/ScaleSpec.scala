@@ -95,8 +95,9 @@ class ScaleSpec extends SparkSpec {
     val sets = ((1L to 500L).map(i => (i, Seq(10L, 20L, 30L))) ++
         Seq((900L, Seq(10L, 20L)), (901L, Seq(40L, 50L, 60L)), (902L, Seq.empty[Long])))
       .toDF("id", "sset")
-    val (members, mat, _) = graft.operators.SetJoin
-      .collapsedPrefixBuildFromSets(sets, 1L, 2L)
+    val (members, mat, _, collapsed) = graft.operators.SetJoin
+      .collapsedPrefixBuildFromSets(sets.localCheckpoint(true), 1L, 2L)
+    assert(collapsed, "the 500-copy corpus must take the collapsed path")
     // the giant-cluster guard: no member row carries an array — the
     // collapse derives flat (rid, id, n0) rows
     assert(!members.schema.fields.exists(_.dataType.isInstanceOf[ArrayType]),
